@@ -1,0 +1,158 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational coverage queries over the TPC-H-ish testdata star schema.
+  *
+  * These exercise the full relational operator surface the reference uses
+  * (hash aggregation, conditional aggregates, window+rank top-1, left join —
+  * SURVEY.md §2.3-§2.8) plus the join/sort/limit/set-op surface any engine
+  * with those capabilities must expose, expressed Spark-first so Catalyst
+  * does pushdown/pruning/broadcast selection.
+  *
+  * Scale notes (100 TB): every query here groups or joins on high-cardinality
+  * keys via hash shuffle; dimension tables (region/nation/supplier/part) are
+  * broadcast — `broadcast()` hints make that explicit rather than relying on
+  * stats. Aggregates are all partial+final (map-side combine) by construction.
+  */
+object Relational {
+
+  /** Pricing summary (reference A1-style multi-aggregate groupBy,
+    * spark_batch_job.py:27-41 pattern). Doubles rounded so the DuckDB oracle
+    * hash-compares despite summation-order float drift.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Top-10 unshipped-revenue orders: 3-way join + agg + orderBy + limit.
+    * The customer→orders join shuffles on the key; lineitem joins on
+    * l_orderkey. Sort+limit is a TakeOrderedAndProject (no full sort).
+    */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00"))
+    val c = Tables.customer(spark, sfDir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir).where(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, sfDir).where(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Revenue by nation for one region: star join with broadcast dimensions
+    * (region, nation small → broadcast; orders/lineitem shuffle on keys).
+    */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Customer order rollup via LEFT join — the reference's single join shape
+    * (J1, spark_batch_job.py:69-71): an aggregate left-joined back onto an
+    * entity table, customers with zero orders kept.
+    */
+  def customerOrderSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val perCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("order_count"), lit(0L)).as("order_count"),
+        coalesce(col("total_price"), lit(0.0)).as("total_price"))
+  }
+
+  /** Semi/anti join coverage: customers WITH at least one open order and
+    * customers WITHOUT any order, via left_semi / left_anti (EXISTS / NOT
+    * EXISTS — no row duplication, no post-join distinct needed).
+    */
+  def customersWithOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Set operations: nations having customers vs nations having suppliers —
+    * UNION (distinct), INTERSECT, EXCEPT, tagged and unioned into one result.
+    */
+  def nationSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val custN = Tables.customer(spark, sfDir).select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val suppN = Tables.supplier(spark, sfDir).select(col("s_nationkey").cast("int").as("nationkey")).distinct()
+    custN.union(suppN).distinct().withColumn("set_op", lit("union"))
+      .unionByName(custN.intersect(suppN).withColumn("set_op", lit("intersect")))
+      .unionByName(custN.except(suppN).withColumn("set_op", lit("except")))
+  }
+
+  /** Window-function top-k: top 3 parts by revenue per supplier
+    * (reference W1-W2 row_number idiom generalized to k>1, with a
+    * deterministic tiebreak; Spark plans WindowGroupLimit so only k rows per
+    * key survive the sort — no full materialization).
+    */
+  def topPartsPerSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+    perPart.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+  }
+
+  /** Distinct aggregation: exact countDistinct (reference A4) per group.
+    * At 100 TB the approx variant (HLL++) is the scale path — exposed as
+    * [[distinctPartsApprox]], benchmarked but oracle-checked rows-only.
+    */
+  def distinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"))
+
+  def distinctPartsApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+
+  /** String split projection — the reference's `split(category_code, ".")`
+    * main/sub-category derivation (P9, spark_stream.py:70-71), applied to
+    * part.p_name ("cold widget"). The reference's regex-dot bug
+    * is deliberately fixed: we split on the literal separator.
+    */
+  def partCategories(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("main_category"),
+        split(col("p_name"), " ").getItem(1).as("sub_category"),
+        element_at(split(col("p_name"), " "), -1).as("last_category"))
+}

@@ -1,0 +1,203 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, StructType, StructField}
+import graft.core.Tables
+
+/** User-session analytics over the `events` table — the Spark-native
+  * re-expression of the reference's batch job
+  * (/root/reference/spark_jobs/spark_batch_job.py) and of the historical
+  * stateful sessionization recovered from its checkpoint (SURVEY.md §2.9).
+  *
+  * The reference sessionizes two ways: (a) a pre-assigned `user_session`
+  * column (batch path) and (b) `(user_id, 1-minute tumbling window)`
+  * (streaming path). The testdata `events` table has no session column, so
+  * (b) is the batch parity key here, with `session_window` gap sessionization
+  * as the idiomatic upgrade (SURVEY §2.9 note).
+  *
+  * Deliberate deviations from reference bugs (SURVEY §7.4.1):
+  *  - `first/last(event_time)` without ordering (A2) → min/max (deterministic);
+  *  - favorite-category ties (W2) → explicit tiebreak on the category value;
+  *  - string-typed price summed implicitly (P16) → `value` is already double.
+  *
+  * Scale notes: every aggregation shuffles once on its group key with
+  * map-side partial aggregation. The global "current date" (A11) is computed
+  * as a broadcast 1-row cross join instead of the reference's driver-side
+  * collect — same plan shape Catalyst would give a scalar subquery, and it
+  * keeps the whole query lazy/distributed.
+  */
+object Sessions {
+
+  /** 1-minute tumbling-window key, epoch-aligned — identical semantics to
+    * `window($"ts", "1 minute")` but exposed as plain columns for oracle
+    * comparability.
+    */
+  private def sessionKey(df: DataFrame): DataFrame =
+    df.withColumn("w", window(col("ts"), "1 minute"))
+      .withColumn("session_start", col("w.start"))
+      .drop("w")
+
+  /** Session-level rollup — reference A1-A5 (spark_batch_job.py:27-41). */
+  def sessionLevel(spark: SparkSession, sfDir: String): DataFrame =
+    sessionKey(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(
+        min(col("ts")).as("first_event_time"),
+        max(col("ts")).as("last_event_time"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("session_duration_seconds"),
+        count(col("event_type")).as("number_of_events"),
+        countDistinct(col("event_type")).as("distinct_event_types"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("is_purchase"))
+
+  /** User-level rollup — reference A6-A9 + P14 days-since-last-purchase with
+    * the -1 null sentinel (spark_batch_job.py:44-85). The anchor date is the
+    * max event date over the whole table (the reference collects it to the
+    * driver, A11; we broadcast-cross-join it).
+    */
+  def userLevel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_date"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("total_purchases"),
+        round(sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+          col("value"))), 2).as("total_spent"),
+        max(when(col("event_type") === "purchase", col("ts")))
+          .as("last_purchase_time"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("days_since_last_purchase",
+        when(col("last_purchase_time").isNotNull,
+          datediff(col("anchor_date"), to_date(col("last_purchase_time"))))
+          .otherwise(lit(-1)).cast(IntegerType))
+      .drop("anchor_date")
+  }
+
+  /** Favorite event type per user — reference A10 + W1/W2 + F2
+    * (spark_batch_job.py:54-63): 2-key count, row_number over
+    * (count desc), keep rank 1. Deterministic tiebreak on event_type.
+    */
+  def favoriteEventType(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("interaction_count"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("interaction_count").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") === 1)
+      .select(col("user_id"),
+        col("event_type").as("favorite_event_type"),
+        col("interaction_count"))
+  }
+
+  /** User profile = user-level rollup LEFT JOIN favorite category — the
+    * reference's single join J1 (spark_batch_job.py:69-71).
+    */
+  def userEnriched(spark: SparkSession, sfDir: String): DataFrame =
+    userLevel(spark, sfDir)
+      .join(favoriteEventType(spark, sfDir)
+          .select(col("user_id"), col("favorite_event_type")),
+        Seq("user_id"), "left")
+
+  /** Daily user activity — reference A12 (spark_batch_job.py:88-99,
+    * commented report): per (user, day) session count + total duration.
+    */
+  def dailyActivity(spark: SparkSession, sfDir: String): DataFrame =
+    sessionLevel(spark, sfDir)
+      .withColumn("session_date", to_date(col("session_start")))
+      .groupBy(col("user_id"), col("session_date"))
+      .agg(count(lit(1)).as("num_sessions"),
+        sum(col("session_duration_seconds")).as("total_duration_seconds"))
+
+  /** Daily funnel — reference A13 (spark_batch_job.py:112-115): distinct
+    * users per (day, funnel step).
+    */
+  def dailyFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users_count"))
+
+  /** Daily traffic source — reference A14 (spark_batch_job.py:123-134).
+    * The testdata has no utm column; we derive one from the JSON `props`
+    * payload (exercises from_json, reference P2/P18) the same way the
+    * reference derives utm_source from the event payload.
+    */
+  def dailyTrafficSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    val utm: Column = element_at(
+      array(lit("facebook"), lit("google"), lit("tiktok_ads"), lit("organic")),
+      (from_json(col("props"), propsSchema).getField("k") % 4) + 1)
+    Tables.events(spark, sfDir)
+      .withColumn("utm_source", utm)
+      .groupBy(to_date(col("ts")).as("event_date"), col("utm_source"))
+      .agg(countDistinct(col("user_id")).as("users_count"),
+        // avg derived from the 2-decimal-rounded sum: value has 2 decimals,
+        // so round(sum,2) is order-insensitive and the division is then
+        // bit-deterministic across engines (plain avg() can land either
+        // side of a rounding boundary depending on summation order).
+        round(round(sum(col("value")), 2) / count(lit(1)), 4).as("avg_value"))
+  }
+
+  /** Gap-based sessionization — the idiomatic upgrade of the reference's
+    * 1-minute tumbling window (SURVEY §2.9): `session_window` with a 30-min
+    * inactivity gap. Works identically in batch and Structured Streaming.
+    */
+  def sessionGap(spark: SparkSession, sfDir: String, gap: String = "30 minutes"): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start_time"),
+        max(col("ts")).as("session_end_time"),
+        count(lit(1)).as("number_of_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .drop("session_window")
+
+  /** First/last event per session — reference A2/ST5 session shaping
+    * (first_product_id/last_product_id, DDL spark_stream.py:116-131), done
+    * deterministically with min_by/max_by on the event sequence number.
+    */
+  def sessionFirstLast(spark: SparkSession, sfDir: String): DataFrame =
+    sessionKey(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_event_type"),
+        max_by(col("event_type"), col("event_id")).as("last_event_type"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"))
+
+  /** Per-session ordered event list serialized to JSON — reference A15/ST4
+    * (`collect_list(struct(...))` → `to_json`, the historical stateful
+    * aggregate decoded from the checkpoint + events_json DDL).
+    * At 100 TB unbounded per-key lists are a hazard (SURVEY §7.4.3): we cap
+    * the list with slice() — the cap is a parameter, 100 here.
+    */
+  def sessionEventsJson(spark: SparkSession, sfDir: String, cap: Int = 100): DataFrame =
+    sessionKey(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("event_id"), col("event_type")))), 1, cap).as("events_list"))
+      .select(col("user_id"), col("session_start"),
+        size(col("events_list")).as("n_events"),
+        to_json(col("events_list")).as("events_json"))
+
+  /** Event enrichment projection — reference P4-P11 (spark_stream.py:62-91):
+    * date/day-of-week/hour derivations and conditional purchase columns.
+    */
+  def eventsEnriched(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("event_date"),
+        date_format(col("ts"), "EEEE").as("day_of_week"),
+        hour(col("ts")).as("hour_of_day"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_purchase"),
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          round(col("value"), 2)).otherwise(lit(null)).as("purchase_amount"),
+        when(col("value") < 50, "low")
+          .when(col("value") < 200, "mid")
+          .otherwise("high").as("value_bucket"))
+}
