@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{Relational, Sessions}
+import graft.analytics.{Relational, Sessions, TextAnalytics}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +42,21 @@ object SparkEntry {
     "q19_session_first_last" -> Sessions.sessionFirstLast _,
     "q20_session_events_json" -> ((s: SparkSession, d: String) => Sessions.sessionEventsJson(s, d)),
     "q21_events_enriched" -> Sessions.eventsEnriched _,
+    // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
+    "q22_dedup_exact" -> Dedup.exactGroups _,
+    "q23_shingle_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    "q24_minhash_signatures" -> ((s: SparkSession, d: String) => Dedup.minhashSignatures(s, d)),
+    "q25_minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
+    "q26_simhash_docs" -> Dedup.simhashDocs _,
+    "q27_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "q28_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
+    "q29_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
+    "q30_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "q31_text_quality" -> TextAnalytics.quality _,
+    "q32_lang_id" -> TextAnalytics.langPredictions _,
+    "q33_token_stats" -> TextAnalytics.tokenStats _,
+    "q34_multimodal_meta" -> Multimodal.metaSummary _,
+    "q35_corpus_summary" -> TextAnalytics.corpusSummary _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,5 +233,175 @@ object SparkEntry {
         | CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN round(value,2) END AS purchase_amount,
         | CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END AS value_bucket
         |FROM events""".stripMargin,
+  ) ++ CorpusOracles.sql
+}
+
+/** DuckDB mirrors of the corpus-scale operators (q22+). The hash-derived
+  * ones are generated programmatically from the same pinned constants as
+  * the Scala implementations (graft.functions.Hashing) so both sides compute
+  * the identical integers.
+  */
+private object CorpusOracles {
+  import graft.functions.Hashing.{MinhashCoefs, MinhashPrime}
+
+  /** 32-bit md5-prefix base hash of a SQL string expression. */
+  private def h32(x: String) = s"CAST(('0x'||substr(md5($x),1,8)) AS BIGINT)"
+
+  /** Tokens + 3-gram shingle list per doc (DuckDB list ops, 1-based). */
+  private val toks = "SELECT doc_id, string_split(text, ' ') AS w FROM documents"
+  private val docShingles =
+    s"""SELECT doc_id,
+       | list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS shingles
+       |FROM ($toks)""".stripMargin
+  private val shingleRows =
+    s"""SELECT DISTINCT doc_id, s AS shingle
+       |FROM ($docShingles), UNNEST(shingles) AS u(s)""".stripMargin
+
+  private def mhExpr(i: Int): String = {
+    val (a, b) = MinhashCoefs(i)
+    s"list_min(list_transform(hs, x -> (x*$a + $b) % $MinhashPrime))"
+  }
+  private val baseHashes =
+    s"""SELECT doc_id, list_transform(shingles, s -> ${h32("s")}) AS hs
+       |FROM ($docShingles)""".stripMargin
+
+  private val jaccardTail =
+    """SELECT doc1, doc2,
+      | round(cnt*1.0/(x.n + y.n - cnt), 6) AS jaccard
+      |FROM inter JOIN sizes x ON doc1 = x.doc_id JOIN sizes y ON doc2 = y.doc_id""".stripMargin
+
+  /** Per-doc 32-bit simhash (sum of per-bit sign votes), as a CTE body. */
+  private val simhashDoc = {
+    val terms = (0 until 32).map { j =>
+      s"""CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT doc_id, ($terms) AS simhash
+       |FROM (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h32("t")}) AS hs FROM documents)""".stripMargin
+  }
+
+  private def cosExpr(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+
+  /** Quality-metric expressions over `documents` (mirrors Text.qualityMetrics). */
+  private val qualityCols =
+    """ len(string_split(text,' ')) AS n_tokens,
+      | round((length(text) - (len(string_split(text,' ')) - 1)) * 1.0 / len(string_split(text,' ')), 4) AS mean_word_len,
+      | round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text), 6) AS punct_ratio,
+      | round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is','in'))) * 1.0 / len(string_split(text,' ')), 6) AS stopword_ratio""".stripMargin
+  private val qualityScore =
+    """round(
+      | (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 400 THEN 1.0
+      |   WHEN len(string_split(text,' ')) < 20 THEN len(string_split(text,' ')) / 20.0
+      |   ELSE 400.0 / len(string_split(text,' ')) END) * 0.5
+      | + CASE WHEN round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','is','in'))) * 1.0 / len(string_split(text,' ')), 6) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END
+      | + CASE WHEN round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text), 6) <= 0.1 THEN 0.2 ELSE 0.0 END, 4)""".stripMargin
+
+  private val fingerprint =
+    s"""list_reduce(
+       | list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(text,' '), t -> ${h32("t")})),
+       | (acc, x) -> (acc*31 + x) % 1000000007)""".stripMargin
+
+  private val langPredicted = {
+    val langs = graft.functions.Text.LangStopwords
+    val scores = langs.map { case (lang, sw) =>
+      lang -> s"len(list_filter(w, t -> t IN (${sw.map(s => s"'$s'").mkString(",")})))"
+    }
+    // first-maximum in declared order == the Scala strict-greater fold
+    val cases = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2).map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $rest THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${scores.last._1}' END"
+  }
+
+  val sql: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q23_shingle_jaccard" ->
+      s"""WITH sh AS ($shingleRows),
+         |freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+         |shf AS (SELECT sh.* FROM sh JOIN freq USING (shingle) WHERE df <= 1000),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+         |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2)
+         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    "q24_minhash_signatures" ->
+      s"""SELECT doc_id, ${(0 until 16).map(i => s"${mhExpr(i)} AS mh_$i").mkString(", ")}
+         |FROM ($baseHashes)""".stripMargin,
+    "q25_minhash_dedup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |banded AS (SELECT doc_id, b AS band,
+         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT doc1, doc2, count(*) AS cnt
+         |  FROM cand
+         |  JOIN sh s1 ON s1.doc_id = doc1
+         |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+         |  GROUP BY 1,2)
+         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.7""".stripMargin,
+    "q26_simhash_docs" -> simhashDoc,
+    "q27_simhash_pairs" ->
+      s"""WITH s AS ($simhashDoc)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q28_embedding_neardup" ->
+      s"""SELECT * FROM (
+         | SELECT p.vec1, p.vec2, p.label, ${cosExpr("av", "bv")} AS cosine
+         | FROM (SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label AS label,
+         |    CAST(a.embedding AS DOUBLE[]) AS av, CAST(b.embedding AS DOUBLE[]) AS bv
+         |   FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id) p)
+         |WHERE cosine >= 0.3""".stripMargin,
+    "q29_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
+         |  FROM c JOIN q ON vec_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+         |  FROM scored)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    "q31_text_quality" ->
+      s"""SELECT doc_id,$qualityCols,
+         | $qualityScore AS quality_score
+         |FROM documents""".stripMargin,
+    "q32_lang_id" ->
+      s"""SELECT doc_id, lang AS actual_lang, $langPredicted AS predicted_lang
+         |FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)""".stripMargin,
+    "q33_token_stats" ->
+      s"""SELECT doc_id,
+         | len(string_split(text,' ')) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS regex_tokens,
+         | $fingerprint AS fingerprint
+         |FROM documents""".stripMargin,
+    "q34_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id, 'image/fake-'||source AS media_type, CAST(strlen(text) AS BIGINT) AS n FROM documents)
+        |SELECT media_type, count(*) AS n_media,
+        | CAST(sum(n) AS BIGINT) AS total_bytes,
+        | CAST(max(64 + n % 577) AS INTEGER) AS max_width,
+        | CAST(max(64 + (n*31) % 417) AS INTEGER) AS max_height,
+        | CAST(sum(1 + n % 7) AS BIGINT) AS total_frames
+        |FROM m GROUP BY 1""".stripMargin,
+    "q35_corpus_summary" ->
+      s"""WITH d AS (SELECT lang, source, $qualityScore AS q, $fingerprint AS fp
+         |  FROM documents)
+         |SELECT lang, source, count(*) AS n_docs,
+         | round(round(sum(q), 4) / count(*), 4) AS mean_quality,
+         | count(DISTINCT fp) AS distinct_fingerprints
+         |FROM d GROUP BY 1,2""".stripMargin,
   )
 }

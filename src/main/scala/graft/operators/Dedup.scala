@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Hashing, Text}
+
+/** Document deduplication at corpus scale — exact, MinHash-LSH, SimHash,
+  * and n-gram-Jaccard. These are the training-data-pipeline operators the
+  * reference lacks but a 100 TB corpus needs.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the content hash;
+  *  - MinHash-LSH replaces the O(n²) pair space with band-bucket joins
+  *    (shuffle keyed on (band, bandKey) — only same-bucket docs ever meet);
+  *  - SimHash candidates use the pigeonhole chunk-join (hamming ≤ k pairs
+  *    must agree on ≥1 of k+1 chunks), again equality-join-shaped;
+  *  - plain shingle-Jaccard is the exact verifier applied to candidate
+  *    pairs, and is exposed standalone for small/blocked inputs only.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by md5 content hash: one row per distinct
+    * content with its canonical (min) doc id and multiplicity.
+    */
+  def exactGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+
+  /** doc_id → distinct 3-gram shingle set, exploded. */
+  private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+
+  /** All pairs with exact shingle-Jaccard ≥ threshold, via a shingle
+    * equality self-join. Exact but quadratic in the worst case — at 100 TB
+    * use [[minhashPairs]] and keep this as the verifier. A hot-shingle cap
+    * (drop shingles appearing in > maxShingleFreq docs) bounds the join
+    * blow-up the way stopword filtering does.
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8, maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = shingleSet(spark, sfDir)
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleFreq)
+    val shF = sh.join(rare.select("shingle"), Seq("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = shF.as("a").join(shF.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), Seq("doc1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), Seq("doc2"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Per-document 16-element MinHash signature, one column per element
+    * (mh_0..mh_15) for engine-portable comparison.
+    */
+  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val sig = Hashing.minhashSignature(Text.shingles(col("text"), 3), k)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: (0 until k).map(i =>
+        element_at(sig, i + 1).as(s"mh_$i")): _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: 16-element signatures banded 4×4; docs
+    * sharing any band bucket become candidates; candidates are verified with
+    * exact shingle-Jaccard ≥ threshold. The shuffles are all equality-keyed
+    * (band bucket, then shingle) — no quadratic stage at any scale.
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Hashing.minhashSignature(Text.shingles(col("text"), 3), k).as("sig"))
+    val banded = docs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), Hashing.bandKey(col("sig"), b, rows).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val sh = shingleSet(spark, sfDir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
+      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingle", "s2"), Seq("doc2"))
+      .where(col("s1") === col("s2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), Seq("doc1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), Seq("doc2"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Per-document 32-bit SimHash over whitespace tokens. */
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Hashing.simhash(Text.tokens(col("text")), 32).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
+    * the pigeonhole chunk join: the 32-bit hash splits into (maxHamming+1)
+    * chunks; any pair within distance maxHamming must agree on at least one
+    * chunk, so candidates come from an equality join on (chunk_idx, chunk
+    * value) — never a cross join.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    val bitsPer = 32 / nChunks
+    val docs = simhashDocs(spark, sfDir)
+    val chunked = docs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nChunks).map(j =>
+        struct(lit(j).as("ci"),
+          (shiftright(col("simhash"), j * bitsPer) % (1L << bitsPer)).as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ci"), col("c.cv"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.simhash").as("sh1"), col("b.simhash").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc1"), col("doc2"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by the label column (metadata
+    * blocking: only same-label pairs are compared — the standard trick to
+    * keep the pair space linear when a cheap blocking key exists).
+    */
+  def embeddingNearDups(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        col("a.label").as("label"),
+        round(graft.functions.Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

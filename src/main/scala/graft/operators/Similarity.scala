@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.Vectors
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact — broadcast the (small) query set against
+  *    the corpus; one pass, no corpus shuffle, codegen'd cosine. This is
+  *    the right plan whenever |queries| is broadcastable, at any corpus
+  *    size: 100 TB of vectors stream through map tasks once.
+  *  - [[lshTopK]]: bucketed — deterministic random-hyperplane LSH assigns
+  *    each vector a bucket; only same-bucket candidates are scored. Trades
+  *    recall for a corpus-side shuffle keyed on bucket. The scale path when
+  *    queries are too many to broadcast.
+  */
+object Similarity {
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-k cosine neighbors for each query vector (default: vec_id <
+    * nQueries as the query set), excluding self. Ranking uses the rounded
+    * similarity with vec_id tiebreak so results are engine-deterministic.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: hyperplane sign buckets on both sides, candidates =
+    * same-bucket pairs, then per-query top-k among candidates. Recall < 1;
+    * multi-probe (flipping low-confidence bits) is the standard extension.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, dim: Int = 64, nPlanes: Int = 6): DataFrame = {
+    val all = corpus(spark, sfDir)
+      .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), dim, nPlanes))
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = all.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
