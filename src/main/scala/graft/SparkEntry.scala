@@ -198,7 +198,7 @@ object SparkEntry {
       """WITH s AS (
         | SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800
+        |    OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
         |   THEN 1 ELSE 0 END AS new_s
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -1,0 +1,55 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Partitioned parquet lake — the reference's bronze→silver landing zone
+  * (K2: streaming parquet sink partitioned by extracted_date,
+  * spark_stream.py:170-176; S2: per-date batch reads,
+  * spark_batch_job.py:17-21).
+  *
+  * Scale notes: date partitioning keeps daily batch reads pruned to one
+  * directory; the streaming file sink's transaction log gives exactly-once.
+  * Readers should prefer [[readPartition]]'s filter form — Catalyst prunes
+  * partitions from the predicate AND keeps the partition column in the
+  * schema (the reference's path-concatenation form loses the column and
+  * bypasses dynamic pruning).
+  */
+object Lake {
+
+  /** K2/ST8: append-mode partitioned parquet streaming sink with
+    * checkpointing (exactly-once via the file-sink log).
+    */
+  def streamingSink(df: DataFrame, path: String, checkpoint: String,
+      partitionCol: String = "extracted_date"): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append())
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCol)
+
+  def startStreamingSink(df: DataFrame, path: String, checkpoint: String,
+      partitionCol: String = "extracted_date"): StreamingQuery =
+    streamingSink(df, path, checkpoint, partitionCol).start()
+
+  /** Batch write, same layout. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String = "extracted_date"): Unit =
+    df.write.mode("append").partitionBy(partitionCol).parquet(path)
+
+  /** S2 done right: scan the root and filter on the partition column —
+    * Catalyst partition pruning reads only the matching directory, and the
+    * column stays queryable.
+    */
+  def readPartition(spark: SparkSession, root: String,
+      partitionCol: String, value: String): DataFrame =
+    spark.read.parquet(root).where(col(partitionCol) === value)
+
+  /** The reference's path-construction form (kept for parity/tests). */
+  def readPartitionByPath(spark: SparkSession, root: String,
+      partitionCol: String, value: String): DataFrame =
+    spark.read.parquet(s"$root/$partitionCol=$value")
+}
