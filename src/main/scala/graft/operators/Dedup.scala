@@ -42,7 +42,10 @@ object Dedup {
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, maxShingleFreq: Long = 1000L): DataFrame = {
-    val sh = shingleSet(spark, sfDir)
+    // the distinct shingle set feeds four branches of this DAG (freq filter,
+    // both join sides, sizes); materialize it once instead of recomputing —
+    // at cluster scale this is the same call, stored on executors
+    val sh = shingleSet(spark, sfDir).localCheckpoint()
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shF = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -61,13 +64,27 @@ object Dedup {
   }
 
   /** Per-document 16-element MinHash signature, one column per element
-    * (mh_0..mh_15) for engine-portable comparison.
+    * (mh_0..mh_15).
+    *
+    * Plan shape matters here: the naive form (nested array lambdas per doc
+    * row) gets its base-hash subexpression inlined by CollapseProject into
+    * every permutation — md5 per shingle × k. Instead we explode shingles,
+    * hash each exactly once, and take k `min` aggregates per doc: map-side
+    * partial aggregation, one shuffle on doc_id, and identical subplans are
+    * deduped by ReuseExchange when this feeds a self-join. Duplicate
+    * shingles don't affect a min, so no distinct pass is needed.
     */
   def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
-    val sig = Hashing.minhashSignature(Text.shingles(col("text"), 3), k)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id") +: (0 until k).map(i =>
-        element_at(sig, i + 1).as(s"mh_$i")): _*)
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("shingle"))
+      .select(col("doc_id"), Hashing.stableHash32(col("shingle")).as("h"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(min(Hashing.minhashPerm(col("h"), 0)).as("mh_0"),
+        (1 until k).map(i => min(Hashing.minhashPerm(col("h"), i)).as(s"mh_$i")): _*)
+    // left join keeps docs with < 3 tokens (no shingles → null signature),
+    // matching the oracle's per-document output
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(sig, Seq("doc_id"), "left")
   }
 
   /** MinHash-LSH near-dup pairs: 16-element signatures banded 4×4; docs
@@ -78,11 +95,12 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Hashing.minhashSignature(Text.shingles(col("text"), 3), k).as("sig"))
+    val docs = minhashSignatures(spark, sfDir, k)
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), Hashing.bandKey(col("sig"), b, rows).as("bkey"))): _*)).as("bb"))
+        struct(lit(b).as("band"),
+          md5(concat_ws(",", ((b * rows) until ((b + 1) * rows))
+            .map(i => col(s"mh_$i").cast("string")): _*)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -106,10 +124,24 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
-  /** Per-document 32-bit SimHash over whitespace tokens. */
-  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Hashing.simhash(Text.tokens(col("text")), 32).as("simhash"))
+  /** Per-document 32-bit SimHash over whitespace tokens (term-frequency
+    * weighted: duplicates vote once each, so no distinct). Same explode +
+    * aggregate plan shape as [[minhashSignatures]] and for the same reason:
+    * one md5 per token row, 32 conditional-sum aggregates, single shuffle.
+    */
+  def simhashDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Hashing.stableHash32(col("tok")).as("h"))
+    val bitSum = (j: Int) =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"b$j")
+    hashed.groupBy(col("doc_id"))
+      .agg(bitSum(0), (1 until 32).map(bitSum): _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, found via
     * the pigeonhole chunk join: the 32-bit hash splits into (maxHamming+1)

@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.GraftSession
+
+/** Dump formatted physical plans for named queries (dev tool):
+  *   sbt "runMain graft.tools.Explain sf0.01 q02_top_revenue ..."
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = s"/root/testdata/${args.headOption.getOrElse("sf0.01")}"
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.local(8)
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
