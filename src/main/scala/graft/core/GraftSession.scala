@@ -17,8 +17,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Shared config applied to every session (local dev, Verify, Bench). */
+  /** Shared config applied to every session (local dev, Verify, Bench).
+    * Registers [[graft.plans.GraftExtensions]]: the graft_cosine SQL
+    * function and the (off-by-default) approx-distinct rewrite rule.
+    */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.CosineSimilarity
+
+/** Engine extensions, registered via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or conf
+  * `spark.sql.extensions=graft.plans.GraftExtensions`:
+  *
+  *  1. SQL function `graft_cosine(a, b)` — the codegen'd cosine expression
+  *     usable from SQL text, not just the Column API.
+  *  2. [[ApproxDistinctRewrite]] — optional optimizer rule that rewrites
+  *     exact `count(DISTINCT x)` to HyperLogLog++ when
+  *     `spark.graft.approxDistinct` is true: the 100 TB escape hatch for
+  *     reference-A4-style exact distincts (SURVEY §7.3), applied globally
+  *     without touching query code. Off by default — correctness gates run
+  *     exact.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineFunction)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+  }
+}
+
+object GraftExtensions {
+  val cosineFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+}
+
+/** Rewrite exact distinct counts to approx_count_distinct (HLL++, rsd 5%)
+  * when `spark.graft.approxDistinct=true`. Only `Count(distinct)` is
+  * rewritten; other distinct aggregates are left untouched.
+  */
+object ApproxDistinctRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.approxDistinct", "false").toBoolean) plan
+    else plan.transformUp {
+      case a: Aggregate =>
+        a.transformExpressions {
+          case ae @ AggregateExpression(Count(children), _, true, _, _) if children.size == 1 =>
+            ae.copy(
+              aggregateFunction = HyperLogLogPlusPlus(children.head),
+              isDistinct = false)
+        }
+    }
+  }
+}

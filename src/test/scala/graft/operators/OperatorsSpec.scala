@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Operator-level invariants on the real testdata (sf0.001) — these
+  * complement the DuckDB oracle with structural properties.
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash LSH candidates verified by jaccard are a subset of exact pairs") {
+    val exact = Dedup.jaccardPairs(spark, sf, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-pairs: ${lsh -- exact}")
+    // with 0.99-jaccard planted dups, 16/4 banding should catch everything
+    assert(lsh === exact)
+  }
+
+  test("simhash pigeonhole join equals brute-force hamming pairs") {
+    val viaChunks = Dedup.simhashPairs(spark, sf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Dedup.simhashDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, h1) <- docs; (d2, h2) <- docs
+      if d1 < d2 && java.lang.Long.bitCount(h1 ^ h2) <= 3
+    } yield (d1, d2)).toSet
+    assert(viaChunks === brute)
+  }
+
+  test("brute-force ANN returns k ranked neighbors per query, no self") {
+    val r = Similarity.bruteForceTopK(spark, sf, k = 5, nQueries = 3).collect()
+    assert(r.length === 15)
+    val byQuery = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      rows.foreach(x =>
+        assert(x.getAs[Long]("neighbor_id") !== x.getAs[Long]("query_id")))
+    }
+  }
+
+  test("multimodal decode prunes the payload column for metadata-only queries") {
+    val summary = Multimodal.metaSummary(spark, sf)
+    assert(summary.count() > 0)
+    // decode path runs over the typed Dataset
+    val meta = Multimodal.decodeMeta(spark, sf).head()
+    assert(meta.n_bytes > 0 && meta.width >= 64 && meta.ok)
+  }
+}
