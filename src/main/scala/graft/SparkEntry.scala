@@ -42,6 +42,7 @@ object SparkEntry {
     "q19_session_first_last" -> Sessions.sessionFirstLast _,
     "q20_session_events_json" -> ((s: SparkSession, d: String) => Sessions.sessionEventsJson(s, d)),
     "q21_events_enriched" -> Sessions.eventsEnriched _,
+    "q36_events_json_roundtrip" -> Sessions.sessionEventsExploded _,
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
     "q22_dedup_exact" -> Dedup.exactGroups _,
     "q23_shingle_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
@@ -232,6 +233,13 @@ object SparkEntry {
         | CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS INTEGER) AS is_purchase,
         | CASE WHEN event_type = 'purchase' AND value IS NOT NULL THEN round(value,2) END AS purchase_amount,
         | CASE WHEN value < 50 THEN 'low' WHEN value < 200 THEN 'mid' ELSE 'high' END AS value_bucket
+        |FROM events""".stripMargin,
+    // round-trip identity: serialize events per session to JSON, parse and
+    // explode back → must equal a direct projection of the events table
+    // (sessions are far below the 100-event cap at every sf)
+    "q36_events_json_roundtrip" ->
+      """SELECT user_id, time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
+        | event_id, event_type
         |FROM events""".stripMargin,
   ) ++ CorpusOracles.sql
 }

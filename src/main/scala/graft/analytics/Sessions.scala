@@ -184,6 +184,23 @@ object Sessions {
         size(col("events_list")).as("n_events"),
         to_json(col("events_list")).as("events_json"))
 
+  /** Reverse of [[sessionEventsJson]] — reference P18/P19
+    * (spark_batch_job.py:102-110): parse the serialized events array with
+    * from_json(ArrayType(StructType)) and explode back to one row per
+    * event. Round-trips to the original (user_id, session, event) rows for
+    * sessions under the cap.
+    */
+  def sessionEventsExploded(spark: SparkSession, sfDir: String): DataFrame = {
+    val eventSchema = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      StructField("event_id", org.apache.spark.sql.types.LongType),
+      StructField("event_type", org.apache.spark.sql.types.StringType))))
+    sessionEventsJson(spark, sfDir)
+      .select(col("user_id"), col("session_start"),
+        explode(from_json(col("events_json"), eventSchema)).as("e"))
+      .select(col("user_id"), col("session_start"),
+        col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
+  }
+
   /** Event enrichment projection — reference P4-P11 (spark_stream.py:62-91):
     * date/day-of-week/hour derivations and conditional purchase columns.
     */

@@ -46,6 +46,15 @@ class EventIngestSpec extends SparkTestBase {
     assert(rows.exists(r => r.getString(0) == "unknown" && r.getString(1) == "unknown"))
   }
 
+  test("string-typed price sums via explicit cast (reference P16/A8)") {
+    val df = EventIngest.decodeJson(kafkaShaped(
+      goodJson,
+      goodJson.replace("1081.98", "18.02"),
+      goodJson.replace(""""price":"1081.98"""", """"price":"oops""""))) // non-numeric → null
+    val total = df.agg(sum(col("price").cast("double"))).collect().head.getDouble(0)
+    assert(math.abs(total - 1100.0) < 1e-9)
+  }
+
   test("quirk-compat: the reference's regex-dot split yields empty strings") {
     val s = spark
     import s.implicits._
