@@ -42,9 +42,12 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN: hyperplane sign buckets on both sides, candidates =
-    * same-bucket pairs, then per-query top-k among candidates. Recall < 1;
-    * multi-probe (flipping low-confidence bits) is the standard extension.
+  /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
+    * probes its own bucket plus every bucket at hamming distance 1 (one
+    * flipped plane) — the standard multi-probe extension, which buys back
+    * most of the recall lost to hard bucket boundaries for the cost of
+    * (nPlanes+1)× more probe keys on the (small, broadcastable) query side.
+    * The corpus is still touched once and shuffled only on the bucket key.
     */
   def lshTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 10, dim: Int = 64, nPlanes: Int = 6): DataFrame = {
@@ -52,13 +55,17 @@ object Similarity {
       .withColumn("bucket", Vectors.hyperplaneBucket(col("v"), dim, nPlanes))
     val q = all.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val scored = all.join(q, Seq("bucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    val candidates = all.join(broadcast(q), col("bucket") === col("probe"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .distinct() // a neighbor can match several probes of the same query
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 }
