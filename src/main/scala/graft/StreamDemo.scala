@@ -37,8 +37,11 @@ object StreamDemo {
     q.processAllAvailable()
     q.stop()
 
-    // read back with partition pruning and summarize
-    val today = java.time.LocalDate.now.toString
+    // read back with partition pruning and summarize; the partition value
+    // must come from Spark's current_date() (session TZ = UTC) — the JVM's
+    // LocalDate.now uses the machine zone and can be a day off
+    val today = spark.range(1).select(current_date().cast("string"))
+      .collect().head.getString(0)
     val silver = Lake.readPartition(spark, lake, "extracted_date", today)
     println(s"[demo] silver rows: ${silver.count()}")
     silver.groupBy(col("main_category")).count().orderBy(col("main_category"))

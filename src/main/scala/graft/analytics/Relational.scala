@@ -40,7 +40,10 @@ object Relational {
     * l_orderkey. Sort+limit is a TakeOrderedAndProject (no full sort).
     */
   def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
-    val cutoff = lit(java.sql.Timestamp.valueOf("1998-07-01 00:00:00"))
+    // to_timestamp evaluates in the session timezone (pinned UTC) — a
+    // java.sql.Timestamp literal would use the JVM default TZ and diverge
+    // from the oracle's TIMESTAMP literal on non-UTC machines
+    val cutoff = to_timestamp(lit("1998-07-01 00:00:00"))
     val c = Tables.customer(spark, sfDir).where(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, sfDir).where(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, sfDir).where(col("l_shipdate") > cutoff)

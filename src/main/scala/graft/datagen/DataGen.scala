@@ -53,7 +53,9 @@ object DataGen {
     */
   def syntheticEvents(spark: SparkSession, n: Long): DataFrame =
     shapeEvents(spark.range(n).toDF("id"),
-      col("id"), lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      // session-TZ (UTC) literal — a java.sql.Timestamp would shift with
+      // the machine zone and break fixture reproducibility
+      col("id"), to_timestamp(lit("2024-01-01 00:00:00")))
 
   /** Streaming variant over the rate source (rowsPerSecond admission). */
   def rateEvents(spark: SparkSession, rowsPerSecond: Int): DataFrame = {

@@ -50,20 +50,25 @@ object Hashing {
   }
 
   /** k-element minhash signature of an array-of-strings column (the shingle
-    * set). One md5 per element, k affine permutations derived from it —
-    * O(|set|) hashing, not O(k·|set|).
+    * set), as a single expression.
+    *
+    * SLOW PATH — single-row / streaming-value use only. Catalyst's
+    * CollapseProject inlines the shared base-hash subexpression into all k
+    * permutations (measured ~k× redundant md5 work, PERF.md). For corpus
+    * scans use the explode → hash-per-row → groupBy(k min aggregates) plan
+    * in [[graft.operators.Dedup.minhashSignatures]] instead.
     */
   def minhashSignature(shingles: Column, k: Int = 16): Column = {
     val base = transform(shingles, s => stableHash32(s))
     array((0 until k).map(i => array_min(transform(base, h => minhashPerm(h, i)))): _*)
   }
 
-  /** LSH band key: md5 of the comma-joined signature slice for band `b`
-    * (rows per band = signature length / nBands).
+  /** LSH band key from per-component signature columns: md5 of the
+    * comma-joined values (DuckDB mirror:
+    * `md5(array_to_string(sig[a:b], ','))`).
     */
-  def bandKey(sig: Column, b: Int, rowsPerBand: Int): Column =
-    md5(concat_ws(",",
-      transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))))
+  def bandKeyFromCols(components: Seq[Column]): Column =
+    md5(concat_ws(",", components.map(_.cast("string")): _*))
 
   /** Polynomial rolling-hash fingerprint of an array-of-strings column:
     * fold (acc·31 + h(x)) mod 1e9+7 in element order. acc < 1e9+7 and

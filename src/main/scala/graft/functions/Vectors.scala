@@ -104,6 +104,12 @@ object Vectors {
     */
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int = 8): Column = {
     val v = vec.cast("array<double>")
+    // fail fast on a dim mismatch: zip_with would otherwise null-pad, every
+    // dot product would go null, and all vectors would silently land in
+    // bucket 0 (degenerating ANN to a full scan with zero recall signal)
+    val checked = when(size(v) === dim, v).otherwise(
+      raise_error(concat(lit(s"hyperplaneBucket: expected dim $dim, got "),
+        size(v).cast("string"))))
     val bits = (0 until nPlanes).map { j =>
       // pinned ±1 pattern per plane; computed once per row via literals
       val coefs = (0 until dim).map { i =>
@@ -112,7 +118,7 @@ object Vectors {
         if ((h(0) & 1) == 1) 1.0 else -1.0
       }
       val dot = aggregate(
-        zip_with(v, array(coefs.map(lit): _*), _ * _), lit(0.0), _ + _)
+        zip_with(checked, array(coefs.map(lit): _*), _ * _), lit(0.0), _ + _)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

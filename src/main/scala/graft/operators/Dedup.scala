@@ -99,8 +99,8 @@ object Dedup {
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          md5(concat_ws(",", ((b * rows) until ((b + 1) * rows))
-            .map(i => col(s"mh_$i").cast("string")): _*)).as("bkey"))): _*)).as("bb"))
+          Hashing.bandKeyFromCols(((b * rows) until ((b + 1) * rows))
+            .map(i => col(s"mh_$i"))).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")

@@ -56,8 +56,11 @@ object Multimodal {
       .mapPartitions(_.map(r => fakeDecode(r.doc_id, r.media_type, r.payload)))
   }
 
-  /** Metadata summary per media_type — the query a catalog runs; note the
-    * payload column is pruned away before the scan in the summary-only path.
+  /** Metadata summary per media_type over the decoded stream. NOTE: this
+    * runs the decode (typed mapPartitions is opaque to Catalyst, so the
+    * payload IS read — that's inherent to decoding). In a real pipeline the
+    * decode output is persisted once as a metadata table and catalog
+    * queries hit that table with payload-free column pruning.
     */
   def metaSummary(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF()

@@ -43,17 +43,19 @@ object Sessionize {
   def tumbling(events: DataFrame,
       windowLength: String = "1 minute",
       watermarkDelay: String = "10 minutes",
-      eventCap: Int = 100): DataFrame =
+      eventCap: Int = 100): DataFrame = {
+    val aggs = sessionAggs(eventCap)
     events
       .withWatermark("timestamp", watermarkDelay)
       .groupBy(window(col("timestamp"), windowLength), col("user_id"))
-      .agg(sessionAggs(eventCap).head, sessionAggs(eventCap).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("user_id"),
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("session_start_time"), col("session_end_time"),
         col("session_duration_seconds"), col("number_of_events"),
         col("first_event_type"), col("last_event_type"), col("events_json"))
+  }
 
   /** Gap-based sessionization via `session_window` — the domain-correct
     * upgrade (a "session" ends after `gap` of inactivity, not at minute
@@ -62,15 +64,17 @@ object Sessionize {
   def gapSession(events: DataFrame,
       gap: String = "30 minutes",
       watermarkDelay: String = "10 minutes",
-      eventCap: Int = 100): DataFrame =
+      eventCap: Int = 100): DataFrame = {
+    val aggs = sessionAggs(eventCap)
     events
       .withWatermark("timestamp", watermarkDelay)
       .groupBy(session_window(col("timestamp"), gap), col("user_id"))
-      .agg(sessionAggs(eventCap).head, sessionAggs(eventCap).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("user_id"),
         col("session_window.start").as("window_start"),
         col("session_window.end").as("window_end"),
         col("session_start_time"), col("session_end_time"),
         col("session_duration_seconds"), col("number_of_events"),
         col("first_event_type"), col("last_event_type"), col("events_json"))
+  }
 }

@@ -45,7 +45,7 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal decode prunes the payload column for metadata-only queries") {
+  test("multimodal decode produces valid metadata end to end") {
     val summary = Multimodal.metaSummary(spark, sf)
     assert(summary.count() > 0)
     // decode path runs over the typed Dataset

@@ -50,6 +50,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        sys.exit(f"ERROR: not in oracle_sql.json: {sorted(unknown)} "
+                 f"(known: {sorted(oracle)[:5]}...)")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
