@@ -53,6 +53,7 @@ object SparkEntry {
     "q28_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDups(s, d)),
     "q29_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q30_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+    "q37_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q31_text_quality" -> TextAnalytics.quality _,
     "q32_lang_id" -> TextAnalytics.langPredictions _,
     "q33_token_stats" -> TextAnalytics.tokenStats _,
@@ -288,8 +289,8 @@ private object CorpusOracles {
        |FROM (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h32("t")}) AS hs FROM documents)""".stripMargin
   }
 
-  private def cosExpr(a: String, b: String) =
-    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+  private def cosExpr(a: String, b: String, digits: Int = 4) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $digits)"
 
   /** Quality-metric expressions over `documents` (mirrors Text.qualityMetrics). */
   private val qualityCols =
@@ -381,6 +382,24 @@ private object CorpusOracles {
          |  FROM c JOIN q ON vec_id <> query_id),
          |r AS (SELECT *, CAST(row_number() OVER (
          |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+         |  FROM scored)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    "q37_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 64 = 0),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |  SELECT c.vec_id, c.v, cents.cid AS cell, row_number() OVER (
+         |    PARTITION BY c.vec_id ORDER BY ${cosExpr("c.v", "cents.cv", 6)} DESC, cents.cid) AS rn
+         |  FROM c CROSS JOIN cents) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, cents.cid AS cell, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY ${cosExpr("q.qv", "cents.cv", 6)} DESC, cents.cid) AS rn
+         |  FROM q CROSS JOIN cents) WHERE rn <= 4),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
+         |  FROM assigned JOIN probes USING (cell) WHERE vec_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
          |  FROM scored)
          |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
     "q31_text_quality" ->

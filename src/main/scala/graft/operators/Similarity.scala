@@ -42,6 +42,57 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
+    * around a deterministic centroid sample (every `centroidStride`-th
+    * vector), then answer queries by scanning only the `nProbe` cells whose
+    * centroids are closest to the query.
+    *
+    * Plan shape at scale: centroids broadcast twice (cell assignment of the
+    * corpus — one map pass; probe-list per query); the only corpus shuffle
+    * is the equality join on cell id. A trained k-means codebook drops in
+    * as a replacement for the stride sample without changing the plan.
+    * Deterministic throughout (rounded-cosine + id tiebreaks), so the
+    * DuckDB oracle replays it exactly.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, nProbe: Int = 4,
+      centroidStride: Int = 64): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val cents = all.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // cell assignment: argmin distance == argmax cosine, tiebreak min cid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("cid"),
+        round(Vectors.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+
+    // per-query probe list: nProbe closest centroids
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        round(Vectors.cosine(col("qv"), col("cv")), 6).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one
     * flipped plane) — the standard multi-probe extension, which buys back

@@ -45,6 +45,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN cosines are a subset of brute-force scores, ranks valid") {
+    val bf = Similarity.bruteForceTopK(spark, sf, k = 200, nQueries = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+        -> r.getAs[Double]("cosine")).toMap
+    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 3, centroidStride = 16)
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // every IVF hit must carry the exact brute-force cosine for that pair
+      bf.get(key).foreach(exp => assert(math.abs(exp - r.getAs[Double]("cosine")) < 1e-9))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+    }
+  }
+
   test("multimodal decode produces valid metadata end to end") {
     val summary = Multimodal.metaSummary(spark, sf)
     assert(summary.count() > 0)
