@@ -95,7 +95,11 @@ object Dedup {
   def minhashPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val docs = minhashSignatures(spark, sfDir, k)
+    // the signature table is tiny (one row per doc) but its plan subtree is
+    // expensive and feeds both sides of the band self-join — materialize it
+    // once (the static planner replicates the subtree otherwise: 16 scans
+    // observed in the un-checkpointed plan)
+    val docs = minhashSignatures(spark, sfDir, k).localCheckpoint()
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -107,7 +111,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-    val sh = shingleSet(spark, sfDir)
+    val sh = shingleSet(spark, sfDir).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
@@ -152,7 +156,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPer = 32 / nChunks
-    val docs = simhashDocs(spark, sfDir)
+    val docs = simhashDocs(spark, sfDir).localCheckpoint() // feeds both join sides
     val chunked = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map(j =>
         struct(lit(j).as("ci"),

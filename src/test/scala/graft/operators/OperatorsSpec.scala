@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** Operator-level invariants on the real testdata (sf0.001) — these
   * complement the DuckDB oracle with structural properties.
@@ -58,6 +59,22 @@ class OperatorsSpec extends SparkTestBase {
       bf.get(key).foreach(exp => assert(math.abs(exp - r.getAs[Double]("cosine")) < 1e-9))
       assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
     }
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    val s = spark
+    import s.implicits._
+    // 10k rows of one hot key + a uniform tail
+    val big = ((1 to 10000).map(i => (1, s"v$i")) ++ (1 to 100).map(i => (i, "t")))
+      .toDF("k", "payload")
+    val small = (1 to 100).map(i => (i, s"dim$i")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k")).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8).collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted === plain)
+    val hist = Skew.keyHistogram(big, col("k"), 1).collect().head
+    assert(hist.getInt(0) === 1 && hist.getLong(1) === 10001L)
   }
 
   test("multimodal decode produces valid metadata end to end") {

@@ -103,6 +103,56 @@ class SessionizeSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("gap sessionization works in streaming mode with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[WebEvent]
+    val q = Sessionize.gapSession(input.toDF(), gap = "5 minutes")
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try {
+      // burst at 10:00-10:02, then silence; late driver event pushes the
+      // watermark past session end + gap → session emits
+      input.addData(ev("u1", 0), ev("u1", 2), ev("u1", 2, 30, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("gap_stream").count() === 0)
+      input.addData(ev("u9", 30))
+      q.processAllAvailable()
+      val out = spark.table("gap_stream").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("number_of_events") === 3L)
+      assert(out.head.getAs[Timestamp]("session_start_time") === ts(0))
+      assert(out.head.getAs[Timestamp]("session_end_time") === ts(2, 30))
+    } finally q.stop()
+  }
+
+  test("sessionization runs on the RocksDB state store provider") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[WebEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    // the 100 TB state-store path is a conf switch, not a code change
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Sessionize.tumbling(input.toDF())
+      .writeStream.format("memory").queryName("rocks_test")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(ev("u1", 0), ev("u1", 0, 30))
+      q.processAllAvailable()
+      input.addData(ev("u1", 20))
+      q.processAllAvailable()
+      val out = spark.table("rocks_test").collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("number_of_events") === 2L)
+    } finally { q.stop(); spark.conf.unset(key) }
+  }
+
   test("gap sessionization: exactly-gap-apart merges, beyond-gap splits") {
     val s = spark
     import s.implicits._
