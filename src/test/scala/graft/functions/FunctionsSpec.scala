@@ -82,6 +82,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("CappedCollectList bounds the buffer and is partition-deterministic") {
+    val s = spark
+    import s.implicits._
+    val ds = (1 to 1000).map(i => (i % 3, f"v$i%04d")).toDS()
+      .repartition(7) // exercise merge across partitions
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(CappedCollectList.strings(5))
+      .collect().toMap
+    assert(out.keySet === Set(0, 1, 2))
+    out.values.foreach { l =>
+      assert(l.size === 5)
+      assert(l === l.sorted)
+    }
+    // deterministic: smallest 5 values of each group
+    assert(out(1) === Seq("v0001", "v0004", "v0007", "v0010", "v0013"))
+  }
+
   test("langId picks the language with most stopword hits, ties to order") {
     val s = spark
     import s.implicits._
