@@ -43,6 +43,9 @@ object SparkEntry {
     "q20_session_events_json" -> ((s: SparkSession, d: String) => Sessions.sessionEventsJson(s, d)),
     "q21_events_enriched" -> Sessions.eventsEnriched _,
     "q36_events_json_roundtrip" -> Sessions.sessionEventsExploded _,
+    "q38_percentiles" -> Relational.pricePercentiles _,
+    "q39_rollup" -> Relational.revenueRollup _,
+    "q40_pivot" -> Relational.eventTypePivot _,
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
     "q22_dedup_exact" -> Dedup.exactGroups _,
     "q23_shingle_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
@@ -242,6 +245,26 @@ object SparkEntry {
       """SELECT user_id, time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
         | event_id, event_type
         |FROM events""".stripMargin,
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_extendedprice), 2) AS revenue,
+        | count(*) AS n_rows,
+        | CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q40_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'view') AS view,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
   ) ++ CorpusOracles.sql
 }
 

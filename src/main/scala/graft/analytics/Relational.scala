@@ -147,6 +147,40 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
 
+  /** Exact interpolated percentiles per group (median + tails). The exact
+    * `percentile` aggregate sorts within groups; at 100 TB swap in
+    * `approx_percentile` (t-digest-style sketch) — same call shape.
+    */
+  def pricePercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+
+  /** Hierarchical totals via ROLLUP (returnflag → linestatus → grand
+    * total) with grouping_id to label the levels — subtotals in one pass
+    * (Expand + single shuffle), not one query per level.
+    */
+  def revenueRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().cast("int").as("gid"))
+
+  /** Pivot: per-user event-type counts as columns. Spark's pivot plans as
+    * conditional aggregates (one shuffle); values are pinned so the schema
+    * is static — never pivot on unbounded cardinality at scale.
+    */
+  def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** String split projection — the reference's `split(category_code, ".")`
     * main/sub-category derivation (P9, spark_stream.py:70-71), applied to
     * part.p_name ("cold widget"). The reference's regex-dot bug

@@ -5,6 +5,10 @@ import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends SparkTestBase {
 
+  test("SparkEntry.entry (driver smoke contract) returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("stableHash32 matches the md5-prefix golden value") {
     val s = spark
     import s.implicits._
