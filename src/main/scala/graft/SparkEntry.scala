@@ -44,6 +44,7 @@ object SparkEntry {
     "q21_events_enriched" -> Sessions.eventsEnriched _,
     "q36_events_json_roundtrip" -> Sessions.sessionEventsExploded _,
     "q38_percentiles" -> Relational.pricePercentiles _,
+    "q41_sql_cosine" -> graft.analytics.Sql.cosineRankingSql _,
     "q39_rollup" -> Relational.revenueRollup _,
     "q40_pivot" -> Relational.eventTypePivot _,
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
@@ -245,6 +246,17 @@ object SparkEntry {
       """SELECT user_id, time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
         | event_id, event_type
         |FROM events""".stripMargin,
+    "q41_sql_cosine" ->
+      """SELECT e.vec_id,
+        | round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)
+        |   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+        |FROM embeddings e
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id
+        |LIMIT 20""".stripMargin,
     "q38_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
