@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{Relational, Sessions, TextAnalytics}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TemporalJoins}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -45,6 +45,8 @@ object SparkEntry {
     "q36_events_json_roundtrip" -> Sessions.sessionEventsExploded _,
     "q38_percentiles" -> Relational.pricePercentiles _,
     "q41_sql_cosine" -> graft.analytics.Sql.cosineRankingSql _,
+    "q42_asof_attribution" -> TemporalJoins.purchaseAttribution _,
+    "q43_range_join" -> TemporalJoins.shipmentsNearOrder _,
     "q39_rollup" -> Relational.revenueRollup _,
     "q40_pivot" -> Relational.eventTypePivot _,
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
@@ -246,6 +248,24 @@ object SparkEntry {
       """SELECT user_id, time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
         | event_id, event_type
         |FROM events""".stripMargin,
+    "q42_asof_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        | CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        | round(p.value, 2) AS amount,
+        | v.event_id AS last_view_id,
+        | CAST(v.ts AS TIMESTAMP) AS last_view_ts,
+        | CAST(CASE WHEN v.ts IS NOT NULL
+        |   THEN floor(epoch(CAST(p.ts AS TIMESTAMP))) - floor(epoch(CAST(v.ts AS TIMESTAMP)))
+        |   ELSE -1 END AS BIGINT) AS seconds_since_view
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q43_range_join" ->
+      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_30d
+        |FROM orders JOIN lineitem
+        | ON l_shipdate >= o_orderdate
+        |AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1,2""".stripMargin,
     "q41_sql_cosine" ->
       """SELECT e.vec_id,
         | round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Temporal join operators Spark lacks as built-ins, expressed with
+  * shuffle-friendly plans instead of theta joins:
+  *
+  *  - as-of join: union-tag + running last_value over (key, time) — ONE
+  *    shuffle on the key, no pair blow-up, any data size;
+  *  - range join: coarse time-bucket equality join (+ adjacent buckets) with
+  *    an exact range filter — pairs bounded by bucket co-occupancy instead
+  *    of |L|×|R|.
+  *
+  * Both would be candidates for a custom LogicalPlan + SparkStrategy if the
+  * composition ever proved limiting; today the compositions produce exactly
+  * the plans a custom operator would (SURVEY §7.3 preference order (a)).
+  */
+object TemporalJoins {
+
+  /** As-of join over the events table: each purchase matched to the most
+    * recent view by the same user at-or-before the purchase time (the
+    * "attribution" query). Plan: tag views and purchases, union, one window
+    * pass ordered by (ts, tag) with views first on ties, keep purchases.
+    */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val tagged = ev.where(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        col("event_type"),
+        // views sort before purchases at equal ts → ASOF's <= semantics
+        when(col("event_type") === "view", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_view_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), round(col("value"), 2).as("amount"),
+        col("last_view_id"), col("last_view_ts"),
+        when(col("last_view_ts").isNotNull,
+          (unix_timestamp(col("ts")) - unix_timestamp(col("last_view_ts"))))
+          .otherwise(lit(-1L)).as("seconds_since_view"))
+  }
+
+  /** Generic bucketed range join: rows of `left` matched to rows of `right`
+    * whose [lo, hi) interval contains leftTs. Buckets of `bucketSeconds`
+    * on both sides (intervals explode into every bucket they overlap), join
+    * on (equality) bucket, exact filter afterwards.
+    */
+  def bucketedRangeJoin(left: DataFrame, leftTs: Column,
+      right: DataFrame, lo: Column, hi: Column,
+      bucketSeconds: Long): (DataFrame, DataFrame, Column) = {
+    val lb = left.withColumn("__bucket", floor(unix_timestamp(leftTs) / bucketSeconds))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(floor(unix_timestamp(lo) / bucketSeconds),
+        floor((unix_timestamp(hi) - 1) / bucketSeconds))))
+    (lb, rb, col("__bucket"))
+  }
+
+  /** Range-join query: per order, how many lineitems (any order) shipped
+    * within [orderdate, orderdate + 30 days) — demand density around each
+    * order. Exact semantics; the bucket join keeps the pair space to
+    * co-bucket rows instead of |lineitem| × |orders|.
+    */
+  def shipmentsNearOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_shipdate"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (unix_timestamp(col("o_orderdate")) + 30L * 86400).as("__hi_s"))
+      .withColumn("__hi", timestamp_seconds(col("__hi_s"))).drop("__hi_s")
+    val (lb, rb, bucket) = bucketedRangeJoin(
+      li, col("l_shipdate"), o, col("o_orderdate"), col("__hi"),
+      bucketSeconds = 30L * 86400)
+    lb.join(rb, "__bucket")
+      .where(col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("__hi"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(count(lit(1)).as("shipments_30d"))
+  }
+}
