@@ -261,10 +261,10 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
     "q43_range_join" ->
-      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_30d
+      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d
         |FROM orders JOIN lineitem
         | ON l_shipdate >= o_orderdate
-        |AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
     "q41_sql_cosine" ->
       """SELECT e.vec_id,

@@ -48,6 +48,28 @@ class LakeSpec extends SparkTestBase {
     assert(back.columns.toSet === Set("user_id", "extracted_date"))
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 10000).map(i => (i.toLong % 500, s"l$i")).toDF("k", "lv")
+    val right = (1 to 3000).map(i => (i.toLong % 500, s"r$i")).toDF("k", "rv")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Bucketing.writeBucketed(left, "graft_bl", "k", numBuckets = 4)
+      Bucketing.writeBucketed(right, "graft_br", "k", numBuckets = 4)
+      val joined = Bucketing.coLocatedJoin(spark, "graft_bl", "graft_br", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+      // correctness: equals the plain join
+      assert(joined.count() === left.join(right, "k").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bl")
+      spark.sql("DROP TABLE IF EXISTS graft_br")
+    }
+  }
+
   test("sink restart from checkpoint resumes without duplicating batches") {
     val s = spark
     import s.implicits._
