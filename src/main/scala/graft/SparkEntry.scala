@@ -47,6 +47,9 @@ object SparkEntry {
     "q41_sql_cosine" -> graft.analytics.Sql.cosineRankingSql _,
     "q42_asof_attribution" -> TemporalJoins.purchaseAttribution _,
     "q43_range_join" -> TemporalJoins.shipmentsNearOrder _,
+    "q44_order_timeline" -> Relational.customerOrderTimeline _,
+    "q45_value_histogram" -> ((s: SparkSession, d: String) => Relational.valueHistogram(s, d)),
+    "q46_string_kitchen" -> Relational.stringKitchen _,
     "q39_rollup" -> Relational.revenueRollup _,
     "q40_pivot" -> Relational.eventTypePivot _,
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
@@ -266,6 +269,34 @@ object SparkEntry {
         | ON l_shipdate >= o_orderdate
         |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
+    "q44_order_timeline" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(o_totalprice, 2) AS price,
+        | CAST(row_number() OVER w AS INTEGER) AS order_seq,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q45_value_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+        | round(min(value), 2) AS min_value,
+        | round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q46_string_kitchen" ->
+      """SELECT p_partkey,
+        | upper(p_name) AS upper_name,
+        | list_aggregate(list_transform(string_split(p_name, ' '),
+        |   w -> upper(w[1]) || lower(w[2:])), 'string_agg', ' ') AS title_name,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | lpad(p_brand, 12, '#') AS padded_brand,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | reverse(p_name) AS reversed,
+        | substring(p_name, 2, 5) AS middle,
+        | p_brand || '|' || p_type AS brand_type,
+        | CAST(CASE WHEN instr(p_name, ' ') IS NULL THEN 0 ELSE instr(p_name, ' ') END AS BIGINT) AS space_pos
+        |FROM part""".stripMargin,
     "q41_sql_cosine" ->
       """SELECT e.vec_id,
         | round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.v)

@@ -181,6 +181,52 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** Window-frame analytics: per-customer running order total
+    * (rowsBetween unbounded-preceding), previous/next order amounts
+    * (lag/lead), and order sequence number — the frame/offset surface the
+    * reference never used but any session analytics eventually needs.
+    */
+  def customerOrderTimeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("order_seq"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+  }
+
+  /** Fixed-bin histogram of the events value column (floor-binning — the
+    * groupBy form every engine shares; width_bucket is sugar over it).
+    */
+  def valueHistogram(spark: SparkSession, sfDir: String, binWidth: Double = 25.0): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+
+  /** String-function coverage: case, trim/pad, substring, regexp_replace,
+    * concat, length, reverse, instr-style position — one deterministic
+    * projection over part.
+    */
+  def stringKitchen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        initcap(col("p_name")).as("title_name"),
+        length(col("p_name")).cast("long").as("name_len"),
+        lpad(col("p_brand"), 12, "#").as("padded_brand"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        reverse(col("p_name")).as("reversed"),
+        substring(col("p_name"), 2, 5).as("middle"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        instr(col("p_name"), " ").cast("long").as("space_pos"))
+
   /** String split projection — the reference's `split(category_code, ".")`
     * main/sub-category derivation (P9, spark_stream.py:70-71), applied to
     * part.p_name ("cold widget"). The reference's regex-dot bug
