@@ -11,6 +11,9 @@ object Explain {
     val sfDir = s"/root/testdata/${args.headOption.getOrElse("sf0.01")}"
     val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local(8)
+    // AQE wraps plans in AdaptiveSparkPlan pre-execution, hiding codegen
+    // spans; disable it here so the static plan shows codegen ids
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
