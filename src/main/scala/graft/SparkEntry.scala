@@ -48,6 +48,8 @@ object SparkEntry {
     "q42_asof_attribution" -> TemporalJoins.purchaseAttribution _,
     "q43_range_join" -> TemporalJoins.shipmentsNearOrder _,
     "q44_order_timeline" -> Relational.customerOrderTimeline _,
+    "q47_funnel_depth" -> graft.analytics.Funnels.funnelDepth _,
+    "q48_cohort_retention" -> graft.analytics.Funnels.cohortRetention _,
     "q45_value_histogram" -> ((s: SparkSession, d: String) => Relational.valueHistogram(s, d)),
     "q46_string_kitchen" -> Relational.stringKitchen _,
     "q39_rollup" -> Relational.revenueRollup _,
@@ -269,6 +271,31 @@ object SparkEntry {
         | ON l_shipdate >= o_orderdate
         |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
+    "q47_funnel_depth" ->
+      """WITH t1 AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
+        | FROM events GROUP BY 1),
+        |t2 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t_view
+        |    THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+        | FROM events e JOIN t1 USING (user_id) GROUP BY 1),
+        |t3 AS (SELECT e.user_id,
+        |  min(CASE WHEN event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t_click
+        |    THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+        | FROM events e JOIN t2 USING (user_id) GROUP BY 1)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        | CAST((CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS funnel_depth
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+    "q48_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week,
+        | CAST(floor(date_diff('day', cohort_week, week) / 7) AS BIGINT) AS week_offset,
+        | count(DISTINCT user_id) AS active_users
+        |FROM ev JOIN cohort USING (user_id) GROUP BY 1,2""".stripMargin,
     "q44_order_timeline" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | round(o_totalprice, 2) AS price,
