@@ -49,6 +49,7 @@ object SparkEntry {
     "q43_range_join" -> TemporalJoins.shipmentsNearOrder _,
     "q44_order_timeline" -> Relational.customerOrderTimeline _,
     "q47_funnel_depth" -> graft.analytics.Funnels.funnelDepth _,
+    "q49_profile" -> graft.analytics.Profiling.customerProfile _,
     "q48_cohort_retention" -> graft.analytics.Funnels.cohortRetention _,
     "q45_value_histogram" -> ((s: SparkSession, d: String) => Relational.valueHistogram(s, d)),
     "q46_string_kitchen" -> Relational.stringKitchen _,
@@ -271,6 +272,16 @@ object SparkEntry {
         | ON l_shipdate >= o_orderdate
         |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
+    "q49_profile" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .map(c =>
+        s"""SELECT '$c' AS column_name,
+           | (SELECT count(*) FROM customer) AS row_count,
+           | count($c) AS non_nulls,
+           | count(DISTINCT $c) AS distinct_count,
+           | CAST(min($c) AS VARCHAR) AS min_value,
+           | CAST(max($c) AS VARCHAR) AS max_value
+           |FROM customer""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "q47_funnel_depth" ->
       """WITH t1 AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
