@@ -10,8 +10,13 @@ import graft.core.Tables
 object Sql {
 
   def registerTables(spark: SparkSession, sfDir: String): Unit =
-    Tables.names.foreach(n =>
-      Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
+    Tables.names.foreach { n =>
+      // events must go through Tables.events (ns→µs timestamp conversion);
+      // the raw parquet would expose ts as a nanosecond Long to every SQL
+      val df = if (n == "events") Tables.events(spark, sfDir)
+        else Tables.load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** Pure-SQL similarity ranking against a fixed anchor vector, using the
     * extension-registered codegen'd graft_cosine — proves the SQL surface

@@ -20,6 +20,14 @@ import graft.functions.{Hashing, Text}
   */
 object Dedup {
 
+  /** Cache a small helper table that feeds multiple DAG branches: lazy (no
+    * job at construction time, unlike localCheckpoint) and fault-tolerant
+    * (lineage intact). Cached blocks are LRU-evicted; callers never need to
+    * unpersist explicitly.
+    */
+  private def materialized(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact duplicate groups by md5 content hash: one row per distinct
     * content with its canonical (min) doc id and multiplicity.
     */
@@ -43,9 +51,10 @@ object Dedup {
   def jaccardPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, maxShingleFreq: Long = 1000L): DataFrame = {
     // the distinct shingle set feeds four branches of this DAG (freq filter,
-    // both join sides, sizes); materialize it once instead of recomputing —
-    // at cluster scale this is the same call, stored on executors
-    val sh = shingleSet(spark, sfDir).localCheckpoint()
+    // both join sides, sizes); cache it so it computes once. persist (not
+    // localCheckpoint): lazy — building the DataFrame runs no jobs — and
+    // fault-tolerant (lineage recomputes lost blocks on a real cluster)
+    val sh = materialized(shingleSet(spark, sfDir))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleFreq)
     val shF = sh.join(rare.select("shingle"), Seq("shingle"))
@@ -96,10 +105,10 @@ object Dedup {
       threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     // the signature table is tiny (one row per doc) but its plan subtree is
-    // expensive and feeds both sides of the band self-join — materialize it
-    // once (the static planner replicates the subtree otherwise: 16 scans
-    // observed in the un-checkpointed plan)
-    val docs = minhashSignatures(spark, sfDir, k).localCheckpoint()
+    // expensive and feeds both sides of the band self-join — cache it so it
+    // computes once (the static planner otherwise replicates the subtree:
+    // 16 parquet scans observed un-cached)
+    val docs = materialized(minhashSignatures(spark, sfDir, k))
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -111,7 +120,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-    val sh = shingleSet(spark, sfDir).localCheckpoint()
+    val sh = materialized(shingleSet(spark, sfDir))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
@@ -156,7 +165,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPer = 32 / nChunks
-    val docs = simhashDocs(spark, sfDir).localCheckpoint() // feeds both join sides
+    val docs = materialized(simhashDocs(spark, sfDir)) // feeds both join sides
     val chunked = docs.select(col("doc_id"), col("simhash"),
       explode(array((0 until nChunks).map(j =>
         struct(lit(j).as("ci"),

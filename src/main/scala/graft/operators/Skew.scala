@@ -21,10 +21,13 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val saltCol = "__graft_salt"
-    // deterministic per-row scatter: hash the whole row, not rand(), so
-    // retried tasks land rows in the same bucket (exactly-once safe)
+    // per-row scatter via seeded rand(): identical duplicate rows (the
+    // common cause of a hot key in raw event logs) must land in DIFFERENT
+    // buckets, which a row-content hash cannot do. rand(seed) is
+    // deterministic per (seed, partition, row position), so task retries
+    // reproduce the same buckets given deterministic input partitioning.
     val bigSalted = big.withColumn(saltCol,
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+      floor(rand(20260812L) * salt).cast("int"))
     val smallReplicated = small.withColumn(saltCol,
       explode(array((0 until salt).map(lit): _*)))
     bigSalted.join(smallReplicated, Seq(key, saltCol), "inner").drop(saltCol)

@@ -58,9 +58,14 @@ object TemporalJoins {
       right: DataFrame, lo: Column, hi: Column,
       bucketSeconds: Long): (DataFrame, DataFrame, Column) = {
     val lb = left.withColumn("__bucket", floor(unix_timestamp(leftTs) / bucketSeconds))
+    val loBucket = floor(unix_timestamp(lo) / bucketSeconds)
+    val hiBucket = floor((unix_timestamp(hi) - 1) / bucketSeconds)
+    // empty/degenerate intervals (hi <= lo) must produce NO buckets —
+    // Spark's sequence(a, b) counts DOWNWARD when b < a and would emit
+    // spurious buckets for a zero-length interval
     val rb = right.withColumn("__bucket",
-      explode(sequence(floor(unix_timestamp(lo) / bucketSeconds),
-        floor((unix_timestamp(hi) - 1) / bucketSeconds))))
+      explode(when(hiBucket >= loBucket, sequence(loBucket, hiBucket))
+        .otherwise(array().cast("array<long>"))))
     (lb, rb, col("__bucket"))
   }
 

@@ -33,8 +33,8 @@ class SyntheticEventsSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SyntheticEventsTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("numPartitions", "8").toInt)
+      math.max(0L, properties.getOrDefault("rows", "1000").toLong),
+      math.max(1, properties.getOrDefault("numPartitions", "8").toInt))
 }
 
 object SyntheticEventsSource {
@@ -84,12 +84,19 @@ class SyntheticScanBuilder(rows: Long, numPartitions: Int)
     requiredSchema = required
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // +1 adjustments use saturating arithmetic: at Long extremes a plain
+    // v+1 overflows and would either drop all rows (hi wrap) or report a
+    // filter as pushed while ignoring it (lo wrap) — both silent wrong
+    // results, so extreme bounds are handled exactly
+    def inc(v: Long) = if (v == Long.MaxValue) v else v + 1
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("event_seq", v: Long) => { lo = math.max(lo, v + 1); true }
-      case GreaterThanOrEqual("event_seq", v: Long) => { lo = math.max(lo, v); true }
-      case LessThan("event_seq", v: Long) => { hi = math.min(hi, v); true }
-      case LessThanOrEqual("event_seq", v: Long) => { hi = math.min(hi, v + 1); true }
-      case EqualTo("event_seq", v: Long) => { lo = math.max(lo, v); hi = math.min(hi, v + 1); true }
+      case GreaterThan("event_seq", v: Long) =>
+        if (v == Long.MaxValue) { lo = hi } else { lo = math.max(lo, v + 1) }; true
+      case GreaterThanOrEqual("event_seq", v: Long) => lo = math.max(lo, v); true
+      case LessThan("event_seq", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("event_seq", v: Long) => hi = math.min(hi, inc(v)); true
+      case EqualTo("event_seq", v: Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, inc(v)); true
       case _ => false
     }
     pushed = accepted

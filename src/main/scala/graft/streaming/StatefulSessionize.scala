@@ -10,20 +10,23 @@ import graft.model.Models.WebEvent
   * `session_window` can't express (per-session event cap enforced inside
   * the state, custom emission payloads, early flush on size).
   *
-  * State: one open session per user (events buffered up to `eventCap`,
-  * counts always exact). Emission: when the event-time watermark passes the
-  * session's last activity + gap (EventTimeTimeout), or immediately when
-  * the buffered count hits `maxEventsPerSession` (guarding state size — the
-  * SURVEY §7.4.3 unbounded-buffer hazard handled at the state layer).
+  * State: one CONSTANT-SIZE entry per user (start/last times, count,
+  * first/last types — no event buffer). Emission: when the event-time
+  * watermark passes the session's last activity + gap (EventTimeTimeout),
+  * or immediately when the event count hits `maxEventsPerSession` (bounds
+  * session length, forcing a flush on runaway keys).
   *
-  * Scale notes: state is per-user (hash-distributed), each entry O(cap);
+  * Scale notes: state is per-user (hash-distributed), O(1) per entry;
   * timeouts garbage-collect state exactly like watermarked aggregations.
+  * Per micro-batch, one group's events are materialized and sorted for the
+  * deterministic gap scan — bounded by source admission control
+  * (maxOffsetsPerTrigger), not by this operator.
   */
 object StatefulSessionize {
 
   case class SessionState(
       start: Long, lastTs: Long, count: Long,
-      firstType: String, lastType: String, types: Seq[String])
+      firstType: String, lastType: String)
 
   case class SessionOut(
       user_id: String,
@@ -55,23 +58,38 @@ object StatefulSessionize {
       }
       var cur = state.getOption
       val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
-      // process in event-time order within the micro-batch for determinism
+      // Sort the micro-batch's events for this group by event time so the
+      // gap-splitting scan is deterministic. This materializes one group ×
+      // one micro-batch in memory — bounded upstream by source admission
+      // control (maxOffsetsPerTrigger), NOT by eventCap (which bounds
+      // state across batches).
+      def freshSession(t: Long, etype: String): Option[SessionState] = {
+        val s = SessionState(t, t, 1, etype, etype)
+        if (maxEventsPerSession <= 1) { out += emit(user, s, "cap"); None }
+        else Some(s)
+      }
       it.toSeq.sortBy(e => (e.timestamp.getTime, e.event_type)).foreach { e =>
         val t = e.timestamp.getTime
         cur match {
           case Some(s) if t - s.lastTs > gapMs =>
             out += emit(user, s, "gap")
-            cur = Some(SessionState(t, t, 1, e.event_type, e.event_type, Seq(e.event_type)))
+            cur = freshSession(t, e.event_type)
           case Some(s) =>
-            val next = s.copy(
-              lastTs = math.max(s.lastTs, t), count = s.count + 1,
-              lastType = e.event_type)
+            // order-robust merge: a late event earlier than the session
+            // start must lower start/firstType, and lastType only changes
+            // when the event is the temporally-latest seen
+            val next = SessionState(
+              start = math.min(s.start, t),
+              lastTs = math.max(s.lastTs, t),
+              count = s.count + 1,
+              firstType = if (t < s.start) e.event_type else s.firstType,
+              lastType = if (t >= s.lastTs) e.event_type else s.lastType)
             if (next.count >= maxEventsPerSession) {
               out += emit(user, next, "cap")
               cur = None
             } else cur = Some(next)
           case None =>
-            cur = Some(SessionState(t, t, 1, e.event_type, e.event_type, Seq(e.event_type)))
+            cur = freshSession(t, e.event_type)
         }
       }
       cur match {

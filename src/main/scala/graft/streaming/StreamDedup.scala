@@ -3,22 +3,23 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 
 /** Streaming exact deduplication — the stream-side member of the dedup
-  * family (operators.Dedup covers batch). State holds one entry per key;
-  * the watermark bounds it: duplicates arriving within the watermark delay
-  * are dropped, state for older keys is evicted.
+  * family (operators.Dedup covers batch). State holds one entry per dedup
+  * key, bounded by the watermark: state older than the watermark is
+  * evicted.
   *
   * Two variants:
-  *  - [[byKey]]: key state never expires within the watermark window and
-  *    duplicates later than the watermark may REAPPEAR (classic
-  *    dropDuplicates semantics);
-  *  - [[withinWatermark]]: Spark's dropDuplicatesWithinWatermark — expires
-  *    key state once the watermark passes the first-seen event time +
-  *    delay, the right call when duplicates cluster in time (at-least-once
-  *    sources), keeping state strictly bounded.
+  *  - [[byKeyAndTime]]: dedup key = (keys..., exact event time) — a
+  *    redelivered row only dedups if its timestamp is byte-identical.
+  *    Including the event-time column is what lets the watermark expire
+  *    state (classic streaming dropDuplicates pattern);
+  *  - [[withinWatermark]]: Spark's dropDuplicatesWithinWatermark — dedups
+  *    on the keys ALONE (re-stamped timestamps still dedup) and expires
+  *    key state once the watermark passes first-seen + delay. The right
+  *    call for at-least-once sources that re-stamp on redelivery.
   */
 object StreamDedup {
 
-  def byKey(events: DataFrame, tsCol: String, watermark: String,
+  def byKeyAndTime(events: DataFrame, tsCol: String, watermark: String,
       keys: String*): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
