@@ -77,6 +77,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(hist.getInt(0) === 1 && hist.getLong(1) === 10001L)
   }
 
+  test("salted join spreads IDENTICAL duplicate rows across salt buckets") {
+    val s = spark
+    import s.implicits._
+    // 8k byte-identical rows of one key — content hashing would put them
+    // all in one bucket; the seeded random scatter must not
+    val big = Seq.fill(8000)((7, "same-payload")).toDF("k", "payload")
+    val small = Seq((7, "dim")).toDF("k", "dim")
+    assert(Skew.saltedJoin(big, small, "k", salt = 8).count() === 8000)
+    val buckets = big.withColumn("b",
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.rand(20260812L) * 8))
+      .groupBy("b").count().collect()
+    assert(buckets.length > 1, "duplicates must land in multiple buckets")
+  }
+
   test("multimodal decode produces valid metadata end to end") {
     val summary = Multimodal.metaSummary(spark, sf)
     assert(summary.count() > 0)

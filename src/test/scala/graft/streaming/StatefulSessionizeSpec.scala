@@ -45,6 +45,36 @@ class StatefulSessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late cross-batch events lower session start and keep true last type") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[WebEvent]
+    val q = StatefulSessionize
+      .sessionize(spark, input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("fmgws_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: 10:04 view, 10:05 purchase (open session)
+      input.addData(ev("u1", 4, 0, "page_view"), ev("u1", 5, 0, "purchase"))
+      q.processAllAvailable()
+      // batch 2: LATE click at 10:02 (within watermark) joins the session
+      input.addData(ev("u1", 2, 0, "click"))
+      q.processAllAvailable()
+      // advance watermark far enough to flush, plus an extra batch for the timer
+      input.addData(ev("u9", 40)); q.processAllAvailable()
+      input.addData(ev("u9", 41)); q.processAllAvailable()
+      val r = spark.table("fmgws_late").collect()
+        .filter(_.getAs[String]("user_id") == "u1").head
+      assert(r.getAs[Timestamp]("session_start_time") === ts(2),
+        "late event must lower session start")
+      assert(r.getAs[String]("first_event_type") === "click")
+      assert(r.getAs[String]("last_event_type") === "purchase",
+        "a late non-latest event must not steal last_event_type")
+      assert(r.getAs[Long]("number_of_events") === 3L)
+    } finally q.stop()
+  }
+
   test("in-batch gap splits sessions and the event cap force-closes") {
     val s = spark
     import s.implicits._
