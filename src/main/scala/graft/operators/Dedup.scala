@@ -55,13 +55,21 @@ object Dedup {
     // localCheckpoint): lazy — building the DataFrame runs no jobs — and
     // fault-tolerant (lineage recomputes lost blocks on a real cluster)
     val sh = materialized(shingleSet(spark, sfDir))
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleFreq)
-    val shF = sh.join(rare.select("shingle"), Seq("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = shF.as("a").join(shF.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    // pair generation by collect-and-enumerate instead of a self-join: one
+    // groupBy(shingle) gathers each shingle's (sorted) doc list — bounded
+    // by the hot-shingle cap — and ordered pairs are enumerated in-place
+    // with array lambdas. Same pairs as the equality self-join, one fewer
+    // shuffle of the full shingle set.
+    val inter = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, maxShingleFreq))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x AS doc1, y AS doc2))))""".stripMargin)).as("p"))
+      .select(col("p.doc1"), col("p.doc2"))
+      .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), Seq("doc1"))
