@@ -10,7 +10,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the JVM/codegen/file-listing paths outside the timed region
-    try SparkEntry.queries.values.head(spark, sfDir).write
+    // with a fixed cheap query (an arbitrary Map-order pick could be an
+    // expensive one, double-counting its work)
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // noop sink: evaluates every row of every column (count() would let
