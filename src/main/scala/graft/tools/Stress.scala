@@ -30,6 +30,24 @@ object Stress {
     time("user rollup")(
       events.groupBy(col("user_id"))
         .agg(count(lit(1)), countDistinct(col("event_type"))).count())
+
+    // dedup at 20× the sf0.1 corpus: synthesize a documents table (with
+    // planted near-dups: every 50th doc repeats the previous doc's words
+    // plus one) and run the full MinHash-LSH pipeline against it
+    val nDocs = 100000L
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 60).map(j =>
+          concat(lit("w"), pmod(xxhash64(when(col("id") % 50 === 0, col("id") - 1)
+            .otherwise(col("id")), lit(j)), lit(5000)))): _*).as("text"),
+        lit("en").as("lang"), lit("src0").as("source"), lit(0L).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$docDir/documents.parquet")
+    time(s"minhash signatures ($nDocs docs)")(
+      graft.operators.Dedup.minhashSignatures(spark, docDir).count())
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.minhashPairs(spark, docDir, threshold = 0.7).count()
+    println(f"[stress] minhash LSH pairs ($nDocs docs): $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }
