@@ -196,7 +196,7 @@ object SparkEntry {
         |  CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) - floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS dur
         | FROM events GROUP BY 1,2)
         |SELECT user_id, CAST(session_start AS DATE) AS session_date,
-        | count(*) AS num_sessions, sum(dur) AS total_duration_seconds
+        | count(*) AS num_sessions, CAST(sum(dur) AS BIGINT) AS total_duration_seconds
         |FROM s GROUP BY 1,2""".stripMargin,
     "q16_daily_funnel" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
@@ -416,6 +416,19 @@ private object CorpusOracles {
   private def cosExpr(a: String, b: String, digits: Int = 4) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $digits)"
 
+  /** Hyperplane LSH bucket expression over a DOUBLE[] column `v` — the exact
+    * ±1 patterns of graft.functions.Vectors.hyperplaneBucket (shared
+    * planeCoefs generator), summed as sign-bit powers of two. Both engines
+    * fold the dot product left-to-right over identical doubles, so the sign
+    * (and hence the bucket) matches bit-for-bit.
+    */
+  private def lshBucketExpr(v: String, dim: Int, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      val coefs = graft.functions.Vectors.planeCoefs(j, dim)
+        .map(c => if (c > 0) "1.0" else "-1.0").mkString(",")
+      s"CASE WHEN list_dot_product($v, [$coefs]) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+
   /** Quality-metric expressions over `documents` (mirrors Text.qualityMetrics). */
   private val qualityCols =
     """ len(string_split(text,' ')) AS n_tokens,
@@ -508,9 +521,27 @@ private object CorpusOracles {
          |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
          |  FROM scored)
          |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    "q30_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${lshBucketExpr("v", 64, 6)} AS bucket FROM c),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, bucket AS probe FROM q
+         |  UNION ALL
+         |  SELECT query_id, qv, xor(bucket, CAST(pw AS BIGINT)) AS probe
+         |  FROM q, UNNEST([${(0 until 6).map(1L << _).mkString(",")}]) AS t(pw)),
+         |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id,
+         |   ${cosExpr("qv", "v")} AS cosine
+         |  FROM b JOIN probes ON b.bucket = probes.probe
+         |   AND b.vec_id <> probes.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+         |  FROM cand)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
     "q37_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 64 = 0),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+         |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
          |assigned AS (SELECT vec_id, v, cell FROM (
          |  SELECT c.vec_id, c.v, cents.cid AS cell, row_number() OVER (
          |    PARTITION BY c.vec_id ORDER BY ${cosExpr("c.v", "cents.cv", 6)} DESC, cents.cid) AS rn

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -9,30 +10,38 @@ import graft.core.Tables
   * counted distinct users per step with no ordering; a funnel requires the
   * steps to happen IN ORDER).
   *
-  * Funnel shape: 3 aggregation passes (one per step), each a hash-shuffle
-  * on user_id; step N's pass filters on step N-1's first-occurrence time.
-  * At scale the per-step frames are aggregates (one row per user), so the
-  * chained joins are small and AQE broadcasts them.
+  * Funnel shape: ONE hash-shuffle on user_id, then three chained full-frame
+  * window mins (step N's predicate reads step N-1's window value) and a
+  * final per-user aggregate that reuses the same distribution — no joins,
+  * no repeated event scans.
   */
 object Funnels {
 
   /** First-occurrence ordered funnel view → click → purchase: per user the
     * earliest time of each step that occurs strictly after the previous
     * step's first occurrence, and the resulting depth 0-3.
+    *
+    * Plan: single Exchange(user_id) feeding three WindowExecs (unbounded
+    * frame — the per-user step time is constant across the user's rows) and
+    * a HashAggregate on the same key. The aggregate's max() just collapses
+    * the per-row copies of that constant.
     */
   def funnelDepth(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-    val t1 = ev.groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
-    val t2 = ev.join(t1, Seq("user_id"))
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
       .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-        col("ts"))).as("t_click"))
-    val t3 = ev.join(t2, Seq("user_id"))
-      .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-        col("ts"))).as("t_purchase"))
-    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(max(col("t_view")).as("t_view"),
+        max(col("t_click")).as("t_click"),
+        max(col("t_purchase")).as("t_purchase"))
       .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
         (when(col("t_view").isNotNull, 1).otherwise(0)
           + when(col("t_click").isNotNull, 1).otherwise(0)

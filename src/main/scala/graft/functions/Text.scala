@@ -46,20 +46,25 @@ object Text {
 
   /** Language-ID: argmax over per-language stopword hit counts; ties (and
     * zero hits everywhere) resolve to the earliest language in
-    * [[LangStopwords]] order via a strict-greater fold. Deterministic and
-    * SQL-mirrorable; a production version would swap in character-n-gram
-    * profiles, same plan shape.
+    * [[LangStopwords]] order. Deterministic and SQL-mirrorable; a production
+    * version would swap in character-n-gram profiles, same plan shape.
+    *
+    * Shape: ONE array of (score, -index, lang) structs + `array_max` (struct
+    * ordering = score, then earliest declared language on ties). Each score
+    * expression appears exactly once — the earlier strict-greater `when`
+    * fold duplicated every score subtree at every step, re-tokenizing the
+    * document ~2^|langs| times per row (the same CollapseProject
+    * inlining trap PERF.md documents for minhash).
     */
   def langId(text: Column): Column = {
     val w = tokens(text)
-    val scores = LangStopwords.map { case (lang, sw) =>
-      lang -> size(filter(w, t => t.isin(sw.map(x => x: Any): _*)))
+    val cands = LangStopwords.zipWithIndex.map { case ((lang, sw), i) =>
+      struct(
+        size(filter(w, t => t.isin(sw.map(x => x: Any): _*))).as("score"),
+        lit(-i).as("neg_idx"),
+        lit(lang).as("lang"))
     }
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lang).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    array_max(array(cands: _*)).getField("lang")
   }
 
   /** Quality metrics + a composite score in [0,1]:

@@ -97,6 +97,17 @@ object Vectors {
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
   }
 
+  /** Pinned ±1 hyperplane pattern: plane j's i-th component is derived from
+    * the MD5 of "j:i" (LSB of byte 0). Shared by [[hyperplaneBucket]] and
+    * the DuckDB oracle generator so both engines bucket identically.
+    */
+  def planeCoefs(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+
   /** Deterministic LSH hyperplane bucket for a vector: `nPlanes` sign bits,
     * plane j's i-th component derived from the pinned hash of "j:i" mapped
     * to ±1. Cheap, data-independent, identical across engines — the bucket
@@ -112,13 +123,9 @@ object Vectors {
         size(v).cast("string"))))
     val bits = (0 until nPlanes).map { j =>
       // pinned ±1 pattern per plane; computed once per row via literals
-      val coefs = (0 until dim).map { i =>
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$j:$i".getBytes("UTF-8"))
-        if ((h(0) & 1) == 1) 1.0 else -1.0
-      }
       val dot = aggregate(
-        zip_with(checked, array(coefs.map(lit): _*), _ * _), lit(0.0), _ + _)
+        zip_with(checked, array(planeCoefs(j, dim).map(lit): _*), _ * _),
+        lit(0.0), _ + _)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -42,34 +42,52 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Fixed-size IVF codebook: the `nCentroids` corpus vectors with the
+    * smallest pinned md5(vec_id) prefix hash (vec_id tiebreak). |codebook|
+    * is corpus-size-INDEPENDENT — a uniform deterministic sample of exactly
+    * k vectors at any sf — so the centroid broadcast stays constant-sized
+    * and cell assignment stays O(n·k) as the corpus grows. Plan:
+    * TakeOrderedAndProject (per-partition k-heap, k·P-row driver merge),
+    * not a full sort. A trained k-means table drops in as a replacement
+    * without changing any downstream plan shape.
+    */
+  def ivfCentroids(spark: SparkSession, sfDir: String,
+      nCentroids: Int = 16): DataFrame =
+    corpus(spark, sfDir)
+      .orderBy(graft.functions.Hashing.stableHash32(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
-    * around a deterministic centroid sample (every `centroidStride`-th
-    * vector), then answer queries by scanning only the `nProbe` cells whose
-    * centroids are closest to the query.
+    * around a fixed-size deterministic codebook ([[ivfCentroids]]), then
+    * answer queries by scanning only the `nProbe` cells whose centroids are
+    * closest to the query.
     *
-    * Plan shape at scale: centroids broadcast twice (cell assignment of the
-    * corpus — one map pass; probe-list per query); the only corpus shuffle
-    * is the equality join on cell id. A trained k-means codebook drops in
-    * as a replacement for the stride sample without changing the plan.
-    * Deterministic throughout (rounded-cosine + id tiebreaks), so the
-    * DuckDB oracle replays it exactly.
+    * Plan shape at scale: the k-entry codebook broadcasts twice (cell
+    * assignment of the corpus — one map pass; probe-list per query); cell
+    * assignment is a groupBy(vec_id) argmax with map-side partial
+    * aggregation, so the only corpus-sized shuffle carries n rows (not the
+    * n·k scored pairs a window-rank formulation would move). Deterministic
+    * throughout (rounded-cosine + id tiebreaks), so the DuckDB oracle
+    * replays it exactly.
     */
   def ivfTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 10, nProbe: Int = 4,
-      centroidStride: Int = 64): DataFrame = {
+      nCentroids: Int = 16): DataFrame = {
     val all = corpus(spark, sfDir)
-    val cents = all.where(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cents = ivfCentroids(spark, sfDir, nCentroids)
 
-    // cell assignment: argmin distance == argmax cosine, tiebreak min cid
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
+    // cell assignment: argmin distance == argmax cosine, tiebreak min cid;
+    // max_by over struct(cos, -cid) == "ORDER BY cos DESC, cid LIMIT 1"
     val assigned = all.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("v"), col("cid"),
+      .select(col("vec_id"), col("v"), col("cid"),
         round(Vectors.cosine(col("v"), col("cv")), 6).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("cell"))
 
     // per-query probe list: nProbe closest centroids
     val q = all.where(col("vec_id") < nQueries)

@@ -50,7 +50,7 @@ class OperatorsSpec extends SparkTestBase {
     val bf = Similarity.bruteForceTopK(spark, sf, k = 200, nQueries = 3)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
         -> r.getAs[Double]("cosine")).toMap
-    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 3, centroidStride = 16)
+    val ivf = Similarity.ivfTopK(spark, sf, k = 5, nQueries = 3, nCentroids = 16)
       .collect()
     assert(ivf.nonEmpty)
     ivf.foreach { r =>
@@ -59,6 +59,19 @@ class OperatorsSpec extends SparkTestBase {
       bf.get(key).foreach(exp => assert(math.abs(exp - r.getAs[Double]("cosine")) < 1e-9))
       assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
     }
+  }
+
+  test("IVF codebook size is corpus-independent (fixed k at every sf)") {
+    // the scale property the %stride sample lacked: |centroids| must NOT
+    // grow with the corpus, or the assignment broadcast grows unboundedly
+    val k = 16
+    val atSmall = Similarity.ivfCentroids(spark, "/root/testdata/sf0.001", k).collect()
+    val atLarge = Similarity.ivfCentroids(spark, "/root/testdata/sf0.01", k).collect()
+    assert(atSmall.length === k)
+    assert(atLarge.length === k)
+    // deterministic: same call, same codebook
+    val again = Similarity.ivfCentroids(spark, "/root/testdata/sf0.001", k).collect()
+    assert(atSmall.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
   test("salted join equals the plain join on skewed data") {
