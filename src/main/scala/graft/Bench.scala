@@ -1,36 +1,60 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * N runs each (SPARK_GRAFT_BENCH_RUNS, default 3), reporting per-query
+  * MEDIANS — single runs at sf0.1 showed ±20-100% host noise (PERF.md), so
+  * one sample cannot distinguish a regression from a noisy neighbor.
+  *
+  * Run 1 is the cold pass: it pays JVM/codegen warmup and materializes the
+  * shared persisted helper tables (minhash signature/shingle caches), so
+  * that cost is attributed to `cold_total` instead of silently inflating
+  * whichever query happens to run first. The headline `value` is the sum
+  * of medians; `spread` records per-run totals.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up the JVM/codegen/file-listing paths outside the timed region
     // with a fixed cheap query (an arbitrary Map-order pick could be an
     // expensive one, double-counting its work)
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
     // noop sink: evaluates every row of every column (count() would let
     // Catalyst prune projections and under-report)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def onePass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         name -> -1.0 // sentinel: failures must not look like fast runs
       }
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val passes = (1 to math.max(1, runs)).map(_ => onePass())
+    def median(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0
+      else { val s = xs.sorted; s(s.size / 2) }
+    val medians = names.map(n => n -> median(passes.map(_(n)))).toMap
+
+    val qs = names.map(n => "\"" + n + "\":" + medians(n)).mkString("{", ",", "}")
+    val total = medians.values.filter(_ >= 0).sum
+    val perRunTotals = passes.map(_.values.filter(_ >= 0).sum)
+    val spread = perRunTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread}""")
     spark.stop()
   }
 }
