@@ -66,6 +66,8 @@ object SparkEntry {
     "q29_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q30_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q37_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q50_dedup_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupComponents(s, d)),
+    "q51_stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
     "q31_text_quality" -> TextAnalytics.quality _,
     "q32_lang_id" -> TextAnalytics.langPredictions _,
     "q33_token_stats" -> TextAnalytics.tokenStats _,
@@ -449,6 +451,28 @@ private object CorpusOracles {
        |  list_transform(string_split(text,' '), t -> ${h32("t")})),
        | (acc, x) -> (acc*31 + x) % 1000000007)""".stripMargin
 
+  /** Full q25 MinHash-LSH near-dup-pairs SQL; also reused as the edge list
+    * of the q50 connected-components oracle.
+    */
+  private val minhashPairsSql =
+    s"""WITH sig AS (
+       |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+       |  FROM ($baseHashes)),
+       |banded AS (SELECT doc_id, b AS band,
+       |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+       |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM banded a JOIN banded b
+       |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sh AS ($shingleRows),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT doc1, doc2, count(*) AS cnt
+       |  FROM cand
+       |  JOIN sh s1 ON s1.doc_id = doc1
+       |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+       |  GROUP BY 1,2)
+       |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.7""".stripMargin
+
   private val langPredicted = {
     val langs = graft.functions.Text.LangStopwords
     val scores = langs.map { case (lang, sw) =>
@@ -478,24 +502,7 @@ private object CorpusOracles {
     "q24_minhash_signatures" ->
       s"""SELECT doc_id, ${(0 until 16).map(i => s"${mhExpr(i)} AS mh_$i").mkString(", ")}
          |FROM ($baseHashes)""".stripMargin,
-    "q25_minhash_dedup" ->
-      s"""WITH sig AS (
-         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
-         |  FROM ($baseHashes)),
-         |banded AS (SELECT doc_id, b AS band,
-         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
-         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM banded a JOIN banded b
-         |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sh AS ($shingleRows),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT doc1, doc2, count(*) AS cnt
-         |  FROM cand
-         |  JOIN sh s1 ON s1.doc_id = doc1
-         |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
-         |  GROUP BY 1,2)
-         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.7""".stripMargin,
+    "q25_minhash_dedup" -> minhashPairsSql,
     "q26_simhash_docs" -> simhashDoc,
     "q27_simhash_pairs" ->
       s"""WITH s AS ($simhashDoc)
@@ -557,6 +564,26 @@ private object CorpusOracles {
          |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
          |  FROM scored)
          |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    // min-label fixpoint == min reachable doc_id, computed by a recursive
+    // closure over the bidirectional q25 edge list (unique fixpoint, so the
+    // engines agree no matter the iteration order)
+    "q50_dedup_components" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, component) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(component) AS component
+         |FROM reach GROUP BY doc_id""".stripMargin,
+    "q51_stratified_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |   ${h32("lang||':'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT doc_id, lang, CAST(row_number() OVER (
+         |   PARTITION BY lang ORDER BY h, doc_id) AS INTEGER) AS sample_rank FROM d)
+         |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
     "q31_text_quality" ->
       s"""SELECT doc_id,$qualityCols,
          | $qualityScore AS quality_score

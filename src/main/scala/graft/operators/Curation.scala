@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Corpus-curation operators a production training-data pipeline runs after
+  * near-dup detection: resolving pair lists into canonical duplicate GROUPS
+  * (connected components) and deterministic stratified down-sampling.
+  * Neither exists in the reference (its dedup story stops at exact
+  * `dropDuplicates`); both are required to act on the q25/q27/q28 pair
+  * outputs at scale.
+  */
+object Curation {
+
+  /** Connected components over an undirected pair list via iterative
+    * min-label propagation: every doc's label converges to the smallest
+    * doc_id reachable through the near-dup graph — the canonical id of its
+    * duplicate cluster. Output: (doc_id, component) for EVERY document
+    * (singletons map to themselves).
+    *
+    * Scale shape: each round is one equality join (labels × edges) + one
+    * map-side-combinable min-aggregate — all hash-shuffles on doc_id; no
+    * driver-side adjacency. Rounds needed = graph diameter; near-dup
+    * clusters are short chains in practice (the planted stress clusters
+    * have diameter ≤ 2, real LSH clusters rarely exceed single digits), and
+    * each round's `localCheckpoint` truncates lineage so plan size stays
+    * constant. For pathological diameters swap in large-star/small-star
+    * (O(log n) rounds, same join shape). Deterministic: the fixpoint is
+    * unique regardless of execution order, so the DuckDB recursive-CTE
+    * oracle reproduces it exactly.
+    */
+  def connectedComponents(pairs: DataFrame, allDocs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+    var labels = allDocs.select(col("doc_id"),
+      col("doc_id").as("component")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // neighbor labels flow along edges; keep the min of (own, neighbors)
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.select(col("doc_id"), col("component")).union(msgs)
+        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .localCheckpoint() // truncate lineage: constant-size plan per round
+      val changed = next.alias("n")
+        .join(labels.alias("l"), Seq("doc_id"))
+        .where(col("n.component") =!= col("l.component"))
+        .limit(1).count() // any-change probe, stops at the first hit
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-dup cluster assignment for the documents table: MinHash-LSH pairs
+    * (q25) resolved to canonical components. The downstream "keep one per
+    * cluster" filter is then `WHERE doc_id = component`.
+    */
+  def dedupComponents(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    connectedComponents(
+      Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
+      Tables.documents(spark, sfDir).select(col("doc_id")))
+
+  /** Deterministic stratified sample: at most `cap` documents per stratum
+    * (language), chosen by pinned md5 hash order — reproducible across
+    * engines and runs, no RNG. The standard per-language rebalancing step
+    * of corpus curation.
+    *
+    * Scale shape: one shuffle on the stratum key with partial
+    * WindowGroupLimit below the exchange (only `cap` rows per stratum
+    * survive each map partition), so the shuffle carries ≤ cap·partitions
+    * rows per stratum, not the corpus. Skewed strata (one language
+    * dominating a web corpus) therefore cannot hot-spot a reducer.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      cap: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        Hashing.stableHash32(concat(col("lang"), lit(":"),
+          col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("sample_rank", row_number().over(w).cast("int"))
+      .where(col("sample_rank") <= cap)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+  }
+}

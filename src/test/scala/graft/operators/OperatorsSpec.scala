@@ -74,6 +74,47 @@ class OperatorsSpec extends SparkTestBase {
     assert(atSmall.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
+  test("connected components resolve transitive near-dup chains to one canonical id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (diameter 3), pair {10,11}, singletons 20, 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc1", "doc2")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val got = Curation.connectedComponents(pairs, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("dedup components agree with minhash pairs on the corpus") {
+    val comps = Curation.dedupComponents(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every near-dup pair shares a component; every component head is a
+    // fixpoint (maps to itself)
+    pairs.foreach { case (a, b) => assert(comps(a) === comps(b)) }
+    comps.values.foreach(c => assert(comps(c) === c))
+    // docs not in any pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    comps.filterNot(kv => paired(kv._1))
+      .foreach { case (d, c) => assert(d === c) }
+  }
+
+  test("stratified sample caps every stratum deterministically") {
+    val a = Curation.stratifiedSample(spark, sf, cap = 5).collect()
+    val b = Curation.stratifiedSample(spark, sf, cap = 5).collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+    val perLang = a.groupBy(_.getString(1))
+    assert(perLang.nonEmpty)
+    perLang.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq ===
+        (1 to rows.length))
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     val s = spark
     import s.implicits._
