@@ -68,6 +68,7 @@ object SparkEntry {
     "q37_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q50_dedup_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupComponents(s, d)),
     "q51_stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
+    "q52_sequence_packing" -> ((s: SparkSession, d: String) => graft.operators.Curation.sequencePacking(s, d)),
     "q31_text_quality" -> TextAnalytics.quality _,
     "q32_lang_id" -> TextAnalytics.langPredictions _,
     "q33_token_stats" -> TextAnalytics.tokenStats _,
@@ -584,6 +585,18 @@ private object CorpusOracles {
          |r AS (SELECT doc_id, lang, CAST(row_number() OVER (
          |   PARTITION BY lang ORDER BY h, doc_id) AS INTEGER) AS sample_rank FROM d)
          |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
+    "q52_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(doc_id % 8 AS INTEGER) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |p AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+        | FROM d)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
+        |FROM p""".stripMargin,
     "q31_text_quality" ->
       s"""SELECT doc_id,$qualityCols,
          | $qualityScore AS quality_score

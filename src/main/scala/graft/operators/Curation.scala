@@ -68,6 +68,35 @@ object Curation {
       Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
       Tables.documents(spark, sfDir).select(col("doc_id")))
 
+  /** Sequence packing for LLM pretraining: assign documents to fixed
+    * token-capacity bins by running cumulative token count, per shard.
+    * Output: (doc_id, shard, n_tokens, start_offset, bin_id) where
+    * start_offset is the document's token offset within its shard's packed
+    * stream and bin_id = start_offset / capacity (a document whose tokens
+    * straddle a boundary starts in bin_id and spills — the standard packed-
+    * sequential layout, where the trainer handles boundary crossing).
+    *
+    * Scale shape: a GLOBAL packing order would need a single-partition
+    * window — the classic 100 TB trap — so packing is per shard
+    * (`pmod(doc_id, nShards)`), the way packed training data is laid out
+    * per output file anyway: one shuffle on shard, cumulative-sum windows
+    * run shard-parallel, and nShards scales with the cluster.
+    */
+  def sequencePacking(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_offset") / capacity))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("bin_id"))
+  }
+
   /** Deterministic stratified sample: at most `cap` documents per stratum
     * (language), chosen by pinned md5 hash order — reproducible across
     * engines and runs, no RNG. The standard per-language rebalancing step

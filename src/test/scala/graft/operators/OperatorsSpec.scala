@@ -115,6 +115,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing is gapless and contiguous per shard") {
+    val rows = Curation.sequencePacking(spark, sf, capacity = 512, nShards = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"),
+        r.getAs[Long]("bin_id")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { shardRows =>
+      val ordered = shardRows.sortBy(_._1)
+      // offsets tile the shard's token stream with no gaps or overlaps
+      assert(ordered.head._4 === 0L)
+      ordered.sliding(2).foreach {
+        case Array((_, _, n, off, _), (_, _, _, off2, _)) =>
+          assert(off2 === off + n)
+        case _ =>
+      }
+      ordered.foreach { case (_, _, _, off, bin) =>
+        assert(bin === off / 512)
+      }
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     val s = spark
     import s.implicits._
