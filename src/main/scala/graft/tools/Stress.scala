@@ -48,6 +48,15 @@ object Stress {
     val t0 = System.nanoTime()
     val pairs = graft.operators.Dedup.minhashPairs(spark, docDir, threshold = 0.7).count()
     println(f"[stress] minhash LSH pairs ($nDocs docs): $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // resolve the planted pairs into canonical clusters: every 50th doc
+    // pairs with its predecessor, so expected components of size 2 =
+    // nDocs/50 (minus doc 0's self-reference guard) and everything else
+    // is a singleton
+    val t1 = System.nanoTime()
+    val comps = graft.operators.Curation.dedupComponents(spark, docDir, threshold = 0.7)
+    val clustered = comps.where(col("doc_id") =!= col("component")).count()
+    println(f"[stress] connected components ($nDocs docs): $clustered docs folded into clusters in ${(System.nanoTime() - t1) / 1e9}%.1f s")
     spark.stop()
   }
 }
