@@ -47,7 +47,13 @@ object Bench {
     val passes = (1 to math.max(1, runs)).map(_ => onePass())
     def median(xs: Seq[Double]): Double =
       if (xs.exists(_ < 0)) -1.0
-      else { val s = xs.sorted; s(s.size / 2) }
+      else {
+        val s = xs.sorted
+        // true median for even n (upper-middle would report the COLD pass
+        // for runs=2, reinstating the distortion medians exist to remove)
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
     val medians = names.map(n => n -> median(passes.map(_(n)))).toMap
 
     val qs = names.map(n => "\"" + n + "\":" + medians(n)).mkString("{", ",", "}")

@@ -33,10 +33,10 @@ object Curation {
     * oracle reproduces it exactly.
     */
   def connectedComponents(pairs: DataFrame, allDocs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 50): DataFrame = {
     // checkpoint the edge list once: it joins into EVERY round, and its
     // lineage (the whole LSH pair pipeline) would otherwise recompute per
-    // round (measured 6.1 s → 2.9 s for q50 at sf0.1)
+    // round (measured 6.1 s → 3.9 s for q50 at sf0.1)
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .localCheckpoint()
@@ -55,10 +55,20 @@ object Curation {
         .join(labels.alias("l"), Seq("doc_id"))
         .where(col("n.component") =!= col("l.component"))
         .limit(1).count() // any-change probe, stops at the first hit
+      // reassignment drops the only reference to the previous round's
+      // checkpointed blocks (one slim row per doc); ContextCleaner reclaims
+      // them asynchronously and MEMORY_AND_DISK spills under pressure, so
+      // peak pinned storage stays O(corpus ids), not O(rounds × corpus)
       labels = next
       converged = changed == 0
       round += 1
     }
+    // propagation converges in ≤ diameter rounds; returning unconverged
+    // labels would silently break the fixpoint contract (and the oracle)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "component diameter exceeds the cap; raise maxRounds or switch to " +
+        "large-star/small-star (O(log n) rounds)")
     labels
   }
 

@@ -16,6 +16,10 @@ import graft.streaming.Sessionize
   */
 object KafkaSmoke {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: KafkaSmoke <bootstrap-servers> <topic>")
+      sys.exit(2)
+    }
     val Array(bootstrap, topic) = args.take(2)
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master("local[4]")
@@ -48,7 +52,11 @@ object KafkaSmoke {
       .writeStream.format("memory").queryName("kafka_smoke")
       .outputMode("append").start()
     q.processAllAvailable()
-    println(s"[smoke] streaming emitted ${spark.table("kafka_smoke").count()} windows")
+    val emitted = spark.table("kafka_smoke").count()
+    // events span ~1 h of 1-min windows with a 10-min watermark, so most
+    // windows must have closed — zero emissions means the pipeline is broken
+    require(emitted > 0, "streaming sessionization emitted no windows")
+    println(s"[smoke] streaming emitted $emitted windows")
     q.stop()
     spark.stop()
     println("[smoke] PASS")

@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   */
 class JdbcSpec extends SparkTestBase {
 
+  // keep Derby's log out of the repo working tree
+  System.setProperty("derby.stream.error.file",
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-derby.log")
+
   private val url = "jdbc:derby:memory:graftserve;create=true"
   private def p = {
     val props = Jdbc.props("app", "app")
