@@ -66,6 +66,7 @@ object SparkEntry {
     "q29_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.bruteForceTopK(s, d)),
     "q30_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
     "q37_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    "q53_embedding_quantize" -> ((s: SparkSession, d: String) => Similarity.quantizeEmbeddings(s, d)),
     "q50_dedup_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupComponents(s, d)),
     "q51_stratified_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.stratifiedSample(s, d)),
     "q52_sequence_packing" -> ((s: SparkSession, d: String) => graft.operators.Curation.sequencePacking(s, d)),
@@ -597,6 +598,18 @@ private object CorpusOracles {
         |SELECT doc_id, shard, n_tokens, start_offset,
         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
         |FROM p""".stripMargin,
+    "q53_embedding_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |       ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+        | FROM c)
+        |SELECT vec_id,
+        | round(scale, 6) AS q_scale,
+        | list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS q_codes,
+        | round(list_max(list_transform(v,
+        |   x -> abs(x - round(x / scale * 127) * scale / 127.0))), 6) AS max_abs_err
+        |FROM s""".stripMargin,
     "q31_text_quality" ->
       s"""SELECT doc_id,$qualityCols,
          | $qualityScore AS quality_score

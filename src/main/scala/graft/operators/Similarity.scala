@@ -111,6 +111,29 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× memory reduction applied before ANN serving at corpus scale.
+    * Per-vector max-abs scaling: q_i = round(x_i / scale · 127), with the
+    * max reconstruction error reported per vector (≤ scale/254 by
+    * construction, modulo the final rounding). Pure map-side projection —
+    * no shuffle at any corpus size — and every step (division,
+    * multiplication, half-away-from-zero rounding) is IEEE-deterministic,
+    * so the DuckDB oracle reproduces the quantized codes bit-for-bit.
+    */
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("v")
+    val rawScale = array_max(transform(v, x => abs(x)))
+    val scale = when(rawScale === 0.0, 1.0).otherwise(rawScale) // all-zero guard
+    corpus(spark, sfDir)
+      .withColumn("scale", scale)
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("q_scale"),
+        transform(v, x => round(x / col("scale") * 127).cast("int")).as("q_codes"),
+        round(array_max(zip_with(v,
+          transform(v, x => round(x / col("scale") * 127)),
+          (x, q) => abs(x - q * col("scale") / 127.0))), 6).as("max_abs_err"))
+  }
+
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one
     * flipped plane) — the standard multi-probe extension, which buys back

@@ -137,6 +137,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("int8 quantization bounds reconstruction error and stays in code range") {
+    val rows = Similarity.quantizeEmbeddings(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("q_scale")
+      val codes = r.getSeq[Int](r.fieldIndex("q_codes"))
+      val err = r.getAs[Double]("max_abs_err")
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // half-step bound: |x - q*scale/127| <= scale/254 (+ rounding slack)
+      assert(err <= scale / 254.0 + 1e-6,
+        s"reconstruction error $err exceeds half-step ${scale / 254.0}")
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     val s = spark
     import s.implicits._
