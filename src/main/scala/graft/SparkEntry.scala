@@ -606,7 +606,7 @@ private object CorpusOracles {
         | FROM c)
         |SELECT vec_id,
         | round(scale, 6) AS q_scale,
-        | list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS q_codes,
+        | array_to_string(list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)), ',') AS q_codes,
         | round(list_max(list_transform(v,
         |   x -> abs(x - round(x / scale * 127) * scale / 127.0))), 6) AS max_abs_err
         |FROM s""".stripMargin,

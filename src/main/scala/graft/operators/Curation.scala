@@ -40,27 +40,37 @@ object Curation {
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
       .localCheckpoint()
-    var labels = allDocs.select(col("doc_id"),
-      col("doc_id").as("component")).localCheckpoint()
+    // iterate ONLY over edge-touched vertices: the label table scales with
+    // docs that have at least one near-dup pair, not with the corpus.
+    // Singletons (the overwhelming majority at 100 TB) never enter the
+    // loop — they are stitched back in with one left join at the end.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")).localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      // neighbor labels flow along edges; keep the min of (own, neighbors)
+      // neighbor labels flow along edges; keep the min of (own, neighbors).
+      // Tagging each vertex's own label lets ONE aggregate produce both the
+      // new label and the previous one, so the convergence probe below is a
+      // plain scan of the checkpointed round output — no comparison join,
+      // one shuffle job per round total.
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.select(col("doc_id"), col("component")).union(msgs)
-        .groupBy(col("doc_id")).agg(min(col("component")).as("component"))
+        .select(col("dst").as("doc_id"), col("component"), lit(false).as("own"))
+      val next = labels
+        .select(col("doc_id"), col("component"), lit(true).as("own"))
+        .union(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("component")).as("component"),
+          min(when(col("own"), col("component"))).as("prev"))
         .localCheckpoint() // truncate lineage: constant-size plan per round
-      val changed = next.alias("n")
-        .join(labels.alias("l"), Seq("doc_id"))
-        .where(col("n.component") =!= col("l.component"))
-        .limit(1).count() // any-change probe, stops at the first hit
+      // any-change probe over the already-materialized (tiny) round table
+      converged = next.where(col("component") =!= col("prev"))
+        .limit(1).count() == 0
       // reassignment drops the only reference to the previous round's
-      // checkpointed blocks (one slim row per doc); ContextCleaner reclaims
-      // them asynchronously and MEMORY_AND_DISK spills under pressure, so
-      // peak pinned storage stays O(corpus ids), not O(rounds × corpus)
-      labels = next
-      converged = changed == 0
+      // checkpointed blocks (one slim row per edge-vertex); ContextCleaner
+      // reclaims them asynchronously and MEMORY_AND_DISK spills under
+      // pressure, so peak pinned storage stays O(edge-vertex ids)
+      labels = next.select(col("doc_id"), col("component"))
       round += 1
     }
     // propagation converges in ≤ diameter rounds; returning unconverged
@@ -69,7 +79,10 @@ object Curation {
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "component diameter exceeds the cap; raise maxRounds or switch to " +
         "large-star/small-star (O(log n) rounds)")
-    labels
+    // corpus is touched exactly once: singletons are their own component
+    allDocs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
   }
 
   /** Near-dup cluster assignment for the documents table: MinHash-LSH pairs

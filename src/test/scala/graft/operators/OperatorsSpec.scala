@@ -142,7 +142,7 @@ class OperatorsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val scale = r.getAs[Double]("q_scale")
-      val codes = r.getSeq[Int](r.fieldIndex("q_codes"))
+      val codes = r.getAs[String]("q_codes").split(",").map(_.toInt)
       val err = r.getAs[Double]("max_abs_err")
       assert(codes.forall(c => c >= -127 && c <= 127))
       // half-step bound: |x - q*scale/127| <= scale/254 (+ rounding slack)
