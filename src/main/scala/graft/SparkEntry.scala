@@ -75,6 +75,14 @@ object SparkEntry {
     "q33_token_stats" -> TextAnalytics.tokenStats _,
     "q34_multimodal_meta" -> Multimodal.metaSummary _,
     "q35_corpus_summary" -> TextAnalytics.corpusSummary _,
+    // — round-3 curation widening: repetition quality, sub-document dedup,
+    //   decontamination, mixture sampling, vocabulary, tf-idf —
+    "q54_repetition" -> TextAnalytics.repetition _,
+    "q55_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkShared(s, d)),
+    "q56_decontamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)),
+    "q57_domain_mix" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixSample(s, d)),
+    "q58_vocab_topk" -> ((s: SparkSession, d: String) => TextAnalytics.vocabTopK(s, d)),
+    "q59_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -638,5 +646,74 @@ private object CorpusOracles {
          | round(round(sum(q), 4) / count(*), 4) AS mean_quality,
          | count(DISTINCT fp) AS distinct_fingerprints
          |FROM d GROUP BY 1,2""".stripMargin,
+    "q54_repetition" ->
+      """WITH g AS (SELECT doc_id, w,
+        |  list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]) AS bg,
+        |  list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS tg
+        | FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |SELECT doc_id,
+        | CAST(len(w) AS BIGINT) AS n_words,
+        | CASE WHEN len(w)=0 THEN 0.0 ELSE round(1.0 - len(list_distinct(w))/CAST(len(w) AS DOUBLE), 6) END AS dup_word_frac,
+        | CASE WHEN len(bg)=0 THEN 0.0 ELSE round(1.0 - len(list_distinct(bg))/CAST(len(bg) AS DOUBLE), 6) END AS dup_bigram_frac,
+        | CASE WHEN len(tg)=0 THEN 0.0 ELSE round(1.0 - len(list_distinct(tg))/CAST(len(tg) AS DOUBLE), 6) END AS dup_trigram_frac
+        |FROM g""".stripMargin,
+    "q55_chunk_dedup" ->
+      """WITH e AS (SELECT doc_id, w,
+        |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |ch AS (SELECT DISTINCT doc_id,
+        |   md5(array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS chunk_hash
+        |  FROM e),
+        |cnt AS (SELECT chunk_hash, count(*) AS nd FROM ch GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks,
+        | round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+        |FROM ch JOIN cnt USING (chunk_hash)
+        |GROUP BY 1""".stripMargin,
+    "q56_decontamination" ->
+      """WITH g AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |t AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id, count(*) AS n_ngrams,
+        | CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        | CAST(max(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+        |FROM t LEFT JOIN b ON t.gram = b.gram
+        |GROUP BY 1""".stripMargin,
+    "q57_domain_mix" ->
+      """WITH tgt(source, target_share) AS (VALUES
+        |  ('src0', CAST(0.40 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.12 AS DOUBLE)),
+        |  ('src4', CAST(0.08 AS DOUBLE))),
+        |cnt AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |rates AS (SELECT source,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    round(n_total * CAST(0.4 AS DOUBLE)) * target_share / n_source) AS keep_rate
+        | FROM cnt CROSS JOIN tot JOIN tgt USING (source))
+        |SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(('0x'||substr(md5(d.source||':'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000
+        |  < r.keep_rate * 1000000""".stripMargin,
+    "q58_vocab_topk" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n_occurrences DESC, word LIMIT 100""".stripMargin,
+    "q59_tfidf" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
+        |   unnest(string_split(text,' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, min(doc_len) AS doc_len, count(*) AS c
+        |  FROM t GROUP BY 1,2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, word,
+        |  round(c / CAST(doc_len AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        | FROM tf JOIN df USING (word) CROSS JOIN n),
+        |r AS (SELECT doc_id, word, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS term_rank
+        | FROM s)
+        |SELECT doc_id, word, tfidf, term_rank FROM r WHERE term_rank <= 3""".stripMargin,
   )
 }

@@ -35,6 +35,62 @@ object TextAnalytics {
         Text.regexTokenCount(col("text")).cast("long").as("regex_tokens"),
         Hashing.rollingFingerprint(Text.tokens(col("text"))).as("fingerprint"))
 
+  /** Per-document repetition fractions (duplicate word/bigram/trigram
+    * share) — the Gopher-style boilerplate/loop filter. Map-side only.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Text.repetitionMetrics(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Corpus vocabulary head: top-k words by global occurrence count (ties
+    * broken by word), with document frequency — the vocabulary/tokenizer-
+    * training precursor. Plan: explode → partial+final count aggregate →
+    * `TakeOrderedAndProject` (no global sort; each partition forwards only
+    * its local top-k).
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(k)
+
+  /** Top-k TF-IDF terms per document: tf = term count / doc length,
+    * idf = ln(N / df). Ranking uses the ROUNDED score (desc, then word) so
+    * the order is reproducible across engines whose `ln` may differ in the
+    * last ulp.
+    *
+    * Scale shape: doc length is derived map-side BEFORE the explode (no
+    * extra per-doc window pass), so the shuffles are exactly the three the
+    * semantics require — (doc_id, word) for tf, word for df, doc_id for the
+    * final top-k window; N arrives via a one-row broadcast cross join, and
+    * the df join is plain hash-shuffle (vocabulary-sized — too big to
+    * assume broadcastable at corpus scale; AQE may still choose to).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val terms = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
+        explode(Text.tokens(col("text"))).as("word"))
+    val tf = terms.groupBy(col("doc_id"), col("word"))
+      .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("c").cast("double") / col("doc_len")
+          * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("term_rank", row_number().over(w).cast("int"))
+      .where(col("term_rank") <= k)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("term_rank"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -67,6 +67,25 @@ object Text {
     array_max(array(cands: _*)).getField("lang")
   }
 
+  /** Repetition metrics (Gopher-style quality filters, Rae et al. 2021
+    * §A1.1): fraction of duplicated words / bigrams / trigrams per
+    * document. High values flag boilerplate and generation loops — the
+    * standard pre-training removal signals. Pure map-side expressions
+    * (one pass, no shuffle); each metric re-derives its n-gram array twice
+    * (distinct + total) which is a constant factor, not the exponential
+    * `when`-fold trap documented for langId.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    def dupFrac(arr: Column): Column =
+      when(size(arr) === 0, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr), 6))
+    Seq(
+      "n_words" -> size(tokens(text)).cast("long"),
+      "dup_word_frac" -> dupFrac(tokens(text)),
+      "dup_bigram_frac" -> dupFrac(shingles(text, 2)),
+      "dup_trigram_frac" -> dupFrac(shingles(text, 3)))
+  }
+
   /** Quality metrics + a composite score in [0,1]:
     * length sweet-spot, punctuation ratio, stopword ratio, mean word length.
     * Weights are arbitrary but pinned; the score exists to be filtered on.

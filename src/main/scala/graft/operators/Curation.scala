@@ -124,6 +124,69 @@ object Curation {
         col("start_offset"), col("bin_id"))
   }
 
+  /** Benchmark decontamination scan: flag training documents sharing any
+    * word `n`-gram with the held-out benchmark slice (docs whose id is
+    * divisible by `benchMod` stand in for an eval set). Output per training
+    * doc: distinct n-gram count, how many of them appear in the benchmark
+    * set, and a 0/1 contaminated flag — the n-gram-overlap decontamination
+    * pass every pre-training pipeline runs before the data ships.
+    *
+    * Scale shape: the benchmark n-gram set is eval-suite-sized (thousands
+    * of docs, not the corpus), so it is explicitly `broadcast` — the 100 TB
+    * training side streams once through a map-side hash lookup, no shuffle
+    * on the n-gram key at all; the only shuffle is the per-doc rollup.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+      n: Int = 8, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def grams(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
+    // benchmark grams come from a FILTERED scan (the predicate prunes at
+    // the source), not from a corpus-wide distinct that would shuffle
+    // everything just to keep 1/benchMod of it
+    val bench = grams(docs.where(col("doc_id") % benchMod === 0))
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams(docs.where(col("doc_id") % benchMod =!= 0)).distinct()
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"),
+        max(coalesce(col("hit"), lit(0))).cast("int").as("contaminated"))
+  }
+
+  /** Deterministic domain-mixture sampling: draw a corpus subset whose
+    * source composition matches pinned target shares (the mixture-weights
+    * step of pre-training data curation), sized at `budgetFrac` of the
+    * corpus. Per-source keep rate = min(1, budget·share / n_source); a doc
+    * survives iff its pinned md5 hash falls under the rate — reproducible
+    * across engines and runs, no RNG.
+    *
+    * Scale shape: two metadata-sized aggregates (per-source counts, corpus
+    * total) feed a 5-row rate table that is broadcast onto the corpus scan —
+    * the full pass is one map-side filter; no corpus shuffle anywhere.
+    */
+  def domainMixSample(spark: SparkSession, sfDir: String,
+      budgetFrac: Double = 0.4): DataFrame = {
+    val targets = Seq(
+      ("src0", 0.40), ("src1", 0.25), ("src2", 0.15),
+      ("src3", 0.12), ("src4", 0.08))
+    val t = spark.createDataFrame(targets).toDF("source", "target_share")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total)).join(broadcast(t), "source")
+      .select(col("source"),
+        least(lit(1.0),
+          round(col("n_total") * lit(budgetFrac), 0) * col("target_share")
+            / col("n_source")).as("keep_rate"))
+    docs.join(broadcast(rates), "source")
+      .where(pmod(Hashing.stableHash32(
+          concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("keep_rate") * 1000000)
+      .select(col("doc_id"), col("source"),
+        round(col("keep_rate"), 6).as("keep_rate"))
+  }
+
   /** Deterministic stratified sample: at most `cap` documents per stratum
     * (language), chosen by pinned md5 hash order — reproducible across
     * engines and runs, no RNG. The standard per-language rebalancing step

@@ -205,4 +205,46 @@ object Dedup {
         round(graft.functions.Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Chunk-level (sub-document) duplication: split each document into
+    * consecutive non-overlapping `chunkWords`-word chunks, hash each chunk,
+    * and report per document how many of its distinct chunks also appear in
+    * at least one OTHER document (plus the shared fraction). This is the
+    * paragraph-dedup signal used to strip shared boilerplate that
+    * whole-document near-dup passes miss.
+    *
+    * Scale shape: explode → distinct(doc, chunk-hash) → one shuffle on the
+    * chunk hash for the occurrence counts, the count join reuses that same
+    * exchange, and the per-doc rollup is one more hash shuffle on doc_id.
+    * Chunks travel as md5 hex (32 bytes), never as text.
+    */
+  def chunkShared(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8): DataFrame =
+    chunkSharedOf(Tables.documents(spark, sfDir), chunkWords)
+
+  /** [[chunkShared]] over an arbitrary (doc_id, text) frame. */
+  def chunkSharedOf(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+    val w = Text.tokens(col("text"))
+    val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
+    // distinct: a chunk repeated INSIDE one doc counts once — cross-doc
+    // sharing is the signal. Feeds both the count aggregate and the join.
+    val chunks = materialized(
+      docs
+        .select(col("doc_id"),
+          explode(when(size(w) > 0,
+            transform(sequence(lit(0), nChunks - 1),
+              i => md5(concat_ws(" ",
+                slice(w, i * chunkWords + 1, lit(chunkWords))))))
+            .otherwise(array().cast("array<string>"))).as("chunk_hash"))
+        .distinct())
+    val counts = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs_with_chunk"))
+    chunks.join(counts, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with_chunk") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+        round(col("n_shared_chunks").cast("double") / col("n_chunks"), 6)
+          .as("shared_frac"))
+  }
 }

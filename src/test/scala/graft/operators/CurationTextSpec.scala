@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.TextAnalytics
+import graft.functions.Text
+import org.apache.spark.sql.functions.col
+
+/** Semantics of the round-3 curation operators: repetition metrics,
+  * chunk-level dedup, decontamination, domain-mix sampling, vocabulary,
+  * tf-idf. Crafted inputs where the expected value is computable by hand;
+  * corpus invariants (sf0.001) elsewhere — the DuckDB oracle covers exact
+  * values at sf0.01.
+  */
+class CurationTextSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("repetition metrics match hand-computed fractions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val m = Text.repetitionMetrics(col("text"))
+    val rows = df.select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // "a a a a": 4 words 1 distinct -> 0.75; bigrams ["a a"]*3 -> 1-1/3;
+    // trigrams ["a a a"]*2 -> 0.5
+    assert(rows(1L).getAs[Long]("n_words") === 4L)
+    assert(rows(1L).getAs[Double]("dup_word_frac") === 0.75)
+    assert(rows(1L).getAs[Double]("dup_bigram_frac") === 0.666667)
+    assert(rows(1L).getAs[Double]("dup_trigram_frac") === 0.5)
+    // all-distinct doc: zero everywhere
+    assert(rows(2L).getAs[Double]("dup_word_frac") === 0.0)
+    assert(rows(2L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(rows(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
+  test("chunk dedup counts cross-doc shared chunks, not internal repeats") {
+    val s = spark
+    import s.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")   // one 8-word chunk
+    val a = shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = shared + " " + (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 16).map(i => s"c$i").mkString(" ")
+    val got = Dedup.chunkSharedOf(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared_chunks"),
+          r.getAs[Double]("shared_frac"))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+  }
+
+  test("decontamination excludes the benchmark slice and bounds counts") {
+    val rows = Curation.decontaminate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 !== 0L) // bench docs never output
+      val n = r.getAs[Long]("n_ngrams")
+      val hit = r.getAs[Long]("n_contaminated")
+      assert(hit >= 0L && hit <= n)
+      assert(r.getAs[Int]("contaminated") === (if (hit > 0) 1 else 0))
+    }
+  }
+
+  test("domain mix sampling is deterministic and respects per-source rates") {
+    val once = Curation.domainMixSample(spark, sf).collect()
+    val again = Curation.domainMixSample(spark, sf).collect()
+    assert(once.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+    assert(once.nonEmpty)
+    once.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+    }
+    // a capped-rate source keeps everything; sampled sources keep roughly
+    // rate*n (hash-uniform; just assert the kept set is a strict subset
+    // when rate < 1)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(once.length < total)
+  }
+
+  test("vocab top-k is count-ordered with doc frequency bounded by occurrences") {
+    val rows = TextAnalytics.vocabTopK(spark, sf, k = 10).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    counts.zip(counts.tail).foreach { case (x, y) => assert(x >= y) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+  }
+
+  test("tfidf ranks at most k terms per doc by rounded score then word") {
+    val rows = TextAnalytics.tfidfTopTerms(spark, sf, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("term_rank"))
+      assert(byRank.map(_.getAs[Int]("term_rank")).toSeq === (1 to g.length))
+      val scores = byRank.map(_.getAs[Double]("tfidf"))
+      scores.zip(scores.tail).foreach { case (x, y) => assert(x >= y) }
+    }
+  }
+}
