@@ -83,6 +83,7 @@ object SparkEntry {
     "q57_domain_mix" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixSample(s, d)),
     "q58_vocab_topk" -> ((s: SparkSession, d: String) => TextAnalytics.vocabTopK(s, d)),
     "q59_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
+    "q60_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -715,5 +716,11 @@ private object CorpusOracles {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS term_rank
         | FROM s)
         |SELECT doc_id, word, tfidf, term_rank FROM r WHERE term_rank <= 3""".stripMargin,
+    "q60_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)
+        |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
+        | round(sum(v[i]) / count(*), 6) AS mean_v
+        |FROM x GROUP BY 1, 2""".stripMargin,
   )
 }

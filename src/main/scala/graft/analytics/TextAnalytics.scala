@@ -65,11 +65,14 @@ object TextAnalytics {
     * last ulp.
     *
     * Scale shape: doc length is derived map-side BEFORE the explode (no
-    * extra per-doc window pass), so the shuffles are exactly the three the
-    * semantics require — (doc_id, word) for tf, word for df, doc_id for the
-    * final top-k window; N arrives via a one-row broadcast cross join, and
-    * the df join is plain hash-shuffle (vocabulary-sized — too big to
-    * assume broadcastable at corpus scale; AQE may still choose to).
+    * extra per-doc window pass), and document frequency is a full-frame
+    * `count` window over the tf table keyed on word — deriving df with a
+    * separate aggregate + join would recompute the whole explode subtree a
+    * second time (verified in the plan: Catalyst cannot reuse the exchange
+    * because column pruning gives the two branches different partial
+    * aggregates). Shuffles are exactly the three the semantics require:
+    * (doc_id, word) for tf, word for df, doc_id for the final top-k window;
+    * N arrives via a one-row broadcast cross join.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val terms = Tables.documents(spark, sfDir)
@@ -77,9 +80,9 @@ object TextAnalytics {
         explode(Text.tokens(col("text"))).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word"))
       .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val wordW = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "word")
+    val scored = tf.withColumn("df", count(lit(1)).over(wordW))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         col("c").cast("double") / col("doc_len")

@@ -138,6 +138,24 @@ object Similarity {
           (x, q) => abs(x - q * col("scale") / 127.0))), 6).as("max_abs_err"))
   }
 
+  /** Per-label embedding centroids (mean pooling): the class-prototype /
+    * codebook-seeding aggregation. One row per (label, dimension) keeps the
+    * output scalar-columned for engine-portable verification; reassembling
+    * the centroid vector is a `collect_list` over dim order downstream.
+    *
+    * Scale shape: posexplode multiplies rows by the (fixed, small)
+    * dimensionality, then one shuffle on (label, dim) with map-side partial
+    * sums — the classic commutative-aggregate plan; no vector ever needs to
+    * fit anywhere special.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("v")) / count(lit(1)), 6).as("mean_v"))
+
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one
     * flipped plane) — the standard multi-probe extension, which buys back

@@ -90,6 +90,26 @@ class CurationTextSpec extends SparkTestBase {
     }
   }
 
+  test("label centroids average every dimension over exactly the label's vectors") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("label", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val dim = emb.head._2.length
+    val got = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_v"))).toMap
+    val labels = emb.map(_._1).distinct
+    assert(got.size === labels.length * dim)
+    labels.take(3).foreach { l =>
+      val vs = emb.filter(_._1 == l).map(_._2)
+      (0 until dim by 17).foreach { d =>
+        val (n, m) = got((l, d))
+        assert(n === vs.length)
+        assert(math.abs(m - vs.map(_(d)).sum / vs.length) < 1e-5)
+      }
+    }
+  }
+
   test("tfidf ranks at most k terms per doc by rounded score then word") {
     val rows = TextAnalytics.tfidfTopTerms(spark, sf, k = 3).collect()
     assert(rows.nonEmpty)
