@@ -84,6 +84,7 @@ object SparkEntry {
     "q58_vocab_topk" -> ((s: SparkSession, d: String) => TextAnalytics.vocabTopK(s, d)),
     "q59_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
     "q60_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
+    "q61_curation_decisions" -> ((s: SparkSession, d: String) => graft.operators.Curation.curationDecisions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -589,6 +590,44 @@ private object CorpusOracles {
          |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
          |SELECT doc_id, min(component) AS component
          |FROM reach GROUP BY doc_id""".stripMargin,
+    // composed keep/drop verdict: quality + trigram repetition (q54
+    // fragment) + canonical component (q50 recursive closure) + benchmark
+    // 8-gram contamination (q56 CTEs), one row per document
+    "q61_curation_decisions" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |reach(doc_id, component) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |comp AS (SELECT doc_id, min(component) AS component
+         |  FROM reach GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+         |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         |dec AS (SELECT tg.doc_id,
+         |   CAST(max(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+         |  FROM tg LEFT JOIN bg ON tg.gram = bg.gram GROUP BY 1),
+         |m AS (SELECT doc_id, $qualityScore AS quality_score,
+         |   CASE WHEN len(t3)=0 THEN 0.0
+         |        ELSE round(1.0 - len(list_distinct(t3))/CAST(len(t3) AS DOUBLE), 6) END AS dup_trigram_frac,
+         |   CAST(doc_id % 97 = 0 AS INTEGER) AS is_benchmark
+         |  FROM (SELECT doc_id, text,
+         |    list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS t3
+         |   FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)))
+         |SELECT m.doc_id, m.quality_score, m.dup_trigram_frac,
+         | CAST(comp.component = m.doc_id AS INTEGER) AS is_canonical,
+         | coalesce(dec.contaminated, 0) AS contaminated,
+         | m.is_benchmark,
+         | CAST(m.quality_score >= 0.5 AND m.dup_trigram_frac <= 0.2
+         |   AND comp.component = m.doc_id AND coalesce(dec.contaminated, 0) = 0
+         |   AND m.is_benchmark = 0 AS INTEGER) AS keep
+         |FROM m JOIN comp ON m.doc_id = comp.doc_id
+         |LEFT JOIN dec ON m.doc_id = dec.doc_id""".stripMargin,
     "q51_stratified_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |   ${h32("lang||':'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),

@@ -187,6 +187,42 @@ object Curation {
         round(col("keep_rate"), 6).as("keep_rate"))
   }
 
+  /** The composed curation verdict — the query a pipeline operator actually
+    * ships: one row per document with its quality score, trigram-repetition
+    * fraction, canonical-duplicate flag (from the LSH component resolution),
+    * benchmark-contamination flag, and the final keep/drop decision
+    * (quality ≥ minQuality, repetition ≤ maxTrigramDup, canonical, clean,
+    * and not part of the held-out benchmark slice itself).
+    *
+    * Scale shape: quality/repetition/benchmark flags are map-side over one
+    * documents scan; the component and contamination columns arrive by two
+    * doc_id hash joins from their own (already scale-shaped) pipelines.
+    */
+  def curationDecisions(spark: SparkSession, sfDir: String,
+      minQuality: Double = 0.5, maxTrigramDup: Double = 0.2,
+      benchMod: Int = 97): DataFrame = {
+    import graft.functions.Text
+    val q = Text.qualityMetrics(col("text")).toMap.apply("quality_score")
+    val rep = Text.repetitionMetrics(col("text")).toMap.apply("dup_trigram_frac")
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), q.as("quality_score"), rep.as("dup_trigram_frac"),
+        (col("doc_id") % benchMod === 0).cast("int").as("is_benchmark"))
+    val comps = dedupComponents(spark, sfDir)
+    val decon = decontaminate(spark, sfDir, benchMod = benchMod)
+      .select(col("doc_id"), col("contaminated"))
+    val clean = coalesce(col("contaminated"), lit(0))
+    base.join(comps, "doc_id")
+      .join(decon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_score"), col("dup_trigram_frac"),
+        (col("component") === col("doc_id")).cast("int").as("is_canonical"),
+        clean.as("contaminated"),
+        col("is_benchmark"),
+        (col("quality_score") >= minQuality &&
+          col("dup_trigram_frac") <= maxTrigramDup &&
+          col("component") === col("doc_id") &&
+          clean === 0 && col("is_benchmark") === 0).cast("int").as("keep"))
+  }
+
   /** Deterministic stratified sample: at most `cap` documents per stratum
     * (language), chosen by pinned md5 hash order — reproducible across
     * engines and runs, no RNG. The standard per-language rebalancing step

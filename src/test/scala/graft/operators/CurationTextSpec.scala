@@ -90,6 +90,24 @@ class CurationTextSpec extends SparkTestBase {
     }
   }
 
+  test("curation decisions are internally consistent and cover every doc") {
+    val rows = Curation.curationDecisions(spark, sf).collect()
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.length === total)
+    rows.foreach { r =>
+      val expected = r.getAs[Double]("quality_score") >= 0.5 &&
+        r.getAs[Double]("dup_trigram_frac") <= 0.2 &&
+        r.getAs[Int]("is_canonical") == 1 &&
+        r.getAs[Int]("contaminated") == 0 &&
+        r.getAs[Int]("is_benchmark") == 0
+      assert(r.getAs[Int]("keep") === (if (expected) 1 else 0))
+    }
+    // the corpus has planted near-dups, so some docs must be dropped as
+    // non-canonical, and the benchmark slice itself is always dropped
+    assert(rows.exists(_.getAs[Int]("keep") == 0))
+    assert(rows.exists(_.getAs[Int]("keep") == 1))
+  }
+
   test("label centroids average every dimension over exactly the label's vectors") {
     val emb = graft.core.Tables.embeddings(spark, sf)
       .selectExpr("label", "cast(embedding as array<double>) as v").collect()
