@@ -85,6 +85,7 @@ object SparkEntry {
     "q59_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
     "q60_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q61_curation_decisions" -> ((s: SparkSession, d: String) => graft.operators.Curation.curationDecisions(s, d)),
+    "q62_source_leakage" -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -722,10 +723,9 @@ private object CorpusOracles {
         |FROM t LEFT JOIN b ON t.gram = b.gram
         |GROUP BY 1""".stripMargin,
     "q57_domain_mix" ->
-      """WITH tgt(source, target_share) AS (VALUES
-        |  ('src0', CAST(0.40 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
-        |  ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.12 AS DOUBLE)),
-        |  ('src4', CAST(0.08 AS DOUBLE))),
+      s"""WITH tgt(source, target_share) AS (VALUES
+        |  ${graft.operators.Curation.DomainTargets.map { case (s, w) =>
+             s"('$s', CAST($w AS DOUBLE))" }.mkString(",\n|  ")}),
         |cnt AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
         |tot AS (SELECT count(*) AS n_total FROM documents),
         |rates AS (SELECT source,
@@ -755,6 +755,17 @@ private object CorpusOracles {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS term_rank
         | FROM s)
         |SELECT doc_id, word, tfidf, term_rank FROM r WHERE term_rank <= 3""".stripMargin,
+    "q62_source_leakage" ->
+      """WITH e AS (SELECT source, w,
+        |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
+        |  FROM (SELECT source, string_split(text,' ') AS w FROM documents)),
+        |ch AS (SELECT DISTINCT source,
+        |   md5(array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS chunk_hash
+        |  FROM e)
+        |SELECT a.source AS source1, b.source AS source2, count(*) AS n_shared_chunks
+        |FROM ch a JOIN ch b
+        |  ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+        |GROUP BY 1,2""".stripMargin,
     "q60_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)

@@ -15,6 +15,14 @@ import graft.functions.Hashing
   */
 object Curation {
 
+  /** Pinned mixture weights for [[domainMixSample]], covering every corpus
+    * source: share of src_i ∝ (20 - i), normalized (sum = 1). The DuckDB
+    * oracle renders its VALUES table from this same constant, so both
+    * engines compute from identical doubles.
+    */
+  val DomainTargets: Seq[(String, Double)] =
+    (0 until 20).map(i => (s"src$i", (20.0 - i) / 210.0))
+
   /** Connected components over an undirected pair list via iterative
     * min-label propagation: every doc's label converges to the smallest
     * doc_id reachable through the near-dup graph — the canonical id of its
@@ -167,10 +175,7 @@ object Curation {
     */
   def domainMixSample(spark: SparkSession, sfDir: String,
       budgetFrac: Double = 0.4): DataFrame = {
-    val targets = Seq(
-      ("src0", 0.40), ("src1", 0.25), ("src2", 0.15),
-      ("src3", 0.12), ("src4", 0.08))
-    val t = spark.createDataFrame(targets).toDF("source", "target_share")
+    val t = spark.createDataFrame(DomainTargets).toDF("source", "target_share")
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
     val total = docs.agg(count(lit(1)).as("n_total"))

@@ -222,20 +222,26 @@ object Dedup {
       chunkWords: Int = 8): DataFrame =
     chunkSharedOf(Tables.documents(spark, sfDir), chunkWords)
 
-  /** [[chunkShared]] over an arbitrary (doc_id, text) frame. */
-  def chunkSharedOf(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+  /** md5 hashes of the non-overlapping `chunkWords`-word chunks of `text`,
+    * as an array column (trailing partial chunk included).
+    */
+  private def chunkHashes(chunkWords: Int): org.apache.spark.sql.Column = {
     val w = Text.tokens(col("text"))
     val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
+    when(size(w) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => md5(concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[chunkShared]] over an arbitrary (doc_id, text) frame. */
+  def chunkSharedOf(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
     // distinct: a chunk repeated INSIDE one doc counts once — cross-doc
     // sharing is the signal. Feeds both the count aggregate and the join.
     val chunks = materialized(
       docs
         .select(col("doc_id"),
-          explode(when(size(w) > 0,
-            transform(sequence(lit(0), nChunks - 1),
-              i => md5(concat_ws(" ",
-                slice(w, i * chunkWords + 1, lit(chunkWords))))))
-            .otherwise(array().cast("array<string>"))).as("chunk_hash"))
+          explode(chunkHashes(chunkWords)).as("chunk_hash"))
         .distinct())
     val counts = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_docs_with_chunk"))
@@ -246,5 +252,28 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
         round(col("n_shared_chunks").cast("double") / col("n_chunks"), 6)
           .as("shared_frac"))
+  }
+
+  /** Cross-source leakage matrix: for every source pair, how many distinct
+    * chunks appear in BOTH sources — the monitoring aggregate that catches
+    * one ingest feed replicating another (mirrors, scrapes of scrapes)
+    * before near-dup dedup has to pay for it.
+    *
+    * Scale shape: one pass derives the distinct (source, chunk) table (the
+    * source column rides the explode — no join against the corpus), then a
+    * self-join on the chunk hash; both sides are the same shuffle
+    * (ReuseExchange) and a chunk meets at most |sources|² pairs, so the
+    * join output is bounded by n_chunks · |sources|², never corpus².
+    */
+  def sourceLeakage(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8): DataFrame = {
+    val ch = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(chunkHashes(chunkWords)).as("chunk_hash"))
+      .distinct()
+    ch.as("a").join(ch.as("b"),
+        col("a.chunk_hash") === col("b.chunk_hash")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
   }
 }

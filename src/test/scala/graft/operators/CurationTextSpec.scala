@@ -90,6 +90,25 @@ class CurationTextSpec extends SparkTestBase {
     }
   }
 
+  test("source leakage matrix is strictly upper-triangular with positive counts") {
+    val rows = Dedup.sourceLeakage(spark, sf).collect()
+    assert(rows.nonEmpty) // planted near-dups cross sources in the testdata
+    rows.foreach { r =>
+      assert(r.getAs[String]("source1") < r.getAs[String]("source2"))
+      assert(r.getAs[Long]("n_shared_chunks") >= 1L)
+    }
+    // no pair appears twice
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("domain mix targets cover every corpus source and sum to one") {
+    assert(math.abs(Curation.DomainTargets.map(_._2).sum - 1.0) < 1e-12)
+    val corpusSources = graft.core.Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(corpusSources.subsetOf(Curation.DomainTargets.map(_._1).toSet))
+  }
+
   test("curation decisions are internally consistent and cover every doc") {
     val rows = Curation.curationDecisions(spark, sf).collect()
     val total = graft.core.Tables.documents(spark, sf).count()
