@@ -606,13 +606,15 @@ private object CorpusOracles {
          |comp AS (SELECT doc_id, min(component) AS component
          |  FROM reach GROUP BY doc_id),
          |g AS (SELECT doc_id,
-         |   unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
-         |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-         |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+         |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
+         |  FROM (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+         |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+         |bg AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+         |tg AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0),
          |dec AS (SELECT tg.doc_id,
-         |   CAST(max(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
-         |  FROM tg LEFT JOIN bg ON tg.gram = bg.gram GROUP BY 1),
+         |   CAST(max(CASE WHEN bg.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+         |  FROM tg LEFT JOIN bg ON tg.gram_h = bg.gram_h GROUP BY 1),
          |m AS (SELECT doc_id, $qualityScore AS quality_score,
          |   CASE WHEN len(t3)=0 THEN 0.0
          |        ELSE round(1.0 - len(list_distinct(t3))/CAST(len(t3) AS DOUBLE), 6) END AS dup_trigram_frac,
@@ -713,14 +715,16 @@ private object CorpusOracles {
         |GROUP BY 1""".stripMargin,
     "q56_decontamination" ->
       """WITH g AS (SELECT doc_id,
-        |   unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
-        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
-        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |t AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
+        |  FROM (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+        |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+        |b AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+        |t AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0)
         |SELECT t.doc_id, count(*) AS n_ngrams,
-        | CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-        | CAST(max(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
-        |FROM t LEFT JOIN b ON t.gram = b.gram
+        | CAST(sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        | CAST(max(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+        |FROM t LEFT JOIN b ON t.gram_h = b.gram_h
         |GROUP BY 1""".stripMargin,
     "q57_domain_mix" ->
       s"""WITH tgt(source, target_share) AS (VALUES

@@ -43,6 +43,16 @@ object Hashing {
   def stableHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix hash (first 15 hex chars): negligible collision mass
+    * even at billions of keys, and still inside a SIGNED 64-bit integer in
+    * every engine (16 hex chars would overflow DuckDB's BIGINT cast).
+    * DuckDB mirror: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. Use it
+    * to shuffle 8-byte keys instead of long strings; because both engines
+    * hash identically, even a collision stays engine-consistent.
+    */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** i-th minhash permutation applied to a base-hash column. */
   def minhashPerm(h: Column, i: Int): Column = {
     val (a, b) = MinhashCoefs(i)

@@ -57,6 +57,22 @@ object Stress {
     val comps = graft.operators.Curation.dedupComponents(spark, docDir, threshold = 0.7)
     val clustered = comps.where(col("doc_id") =!= col("component")).count()
     println(f"[stress] connected components ($nDocs docs): $clustered docs folded into clusters in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+
+    // round-3 curation operators at the same 20× corpus: chunk-level dedup
+    // (planted near-dups share every chunk), decontamination (1/97 of docs
+    // act as the benchmark slice), repetition metrics (map-side), and the
+    // cross-source leakage matrix
+    val t2 = System.nanoTime()
+    val sharedDocs = graft.operators.Dedup.chunkShared(spark, docDir)
+      .where(col("n_shared_chunks") > 0).count()
+    println(f"[stress] chunk dedup ($nDocs docs): $sharedDocs docs with shared chunks in ${(System.nanoTime() - t2) / 1e9}%.1f s")
+    val t3 = System.nanoTime()
+    val contaminated = graft.operators.Curation.decontaminate(spark, docDir)
+      .where(col("contaminated") === 1).count()
+    println(f"[stress] decontamination ($nDocs docs): $contaminated contaminated docs in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    val t4 = System.nanoTime()
+    val repRows = graft.analytics.TextAnalytics.repetition(spark, docDir).count()
+    println(f"[stress] repetition metrics ($nDocs docs): $repRows rows in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     spark.stop()
   }
 }
