@@ -59,6 +59,66 @@ object Similarity {
       .limit(nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  /** Squared Euclidean distance between two equal-length double arrays. */
+  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, e) => acc + e)
+
+  /** Distributed Lloyd's k-means refinement of the IVF codebook: start from
+    * the deterministic [[ivfCentroids]] sample and run `iters` rounds of
+    * assign-to-nearest (argmin squared distance, cid tiebreak) + cell-mean
+    * update. Returns the same (cid, cv) schema as [[ivfCentroids]], so it
+    * drops into [[ivfTopK]] unchanged — the trained-codebook upgrade the
+    * sampled one stands in for.
+    *
+    * Scale shape per round: the k-entry codebook broadcasts onto one corpus
+    * map pass; assignment is a groupBy(vec_id) argmin (n-row shuffle, not
+    * n·k); the mean update is posexplode → (cell, dim) partial-aggregated
+    * averages → per-cell reassembly of a dim-bounded list. Cells that lose
+    * every member keep their previous centroid. `localCheckpoint` truncates
+    * the k-row codebook lineage each round. (Verified by spec, not a DuckDB
+    * oracle: iterative float means are not portably hash-comparable; the
+    * spec asserts fixed |codebook| and monotone non-increasing inertia —
+    * Lloyd's invariant.)
+    */
+  def kmeansCodebook(spark: SparkSession, sfDir: String,
+      k: Int = 16, iters: Int = 5): DataFrame = {
+    val all = corpus(spark, sfDir)
+    var cents = ivfCentroids(spark, sfDir, k).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = all.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          sqDist(col("v"), col("cv")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+          first(col("v")).as("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("mv"))
+      cents = cents.alias("o")
+        .join(means, col("o.cid") === means("cell"), "left")
+        .select(col("o.cid").as("cid"),
+          coalesce(means("mv"), col("o.cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Corpus inertia of a codebook (sum of squared distance to the nearest
+    * entry) — the diagnostic that tracks k-means convergence. Driver-side
+    * scalar by design (it is a single monitoring number).
+    */
+  def codebookInertia(spark: SparkSession, sfDir: String,
+      cents: DataFrame): Double =
+    corpus(spark, sfDir).crossJoin(broadcast(cents))
+      .select(col("vec_id"), sqDist(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
+      .agg(sum(col("md"))).head.getDouble(0)
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     * around a fixed-size deterministic codebook ([[ivfCentroids]]), then
     * answer queries by scanning only the `nProbe` cells whose centroids are

@@ -74,6 +74,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(atSmall.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
   }
 
+  test("kmeans codebook keeps exactly k centroids and never increases inertia") {
+    val k = 8
+    val init = Similarity.ivfCentroids(spark, sf, k)
+    val trained = Similarity.kmeansCodebook(spark, sf, k = k, iters = 3)
+    val rows = trained.collect()
+    assert(rows.length === k)
+    val dim = init.head().getSeq[Double](1).length
+    rows.foreach(r => assert(r.getSeq[Double](1).length === dim))
+    // Lloyd's invariant: each assign+mean round cannot increase inertia
+    val before = Similarity.codebookInertia(spark, sf, init)
+    val after = Similarity.codebookInertia(spark, sf, trained)
+    assert(after <= before + 1e-6, s"inertia rose: $before -> $after")
+  }
+
   test("connected components resolve transitive near-dup chains to one canonical id") {
     val s = spark
     import s.implicits._
