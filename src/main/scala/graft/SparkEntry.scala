@@ -86,6 +86,8 @@ object SparkEntry {
     "q60_label_centroids" -> ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q61_curation_decisions" -> ((s: SparkSession, d: String) => graft.operators.Curation.curationDecisions(s, d)),
     "q62_source_leakage" -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
+    "q63_exists_subquery" -> graft.analytics.Sql.existsSubquerySql _,
+    "q64_scalar_subquery" -> graft.analytics.Sql.scalarSubquerySql _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -759,6 +761,23 @@ private object CorpusOracles {
         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS term_rank
         | FROM s)
         |SELECT doc_id, word, tfidf, term_rank FROM r WHERE term_rank <= 3""".stripMargin,
+    "q63_exists_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_orderstatus = 'O')""".stripMargin,
+    "q64_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
+        |  AND p_partkey NOT IN (
+        |    SELECT l.l_partkey
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_mktsegment = 'BUILDING' AND l.l_quantity > 45)""".stripMargin,
     "q62_source_leakage" ->
       """WITH e AS (SELECT source, w,
         |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i

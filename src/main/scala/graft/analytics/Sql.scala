@@ -34,4 +34,39 @@ object Sql {
         |ORDER BY cosine DESC, e.vec_id
         |LIMIT 20""".stripMargin)
   }
+
+  /** Correlated EXISTS subquery: customers holding at least one urgent
+    * open order. Catalyst rewrites the correlated EXISTS into a left semi
+    * join (RewritePredicateSubquery) — no per-row re-execution; the subquery
+    * becomes one join keyed on the correlation column.
+    */
+  def existsSubquerySql(spark: SparkSession, sfDir: String): DataFrame = {
+    registerTables(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT'
+        |    AND o.o_orderstatus = 'O')""".stripMargin)
+  }
+
+  /** Scalar subquery + NOT IN: parts priced above the corpus-wide average
+    * that no BUILDING-segment customer ever ordered. The scalar average
+    * plans as a one-row broadcast; the NOT IN becomes a null-aware left
+    * anti join.
+    */
+  def scalarSubquerySql(spark: SparkSession, sfDir: String): DataFrame = {
+    registerTables(spark, sfDir)
+    spark.sql(
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
+        |  AND p_partkey NOT IN (
+        |    SELECT l.l_partkey
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |    WHERE c.c_mktsegment = 'BUILDING' AND l.l_quantity > 45)""".stripMargin)
+  }
 }
