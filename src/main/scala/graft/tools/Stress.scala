@@ -15,6 +15,7 @@ import graft.streaming.Sessionize
 object Stress {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(20_000_000L)
+    val nDocsArg = args.lift(1).map(_.toLong).getOrElse(100_000L)
     val spark = GraftSession.local(32)
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -34,7 +35,7 @@ object Stress {
     // dedup at 20× the sf0.1 corpus: synthesize a documents table (with
     // planted near-dups: every 50th doc repeats the previous doc's words
     // plus one) and run the full MinHash-LSH pipeline against it
-    val nDocs = 100000L
+    val nDocs = nDocsArg
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs").toString
     spark.range(nDocs)
       .select(col("id").as("doc_id"),
