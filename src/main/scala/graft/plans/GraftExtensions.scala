@@ -20,11 +20,17 @@ import graft.functions.CosineSimilarity
   *     reference-A4-style exact distincts (SURVEY §7.3), applied globally
   *     without touching query code. Off by default — correctness gates run
   *     exact.
+  *  3. [[RangeJoinRewrite]] — optional optimizer rule
+  *     (`spark.graft.rangeJoinRewrite=true`) that turns pure interval
+  *     inner joins into bucketed equality joins + exact filter, replacing
+  *     the O(n·m) BroadcastNestedLoopJoin Catalyst would otherwise plan.
+  *     Semantics-preserving, so it is safe as an optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }
 

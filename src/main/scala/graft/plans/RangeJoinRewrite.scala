@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule that turns a pure interval (range) inner join —
+  * `left.t BETWEEN right.lo AND right.hi` with NO equality conjunct — into
+  * the bucketed equality-join shape Spark can hash/sort-merge:
+  *
+  *   left  + bucket(t)
+  *   right + explode(sequence(bucket(lo), bucket(hi)))   — interval covers
+  *   JOIN ON left.bucket = right.bucket                  — equality!
+  *   FILTER original range condition                     — exactness
+  *
+  * Without this, Catalyst's only plans for a non-equi join are
+  * BroadcastNestedLoopJoin / CartesianProduct — O(n·m) comparisons. The
+  * rewrite bounds comparisons to bucket co-occupancy and is SEMANTICS-
+  * PRESERVING (the original predicate re-applies above the join), unlike
+  * an LSH-style rewrite which would drop pairs and therefore must stay an
+  * explicit operator, never an optimizer rule.
+  *
+  * Scope: inner joins whose condition contains a lower and an upper bound
+  * on the SAME left-side timestamp/integral expression against right-side
+  * bounds, and no usable equality conjunct (if one exists, Spark already
+  * hash-joins and the rewrite would only add work). Fires only when
+  * `spark.graft.rangeJoinRewrite=true`; bucket width (seconds / integral
+  * units) from `spark.graft.rangeJoin.bucketSeconds`, default 86400 —
+  * pick ≈ the window length so each probe touches ~2 buckets
+  * (TemporalJoins.bucketedRangeJoin is the manual form of the same shape).
+  * Idempotent: the rewritten join's condition is a plain equality, which
+  * the eligibility check rejects.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val enabledKey = "spark.graft.rangeJoinRewrite"
+  private val bucketKey = "spark.graft.rangeJoin.bucketSeconds"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(enabledKey, "false").toBoolean) return plan
+    val bucketWidth = conf.getConfString(bucketKey, "86400").toLong
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond, bucketWidth).getOrElse(j)
+    }
+  }
+
+  /** Seconds-resolution long view of a timestamp/integral expression.
+    * Casts built inside an OPTIMIZER rule must carry the session timezone
+    * themselves: TimeZoneAwareExpression is unresolved without one, and no
+    * analyzer pass runs after the optimizer (PLAN_VALIDATION_FAILED
+    * otherwise).
+    */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case TimestampType | TimestampNTZType =>
+      Cast(e, LongType, Option(conf.sessionLocalTimeZone))
+    case LongType => e
+    case IntegerType | ShortType | ByteType =>
+      Cast(e, LongType, Option(conf.sessionLocalTimeZone))
+    case _ => e // not reached: eligibility filters types
+  }
+
+  private def supportedType(e: Expression): Boolean = e.dataType match {
+    case TimestampType | TimestampNTZType => true
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  private def bucketOf(e: Expression, width: Long): Expression =
+    Cast(Floor(Divide(Cast(asLong(e), DoubleType),
+      Literal(width.toDouble, DoubleType))), LongType)
+
+  private def rewrite(j: Join, cond: Expression,
+      width: Long): Option[LogicalPlan] = {
+    val left = j.left
+    val right = j.right
+    def fromLeft(e: Expression) = e.references.subsetOf(left.outputSet) &&
+      e.references.nonEmpty && e.deterministic
+    def fromRight(e: Expression) = e.references.subsetOf(right.outputSet) &&
+      e.references.nonEmpty && e.deterministic
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    // an equality between the sides means Spark already has a hash join key
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case EqualNullSafe(a, b) => (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // lower bound on t (left) vs lo (right), any orientation
+    def lower(c: Expression): Option[(Expression, Expression)] = c match {
+      case GreaterThanOrEqual(t, lo) if fromLeft(t) && fromRight(lo) => Some((t, lo))
+      case GreaterThan(t, lo) if fromLeft(t) && fromRight(lo) => Some((t, lo))
+      case LessThanOrEqual(lo, t) if fromLeft(t) && fromRight(lo) => Some((t, lo))
+      case LessThan(lo, t) if fromLeft(t) && fromRight(lo) => Some((t, lo))
+      case _ => None
+    }
+    def upper(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThanOrEqual(t, hi) if fromLeft(t) && fromRight(hi) => Some((t, hi))
+      case LessThan(t, hi) if fromLeft(t) && fromRight(hi) => Some((t, hi))
+      case GreaterThanOrEqual(hi, t) if fromLeft(t) && fromRight(hi) => Some((t, hi))
+      case GreaterThan(hi, t) if fromLeft(t) && fromRight(hi) => Some((t, hi))
+      case _ => None
+    }
+    val lowers = conjuncts.flatMap(lower(_))
+    val uppers = conjuncts.flatMap(upper(_))
+    val bound = (for {
+      (t1, lo) <- lowers
+      (t2, hi) <- uppers
+      if t1.semanticEquals(t2) && supportedType(t1) &&
+        supportedType(lo) && supportedType(hi)
+    } yield (t1, lo, hi)).headOption
+    bound.map { case (t, lo, hi) =>
+      // left: project the probe bucket
+      val lBucket = Alias(bucketOf(t, width), "__graft_bucket_l")()
+      val newLeft = Project(left.output :+ lBucket, left)
+      // right: explode the interval's covered buckets (guarded — Sequence
+      // counts DOWNWARD when stop < start, which an empty interval hits)
+      val loB = bucketOf(lo, width)
+      val hiB = bucketOf(hi, width)
+      // Sequence is TimeZoneAwareExpression too — set the zone explicitly
+      val seq = Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
+      val covered = If(GreaterThanOrEqual(hiB, loB), seq,
+        Literal.create(Array.empty[Long], seq.dataType))
+      val rBucket = AttributeReference("__graft_bucket_r", LongType)()
+      val newRight = Generate(Explode(covered), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(rBucket),
+        child = right)
+      // equality join on the bucket, original predicate re-applied exactly
+      val joined = Join(newLeft, newRight, Inner,
+        Some(EqualTo(lBucket.toAttribute, rBucket)), JoinHint.NONE)
+      Project(j.output, Filter(cond, joined))
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.plans
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinRewriteSpec extends SparkTestBase {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private def probes = {
+    val s = spark
+    import s.implicits._
+    (1 to 20).flatMap(d => (0 until 24 by 3).map(h => (d.toLong * 100 + h, ts(d, h))))
+      .toDF("event_id", "t")
+  }
+
+  private def windows = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, ts(1, 6), ts(2, 6)),    // 24h window
+      (2L, ts(5, 0), ts(5, 0)),    // empty window (hi == lo)
+      (3L, ts(10, 12), ts(12, 0)), // 36h window
+      (4L, ts(19, 23), ts(20, 1))  // crosses a day boundary
+    ).toDF("win_id", "lo", "hi")
+  }
+
+  private def rangeJoin(p: DataFrame, w: DataFrame): DataFrame =
+    p.join(w, col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("win_id"), col("event_id"))
+
+  private def withRule[A](on: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.rangeJoinRewrite", on.toString)
+    try f finally spark.conf.set("spark.graft.rangeJoinRewrite", "false")
+  }
+
+  test("rewritten interval join returns exactly the nested-loop results") {
+    val expected = withRule(on = false) {
+      rangeJoin(probes, windows).collect().map(_.toSeq).toSet
+    }
+    val got = withRule(on = true) {
+      rangeJoin(probes, windows).collect().map(_.toSeq).toSet
+    }
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("rewrite replaces the nested-loop join with an equality join") {
+    withRule(on = true) {
+      val plan = rangeJoin(probes, windows).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+    withRule(on = false) {
+      val plan = rangeJoin(probes, windows).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+        s"control plan unexpectedly had no nested loop:\n$plan")
+    }
+  }
+
+  test("joins with an equality conjunct are left for the hash join planner") {
+    val s = spark
+    import s.implicits._
+    val p = probes.withColumn("k", col("event_id") % 3)
+    val w = windows.withColumn("k", col("win_id") % 3)
+    withRule(on = true) {
+      val df = p.join(w, p("k") === w("k") && col("t") >= col("lo") && col("t") < col("hi"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bucket"), s"rule fired on an equi join:\n$plan")
+    }
+  }
+
+  test("integral-typed ranges rewrite too") {
+    val s = spark
+    import s.implicits._
+    val p = (1L to 1000L).map(i => (i, i * 10)).toDF("id", "x")
+    val w = Seq((1L, 100L, 250L), (2L, 9_000L, 9_100L), (3L, 400L, 399L))
+      .toDF("wid", "lo", "hi")
+    val q = p.join(w, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select(col("wid"), col("id"))
+    val expected = withRule(on = false)(q.collect().map(_.toSeq).toSet)
+    val got = withRule(on = true)(q.collect().map(_.toSeq).toSet)
+    assert(got === expected)
+    assert(expected.exists(_.head == 1L) && expected.exists(_.head == 2L))
+    assert(!expected.exists(_.head == 3L)) // empty interval yields nothing
+  }
+}
