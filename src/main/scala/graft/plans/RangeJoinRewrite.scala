@@ -25,7 +25,12 @@ import org.apache.spark.sql.types._
   * Scope: inner joins whose condition contains a lower and an upper bound
   * on the SAME left-side timestamp/integral expression against right-side
   * bounds, and no usable equality conjunct (if one exists, Spark already
-  * hash-joins and the rewrite would only add work). Fires only when
+  * hash-joins and the rewrite would only add work). Deliberately
+  * conservative: if the two bounds see different typed views of the probe
+  * (e.g. Spark inserted a tz/ntz cast on one conjunct because the bound
+  * types differ), the rule declines — bucketing across timezone
+  * reinterpretations is unsound, and soundness beats coverage in an
+  * optimizer rule. Align the bound types in the query to enable it. Fires only when
   * `spark.graft.rangeJoinRewrite=true`; bucket width (seconds / integral
   * units) from `spark.graft.rangeJoin.bucketSeconds`, default 86400 —
   * pick ≈ the window length so each probe touches ~2 buckets
@@ -53,13 +58,18 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * analyzer pass runs after the optimizer (PLAN_VALIDATION_FAILED
     * otherwise).
     */
-  private def asLong(e: Expression): Expression = e.dataType match {
-    case TimestampType | TimestampNTZType =>
-      Cast(e, LongType, Option(conf.sessionLocalTimeZone))
-    case LongType => e
-    case IntegerType | ShortType | ByteType =>
-      Cast(e, LongType, Option(conf.sessionLocalTimeZone))
-    case _ => e // not reached: eligibility filters types
+  private def asLong(e: Expression): Expression = {
+    val tz = Option(conf.sessionLocalTimeZone)
+    e.dataType match {
+      case TimestampType => Cast(e, LongType, tz)
+      // NTZ has no direct long cast; hop through TIMESTAMP. The same hop
+      // applies to t, lo, and hi, so all three share one epoch base and
+      // bucket comparisons stay sound.
+      case TimestampNTZType => Cast(Cast(e, TimestampType, tz), LongType, tz)
+      case LongType => e
+      case IntegerType | ShortType | ByteType => Cast(e, LongType, tz)
+      case _ => e // not reached: eligibility filters types
+    }
   }
 
   private def supportedType(e: Expression): Boolean = e.dataType match {

@@ -74,6 +74,19 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp_ntz ranges rewrite too (cast hops through timestamp)") {
+    val p = probes.withColumn("t", col("t").cast("timestamp_ntz"))
+    val w = windows.withColumn("lo", col("lo").cast("timestamp_ntz"))
+      .withColumn("hi", col("hi").cast("timestamp_ntz"))
+    val expected = withRule(on = false)(rangeJoin(p, w).collect().map(_.toSeq).toSet)
+    val got = withRule(on = true)(rangeJoin(p, w).collect().map(_.toSeq).toSet)
+    assert(got === expected)
+    withRule(on = true) {
+      val plan = rangeJoin(p, w).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"NTZ rewrite did not fire:\n$plan")
+    }
+  }
+
   test("integral-typed ranges rewrite too") {
     val s = spark
     import s.implicits._
