@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -47,7 +47,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString(enabledKey, "false").toBoolean) return plan
     val bucketWidth = conf.getConfString(bucketKey, "86400").toLong
     plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _) =>
+      // probe (bounded) side = LEFT = the non-exploded side, so Inner,
+      // LeftOuter, LeftSemi and LeftAnti are sound: every true pair meets
+      // in exactly one bucket copy, and an unmatched left row null-extends
+      // (or is kept/dropped) exactly once. RightOuter/FullOuter are NOT
+      // rewritable this way — the exploded right copies would each
+      // null-extend, duplicating unmatched right rows.
+      case j @ Join(_, _, Inner | LeftOuter | LeftSemi | LeftAnti, Some(cond), _) =>
         rewrite(j, cond, bucketWidth).getOrElse(j)
     }
   }
@@ -139,10 +145,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val newRight = Generate(Explode(covered), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(rBucket),
         child = right)
-      // equality join on the bucket, original predicate re-applied exactly
-      val joined = Join(newLeft, newRight, Inner,
-        Some(EqualTo(lBucket.toAttribute, rBucket)), JoinHint.NONE)
-      Project(j.output, Filter(cond, joined))
+      // same join type, bucket equality AND the original predicate as the
+      // join condition: the planner hash/sort-merge-joins on the equality
+      // and evaluates the range as its post-join filter, while outer/semi/
+      // anti null-extension semantics stay attached to the join itself
+      // (a Filter above the join would break them)
+      val joined = Join(newLeft, newRight, j.joinType,
+        Some(And(EqualTo(lBucket.toAttribute, rBucket), cond)), JoinHint.NONE)
+      Project(j.output, joined)
     }
   }
 }

@@ -87,6 +87,36 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("left outer / semi / anti interval joins rewrite with identical results") {
+    def q(joinType: String) =
+      probes.join(windows, col("t") >= col("lo") && col("t") < col("hi"), joinType)
+    Seq("left_outer", "left_semi", "left_anti").foreach { jt =>
+      val expected = withRule(on = false)(q(jt).collect().map(_.toSeq).toSet)
+      val got = withRule(on = true)(q(jt).collect().map(_.toSeq).toSet)
+      assert(got === expected, s"$jt results diverged")
+      withRule(on = true) {
+        val plan = q(jt).queryExecution.executedPlan.toString
+        assert(plan.contains("__graft_bucket"), s"$jt rewrite did not fire:\n$plan")
+      }
+    }
+    // left outer must keep unmatched probes exactly once (null-extended)
+    val lo = withRule(on = true)(q("left_outer").collect())
+    assert(lo.count(_.isNullAt(2)) ===
+      withRule(on = false)(q("left_outer").collect()).count(_.isNullAt(2)))
+  }
+
+  test("right outer interval joins are NOT rewritten (explode would duplicate null rows)") {
+    val q = probes.join(windows,
+      col("t") >= col("lo") && col("t") < col("hi"), "right_outer")
+    withRule(on = true) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_bucket"), s"unsound right-outer rewrite fired:\n$plan")
+    }
+    val expected = withRule(on = false)(q.collect().map(_.toSeq).toSet)
+    val got = withRule(on = true)(q.collect().map(_.toSeq).toSet)
+    assert(got === expected)
+  }
+
   test("integral-typed ranges rewrite too") {
     val s = spark
     import s.implicits._
