@@ -159,6 +159,22 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
 
+  /** Scale path for [[pricePercentiles]]: `percentile_approx` (KLL-style
+    * sketch, fixed accuracy parameter) replaces the exact aggregate whose
+    * per-group value buffer grows with the data. At 100 TB the exact form
+    * concentrates each group's values on one reducer; the sketch stays
+    * constant-size and merges map-side. Correctness gates keep the exact
+    * form (q38) — the sketch is not engine-portably hash-comparable.
+    */
+  def pricePercentilesApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(accuracy)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(accuracy)).as("p95_price"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(accuracy)).as("p50_qty"))
+
   /** Hierarchical totals via ROLLUP (returnflag → linestatus → grand
     * total) with grouping_id to label the levels — subtotals in one pass
     * (Expand + single shuffle), not one query per level.

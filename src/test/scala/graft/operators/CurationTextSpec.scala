@@ -90,6 +90,21 @@ class CurationTextSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentiles track the exact aggregate within sketch tolerance") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = toMap(graft.analytics.Relational.pricePercentiles(spark, sf))
+    val approx = toMap(graft.analytics.Relational.pricePercentilesApprox(spark, sf))
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, (p50, p95, q50)) =>
+      val (a50, a95, aq) = approx(k)
+      // rank error ≤ 1/accuracy; on this data that is well under 2% of value
+      assert(math.abs(a50 - p50) / p50 < 0.02)
+      assert(math.abs(a95 - p95) / p95 < 0.02)
+      assert(math.abs(aq - q50) / math.max(q50, 1.0) < 0.1)
+    }
+  }
+
   test("source leakage matrix is strictly upper-triangular with positive counts") {
     val rows = Dedup.sourceLeakage(spark, sf).collect()
     assert(rows.nonEmpty) // planted near-dups cross sources in the testdata
