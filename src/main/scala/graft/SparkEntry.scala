@@ -772,7 +772,7 @@ private object CorpusOracles {
     "q64_scalar_subquery" ->
       """SELECT p_partkey, p_retailprice
         |FROM part
-        |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 2) FROM part)
+        |WHERE p_retailprice > (SELECT round(sum(p_retailprice), 2) / count(*) FROM part)
         |  AND p_partkey NOT IN (
         |    SELECT l.l_partkey
         |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -139,14 +139,30 @@ object Curation {
     * set, and a 0/1 contaminated flag — the n-gram-overlap decontamination
     * pass every pre-training pipeline runs before the data ships.
     *
-    * Scale shape: the benchmark n-gram set is eval-suite-sized (thousands
-    * of docs, not the corpus), so it is explicitly `broadcast` — the 100 TB
-    * training side streams once through a map-side hash lookup, no shuffle
-    * on the n-gram key at all; the only shuffle is the per-doc rollup.
+    * Scale shape: a REAL benchmark set is eval-suite-sized (thousands of
+    * docs), so [[decontaminateAgainst]] broadcasts it — the 100 TB training
+    * side streams once through a map-side hash lookup, no shuffle on the
+    * n-gram key at all; the only shuffle is the per-doc rollup. NOTE the
+    * `benchMod` mock used here for verification carves the bench slice out
+    * of the corpus itself, making it corpus-PROPORTIONAL (1/benchMod of
+    * all n-grams) — fine at test scale, but at 100 TB pass the actual
+    * external benchmark table to [[decontaminateAgainst]] instead (and if
+    * a bench set ever outgrows the broadcast threshold, drop the explicit
+    * broadcast and let the join shuffle on gram_h).
     */
   def decontaminate(spark: SparkSession, sfDir: String,
       n: Int = 8, benchMod: Int = 97): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    decontaminateAgainst(
+      docs.where(col("doc_id") % benchMod =!= 0),
+      docs.where(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** [[decontaminate]] against an explicit benchmark table — the form a
+    * production pipeline calls with its (small, external) eval suite.
+    */
+  def decontaminateAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+      n: Int = 8): DataFrame = {
     // grams shuffle as 60-bit md5-prefix longs, not ~60-byte strings: the
     // (doc, gram) distinct dominates at corpus scale and 8-byte keys cut
     // its shuffle bytes ~4× (measured 18.9 → 14.4 s at 100k docs locally —
@@ -157,12 +173,9 @@ object Curation {
       .select(col("doc_id"),
         explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
       .select(col("doc_id"), Hashing.stableHash60(col("gram")).as("gram_h"))
-    // benchmark grams come from a FILTERED scan (the predicate prunes at
-    // the source), not from a corpus-wide distinct that would shuffle
-    // everything just to keep 1/benchMod of it
-    val bench = grams(docs.where(col("doc_id") % benchMod === 0))
+    val bench = grams(benchDocs)
       .select(col("gram_h")).distinct().withColumn("hit", lit(1))
-    grams(docs.where(col("doc_id") % benchMod =!= 0)).distinct()
+    grams(trainDocs).distinct()
       .join(broadcast(bench), Seq("gram_h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ngrams"),
@@ -178,8 +191,9 @@ object Curation {
     * across engines and runs, no RNG.
     *
     * Scale shape: two metadata-sized aggregates (per-source counts, corpus
-    * total) feed a 5-row rate table that is broadcast onto the corpus scan —
-    * the full pass is one map-side filter; no corpus shuffle anywhere.
+    * total) feed a |sources|-row rate table (20 here) that is broadcast
+    * onto the corpus scan — the full pass is one map-side filter; no
+    * corpus shuffle anywhere.
     */
   def domainMixSample(spark: SparkSession, sfDir: String,
       budgetFrac: Double = 0.4): DataFrame = {

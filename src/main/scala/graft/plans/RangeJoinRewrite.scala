@@ -42,6 +42,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val enabledKey = "spark.graft.rangeJoinRewrite"
   private val bucketKey = "spark.graft.rangeJoin.bucketSeconds"
+  private val maxBucketsKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(enabledKey, "false").toBoolean) return plan
@@ -59,7 +60,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Seconds-resolution long view of a timestamp/integral expression.
-    * Casts built inside an OPTIMIZER rule must carry the session timezone
+    * Casts built inside an OPTIMIZER rule must carry a timezone
     * themselves: TimeZoneAwareExpression is unresolved without one, and no
     * analyzer pass runs after the optimizer (PLAN_VALIDATION_FAILED
     * otherwise).
@@ -67,11 +68,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def asLong(e: Expression): Expression = {
     val tz = Option(conf.sessionLocalTimeZone)
     e.dataType match {
-      case TimestampType => Cast(e, LongType, tz)
-      // NTZ has no direct long cast; hop through TIMESTAMP. The same hop
-      // applies to t, lo, and hi, so all three share one epoch base and
-      // bucket comparisons stay sound.
-      case TimestampNTZType => Cast(Cast(e, TimestampType, tz), LongType, tz)
+      case TimestampType => Cast(e, LongType, tz) // instant → epoch: zone-free
+      // NTZ has no direct long cast; hop through TIMESTAMP — pinned to UTC,
+      // NOT the session zone: a DST-observing zone's wall-clock→instant map
+      // is non-monotone (spring-forward gap), and a non-monotone bucket
+      // function can put a true pair in different buckets and silently drop
+      // it. UTC is a monotone bijection on the wall-clock reading, and the
+      // same hop applies to t, lo, and hi, so all three share one base.
+      case TimestampNTZType =>
+        Cast(Cast(e, TimestampType, Some("UTC")), LongType, Some("UTC"))
       case LongType => e
       case IntegerType | ShortType | ByteType => Cast(e, LongType, tz)
       case _ => e // not reached: eligibility filters types
@@ -139,8 +144,21 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val hiB = bucketOf(hi, width)
       // Sequence is TimeZoneAwareExpression too — set the zone explicitly
       val seq = Sequence(loB, hiB, None, Option(conf.sessionLocalTimeZone))
-      val covered = If(GreaterThanOrEqual(hiB, loB), seq,
-        Literal.create(Array.empty[Long], seq.dataType))
+      // an interval vastly wider than the bucket width (sentinel hi values,
+      // or long-typed bounds in different units than bucketSeconds) would
+      // explode each right row into millions of copies — fail fast with an
+      // actionable message instead of a silent OOM/array-overflow
+      val maxBuckets = conf.getConfString(maxBucketsKey, "100000").toLong
+      val overflow = Cast(
+        new RaiseError(Literal(
+          s"RangeJoinRewrite: interval spans more than $maxBuckets " +
+            s"buckets of $width — raise $bucketKey to ~the interval " +
+            s"length (or $maxBucketsKey, or disable $enabledKey)")),
+        seq.dataType, Option(conf.sessionLocalTimeZone))
+      val covered = If(GreaterThan(Subtract(hiB, loB), Literal(maxBuckets)),
+        overflow,
+        If(GreaterThanOrEqual(hiB, loB), seq,
+          Literal.create(Array.empty[Long], seq.dataType)))
       val rBucket = AttributeReference("__graft_bucket_r", LongType)()
       val newRight = Generate(Explode(covered), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(rBucket),

@@ -14,6 +14,11 @@ object Profile {
       else graft.SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/file-listing costs must not land on the
+    // first profiled query
+    try graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))

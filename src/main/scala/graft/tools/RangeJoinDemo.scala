@@ -29,13 +29,16 @@ object RangeJoinDemo {
     def run(label: String): Long = {
       val t0 = System.nanoTime()
       val df = query()
-      df.write.format("noop").mode("overwrite").save()
+      // count() of the aggregated result still executes the join fully
+      // (the aggregate blocks pruning) and doubles as the row check —
+      // one execution, not noop-write + count
+      val n = df.count()
       val plan = df.queryExecution.executedPlan.toString
       val shape = if (plan.contains("BroadcastNestedLoopJoin")) "BNLJ"
         else if (plan.contains("__graft_bucket")) "bucketed-equality"
         else "other"
       println(f"[rangejoin] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($shape)")
-      df.count()
+      n
     }
     val skipControl = args.contains("--no-control") // BNLJ is O(n·m): unrunnable at sf0.1
     if (!skipControl) {

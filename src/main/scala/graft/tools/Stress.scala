@@ -42,7 +42,9 @@ object Stress {
         concat_ws(" ", (0 until 60).map(j =>
           concat(lit("w"), pmod(xxhash64(when(col("id") % 50 === 0, col("id") - 1)
             .otherwise(col("id")), lit(j)), lit(5000)))): _*).as("text"),
-        lit("en").as("lang"), lit("src0").as("source"), lit(0L).as("n_chars"))
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+        lit(0L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$docDir/documents.parquet")
     time(s"minhash signatures ($nDocs docs)")(
       graft.operators.Dedup.minhashSignatures(spark, docDir).count())
@@ -62,7 +64,8 @@ object Stress {
     // round-3 curation operators at the same 20× corpus: chunk-level dedup
     // (planted near-dups share every chunk), decontamination (1/97 of docs
     // act as the benchmark slice), repetition metrics (map-side), and the
-    // cross-source leakage matrix
+    // cross-source leakage matrix (sources cycle src0..src19, so the
+    // planted adjacent-id near-dups land in different sources)
     val t2 = System.nanoTime()
     val sharedDocs = graft.operators.Dedup.chunkShared(spark, docDir)
       .where(col("n_shared_chunks") > 0).count()
@@ -74,6 +77,9 @@ object Stress {
     val t4 = System.nanoTime()
     val repRows = graft.analytics.TextAnalytics.repetition(spark, docDir).count()
     println(f"[stress] repetition metrics ($nDocs docs): $repRows rows in ${(System.nanoTime() - t4) / 1e9}%.1f s")
+    val t5 = System.nanoTime()
+    val leakPairs = graft.operators.Dedup.sourceLeakage(spark, docDir).count()
+    println(f"[stress] source leakage ($nDocs docs): $leakPairs source pairs in ${(System.nanoTime() - t5) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -117,6 +117,26 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("intervals wider than maxBucketsPerInterval fail fast with an actionable error") {
+    val s = spark
+    import s.implicits._
+    val p = (1L to 10L).map(i => (i, i)).toDF("id", "x")
+    val w = Seq((1L, 0L, 10_000_000L)).toDF("wid", "lo", "hi") // huge span
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerInterval", "100")
+    spark.conf.set("spark.graft.rangeJoin.bucketSeconds", "1")
+    try withRule(on = true) {
+      val e = intercept[Exception] {
+        p.join(w, col("x") >= col("lo") && col("x") <= col("hi")).collect()
+      }
+      assert(e.getMessage.contains("RangeJoinRewrite") ||
+        Option(e.getCause).exists(_.getMessage.contains("RangeJoinRewrite")),
+        s"unexpected error: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerInterval")
+      spark.conf.unset("spark.graft.rangeJoin.bucketSeconds")
+    }
+  }
+
   test("integral-typed ranges rewrite too") {
     val s = spark
     import s.implicits._
