@@ -65,14 +65,20 @@ object TextAnalytics {
     * last ulp.
     *
     * Scale shape: doc length is derived map-side BEFORE the explode (no
-    * extra per-doc window pass), and document frequency is a full-frame
-    * `count` window over the tf table keyed on word — deriving df with a
-    * separate aggregate + join would recompute the whole explode subtree a
-    * second time (verified in the plan: Catalyst cannot reuse the exchange
-    * because column pruning gives the two branches different partial
-    * aggregates). Shuffles are exactly the three the semantics require:
-    * (doc_id, word) for tf, word for df, doc_id for the final top-k window;
-    * N arrives via a one-row broadcast cross join.
+    * extra per-doc window pass). Document frequency is a map-side-
+    * combinable `groupBy(word).count()` over the PERSISTED tf table,
+    * broadcast-joined back (post-agg df is vocab-sized). The persist is
+    * what lets the explode run exactly once while still deriving df with
+    * partial aggregation — without it, Catalyst recomputes the whole
+    * explode subtree for the df branch (column pruning gives the two
+    * branches different partial aggregates, so the exchange is not
+    * reusable). A full-frame `count().over(partitionBy(word))` would also
+    * reuse the tf rows, but it funnels every row of a hot word (any
+    * stopword, ~n_docs rows) through ONE reducer task — a skew
+    * scale-killer at corpus scale that partial aggregation absorbs for
+    * free. Shuffles: (doc_id, word) for tf, the vocab-sized word agg for
+    * df (absorbed map-side), doc_id for the final top-k window; N and df
+    * both arrive via broadcast.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val terms = Tables.documents(spark, sfDir)
@@ -80,9 +86,10 @@ object TextAnalytics {
         explode(Text.tokens(col("text"))).as("word"))
     val tf = terms.groupBy(col("doc_id"), col("word"))
       .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
-    val wordW = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.withColumn("df", count(lit(1)).over(wordW))
+    val scored = tf.join(broadcast(df), Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(
         col("c").cast("double") / col("doc_len")
