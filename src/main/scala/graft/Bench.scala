@@ -2,21 +2,28 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark: every SparkEntry query against SPARK_GRAFT_SF_DIR,
-  * N runs each (SPARK_GRAFT_BENCH_RUNS, default 3), reporting per-query
-  * MEDIANS — single runs at sf0.1 showed ±20-100% host noise (PERF.md), so
-  * one sample cannot distinguish a regression from a noisy neighbor.
+  * N runs each (SPARK_GRAFT_BENCH_RUNS, default 5), reporting per-query
+  * MEDIANS and MINS — single runs at sf0.1 showed ±20-100% host noise
+  * (PERF.md), and round-3's driver host had 2 of 3 runs contended, which
+  * put the N=3 median ON a contended run and misreported two queries by
+  * 10×. With N=5 a majority of runs must be contended before the median
+  * flips, and `queries_min` (per-query minimum — the least-contended
+  * sample, an upper bound on what the engine itself costs) plus
+  * `run_totals` make any residual contention visible in the artifact
+  * itself: a median far above its min on a host whose run totals spread
+  * is a noisy host, not a slow engine.
   *
   * Run 1 is the cold pass: it pays JVM/codegen warmup and materializes the
   * shared persisted helper tables (minhash signature/shingle caches), so
   * that cost is attributed to `cold_total` instead of silently inflating
   * whichever query happens to run first. The headline `value` is the sum
-  * of medians; `spread` records per-run totals.
+  * of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -55,12 +62,20 @@ object Bench {
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
     val medians = names.map(n => n -> median(passes.map(_(n)))).toMap
+    // per-query min: the least-contended sample — an upper bound on the
+    // engine's own cost regardless of host load
+    val mins = names.map { n =>
+      val xs = passes.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else xs.min)
+    }.toMap
 
-    val qs = names.map(n => "\"" + n + "\":" + medians(n)).mkString("{", ",", "}")
+    def fmt(m: Map[String, Double]) =
+      names.map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
+    val totalMin = mins.values.filter(_ >= 0).sum
     val perRunTotals = passes.map(_.values.filter(_ >= 0).sum)
     val spread = perRunTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread}""")
     spark.stop()
   }
 }
