@@ -88,6 +88,10 @@ object SparkEntry {
     "q62_source_leakage" -> ((s: SparkSession, d: String) => Dedup.sourceLeakage(s, d)),
     "q63_exists_subquery" -> graft.analytics.Sql.existsSubquerySql _,
     "q64_scalar_subquery" -> graft.analytics.Sql.scalarSubquerySql _,
+    // the RangeJoinRewrite optimizer rule, exercised through the oracle
+    // gate: same semantics as q43 but written as the naive interval join
+    // and planned by the rule (conf-isolated newSession)
+    "q65_range_join_rewrite" -> TemporalJoins.shipmentsNearOrderRewritten _,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -795,5 +799,11 @@ private object CorpusOracles {
         |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
         | round(sum(v[i]) / count(*), 6) AS mean_v
         |FROM x GROUP BY 1, 2""".stripMargin,
+    "q65_range_join_rewrite" ->
+      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d
+        |FROM orders JOIN lineitem
+        | ON l_shipdate >= o_orderdate
+        |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
+        |GROUP BY 1,2""".stripMargin,
   )
 }

@@ -69,6 +69,39 @@ object TemporalJoins {
     (lb, rb, col("__bucket"))
   }
 
+  /** The SAME query as [[shipmentsNearOrder]] but written as the naive
+    * theta join — `l_shipdate BETWEEN o_orderdate AND o_orderdate + 1 day`
+    * with no manual bucketing — and planned by the
+    * [[graft.plans.RangeJoinRewrite]] optimizer rule, which turns it into
+    * the bucketed equality-join shape at optimization time. This is the
+    * production form: the user states the interval predicate, the rule
+    * picks the scalable plan (without it, Catalyst's only option is an
+    * O(n·m) BroadcastNestedLoopJoin).
+    *
+    * Runs on an isolated `newSession` (same SparkContext, extensions and
+    * builder confs; fresh runtime conf) so enabling the rule here cannot
+    * leak into other queries executing later in the caller's session —
+    * the rule reads its conf at optimization time, which for a write
+    * happens at the write, not when this DataFrame is built.
+    */
+  def shipmentsNearOrderRewritten(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.rangeJoinRewrite", "true")
+    s.conf.set("spark.graft.rangeJoin.bucketSeconds", "86400")
+    val li = Tables.lineitem(s, sfDir)
+      .groupBy(col("l_shipdate")).agg(count(lit(1)).as("__cnt"))
+    // keep `hi` the same timestamp flavor (NTZ) as l_shipdate: the rule
+    // conservatively requires type-aligned bounds — a mixed tz/ntz pair
+    // would make Spark cast one side, and cross-zone bucketing is unsound
+    val o = Tables.orders(s, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("__hi"))
+    li.join(o,
+        col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("__hi"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("__cnt")).as("shipments_1d"))
+  }
+
   /** Range-join query: per order, how many lineitems (any order) shipped
     * within [orderdate, orderdate + 1 day) — same-day demand density. The
     * bucket join bounds the pair space to bucket co-occupancy: a range

@@ -151,4 +151,18 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     assert(expected.exists(_.head == 1L) && expected.exists(_.head == 2L))
     assert(!expected.exists(_.head == 3L)) // empty interval yields nothing
   }
+
+  test("q65 (oracle-gated entry) plans the bucketed join and matches the manual q43 form") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.operators.TemporalJoins.shipmentsNearOrderRewritten(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_bucket"), s"rewrite did not fire for q65:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    val manual = graft.operators.TemporalJoins.shipmentsNearOrder(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === manual)
+    // conf isolation: the entry must not flip the rule on in the CALLER's session
+    assert(spark.conf.get("spark.graft.rangeJoinRewrite", "false") === "false")
+  }
 }
