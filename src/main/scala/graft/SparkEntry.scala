@@ -92,6 +92,10 @@ object SparkEntry {
     // gate: same semantics as q43 but written as the naive interval join
     // and planned by the rule (conf-isolated newSession)
     "q65_range_join_rewrite" -> TemporalJoins.shipmentsNearOrderRewritten _,
+    // trained-codebook IVF assignment: Lloyd's output pinned as literals
+    // (TrainedCodebook); deterministic argmax, oracle renders the same
+    // constant
+    "q66_ivf_trained_assign" -> ((s: SparkSession, d: String) => Similarity.ivfAssignTrained(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -805,5 +809,16 @@ private object CorpusOracles {
         | ON l_shipdate >= o_orderdate
         |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
+    "q66_ivf_trained_assign" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cv
+         |  FROM (${graft.operators.TrainedCodebook.duckdbValues}) AS t(cid, cv)),
+         |scored AS (SELECT c.vec_id, cents.cid,
+         |    ${cosExpr("c.v", "cents.cv", 6)} AS ccos
+         |  FROM c CROSS JOIN cents),
+         |r AS (SELECT vec_id, cid AS cell, ccos AS cell_cosine,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM scored)
+         |SELECT vec_id, cell, cell_cosine FROM r WHERE rn = 1""".stripMargin,
   )
 }

@@ -108,6 +108,32 @@ object Similarity {
     cents
   }
 
+  /** Cell assignment of the whole corpus under the TRAINED, pinned
+    * codebook ([[TrainedCodebook]] — Lloyd's output rounded to 6 decimals
+    * and frozen as literals). This is the oracle-gated face of
+    * [[kmeansCodebook]]: training itself is iterative float math that no
+    * two engines reproduce bit-for-bit (spec-verified via Lloyd's
+    * invariants instead), but assignment under FIXED centroids is
+    * deterministic — rounded cosine, cid tiebreak — so the DuckDB oracle
+    * replays it exactly from the same constant.
+    *
+    * Scale shape: the k-row codebook is a broadcast local relation onto
+    * one corpus map pass; the only corpus-sized shuffle is the
+    * groupBy(vec_id) argmax (n rows with map-side partials, not n·k).
+    */
+  def ivfAssignTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val cents = broadcast(TrainedCodebook.centroids.toDF("cid", "cv"))
+    corpus(spark, sfDir).crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        round(Vectors.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"),
+        max(col("ccos")).as("cell_cosine"))
+  }
+
   /** Corpus inertia of a codebook (sum of squared distance to the nearest
     * entry) — the diagnostic that tracks k-means convergence. Driver-side
     * scalar by design (it is a single monitoring number).
