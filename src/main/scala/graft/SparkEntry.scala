@@ -96,6 +96,8 @@ object SparkEntry {
     // (TrainedCodebook); deterministic argmax, oracle renders the same
     // constant
     "q66_ivf_trained_assign" -> ((s: SparkSession, d: String) => Similarity.ivfAssignTrained(s, d)),
+    // ANN quality gate: recall@5 of q30 (LSH) and q37 (IVF) vs q29 (exact)
+    "q67_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecallAt5(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,6 +511,57 @@ private object CorpusOracles {
     s"CASE $cases ELSE '${scores.last._1}' END"
   }
 
+  // The three ANN oracles double as CTE bodies of the q67 recall gate, so
+  // they live as named fragments rather than inline map entries.
+  private val annBfSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
+       |  FROM c JOIN q ON vec_id <> query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM scored)
+       |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
+  private val annLshSql =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${lshBucketExpr("v", 64, 6)} AS bucket FROM c),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, bucket AS probe FROM q
+       |  UNION ALL
+       |  SELECT query_id, qv, xor(bucket, CAST(pw AS BIGINT)) AS probe
+       |  FROM q, UNNEST([${(0 until 6).map(1L << _).mkString(",")}]) AS t(pw)),
+       |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id,
+       |   ${cosExpr("qv", "v")} AS cosine
+       |  FROM b JOIN probes ON b.bucket = probes.probe
+       |   AND b.vec_id <> probes.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM cand)
+       |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
+  private val annIvfSql =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+       |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+       |assigned AS (SELECT vec_id, v, cell FROM (
+       |  SELECT c.vec_id, c.v, cents.cid AS cell, row_number() OVER (
+       |    PARTITION BY c.vec_id ORDER BY ${cosExpr("c.v", "cents.cv", 6)} DESC, cents.cid) AS rn
+       |  FROM c CROSS JOIN cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |  SELECT q.query_id, q.qv, cents.cid AS cell, row_number() OVER (
+       |    PARTITION BY q.query_id ORDER BY ${cosExpr("q.qv", "cents.cv", 6)} DESC, cents.cid) AS rn
+       |  FROM q CROSS JOIN cents) WHERE rn <= 4),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
+       |  FROM assigned JOIN probes USING (cell) WHERE vec_id <> query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM scored)
+       |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -541,52 +594,27 @@ private object CorpusOracles {
          |   FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id < b.vec_id) p)
          |WHERE cosine >= 0.3""".stripMargin,
-    "q29_ann_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
-         |  FROM c JOIN q ON vec_id <> query_id),
-         |r AS (SELECT *, CAST(row_number() OVER (
-         |   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
-         |  FROM scored)
-         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
-    "q30_ann_lsh" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${lshBucketExpr("v", 64, 6)} AS bucket FROM c),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
-         |probes AS (
-         |  SELECT query_id, qv, bucket AS probe FROM q
+    "q29_ann_bruteforce" -> annBfSql,
+    "q30_ann_lsh" -> annLshSql,
+    "q37_ann_ivf" -> annIvfSql,
+    // recall@5 of the two ANN indexes vs the exact ranking — the number an
+    // ANN user actually cares about, as a hash-gated query (the oracle
+    // replays all three pipelines from the shared fragments)
+    "q67_ann_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annBfSql)),
+         |lsh AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
+         |ivf AS (SELECT query_id, neighbor_id FROM ($annIvfSql)),
+         |approx AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
          |  UNION ALL
-         |  SELECT query_id, qv, xor(bucket, CAST(pw AS BIGINT)) AS probe
-         |  FROM q, UNNEST([${(0 until 6).map(1L << _).mkString(",")}]) AS t(pw)),
-         |cand AS (SELECT DISTINCT query_id, b.vec_id AS neighbor_id,
-         |   ${cosExpr("qv", "v")} AS cosine
-         |  FROM b JOIN probes ON b.bucket = probes.probe
-         |   AND b.vec_id <> probes.query_id),
-         |r AS (SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
-         |  FROM cand)
-         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
-    "q37_ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM c
-         |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
-         |assigned AS (SELECT vec_id, v, cell FROM (
-         |  SELECT c.vec_id, c.v, cents.cid AS cell, row_number() OVER (
-         |    PARTITION BY c.vec_id ORDER BY ${cosExpr("c.v", "cents.cv", 6)} DESC, cents.cid) AS rn
-         |  FROM c CROSS JOIN cents) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
-         |probes AS (SELECT query_id, qv, cell FROM (
-         |  SELECT q.query_id, q.qv, cents.cid AS cell, row_number() OVER (
-         |    PARTITION BY q.query_id ORDER BY ${cosExpr("q.qv", "cents.cv", 6)} DESC, cents.cid) AS rn
-         |  FROM q CROSS JOIN cents) WHERE rn <= 4),
-         |scored AS (SELECT query_id, vec_id AS neighbor_id, ${cosExpr("qv", "v")} AS cosine
-         |  FROM assigned JOIN probes USING (cell) WHERE vec_id <> query_id),
-         |r AS (SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
-         |  FROM scored)
-         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf)
+         |SELECT a.method, a.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 4) AS recall_at_5
+         |FROM approx a LEFT JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY 1, 2""".stripMargin,
     // min-label fixpoint == min reachable doc_id, computed by a recursive
     // closure over the bidirectional q25 edge list (unique fixpoint, so the
     // engines agree no matter the iteration order)

@@ -197,6 +197,36 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Recall@5 of the two ANN indexes ([[lshTopK]], [[ivfTopK]]) against the
+    * exact ranking ([[bruteForceTopK]]) — per (method, query) hit counts
+    * and recall. This turns the "how good is the approximate index?"
+    * question from a doc note into a hash-gated query: every pipeline is
+    * deterministic, so the oracle replays all three and the recall numbers
+    * must match exactly.
+    *
+    * Scale shape: each ANN pipeline keeps its own documented plan; the
+    * recall join is top-k-sized (|queries|·k rows/side), i.e. free.
+    */
+  def annRecallAt5(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx =
+      lshTopK(spark, sfDir, k)
+        .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id"))
+      .unionByName(ivfTopK(spark, sfDir, k)
+        .select(lit("ivf").as("method"), col("query_id"), col("neighbor_id")))
+    approx.alias("a")
+      .join(broadcast(exact).alias("e"),
+        col("a.query_id") === col("e.query_id") &&
+          col("a.neighbor_id") === col("e.neighbor_id"), "left")
+      .groupBy(col("method"), col("a.query_id").as("query_id"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(when(col("e.neighbor_id").isNotNull, 1).otherwise(0)).as("n_hits"),
+        round(sum(when(col("e.neighbor_id").isNotNull, 1).otherwise(0))
+          .cast("double") / k, 4).as("recall_at_5"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction applied before ANN serving at corpus scale.
     * Per-vector max-abs scaling: q_i = round(x_i / scale · 127), with the
