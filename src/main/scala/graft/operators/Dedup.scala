@@ -46,10 +46,16 @@ object Dedup {
     * equality self-join. Exact but quadratic in the worst case — at 100 TB
     * use [[minhashPairs]] and keep this as the verifier. A hot-shingle cap
     * (drop shingles appearing in > maxShingleFreq docs) bounds the join
-    * blow-up the way stopword filtering does.
+    * blow-up the way stopword filtering does, and `maxPairsPerShingle` is
+    * the fail-fast backstop behind it: raising `maxShingleFreq` past the
+    * point where one shingle's in-place pair enumeration would materialize
+    * more than the pair budget inside a single row raises an actionable
+    * error instead of a silent per-task memory spike / OOM (same policy as
+    * RangeJoinRewrite's bucket guard).
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, maxShingleFreq: Long = 1000L): DataFrame = {
+      threshold: Double = 0.8, maxShingleFreq: Long = 1000L,
+      maxPairsPerShingle: Long = 500000L): DataFrame = {
     // the distinct shingle set feeds four branches of this DAG (freq filter,
     // both join sides, sizes); cache it so it computes once. persist (not
     // localCheckpoint): lazy — building the DataFrame runs no jobs — and
@@ -61,13 +67,25 @@ object Dedup {
     // by the hot-shingle cap — and ordered pairs are enumerated in-place
     // with array lambdas. Same pairs as the equality self-join, one fewer
     // shuffle of the full shingle set.
+    val pairsOrFail = when(
+      // n·(n−1) as BIGINT (an int multiply would wrap first) vs 2·budget
+      size(col("ds")).cast("long") * (size(col("ds")) - 1) > 2L * maxPairsPerShingle,
+      raise_error(format_string(
+        s"jaccardPairs: shingle in %d docs -> %d candidate pairs, over the " +
+          s"$maxPairsPerShingle-pair budget for one shingle. Use minhashPairs " +
+          s"(LSH) for unblocked corpora, or lower maxShingleFreq / raise " +
+          s"maxPairsPerShingle deliberately.",
+        size(col("ds")),
+        (size(col("ds")).cast("long") * (size(col("ds")) - 1) / lit(2)).cast("long")))
+        .cast("array<struct<doc1:bigint,doc2:bigint>>"))
+      .otherwise(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |    y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
     val inter = sh.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, maxShingleFreq))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)),
-          |    y -> struct(x AS doc1, y AS doc2))))""".stripMargin)).as("p"))
+      .select(explode(pairsOrFail).as("p"))
       .select(col("p.doc1"), col("p.doc2"))
       .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_common"))

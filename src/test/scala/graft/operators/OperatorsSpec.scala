@@ -20,6 +20,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(lsh === exact)
   }
 
+  test("jaccardPairs fails fast when one shingle would exceed the pair budget") {
+    // budget of 1 pair: any shingle shared by >= 2 docs trips the guard
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(spark, sf, threshold = 0.7,
+        maxShingleFreq = 100000L, maxPairsPerShingle = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pair budget")),
+      s"expected the pair-budget error, got: $e")
+    // and the default budget admits the default cap (guard never fires)
+    assert(Dedup.jaccardPairs(spark, sf, threshold = 0.7).collect().nonEmpty)
+  }
+
   test("simhash pigeonhole join equals brute-force hamming pairs") {
     val viaChunks = Dedup.simhashPairs(spark, sf, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
