@@ -96,12 +96,18 @@ object Curation {
   /** Near-dup cluster assignment for the documents table: MinHash-LSH pairs
     * (q25) resolved to canonical components. The downstream "keep one per
     * cluster" filter is then `WHERE doc_id = component`.
+    *
+    * Memoized per (session, sfDir, threshold): q50 and the composed q61
+    * verdict consume the same resolution, so a session pays the iterative
+    * propagation once (the pair list underneath is itself memoized).
     */
   def dedupComponents(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    connectedComponents(
-      Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
-      Tables.documents(spark, sfDir).select(col("doc_id")))
+    SessionMemo(spark, s"dedupComponents|$sfDir|$threshold") {
+      connectedComponents(
+        Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+    }
 
   /** Sequence packing for LLM pretraining: assign documents to fixed
     * token-capacity bins by running cumulative token count, per shard.
@@ -151,12 +157,14 @@ object Curation {
     * broadcast and let the join shuffle on gram_h).
     */
   def decontaminate(spark: SparkSession, sfDir: String,
-      n: Int = 8, benchMod: Int = 97): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    decontaminateAgainst(
-      docs.where(col("doc_id") % benchMod =!= 0),
-      docs.where(col("doc_id") % benchMod === 0), n)
-  }
+      n: Int = 8, benchMod: Int = 97): DataFrame =
+    // memoized: q56 and the composed q61 verdict share one gram pass
+    SessionMemo(spark, s"decontaminate|$sfDir|$n|$benchMod") {
+      val docs = Tables.documents(spark, sfDir)
+      decontaminateAgainst(
+        docs.where(col("doc_id") % benchMod =!= 0),
+        docs.where(col("doc_id") % benchMod === 0), n)
+    }
 
   /** [[decontaminate]] against an explicit benchmark table — the form a
     * production pipeline calls with its (small, external) eval suite.

@@ -126,9 +126,19 @@ object Dedup {
     * sharing any band bucket become candidates; candidates are verified with
     * exact shingle-Jaccard ≥ threshold. The shuffles are all equality-keyed
     * (band bucket, then shingle) — no quadratic stage at any scale.
+    *
+    * The result is memoized per (session, sfDir, params): the pair list
+    * feeds q25 directly, the q50/q61 component resolution, and any
+    * downstream keep/drop filter, so one session computes it once.
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame =
+    SessionMemo(spark, s"minhashPairs|$sfDir|$threshold|$k|$bands") {
+      minhashPairsUncached(spark, sfDir, threshold, k, bands)
+    }
+
+  private def minhashPairsUncached(spark: SparkSession, sfDir: String,
+      threshold: Double, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     // the signature table is tiny (one row per doc) but its plan subtree is
     // expensive and feeds both sides of the band self-join — cache it so it
