@@ -158,8 +158,11 @@ object Curation {
     */
   def decontaminate(spark: SparkSession, sfDir: String,
       n: Int = 8, benchMod: Int = 97): DataFrame =
-    // memoized: q56 and the composed q61 verdict share one gram pass
-    SessionMemo(spark, s"decontaminate|$sfDir|$n|$benchMod") {
+    // memoized: q56 and the composed q61 verdict share one gram pass.
+    // The gram-hash mode is part of the key — a cached md5 result must not
+    // answer an xxhash64 request (outputs match, but keep modes distinct)
+    SessionMemo(spark, s"decontaminate|$sfDir|$n|$benchMod|" +
+        spark.conf.get("spark.graft.decontamination.hash", "md5")) {
       val docs = Tables.documents(spark, sfDir)
       decontaminateAgainst(
         docs.where(col("doc_id") % benchMod =!= 0),
@@ -168,6 +171,14 @@ object Curation {
 
   /** [[decontaminate]] against an explicit benchmark table — the form a
     * production pipeline calls with its (small, external) eval suite.
+    *
+    * Gram hashing is selectable via `spark.graft.decontamination.hash`:
+    * `md5` (default) keeps the 60-bit md5-prefix long that DuckDB can
+    * reproduce (the oracle gate); `xxhash64` swaps in Spark's codegen'd
+    * native hash for the non-oracle production path — same long-keyed plan
+    * shape, no digest allocation per gram. Contamination verdicts depend
+    * only on gram-hash EQUALITY, so both modes flag identical doc sets
+    * (modulo a ~2⁻⁶⁰ collision, spec-checked on a fixture).
     */
   def decontaminateAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
       n: Int = 8): DataFrame = {
@@ -175,12 +186,20 @@ object Curation {
     // (doc, gram) distinct dominates at corpus scale and 8-byte keys cut
     // its shuffle bytes ~4× (measured 18.9 → 14.4 s at 100k docs locally —
     // the remaining cost is md5 itself, kept for engine-portable
-    // verification; production would use codegen'd xxhash64 for another
-    // large factor). Both engines hash identically, so the oracle is exact.
+    // verification; xxhash64 mode drops that too). Both engines hash md5
+    // identically, so the oracle is exact.
+    val gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      trainDocs.sparkSession.conf
+        .get("spark.graft.decontamination.hash", "md5") match {
+        case "md5" => Hashing.stableHash60
+        case "xxhash64" => c => xxhash64(c)
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.decontamination.hash must be md5 or xxhash64, got: $other")
+      }
     def grams(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
         explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
-      .select(col("doc_id"), Hashing.stableHash60(col("gram")).as("gram_h"))
+      .select(col("doc_id"), gramHash(col("gram")).as("gram_h"))
     val bench = grams(benchDocs)
       .select(col("gram_h")).distinct().withColumn("hit", lit(1))
     grams(trainDocs).distinct()

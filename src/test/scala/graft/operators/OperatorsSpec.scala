@@ -130,6 +130,35 @@ class OperatorsSpec extends SparkTestBase {
       .foreach { case (d, c) => assert(d === c) }
   }
 
+  test("decontamination flags identical doc sets under md5 and xxhash64 gram hashing") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text with no overlap whatsoever in any gram at all"),
+      (3L, "the quick brown fox jumps over the lazy dog but differently here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every day")
+    ).toDF("doc_id", "text")
+    def run(mode: String) = {
+      spark.conf.set("spark.graft.decontamination.hash", mode)
+      try Curation.decontaminateAgainst(train, bench, n = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      finally spark.conf.unset("spark.graft.decontamination.hash")
+    }
+    val md5Res = run("md5")
+    val xxRes = run("xxhash64")
+    assert(md5Res === xxRes)
+    assert(md5Res.exists { case (id, _, nc, f) => id == 1L && nc > 0 && f == 1 })
+    assert(md5Res.exists { case (id, _, nc, f) => id == 2L && nc == 0 && f == 0 })
+    intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.decontamination.hash", "sha1")
+      try Curation.decontaminateAgainst(train, bench, n = 8)
+      finally spark.conf.unset("spark.graft.decontamination.hash")
+    }
+  }
+
   test("stratified sample caps every stratum deterministically") {
     val a = Curation.stratifiedSample(spark, sf, cap = 5).collect()
     val b = Curation.stratifiedSample(spark, sf, cap = 5).collect()
