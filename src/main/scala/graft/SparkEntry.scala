@@ -825,11 +825,14 @@ private object CorpusOracles {
         |FROM ch a JOIN ch b
         |  ON a.chunk_hash = b.chunk_hash AND a.source < b.source
         |GROUP BY 1,2""".stripMargin,
+    // fixed-point mean (sum of ×10⁶-scaled longs, one final division):
+    // order-independent, so partial-aggregation order cannot flip the hash
     "q60_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)
         |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
-        | round(sum(v[i]) / count(*), 6) AS mean_v
+        | round(CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_v
         |FROM x GROUP BY 1, 2""".stripMargin,
     "q65_range_join_rewrite" ->
       """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d

@@ -263,6 +263,16 @@ object Similarity {
     * dimensionality, then one shuffle on (label, dim) with map-side partial
     * sums — the classic commutative-aggregate plan; no vector ever needs to
     * fit anywhere special.
+    *
+    * The mean sums FIXED-POINT longs (each element scaled ×10⁶ and rounded
+    * once), not raw doubles: double summation is accumulation-order-
+    * dependent, and Spark's partial-aggregate order differs from the
+    * oracle's scan order, so a raw sum landing within an ulp of a rounding
+    * boundary could flip the 6-dp output nondeterministically. Long
+    * addition is exact and commutative, and the single final division is
+    * one deterministic double op — order-independent by construction (no
+    * overflow risk: unit-norm components ×10⁶ sum well below 2⁶³ for any
+    * realistic group).
     */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -270,7 +280,8 @@ object Similarity {
         posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("v")) / count(lit(1)), 6).as("mean_v"))
+        round(sum(round(col("v") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 6).as("mean_v"))
 
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one

@@ -155,7 +155,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             s"buckets of $width — raise $bucketKey to ~the interval " +
             s"length (or $maxBucketsKey, or disable $enabledKey)")),
         seq.dataType, Option(conf.sessionLocalTimeZone))
-      val covered = If(GreaterThan(Subtract(hiB, loB), Literal(maxBuckets)),
+      // overflow-safe span check: a long Subtract(hiB, loB) can wrap
+      // negative with sentinel bounds (hi near Long.MaxValue, lo deeply
+      // negative) under bucketSeconds=1, silently bypassing this guard and
+      // surfacing as Sequence's less-actionable too-long error instead.
+      // Double subtraction cannot wrap; its ~2^-52 relative error is
+      // irrelevant for a threshold test on a heuristic cap.
+      val covered = If(
+        GreaterThan(
+          Subtract(Cast(hiB, DoubleType), Cast(loB, DoubleType)),
+          Literal(maxBuckets.toDouble)),
         overflow,
         If(GreaterThanOrEqual(hiB, loB), seq,
           Literal.create(Array.empty[Long], seq.dataType)))

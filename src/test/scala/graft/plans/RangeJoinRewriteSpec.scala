@@ -137,6 +137,30 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("bucket-span guard survives long-wrapping sentinel bounds") {
+    val s = spark
+    import s.implicits._
+    val p = (1L to 10L).map(i => (i, i)).toDF("id", "x")
+    // hi - lo wraps negative in 64-bit arithmetic; the double-based span
+    // check must still raise the ACTIONABLE error, not fall through to
+    // Sequence's own too-long-sequence failure
+    val w = Seq((1L, Long.MinValue / 2, Long.MaxValue / 2)).toDF("wid", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.maxBucketsPerInterval", "100")
+    spark.conf.set("spark.graft.rangeJoin.bucketSeconds", "1")
+    try withRule(on = true) {
+      val e = intercept[Exception] {
+        p.join(w, col("x") >= col("lo") && col("x") <= col("hi")).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("RangeJoinRewrite")),
+        s"guard did not fire with the actionable message: $e")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.maxBucketsPerInterval")
+      spark.conf.unset("spark.graft.rangeJoin.bucketSeconds")
+    }
+  }
+
   test("integral-typed ranges rewrite too") {
     val s = spark
     import s.implicits._
