@@ -98,6 +98,12 @@ object SparkEntry {
     "q66_ivf_trained_assign" -> ((s: SparkSession, d: String) => Similarity.ivfAssignTrained(s, d)),
     // ANN quality gate: recall@5 of q30 (LSH) and q37 (IVF) vs q29 (exact)
     "q67_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecallAt5(s, d)),
+    // SemDeDup-style semantic near-dups blocked by trained codebook cell
+    "q68_semantic_neardup" -> ((s: SparkSession, d: String) => Similarity.semanticNearDups(s, d)),
+    // pinned-weight model-based quality filter (map-side)
+    "q69_quality_model" -> ((s: SparkSession, d: String) => TextAnalytics.qualityModelScore(s, d)),
+    // sliding-window token chunking for embedding/RAG prep (map-side)
+    "q70_sliding_chunks" -> ((s: SparkSession, d: String) => TextAnalytics.slidingChunks(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,6 +568,22 @@ private object CorpusOracles {
        |  FROM scored)
        |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
 
+  /** Corpus assignment under the pinned trained codebook (q66 body, and
+    * the blocking stage of the q68 semantic-dedup oracle). Carries `v` so
+    * downstream pair scoring can reuse it.
+    */
+  private val trainedAssignSql =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cv
+       |  FROM (${graft.operators.TrainedCodebook.duckdbValues}) AS t(cid, cv)),
+       |scored AS (SELECT c.vec_id, c.v, cents.cid,
+       |    ${cosExpr("c.v", "cents.cv", 6)} AS ccos
+       |  FROM c CROSS JOIN cents),
+       |r AS (SELECT vec_id, v, cid AS cell, ccos AS cell_cosine,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM scored)
+       |SELECT vec_id, v, cell, cell_cosine FROM r WHERE rn = 1""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -841,15 +863,38 @@ private object CorpusOracles {
         |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
         |GROUP BY 1,2""".stripMargin,
     "q66_ivf_trained_assign" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cents AS (SELECT CAST(cid AS BIGINT) AS cid, cv
-         |  FROM (${graft.operators.TrainedCodebook.duckdbValues}) AS t(cid, cv)),
-         |scored AS (SELECT c.vec_id, cents.cid,
-         |    ${cosExpr("c.v", "cents.cv", 6)} AS ccos
-         |  FROM c CROSS JOIN cents),
-         |r AS (SELECT vec_id, cid AS cell, ccos AS cell_cosine,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |  FROM scored)
-         |SELECT vec_id, cell, cell_cosine FROM r WHERE rn = 1""".stripMargin,
+      s"SELECT vec_id, cell, cell_cosine FROM ($trainedAssignSql)",
+    // SemDeDup-style pairs: same-cell blocking under the pinned trained
+    // codebook, scored with exact cosine
+    "q68_semantic_neardup" ->
+      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |p AS (SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.cell AS cell,
+         |    ${cosExpr("a.v", "b.v")} AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT * FROM p WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
+    "q69_quality_model" ->
+      s"""WITH m AS (SELECT doc_id,$qualityCols,
+         | $qualityScore AS quality_score FROM documents),
+         |s AS (SELECT doc_id,
+         |  round(quality_score * CAST(1.2 AS DOUBLE)
+         |    + least(n_tokens, 400) / CAST(400 AS DOUBLE) * CAST(0.8 AS DOUBLE)
+         |    - punct_ratio * CAST(0.9 AS DOUBLE)
+         |    - stopword_ratio * CAST(0.4 AS DOUBLE)
+         |    - CAST(0.5 AS DOUBLE), 6) AS model_score
+         | FROM m)
+         |SELECT doc_id, model_score,
+         | CAST(model_score >= CAST(0 AS DOUBLE) AS INTEGER) AS keep
+         |FROM s""".stripMargin,
+    "q70_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |  WHERE len(string_split(text,' ')) > 0),
+        |s AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM t)
+        |SELECT doc_id,
+        | CAST(start // 24 AS INTEGER) AS chunk_id,
+        | CAST(start AS INTEGER) AS start_token,
+        | CAST(least(32, len(w) - start) AS INTEGER) AS n_chunk_tokens,
+        | md5(array_to_string(list_slice(w, start + 1, start + least(32, len(w) - start)), ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
   )
 }

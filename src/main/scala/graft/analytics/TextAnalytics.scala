@@ -101,6 +101,47 @@ object TextAnalytics {
       .select(col("doc_id"), col("word"), col("tfidf"), col("term_rank"))
   }
 
+  /** Pinned-weight linear quality model over the heuristic metrics — the
+    * shape of a model-based quality filter (fasttext/classifier-style
+    * curation) with the learned weights frozen as constants: score =
+    * 1.2·quality + 0.8·len_feature − 0.9·punct_ratio − 0.4·stopword_ratio
+    * − 0.5, keep iff score ≥ 0. Every input is an already-rounded
+    * deterministic metric and the combination is a fixed left-to-right
+    * chain of IEEE double ops, so the DuckDB oracle reproduces the score
+    * bit-for-bit. Pure map-side projection — one corpus pass, no shuffle.
+    */
+  def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Text.qualityMetrics(col("text")).toMap
+    val lenFeat = least(m("n_tokens"), lit(400L)).cast("double") / 400.0
+    val score = round(
+      m("quality_score") * 1.2 + lenFeat * 0.8
+        - m("punct_ratio") * 0.9 - m("stopword_ratio") * 0.4 - 0.5, 6)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), score.as("model_score"))
+      .withColumn("keep", (col("model_score") >= 0.0).cast("int"))
+  }
+
+  /** Sliding-window token chunking — the context-window preparation step
+    * for embedding/RAG pipelines: overlapping `window`-token chunks every
+    * `stride` tokens (the final chunks may be shorter), each with its
+    * position and an md5 content hash. Map-side only: one explode of
+    * ~n_tokens/stride rows per document, no shuffle at any corpus size.
+    */
+  def slidingChunks(spark: SparkSession, sfDir: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    val len = least(lit(window), size(col("w")) - col("start"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        col("start").cast("int").as("start_token"),
+        len.cast("int").as("n_chunk_tokens"),
+        md5(array_join(slice(col("w"), col("start") + 1, len), " ")).as("chunk_hash"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -197,6 +197,32 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: embeddings are blocked
+    * by their [[ivfAssignTrained]] codebook cell and only same-cell pairs
+    * are scored — the embedding-space analogue of LSH band blocking, and
+    * the way semantic dedup actually runs at corpus scale (cluster first,
+    * compare within clusters; cross-cell pairs are the accepted recall
+    * trade, exactly as in the SemDeDup recipe).
+    *
+    * Scale shape: one corpus pass for assignment (broadcast codebook), one
+    * equality self-join on `cell` — pair space bounded by cell
+    * co-occupancy, never |n|²; a balanced trained codebook keeps cells
+    * ~n/k. Deterministic (rounded cosine, id tiebreaks), so the oracle
+    * replays it from the same pinned centroids.
+    */
+  def semanticNearDups(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        col("a.cell").as("cell"),
+        round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Recall@5 of the two ANN indexes ([[lshTopK]], [[ivfTopK]]) against the
     * exact ranking ([[bruteForceTopK]]) — per (method, query) hit counts
     * and recall. This turns the "how good is the approximate index?"
