@@ -209,6 +209,13 @@ object Similarity {
     * co-occupancy, never |n|²; a balanced trained codebook keeps cells
     * ~n/k. Deterministic (rounded cosine, id tiebreaks), so the oracle
     * replays it from the same pinned centroids.
+    *
+    * IMPORTANT at scale: k is a corpus-scale parameter, NOT the fixture's
+    * 8 — both the join's shuffle-key cardinality and the per-cell pair
+    * count (n/k)² are set by it. Size k ≈ n / targetCellSize (SemDeDup
+    * uses tens of thousands of clusters) by retraining [[kmeansCodebook]]
+    * with a larger k; the plan shape here is k-independent. The pinned
+    * 8-entry codebook exists only so the oracle can replay assignment.
     */
   def semanticNearDups(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
