@@ -14,10 +14,19 @@ import org.apache.spark.sql.SparkSession
   * is a noisy host, not a slow engine.
   *
   * Run 1 is the cold pass: it pays JVM/codegen warmup and materializes the
-  * shared persisted helper tables (minhash signature/shingle caches), so
-  * that cost is attributed to `cold_total` instead of silently inflating
-  * whichever query happens to run first. The headline `value` is the sum
-  * of medians.
+  * shared persisted/memoized helper tables (minhash signatures, the
+  * SessionMemo pair/component/decontamination results, the q59 tf cache),
+  * so that cost is attributed to `cold_total` instead of silently
+  * inflating whichever query happens to run first. Because memoization
+  * makes the steady-state medians of the sharing queries measure
+  * cached-table scans, `queries_cold` reports the pass-1 per-query times
+  * too — that column is where a regression in a memoized BUILD shows up.
+  * The headline `value` is the sum of medians.
+  *
+  * Per-query stats are computed over the SUCCESSFUL runs only; queries
+  * with any failed run are listed in `failures` (name → failed-run count)
+  * rather than silently collapsing five samples to a -1 sentinel.
+  * A query with NO successful run reports -1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,7 +62,7 @@ object Bench {
 
     val passes = (1 to math.max(1, runs)).map(_ => onePass())
     def median(xs: Seq[Double]): Double =
-      if (xs.exists(_ < 0)) -1.0
+      if (xs.isEmpty) -1.0
       else {
         val s = xs.sorted
         // true median for even n (upper-middle would report the COLD pass
@@ -61,13 +70,17 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
       }
-    val medians = names.map(n => n -> median(passes.map(_(n)))).toMap
+    // stats over SUCCESSFUL runs only: one flaky failure must not discard
+    // the other samples (it is recorded in `failures` instead)
+    def ok(n: String): Seq[Double] = passes.map(_(n)).filter(_ >= 0)
+    val medians = names.map(n => n -> median(ok(n))).toMap
     // per-query min: the least-contended sample — an upper bound on the
     // engine's own cost regardless of host load
     val mins = names.map { n =>
-      val xs = passes.map(_(n))
-      n -> (if (xs.exists(_ < 0)) -1.0 else xs.min)
+      val xs = ok(n)
+      n -> (if (xs.isEmpty) -1.0 else xs.min)
     }.toMap
+    val failures = names.map(n => n -> passes.count(_(n) < 0)).filter(_._2 > 0)
 
     def fmt(m: Map[String, Double]) =
       names.map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
@@ -75,7 +88,9 @@ object Bench {
     val totalMin = mins.values.filter(_ >= 0).sum
     val perRunTotals = passes.map(_.values.filter(_ >= 0).sum)
     val spread = perRunTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread}""")
+    val coldQs = names.map(n => "\"" + n + "\":" + passes.head(n)).mkString("{", ",", "}")
+    val failJson = failures.map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread,"failures":$failJson}""")
     spark.stop()
   }
 }

@@ -299,12 +299,7 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         | ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
-    "q43_range_join" ->
-      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d
-        |FROM orders JOIN lineitem
-        | ON l_shipdate >= o_orderdate
-        |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
-        |GROUP BY 1,2""".stripMargin,
+    "q43_range_join" -> CorpusOracles.rangeJoinSql,
     "q49_profile" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .map(c =>
         s"""SELECT '$c' AS column_name,
@@ -567,6 +562,17 @@ private object CorpusOracles {
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
        |  FROM scored)
        |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
+  /** One oracle for both range-join gates: q43 (manual bucketing) and q65
+    * (optimizer-rule rewrite) are defined to share EXACT semantics, so a
+    * single SQL string keeps the two from drifting.
+    */
+  val rangeJoinSql: String =
+    """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d
+      |FROM orders JOIN lineitem
+      | ON l_shipdate >= o_orderdate
+      |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
+      |GROUP BY 1,2""".stripMargin
 
   /** Corpus assignment under the pinned trained codebook (q66 body, and
     * the blocking stage of the q68 semantic-dedup oracle). Carries `v` so
@@ -856,12 +862,9 @@ private object CorpusOracles {
         | round(CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
         |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_v
         |FROM x GROUP BY 1, 2""".stripMargin,
-    "q65_range_join_rewrite" ->
-      """SELECT o_orderkey, o_orderdate, count(*) AS shipments_1d
-        |FROM orders JOIN lineitem
-        | ON l_shipdate >= o_orderdate
-        |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
-        |GROUP BY 1,2""".stripMargin,
+    // q65 is DEFINED as "same semantics as q43, planned by the rewrite
+    // rule" — one shared oracle string keeps the two gates from drifting
+    "q65_range_join_rewrite" -> rangeJoinSql,
     "q66_ivf_trained_assign" ->
       s"SELECT vec_id, cell, cell_cosine FROM ($trainedAssignSql)",
     // SemDeDup-style pairs: same-cell blocking under the pinned trained

@@ -79,6 +79,15 @@ object TextAnalytics {
     * free. Shuffles: (doc_id, word) for tf, the vocab-sized word agg for
     * df (absorbed map-side), doc_id for the final top-k window; N and df
     * both arrive via broadcast.
+    *
+    * Precondition of the explicit broadcast hint: the post-agg df table is
+    * VOCABULARY-sized and must fit the broadcast budget — true for any
+    * natural-language vocabulary (Heaps' law keeps it in the millions even
+    * at web scale), not necessarily for arbitrary high-cardinality token
+    * streams. If the vocab ever outgrows broadcast, drop the hint: the
+    * shuffled join on `word` re-concentrates hot words, but AQE's
+    * skew-join splitting handles what the old window's single sort-task
+    * could not.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val terms = Tables.documents(spark, sfDir)

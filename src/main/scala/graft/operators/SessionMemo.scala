@@ -15,23 +15,54 @@ import org.apache.spark.storage.StorageLevel
   * lets every consumer in the session share one persisted computation;
   * results are deterministic, so sharing cannot change any query's output.
   *
-  * Keyed by session identity: a new session (e.g. a fresh Verify run)
-  * starts clean. Values are persisted MEMORY_AND_DISK — all memoized
-  * tables are pair/doc-count-sized, orders of magnitude below the corpus.
-  * The benign race (two threads building the same key once each) is
-  * accepted over `computeIfAbsent`, whose reentrancy ban a nested memoized
-  * build (components → pairs) would trip.
+  * Sessions are keyed by OBJECT IDENTITY (SparkSession does not override
+  * equals), so one session's cache can never answer another's — unlike a
+  * hash-derived string key, which could collide. A WeakHashMap would NOT
+  * reclaim anything here: the memoized DataFrames strongly reference
+  * their own session (value → key), which pins WeakHashMap entries
+  * forever. Instead the per-session maps live in a small access-ordered
+  * LRU (64 sessions); an evicted session's tables are unpersisted — any
+  * still-held DataFrame stays correct and simply recomputes. Values are
+  * persisted
+  * MEMORY_AND_DISK — all memoized tables are pair/doc-count-sized, orders
+  * of magnitude below the corpus. The benign race (two threads building
+  * the same key once each) is accepted over `computeIfAbsent`, whose
+  * reentrancy ban a nested memoized build (components → pairs) would trip.
   */
 private[graft] object SessionMemo {
-  private val tables = new ConcurrentHashMap[String, DataFrame]()
+  private val MaxSessions = 64
+
+  private val bySession =
+    new java.util.LinkedHashMap[SparkSession, ConcurrentHashMap[String, DataFrame]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, ConcurrentHashMap[String, DataFrame]]): Boolean = {
+        val evict = size() > MaxSessions
+        if (evict) e.getValue.forEach { (_, df) =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        evict
+      }
+    }
+
+  private def sessionTables(spark: SparkSession): ConcurrentHashMap[String, DataFrame] =
+    bySession.synchronized {
+      val existing = bySession.get(spark)
+      if (existing != null) existing
+      else {
+        val m = new ConcurrentHashMap[String, DataFrame]()
+        bySession.put(spark, m)
+        m
+      }
+    }
 
   def apply(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s"${System.identityHashCode(spark)}|$key"
-    val existing = tables.get(k)
+    val tables = sessionTables(spark)
+    val existing = tables.get(key)
     if (existing != null) existing
     else {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      val prev = tables.putIfAbsent(k, df)
+      val prev = tables.putIfAbsent(key, df)
       if (prev != null) prev else df
     }
   }

@@ -21,10 +21,11 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("jaccardPairs fails fast when one shingle would exceed the pair budget") {
-    // budget of 1 pair: any shingle shared by >= 2 docs trips the guard
+    // budget of 0 pairs: any shingle shared by >= 2 docs trips the guard
+    // (n(n-1) = 2 > 0; a budget of 1 would need a 3-doc shingle to fire)
     val e = intercept[Exception] {
       Dedup.jaccardPairs(spark, sf, threshold = 0.7,
-        maxShingleFreq = 100000L, maxPairsPerShingle = 1L).collect()
+        maxShingleFreq = 100000L, maxPairsPerShingle = 0L).collect()
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
