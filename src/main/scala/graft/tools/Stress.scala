@@ -80,6 +80,20 @@ object Stress {
     val t5 = System.nanoTime()
     val leakPairs = graft.operators.Dedup.sourceLeakage(spark, docDir).count()
     println(f"[stress] source leakage ($nDocs docs): $leakPairs source pairs in ${(System.nanoTime() - t5) / 1e9}%.1f s")
+
+    // round-4 operators at the same corpus: tf-idf under the de-skewed df
+    // plan (persisted tf + broadcast df), sliding-window chunking, and the
+    // pinned-weight quality model (both map-side)
+    val t6 = System.nanoTime()
+    val tfidfRows = graft.analytics.TextAnalytics.tfidfTopTerms(spark, docDir).count()
+    println(f"[stress] tf-idf top terms ($nDocs docs): $tfidfRows rows in ${(System.nanoTime() - t6) / 1e9}%.1f s")
+    val t7 = System.nanoTime()
+    val chunkRows = graft.analytics.TextAnalytics.slidingChunks(spark, docDir).count()
+    println(f"[stress] sliding chunks ($nDocs docs): $chunkRows chunks in ${(System.nanoTime() - t7) / 1e9}%.1f s")
+    val t8 = System.nanoTime()
+    val keptDocs = graft.analytics.TextAnalytics.qualityModelScore(spark, docDir)
+      .where(col("keep") === 1).count()
+    println(f"[stress] quality model ($nDocs docs): $keptDocs kept in ${(System.nanoTime() - t8) / 1e9}%.1f s")
     spark.stop()
   }
 }
