@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan shape assertions for the scale-critical queries: the
+  * claims PERF.md makes about these plans (pushdown, no global sorts,
+  * group-limit before exchange, broadcast placement, no skew windows) are
+  * pinned here so a plan regression fails the suite rather than only
+  * showing up as a benchmark drift.
+  *
+  * Static plans (AQE re-plans at runtime, but the static shape is what the
+  * optimizer committed to); sf0.001 keeps planning fast — shapes are
+  * data-size-independent at these scales except where noted.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q02 top-revenue: TakeOrderedAndProject (no global sort) and filter pushdown") {
+    val p = planOf("q02_top_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"))
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("q08 top-k window: partial WindowGroupLimit runs below the exchange") {
+    val p = planOf("q08_topk_window")
+    assert(p.contains("WindowGroupLimit"), p)
+    // Partial mode = each map task forwards only its local top-k
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q59 tf-idf: no full-frame window on word; df arrives by broadcast join") {
+    val p = planOf("q59_tfidf")
+    // exactly one Window (the per-doc top-k), never one keyed on `word`
+    val windowSections = p.split("\n").count(_.matches(".*\\)\\s+Window\\s*(\\[codegen.*)?"))
+    assert(windowSections <= 1, s"expected at most one Window operator:\n$p")
+    assert(!p.contains("windowspecdefinition(word"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the explode feeding tf happens inside the cached relation build only
+    assert(p.contains("InMemoryRelation"), p)
+  }
+
+  test("q65: the optimizer rule plans the bucketed equality join, not a nested loop") {
+    val p = planOf("q65_range_join_rewrite")
+    assert(p.contains("__graft_bucket"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q29 ANN brute force: query side broadcast, corpus streams once") {
+    val p = planOf("q29_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // broadcast CROSS of tiny query set
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q57 domain mix: rate table broadcast onto the scan — no corpus shuffle before the filter") {
+    val p = planOf("q57_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only Exchanges allowed are for the metadata-sized aggregates and
+    // their broadcasts, never a corpus-partitioning hash exchange on doc_id
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("q51 stratified sample: group-limit below the stratum exchange (skew-proof)") {
+    val p = planOf("q51_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q66 trained assignment: pinned codebook is a broadcast local relation") {
+    val p = planOf("q66_ivf_trained_assign")
+    assert(p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+}
