@@ -104,6 +104,8 @@ object SparkEntry {
     "q69_quality_model" -> ((s: SparkSession, d: String) => TextAnalytics.qualityModelScore(s, d)),
     // sliding-window token chunking for embedding/RAG prep (map-side)
     "q70_sliding_chunks" -> ((s: SparkSession, d: String) => TextAnalytics.slidingChunks(s, d)),
+    // CCNet-style LM quality signal: mean unigram surprisal per document
+    "q71_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalytics.unigramSurprisal(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -889,6 +891,17 @@ private object CorpusOracles {
          |SELECT doc_id, model_score,
          | CAST(model_score >= CAST(0 AS DOUBLE) AS INTEGER) AS keep
          |FROM s""".stripMargin,
+    "q71_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |counts AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM tok),
+        |lp AS (SELECT word, round(-ln(CAST(n AS DOUBLE) / n_total), 6) AS surprisal
+        |  FROM counts CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(CAST(round(surprisal * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * CAST(1000000 AS DOUBLE)), 4) AS mean_surprisal
+        |FROM tok JOIN lp USING (word)
+        |GROUP BY 1""".stripMargin,
     "q70_sliding_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
         |  WHERE len(string_split(text,' ')) > 0),

@@ -130,6 +130,36 @@ object TextAnalytics {
       .withColumn("keep", (col("model_score") >= 0.0).cast("int"))
   }
 
+  /** Per-document mean unigram surprisal — the statistical-LM quality
+    * signal (CCNet-style perplexity filtering, with the corpus's own
+    * unigram distribution standing in for the external LM; a trained
+    * n-gram table drops in as a broadcast replacement without changing the
+    * plan). Low mean surprisal ⇒ repetitive/templated text, high ⇒
+    * gibberish tails; both ends get filtered in practice.
+    *
+    * Scale shape: vocabulary counts are a map-side-combinable aggregate;
+    * the per-word surprisal table is vocab-sized and broadcast back onto
+    * the token stream (same Heaps'-law precondition as q59's df
+    * broadcast), so the corpus is scanned twice and shuffled only for the
+    * per-doc rollup. Determinism: each token's surprisal is rounded once,
+    * then summed as ×10⁶ fixed-point longs — accumulation order cannot
+    * move the output (see labelCentroids).
+    */
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+    val counts = tok.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val lp = counts.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(-log(col("n").cast("double") / col("n_total")), 6).as("surprisal"))
+    tok.join(broadcast(lp), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(round(col("surprisal") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4).as("mean_surprisal"))
+  }
+
   /** Sliding-window token chunking — the context-window preparation step
     * for embedding/RAG pipelines: overlapping `window`-token chunks every
     * `stride` tokens (the final chunks may be shorter), each with its
