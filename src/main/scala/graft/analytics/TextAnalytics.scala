@@ -119,16 +119,10 @@ object TextAnalytics {
     * chain of IEEE double ops, so the DuckDB oracle reproduces the score
     * bit-for-bit. Pure map-side projection — one corpus pass, no shuffle.
     */
-  def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = Text.qualityMetrics(col("text")).toMap
-    val lenFeat = least(m("n_tokens"), lit(400L)).cast("double") / 400.0
-    val score = round(
-      m("quality_score") * 1.2 + lenFeat * 0.8
-        - m("punct_ratio") * 0.9 - m("stopword_ratio") * 0.4 - 0.5, 6)
+  def qualityModelScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), score.as("model_score"))
+      .select(col("doc_id"), Text.modelScore(col("text")).as("model_score"))
       .withColumn("keep", (col("model_score") >= 0.0).cast("int"))
-  }
 
   /** Per-document mean unigram surprisal — the statistical-LM quality
     * signal (CCNet-style perplexity filtering, with the corpus's own

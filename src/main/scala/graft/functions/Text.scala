@@ -130,4 +130,18 @@ object Text {
       "stopword_ratio" -> stopRatio,
       "quality_score" -> score)
   }
+
+  /** Pinned-weight linear quality model over [[qualityMetrics]] — the
+    * single definition behind the batch q69 gate AND the streaming filter
+    * (both must score identically, and the oracle mirrors this exact
+    * left-to-right IEEE chain). Stateless, so it runs unchanged under
+    * Structured Streaming.
+    */
+  def modelScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val lenFeat = least(m("n_tokens"), lit(400L)).cast("double") / 400.0
+    round(
+      m("quality_score") * 1.2 + lenFeat * 0.8
+        - m("punct_ratio") * 0.9 - m("stopword_ratio") * 0.4 - 0.5, 6)
+  }
 }

@@ -35,4 +35,13 @@ object StreamCurate {
     annotate(docs, minQuality, maxTrigramDup)
       .where(col("keep") === 1)
       .drop("keep")
+
+  /** The model-based gate ([[Text.modelScore]], the q69 scorer) on a
+    * stream: stateless projection, identical scores to the batch path by
+    * construction (one shared Column definition).
+    */
+  def modelAnnotate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("model_score", Text.modelScore(col("text")))
+      .withColumn("keep", (col("model_score") >= 0.0).cast("int"))
 }

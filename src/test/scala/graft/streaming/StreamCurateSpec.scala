@@ -41,4 +41,26 @@ class StreamCurateSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("keep")).toMap
     assert(rows === Map(1L -> 1, 2L -> 0, 3L -> 0))
   }
+
+  test("streaming model-score gate produces the batch q69 scores exactly") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq((1L, goodText), (2L, loopText), (3L, tinyText))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Double]("model_score"), r.getAs[Int]("keep"))
+    val batch = StreamCurate.modelAnnotate(docs.toDF("doc_id", "text"))
+      .collect().map(key).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.modelAnnotate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("smodel")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("smodel").collect().map(key).toSet
+      assert(streamed === batch)
+      assert(batch.exists(_._3 == 1) && batch.exists(_._3 == 0))
+    } finally q.stop()
+  }
 }
