@@ -124,8 +124,17 @@ object Curation {
     * run shard-parallel, and nShards scales with the cluster.
     */
   def sequencePacking(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame =
+    sequencePackingOf(Tables.documents(spark, sfDir), capacity, nShards)
+
+  /** [[sequencePacking]] over an arbitrary (doc_id, text, ...) frame —
+    * the form the shard writer calls AFTER the keep/drop filter, so
+    * surviving documents pack contiguously (offsets computed on the
+    * filtered set, not the raw corpus).
+    */
+  def sequencePackingOf(documents: DataFrame,
       capacity: Int = 2048, nShards: Int = 8): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = documents
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -136,6 +145,34 @@ object Curation {
       .withColumn("bin_id", floor(col("start_offset") / capacity))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         col("start_offset"), col("bin_id"))
+  }
+
+  /** The end-to-end curation capstone: apply the composed keep/drop
+    * verdict ([[curationDecisions]]), pack the SURVIVORS into per-shard
+    * token bins ([[sequencePackingOf]] — offsets over the filtered set,
+    * so packed streams are gapless), and write shard-partitioned parquet
+    * — the on-disk layout a trainer's data loader reads.
+    *
+    * Scale shape: verdict and packing keep their documented plans; the
+    * final write shuffles once on `shard` (partitionBy) so each output
+    * directory is written by the tasks owning that shard. Returns the
+    * written manifest (doc_id, shard, bin_id, start_offset, n_tokens) for
+    * the caller to gate on.
+    */
+  def writeTrainingShards(spark: SparkSession, sfDir: String, outDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val kept = curationDecisions(spark, sfDir)
+      .where(col("keep") === 1).select(col("doc_id"))
+    val docs = Tables.documents(spark, sfDir).join(kept, "doc_id")
+    val packed = sequencePackingOf(docs, capacity, nShards)
+    docs.join(packed, "doc_id")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("shard"), col("bin_id"), col("start_offset"), col("n_tokens"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("shard"), col("bin_id"),
+        col("start_offset"), col("n_tokens"))
   }
 
   /** Benchmark decontamination scan: flag training documents sharing any

@@ -209,6 +209,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("training-shard writer: survivors only, gapless per-shard packing, partitioned layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = Curation.writeTrainingShards(spark, sf, out, capacity = 512, nShards = 4)
+      .collect()
+    val kept = Curation.curationDecisions(spark, sf)
+      .where(col("keep") === 1).count()
+    assert(manifest.length.toLong === kept, "one manifest row per kept doc")
+    // shard directories exist (hive-style partitioning)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("shard=")) > 1, dirs.mkString(","))
+    // per-shard streams are gapless: offsets sorted by doc_id chain exactly
+    manifest.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      sorted.foldLeft(0L) { (expected, r) =>
+        assert(r.getAs[Long]("start_offset") === expected,
+          s"gap at doc ${r.getAs[Long]("doc_id")}")
+        expected + r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("salted join equals the plain join on skewed data") {
     val s = spark
     import s.implicits._
