@@ -85,9 +85,76 @@ object Curation {
     // labels would silently break the fixpoint contract (and the oracle)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxRounds rounds — " +
-        "component diameter exceeds the cap; raise maxRounds or switch to " +
-        "large-star/small-star (O(log n) rounds)")
+        "component diameter exceeds the cap; raise maxRounds or use " +
+        "connectedComponentsStar (large-star/small-star, O(log² n) rounds)")
     // corpus is touched exactly once: singletons are their own component
+    allDocs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the O(log²·)-round alternative to [[connectedComponents]]'
+    * min-label propagation, whose round count is the component DIAMETER.
+    * Near-dup clusters are short chains, so propagation wins there; this
+    * is the resolver for pathological graphs (long chains from chunk-
+    * overlap dedup, transitive URL chains) where diameter ≈ n and
+    * propagation cannot finish. Same output contract: (doc_id, component
+    * = min reachable doc_id) for EVERY document.
+    *
+    * Scale shape per round: two grouped min-aggregates and an equality
+    * join per star step — all hash-shuffles on node id, map-side
+    * combinable, no driver-side graph; `localCheckpoint` truncates
+    * lineage each round; convergence = edge multiset checksum unchanged
+    * (a scan, not a join). The fixpoint is the unique min-label star
+    * forest, so results equal propagation's exactly wherever both finish.
+    */
+  def connectedComponentsStar(pairs: DataFrame, allDocs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // large-star: every node points its LARGER neighbors at the min of
+    // its closed neighborhood; small-star: the smaller-or-equal ones
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      bidir.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      oriented.join(m, "u")
+        .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = pairs
+      .select(col("doc1").cast("long").as("u"), col("doc2").cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = checksum(edges)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds")
+    // converged star forest: every non-root points straight at its
+    // component's min; roots (and singletons) map to themselves
+    val labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("component"))
     allDocs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))

@@ -116,6 +116,36 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("star connected components equal propagation on the corpus pairs") {
+    val pairs = Dedup.minhashPairs(spark, sf, threshold = 0.7)
+      .select(col("doc1"), col("doc2"))
+    val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"))
+    val prop = Curation.connectedComponents(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Curation.connectedComponentsStar(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star === prop)
+  }
+
+  test("star components resolve a long chain that defeats diameter-bound propagation") {
+    val s = spark
+    import s.implicits._
+    // path graph 0-1-2-...-255: diameter 255
+    val n = 256
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    // min-label propagation moves the label ONE hop per round — a capped
+    // round budget cannot finish the chain
+    intercept[IllegalStateException] {
+      Curation.connectedComponents(chain, nodes, maxRounds = 20).collect()
+    }
+    // the star rewrites need O(log^2 n) rounds and resolve it fully
+    val star = Curation.connectedComponentsStar(chain, nodes, maxRounds = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length === n)
+    assert(star.forall(_._2 === 0L), star.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
   test("dedup components agree with minhash pairs on the corpus") {
     val comps = Curation.dedupComponents(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
