@@ -106,6 +106,8 @@ object SparkEntry {
     "q70_sliding_chunks" -> ((s: SparkSession, d: String) => TextAnalytics.slidingChunks(s, d)),
     // CCNet-style LM quality signal: mean unigram surprisal per document
     "q71_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalytics.unigramSurprisal(s, d)),
+    // the star-rewrite components resolver, against q50's exact oracle
+    "q72_dedup_components_star" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupComponentsStar(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -501,6 +503,22 @@ private object CorpusOracles {
        |  GROUP BY 1,2)
        |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.7""".stripMargin
 
+  /** Min-label closure over the q25 pairs — the unique connected-components
+    * fixpoint, shared by BOTH resolvers: q50 (min-label propagation) and
+    * q72 (large-star/small-star) must produce identical tables.
+    */
+  private val componentsSql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+       |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+       |          UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(doc_id, component) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
+       |SELECT doc_id, min(component) AS component
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   private val langPredicted = {
     val langs = graft.functions.Text.LangStopwords
     val scores = langs.map { case (lang, sw) =>
@@ -648,17 +666,10 @@ private object CorpusOracles {
     // min-label fixpoint == min reachable doc_id, computed by a recursive
     // closure over the bidirectional q25 edge list (unique fixpoint, so the
     // engines agree no matter the iteration order)
-    "q50_dedup_components" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
-         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
-         |          UNION ALL SELECT doc2, doc1 FROM pairs),
-         |reach(doc_id, component) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
-         |SELECT doc_id, min(component) AS component
-         |FROM reach GROUP BY doc_id""".stripMargin,
+    "q50_dedup_components" -> componentsSql,
+    // the star resolver reaches the SAME unique min-label fixpoint, so it
+    // gates against the identical recursive-closure oracle
+    "q72_dedup_components_star" -> componentsSql,
     // composed keep/drop verdict: quality + trigram repetition (q54
     // fragment) + canonical component (q50 recursive closure) + benchmark
     // 8-gram contamination (q56 CTEs), one row per document

@@ -176,6 +176,18 @@ object Curation {
         Tables.documents(spark, sfDir).select(col("doc_id")))
     }
 
+  /** [[dedupComponents]] resolved by [[connectedComponentsStar]] instead —
+    * identical output (unique fixpoint), gated against the SAME oracle as
+    * q50; the resolver to reach for when cluster diameters are unbounded.
+    */
+  def dedupComponentsStar(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    SessionMemo(spark, s"dedupComponentsStar|$sfDir|$threshold") {
+      connectedComponentsStar(
+        Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
+        Tables.documents(spark, sfDir).select(col("doc_id")))
+    }
+
   /** Sequence packing for LLM pretraining: assign documents to fixed
     * token-capacity bins by running cumulative token count, per shard.
     * Output: (doc_id, shard, n_tokens, start_offset, bin_id) where
