@@ -58,6 +58,7 @@ object SparkEntry {
     // — corpus-scale dedup / similarity / text / multimodal (BASELINE.json north star) —
     "q22_dedup_exact" -> Dedup.exactGroups _,
     "q23_shingle_jaccard" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
+    "q73_jaccard_prefix" -> ((s: SparkSession, d: String) => Dedup.jaccardPairsPrefix(s, d)),
     "q24_minhash_signatures" -> ((s: SparkSession, d: String) => Dedup.minhashSignatures(s, d)),
     "q25_minhash_dedup" -> ((s: SparkSession, d: String) => Dedup.minhashPairs(s, d)),
     "q26_simhash_docs" -> Dedup.simhashDocs _,
@@ -621,6 +622,16 @@ private object CorpusOracles {
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
          |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2)
+         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    // q73 is EXACT Jaccard with no hot-shingle cap (the prefix-filter join
+    // prunes, never drops) — so its oracle is the plain quadratic truth,
+    // not q23's df-capped variant.
+    "q73_jaccard_prefix" ->
+      s"""WITH sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1,2)
          |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
     "q24_minhash_signatures" ->

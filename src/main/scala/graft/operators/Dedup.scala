@@ -38,9 +38,36 @@ object Dedup {
 
   /** doc_id → distinct 3-gram shingle set, exploded. */
   private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    shingleSetOf(Tables.documents(spark, sfDir))
+
+  /** [[shingleSet]] over an arbitrary (doc_id, text) frame. */
+  private def shingleSetOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("shingle"))
       .distinct()
+
+  /** Exact shingle-Jaccard of candidate (doc1, doc2) pairs — the shared
+    * verification tail of [[minhashPairs]] and [[jaccardPairsPrefix]]:
+    * join each side back to the full shingle table, count the common
+    * shingles, and keep pairs at or above the (6-dp-rounded) threshold.
+    */
+  private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
+      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingle", "s2"), Seq("doc2"))
+      .where(col("s1") === col("s2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), Seq("doc1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), Seq("doc2"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
 
   /** All pairs with exact shingle-Jaccard ≥ threshold, via a shingle
     * equality self-join. Exact but quadratic in the worst case — at 100 TB
@@ -96,6 +123,80 @@ object Dedup {
         round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /** Exact shingle-Jaccard pairs via prefix filtering — the AllPairs /
+    * PPJoin family (Bayardo et al., WWW 2007; Xiao et al., WWW 2008) — the
+    * corpus-scale replacement for [[jaccardPairs]]'s capped quadratic
+    * self-join. Same exact output, with no frequency cap and no pair
+    * budget:
+    *
+    *  1. order every document's shingle set by ascending global document
+    *     frequency, rarest first ((df, shingle) is a deterministic total
+    *     order);
+    *  2. emit only each document's PREFIX — its first
+    *     n − ⌈t/(1+t)·n⌉ + 1 sorted shingles. Any pair with J ≥ t shares a
+    *     prefix shingle: J ≥ t ⟹ |x∩y| ≥ ⌈t/(1+t)·(|x|+|y|)⌉, which
+    *     exceeds |x's suffix| + |y's suffix| = (⌈t/(1+t)·|x|⌉−1) +
+    *     (⌈t/(1+t)·|y|⌉−1), so by pigeonhole some common shingle sits in
+    *     BOTH prefixes;
+    *  3. equality-join the prefixes on the shingle, pruned by the length
+    *     filter (min(n1,n2) ≥ t·max(n1,n2), else J < t) and the PPJoin
+    *     positional filter (a shared shingle at sorted positions p1/p2
+    *     bounds the overlap by 1 + min(n1−p1, n2−p2); sound because for a
+    *     true pair the SMALLEST common shingle lies in both prefixes with
+    *     no common shingle before it, and `distinct` keeps a pair if any
+    *     one generating shingle survives);
+    *  4. exact-verify the surviving candidates with the full Jaccard
+    *     ([[verifiedJaccard]]).
+    *
+    * All pruning thresholds carry a 1e-9 slack and the float comparisons
+    * avoid ceil(): a float wobble can only ADMIT an extra candidate (then
+    * discarded by the exact verify), never drop a true pair.
+    *
+    * Scale shape: hot shingles (high df) sort to the END of every document
+    * and so almost never land in a prefix — the df² blow-up that forces
+    * [[jaccardPairs]]' hot-shingle cap disappears by construction instead
+    * of by fiat. Every shuffle is equality-keyed: shingle for the df count
+    * and the candidate join, doc_id for the per-doc sort (one
+    * collect_list aggregation, no window) and the verify rollup.
+    */
+  def jaccardPairsPrefix(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame =
+    jaccardPairsPrefixOf(Tables.documents(spark, sfDir), threshold)
+
+  /** [[jaccardPairsPrefix]] over an arbitrary (doc_id, text) frame. */
+  def jaccardPairsPrefixOf(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardPairsPrefix: threshold must be in (0, 1], got $threshold")
+    val sh = materialized(shingleSetOf(docs))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc shingle list sorted rarest-first: one doc_id shuffle with
+    // map-side collect_list partials — no window sort
+    val sorted = sh.join(freq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ss"))
+    val tJoint = threshold / (1.0 + threshold)
+    val n = size(col("ss"))
+    // ceil with a downward slack: never shorter than the exact prefix
+    val prefixLen = (n - ceil(lit(tJoint) * n - lit(1e-9)) + 1).cast("int")
+    val prefix = sorted
+      .select(col("doc_id"), n.as("n"),
+        posexplode(slice(col("ss"), lit(1), prefixLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
+        col("col.shingle").as("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id")
+          // length filter: an integer ≥ a real already means ≥ its ceil
+          && least(col("a.n"), col("b.n")).cast("double") >=
+            lit(threshold) * greatest(col("a.n"), col("b.n")) - lit(1e-9)
+          // PPJoin positional filter vs the minimum overlap t/(1+t)·(n1+n2)
+          && (lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")))
+            .cast("double") >= lit(tJoint) * (col("a.n") + col("b.n")) - lit(1e-9))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    verifiedJaccard(candidates, sh, threshold)
   }
 
   /** Per-document 16-element MinHash signature, one column per element
@@ -156,21 +257,7 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-    val sh = materialized(shingleSet(spark, sfDir))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
-      .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingle", "s2"), Seq("doc2"))
-      .where(col("s1") === col("s2"))
-      .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_shingles", "n1"), Seq("doc1"))
-      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), Seq("doc2"))
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
-      .where(col("jaccard") >= threshold)
-      .select(col("doc1"), col("doc2"), col("jaccard"))
+    verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
   }
 
   /** Per-document 32-bit SimHash over whitespace tokens (term-frequency
