@@ -81,6 +81,7 @@ object SparkEntry {
     "q54_repetition" -> TextAnalytics.repetition _,
     "q55_chunk_dedup" -> ((s: SparkSession, d: String) => Dedup.chunkShared(s, d)),
     "q56_decontamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontaminate(s, d)),
+    "q74_decontam_bloom" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontaminateBloom(s, d)),
     "q57_domain_mix" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixSample(s, d)),
     "q58_vocab_topk" -> ((s: SparkSession, d: String) => TextAnalytics.vocabTopK(s, d)),
     "q59_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.tfidfTopTerms(s, d)),
@@ -485,6 +486,24 @@ private object CorpusOracles {
   /** Full q25 MinHash-LSH near-dup-pairs SQL; also reused as the edge list
     * of the q50 connected-components oracle.
     */
+  /** Exact 8-gram decontamination verdict — shared by q56 (broadcast-join
+    * plan) and q74 (Bloom-prefilter plan): same truth, different physical
+    * strategy, identical output.
+    */
+  private val decontaminationSql =
+    """WITH g AS (SELECT doc_id,
+      |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
+      |  FROM (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+      |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+      |b AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+      |t AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0)
+      |SELECT t.doc_id, count(*) AS n_ngrams,
+      | CAST(sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      | CAST(max(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+      |FROM t LEFT JOIN b ON t.gram_h = b.gram_h
+      |GROUP BY 1""".stripMargin
+
   private val minhashPairsSql =
     s"""WITH sig AS (
        |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
@@ -803,19 +822,10 @@ private object CorpusOracles {
         | round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS shared_frac
         |FROM ch JOIN cnt USING (chunk_hash)
         |GROUP BY 1""".stripMargin,
-    "q56_decontamination" ->
-      """WITH g AS (SELECT doc_id,
-        |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
-        |  FROM (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
-        |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
-        |b AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
-        |t AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0)
-        |SELECT t.doc_id, count(*) AS n_ngrams,
-        | CAST(sum(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-        | CAST(max(CASE WHEN b.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
-        |FROM t LEFT JOIN b ON t.gram_h = b.gram_h
-        |GROUP BY 1""".stripMargin,
+    "q56_decontamination" -> decontaminationSql,
+    // q74 runs the Bloom-prefilter plan; its output contract is the exact
+    // decontamination verdict, so it gates against the identical oracle
+    "q74_decontam_bloom" -> decontaminationSql,
     "q57_domain_mix" ->
       s"""WITH tgt(source, target_share) AS (VALUES
         |  ${graft.operators.Curation.DomainTargets.map { case (s, w) =>

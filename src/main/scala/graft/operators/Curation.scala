@@ -296,6 +296,18 @@ object Curation {
     * only on gram-hash EQUALITY, so both modes flag identical doc sets
     * (modulo a ~2⁻⁶⁰ collision, spec-checked on a fixture).
     */
+  /** Gram-hash selector shared by the decontamination variants — see
+    * [[decontaminateAgainst]] for the md5-vs-xxhash64 contract.
+    */
+  private def gramHasher(spark: SparkSession)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    spark.conf.get("spark.graft.decontamination.hash", "md5") match {
+      case "md5" => Hashing.stableHash60
+      case "xxhash64" => c => xxhash64(c)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.decontamination.hash must be md5 or xxhash64, got: $other")
+    }
+
   def decontaminateAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
       n: Int = 8): DataFrame = {
     // grams shuffle as 60-bit md5-prefix longs, not ~60-byte strings: the
@@ -304,14 +316,7 @@ object Curation {
     // the remaining cost is md5 itself, kept for engine-portable
     // verification; xxhash64 mode drops that too). Both engines hash md5
     // identically, so the oracle is exact.
-    val gramHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      trainDocs.sparkSession.conf
-        .get("spark.graft.decontamination.hash", "md5") match {
-        case "md5" => Hashing.stableHash60
-        case "xxhash64" => c => xxhash64(c)
-        case other => throw new IllegalArgumentException(
-          s"spark.graft.decontamination.hash must be md5 or xxhash64, got: $other")
-      }
+    val gramHash = gramHasher(trainDocs.sparkSession)
     def grams(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
         explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
@@ -324,6 +329,90 @@ object Curation {
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"),
         max(coalesce(col("hit"), lit(0))).cast("int").as("contaminated"))
+  }
+
+  /** [[decontaminate]]'s mock-benchmark corpus form, executed through the
+    * Bloom-prefilter plan of [[decontaminateBloomAgainst]] — oracle-gated
+    * against the SAME truth as q56 (the Bloom stage can only admit extra
+    * candidates; the exact verify removes them, so outputs are identical).
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+      n: Int = 8, benchMod: Int = 97): DataFrame =
+    SessionMemo(spark, s"decontaminateBloom|$sfDir|$n|$benchMod|" +
+        spark.conf.get("spark.graft.decontamination.hash", "md5")) {
+      val docs = Tables.documents(spark, sfDir)
+      decontaminateBloomAgainst(
+        docs.where(col("doc_id") % benchMod =!= 0),
+        docs.where(col("doc_id") % benchMod === 0), n)
+    }
+
+  /** [[decontaminateAgainst]] restructured for the regime where the
+    * benchmark gram set is too big to broadcast as an exact hash table
+    * (multi-benchmark suites, paragraph-level grams): without a sketch the
+    * exact join must shuffle the ENTIRE corpus gram stream on gram_h — the
+    * scale-killer. This plan instead:
+    *
+    *  1. reduces the bench side to a fixed-size Bloom sketch with Spark's
+    *     native `BloomFilterAggregate` (map-side-mergeable; one binary
+    *     reaches the driver — metadata-sized, like the reference's
+    *     anchor-date collect) and re-embeds it as a literal, exactly how
+    *     Spark's own runtime-filter injection ships blooms to scans;
+    *  2. derives each document's distinct gram hashes IN-ROW
+    *     (`array_distinct` on the shingle array) — the corpus-wide
+    *     `(doc_id, gram_h) DISTINCT` shuffle of the exact path disappears,
+    *     and the per-doc total (`n_ngrams`) is a pure map-side projection;
+    *  3. prefilters corpus grams with codegen'd `might_contain` — clean
+    *     grams (the overwhelming majority) die map-side; only Bloom
+    *     survivors enter the exact equality join (unhinted: AQE broadcasts
+    *     it at test scale, shuffles survivors-only at real scale), so false
+    *     positives are removed and the output matches the exact plan
+    *     bit-for-bit;
+    *  4. stitches survivor hit-counts back with one doc-sized left join.
+    *
+    * The corpus text is scanned twice (totals + candidates) — at 100 TB
+    * two parallel scans beat persisting a corpus-sized gram table, and the
+    * totals branch exists only because the contract reports `n_ngrams`;
+    * drop that column and the totals scan goes with it.
+    */
+  def decontaminateBloomAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.types.BinaryType
+    val gramHash = gramHasher(trainDocs.sparkSession)
+    def gramArr = array_distinct(
+      transform(graft.functions.Text.shingles(col("text"), n), gramHash))
+    // bench-sized and consumed three times (count, sketch, exact verify) —
+    // cache it; lazy and lineage-backed like Dedup's materialized tables
+    val bench = benchDocs
+      .select(explode(gramArr).as("gram_h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the sketch to the actual bench cardinality (a bench-sized count,
+    // not a corpus job); default FPP applies
+    val est = math.max(bench.count(), 1L)
+    val bloomBytes = bench.agg(GraftBridge.column(
+        new BloomFilterAggregate(
+          GraftBridge.expression(col("gram_h")), est).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = GraftBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftBridge.expression(col("gram_h"))))
+    // docs with zero grams have no rows in the exact plan's rollup either
+    val totals = trainDocs
+      .select(col("doc_id"), size(gramArr).cast("long").as("n_ngrams"))
+      .where(col("n_ngrams") > 0)
+    val hits = trainDocs
+      .select(col("doc_id"), explode(gramArr).as("gram_h"))
+      .where(mightContain)
+      .join(bench, Seq("gram_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
   }
 
   /** Deterministic domain-mixture sampling: draw a corpus subset whose

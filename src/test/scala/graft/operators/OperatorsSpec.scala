@@ -190,6 +190,37 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("bloom decontamination equals the exact broadcast plan in both hash modes") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text with no overlap whatsoever in any gram at all"),
+      (3L, "the quick brown fox jumps over the lazy dog but differently here"),
+      (4L, "short text")  // < n tokens: zero grams, absent from both outputs
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every day")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    for (mode <- Seq("md5", "xxhash64")) {
+      spark.conf.set("spark.graft.decontamination.hash", mode)
+      try {
+        val exact = rows(Curation.decontaminateAgainst(train, bench, n = 8))
+        val bloom = rows(Curation.decontaminateBloomAgainst(train, bench, n = 8))
+        assert(bloom === exact, s"bloom plan diverged from exact in $mode mode")
+        assert(!exact.exists(_._1 == 4L), "zero-gram doc must be absent")
+      } finally spark.conf.unset("spark.graft.decontamination.hash")
+    }
+  }
+
+  test("bloom decontamination plan carries the sketch prefilter") {
+    val plan = Curation.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom prefilter in plan")
+  }
+
   test("stratified sample caps every stratum deterministically") {
     val a = Curation.stratifiedSample(spark, sf, cap = 5).collect()
     val b = Curation.stratifiedSample(spark, sf, cap = 5).collect()
