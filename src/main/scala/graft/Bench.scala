@@ -82,15 +82,29 @@ object Bench {
     }.toMap
     val failures = names.map(n => n -> passes.count(_(n) < 0)).filter(_._2 > 0)
 
+    // round per-query values to ms: sub-ms digits are noise and the digits
+    // cost tail-window space (see below)
+    def r3(v: Double) = if (v < 0) v else math.rint(v * 1000) / 1000
     def fmt(m: Map[String, Double]) =
-      names.map(n => "\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+      names.map(n => "\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
     val total = medians.values.filter(_ >= 0).sum
     val totalMin = mins.values.filter(_ >= 0).sum
     val perRunTotals = passes.map(_.values.filter(_ >= 0).sum)
     val spread = perRunTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val coldQs = names.map(n => "\"" + n + "\":" + passes.head(n)).mkString("{", ",", "}")
+    val coldQs = names.map(n => "\"" + n + "\":" + r3(passes.head(n))).mkString("{", ",", "}")
     val failJson = failures.map { case (n, c) => "\"" + n + "\":" + c }.mkString("{", ",", "}")
+    // The harness records only the LAST ~2000 chars of output. With 70+
+    // queries the full detail line is ~7 KB, so whatever map happens to
+    // straddle the cutoff is all a reader sees (round 4's tail ended inside
+    // `queries_cold`, presenting cold-pass times as if they were the
+    // result). Print the FULL detail line first for anyone reading the
+    // whole log, then a compact self-contained summary line LAST — totals,
+    // run spread, and the slowest queries BY MEDIAN — sized to always fit
+    // the tail window intact.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread,"failures":$failJson}""")
+    val slowest = names.sortBy(n => -medians(n)).take(10)
+      .map(n => "\"" + n + "\":" + r3(medians(n))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold in the full line above"}""")
     spark.stop()
   }
 }

@@ -90,12 +90,17 @@ object TextAnalytics {
     * could not.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val terms = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
-        explode(Text.tokens(col("text"))).as("word"))
-    val tf = terms.groupBy(col("doc_id"), col("word"))
-      .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the persisted tf table goes through SessionMemo (k-independent key)
+    // so repeated calls share one registration and eviction/invalidate can
+    // release it — a bare persist here retained a corpus-sized cache entry
+    // for the session lifetime with no release path
+    val tf = graft.operators.SessionMemo(spark, s"tfidfTf|$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
+          explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
+    }
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("word"))

@@ -131,10 +131,19 @@ object Curation {
         .select(explode(array(col("v"), col("u"))).as("u"), col("m").as("v"))
         .where(col("u") =!= col("v")).distinct()
     }
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)))
+    // convergence = edge multiset unchanged, detected by checksum. One
+    // 64-bit hash-sum could in principle collide across rounds and declare
+    // a false fixpoint; summing TWO independent functions of each edge
+    // (xxhash64 of (u,v) and of the swapped (v,u)) alongside the count
+    // makes a silent false convergence require a simultaneous collision in
+    // both sums (~2⁻¹²⁸) — while staying a single tiny aggregate, not the
+    // exceptAll anti-join a set-difference probe would cost every round
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(sum(xxhash64(col("v"), col("u"))), lit(0L)))
         .head()
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var edges = pairs
       .select(col("doc1").cast("long").as("u"), col("doc2").cast("long").as("v"))
@@ -380,22 +389,62 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.types.BinaryType
-    val gramHash = gramHasher(trainDocs.sparkSession)
+    val spark = trainDocs.sparkSession
+    val hashMode = spark.conf.get("spark.graft.decontamination.hash", "md5")
+    val gramHash = gramHasher(spark)
     def gramArr = array_distinct(
       transform(graft.functions.Text.shingles(col("text"), n), gramHash))
     // bench-sized and consumed three times (count, sketch, exact verify) —
-    // cache it; lazy and lineage-backed like Dedup's materialized tables
-    val bench = benchDocs
-      .select(explode(gramArr).as("gram_h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cached through SessionMemo (keyed by the bench PLAN's semantic hash +
+    // gram params) so the registration is bounded, evictable, and released
+    // by invalidate() instead of persisting for the session lifetime
+    val bench = SessionMemo(spark,
+      s"bloomBenchGrams|${benchDocs.queryExecution.analyzed.semanticHash()}|$n|$hashMode") {
+      benchDocs.select(explode(gramArr).as("gram_h")).distinct()
+    }
     // size the sketch to the actual bench cardinality (a bench-sized count,
-    // not a corpus job); default FPP applies
+    // not a corpus job). The single-arg BloomFilterAggregate constructor
+    // silently clamps at spark.sql.optimizer.runtime.bloomFilter.maxNumItems
+    // / maxNumBits (4M items / 64M bits default) — in the very-large-
+    // benchmark regime this operator exists for, that would quietly degrade
+    // the FPP until the map-side prefilter stops pruning (the exact verify
+    // keeps outputs correct, but the scale benefit disappears). So: compute
+    // numBits explicitly for ~3% FPP, pass BOTH values through the
+    // (child, est, numBits) constructor, and raise the session's clamp
+    // confs around the sketch job so the explicit sizing actually takes
+    // effect (the aggregate re-clamps against SQLConf at eval time). Only a
+    // genuinely absurd sketch (> maxSketchBytes, default 128 MB — past any
+    // sane broadcast) is still clamped, and that clamp WARNS instead of
+    // degrading silently.
     val est = math.max(bench.count(), 1L)
-    val bloomBytes = bench.agg(GraftBridge.column(
-        new BloomFilterAggregate(
-          GraftBridge.expression(col("gram_h")), est).toAggregateExpression())
-        .as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val maxSketchBytes = 128L << 20
+    val idealBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, 0.03)
+    val numBits = math.min(idealBits, maxSketchBytes * 8)
+    if (numBits < idealBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontaminateBloomAgainst: bench gram cardinality $est wants " +
+          s"$idealBits bloom bits but the sketch is capped at $numBits " +
+          s"(${maxSketchBytes >> 20} MB); the prefilter FPP degrades above " +
+          "3% and map-side pruning weakens (results stay exact)")
+    val clampConfs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> est,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = clampConfs.map { case (k, v) =>
+      val old = spark.conf.getOption(k)
+      if (old.forall(_.toLong < v)) spark.conf.set(k, v)
+      k -> old
+    }
+    val bloomBytes =
+      try bench.agg(GraftBridge.column(
+          new BloomFilterAggregate(
+            GraftBridge.expression(col("gram_h")),
+            Literal(est), Literal(numBits)).toAggregateExpression())
+          .as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     val mightContain = GraftBridge.column(new BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
       GraftBridge.expression(col("gram_h"))))

@@ -27,7 +27,15 @@ import org.apache.spark.storage.StorageLevel
   * MEMORY_AND_DISK — all memoized tables are pair/doc-count-sized, orders
   * of magnitude below the corpus. The benign race (two threads building
   * the same key once each) is accepted over `computeIfAbsent`, whose
-  * reentrancy ban a nested memoized build (components → pairs) would trip.
+  * reentrancy ban a nested memoized build (components → pairs) would trip;
+  * the losing thread's already-persisted DataFrame is unpersisted so the
+  * race cannot leak a CacheManager registration.
+  *
+  * ASSUMPTION: the data under a memo key (the parquet files of an sfDir)
+  * is immutable for the session — keys carry the inputs' PATHS and
+  * parameters, not content hashes. A session that rewrites its input
+  * fixtures in place must call [[invalidate]] to drop the stale entries
+  * (the specs that regenerate fixtures do exactly this).
   */
 private[graft] object SessionMemo {
   private val MaxSessions = 64
@@ -63,7 +71,22 @@ private[graft] object SessionMemo {
     else {
       val df = build.persist(StorageLevel.MEMORY_AND_DISK)
       val prev = tables.putIfAbsent(key, df)
-      if (prev != null) prev else df
+      if (prev != null) {
+        // lost the benign build race: release this thread's persist so the
+        // CacheManager holds exactly one registration per key
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+        prev
+      } else df
+    }
+  }
+
+  /** Drop (and unpersist) every memoized table of `spark` — for sessions
+    * that rewrite the data under a previously-memoized sfDir in place.
+    */
+  def invalidate(spark: SparkSession): Unit = {
+    val tables = bySession.synchronized(bySession.remove(spark))
+    if (tables != null) tables.forEach { (_, df) =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
   }
 }
