@@ -110,6 +110,9 @@ object SparkEntry {
     "q71_unigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalytics.unigramSurprisal(s, d)),
     // the star-rewrite components resolver, against q50's exact oracle
     "q72_dedup_components_star" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupComponentsStar(s, d)),
+    // exact Jaccard join DECLARED as a theta join, PLANNED by the
+    // SimilarityJoinRewrite optimizer rule (conf-isolated newSession)
+    "q75_sim_join_rewrite" -> ((s: SparkSession, d: String) => Dedup.jaccardPairsRewrite(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -653,6 +656,22 @@ private object CorpusOracles {
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1,2)
          |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    // q75 declares the same exact-Jaccard truth as a THETA JOIN and lets
+    // the SimilarityJoinRewrite rule plan it. Spark filters on the
+    // UNROUNDED IEEE double ratio (the join predicate), so the oracle must
+    // too — hence CAST AS DOUBLE division (DuckDB's `x*1.0` route goes
+    // through DECIMAL) and the threshold applied before the display
+    // rounding, not after like q23/q73's rounded-jaccard variants.
+    "q75_sim_join_rewrite" ->
+      s"""WITH sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1,2),
+         |j AS (SELECT doc1, doc2, CAST(cnt AS DOUBLE)/(x.n + y.n - cnt) AS jr
+         |  FROM inter JOIN sizes x ON doc1 = x.doc_id JOIN sizes y ON doc2 = y.doc_id)
+         |SELECT doc1, doc2, round(jr, 6) AS jaccard FROM j
+         |WHERE jr >= CAST(0.8 AS DOUBLE)""".stripMargin,
     "q24_minhash_signatures" ->
       s"""SELECT doc_id, ${(0 until 16).map(i => s"${mhExpr(i)} AS mh_$i").mkString(", ")}
          |FROM ($baseHashes)""".stripMargin,

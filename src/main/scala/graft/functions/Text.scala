@@ -34,6 +34,18 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Set-Jaccard similarity of two array columns:
+    * |a ∩ b| / |a ∪ b| (set semantics — input duplicates don't count).
+    * Built-in codegen'd expressions only; null/empty arrays yield null
+    * (excluded by any threshold comparison). This EXACT composition is what
+    * [[graft.plans.SimilarityJoinRewrite]] pattern-matches in a join
+    * condition, so `a.join(b, jaccardSim(...) >= t)` plans as a bucketed
+    * equality join when the rule is enabled — keep threshold predicates on
+    * this function rather than a hand-rolled variant.
+    */
+  def jaccardSim(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
   /** Per-language stopword tables for the n-gram language-ID heuristic.
     * Order matters: it is the deterministic tiebreak.
     */

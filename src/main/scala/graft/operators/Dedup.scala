@@ -199,6 +199,39 @@ object Dedup {
     verifiedJaccard(candidates, sh, threshold)
   }
 
+  /** All exact-Jaccard pairs DECLARED as a naive theta self-join —
+    * `a JOIN b ON jaccardSim(sh_a, sh_b) >= t AND a.doc_id < b.doc_id` —
+    * and PLANNED as a bucketed equality join by
+    * [[graft.plans.SimilarityJoinRewrite]] (explode distinct shingles →
+    * join on the shared element → meet-once filter → exact re-check).
+    * Same truth as [[jaccardPairsPrefix]] (no hot-shingle cap, nothing
+    * dropped), demonstrating the planner-rule form of the similarity join:
+    * the query says WHAT (a Jaccard threshold), the rule picks the
+    * scale-safe HOW. The rule reads its conf at optimization time, so the
+    * entry pins it on a fresh session (inherits extensions, isolated
+    * runtime conf) exactly like the range-join entry.
+    */
+  def jaccardPairsRewrite(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.similarityJoinRewrite", "true")
+    // modern size-of-null semantics — the rule (correctly) refuses to
+    // rewrite under legacy size(NULL) = -1, where a null array would score
+    // 1.0 against everything. Shingle arrays are never null at runtime but
+    // their static nullability is conservative, so the conf is what makes
+    // the rewrite provably sound here. Must be set BEFORE the DataFrame is
+    // built: analysis bakes the flag into the Size nodes.
+    s.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    val docs = Tables.documents(s, sfDir)
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+    val a = docs.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
+    val b = docs.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
+    a.join(b, col("doc1") < col("doc2")
+        && Text.jaccardSim(col("sh1"), col("sh2")) >= threshold)
+      .select(col("doc1"), col("doc2"),
+        round(Text.jaccardSim(col("sh1"), col("sh2")), 6).as("jaccard"))
+  }
+
   /** Per-document 16-element MinHash signature, one column per element
     * (mh_0..mh_15).
     *

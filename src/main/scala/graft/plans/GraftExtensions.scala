@@ -25,12 +25,19 @@ import graft.functions.CosineSimilarity
   *     inner joins into bucketed equality joins + exact filter, replacing
   *     the O(n·m) BroadcastNestedLoopJoin Catalyst would otherwise plan.
   *     Semantics-preserving, so it is safe as an optimizer rule.
+  *  4. [[SimilarityJoinRewrite]] — optional optimizer rule
+  *     (`spark.graft.similarityJoinRewrite=true`) that turns an inner
+  *     theta join on a set-Jaccard threshold (the `Text.jaccardSim`
+  *     composition) into an exploded-element equality join + meet-once
+  *     filter + exact re-check. Also semantics-preserving (exact, not
+  *     LSH), hence safe as a rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectOptimizerRule(_ => SimilarityJoinRewrite)
   }
 }
 

@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, NumericType}
+
+/** Optimizer rule that turns an inner theta join on a set-Jaccard
+  * threshold —
+  *
+  *   A JOIN B ON size(array_intersect(a, b)) / size(array_union(a, b)) >= t
+  *
+  * (the [[graft.functions.Text.jaccardSim]] composition, `t > 0`) — into an
+  * equality join Spark can hash/sort-merge:
+  *
+  *   A + explode(array_distinct(a))                       — element key
+  *   B + explode(array_distinct(b))                       — element key
+  *   JOIN ON elem_a <=> elem_b                            — equality!
+  *   AND elem_a <=> array_min(array_intersect(a, b))      — meet exactly once
+  *   AND original condition                               — exactness
+  *
+  * Without this, Catalyst's only plans for the theta join are
+  * BroadcastNestedLoopJoin / CartesianProduct — O(n·m) Jaccard evaluations.
+  * The rewrite bounds comparisons to element co-occupancy: a candidate pair
+  * is generated once per SHARED element and the `array_min` conjunct keeps
+  * exactly one copy (the one joined on the smallest shared element), so no
+  * aggregate/dedup is needed and duplicate input ROWS pair exactly as the
+  * nested loop would. Any pair passing the threshold has a non-empty
+  * intersection (t > 0), so every qualifying pair meets; pairs that never
+  * share an element are exactly the ones the predicate already rejects.
+  * SEMANTICS-PRESERVING — the original predicate re-applies above the join
+  * — unlike an LSH rewrite, which drops pairs and must stay an explicit
+  * operator ([[graft.operators.Dedup.minhashPairs]]). The exact-join
+  * analogue with CANDIDATE PRUNING (prefix filtering) is likewise an
+  * explicit operator, [[graft.operators.Dedup.jaccardPairsPrefix]] — an
+  * optimizer rule must not pick size/ordering heuristics silently.
+  *
+  * Null/empty edges: `<=>` (null-safe) element equality keeps pairs whose
+  * only shared element is NULL (array_min skips nulls, so both sides fall
+  * back to a null key); empty/absent arrays generate no rows, matching the
+  * predicate's null/zero rejection. Rows lost by the non-outer explode are
+  * exactly those with no elements — unmatchable under t > 0.
+  *
+  * Scope: INNER joins only. Outer/semi/anti would need the UNEXPLODED side
+  * preserved, but this rewrite explodes both sides — a semi/outer join over
+  * exploded copies would duplicate (or mis-null-extend) left rows. Declines
+  * when any equality conjunct between the sides exists: Spark already has a
+  * hash-join key, and that check also makes the rule idempotent (the
+  * rewritten join's own `<=>` key rejects a second pass). Hot elements
+  * (shared by many rows on both sides) inflate the candidate space toward
+  * the nested loop's worst case — the rewrite never does asymptotically
+  * worse than what it replaces, but for unblocked corpora with stopword
+  * shingles prefer the prefix-filter operator, which prunes by rarest
+  * element instead of joining on all of them.
+  *
+  * Fires only when `spark.graft.similarityJoinRewrite=true` (set it on the
+  * session BEFORE the action — optimizer confs are read at optimization
+  * time, not DataFrame build).
+  */
+object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val enabledKey = "spark.graft.similarityJoinRewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(enabledKey, "false").toBoolean) return plan
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond).getOrElse(j)
+    }
+  }
+
+  /** Strip the no-op numeric casts the analyzer inserts around `size` when
+    * typing the division.
+    */
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCast(c)
+    case _ => e
+  }
+
+  /** Match `size(array_intersect(a,b)) / size(array_union(a,b))` with the
+    * union's operands semantically equal to the intersect's (either order).
+    *
+    * The `legacySizeOfNull` flag baked into the matched Size nodes is a
+    * SOUNDNESS gate, not a detail: under legacy semantics (the non-ANSI
+    * default) `size(NULL) = -1`, so a NULL array scores -1/-1 = 1.0 against
+    * EVERYTHING — cross-join semantics no equality rewrite can express.
+    * The rewrite is therefore only sound when the sizes use modern
+    * semantics (`spark.sql.legacy.sizeOfNull=false`, where a null operand
+    * nulls the predicate) OR both array expressions are statically
+    * non-nullable. Queries wanting the rewrite on nullable arrays should
+    * set the conf — which also gives the saner similarity semantics.
+    */
+  private def jaccardOperands(e: Expression)
+      : Option[(Expression, Expression, Boolean)] =
+    e match {
+      case Divide(num, den, _) =>
+        (stripCast(num), stripCast(den)) match {
+          case (Size(ArrayIntersect(a, b), legI), Size(ArrayUnion(u1, u2), legU))
+              if legI == legU &&
+                ((u1.semanticEquals(a) && u2.semanticEquals(b)) ||
+                  (u1.semanticEquals(b) && u2.semanticEquals(a))) =>
+            Some((a, b, legI))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** A conjunct of the form `jaccard(a,b) >= t` (t > 0) or `> t` (t ≥ 0),
+    * either orientation. The threshold bound is what makes the rewrite
+    * sound: at t = 0 with `>=`, DISJOINT pairs qualify, and those never
+    * meet on an element key.
+    */
+  private def simPredicate(c: Expression): Option[(Expression, Expression)] = {
+    def threshold(e: Expression): Option[Double] = e match {
+      case l if l.foldable && l.dataType.isInstanceOf[NumericType] =>
+        Option(l.eval()).map(_.asInstanceOf[Number].doubleValue())
+      case _ => None
+    }
+    def sound(ab: (Expression, Expression, Boolean)) = ab match {
+      // legacy size(NULL) = -1 scores null arrays 1.0 vs everything; only
+      // non-nullable inputs are rewritable under it (see jaccardOperands)
+      case (a, b, legacy) => !legacy || (!a.nullable && !b.nullable)
+    }
+    def ge(j: Expression, t: Expression) = for {
+      ab <- jaccardOperands(j) if sound(ab); tv <- threshold(t) if tv > 0.0
+    } yield (ab._1, ab._2)
+    def gt(j: Expression, t: Expression) = for {
+      ab <- jaccardOperands(j) if sound(ab); tv <- threshold(t) if tv >= 0.0
+    } yield (ab._1, ab._2)
+    c match {
+      case GreaterThanOrEqual(j, t) => ge(j, t)
+      case LessThanOrEqual(t, j) => ge(j, t)
+      case GreaterThan(j, t) => gt(j, t)
+      case LessThan(t, j) => gt(j, t)
+      case _ => None
+    }
+  }
+
+  private def rewrite(j: Join, cond: Expression): Option[LogicalPlan] = {
+    if (!cond.deterministic) return None
+    val left = j.left
+    val right = j.right
+    def fromLeft(e: Expression) = e.references.nonEmpty &&
+      e.references.subsetOf(left.outputSet) && e.deterministic
+    def fromRight(e: Expression) = e.references.nonEmpty &&
+      e.references.subsetOf(right.outputSet) && e.deterministic
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    // an equality between the sides: Spark already hash-joins (the rewrite
+    // would only add explode copies), and the rewritten join's own <=> key
+    // lands here on a second pass — the idempotency guard
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) =>
+        (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case EqualNullSafe(a, b) =>
+        (fromLeft(a) && fromRight(b)) || (fromLeft(b) && fromRight(a))
+      case _ => false
+    }
+    if (hasEqui) return None
+
+    // first similarity conjunct whose arrays split across the sides,
+    // oriented (left-array, right-array)
+    val arrays = conjuncts.iterator.flatMap(simPredicate).collectFirst {
+      case (a, b) if fromLeft(a) && fromRight(b) => (a, b)
+      case (a, b) if fromLeft(b) && fromRight(a) => (b, a)
+    }
+    arrays.flatMap { case (la, ra) =>
+      (la.dataType, ra.dataType) match {
+        case (ArrayType(et, _), ArrayType(_, _))
+            if RowOrdering.isOrderable(et) =>
+          // each side: project the distinct array once, explode it to rows.
+          // array_distinct keeps the per-pair meet count = |intersection|
+          // regardless of input duplicates (intersect/union are set-
+          // semantic already, so the predicate is unchanged).
+          def exploded(child: LogicalPlan, arr: Expression, tag: String)
+              : (LogicalPlan, Attribute, Attribute) = {
+            val arrAlias = Alias(ArrayDistinct(arr), s"__graft_sim_arr_$tag")()
+            val projected = Project(child.output :+ arrAlias, child)
+            val arrAttr = arrAlias.toAttribute
+            val elemNullable = arrAlias.dataType match {
+              case ArrayType(_, n) => n
+              case _ => true
+            }
+            val elemAttr =
+              AttributeReference(s"__graft_sim_elem_$tag", et, elemNullable)()
+            val gen = Generate(Explode(arrAttr), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(elemAttr), child = projected)
+            (gen, arrAttr, elemAttr)
+          }
+          val (newLeft, lArr, lElem) = exploded(left, la, "l")
+          val (newRight, rArr, rElem) = exploded(right, ra, "r")
+          // meet-once: of the |intersection| copies of a candidate pair,
+          // keep the one joined on the smallest shared element. array_min
+          // skips nulls, so a pair whose ONLY shared element is null keeps
+          // its null-key copy via <=> (null = null would drop it).
+          val meetOnce = EqualNullSafe(lElem,
+            ArrayMin(ArrayIntersect(lArr, rArr)))
+          val joined = Join(newLeft, newRight, Inner,
+            Some(And(EqualNullSafe(lElem, rElem), And(meetOnce, cond))),
+            JoinHint.NONE)
+          Some(Project(j.output, joined))
+        case _ => None
+      }
+    }
+  }
+}

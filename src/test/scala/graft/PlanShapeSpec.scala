@@ -54,6 +54,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q75: the similarity rule plans the element equality join, not a nested loop") {
+    val p = planOf("q75_sim_join_rewrite")
+    assert(p.contains("__graft_sim_elem"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q29 ANN brute force: query side broadcast, corpus streams once") {
     val p = planOf("q29_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // broadcast CROSS of tiny query set
