@@ -113,6 +113,10 @@ object SparkEntry {
     // exact Jaccard join DECLARED as a theta join, PLANNED by the
     // SimilarityJoinRewrite optimizer rule (conf-isolated newSession)
     "q75_sim_join_rewrite" -> ((s: SparkSession, d: String) => Dedup.jaccardPairsRewrite(s, d)),
+    // typed PII redaction + audit counts (map-side regexp chain)
+    "q76_pii_scrub" -> ((s: SparkSession, d: String) => TextAnalytics.piiScrub(s, d)),
+    // winnowing (MOSS) document fingerprints — map-side, no shuffle
+    "q77_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextAnalytics.winnowFingerprints(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -672,6 +676,38 @@ private object CorpusOracles {
          |  FROM inter JOIN sizes x ON doc1 = x.doc_id JOIN sizes y ON doc2 = y.doc_id)
          |SELECT doc1, doc2, round(jr, 6) AS jaccard FROM j
          |WHERE jr >= CAST(0.8 AS DOUBLE)""".stripMargin,
+    // q76: the oracle renders its regexes and replacement order from the
+    // SAME Text.PiiPatterns constant the Spark side uses — the two engines
+    // cannot drift. Patterns stay in the Java ∩ RE2 regex subset.
+    "q76_pii_scrub" -> {
+      val pats = graft.functions.Text.PiiPatterns
+      val counts = pats.map { case (n, re, _) =>
+        s"CAST(len(regexp_extract_all(contact, '$re')) AS BIGINT) AS n_$n"
+      }.mkString(",\n ")
+      val redacted = pats.foldLeft("contact") { case (e, (_, re, rep)) =>
+        s"regexp_replace($e, '$re', '$rep', 'g')"
+      }
+      s"""SELECT c_custkey,
+         | $counts,
+         | $redacted AS redacted
+         |FROM (SELECT c_custkey,
+         |  c_name || ' phone +1-202-' || lpad(CAST(c_custkey%10000 AS VARCHAR),4,'0')
+         |   || '-' || lpad(CAST(c_custkey%9973 AS VARCHAR),4,'0')
+         |   || ' email ' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR) || '@example.com'
+         |   || ' ip 10.' || CAST(c_nationkey AS VARCHAR) || '.0.' || CAST(c_custkey%256 AS VARCHAR)
+         |   AS contact
+         | FROM customer)""".stripMargin
+    },
+    // q77: winnowing fingerprints — w=4 windows over the 3-shingle hash
+    // stream; per-window min, per-doc distinct. Short docs (1..3 shingles)
+    // take their single overall min: range caps at one window and the
+    // slice truncates at the list end in both engines.
+    "q77_winnow_fingerprints" ->
+      s"""WITH bh AS ($baseHashes)
+         |SELECT doc_id, fp AS fingerprint FROM (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(hs)-3, 1)+1), i -> list_min(hs[i:i+3]))) AS fps
+         |  FROM bh WHERE len(hs) > 0), UNNEST(fps) AS u(fp)""".stripMargin,
     "q24_minhash_signatures" ->
       s"""SELECT doc_id, ${(0 until 16).map(i => s"${mhExpr(i)} AS mh_$i").mkString(", ")}
          |FROM ($baseHashes)""".stripMargin,

@@ -180,6 +180,62 @@ object TextAnalytics {
         md5(array_join(slice(col("w"), col("start") + 1, len), " ")).as("chunk_hash"))
   }
 
+  /** PII scrubbing pass: typed redaction (email/IP/phone/digit-run →
+    * placeholder) plus per-pattern audit counts. The synthetic corpus
+    * carries no organic PII, so the fixture derives a deterministic
+    * contact line from customer columns — name (which embeds a 9-digit
+    * run), a NANP-shaped phone, an e-mail, and a dotted-quad — giving
+    * every pattern real matches in BOTH engines (the oracle builds the
+    * identical string). Production call: `Text.redactPii(col("text"))`
+    * over any corpus column. Pure map-side projection — one pass, no
+    * shuffle at any scale.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val contact = concat(
+      col("c_name"), lit(" phone +1-202-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+      lpad((col("c_custkey") % 9973).cast("string"), 4, "0"),
+      lit(" email "), lower(col("c_mktsegment")),
+      col("c_custkey").cast("string"), lit("@example.com"),
+      lit(" ip 10."), col("c_nationkey").cast("string"),
+      lit(".0."), (col("c_custkey") % 256).cast("string"))
+    val counts = Text.piiCounts(col("contact"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey") +: counts.map { case (n, c) => c.as(n) } :+
+        Text.redactPii(col("contact")).as("redacted"): _*)
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS algorithm): hash every 3-shingle, slide a `w`-hash window,
+    * keep each window's MINIMUM hash; the distinct kept hashes are the
+    * document's fingerprint set. Guarantees any shared run of ≥ w+2
+    * shingles yields a shared fingerprint, while storing ~2/(w+1) of the
+    * hashes — the sub-document overlap signal (quote/boilerplate/plagiarism
+    * detection) at a fraction of full-shingle cost.
+    *
+    * Scale shape: hashes, windows, and per-window minima are all in-row
+    * array expressions and the per-doc dedup is `array_distinct` — a pure
+    * map-side projection, NO shuffle at any corpus size (downstream
+    * fingerprint joins shuffle on the fingerprint key, which this column
+    * feeds). Short documents (fewer than w shingles but at least one)
+    * contribute their single overall-min fingerprint: `sequence` caps at
+    * one window and `slice` truncates at the array end in both engines.
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+      w: Int = 4): DataFrame = {
+    val hs = transform(Text.shingles(col("text"), 3),
+      s => graft.functions.Hashing.stableHash32(s))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hs.as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -46,6 +46,38 @@ object Text {
   def jaccardSim(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** PII patterns for [[redactPii]]/[[piiCounts]], applied in declaration
+    * order (email before IP before phone before bare digit runs — later
+    * patterns must not see text the earlier ones already own). Regex syntax
+    * is kept to the Java ∩ RE2 common subset (character classes, bounded
+    * repetition — no lookaround, no backrefs) so the DuckDB oracle and any
+    * RE2-based scanner behave identically.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+?[0-9]{1,3}-[0-9]{2,4}-[0-9]{3,4}-[0-9]{4}", "<PHONE>"),
+    ("number", "[0-9]{9,}", "<NUM>"))
+
+  /** Redact PII in place: every [[PiiPatterns]] match replaced by its typed
+    * placeholder, in declaration order. Pure map-side codegen'd
+    * `regexp_replace` chain — the pre-release scrubbing pass every
+    * training-data pipeline runs; swap patterns per policy.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, rep)) =>
+      regexp_replace(c, re, rep)
+    }
+
+  /** Per-pattern PII match counts over the ORIGINAL text (independent
+    * counts — redaction order doesn't affect them), for audit columns and
+    * drop-if-too-dense policies.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (n, re, _) =>
+      s"n_$n" -> regexp_count(text, lit(re)).cast("long")
+    }
+
   /** Per-language stopword tables for the n-gram language-ID heuristic.
     * Order matters: it is the deterministic tiebreak.
     */
