@@ -117,6 +117,8 @@ object SparkEntry {
     "q76_pii_scrub" -> ((s: SparkSession, d: String) => TextAnalytics.piiScrub(s, d)),
     // winnowing (MOSS) document fingerprints — map-side, no shuffle
     "q77_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextAnalytics.winnowFingerprints(s, d)),
+    // α=0.5 temperature-smoothed domain mixing (corpus-derived shares)
+    "q78_domain_mix_temperature" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixTemperature(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -891,6 +893,25 @@ private object CorpusOracles {
         |  least(CAST(1.0 AS DOUBLE),
         |    round(n_total * CAST(0.4 AS DOUBLE)) * target_share / n_source) AS keep_rate
         | FROM cnt CROSS JOIN tot JOIN tgt USING (source))
+        |SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(('0x'||substr(md5(d.source||':'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000
+        |  < r.keep_rate * 1000000""".stripMargin,
+    // q78 mirrors q57's draw but derives shares from the corpus: sqrt is
+    // IEEE-correctly-rounded in both engines (pow(x,0.5) is not), and the
+    // share denominator is an exact fixed-point BIGINT sum, so the
+    // keep_rates match bit-for-bit
+    "q78_domain_mix_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS n_source,
+        |    CAST(round(sqrt(count(*)) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fx
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(fx) AS BIGINT) AS fx_total,
+        |    CAST(sum(n_source) AS BIGINT) AS n_total FROM cnt),
+        |rates AS (SELECT source,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    round(n_total * CAST(0.4 AS DOUBLE)) * (CAST(fx AS DOUBLE) / fx_total)
+        |      / n_source) AS keep_rate
+        | FROM cnt CROSS JOIN tot)
         |SELECT d.doc_id, d.source, round(r.keep_rate, 6) AS keep_rate
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE CAST(('0x'||substr(md5(d.source||':'||CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000

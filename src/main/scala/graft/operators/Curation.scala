@@ -495,6 +495,43 @@ object Curation {
         round(col("keep_rate"), 6).as("keep_rate"))
   }
 
+  /** Temperature-smoothed domain mixing — [[domainMixSample]]'s fixed
+    * target table replaced by α-sampling shares computed FROM the corpus:
+    * share_i ∝ (n_i/N)^α with α = 0.5 pinned, the standard multilingual/
+    * multi-source rebalancing (upsample the tail, damp the head) used when
+    * no hand-tuned mixture exists. keep_rate_i = min(1, budget·N·share_i /
+    * n_i); the per-doc keep decision is the same pinned-hash draw as q57.
+    *
+    * Determinism across engines: α = 0.5 is computed with `sqrt` — IEEE-754
+    * correctly-rounded and therefore bit-identical everywhere, unlike
+    * `pow(x, 0.5)`, which carries no such guarantee — and the share
+    * denominator Σ√n_j is summed as ×10⁶ fixed-point LONGS (exact,
+    * commutative), so aggregation order cannot move a keep_rate across a
+    * hash-draw boundary. Same scale shape as q57: two metadata-sized
+    * aggregates, a |sources|-row broadcast, one map-side corpus filter —
+    * no corpus shuffle.
+    */
+  def domainMixTemperature(spark: SparkSession, sfDir: String,
+      budgetFrac: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+      .withColumn("fx", round(sqrt(col("n_source")) * lit(1000000.0)).cast("long"))
+    val tot = counts.agg(sum(col("fx")).as("fx_total"),
+      sum(col("n_source")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0),
+          round(col("n_total") * lit(budgetFrac), 0)
+            * (col("fx").cast("double") / col("fx_total"))
+            / col("n_source")).as("keep_rate"))
+    docs.join(broadcast(rates), "source")
+      .where(pmod(Hashing.stableHash32(
+          concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+        lit(1000000L)) < col("keep_rate") * 1000000)
+      .select(col("doc_id"), col("source"),
+        round(col("keep_rate"), 6).as("keep_rate"))
+  }
+
   /** The composed curation verdict — the query a pipeline operator actually
     * ships: one row per document with its quality score, trigram-repetition
     * fraction, canonical-duplicate flag (from the LSH component resolution),

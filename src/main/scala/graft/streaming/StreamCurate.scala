@@ -44,4 +44,15 @@ object StreamCurate {
     docs
       .withColumn("model_score", Text.modelScore(col("text")))
       .withColumn("keep", (col("model_score") >= 0.0).cast("int"))
+
+  /** Ingest-time PII scrubbing ([[Text.redactPii]], the q76 masker) —
+    * stateless regexp projection, so the batch definition runs unchanged
+    * on a stream; audit counts ride along for per-batch PII-density
+    * monitoring.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val counted = Text.piiCounts(col("text"))
+      .foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+    counted.withColumn("text", Text.redactPii(col("text")))
+  }
 }

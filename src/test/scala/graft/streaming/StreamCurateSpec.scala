@@ -63,4 +63,29 @@ class StreamCurateSpec extends SparkTestBase {
       assert(batch.exists(_._3 == 1) && batch.exists(_._3 == 0))
     } finally q.stop()
   }
+
+  test("streaming PII scrub masks in-flight and counts match the batch q76 masker") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamCurate.scrubPii(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("spii")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "reach me at eve@example.com or +1-202-555-0100"),
+        (2L, "server 10.1.2.3 logged card 4111111111111111"))
+      q.processAllAvailable()
+      val rows = spark.table("spii").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(rows(1L).getAs[String]("text") ===
+        "reach me at <EMAIL> or <PHONE>")
+      assert(rows(1L).getAs[Long]("n_email") === 1)
+      assert(rows(1L).getAs[Long]("n_phone") === 1)
+      assert(rows(2L).getAs[String]("text") === "server <IP> logged card <NUM>")
+      assert(rows(2L).getAs[Long]("n_ip") === 1)
+      assert(rows(2L).getAs[Long]("n_number") === 1)
+    } finally q.stop()
+  }
 }
