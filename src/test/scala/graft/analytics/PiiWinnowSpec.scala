@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * and winnowing fingerprints (properties a fixture-oracle compare can't
   * express — handcrafted adversarial strings, the winnowing guarantee).
   */
-class CurationTextSpec extends SparkTestBase {
+class PiiWinnowSpec extends SparkTestBase {
 
   private def redact(s: String): String = {
     val sp = spark
