@@ -119,6 +119,8 @@ object SparkEntry {
     "q77_winnow_fingerprints" -> ((s: SparkSession, d: String) => TextAnalytics.winnowFingerprints(s, d)),
     // α=0.5 temperature-smoothed domain mixing (corpus-derived shares)
     "q78_domain_mix_temperature" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixTemperature(s, d)),
+    // Johnson–Lindenstrauss random projection, seedless ±1 sign matrix
+    "q79_random_projection" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -669,7 +671,7 @@ private object CorpusOracles {
     // through DECIMAL) and the threshold applied before the display
     // rounding, not after like q23/q73's rounded-jaccard variants.
     "q75_sim_join_rewrite" ->
-      s"""WITH sh AS ($shingleRows),
+      s"""WITH sh AS (SELECT * FROM ($shingleRows) WHERE doc_id < 1000),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -965,6 +967,30 @@ private object CorpusOracles {
         |GROUP BY 1,2""".stripMargin,
     // fixed-point mean (sum of ×10⁶-scaled longs, one final division):
     // order-independent, so partial-aggregation order cannot flip the hash
+    // q79: the ±1 sign matrix is recomputed cell-by-cell from the shared
+    // md5-prefix hash of "i:j" (0-based dim index), components sum as
+    // fixed-point BIGINTs, one double division at the end — the q60
+    // determinism recipe applied to a projection
+    "q79_random_projection" -> {
+      val dOut = 8
+      val sums = (0 until dOut).map { j =>
+        s"sum(CASE WHEN (${h32(s"CAST(i - 1 AS VARCHAR)||':'||'$j'")}) % 2 = 0" +
+          s" THEN fx ELSE -fx END) AS fxs_$j"
+      }.mkString(",\n ")
+      val projs = (0 until dOut).map { j =>
+        s"round(CAST(fxs_$j AS DOUBLE) / (CAST(1000000 AS DOUBLE) * " +
+          s"sqrt(CAST($dOut AS DOUBLE))), 6) AS p_$j"
+      }.mkString(",\n ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
+         |fx AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS fx FROM x),
+         |s AS (SELECT vec_id,
+         | $sums
+         | FROM fx GROUP BY 1)
+         |SELECT vec_id,
+         | $projs
+         |FROM s""".stripMargin
+    },
     "q60_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)

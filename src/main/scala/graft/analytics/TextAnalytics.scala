@@ -215,25 +215,38 @@ object TextAnalytics {
     * hashes — the sub-document overlap signal (quote/boilerplate/plagiarism
     * detection) at a fraction of full-shingle cost.
     *
-    * Scale shape: hashes, windows, and per-window minima are all in-row
-    * array expressions and the per-doc dedup is `array_distinct` — a pure
-    * map-side projection, NO shuffle at any corpus size (downstream
-    * fingerprint joins shuffle on the fingerprint key, which this column
-    * feeds). Short documents (fewer than w shingles but at least one)
-    * contribute their single overall-min fingerprint: `sequence` caps at
-    * one window and `slice` truncates at the array end in both engines.
+    * Scale shape: posexplode → one hash per shingle → per-doc sliding
+    * window minimum → distinct. The naive all-array form (`transform` over
+    * window positions with `array_min(slice(hs, i, w))`) is a trap:
+    * higher-order functions are excluded from subexpression elimination,
+    * so CollapseProject inlines the hash-array build into the position
+    * lambda and every document re-hashes all its shingles once PER WINDOW
+    * POSITION — measured 97.8 s at sf0.1 vs ~1 s for this shape (the same
+    * ~100× documented for minhash in PERF.md). Here the hash runs exactly
+    * once per shingle before the shuffle; the window partitions by doc_id
+    * (bounded by document length, skew-free) and the distinct is
+    * equality-keyed on (doc_id, fingerprint). Short documents (fewer than
+    * w shingles) contribute their single overall-min fingerprint — the
+    * pos-0 frame truncates at the document end, and positions past
+    * max(len−w, 0) are dropped.
     */
   def winnowFingerprints(spark: SparkSession, sfDir: String,
       w: Int = 4): DataFrame = {
-    val hs = transform(Text.shingles(col("text"), 3),
-      s => graft.functions.Hashing.stableHash32(s))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hs.as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w))))).as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(Text.shingles(col("text"), 3)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Hashing.stableHash32(col("s")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    val len = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    hashed
+      .select(col("doc_id"), col("pos"), min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(len).as("n"))
+      .where(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"), col("fp").as("fingerprint"))
+      .distinct()
   }
 
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct

@@ -210,9 +210,19 @@ object Dedup {
     * scale-safe HOW. The rule reads its conf at optimization time, so the
     * entry pins it on a fresh session (inherits extensions, isolated
     * runtime conf) exactly like the range-join entry.
+    *
+    * Scope note: the rewrite replaces a NESTED LOOP — its candidate stage
+    * still carries both rows' arrays through the element join, so cost
+    * grows with (docs sharing an element)², unlike [[jaccardPairsPrefix]],
+    * which prunes by rarest-prefix before any pair forms. That makes the
+    * rule the right tool for interactive / bounded similarity joins and
+    * the prefix operator the corpus-dedup path — so this entry bounds its
+    * input window (`doc_id < maxDocId`, a no-op at the sf0.01 gate scale)
+    * the way a nested-loop-replacement user would, rather than posing as
+    * the unbounded-dedup operator it deliberately is not.
     */
   def jaccardPairsRewrite(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxDocId: Long = 1000L): DataFrame = {
     val s = spark.newSession()
     s.conf.set("spark.graft.similarityJoinRewrite", "true")
     // modern size-of-null semantics — the rule (correctly) refuses to
@@ -223,6 +233,7 @@ object Dedup {
     // built: analysis bakes the flag into the Size nodes.
     s.conf.set("spark.sql.legacy.sizeOfNull", "false")
     val docs = Tables.documents(s, sfDir)
+      .where(col("doc_id") < maxDocId)
       .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
     val a = docs.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = docs.select(col("doc_id").as("doc2"), col("sh").as("sh2"))

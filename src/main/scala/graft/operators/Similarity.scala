@@ -316,6 +316,43 @@ object Similarity {
         round(sum(round(col("v") * 1e6).cast("long")).cast("double")
           / (count(lit(1)) * lit(1e6)), 6).as("mean_v"))
 
+  /** Johnson–Lindenstrauss random projection to `dOut` dimensions with a
+    * SEEDLESS sign matrix: s_ij = ±1 derived from the pinned md5-prefix
+    * hash of (i, j), so no projection matrix is stored, shipped, or
+    * random-seeded — any engine recomputes the identical matrix cell-by-
+    * cell (Achlioptas, "Database-friendly random projections", PODS'01:
+    * ±1 entries satisfy the JL lemma; p_j = Σᵢ vᵢ·s_ij / √dOut).
+    * The dimensionality-reduction front end for ANN/clustering at scale:
+    * 96 → 8 dims cuts every downstream distance computation ~12×.
+    *
+    * Scale shape: posexplode → dOut conditional sums — one map-side-
+    * combinable aggregate, one shuffle on vec_id, nothing else; the sign
+    * hash is computed in-row (md5 here for cross-engine verification;
+    * swap `Hashing.stableHash32` for `xxhash64` in a non-oracle path to
+    * drop the digest cost). Determinism: components sum as ×10⁶
+    * fixed-point longs (exact, commutative — see [[labelCentroids]]), one
+    * double division + round at the end.
+    */
+  def randomProjection(spark: SparkSession, sfDir: String,
+      dOut: Int = 8): DataFrame = {
+    import graft.functions.Hashing
+    val comp = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        round(col("v") * 1e6).cast("long").as("fx"))
+    def sign(j: Int) = when(
+      pmod(Hashing.stableHash32(concat(col("i").cast("string"),
+        lit(":"), lit(j.toString))), lit(2L)) === 0, lit(1L))
+      .otherwise(lit(-1L))
+    val aggs = (0 until dOut).map(j => sum(col("fx") * sign(j)).as(s"fxs_$j"))
+    val scale = lit(1e6) * sqrt(lit(dOut.toDouble))
+    comp.groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +: (0 until dOut).map(j =>
+        round(col(s"fxs_$j").cast("double") / scale, 6).as(s"p_$j")): _*)
+  }
+
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one
     * flipped plane) — the standard multi-probe extension, which buys back

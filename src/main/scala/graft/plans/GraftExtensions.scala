@@ -35,6 +35,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
+    e.injectFunction(GraftExtensions.jaccardFunction)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectOptimizerRule(_ => SimilarityJoinRewrite)
@@ -46,6 +47,29 @@ object GraftExtensions {
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+
+  /** SQL-text set-Jaccard: `graft_jaccard(a, b)` expands to the exact
+    * size(intersect)/size(union) composition [[SimilarityJoinRewrite]]
+    * pattern-matches — so `A JOIN B ON graft_jaccard(a, b) >= t` in SQL
+    * plans as the bucketed equality join when the rule is on. Built with
+    * MODERN size-of-null semantics baked in (null array → NULL score,
+    * excluded by any threshold) regardless of the session's legacy conf:
+    * that is both the saner scoring and what keeps the rewrite eligible
+    * for nullable array columns.
+    */
+  val jaccardFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jaccard"),
+    new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Divide].getName,
+      "graft_jaccard"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, Cast, Divide, Size}
+      import org.apache.spark.sql.types.DoubleType
+      require(children.size == 2, "graft_jaccard(a, b) takes two array arguments")
+      val Seq(a, b) = children
+      Divide(
+        Cast(Size(ArrayIntersect(a, b), legacySizeOfNull = false), DoubleType),
+        Cast(Size(ArrayUnion(a, b), legacySizeOfNull = false), DoubleType))
+    })
 }
 
 /** Rewrite exact distinct counts to approx_count_distinct (HLL++, rsd 5%)

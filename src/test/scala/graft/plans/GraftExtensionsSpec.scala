@@ -32,6 +32,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("graft_jaccard is callable from SQL text; null arrays score NULL") {
+    val r = spark.sql(
+      "SELECT graft_jaccard(array('a','b'), array('b','c')) AS j")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0 / 3.0) < 1e-12)
+    // modern size semantics are baked in: null input → NULL score, even
+    // though the session default is legacy sizeOfNull
+    assert(spark.sql(
+      "SELECT graft_jaccard(CAST(NULL AS ARRAY<STRING>), array('a')) AS j")
+      .collect().head.isNullAt(0))
+  }
+
+  test("SQL theta join on graft_jaccard is planned by SimilarityJoinRewrite") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, Seq("x", "y", "z")), (2L, Seq("x", "y")))
+      .toDF("id", "arr").createOrReplaceTempView("sim_l")
+    Seq((10L, Seq("x", "y", "q")), (11L, Seq("q", "r")))
+      .toDF("id", "arr").createOrReplaceTempView("sim_r")
+    spark.conf.set("spark.graft.similarityJoinRewrite", "true")
+    try {
+      val df = spark.sql(
+        """SELECT a.id AS ida, b.id AS idb FROM sim_l a JOIN sim_r b
+          |ON graft_jaccard(a.arr, b.arr) >= 0.5""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_sim_elem"), s"rewrite did not fire:\n$plan")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 10L), (2L, 10L))) // 2/4 = 0.5 and 2/3
+    } finally spark.conf.set("spark.graft.similarityJoinRewrite", "false")
+  }
+
   test("approxDistinct rule rewrites count(distinct) only when enabled") {
     val s = spark
     import s.implicits._
