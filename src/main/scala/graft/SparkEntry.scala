@@ -121,6 +121,9 @@ object SparkEntry {
     "q78_domain_mix_temperature" -> ((s: SparkSession, d: String) => graft.operators.Curation.domainMixTemperature(s, d)),
     // Johnson–Lindenstrauss random projection, seedless ±1 sign matrix
     "q79_random_projection" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
+    // salted equi-join on a 5-value key (forced shuffle path; oracle is
+    // the plain join — salting is a pure partitioning change)
+    "q80_salted_join" -> ((s: SparkSession, d: String) => graft.operators.SkewJoins.eventTypeStatsSalted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -967,6 +970,15 @@ private object CorpusOracles {
         |GROUP BY 1,2""".stripMargin,
     // fixed-point mean (sum of ×10⁶-scaled longs, one final division):
     // order-independent, so partial-aggregation order cannot flip the hash
+    // q80: the oracle is the UNSALTED join — salting only changes the
+    // partitioning, never the rows
+    "q80_salted_join" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type_events,
+        |    round(round(sum(value), 2) / count(*), 6) AS type_mean_value
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, s.n_type_events, s.type_mean_value
+        |FROM e JOIN stats s USING (event_type)""".stripMargin,
     // q79: the ±1 sign matrix is recomputed cell-by-cell from the shared
     // md5-prefix hash of "i:j" (0-based dim index), components sum as
     // fixed-point BIGINTs, one double division at the end — the q60
