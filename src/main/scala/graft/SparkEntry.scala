@@ -123,7 +123,7 @@ object SparkEntry {
     "q79_random_projection" -> ((s: SparkSession, d: String) => Similarity.randomProjection(s, d)),
     // salted equi-join on a 5-value key (forced shuffle path; oracle is
     // the plain join — salting is a pure partitioning change)
-    "q80_salted_join" -> ((s: SparkSession, d: String) => graft.operators.SkewJoins.eventTypeStatsSalted(s, d)),
+    "q80_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.eventTypeStatsSalted(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(

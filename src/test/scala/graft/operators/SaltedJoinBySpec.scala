@@ -3,7 +3,7 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
-class SkewJoinsSpec extends SparkTestBase {
+class SaltedJoinBySpec extends SparkTestBase {
 
   private def fact = {
     val s = spark
@@ -23,7 +23,7 @@ class SkewJoinsSpec extends SparkTestBase {
   test("salted join returns exactly the plain join rows") {
     val plain = fact.join(dim, "k").select(col("id"), col("tag"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    val salted = SkewJoins.saltedEquiJoin(fact, dim, "k", col("id"), salts = 8)
+    val salted = Skew.saltedJoinBy(fact, dim, "k", col("id"), salt = 8)
       .select(col("id"), col("tag"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(salted.length === 200)
@@ -31,7 +31,7 @@ class SkewJoinsSpec extends SparkTestBase {
   }
 
   test("the join key carries the salt (distinct shuffle targets multiply)") {
-    val df = SkewJoins.saltedEquiJoin(fact, dim, "k", col("id"), salts = 8)
+    val df = Skew.saltedJoinBy(fact, dim, "k", col("id"), salt = 8)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("__graft_salt"), plan)
     // each fact row gets ONE deterministic salt; the dim side covers all 8
@@ -42,7 +42,7 @@ class SkewJoinsSpec extends SparkTestBase {
 
   test("q80 fixture matches its own unsalted form on the shared session") {
     val sf = "/root/testdata/sf0.001"
-    val salted = SkewJoins.eventTypeStatsSalted(spark, sf)
+    val salted = Skew.eventTypeStatsSalted(spark, sf)
       .collect().map(_.toSeq).toSet
     val e = graft.core.Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"), col("value"))
