@@ -124,6 +124,8 @@ object SparkEntry {
     // salted equi-join on a 5-value key (forced shuffle path; oracle is
     // the plain join — salting is a pure partitioning change)
     "q80_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.eventTypeStatsSalted(s, d)),
+    // winnowing-collision near-dup pairs + exact verify (MOSS-style)
+    "q81_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -970,6 +972,25 @@ private object CorpusOracles {
         |GROUP BY 1,2""".stripMargin,
     // fixed-point mean (sum of ×10⁶-scaled longs, one final division):
     // order-independent, so partial-aggregation order cannot flip the hash
+    // q81: the oracle replays the winnow-collision CANDIDATE pipeline
+    // (fingerprint recall is the contract, like q25's LSH oracle), then
+    // the exact-Jaccard verify tail
+    "q81_winnow_pairs" ->
+      s"""WITH bh AS ($baseHashes),
+         |wf AS (SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, greatest(len(hs)-3, 1)+1), i -> list_min(hs[i:i+3])))) AS fp
+         |  FROM bh WHERE len(hs) > 0)),
+         |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.doc1, c.doc2, count(*) AS cnt
+         |  FROM cand c JOIN sh x ON x.doc_id = c.doc1
+         |  JOIN sh y ON y.doc_id = c.doc2 AND x.shingle = y.shingle
+         |  GROUP BY 1, 2)
+         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
     // q80: the oracle is the UNSALTED join — salting only changes the
     // partitioning, never the rows
     "q80_salted_join" ->

@@ -243,6 +243,36 @@ object Dedup {
         round(Text.jaccardSim(col("sh1"), col("sh2")), 6).as("jaccard"))
   }
 
+  /** Near-dup pairs via WINNOWING fingerprint collisions — the MOSS-style
+    * alternative to MinHash-LSH banding: candidates are document pairs
+    * sharing at least one winnowed fingerprint
+    * ([[graft.analytics.TextAnalytics.winnowFingerprints]]), then the
+    * shared exact-Jaccard verifier confirms. The winnowing guarantee makes
+    * the candidate recall interpretable: any pair sharing a run of ≥ w+2
+    * consecutive shingles (≥ 6 tokens at w=4, k=3) MUST collide — so
+    * contiguous-overlap near-dups (quotes, boilerplate, templated text)
+    * are always candidates, while scattered single-shingle overlaps (which
+    * can't reach a high Jaccard anyway) are skipped. Oracle replays the
+    * same candidate pipeline (like q25's LSH oracle): fingerprint recall
+    * is the operator's CONTRACT, not an approximation being hidden.
+    *
+    * Scale shape: fingerprints are ~2/(w+1) of the shingle set, so the
+    * collision self-join moves a fraction of the LSH pipeline's bytes; all
+    * shuffles equality-keyed (fingerprint, then doc pair, then shingle for
+    * the verify).
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val fps = materialized(
+      graft.analytics.TextAnalytics.winnowFingerprints(spark, sfDir))
+    val candidates = fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
+  }
+
   /** Per-document 16-element MinHash signature, one column per element
     * (mh_0..mh_15).
     *

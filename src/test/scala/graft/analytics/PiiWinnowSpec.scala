@@ -75,6 +75,21 @@ class PiiWinnowSpec extends SparkTestBase {
     assert(byDoc(1L).size < 10 - 2) // n_shingles = n_tokens - 2
   }
 
+  test("winnow-collision dedup: no false positives vs exact, full recall on planted dups") {
+    import graft.operators.Dedup
+    val sf = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2"))).toSet
+    val exact = pairs(Dedup.jaccardPairsPrefix(spark, sf))
+    val winnow = pairs(Dedup.winnowPairs(spark, sf))
+    assert(winnow.nonEmpty)
+    // the exact-Jaccard verify tail means winnow can never over-report…
+    assert(winnow.subsetOf(exact))
+    // …and the planted near-dups are near-copies (long shared runs), so
+    // the winnowing guarantee makes every one a candidate: full recall
+    assert(winnow === exact)
+  }
+
   test("winnowing: short documents (1..3 shingles) yield their single min hash") {
     val dir = java.nio.file.Files.createTempDirectory("winnow2").toString
     val sp = spark
