@@ -74,9 +74,12 @@ object Stress {
     val contaminated = graft.operators.Curation.decontaminate(spark, docDir)
       .where(col("contaminated") === 1).count()
     println(f"[stress] decontamination ($nDocs docs): $contaminated contaminated docs in ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    // noop write, not count(): count() lets Catalyst prune the map-side
+    // projection and times an empty scan (the PERF.md bench gotcha)
     val t4 = System.nanoTime()
-    val repRows = graft.analytics.TextAnalytics.repetition(spark, docDir).count()
-    println(f"[stress] repetition metrics ($nDocs docs): $repRows rows in ${(System.nanoTime() - t4) / 1e9}%.1f s")
+    graft.analytics.TextAnalytics.repetition(spark, docDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[stress] repetition metrics ($nDocs docs): $nDocs rows in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     val t5 = System.nanoTime()
     val leakPairs = graft.operators.Dedup.sourceLeakage(spark, docDir).count()
     println(f"[stress] source leakage ($nDocs docs): $leakPairs source pairs in ${(System.nanoTime() - t5) / 1e9}%.1f s")
@@ -94,6 +97,39 @@ object Stress {
     val keptDocs = graft.analytics.TextAnalytics.qualityModelScore(spark, docDir)
       .where(col("keep") === 1).count()
     println(f"[stress] quality model ($nDocs docs): $keptDocs kept in ${(System.nanoTime() - t8) / 1e9}%.1f s")
+
+    // round-5 operators at the same corpus: winnowing fingerprints (the
+    // hash-once window plan), winnow-collision dedup, the PII regex chain,
+    // and temperature-smoothed mixing
+    val t9 = System.nanoTime()
+    val fpRows = graft.analytics.TextAnalytics.winnowFingerprints(spark, docDir).count()
+    println(f"[stress] winnow fingerprints ($nDocs docs): $fpRows rows in ${(System.nanoTime() - t9) / 1e9}%.1f s")
+    val t10 = System.nanoTime()
+    val wPairs = graft.operators.Dedup.winnowPairs(spark, docDir, threshold = 0.7).count()
+    println(f"[stress] winnow-collision pairs ($nDocs docs): $wPairs pairs in ${(System.nanoTime() - t10) / 1e9}%.1f s")
+    // noop write: a count() would prune the regex projection entirely
+    val t11 = System.nanoTime()
+    graft.streaming.StreamCurate.scrubPii(
+        spark.read.parquet(s"$docDir/documents.parquet"))
+      .write.format("noop").mode("overwrite").save()
+    println(f"[stress] pii scrub ($nDocs docs): $nDocs rows in ${(System.nanoTime() - t11) / 1e9}%.1f s")
+    val t12 = System.nanoTime()
+    val mixKept = graft.operators.Curation.domainMixTemperature(spark, docDir).count()
+    println(f"[stress] temperature mix ($nDocs docs): $mixKept kept in ${(System.nanoTime() - t12) / 1e9}%.1f s")
+
+    // JL projection over a synthetic embeddings table at 100× the bench
+    // vector count (96-dim floats from the pinned hash)
+    val nVecs = 200_000L
+    spark.range(nVecs)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(95)),
+          j => (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0)
+            .cast("float")).as("embedding"),
+        pmod(col("id"), lit(16)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$docDir/embeddings.parquet")
+    val t13 = System.nanoTime()
+    val projRows = graft.operators.Similarity.randomProjection(spark, docDir).count()
+    println(f"[stress] random projection ($nVecs vecs): $projRows rows in ${(System.nanoTime() - t13) / 1e9}%.1f s")
     spark.stop()
   }
 }
