@@ -126,6 +126,8 @@ object SparkEntry {
     "q80_salted_join" -> ((s: SparkSession, d: String) => graft.operators.Skew.eventTypeStatsSalted(s, d)),
     // winnowing-collision near-dup pairs + exact verify (MOSS-style)
     "q81_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d)),
+    // pinned-hash stratified train/val/test split (map-side, no RNG)
+    "q82_train_split" -> ((s: SparkSession, d: String) => graft.operators.Curation.trainValTestSplit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,6 +993,13 @@ private object CorpusOracles {
          |  JOIN sh y ON y.doc_id = c.doc2 AND x.shingle = y.shingle
          |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    // q82: the same md5-prefix draw, salted with the split tag
+    "q82_train_split" ->
+      """SELECT doc_id, source,
+        | CASE WHEN d < 900 THEN 'train' WHEN d < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  CAST(('0x'||substr(md5('split:'||source||':'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 AS d
+        | FROM documents)""".stripMargin,
     // q80: the oracle is the UNSALTED join — salting only changes the
     // partitioning, never the rows
     "q80_salted_join" ->

@@ -532,6 +532,27 @@ object Curation {
         round(col("keep_rate"), 6).as("keep_rate"))
   }
 
+  /** Deterministic stratified train/val/test assignment: every document
+    * draws a pinned hash in [0, 1000) and lands in train (< 900), val
+    * (< 950), or test — the split every training pipeline pins before
+    * anything else touches the data. The hash input is salted with a
+    * split-purpose tag so this draw is INDEPENDENT of the q57/q78
+    * sampling draws (the same doc must not correlate across decisions),
+    * and stratification is implicit: a uniform hash within each source
+    * hits the 90/5/5 shares per source in expectation, with no per-source
+    * state. Pure map-side projection — no shuffle, no RNG, reproducible
+    * across engines and runs.
+    */
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val draw = pmod(Hashing.stableHash32(
+      concat(lit("split:"), col("source"), lit(":"), col("doc_id").cast("string"))),
+      lit(1000L))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        when(draw < 900, "train").when(draw < 950, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** The composed curation verdict — the query a pipeline operator actually
     * ships: one row per document with its quality score, trigram-repetition
     * fraction, canonical-duplicate flag (from the LSH component resolution),
