@@ -31,23 +31,31 @@ import graft.core.Tables
   */
 object Skew {
 
-  /** Inner equi-join `big ⋈ small` on `key`, with the big side salted into
-    * `salt` buckets. Result equals the unsalted join (row-for-row).
+  /** Shared body of the two salting strategies: scatter the big side with
+    * `saltExpr`, replicate the small side once per bucket, join on
+    * (key, bucket). Bucket values must land in [0, salt) as longs.
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
+  private def saltedJoinWith(big: DataFrame, small: DataFrame, key: String,
+      saltExpr: Column, salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
     val saltCol = "__graft_salt"
-    // per-row scatter via seeded rand(): identical duplicate rows (the
-    // common cause of a hot key in raw event logs) must land in DIFFERENT
-    // buckets, which a row-content hash cannot do. rand(seed) is
-    // deterministic per (seed, partition, row position), so task retries
-    // reproduce the same buckets given deterministic input partitioning.
-    val bigSalted = big.withColumn(saltCol,
-      floor(rand(20260812L) * salt).cast("int"))
+    val bigSalted = big.withColumn(saltCol, saltExpr.cast("long"))
     val smallReplicated = small.withColumn(saltCol,
-      explode(array((0 until salt).map(lit): _*)))
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigSalted.join(smallReplicated, Seq(key, saltCol), "inner").drop(saltCol)
   }
+
+  /** Inner equi-join `big ⋈ small` on `key`, with the big side salted into
+    * `salt` buckets. Result equals the unsalted join (row-for-row).
+    *
+    * Per-row scatter via seeded rand(): identical duplicate rows (the
+    * common cause of a hot key in raw event logs) must land in DIFFERENT
+    * buckets, which a row-content hash cannot do. rand(seed) is
+    * deterministic per (seed, partition, row position), so task retries
+    * reproduce the same buckets given deterministic input partitioning.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame =
+    saltedJoinWith(big, small, key, floor(rand(20260812L) * salt), salt)
 
   /** [[saltedJoin]] with a DETERMINISTIC scatter: the salt is a pinned
     * hash of `saltSource`, a high-cardinality big-side column (the fact's
@@ -56,15 +64,8 @@ object Skew {
     * — rand() depends on row position, a hash of an id column does not.
     */
   def saltedJoinBy(big: DataFrame, small: DataFrame, key: String,
-      saltSource: Column, salt: Int = 16): DataFrame = {
-    require(salt > 0, "salt must be positive")
-    val saltCol = "__graft_salt"
-    val bigSalted = big.withColumn(saltCol,
-      pmod(xxhash64(saltSource), lit(salt.toLong)))
-    val smallReplicated = small.withColumn(saltCol,
-      explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    bigSalted.join(smallReplicated, Seq(key, saltCol), "inner").drop(saltCol)
-  }
+      saltSource: Column, salt: Int = 16): DataFrame =
+    saltedJoinWith(big, small, key, pmod(xxhash64(saltSource), lit(salt.toLong)), salt)
 
   /** The q80 fixture: every event enriched with its event-type's global
     * stats — a 5-distinct-value join key, the canonical low-cardinality

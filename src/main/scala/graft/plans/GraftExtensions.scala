@@ -64,7 +64,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, ArrayUnion, Cast, Divide, Size}
       import org.apache.spark.sql.types.DoubleType
-      require(children.size == 2, "graft_jaccard(a, b) takes two array arguments")
+      // arity errors must surface as AnalysisException (the contract every
+      // built-in honors and query tooling catches), not a raw
+      // IllegalArgumentException from require
+      if (children.size != 2) throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> "`graft_jaccard`", "expectedNum" -> "2",
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
       val Seq(a, b) = children
       Divide(
         Cast(Size(ArrayIntersect(a, b), legacySizeOfNull = false), DoubleType),

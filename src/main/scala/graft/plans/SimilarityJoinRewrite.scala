@@ -55,7 +55,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType,
   * exploded copies would duplicate (or mis-null-extend) left rows. Declines
   * when any equality conjunct between the sides exists: Spark already has a
   * hash-join key, and that check also makes the rule idempotent (the
-  * rewritten join's own `<=>` key rejects a second pass). Hot elements
+  * rewritten join's own `<=>` key rejects a second pass). Also declines
+  * when the division was typed under ANSI mode: there 0/0 (two empty
+  * arrays) raises DIVIDE_BY_ZERO in the original plan, which the rewrite
+  * would silently swallow (empty arrays explode to zero rows). Hot elements
   * (shared by many rows on both sides) inflate the candidate space toward
   * the nested loop's worst case — the rewrite never does asymptotically
   * worse than what it replaces, but for unblocked corpora with stopword
@@ -102,7 +105,13 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def jaccardOperands(e: Expression)
       : Option[(Expression, Expression, Boolean)] =
     e match {
-      case Divide(num, den, _) =>
+      // ANSI division is a second soundness gate: under it, 0/0 (two empty
+      // arrays) RAISES DIVIDE_BY_ZERO in the original nested-loop plan,
+      // while the rewrite explodes empty arrays to zero rows and never
+      // evaluates the predicate — silently converting a failing query
+      // into a passing one. LEGACY and TRY both yield null (pair excluded
+      // on both plans), so only ANSI declines.
+      case Divide(num, den, ctx) if ctx.evalMode != EvalMode.ANSI =>
         (stripCast(num), stripCast(den)) match {
           case (Size(ArrayIntersect(a, b), legI), Size(ArrayUnion(u1, u2), legU))
               if legI == legU &&

@@ -79,7 +79,7 @@ object Stress {
     val t4 = System.nanoTime()
     graft.analytics.TextAnalytics.repetition(spark, docDir)
       .write.format("noop").mode("overwrite").save()
-    println(f"[stress] repetition metrics ($nDocs docs): $nDocs rows in ${(System.nanoTime() - t4) / 1e9}%.1f s")
+    println(f"[stress] repetition metrics ($nDocs docs): full noop evaluation in ${(System.nanoTime() - t4) / 1e9}%.1f s")
     val t5 = System.nanoTime()
     val leakPairs = graft.operators.Dedup.sourceLeakage(spark, docDir).count()
     println(f"[stress] source leakage ($nDocs docs): $leakPairs source pairs in ${(System.nanoTime() - t5) / 1e9}%.1f s")
@@ -110,9 +110,9 @@ object Stress {
     // noop write: a count() would prune the regex projection entirely
     val t11 = System.nanoTime()
     graft.streaming.StreamCurate.scrubPii(
-        spark.read.parquet(s"$docDir/documents.parquet"))
+        graft.core.Tables.documents(spark, docDir))
       .write.format("noop").mode("overwrite").save()
-    println(f"[stress] pii scrub ($nDocs docs): $nDocs rows in ${(System.nanoTime() - t11) / 1e9}%.1f s")
+    println(f"[stress] pii scrub ($nDocs docs): full noop evaluation in ${(System.nanoTime() - t11) / 1e9}%.1f s")
     val t12 = System.nanoTime()
     val mixKept = graft.operators.Curation.domainMixTemperature(spark, docDir).count()
     println(f"[stress] temperature mix ($nDocs docs): $mixKept kept in ${(System.nanoTime() - t12) / 1e9}%.1f s")

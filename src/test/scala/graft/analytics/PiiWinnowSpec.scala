@@ -71,8 +71,10 @@ class PiiWinnowSpec extends SparkTestBase {
     assert((byDoc(1L) & byDoc(2L)).nonEmpty,
       s"shared 8-token run produced no shared fingerprint: $byDoc")
     assert((byDoc(1L) & byDoc(3L)).isEmpty)
-    // fingerprints are a strict subsample of the shingle hashes
-    assert(byDoc(1L).size < 10 - 2) // n_shingles = n_tokens - 2
+    // doc 1: 13 tokens → 11 shingles → 8 full windows; winnowing yields at
+    // most one fingerprint per window (all 8 CAN be distinct, e.g. under a
+    // monotone hash sequence — no strict-subsample guarantee exists)
+    assert(byDoc(1L).size >= 1 && byDoc(1L).size <= 8)
   }
 
   test("winnow-collision dedup: no false positives vs exact, full recall on planted dups") {

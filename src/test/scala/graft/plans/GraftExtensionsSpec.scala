@@ -42,6 +42,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT graft_jaccard(CAST(NULL AS ARRAY<STRING>), array('a')) AS j")
       .collect().head.isNullAt(0))
+    // wrong arity surfaces as AnalysisException, like every built-in
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_jaccard(array('a'))").collect()
+    }
+    assert(e.getMessage.contains("graft_jaccard"))
   }
 
   test("SQL theta join on graft_jaccard is planned by SimilarityJoinRewrite") {

@@ -136,6 +136,23 @@ class SimilarityJoinRewriteSpec extends SparkTestBase {
     } finally spark.conf.set("spark.graft.similarityJoinRewrite", "false")
   }
 
+  test("ANSI-typed division is not rewritten (0/0 on empty arrays must keep raising)") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.graft.similarityJoinRewrite", "true")
+    try {
+      // built under ANSI: the Divide carries EvalMode.ANSI, where the
+      // nested loop raises DIVIDE_BY_ZERO for an empty-vs-empty pair that
+      // the rewrite would silently skip
+      val df = simJoin(leftRows, rightRows, 0.5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_sim_elem"),
+        s"rule fired on an ANSI division:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.graft.similarityJoinRewrite", "false")
+    }
+  }
+
   test("joins with an equality conjunct are left for the hash join planner") {
     val l = leftRows.withColumn("k", col("id_a") % 2)
     val r = rightRows.withColumn("k", col("id_b") % 2)
