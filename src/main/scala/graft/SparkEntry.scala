@@ -128,6 +128,8 @@ object SparkEntry {
     "q81_winnow_pairs" -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d)),
     // pinned-hash stratified train/val/test split (map-side, no RNG)
     "q82_train_split" -> ((s: SparkSession, d: String) => graft.operators.Curation.trainValTestSplit(s, d)),
+    // incremental ingest dedup: batch flagged vs history, zero history shuffle
+    "q83_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -993,6 +995,13 @@ private object CorpusOracles {
          |  JOIN sh y ON y.doc_id = c.doc2 AND x.shingle = y.shingle
          |  GROUP BY 1, 2)
          |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    // q83: batch (odd ids) flagged against history (even ids) by content
+    "q83_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 <> 0),
+        |h AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0)
+        |SELECT b.doc_id, b.content_hash,
+        | CASE WHEN h.content_hash IS NULL THEN 0 ELSE 1 END AS seen_before
+        |FROM b LEFT JOIN h ON b.content_hash = h.content_hash""".stripMargin,
     // q82: the same md5-prefix draw, salted with the split tag
     "q82_train_split" ->
       """SELECT doc_id, source,

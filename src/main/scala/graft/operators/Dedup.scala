@@ -273,6 +273,41 @@ object Dedup {
     verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
   }
 
+  /** Incremental ingest dedup: flag each BATCH document whose exact
+    * content already exists in the HISTORY corpus — the check every daily
+    * ingest runs before appending. The mock split carves history/batch out
+    * of the corpus by doc_id parity; production calls
+    * [[incrementalDedupAgainst]] with its real frames.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalDedupAgainst(
+      docs.where(col("doc_id") % 2 =!= 0),
+      docs.where(col("doc_id") % 2 === 0))
+  }
+
+  /** [[incrementalDedup]] against explicit frames. Scale shape: the batch
+    * is ingest-sized and the history is the 100 TB corpus, so the history
+    * must never shuffle — the batch's distinct hashes broadcast into a
+    * LEFT SEMI that filters the history scan map-side (output bounded by
+    * batch size), and the surviving "seen" hashes broadcast back onto the
+    * batch. Two batch-sized broadcasts, zero history shuffle, history
+    * scanned exactly once.
+    */
+  def incrementalDedupAgainst(batchDocs: DataFrame,
+      historyDocs: DataFrame): DataFrame = {
+    val batch = batchDocs.select(col("doc_id"),
+      md5(col("text")).as("content_hash"))
+    val seen = historyDocs.select(md5(col("text")).as("content_hash"))
+      .join(broadcast(batch.select(col("content_hash")).distinct()),
+        Seq("content_hash"), "left_semi")
+      .distinct()
+      .withColumn("seen", lit(1))
+    batch.join(broadcast(seen), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("seen"), lit(0)).as("seen_before"))
+  }
+
   /** Per-document 16-element MinHash signature, one column per element
     * (mh_0..mh_15).
     *

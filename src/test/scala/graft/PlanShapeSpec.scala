@@ -61,6 +61,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q83: history joins via broadcasts only — no corpus-side shuffle join") {
+    val p = planOf("q83_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both joins (semi filter on history, flag join on batch) must be
+    // broadcast; a SortMergeJoin here would mean the history shuffled
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q29 ANN brute force: query side broadcast, corpus streams once") {
     val p = planOf("q29_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin"), p) // broadcast CROSS of tiny query set
