@@ -243,9 +243,14 @@ object Curation {
     *
     * Scale shape: verdict and packing keep their documented plans; the
     * final write shuffles once on `shard` (partitionBy) so each output
-    * directory is written by the tasks owning that shard. Returns the
-    * written manifest (doc_id, shard, bin_id, start_offset, n_tokens) for
-    * the caller to gate on.
+    * directory is written by the tasks owning that shard, SORTED within
+    * the shard by (bin_id, start_offset) — the trainer's loader reads the
+    * packed stream sequentially, and the sort also tightens parquet
+    * row-group min/max bounds so a bin-range predicate prunes row groups.
+    * Text shards compress with zstd (~2× smaller than snappy on text for
+    * marginal CPU — at 100 TB the difference is storage-tier money).
+    * Returns the written manifest (doc_id, shard, bin_id, start_offset,
+    * n_tokens) for the caller to gate on.
     */
   def writeTrainingShards(spark: SparkSession, sfDir: String, outDir: String,
       capacity: Int = 2048, nShards: Int = 8): DataFrame = {
@@ -257,7 +262,9 @@ object Curation {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("shard"), col("bin_id"), col("start_offset"), col("n_tokens"))
       .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+      .sortWithinPartitions(col("bin_id"), col("start_offset"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("shard").parquet(outDir)
     spark.read.parquet(outDir)
       .select(col("doc_id"), col("shard"), col("bin_id"),
         col("start_offset"), col("n_tokens"))

@@ -61,6 +61,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q77: winnow minima via Window over exploded hashes, not in-row lambdas") {
+    val p = planOf("q77_winnow_fingerprints")
+    // the 97.8s regression shape was a single Project of nested lambdas
+    // (hash array rebuilt per window position) — no Window, no explode.
+    // The fixed plan explodes shingles (hash once per row) and slides the
+    // minimum with a Window operator.
+    assert(p.contains("Window"), p)
+    assert(p.contains("posexplode"), p)
+    // the md5 hash must be computed in the exploded row projection, not
+    // inside any window-position lambda: the only lambda left is the
+    // per-doc shingle build feeding posexplode
+    assert(!p.contains("array_min"), p)
+  }
+
   test("q83: history joins via broadcasts only — no corpus-side shuffle join") {
     val p = planOf("q83_incremental_dedup")
     assert(p.contains("BroadcastHashJoin"), p)
