@@ -25,8 +25,16 @@ object Dedup {
     * (lineage intact). Cached blocks are LRU-evicted; callers never need to
     * unpersist explicitly.
     */
+  /** Shared helper caches (shingle sets, signatures, fingerprints) go
+    * through SessionMemo keyed by the plan's semantic hash: repeated calls
+    * share ONE CacheManager registration (a bare persist per call spammed
+    * "already cached" warnings), and eviction/invalidate can release them
+    * — the same lifecycle fix the round-4 advice drove for the tf-idf and
+    * bloom caches.
+    */
   private def materialized(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SessionMemo(df.sparkSession,
+      s"dedupMaterialized|${df.queryExecution.analyzed.semanticHash()}")(df)
 
   /** Exact duplicate groups by md5 content hash: one row per distinct
     * content with its canonical (min) doc id and multiplicity.
