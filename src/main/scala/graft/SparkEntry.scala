@@ -130,6 +130,16 @@ object SparkEntry {
     "q82_train_split" -> ((s: SparkSession, d: String) => graft.operators.Curation.trainValTestSplit(s, d)),
     // incremental ingest dedup: batch flagged vs history, zero history shuffle
     "q83_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
+    // C4-style boilerplate scrub: shared-chunk removal + doc reconstruction
+    "q84_boilerplate_scrub" -> ((s: SparkSession, d: String) => graft.operators.Curation.boilerplateScrub(s, d)),
+    // boilerplate detector: top cross-document 5-grams by doc frequency
+    "q85_frequent_ngrams" -> ((s: SparkSession, d: String) => TextAnalytics.frequentNgrams(s, d)),
+    // SemDeDup resolution: components over q68 pairs, keep = least-central
+    "q86_semantic_resolution" -> ((s: SparkSession, d: String) => Similarity.semanticResolution(s, d)),
+    // per-source model-score CDF calibration (histogram-exact, broadcast)
+    "q87_score_calibration" -> ((s: SparkSession, d: String) => TextAnalytics.scoreCalibration(s, d)),
+    // best-N-per-domain quality cap (WindowGroupLimit partial below exchange)
+    "q88_top_quality_per_source" -> ((s: SparkSession, d: String) => TextAnalytics.topQualityPerSource(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -650,6 +660,32 @@ private object CorpusOracles {
        |  FROM scored)
        |SELECT vec_id, v, cell, cell_cosine FROM r WHERE rn = 1""".stripMargin
 
+  /** q68 body as a named fragment: also the edge list of the q86 SemDeDup
+    * resolution oracle (the same pairs→components relationship q25's SQL
+    * has to q50's).
+    */
+  private val semanticPairsSql =
+    s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+       |p AS (SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.cell AS cell,
+       |    ${cosExpr("a.v", "b.v")} AS cosine
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT * FROM p WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin
+
+  /** Pinned-weight model score per (doc_id, source) — the q69 scoring body,
+    * shared by the q87 calibration and q88 per-source-cap oracles.
+    */
+  private val modelScoreSql =
+    s"""WITH m AS (SELECT doc_id, source,$qualityCols,
+       | $qualityScore AS quality_score FROM documents)
+       |SELECT doc_id, source,
+       |  round(quality_score * CAST(1.2 AS DOUBLE)
+       |    + least(n_tokens, 400) / CAST(400 AS DOUBLE) * CAST(0.8 AS DOUBLE)
+       |    - punct_ratio * CAST(0.9 AS DOUBLE)
+       |    - stopword_ratio * CAST(0.4 AS DOUBLE)
+       |    - CAST(0.5 AS DOUBLE), 6) AS model_score
+       |FROM m""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -1056,26 +1092,11 @@ private object CorpusOracles {
       s"SELECT vec_id, cell, cell_cosine FROM ($trainedAssignSql)",
     // SemDeDup-style pairs: same-cell blocking under the pinned trained
     // codebook, scored with exact cosine
-    "q68_semantic_neardup" ->
-      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
-         |p AS (SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.cell AS cell,
-         |    ${cosExpr("a.v", "b.v")} AS cosine
-         |  FROM assigned a JOIN assigned b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
-         |SELECT * FROM p WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
+    "q68_semantic_neardup" -> semanticPairsSql,
     "q69_quality_model" ->
-      s"""WITH m AS (SELECT doc_id,$qualityCols,
-         | $qualityScore AS quality_score FROM documents),
-         |s AS (SELECT doc_id,
-         |  round(quality_score * CAST(1.2 AS DOUBLE)
-         |    + least(n_tokens, 400) / CAST(400 AS DOUBLE) * CAST(0.8 AS DOUBLE)
-         |    - punct_ratio * CAST(0.9 AS DOUBLE)
-         |    - stopword_ratio * CAST(0.4 AS DOUBLE)
-         |    - CAST(0.5 AS DOUBLE), 6) AS model_score
-         | FROM m)
-         |SELECT doc_id, model_score,
+      s"""SELECT doc_id, model_score,
          | CAST(model_score >= CAST(0 AS DOUBLE) AS INTEGER) AS keep
-         |FROM s""".stripMargin,
+         |FROM ($modelScoreSql)""".stripMargin,
     "q71_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
         |counts AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
@@ -1097,5 +1118,82 @@ private object CorpusOracles {
         | CAST(least(32, len(w) - start) AS INTEGER) AS n_chunk_tokens,
         | md5(array_to_string(list_slice(w, start + 1, start + least(32, len(w) - start)), ' ')) AS chunk_hash
         |FROM s""".stripMargin,
+    // q84: shared 8-word chunks (≥2 docs) removed, text rebuilt in chunk
+    // order — the same chunking convention as q55/q62
+    "q84_boilerplate_scrub" ->
+      """WITH e AS (SELECT doc_id, w,
+        |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |c AS (SELECT doc_id, i AS idx,
+        |   array_to_string(list_slice(w, i*8+1, i*8+8), ' ') AS chunk FROM e),
+        |cnt AS (SELECT md5(chunk) AS chunk_hash, count(DISTINCT doc_id) AS nd
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT doc_id, idx, chunk, nd >= 2 AS is_boiler
+        |  FROM c JOIN cnt ON md5(c.chunk) = cnt.chunk_hash)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | round(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS removed_frac,
+        | coalesce(string_agg(CASE WHEN NOT is_boiler THEN chunk END, ' ' ORDER BY idx), '') AS clean_text
+        |FROM f GROUP BY 1""".stripMargin,
+    // q85: top-100 cross-document 5-grams by (doc freq, occurrences, gram)
+    "q85_frequent_ngrams" ->
+      """WITH g AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(w)-3), i -> array_to_string(list_slice(w, i, i+4), ' '))) AS gram
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)),
+        |d AS (SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY 1,2)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(occ) AS BIGINT) AS n_occurrences
+        |FROM d GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, gram LIMIT 100""".stripMargin,
+    // q86: min-label closure over the q68 pairs (the embedding-space analogue
+    // of q50's oracle), fixed-point centroids (q60 pattern), keep = lowest
+    // centroid cosine with vec_id tiebreak
+    "q86_semantic_resolution" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT vec1, vec2 FROM ($semanticPairsSql)),
+         |edges AS (SELECT vec1 AS src, vec2 AS dst FROM p
+         |          UNION ALL SELECT vec2, vec1 FROM p),
+         |reach(vec_id, component) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.vec_id),
+         |comp AS (SELECT vec_id, min(component) AS component
+         |  FROM reach GROUP BY 1),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |m AS (SELECT comp.vec_id, comp.component, ev.v FROM comp JOIN ev USING (vec_id)),
+         |cd AS (SELECT component, i,
+         |    CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * CAST(1000000 AS DOUBLE)) AS c
+         |  FROM (SELECT component, v, unnest(range(1, len(v)+1)) AS i FROM m)
+         |  GROUP BY 1, 2),
+         |cv AS (SELECT component, list(c ORDER BY i) AS cv FROM cd GROUP BY 1),
+         |n AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1),
+         |s AS (SELECT m.vec_id, m.component, ${cosExpr("m.v", "cv.cv")} AS centroid_cosine
+         |  FROM m JOIN cv USING (component)),
+         |r AS (SELECT vec_id, component, centroid_cosine,
+         |    row_number() OVER (PARTITION BY component ORDER BY centroid_cosine, vec_id) AS rn
+         |  FROM s)
+         |SELECT r.vec_id, r.component, n.n_members, r.centroid_cosine,
+         | CAST(rn = 1 AS INTEGER) AS keep
+         |FROM r JOIN n USING (component)""".stripMargin,
+    // q87: per-source CDF over 2-dp score bins, joined back per doc
+    "q87_score_calibration" ->
+      s"""WITH s AS ($modelScoreSql),
+         |b AS (SELECT doc_id, source, model_score, round(model_score, 2) AS bin FROM s),
+         |h AS (SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source FROM h GROUP BY 1),
+         |c AS (SELECT source, bin,
+         |   round((CAST(sum(n) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE) - n)
+         |     / n_source, 6) AS pct_below
+         |  FROM h JOIN t USING (source))
+         |SELECT b.doc_id, b.source, b.model_score, b.bin, c.pct_below
+         |FROM b JOIN c USING (source, bin)""".stripMargin,
+    // q88: top-25 docs per source by (model score desc, doc_id)
+    "q88_top_quality_per_source" ->
+      s"""WITH r AS (SELECT doc_id, source, model_score,
+         |   CAST(row_number() OVER (
+         |     PARTITION BY source ORDER BY model_score DESC, doc_id) AS INTEGER) AS quality_rank
+         |  FROM ($modelScoreSql))
+         |SELECT * FROM r WHERE quality_rank <= 25""".stripMargin,
   )
 }

@@ -249,6 +249,99 @@ object TextAnalytics {
       .distinct()
   }
 
+  /** Frequent cross-document n-grams — the boilerplate DETECTOR aggregate
+    * (top-k word n-grams by document frequency) that tells a curation
+    * pipeline what [[graft.operators.Curation.boilerplateScrub]] is about
+    * to remove, and the heavy-hitter report run before tokenizer training.
+    * Only n-grams seen in ≥ 2 documents qualify (a within-document repeat
+    * is q54's repetition signal, not boilerplate).
+    *
+    * Scale shape: the two-level aggregate keys the first (map-side-
+    * combinable) pass by (gram, doc_id), so a corpus-wide hot n-gram is
+    * spread across reducers by its doc dimension before the per-gram
+    * rollup — the same hot-key spreading q59's df pass uses; the final
+    * top-k is `TakeOrderedAndProject` (per-partition k-heap, no global
+    * sort). Ordering is total — (n_docs, n_occurrences, gram) — so the
+    * cut is deterministic.
+    */
+  def frequentNgrams(spark: SparkSession, sfDir: String,
+      n: Int = 5, k: Int = 100): DataFrame =
+    frequentNgramsOf(Tables.documents(spark, sfDir), n, k)
+
+  /** [[frequentNgrams]] over an arbitrary (doc_id, text) frame. */
+  def frequentNgramsOf(docs: DataFrame, n: Int = 5, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(k)
+
+  /** Per-source calibration of the pinned-weight model score
+    * ([[qualityModelScore]]): each document gets the exact fraction of its
+    * source's documents that score in a strictly lower 2-dp score bin —
+    * the per-source CDF that makes "keep the top 30% of EACH source"
+    * thresholds comparable across sources whose raw score distributions
+    * differ (score calibration, the standard fix for per-domain quality
+    * drift). Binning at 2 dp is what makes this exact AND scale-safe: the
+    * CDF is computed on the (source, bin) histogram, never on documents.
+    *
+    * Scale shape: one map-side-combinable histogram aggregate (bounded:
+    * |sources| × |2-dp bins| rows, a few hundred per source at any corpus
+    * size); the running-sum window runs over those aggregated rows only —
+    * never a per-document window, so no source-sized reducer hot-spot; the
+    * finished CDF is metadata-sized and broadcast back onto the scan.
+    */
+  def scoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Text.modelScore(col("text")).as("model_score"))
+      .withColumn("bin", round(col("model_score"), 2))
+    val hist = scored.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cdf = hist
+      .withColumn("cum", sum(col("n")).over(run))
+      .join(broadcast(totals), "source")
+      .select(col("source"), col("bin"),
+        round((col("cum") - col("n")).cast("double") / col("n_source"), 6)
+          .as("pct_below"))
+    scored.join(broadcast(cdf), Seq("source", "bin"))
+      .select(col("doc_id"), col("source"), col("model_score"),
+        col("bin"), col("pct_below"))
+  }
+
+  /** Per-source quality cap: keep only the top-`cap` documents of EACH
+    * source by model score — the "best N pages per domain" rule that
+    * bounds any single domain's contribution to the training mix by
+    * quality rather than by hash draw (contrast
+    * [[graft.operators.Curation.stratifiedSample]], which caps by pinned
+    * hash). Deterministic: (model_score desc, doc_id) is a total order.
+    *
+    * Scale shape: rank ≤ cap compiles to `WindowGroupLimit` with the
+    * partial limit BELOW the exchange — each map partition forwards at
+    * most `cap` rows per source, so a mega-domain cannot hot-spot its
+    * reducer; the shuffle carries ≤ cap·partitions rows per source.
+    */
+  def topQualityPerSource(spark: SparkSession, sfDir: String,
+      cap: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("model_score").desc, col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Text.modelScore(col("text")).as("model_score"))
+      .withColumn("quality_rank", row_number().over(w))
+      .where(col("quality_rank") <= cap)
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -618,4 +618,67 @@ object Curation {
       .where(col("sample_rank") <= cap)
       .select(col("doc_id"), col("lang"), col("sample_rank"))
   }
+
+  /** Boilerplate scrub with document RECONSTRUCTION — the C4-style cleanup
+    * step that q55's chunk-dedup signal only measures: every non-overlapping
+    * `chunkWords`-word chunk appearing in ≥ `minDocs` distinct documents
+    * (nav bars, license footers, mirrored passages) is removed from every
+    * document, and the surviving chunks are re-joined in original order
+    * into a cleaned text column. Unlike whole-document dedup this keeps the
+    * document and strips only the shared material.
+    *
+    * Scale shape: chunk document-frequency is one map-side-combinable
+    * aggregate over the distinct (chunk-hash, doc) projection (hot chunks
+    * spread across reducers by the distinct's composite key); the flagged
+    * set — shared chunks only, vocabulary-sized by Heaps'-law-style
+    * saturation — broadcasts back onto the chunk stream, so the corpus
+    * itself is never shuffled for the lookup; reconstruction is one
+    * hash-shuffle on doc_id. Chunks cross the wire as md5 hashes for the
+    * frequency pass; text rides only the doc_id-partitioned explode.
+    * Determinism: chunk order is restored by the positional index
+    * (array_sort on (idx, chunk) structs), so the rebuilt text is
+    * byte-identical in any execution order.
+    */
+  def boilerplateScrub(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8, minDocs: Int = 2): DataFrame =
+    boilerplateScrubOf(Tables.documents(spark, sfDir), chunkWords, minDocs)
+
+  /** [[boilerplateScrub]] over an arbitrary (doc_id, text) frame. */
+  def boilerplateScrubOf(docs: DataFrame,
+      chunkWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    import graft.functions.Text
+    val w = Text.tokens(col("text"))
+    val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
+    val chunkArr = when(size(w) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords)))))
+      .otherwise(array().cast("array<string>"))
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+    val boiler = chunks
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+      .distinct() // in-doc repeats count once toward the document frequency
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("chunk_hash"))
+    chunks
+      .join(broadcast(boiler), md5(col("chunk")) === col("chunk_hash"), "left")
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        col("chunk_hash").isNotNull.as("is_boiler"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips nulls: only kept chunks enter the rebuild
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("is_boiler"), struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_chunks"), 6)
+          .as("removed_frac"),
+        col("clean_text"))
+  }
 }

@@ -230,6 +230,60 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup cluster RESOLUTION: turn [[semanticNearDups]]' pair list into
+    * per-vector keep/drop verdicts. Pairs are resolved into connected
+    * components ([[Curation.connectedComponents]] — near-dup clusters are
+    * short chains, singletons never enter the loop), each component gets a
+    * deterministic fixed-point centroid, and the kept representative is the
+    * member with the LOWEST cosine to its centroid (vec_id tiebreak) — the
+    * SemDeDup recipe (Abbas et al. 2023) keeps the least-redundant example
+    * of each semantic duplicate group. Output: one row per corpus vector
+    * with its component, component size, centroid cosine, and keep flag.
+    *
+    * Scale shape: component resolution scales with near-dup count, not
+    * corpus (edge-touched vertices only); the centroid is a map-side-
+    * combinable (component, dim) aggregate reassembled into an in-row
+    * array, so the cosine is ONE codegen'd in-row fold (no cross-row
+    * double summation — see the determinism note on [[labelCentroids]]);
+    * the keep rank windows over components, whose sizes are near-dup
+    * cluster sizes (bounded small), never over the corpus.
+    */
+  def semanticResolution(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3): DataFrame = {
+    val pairs = semanticNearDups(spark, sfDir, threshold)
+      .select(col("vec1").as("doc1"), col("vec2").as("doc2"))
+    val vecs = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+    val comp = Curation
+      .connectedComponents(pairs, vecs.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("component"))
+    val members = vecs.join(comp, "vec_id")
+    // fixed-point per-dim means (exact, commutative), reassembled into an
+    // array<double> ordered by dim so the cosine folds in-row. The mean is
+    // NOT re-rounded: long-sum / exact-integer is ONE correctly-rounded
+    // IEEE division, bit-identical across engines, whereas rounding it at
+    // 6 dp lands 2-member components (odd sum / 2e6 = exact …5 tie) on a
+    // boundary where Spark's HALF_UP and DuckDB's round diverge.
+    val cent = members
+      .select(col("component"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("component"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("x") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6))).as("c"))
+      .groupBy(col("component"))
+      .agg(max(col("n")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cv"))
+    val scored = members.join(cent, "component")
+      .select(col("vec_id"), col("component"), col("n_members"),
+        round(Vectors.cosine(col("v"), col("cv")), 4).as("centroid_cosine"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("centroid_cosine"), col("vec_id"))
+    scored
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("vec_id"), col("component"), col("n_members"),
+        col("centroid_cosine"), col("keep"))
+  }
+
   /** Recall@5 of the two ANN indexes ([[lshTopK]], [[ivfTopK]]) against the
     * exact ranking ([[bruteForceTopK]]) — per (method, query) hit counts
     * and recall. This turns the "how good is the approximate index?"

@@ -108,4 +108,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("LocalTableScan"), p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q84 boilerplate scrub: flagged-chunk lookup is broadcast, not a corpus shuffle join") {
+    val p = planOf("q84_boilerplate_scrub")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only SortMergeJoin-free path: corpus text never shuffles for the
+    // boilerplate membership probe
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q87 score calibration: CDF windows over the histogram only, doc join-back is broadcast") {
+    val p = planOf("q87_score_calibration")
+    // one Window (the running sum over (source, bin) aggregates)
+    val windowSections = p.split("\n").count(_.matches(".*\\)\\s+Window\\s*(\\[codegen.*)?"))
+    assert(windowSections <= 1, s"expected at most one Window operator:\n$p")
+    assert(!p.contains("windowspecdefinition(doc_id"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q88 per-source cap: group-limit below the exchange (mega-domain-proof)") {
+    val p = planOf("q88_top_quality_per_source")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
 }
