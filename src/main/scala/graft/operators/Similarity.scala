@@ -249,7 +249,13 @@ object Similarity {
     * cluster sizes (bounded small), never over the corpus.
     */
   def semanticResolution(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3): DataFrame =
+    SessionMemo(spark, s"semanticResolution|$sfDir|$threshold") {
+      semanticResolutionBuild(spark, sfDir, threshold)
+    }
+
+  private def semanticResolutionBuild(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame = {
     val pairs = semanticNearDups(spark, sfDir, threshold)
       .select(col("vec1").as("doc1"), col("vec2").as("doc2"))
     val vecs = corpus(spark, sfDir).select(col("vec_id"), col("v"))

@@ -64,7 +64,8 @@ class BoilerplateCalibrationSpec extends SparkTestBase {
   }
 
   test("semantic resolution: one keep per component, canonical min labels") {
-    val res = Similarity.semanticResolution(spark, sf).cache()
+    // already persisted via SessionMemo — no extra cache/unpersist here
+    val res = Similarity.semanticResolution(spark, sf)
     val nVecs = graft.core.Tables.embeddings(spark, sf).count()
     assert(res.count() === nVecs) // every vector gets a verdict
     // exactly one kept representative per component
@@ -98,7 +99,6 @@ class BoilerplateCalibrationSpec extends SparkTestBase {
       assert(kept.map(_.getAs[Long]("vec_id")).toSeq ===
         Seq(best.getAs[Long]("vec_id")))
     }
-    res.unpersist()
   }
 
   test("score calibration: exact per-source CDF over 2-dp bins") {
