@@ -140,6 +140,9 @@ object SparkEntry {
     "q87_score_calibration" -> ((s: SparkSession, d: String) => TextAnalytics.scoreCalibration(s, d)),
     // best-N-per-domain quality cap (WindowGroupLimit partial below exchange)
     "q88_top_quality_per_source" -> ((s: SparkSession, d: String) => TextAnalytics.topQualityPerSource(s, d)),
+    // cross-split leakage audit: holdout 8-grams vs the train split
+    // (neither side broadcastable — exact gram-stream equi-join)
+    "q89_split_leakage" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitLeakage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1195,5 +1198,25 @@ private object CorpusOracles {
          |     PARTITION BY source ORDER BY model_score DESC, doc_id) AS INTEGER) AS quality_rank
          |  FROM ($modelScoreSql))
          |SELECT * FROM r WHERE quality_rank <= 25""".stripMargin,
+    // q89: q82's split draw + q56's gram hashing; holdout grams LEFT JOIN
+    // the distinct train gram set
+    "q89_split_leakage" ->
+      """WITH s AS (SELECT doc_id, text,
+        |   CASE WHEN d < 900 THEN 'train' WHEN d < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |    CAST(('0x'||substr(md5('split:'||source||':'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 AS d
+        |   FROM documents)),
+        |g AS (SELECT doc_id, split,
+        |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
+        |  FROM (SELECT doc_id, split,
+        |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+        |   FROM (SELECT doc_id, split, string_split(text,' ') AS w FROM s))),
+        |t AS (SELECT DISTINCT gram_h FROM g WHERE split = 'train'),
+        |h AS (SELECT DISTINCT doc_id, split, gram_h FROM g WHERE split <> 'train')
+        |SELECT h.doc_id, h.split, CAST(count(*) AS BIGINT) AS n_ngrams,
+        | CAST(sum(CASE WHEN t.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+        | CAST(max(CASE WHEN t.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS leaked
+        |FROM h LEFT JOIN t ON h.gram_h = t.gram_h
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -550,15 +550,59 @@ object Curation {
     * state. Pure map-side projection — no shuffle, no RNG, reproducible
     * across engines and runs.
     */
-  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+  def trainValTestSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), splitColumn.as("split"))
+
+  /** The pinned train/val/test draw of [[trainValTestSplit]], as a column —
+    * shared with [[splitLeakage]] so the two can never disagree on where a
+    * document landed.
+    */
+  private def splitColumn: org.apache.spark.sql.Column = {
     val draw = pmod(Hashing.stableHash32(
       concat(lit("split:"), col("source"), lit(":"), col("doc_id").cast("string"))),
       lit(1000L))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        when(draw < 900, "train").when(draw < 950, "val")
-          .otherwise("test").as("split"))
+    when(draw < 900, "train").when(draw < 950, "val").otherwise("test")
   }
+
+  /** Cross-split leakage audit: for every val/test document, how many of
+    * its 8-grams also occur anywhere in the TRAIN split — the
+    * contamination check every training pipeline runs right after
+    * splitting, because a pinned-hash split deduplicates nothing: near-dup
+    * documents land on both sides of the cut and quietly leak eval data
+    * into training. Output: (doc_id, split, n_ngrams, n_leaked, leaked)
+    * for every holdout document with at least one gram.
+    *
+    * Scale shape: this is the regime where NEITHER side broadcasts — the
+    * holdout split is a corpus FRACTION (unlike
+    * [[decontaminateAgainst]]'s small external benchmark), so the honest
+    * exact plan is an equality shuffle join of the two distinct gram
+    * streams on their 8-byte gram hash (both sides' distincts are
+    * map-side-combinable; the hot-gram dimension spreads by the composite
+    * distinct keys). The broadcast and Bloom-prefilter forms
+    * ([[decontaminateAgainst]], [[decontaminateBloomAgainst]]) remain the
+    * right tools when the reference side is benchmark-sized.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
+    SessionMemo(spark, s"splitLeakage|$sfDir|$n|" +
+        spark.conf.get("spark.graft.decontamination.hash", "md5")) {
+      val gramHash = gramHasher(spark)
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), splitColumn.as("split"))
+      def grams(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), col("split"),
+          explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
+        .select(col("doc_id"), col("split"), gramHash(col("gram")).as("gram_h"))
+      val holdout = grams(docs.where(col("split") =!= "train")).distinct()
+      val trainGrams = grams(docs.where(col("split") === "train"))
+        .select(col("gram_h")).distinct().withColumn("hit", lit(1))
+      holdout
+        .join(trainGrams, Seq("gram_h"), "left")
+        .groupBy(col("doc_id"), col("split"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_leaked"),
+          max(coalesce(col("hit"), lit(0))).cast("int").as("leaked"))
+    }
 
   /** The composed curation verdict — the query a pipeline operator actually
     * ships: one row per document with its quality score, trigram-repetition

@@ -117,6 +117,31 @@ object Stress {
     val mixKept = graft.operators.Curation.domainMixTemperature(spark, docDir).count()
     println(f"[stress] temperature mix ($nDocs docs): $mixKept kept in ${(System.nanoTime() - t12) / 1e9}%.1f s")
 
+    // round-5b operators at the same corpus: boilerplate scrub (planted
+    // dups share every chunk, so the flagged set is well-populated),
+    // frequent n-grams (two-level aggregate), per-source score calibration
+    // (histogram CDF + broadcast join-back), and the per-source quality cap
+    // (WindowGroupLimit). Semantic resolution is not re-stressed here: its
+    // component and (component, dim) aggregate stages are the
+    // dedupComponents / randomProjection shapes stressed above, and its
+    // pair stage is q68's, whose cell count k is a corpus-scale parameter
+    // (the pinned 8-cell fixture codebook would quadratically explode at
+    // 100k vectors by design, not by plan defect).
+    val t9b = System.nanoTime()
+    graft.operators.Curation.boilerplateScrub(spark, docDir)
+      .write.format("noop").mode("overwrite").save() // count() would prune clean_text
+    println(f"[stress] boilerplate scrub ($nDocs docs): full noop evaluation in ${(System.nanoTime() - t9b) / 1e9}%.1f s")
+    val t10b = System.nanoTime()
+    val hotGrams = graft.analytics.TextAnalytics.frequentNgrams(spark, docDir).count()
+    println(f"[stress] frequent n-grams ($nDocs docs): $hotGrams rows in ${(System.nanoTime() - t10b) / 1e9}%.1f s")
+    val t11b = System.nanoTime()
+    graft.analytics.TextAnalytics.scoreCalibration(spark, docDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[stress] score calibration ($nDocs docs): full noop evaluation in ${(System.nanoTime() - t11b) / 1e9}%.1f s")
+    val t12b = System.nanoTime()
+    val capped = graft.analytics.TextAnalytics.topQualityPerSource(spark, docDir).count()
+    println(f"[stress] per-source quality cap ($nDocs docs): $capped kept in ${(System.nanoTime() - t12b) / 1e9}%.1f s")
+
     // JL projection over a synthetic embeddings table at 100× the bench
     // vector count (96-dim floats from the pinned hash)
     val nVecs = 200_000L

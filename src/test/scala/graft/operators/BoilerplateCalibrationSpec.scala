@@ -125,6 +125,30 @@ class BoilerplateCalibrationSpec extends SparkTestBase {
     cal.unpersist()
   }
 
+  test("split leakage: holdout rows only, counts bounded, splits agree") {
+    val leak = Curation.splitLeakage(spark, sf)
+    val splits = Curation.trainValTestSplit(spark, sf)
+      .select(col("doc_id"), col("split").as("expected_split"))
+    val rows = leak.join(splits, "doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[String]("split")
+      assert(s === "val" || s === "test") // train docs never audited
+      assert(s === r.getAs[String]("expected_split")) // same pinned draw
+      val n = r.getAs[Long]("n_ngrams")
+      val hit = r.getAs[Long]("n_leaked")
+      assert(hit >= 0L && hit <= n)
+      assert(r.getAs[Int]("leaked") === (if (hit > 0) 1 else 0))
+    }
+    // every holdout doc long enough to have an 8-gram is audited
+    val expected = graft.core.Tables.documents(spark, sf)
+      .join(splits, "doc_id")
+      .where(col("expected_split") =!= "train"
+        && size(split(col("text"), " ")) >= 8)
+      .count()
+    assert(rows.length.toLong === expected)
+  }
+
   test("per-source quality cap: contiguous ranks, non-increasing scores") {
     val top = TextAnalytics.topQualityPerSource(spark, sf, cap = 25).collect()
     val bySrc = top.groupBy(_.getAs[String]("source"))
