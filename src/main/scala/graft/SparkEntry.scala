@@ -143,6 +143,18 @@ object SparkEntry {
     // cross-split leakage audit: holdout 8-grams vs the train split
     // (neither side broadcastable — exact gram-stream equi-join)
     "q89_split_leakage" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitLeakage(s, d)),
+    // Okapi BM25 keyword ranking over the shared tf table (retrieval scorer)
+    "q90_bm25" -> ((s: SparkSession, d: String) => TextAnalytics.bm25Rank(s, d)),
+    // integer fixed-point PageRank over the near-dup graph (bit-exact)
+    "q91_dedup_pagerank" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupPagerank(s, d)),
+    // product quantization: 8×8-dim sub-codebooks, 64 floats → 8 codes
+    "q92_pq_encode" -> ((s: SparkSession, d: String) => Similarity.pqEncode(s, d)),
+    // PQ asymmetric-distance top-k: broadcast LUT vs the code stream
+    "q93_pq_topk" -> ((s: SparkSession, d: String) => Similarity.pqTopK(s, d)),
+    // add-½-smoothed bigram LM surprisal (KenLM-style quality signal)
+    "q94_bigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalytics.bigramSurprisal(s, d)),
+    // cluster-balanced sampling: per-semantic-cell caps by pinned hash
+    "q95_cluster_sample" -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -635,6 +647,26 @@ private object CorpusOracles {
        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS "rank"
        |  FROM scored)
        |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
+
+  /** Per-(vector, subspace) PQ code assignment (q92/q93 shared body):
+    * sub-codebooks = the deterministic md5-ordered 16-vector sample sliced
+    * into 8-dim blocks; argmin rounded sub-block squared distance, cid
+    * tiebreak. Distances go through a materialized diff vector +
+    * `list_dot_product` so the fold order matches the engine's
+    * index-order aggregate exactly (same contract as the cosine gates).
+    */
+  private val pqBestSql =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+       |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+       |x AS (SELECT vec_id, sub, cid, round(list_dot_product(d, d), 6) AS d2
+       |  FROM (SELECT c.vec_id, t.sub, cents.cid,
+       |    list_transform(range(1, 9), i -> c.v[t.sub*8 + i] - cents.cv[t.sub*8 + i]) AS d
+       |   FROM c CROSS JOIN cents CROSS JOIN UNNEST([0,1,2,3,4,5,6,7]) AS t(sub))),
+       |a AS (SELECT vec_id, sub, cid AS code, d2,
+       |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+       |  FROM x)
+       |SELECT vec_id, sub, code, d2 AS md2 FROM a WHERE rn = 1""".stripMargin
 
   /** One oracle for both range-join gates: q43 (manual bucketing) and q65
     * (optimizer-rule rewrite) are defined to share EXACT semantics, so a
@@ -1218,5 +1250,104 @@ private object CorpusOracles {
         | CAST(max(CASE WHEN t.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS leaked
         |FROM h LEFT JOIN t ON h.gram_h = t.gram_h
         |GROUP BY 1, 2""".stripMargin,
+    // q90: Okapi BM25 — constants interpolated from the same Scala doubles
+    // the engine scores with (Double.toString round-trips to the identical
+    // IEEE value); per-term scores rounded once, fixed-point doc sums
+    "q90_bm25" -> {
+      import graft.analytics.TextAnalytics.{Bm25B, Bm25K1, Bm25Terms}
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
+         |   unnest(string_split(text,' ')) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, min(doc_len) AS doc_len, count(*) AS c
+         |  FROM t GROUP BY 1,2),
+         |stats AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avgdl
+         | FROM documents),
+         |qt AS (SELECT * FROM tf WHERE word IN ($terms)),
+         |df AS (SELECT word, count(*) AS df FROM qt GROUP BY 1),
+         |s AS (SELECT doc_id,
+         |  round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (c * ${Bm25K1 + 1.0})
+         |    / (c + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * (doc_len / avgdl))), 6) AS ts
+         | FROM qt JOIN df USING (word) CROSS JOIN stats)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+         | round(CAST(sum(CAST(round(ts * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS bm25
+         |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+    },
+    // q91: truncated-integer PageRank, 10 unrolled power iterations over
+    // the q25 pair graph — every op is 64-bit integer arithmetic, so the
+    // unrolled CTE chain reproduces the engine bit-for-bit
+    "q91_dedup_pagerank" -> {
+      val scale = 1000000000000L
+      val base = scale * 15 / 100
+      val rounds = (1 to 10).map { k =>
+        s"""r$k AS (SELECT e.dst AS doc_id,
+           |   $base // mx.n_nodes + (sum(r${k - 1}.r // deg.deg) * 85) // 100 AS r
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.doc_id
+           |  JOIN deg ON e.src = deg.doc_id CROSS JOIN mx
+           |  GROUP BY 1, mx.n_nodes)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH mp AS ($minhashPairsSql),
+         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |      UNION ALL SELECT doc2 AS src, doc1 AS dst FROM mp),
+         |deg AS (SELECT src AS doc_id, count(*) AS deg FROM e GROUP BY 1),
+         |mx AS (SELECT count(*) AS n_nodes FROM deg),
+         |r0 AS (SELECT doc_id, $scale // mx.n_nodes AS r FROM deg CROSS JOIN mx),
+         |$rounds
+         |SELECT doc_id, r AS pagerank_fp,
+         | round(CAST(r AS DOUBLE) / $scale, 12) AS pagerank
+         |FROM r10""".stripMargin
+    },
+    "q92_pq_encode" ->
+      s"""WITH best AS ($pqBestSql)
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS pq_codes,
+         | round(CAST(sum(CAST(round(md2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS pq_error
+         |FROM best GROUP BY 1""".stripMargin,
+    "q93_pq_topk" ->
+      s"""WITH best AS ($pqBestSql),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+         |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+         |lut AS (SELECT query_id, sub, cid AS code,
+         |   round(list_dot_product(d, d), 6) AS dd
+         |  FROM (SELECT q.query_id, t.sub, cents.cid,
+         |    list_transform(range(1, 9), i -> q.qv[t.sub*8 + i] - cents.cv[t.sub*8 + i]) AS d
+         |   FROM q CROSS JOIN cents CROSS JOIN UNNEST([0,1,2,3,4,5,6,7]) AS t(sub))),
+         |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+         |   round(CAST(sum(CAST(round(dd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS adc_dist
+         |  FROM best b JOIN lut ON b.sub = lut.sub AND b.code = lut.code
+         |   AND b.vec_id <> lut.query_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS "rank"
+         |  FROM scored)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    // q94: bigrams formed positionally (w[i], w[i+1]); the same
+    // fixed-point mean recipe as q71
+    "q94_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT word) AS vsz FROM
+        |  (SELECT unnest(string_split(text,' ')) AS word FROM documents)),
+        |lp AS (SELECT w1, w2,
+        |   round(-ln((c12 + 0.5) / (n1 + 0.5 * vsz)), 6) AS s
+        |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * CAST(1000000 AS DOUBLE)), 4) AS mean_bigram_surprisal
+        |FROM bg JOIN lp USING (w1, w2) GROUP BY 1""".stripMargin,
+    // q95: per-cell cap under the pinned trained codebook, q51's hash draw
+    "q95_cluster_sample" ->
+      s"""WITH a AS (SELECT vec_id, cell FROM ($trainedAssignSql)),
+         |r AS (SELECT vec_id, cell, CAST(row_number() OVER (
+         |    PARTITION BY cell
+         |    ORDER BY ${h32("'cbs:'||CAST(vec_id AS VARCHAR)")}, vec_id) AS INTEGER) AS sample_rank
+         |  FROM a)
+         |SELECT * FROM r WHERE sample_rank <= 20""".stripMargin,
   )
 }

@@ -90,17 +90,7 @@ object TextAnalytics {
     * could not.
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    // the persisted tf table goes through SessionMemo (k-independent key)
-    // so repeated calls share one registration and eviction/invalidate can
-    // release it — a bare persist here retained a corpus-sized cache entry
-    // for the session lifetime with no release path
-    val tf = graft.operators.SessionMemo(spark, s"tfidfTf|$sfDir") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
-          explode(Text.tokens(col("text"))).as("word"))
-        .groupBy(col("doc_id"), col("word"))
-        .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
-    }
+    val tf = tfTable(spark, sfDir)
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), Seq("word"))
@@ -113,6 +103,139 @@ object TextAnalytics {
     scored.withColumn("term_rank", row_number().over(w).cast("int"))
       .where(col("term_rank") <= k)
       .select(col("doc_id"), col("word"), col("tfidf"), col("term_rank"))
+  }
+
+  /** The (doc_id, word, doc_len, c) term-frequency table shared by
+    * [[tfidfTopTerms]] and [[bm25Rank]]. Goes through SessionMemo
+    * (k-independent key) so repeated calls share one persisted registration
+    * and eviction/invalidate can release it — a bare persist here retained
+    * a corpus-sized cache entry for the session lifetime with no release
+    * path. The persist is also what lets the explode run exactly once per
+    * session while two different consumers derive different aggregates
+    * from it (see the plan note on [[tfidfTopTerms]]).
+    */
+  private[graft] def tfTable(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.SessionMemo(spark, s"tfidfTf|$sfDir") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
+          explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
+    }
+
+  /** BM25 parameters and the pinned keyword query of the q90 gate. The
+    * DuckDB oracle interpolates these same constants (via
+    * `java.lang.Double.toString`, which round-trips to the identical IEEE
+    * double), so both engines score from the same numbers.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window", "vector")
+
+  /** BM25 keyword ranking — the retrieval scorer of a search/RAG stack
+    * (Robertson-Spärck Jones, the Okapi BM25 form): for each document
+    * matching any query term, score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) with idf(t) = ln((N − df + 0.5)/
+    * (df + 0.5) + 1), and the top-k documents by (score desc, doc_id) are
+    * returned.
+    *
+    * Scale shape: reuses the memoized [[tfTable]] (one explode per
+    * session); the query-term filter cuts the stream to |terms|·df rows
+    * BEFORE any join; df and the corpus stats are metadata-sized aggregates
+    * broadcast back; the final top-k is `TakeOrderedAndProject` (per-
+    * partition k-heap, no global sort). Determinism: each per-term score is
+    * rounded once, then summed as ×10⁶ fixed-point longs (order-independent
+    * — the q60/q71 recipe), so partial-aggregation order cannot flip the
+    * hash.
+    */
+  def bm25Rank(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Bm25Terms, k: Int = 50,
+      k1: Double = Bm25K1, b: Double = Bm25B): DataFrame =
+    bm25Tail(Tables.documents(spark, sfDir), tfTable(spark, sfDir),
+      terms, k, k1, b)
+
+  /** [[bm25Rank]] over an arbitrary (doc_id, text) frame (unmemoized tf). */
+  def bm25RankOf(docs: DataFrame, terms: Seq[String], k: Int = 50,
+      k1: Double = Bm25K1, b: Double = Bm25B): DataFrame =
+    bm25Tail(docs, tfOf(docs), terms, k, k1, b)
+
+  private def tfOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
+        explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(min(col("doc_len")).as("doc_len"), count(lit(1)).as("c"))
+
+  private def bm25Tail(docs: DataFrame, tf: DataFrame, terms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val stats = docs
+      .select(size(Text.tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = tf.where(col("word").isin(terms: _*))
+    val dfT = qt.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // identical expression tree on both engines: idf · (c·(k1+1)) / denom,
+    // with b·(dl/avgdl) dividing FIRST (the oracle mirrors the parse shape)
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("c") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * (col("doc_len") / col("avgdl")))
+    val ts = round(idf * (col("c") * lit(k1 + 1.0)) / denom, 6)
+    qt.join(broadcast(dfT), "word")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), ts.as("ts"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(round(col("ts") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-document mean BIGRAM surprisal under an add-½-smoothed corpus
+    * bigram LM — the next step up from [[unigramSurprisal]] toward the
+    * KenLM-style perplexity filter (CCNet): p(w₂|w₁) = (c(w₁w₂) + 0.5) /
+    * (c(w₁·) + 0.5·|V|), surprisal = −ln p, averaged per document.
+    * Repetitive/templated text scores low, token-salad scores high; a
+    * trained n-gram table drops in as a broadcast replacement for the
+    * corpus-derived counts without changing the plan.
+    *
+    * Scale shape: bigrams are formed IN-ROW (zip_with over two token-array
+    * slices — no window, no shuffle); the count tables are map-side-
+    * combinable aggregates (hot bigrams absorbed by partial aggregation,
+    * the q59-df recipe); the finished log-prob table is bigram-vocabulary-
+    * sized and broadcast back onto the stream — Heaps'-law bounded like
+    * q59/q71 (if a token stream ever outgrows broadcast, drop the hint:
+    * AQE skew-join splitting handles the hot keys). Determinism: per-bigram
+    * surprisal rounded once, fixed-point per-doc mean.
+    */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame =
+    bigramSurprisalOf(Tables.documents(spark, sfDir))
+
+  /** [[bigramSurprisal]] over an arbitrary (doc_id, text) frame. */
+  def bigramSurprisalOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val v = documents
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .agg(countDistinct(col("word")).as("vsz"))
+    val lp = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(-log((col("c12") + 0.5) / (col("n1") + lit(0.5) * col("vsz"))), 6)
+          .as("s"))
+    bg.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("s") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4).as("mean_bigram_surprisal"))
   }
 
   /** Pinned-weight linear quality model over the heuristic metrics — the

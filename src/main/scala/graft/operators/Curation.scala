@@ -197,6 +197,73 @@ object Curation {
         Tables.documents(spark, sfDir).select(col("doc_id")))
     }
 
+  /** Integer fixed-point PageRank over the near-dup graph (q25's pair
+    * list, undirected): ranks duplicate-cluster members by how central
+    * they are to their cluster's link structure — the graph-importance
+    * signal a curation pipeline uses to pick WHICH member of a big near-dup
+    * family to keep (hub pages and canonical mirrors score high; leaf
+    * scrapes score low), the same role PageRank plays in web-corpus
+    * quality weighting (Common Crawl's harmonic-centrality cousins).
+    *
+    * All arithmetic is 64-bit integer fixed point (×10¹²): r₀ = S/N;
+    * r_{t+1}(v) = (0.15·S)/N + (85·Σ_{u→v} r_t(u) div deg(u)) div 100,
+    * truncating division throughout. Integer sums are order-independent,
+    * so the result is bit-exact on ANY engine and partial-aggregation
+    * order cannot flip the hash gate — the q60 determinism recipe applied
+    * to an ITERATIVE kernel (float PageRank is never cross-engine
+    * reproducible; truncated fixed-point is, and the ≤10⁻¹² mass lost to
+    * truncation per step is irrelevant to ranking).
+    *
+    * Scale shape: ranks live only on edge-touched vertices (like
+    * [[connectedComponents]] — singletons hold the uniform base rank by
+    * definition and never enter the loop); each round is one equality join
+    * (edges × ranks) plus one map-side-combinable sum keyed on doc_id;
+    * `localCheckpoint` truncates lineage per round; the edge list is
+    * checkpointed once and reused. N arrives via a broadcast one-row
+    * aggregate — no driver-side collect. Fixed iteration count (power
+    * iteration converges geometrically at rate d; 10 rounds ≈ 0.85¹⁰ <
+    * 0.2 residual, plenty to order near-dup cluster members).
+    */
+  def dedupPagerank(spark: SparkSession, sfDir: String,
+      iters: Int = 10, threshold: Double = 0.7): DataFrame =
+    SessionMemo(spark, s"dedupPagerank|$sfDir|$iters|$threshold") {
+      pagerankOf(Dedup.minhashPairs(spark, sfDir, threshold), iters)
+    }
+
+  /** [[dedupPagerank]] over an arbitrary undirected (doc1, doc2) pair
+    * frame.
+    */
+  def pagerankOf(pairs: DataFrame, iters: Int = 10): DataFrame = {
+    val scale = 1000000000000L
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .crossJoin(broadcast(edges.select(col("src").as("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))))
+      .localCheckpoint()
+    var ranks = nodes
+      .select(col("doc_id"), expr(s"${scale}L DIV n_nodes").as("r"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contribs = edges
+        .join(ranks.join(nodes.select(col("doc_id"), col("deg")), "doc_id"),
+          edges("src") === col("doc_id"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+      ranks = contribs.groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("c")).as("sc"))
+        .join(nodes.select(col("doc_id"), col("n_nodes")), "doc_id")
+        .select(col("doc_id"),
+          (expr(s"${scale * 15 / 100}L DIV n_nodes")
+            + expr("(sc * 85L) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(col("doc_id"), col("r").as("pagerank_fp"),
+        round(col("r").cast("double") / scale, 12).as("pagerank"))
+  }
+
   /** Sequence packing for LLM pretraining: assign documents to fixed
     * token-capacity bins by running cumulative token count, per shard.
     * Output: (doc_id, shard, n_tokens, start_offset, bin_id) where

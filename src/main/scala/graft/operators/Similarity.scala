@@ -413,6 +413,128 @@ object Similarity {
         round(col(s"fxs_$j").cast("double") / scale, 6).as(s"p_$j")): _*)
   }
 
+  /** Product-quantization geometry: `PqSubspaces` sub-blocks of
+    * `PqSubDim` dims each (64-dim embeddings → 8×8), `PqK`-entry codebook
+    * per subspace. The per-subspace codebooks are the [[ivfCentroids]]
+    * deterministic sample sliced per block, so the oracle regenerates them
+    * from the data with no pinned constants.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqK = 16
+
+  /** Squared L2 distance over a sub-block, folded in index order on both
+    * engines: diff-vector first, then the same sequential dot product the
+    * cosine gates already rely on.
+    */
+  private def subSqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) = {
+    val sa = slice(a, sub * PqSubDim + 1, lit(PqSubDim))
+    val sb = slice(b, sub * PqSubDim + 1, lit(PqSubDim))
+    aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+  }
+
+  /** Per-(vector, subspace) PQ code assignment: argmin rounded sub-block
+    * distance to the 16 sampled sub-centroids, cid tiebreak. Memoized —
+    * [[pqEncode]] (the q92 gate) and [[pqTopK]] (the q93 ADC query) share
+    * one corpus pass per session.
+    *
+    * Scale shape: the codebook is one broadcast of PqK full vectors (sliced
+    * in-row per subspace); the corpus crosses it ONCE with the subspace
+    * explode fused in the same stage, and the only shuffle is the
+    * groupBy(vec_id, sub) argmin — n·m rows with map-side partials, never
+    * the n·m·k scored pairs.
+    */
+  private[graft] def pqAssign(spark: SparkSession, sfDir: String): DataFrame =
+    SessionMemo(spark, s"pqAssign|$sfDir") {
+      val cents = broadcast(ivfCentroids(spark, sfDir, PqK))
+      corpus(spark, sfDir)
+        .select(col("vec_id"), col("v"),
+          explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"))
+        .crossJoin(cents)
+        .select(col("vec_id"), col("sub"), col("cid"),
+          round(subSqDist(col("v"), col("cv"), col("sub")), 6).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"),
+          min(col("d2")).as("md2"))
+    }
+
+  /** Product quantization (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI'11): each vector compresses to one code per
+    * subspace — 8 codes ≈ 8 bytes instead of 64 floats, the 32× memory
+    * step that makes billion-vector ANN serving fit in RAM. Output: the
+    * code word (comma-joined, q53-style scalar serialization) plus the
+    * total quantization error (fixed-point sum of the per-subspace rounded
+    * residuals — order-independent).
+    */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
+    pqAssign(spark, sfDir)
+      .groupBy(col("vec_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sub"), col("code")))),
+          e => e.getField("code").cast("string")), ",").as("pq_codes"),
+        round(sum(round(col("md2") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("pq_error"))
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay exact, the corpus is
+    * its PQ codes; distance ≈ Σ_sub lut(query, sub, code) where the lookup
+    * table holds the rounded sub-block distance from the query to every
+    * sub-centroid. THE serving plan at 10⁹+ vectors: the corpus never
+    * rematerializes floats — it streams 8-byte codes against a broadcast
+    * LUT of |queries|·m·k entries.
+    *
+    * Scale shape: LUT = queries × codebook × subspaces (all broadcast-
+    * sized); one equality join of the code stream against it on (sub,
+    * code); per-(query, vec) rollup sums already-rounded entries as
+    * fixed-point longs; rank via per-query WindowGroupLimit. Deterministic
+    * throughout, so the oracle replays it exactly.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val q = corpus(spark, sfDir).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val lut = q.crossJoin(ivfCentroids(spark, sfDir, PqK))
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("cid"), col("qv"), col("cv"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        round(subSqDist(col("qv"), col("cv"), col("sub")), 6).as("d"))
+    val scored = pqAssign(spark, sfDir)
+      .join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(round(col("d") * 1e6).cast("long")).cast("double") / 1e6, 6)
+        .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Cluster-balanced sampling: cap each [[ivfAssignTrained]] semantic
+    * cell at `cap` members, chosen by pinned hash (vec_id tiebreak) — the
+    * diversity-preserving down-sampling step of embedding-aware curation
+    * (DoReMi/SemDeDup-adjacent: sample BY semantic cluster, so one dense
+    * region cannot dominate the training mix the way it would under a
+    * uniform draw). The q51 stratified-sample recipe with strata = learned
+    * cells instead of metadata columns.
+    *
+    * Scale shape: assignment is one broadcast-codebook map pass; the
+    * rank-≤-cap filter compiles to `WindowGroupLimit` with the partial
+    * limit below the exchange — each map partition forwards at most `cap`
+    * rows per cell, so a mega-cell cannot hot-spot its reducer.
+    */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String,
+      cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(graft.functions.Hashing.stableHash32(
+        concat(lit("cbs:"), col("vec_id").cast("string"))), col("vec_id"))
+    ivfAssignTrained(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= cap)
+  }
+
   /** Multi-probe LSH ANN: hyperplane sign buckets on the corpus; each query
     * probes its own bucket plus every bucket at hamming distance 1 (one
     * flipped plane) — the standard multi-probe extension, which buys back

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.TextAnalytics
+import org.apache.spark.sql.functions.col
+
+/** Semantics of the round-5 retrieval/graph/compression operators: BM25
+  * ranking, integer fixed-point PageRank, product quantization, bigram
+  * surprisal, cluster-balanced sampling. Crafted inputs where the expected
+  * value is computable by replaying the pinned arithmetic in plain Scala;
+  * the DuckDB oracle covers exact corpus values at sf0.01.
+  */
+class RankGraphPqSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Spark's `round` on doubles is BigDecimal HALF_UP — replay with the
+    * same mode (math.rint is HALF_EVEN and can differ on exact ties).
+    */
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def fixedPoint(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("bm25 scores a hand-built corpus exactly and ranks by tf") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "spark slow"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val got = TextAnalytics.bm25RankOf(docs, Seq("spark"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // replay the formula in plain Scala (same IEEE ops, same order)
+    val (k1, b) = (TextAnalytics.Bm25K1, TextAnalytics.Bm25B)
+    val avgdl = 8.0 / 3
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def ts(c: Long, dl: Long): Double = {
+      val raw = idf * (c * (k1 + 1.0)) / (c + k1 * ((1.0 - b) + b * (dl / avgdl)))
+      // one 6-dp round, then the (here single-term) fixed-point sum
+      roundAt(fixedPoint(roundAt(raw, 6)) / 1e6, 6)
+    }
+    assert(got.toSeq === Seq((1L, 1L, ts(2, 3)), (2L, 1L, ts(1, 2))))
+    assert(got(0)._3 > got(1)._3) // higher tf outranks at similar length
+  }
+
+  test("pagerank matches a driver-side integer replay on a path graph") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3: ends have deg 1, middle deg 2
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val got = Curation.pagerankOf(pairs, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val scale = 1000000000000L
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val nbrs = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var r = Seq(1L, 2L, 3L).map(_ -> scale / 3).toMap
+    for (_ <- 0 until 10) {
+      r = nbrs.map { case (v, in) =>
+        v -> (scale * 15 / 100 / 3 + in.map(u => r(u) / deg(u)).sum * 85 / 100)
+      }
+    }
+    assert(got === r)
+    assert(got(1L) === got(3L)) // symmetric endpoints tie exactly
+    assert(got(2L) > got(1L))   // the hub outranks the leaves
+  }
+
+  test("pq encode: sampled codebook vectors quantize to themselves losslessly") {
+    val cids = Similarity.ivfCentroids(spark, sf, 16)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    val enc = Similarity.pqEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    assert(enc.nonEmpty)
+    enc.foreach { case (_, codes, err) =>
+      val parts = codes.split(",").map(_.toLong)
+      assert(parts.length === Similarity.PqSubspaces)
+      assert(parts.forall(cids)) // every code names a sampled centroid
+      assert(err >= 0.0)
+    }
+    // a codebook member is distance 0 to itself in every subspace
+    enc.filter(e => cids(e._1)).foreach { case (vid, codes, err) =>
+      assert(codes.split(",").forall(_.toLong == vid), s"vec $vid codes $codes")
+      assert(err === 0.0)
+    }
+  }
+
+  test("pq ADC top-k: 5 ranked neighbors per query, self excluded") {
+    val rows = Similarity.pqTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 5))
+      assert(rs.forall(_.getLong(1) != q))
+      // ranks follow (adc_dist asc, neighbor_id) exactly
+      val ordered = rs.sortBy(_.getInt(3))
+        .map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(ordered === ordered.sorted)
+    }
+  }
+
+  test("bigram surprisal: repeated bigrams score below novel ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x x x x x x"),    // one bigram repeated: high probability
+      (2L, "x q w z p k")).toDF("doc_id", "text")
+    val got = TextAnalytics.bigramSurprisalOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 === 5L)
+    assert(got(2L)._1 === 5L)
+    assert(got(1L)._2 < got(2L)._2)
+    // replay doc 1 exactly: "x x" has c12=5 of c1("x")=6 (5 from doc1 +
+    // 1 from doc2), vocab = 6 distinct words
+    val p = (5 + 0.5) / (6 + 0.5 * 6)
+    val sur = roundAt(-math.log(p), 6)
+    val mean = roundAt(fixedPoint(sur) * 5 / (5 * 1e6), 4)
+    assert(got(1L)._2 === mean)
+  }
+
+  test("cluster-balanced sample caps every cell and keeps ranks contiguous") {
+    val cap = 3
+    val rows = Similarity.clusterBalancedSample(spark, sf, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.length <= cap)
+      assert(members.map(_._3).sorted.toSeq === (1 to members.length))
+    }
+    // sampled rows are a subset of the trained assignment
+    val cells = Similarity.ivfAssignTrained(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (vid, cell, _) => assert(cells(vid) === cell) }
+  }
+}
