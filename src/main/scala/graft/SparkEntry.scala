@@ -155,6 +155,12 @@ object SparkEntry {
     "q94_bigram_surprisal" -> ((s: SparkSession, d: String) => TextAnalytics.bigramSurprisal(s, d)),
     // cluster-balanced sampling: per-semantic-cell caps by pinned hash
     "q95_cluster_sample" -> ((s: SparkSession, d: String) => Similarity.clusterBalancedSample(s, d)),
+    // content-defined chunking: boundaries from token hashes (edit-stable)
+    "q96_cdc_chunks" -> ((s: SparkSession, d: String) => TextAnalytics.cdcChunks(s, d)),
+    // estimator-quality gate: signature-estimated vs exact Jaccard
+    "q97_minhash_estimator" -> ((s: SparkSession, d: String) => Dedup.minhashEstimatorAudit(s, d)),
+    // curriculum packing: per-shard offsets in quality-score order
+    "q98_curriculum_pack" -> ((s: SparkSession, d: String) => graft.operators.Curation.curriculumPacking(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,5 +1355,48 @@ private object CorpusOracles {
          |    ORDER BY ${h32("'cbs:'||CAST(vec_id AS VARCHAR)")}, vec_id) AS INTEGER) AS sample_rank
          |  FROM a)
          |SELECT * FROM r WHERE sample_rank <= 20""".stripMargin,
+    // q96: content-defined chunking — chunk_id = boundaries (token hash
+    // ≡ 0 mod 16) seen strictly before the position
+    "q96_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |x AS (SELECT doc_id, i AS pos, w[i+1] AS tok,
+         |   CASE WHEN ${h32("w[i+1]")} % 16 = 0 THEN 1 ELSE 0 END AS b
+         |  FROM t, UNNEST(range(0, len(w))) AS u(i)),
+         |c AS (SELECT doc_id, pos, tok,
+         |   CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_id
+         |  FROM x)
+         |SELECT doc_id, chunk_id, CAST(min(pos) AS INTEGER) AS start_token,
+         | CAST(count(*) AS INTEGER) AS n_chunk_tokens,
+         | md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+         |FROM c GROUP BY 1, 2""".stripMargin,
+    // q97: the verified pairs with the k=16 signature-agreement estimate
+    // alongside the exact Jaccard
+    "q97_minhash_estimator" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |sig AS (SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |e AS (SELECT mp.doc1, mp.doc2, mp.jaccard,
+         |   round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+         |     / CAST(16 AS DOUBLE), 6) AS est_jaccard
+         |  FROM mp JOIN sig a ON mp.doc1 = a.doc_id
+         |  JOIN sig b ON mp.doc2 = b.doc_id)
+         |SELECT doc1, doc2, jaccard, est_jaccard,
+         | round(abs(est_jaccard - jaccard), 6) AS abs_err FROM e""".stripMargin,
+    // q98: q52's packing windows ordered by (model score desc, doc_id)
+    "q98_curriculum_pack" ->
+      s"""WITH ms AS ($modelScoreSql),
+         |d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |j AS (SELECT d.doc_id, d.shard, ms.model_score, d.n_tokens
+         |  FROM d JOIN ms USING (doc_id)),
+         |o AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY model_score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+         |  FROM j)
+         |SELECT doc_id, shard, model_score, n_tokens, start_offset,
+         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
+         |FROM o""".stripMargin,
   )
 }

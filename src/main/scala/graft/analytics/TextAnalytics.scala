@@ -303,6 +303,51 @@ object TextAnalytics {
         md5(array_join(slice(col("w"), col("start") + 1, len), " ")).as("chunk_hash"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS recipe): a chunk boundary
+    * falls after every token whose pinned hash ≡ 0 (mod `divisor`), so
+    * boundaries are a function of CONTENT, not position — inserting one
+    * word into a document shifts only the chunk it lands in, where q55's
+    * fixed 8-word grid shifts every subsequent chunk and loses all
+    * downstream dedup matches. Expected chunk length = `divisor` tokens.
+    * This is the chunking that makes cross-version/cross-crawl sub-document
+    * dedup robust to edits; its (doc_id, chunk_hash) output feeds the same
+    * shared-chunk joins as q55/q62.
+    *
+    * Scale shape: one explode → hash once per token → per-doc running-sum
+    * window (chunk id = boundaries seen so far; doc-length bounded,
+    * skew-free) → one (doc_id, chunk_id) aggregate. The all-in-row
+    * formulation (filter the boundary array, then transform over it) is
+    * NOT used deliberately: higher-order functions are excluded from
+    * subexpression elimination, so CollapseProject would inline the
+    * boundary-array build into every per-chunk lambda and re-hash the
+    * whole document once per chunk — the q77 trap, quadratic in document
+    * length.
+    */
+  def cdcChunks(spark: SparkSession, sfDir: String,
+      divisor: Int = 16): DataFrame =
+    cdcChunksOf(Tables.documents(spark, sfDir), divisor)
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text) frame. */
+  def cdcChunksOf(documents: DataFrame, divisor: Int = 16): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        when(pmod(Hashing.stableHash32(col("tok")), lit(divisor)) === 0, 1)
+          .otherwise(0).as("b"))
+    val before = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tok
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(before), lit(0L)).cast("int"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(min(col("pos")).cast("int").as("start_token"),
+        count(lit(1)).cast("int").as("n_chunk_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ")).as("chunk_hash"))
+  }
+
   /** PII scrubbing pass: typed redaction (email/IP/phone/digit-run →
     * placeholder) plus per-pattern audit counts. The synthetic corpus
     * carries no organic PII, so the fixture derives a deterministic

@@ -302,6 +302,34 @@ object Curation {
         col("start_offset"), col("bin_id"))
   }
 
+  /** Curriculum packing: [[sequencePacking]] with the within-shard order
+    * driven by the pinned quality-model score (best documents first,
+    * doc_id tiebreak) instead of ingestion order — the data-ordering lever
+    * of curriculum training (feed cleaner text early), expressed as a
+    * packing variant so the trainer's loader needs no new layout.
+    *
+    * Scale shape: identical to [[sequencePackingOf]] — one shuffle on
+    * shard, per-shard cumulative windows (never global), the score is a
+    * map-side projection fused into the scan. Deterministic: (model_score
+    * desc, doc_id) is a total order, so offsets are engine-reproducible.
+    */
+  def curriculumPacking(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).cast("int").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.Text.modelScore(col("text")).as("model_score"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("model_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_offset") / capacity))
+      .select(col("doc_id"), col("shard"), col("model_score"),
+        col("n_tokens"), col("start_offset"), col("bin_id"))
+  }
+
   /** The end-to-end curation capstone: apply the composed keep/drop
     * verdict ([[curationDecisions]]), pack the SURVIVORS into per-shard
     * token bins ([[sequencePackingOf]] — offsets over the filtered set,

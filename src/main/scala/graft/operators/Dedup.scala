@@ -377,6 +377,36 @@ object Dedup {
     verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
   }
 
+  /** MinHash estimator audit: for every verified near-dup pair (q25), the
+    * SIGNATURE-estimated Jaccard (fraction of agreeing minhash components)
+    * against the exact shingle Jaccard — the measured-quality gate for the
+    * sketch itself, the q67-recall idea applied to the dedup estimator. At
+    * 100 TB the exact verify is the expensive stage; this audit is the
+    * evidence for (or against) trusting the k/16 estimate and skipping the
+    * verify for high-margin candidates.
+    *
+    * Scale shape: the pair list is near-dup-sized; the two signature
+    * look-ups are equality joins on doc_id (the signature table is one row
+    * per doc); the component comparison is in-row arithmetic. Everything
+    * upstream is memoized, so the audit costs two hash joins.
+    */
+  def minhashEstimatorAudit(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7, k: Int = 16): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir, k)
+    def side(tag: String, key: String) = sig.select(
+      col("doc_id").as(key) +:
+        (0 until k).map(i => col(s"mh_$i").as(s"${tag}_$i")): _*)
+    val eq = (0 until k)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    minhashPairs(spark, sfDir, threshold, k)
+      .join(side("a", "doc1"), "doc1")
+      .join(side("b", "doc2"), "doc2")
+      .select(col("doc1"), col("doc2"), col("jaccard"),
+        round(eq.cast("double") / k, 6).as("est_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+  }
+
   /** Per-document 32-bit SimHash over whitespace tokens (term-frequency
     * weighted: duplicates vote once each, so no distinct). Same explode +
     * aggregate plan shape as [[minhashSignatures]] and for the same reason:

@@ -423,37 +423,52 @@ object Similarity {
   val PqSubDim = 8
   val PqK = 16
 
-  /** Squared L2 distance over a sub-block, folded in index order on both
-    * engines: diff-vector first, then the same sequential dot product the
-    * cosine gates already rely on.
+  /** Squared L2 distance over two pre-sliced `PqSubDim`-element arrays,
+    * UNROLLED into scalar arithmetic: (a₁−b₁)² + … left-associated — the
+    * identical IEEE sum the fold/`list_dot_product` forms produce (the
+    * fold's 0.0 seed is exact), but fully inside whole-stage codegen.
+    * The `aggregate(zip_with(...))` composition is a CodegenFallback
+    * evaluated interpretively per row — measured 29 s vs ~3 s for the
+    * 200k×8×16 stress assignment.
     */
-  private def subSqDist(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) = {
-    val sa = slice(a, sub * PqSubDim + 1, lit(PqSubDim))
-    val sb = slice(b, sub * PqSubDim + 1, lit(PqSubDim))
-    aggregate(zip_with(sa, sb, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-  }
+  private def unrolledSqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (1 to PqSubDim).map { i =>
+      val d = element_at(a, i) - element_at(b, i)
+      d * d
+    }.reduce(_ + _)
+
+  /** The corpus (or codebook) exploded to one row per (id, subspace) with
+    * its sub-vector sliced ONCE — downstream distance rows then carry
+    * 8-dim arrays instead of re-slicing the full vector per centroid.
+    */
+  private def subSliced(df: DataFrame, id: String): DataFrame =
+    df.select(col(id), col("v"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"))
+      .select(col(id), col("sub"),
+        slice(col("v"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
 
   /** Per-(vector, subspace) PQ code assignment: argmin rounded sub-block
     * distance to the 16 sampled sub-centroids, cid tiebreak. Memoized —
     * [[pqEncode]] (the q92 gate) and [[pqTopK]] (the q93 ADC query) share
     * one corpus pass per session.
     *
-    * Scale shape: the codebook is one broadcast of PqK full vectors (sliced
-    * in-row per subspace); the corpus crosses it ONCE with the subspace
-    * explode fused in the same stage, and the only shuffle is the
-    * groupBy(vec_id, sub) argmin — n·m rows with map-side partials, never
-    * the n·m·k scored pairs.
+    * Scale shape: the codebook is one broadcast of PqK·PqSubspaces
+    * sub-vectors; the corpus explodes to n·m sub-vector rows in the same
+    * stage and meets the codebook in a broadcast join on `sub`; the only
+    * shuffle is the groupBy(vec_id, sub) argmin — n·m rows with map-side
+    * partials, never the n·m·k scored pairs.
     */
   private[graft] def pqAssign(spark: SparkSession, sfDir: String): DataFrame =
     SessionMemo(spark, s"pqAssign|$sfDir") {
-      val cents = broadcast(ivfCentroids(spark, sfDir, PqK))
-      corpus(spark, sfDir)
-        .select(col("vec_id"), col("v"),
-          explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"))
-        .crossJoin(cents)
+      val cents = broadcast(
+        subSliced(ivfCentroids(spark, sfDir, PqK)
+          .select(col("cid"), col("cv").as("v")), "cid")
+          .select(col("cid"), col("sub"), col("sv").as("csv")))
+      subSliced(corpus(spark, sfDir), "vec_id")
+        .join(cents, "sub")
         .select(col("vec_id"), col("sub"), col("cid"),
-          round(subSqDist(col("v"), col("cv"), col("sub")), 6).as("d2"))
+          round(unrolledSqDist(col("sv"), col("csv")), 6).as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"),
           min(col("d2")).as("md2"))
@@ -492,14 +507,15 @@ object Similarity {
     */
   def pqTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 10): DataFrame = {
-    val q = corpus(spark, sfDir).where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val lut = q.crossJoin(ivfCentroids(spark, sfDir, PqK))
-      .select(col("query_id"),
-        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
-        col("cid"), col("qv"), col("cv"))
+    val q = subSliced(corpus(spark, sfDir).where(col("vec_id") < nQueries),
+      "vec_id").select(col("vec_id").as("query_id"), col("sub"),
+      col("sv").as("qsv"))
+    val lut = q.join(
+        subSliced(ivfCentroids(spark, sfDir, PqK)
+          .select(col("cid"), col("cv").as("v")), "cid")
+          .select(col("cid"), col("sub"), col("sv").as("csv")), "sub")
       .select(col("query_id"), col("sub"), col("cid").as("code"),
-        round(subSqDist(col("qv"), col("cv"), col("sub")), 6).as("d"))
+        round(unrolledSqDist(col("qsv"), col("csv")), 6).as("d"))
     val scored = pqAssign(spark, sfDir)
       .join(broadcast(lut), Seq("sub", "code"))
       .where(col("vec_id") =!= col("query_id"))

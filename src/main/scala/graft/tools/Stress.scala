@@ -142,12 +142,37 @@ object Stress {
     val capped = graft.analytics.TextAnalytics.topQualityPerSource(spark, docDir).count()
     println(f"[stress] per-source quality cap ($nDocs docs): $capped kept in ${(System.nanoTime() - t12b) / 1e9}%.1f s")
 
-    // JL projection over a synthetic embeddings table at 100× the bench
-    // vector count (96-dim floats from the pinned hash)
+    // round-5c text/graph operators at the same corpus: BM25 (shared tf
+    // table + broadcast stats), bigram surprisal (the broadcast bigram-LM
+    // table is the stress point: ~5M distinct bigrams at this vocab), and
+    // integer PageRank over the planted near-dup graph
+    val t13a = System.nanoTime()
+    val bmRows = graft.analytics.TextAnalytics.bm25Rank(spark, docDir,
+      terms = Seq("w0", "w1", "w2", "w3")).count()
+    println(f"[stress] bm25 ($nDocs docs): $bmRows rows in ${(System.nanoTime() - t13a) / 1e9}%.1f s")
+    val t13b = System.nanoTime()
+    val bgRows = graft.analytics.TextAnalytics.bigramSurprisal(spark, docDir).count()
+    println(f"[stress] bigram surprisal ($nDocs docs): $bgRows rows in ${(System.nanoTime() - t13b) / 1e9}%.1f s")
+    val t13c = System.nanoTime()
+    val prRows = graft.operators.Curation.dedupPagerank(spark, docDir, threshold = 0.7).count()
+    println(f"[stress] pagerank ($nDocs docs): $prRows edge-touched nodes in ${(System.nanoTime() - t13c) / 1e9}%.1f s")
+    val t13d = System.nanoTime()
+    val cdcRows = graft.analytics.TextAnalytics.cdcChunks(spark, docDir).count()
+    println(f"[stress] cdc chunks ($nDocs docs): $cdcRows chunks in ${(System.nanoTime() - t13d) / 1e9}%.1f s")
+    val t13e = System.nanoTime()
+    val estRows = graft.operators.Dedup.minhashEstimatorAudit(spark, docDir, threshold = 0.7).count()
+    println(f"[stress] minhash estimator audit ($nDocs docs): $estRows pairs in ${(System.nanoTime() - t13e) / 1e9}%.1f s")
+    val t13f = System.nanoTime()
+    val curRows = graft.operators.Curation.curriculumPacking(spark, docDir).count()
+    println(f"[stress] curriculum packing ($nDocs docs): $curRows rows in ${(System.nanoTime() - t13f) / 1e9}%.1f s")
+
+    // JL projection, PQ encode/ADC, and cluster-balanced sampling over a
+    // synthetic embeddings table at 100× the bench vector count (64-dim
+    // floats from the pinned hash — the corpus schema's shape)
     val nVecs = 200_000L
     spark.range(nVecs)
       .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(95)),
+        transform(sequence(lit(0), lit(63)),
           j => (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0)
             .cast("float")).as("embedding"),
         pmod(col("id"), lit(16)).cast("int").as("label"))
@@ -155,6 +180,15 @@ object Stress {
     val t13 = System.nanoTime()
     val projRows = graft.operators.Similarity.randomProjection(spark, docDir).count()
     println(f"[stress] random projection ($nVecs vecs): $projRows rows in ${(System.nanoTime() - t13) / 1e9}%.1f s")
+    val t14 = System.nanoTime()
+    val pqRows = graft.operators.Similarity.pqEncode(spark, docDir).count()
+    println(f"[stress] pq encode ($nVecs vecs): $pqRows rows in ${(System.nanoTime() - t14) / 1e9}%.1f s")
+    val t15 = System.nanoTime()
+    val adcRows = graft.operators.Similarity.pqTopK(spark, docDir).count()
+    println(f"[stress] pq ADC top-k ($nVecs vecs): $adcRows rows in ${(System.nanoTime() - t15) / 1e9}%.1f s")
+    val t16 = System.nanoTime()
+    val cbsRows = graft.operators.Similarity.clusterBalancedSample(spark, docDir).count()
+    println(f"[stress] cluster-balanced sample ($nVecs vecs): $cbsRows rows in ${(System.nanoTime() - t16) / 1e9}%.1f s")
     spark.stop()
   }
 }

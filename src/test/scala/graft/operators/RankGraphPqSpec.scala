@@ -119,6 +119,73 @@ class RankGraphPqSpec extends SparkTestBase {
     assert(got(1L)._2 === mean)
   }
 
+  test("cdc chunks match a driver-side reference chunker and stay edit-stable") {
+    val s = spark
+    import s.implicits._
+    def h32(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    // deterministic 200-word doc; the reference chunker replays the rule
+    val words = (0 until 200).map(i => s"t${i * 7 % 97}")
+    def refChunks(w: Seq[String]): Seq[(Int, Int, Int, String)] = {
+      val ids = w.scanLeft(0) { case (acc, t) =>
+        acc + (if (h32(t) % 16 == 0) 1 else 0)
+      } // ids(i) = boundaries before position i... computed AFTER token i-1
+      val byChunk = w.zipWithIndex.groupBy { case (t, i) => ids(i) }
+      byChunk.toSeq.sortBy(_._1).map { case (cid, ts) =>
+        val toks = ts.sortBy(_._2)
+        (cid, toks.head._2, toks.length,
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(toks.map(_._1).mkString(" ").getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString)
+      }
+    }
+    assert(words.exists(t => h32(t) % 16 == 0), "fixture must have boundaries")
+    val docs = Seq((1L, words.mkString(" ")),
+      (2L, ("inserted " + words.mkString(" ")))).toDF("doc_id", "text")
+    val got = TextAnalytics.cdcChunksOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).sortBy(_._1)
+    assert(d1.toSeq === refChunks(words))
+    // edit stability: prepending one word disturbs only the first chunk —
+    // every later chunk hash survives verbatim (the fixed-grid q55 layout
+    // would lose them all)
+    val h1 = d1.map(_._4).toSet
+    val h2 = got.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 -- h2).size <= 1, "only the first chunk may differ")
+  }
+
+  test("minhash estimator audit covers every verified pair with consistent error") {
+    val pairs = Dedup.minhashPairs(spark, sf).count()
+    val rows = Dedup.minhashEstimatorAudit(spark, sf).collect()
+    assert(rows.length.toLong === pairs)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (j, e, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(e >= 0.0 && e <= 1.0)
+      assert(e * 16 === math.rint(e * 16)) // estimate is a k/16 fraction
+      assert(err === roundAt(math.abs(e - j), 6))
+    }
+  }
+
+  test("curriculum packing: per-shard offsets chain in score order") {
+    val rows = Curation.curriculumPacking(spark, sf, capacity = 512, nShards = 4)
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, shard) =>
+      // sort by the declared order (score desc, doc_id): offsets must chain
+      val ordered = shard.sortBy { case (_, score, id, _, _) => (-score, id) }
+      var expected = 0L
+      ordered.foreach { case (_, _, _, n, off) =>
+        assert(off === expected)
+        expected += n
+      }
+    }
+  }
+
   test("cluster-balanced sample caps every cell and keeps ranks contiguous") {
     val cap = 3
     val rows = Similarity.clusterBalancedSample(spark, sf, cap).collect()
