@@ -1301,7 +1301,7 @@ private object CorpusOracles {
          |r0 AS (SELECT doc_id, $scale // mx.n_nodes AS r FROM deg CROSS JOIN mx),
          |$rounds
          |SELECT doc_id, r AS pagerank_fp,
-         | round(CAST(r AS DOUBLE) / $scale, 12) AS pagerank
+         | round(CAST(r AS DOUBLE) / $scale, 6) AS pagerank
          |FROM r10""".stripMargin
     },
     "q92_pq_encode" ->

@@ -202,17 +202,92 @@ object TextAnalytics {
     * Scale shape: bigrams are formed IN-ROW (zip_with over two token-array
     * slices — no window, no shuffle); the count tables are map-side-
     * combinable aggregates (hot bigrams absorbed by partial aggregation,
-    * the q59-df recipe); the finished log-prob table is bigram-vocabulary-
-    * sized and broadcast back onto the stream — Heaps'-law bounded like
-    * q59/q71 (if a token stream ever outgrows broadcast, drop the hint:
-    * AQE skew-join splitting handles the hot keys). Determinism: per-bigram
-    * surprisal rounded once, fixed-point per-doc mean.
+    * the q59-df recipe). UNLIKE a unigram vocabulary, bigram TYPES grow
+    * near-linearly with corpus size (no Heaps'-law saturation), so the
+    * LM-lookup join is count-gated: the finished log-prob table is
+    * materialized once, and only if it fits under `maxBroadcastLm` entries
+    * does the hint ship it — otherwise the lookup degrades to a shuffled
+    * equality join on (w1, w2) where AQE skew-splitting handles the hot
+    * bigrams. Both paths are row-identical (specced); at true corpus scale
+    * prefer [[bigramSurprisalTopM]], whose pruned LM is broadcast-sized by
+    * construction. Determinism: per-bigram surprisal rounded once,
+    * fixed-point per-doc mean.
     */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame =
     bigramSurprisalOf(Tables.documents(spark, sfDir))
 
-  /** [[bigramSurprisal]] over an arbitrary (doc_id, text) frame. */
-  def bigramSurprisalOf(documents: DataFrame): DataFrame = {
+  /** Flagged LM-broadcast ceiling: ~4M (w1, w2, s) entries ≈ a few hundred
+    * MB on the driver — past it the lookup join must shuffle.
+    */
+  val MaxBroadcastLmEntries: Long = 4L << 20
+
+  /** [[bigramSurprisal]] over an arbitrary (doc_id, text) frame.
+    *
+    * @param broadcastLm Some(true) forces the broadcast hint, Some(false)
+    *   forces the shuffled lookup; None (default) materializes the LM once
+    *   (`localCheckpoint`) and count-gates the hint at [[MaxBroadcastLmEntries]].
+    */
+  def bigramSurprisalOf(documents: DataFrame,
+      broadcastLm: Option[Boolean] = None): DataFrame = {
+    val (bg, c12, c1, v) = bigramCounts(documents)
+    val lpRaw = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(-log((col("c12") + 0.5) / (col("n1") + lit(0.5) * col("vsz"))), 6)
+          .as("s"))
+    val (lp, hint) = broadcastLm match {
+      case Some(flag) => (lpRaw, flag)
+      case None =>
+        val mat = lpRaw.localCheckpoint()
+        (mat, mat.count() <= MaxBroadcastLmEntries)
+    }
+    bg.join(if (hint) broadcast(lp) else lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("s") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4).as("mean_bigram_surprisal"))
+  }
+
+  /** KenLM-style pruned bigram LM: keep only the `topM` most frequent
+    * bigrams (count desc, (w1, w2) tiebreak — a deterministic total order)
+    * and score every pruned/unseen bigram with the add-½ floor
+    * p = 0.5 / (c(w1·) + 0.5·|V|) — i.e. the same smoothed model with the
+    * tail's counts dropped to zero. The standard memory/fidelity compromise
+    * for corpus-scale LM filtering: the kept LM is `topM`-bounded by
+    * construction (always broadcastable), the backoff table is
+    * unigram-vocab-sized (Heaps'-bounded like q71), and the corpus stream
+    * is never shuffled for the lookup at ANY scale. Head bigrams carry
+    * almost all token mass (Zipf), so with a sane `topM` the pruned score
+    * tracks the exact one closely — and equals it exactly once `topM`
+    * covers the whole bigram vocabulary (specced).
+    *
+    * Plan: top-M via `TakeOrderedAndProject` over the (w1, w2) count
+    * aggregate — each partition forwards its local top-M, no global sort.
+    */
+  def bigramSurprisalTopM(documents: DataFrame, topM: Int = 1 << 20): DataFrame = {
+    val (bg, c12, c1, v) = bigramCounts(documents)
+    val kept = c12.orderBy(col("c12").desc, col("w1"), col("w2")).limit(topM)
+    val lp = kept.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(-log((col("c12") + 0.5) / (col("n1") + lit(0.5) * col("vsz"))), 6)
+          .as("s"))
+    val backoff = c1.crossJoin(broadcast(v))
+      .select(col("w1"),
+        round(-log(lit(0.5) / (col("n1") + lit(0.5) * col("vsz"))), 6)
+          .as("s_back"))
+    bg.join(broadcast(lp), Seq("w1", "w2"), "left")
+      .join(broadcast(backoff), Seq("w1"))
+      .select(col("doc_id"), coalesce(col("s"), col("s_back")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(col("s") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 4).as("mean_bigram_surprisal"))
+  }
+
+  /** Shared bigram-LM scaffolding: the in-row bigram stream, the (w1, w2)
+    * and w1 count aggregates, and the one-row vocabulary size.
+    */
+  private def bigramCounts(documents: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = documents
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .where(size(col("w")) >= 2)
@@ -227,15 +302,7 @@ object TextAnalytics {
     val v = documents
       .select(explode(Text.tokens(col("text"))).as("word"))
       .agg(countDistinct(col("word")).as("vsz"))
-    val lp = c12.join(c1, "w1").crossJoin(broadcast(v))
-      .select(col("w1"), col("w2"),
-        round(-log((col("c12") + 0.5) / (col("n1") + lit(0.5) * col("vsz"))), 6)
-          .as("s"))
-    bg.join(broadcast(lp), Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(round(col("s") * 1e6).cast("long")).cast("double")
-          / (count(lit(1)) * lit(1e6)), 4).as("mean_bigram_surprisal"))
+    (bg, c12, c1, v)
   }
 
   /** Pinned-weight linear quality model over the heuristic metrics — the

@@ -261,7 +261,7 @@ object Curation {
     }
     ranks
       .select(col("doc_id"), col("r").as("pagerank_fp"),
-        round(col("r").cast("double") / scale, 12).as("pagerank"))
+        round(col("r").cast("double") / scale, 6).as("pagerank"))
   }
 
   /** Sequence packing for LLM pretraining: assign documents to fixed
@@ -769,11 +769,11 @@ object Curation {
     * Scale shape: chunk document-frequency is one map-side-combinable
     * aggregate over the distinct (chunk-hash, doc) projection (hot chunks
     * spread across reducers by the distinct's composite key); the flagged
-    * set — shared chunks only, vocabulary-sized by Heaps'-law-style
-    * saturation — broadcasts back onto the chunk stream, so the corpus
-    * itself is never shuffled for the lookup; reconstruction is one
-    * hash-shuffle on doc_id. Chunks cross the wire as md5 hashes for the
-    * frequency pass; text rides only the doc_id-partitioned explode.
+    * set is count-gated — broadcast back onto the chunk stream while it
+    * fits, shuffled equality join past [[MaxBroadcastFlaggedChunks]] (see
+    * [[boilerplateScrubOf]]); reconstruction is one hash-shuffle on
+    * doc_id. Chunks cross the wire as md5 hashes for the frequency pass;
+    * text rides only the doc_id-partitioned explode.
     * Determinism: chunk order is restored by the positional index
     * (array_sort on (idx, chunk) structs), so the rebuilt text is
     * byte-identical in any execution order.
@@ -782,9 +782,29 @@ object Curation {
       chunkWords: Int = 8, minDocs: Int = 2): DataFrame =
     boilerplateScrubOf(Tables.documents(spark, sfDir), chunkWords, minDocs)
 
-  /** [[boilerplateScrub]] over an arbitrary (doc_id, text) frame. */
+  /** Flagged-chunk broadcast ceiling: ~2M md5 hashes ≈ 100 MB on the
+    * driver — past it the lookup join must shuffle.
+    */
+  val MaxBroadcastFlaggedChunks: Long = 2L << 20
+
+  /** [[boilerplateScrub]] over an arbitrary (doc_id, text) frame.
+    *
+    * The flagged-chunk lookup is COUNT-GATED, not unconditionally
+    * broadcast: chunks appearing in ≥ `minDocs` documents are NOT
+    * vocabulary-bounded on a heavily mirrored web corpus — near-dup-rich
+    * crawls make the flagged set corpus-proportional, and an oversized
+    * broadcast kills the driver. The flagged set is materialized once
+    * (`localCheckpoint`); under [[MaxBroadcastFlaggedChunks]] it ships as
+    * a broadcast hash lookup, past it the join degrades to a shuffled
+    * equality join on chunk_hash (AQE skew-splitting spreads hot chunks).
+    * Both paths are row-identical (specced).
+    *
+    * @param broadcastFlagged Some(true)/Some(false) pins the strategy
+    *   (used by the spec to prove both paths identical); None count-gates.
+    */
   def boilerplateScrubOf(docs: DataFrame,
-      chunkWords: Int = 8, minDocs: Int = 2): DataFrame = {
+      chunkWords: Int = 8, minDocs: Int = 2,
+      broadcastFlagged: Option[Boolean] = None): DataFrame = {
     import graft.functions.Text
     val w = Text.tokens(col("text"))
     val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
@@ -794,15 +814,22 @@ object Curation {
       .otherwise(array().cast("array<string>"))
     val chunks = docs
       .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
-    val boiler = chunks
+    val boilerRaw = chunks
       .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
       .distinct() // in-doc repeats count once toward the document frequency
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("chunk_hash"))
+    val (boiler, hint) = broadcastFlagged match {
+      case Some(flag) => (boilerRaw, flag)
+      case None =>
+        val mat = boilerRaw.localCheckpoint()
+        (mat, mat.count() <= MaxBroadcastFlaggedChunks)
+    }
     chunks
-      .join(broadcast(boiler), md5(col("chunk")) === col("chunk_hash"), "left")
+      .join(if (hint) broadcast(boiler) else boiler,
+        md5(col("chunk")) === col("chunk_hash"), "left")
       .select(col("doc_id"), col("idx"), col("chunk"),
         col("chunk_hash").isNotNull.as("is_boiler"))
       .groupBy(col("doc_id"))
