@@ -161,6 +161,8 @@ object SparkEntry {
     "q97_minhash_estimator" -> ((s: SparkSession, d: String) => Dedup.minhashEstimatorAudit(s, d)),
     // curriculum packing: per-shard offsets in quality-score order
     "q98_curriculum_pack" -> ((s: SparkSession, d: String) => graft.operators.Curation.curriculumPacking(s, d)),
+    // the capstone's trainer-facing layout as a pure hash-gated contract
+    "q99_shard_manifest" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardManifest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -727,6 +729,49 @@ private object CorpusOracles {
        |    - CAST(0.5 AS DOUBLE), 6) AS model_score
        |FROM m""".stripMargin
 
+  /** Composed keep/drop verdict (q61): quality + trigram repetition (q54
+    * fragment) + canonical component (q50 recursive closure) + benchmark
+    * 8-gram contamination (q56 CTEs), one row per document. Shared with
+    * q99, which packs its keep-set.
+    */
+  private val curationSql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+       |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+       |          UNION ALL SELECT doc2, doc1 FROM pairs),
+       |reach(doc_id, component) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(component) AS component
+       |  FROM reach GROUP BY doc_id),
+       |g AS (SELECT doc_id,
+       |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
+       |  FROM (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
+       |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+       |bg AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+       |tg AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0),
+       |dec AS (SELECT tg.doc_id,
+       |   CAST(max(CASE WHEN bg.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
+       |  FROM tg LEFT JOIN bg ON tg.gram_h = bg.gram_h GROUP BY 1),
+       |m AS (SELECT doc_id, $qualityScore AS quality_score,
+       |   CASE WHEN len(t3)=0 THEN 0.0
+       |        ELSE round(1.0 - len(list_distinct(t3))/CAST(len(t3) AS DOUBLE), 6) END AS dup_trigram_frac,
+       |   CAST(doc_id % 97 = 0 AS INTEGER) AS is_benchmark
+       |  FROM (SELECT doc_id, text,
+       |    list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS t3
+       |   FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)))
+       |SELECT m.doc_id, m.quality_score, m.dup_trigram_frac,
+       | CAST(comp.component = m.doc_id AS INTEGER) AS is_canonical,
+       | coalesce(dec.contaminated, 0) AS contaminated,
+       | m.is_benchmark,
+       | CAST(m.quality_score >= 0.5 AND m.dup_trigram_frac <= 0.2
+       |   AND comp.component = m.doc_id AND coalesce(dec.contaminated, 0) = 0
+       |   AND m.is_benchmark = 0 AS INTEGER) AS keep
+       |FROM m JOIN comp ON m.doc_id = comp.doc_id
+       |LEFT JOIN dec ON m.doc_id = dec.doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
@@ -848,43 +893,24 @@ private object CorpusOracles {
     // composed keep/drop verdict: quality + trigram repetition (q54
     // fragment) + canonical component (q50 recursive closure) + benchmark
     // 8-gram contamination (q56 CTEs), one row per document
-    "q61_curation_decisions" ->
-      s"""WITH RECURSIVE
-         |pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
-         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
-         |          UNION ALL SELECT doc2, doc1 FROM pairs),
-         |reach(doc_id, component) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id),
-         |comp AS (SELECT doc_id, min(component) AS component
-         |  FROM reach GROUP BY doc_id),
-         |g AS (SELECT doc_id,
-         |   CAST(('0x'||substr(md5(gram),1,15)) AS BIGINT) AS gram_h
-         |  FROM (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w)-6), i -> array_to_string(list_slice(w, i, i+7), ' '))) AS gram
-         |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
-         |bg AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
-         |tg AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0),
-         |dec AS (SELECT tg.doc_id,
-         |   CAST(max(CASE WHEN bg.gram_h IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS contaminated
-         |  FROM tg LEFT JOIN bg ON tg.gram_h = bg.gram_h GROUP BY 1),
-         |m AS (SELECT doc_id, $qualityScore AS quality_score,
-         |   CASE WHEN len(t3)=0 THEN 0.0
-         |        ELSE round(1.0 - len(list_distinct(t3))/CAST(len(t3) AS DOUBLE), 6) END AS dup_trigram_frac,
-         |   CAST(doc_id % 97 = 0 AS INTEGER) AS is_benchmark
-         |  FROM (SELECT doc_id, text,
-         |    list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]) AS t3
-         |   FROM (SELECT doc_id, text, string_split(text,' ') AS w FROM documents)))
-         |SELECT m.doc_id, m.quality_score, m.dup_trigram_frac,
-         | CAST(comp.component = m.doc_id AS INTEGER) AS is_canonical,
-         | coalesce(dec.contaminated, 0) AS contaminated,
-         | m.is_benchmark,
-         | CAST(m.quality_score >= 0.5 AND m.dup_trigram_frac <= 0.2
-         |   AND comp.component = m.doc_id AND coalesce(dec.contaminated, 0) = 0
-         |   AND m.is_benchmark = 0 AS INTEGER) AS keep
-         |FROM m JOIN comp ON m.doc_id = comp.doc_id
-         |LEFT JOIN dec ON m.doc_id = dec.doc_id""".stripMargin,
+    "q61_curation_decisions" -> curationSql,
+    // the capstone layout contract: q61's keep-set packed with q52's
+    // per-shard running-sum recipe — the manifest writeTrainingShards
+    // puts on disk, gated as a pure query
+    "q99_shard_manifest" ->
+      s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
+         |d AS (SELECT doc_id,
+         |  CAST(doc_id % 8 AS INTEGER) AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents JOIN keep USING (doc_id)),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+         | FROM d)
+         |SELECT doc_id, shard,
+         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id,
+         | start_offset, n_tokens
+         |FROM p""".stripMargin,
     "q51_stratified_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |   ${h32("lang||':'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),

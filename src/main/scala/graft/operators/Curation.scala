@@ -330,9 +330,32 @@ object Curation {
         col("n_tokens"), col("start_offset"), col("bin_id"))
   }
 
+  /** The packed-shard manifest the capstone writer lays on disk, computed
+    * WITHOUT the filesystem write: the [[curationDecisions]] keep-set
+    * composed with [[sequencePackingOf]], one row per surviving document
+    * with its (shard, bin_id, start_offset, n_tokens) layout coordinates.
+    * This is the trainer-facing contract of [[writeTrainingShards]] as a
+    * pure, hash-checkable DataFrame — the oracle gates the LAYOUT, and the
+    * writer is a thin side-effect around it (it derives its rows from this
+    * exact frame, so the two cannot diverge).
+    *
+    * Scale shape: inherits the verdict's and packing's documented plans —
+    * memoized sub-pipelines, one shuffle on shard, per-shard cumulative
+    * windows, never a global order.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val kept = curationDecisions(spark, sfDir)
+      .where(col("keep") === 1).select(col("doc_id"))
+    sequencePackingOf(Tables.documents(spark, sfDir).join(kept, "doc_id"),
+        capacity, nShards)
+      .select(col("doc_id"), col("shard"), col("bin_id"),
+        col("start_offset"), col("n_tokens"))
+  }
+
   /** The end-to-end curation capstone: apply the composed keep/drop
     * verdict ([[curationDecisions]]), pack the SURVIVORS into per-shard
-    * token bins ([[sequencePackingOf]] — offsets over the filtered set,
+    * token bins ([[shardManifest]] — offsets over the filtered set,
     * so packed streams are gapless), and write shard-partitioned parquet
     * — the on-disk layout a trainer's data loader reads.
     *
@@ -349,11 +372,8 @@ object Curation {
     */
   def writeTrainingShards(spark: SparkSession, sfDir: String, outDir: String,
       capacity: Int = 2048, nShards: Int = 8): DataFrame = {
-    val kept = curationDecisions(spark, sfDir)
-      .where(col("keep") === 1).select(col("doc_id"))
-    val docs = Tables.documents(spark, sfDir).join(kept, "doc_id")
-    val packed = sequencePackingOf(docs, capacity, nShards)
-    docs.join(packed, "doc_id")
+    val packed = shardManifest(spark, sfDir, capacity, nShards)
+    Tables.documents(spark, sfDir).join(packed, "doc_id")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("shard"), col("bin_id"), col("start_offset"), col("n_tokens"))
       .repartition(col("shard"))

@@ -289,6 +289,13 @@ class OperatorsSpec extends SparkTestBase {
         expected + r.getAs[Long]("n_tokens")
       }
     }
+    // the bytes on disk agree row-for-row with the pure q99 contract
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens"))
+    val pure = Curation.shardManifest(spark, sf, capacity = 512, nShards = 4)
+      .collect()
+    assert(manifest.map(key).sortBy(_._1).toSeq === pure.map(key).sortBy(_._1).toSeq)
   }
 
   test("salted join equals the plain join on skewed data") {
