@@ -163,6 +163,8 @@ object SparkEntry {
     "q98_curriculum_pack" -> ((s: SparkSession, d: String) => graft.operators.Curation.curriculumPacking(s, d)),
     // the capstone's trainer-facing layout as a pure hash-gated contract
     "q99_shard_manifest" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardManifest(s, d)),
+    // margin-gated dedup: estimator-accepted pairs skip the exact verify
+    "q100_minhash_fast" -> ((s: SparkSession, d: String) => Dedup.minhashPairsFast(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,5 +1426,39 @@ private object CorpusOracles {
          |SELECT doc_id, shard, model_score, n_tokens, start_offset,
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
          |FROM o""".stripMargin,
+    // q100: margin-gated pairs — est >= 0.875 accepted unverified
+    // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
+    // rejected; mirrors Dedup.minhashPairsFast's defaults
+    "q100_minhash_fast" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |banded AS (SELECT doc_id, b AS band,
+         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc1, doc2,
+         |   round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+         |     / CAST(16 AS DOUBLE), 6) AS est_jaccard
+         |  FROM cand JOIN sig a ON cand.doc1 = a.doc_id
+         |  JOIN sig b ON cand.doc2 = b.doc_id),
+         |acc AS (SELECT doc1, doc2, est_jaccard, 0 AS verified
+         |  FROM e WHERE est_jaccard >= 0.875),
+         |mid AS (SELECT doc1, doc2, est_jaccard FROM e
+         |  WHERE est_jaccard >= 0.5 AND est_jaccard < 0.875),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT doc1, doc2, count(*) AS cnt
+         |  FROM mid
+         |  JOIN sh s1 ON s1.doc_id = doc1
+         |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+         |  GROUP BY 1,2),
+         |ver AS (SELECT doc1, doc2 FROM ($jaccardTail) WHERE jaccard >= 0.7)
+         |SELECT doc1, doc2, est_jaccard, verified FROM acc
+         |UNION ALL
+         |SELECT m.doc1, m.doc2, m.est_jaccard, 1 AS verified
+         |FROM mid m JOIN ver v ON m.doc1 = v.doc1 AND m.doc2 = v.doc2""".stripMargin,
   )
 }

@@ -60,7 +60,15 @@ object Dedup {
     * shingles, and keep pairs at or above the (6-dp-rounded) threshold.
     */
   private def verifiedJaccard(candidates: DataFrame, sh: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    exactJaccardOf(candidates, sh)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+
+  /** Exact shingle Jaccard for every candidate pair, UNthresholded (pairs
+    * with zero common shingles drop out — the inner join).
+    */
+  private def exactJaccardOf(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingle", "s1"), Seq("doc1"))
@@ -73,7 +81,6 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_shingles", "n2"), Seq("doc2"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")), 6))
-      .where(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
@@ -357,24 +364,116 @@ object Dedup {
 
   private def minhashPairsUncached(spark: SparkSession, sfDir: String,
       threshold: Double, k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
     // the signature table is tiny (one row per doc) but its plan subtree is
     // expensive and feeds both sides of the band self-join — cache it so it
     // computes once (the static planner otherwise replicates the subtree:
     // 16 parquet scans observed un-cached)
     val docs = materialized(minhashSignatures(spark, sfDir, k))
+    val candidates = bandCandidates(docs, k, bands)
+    verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
+  }
+
+  /** LSH band-bucket candidate pairs over a (cached) signature frame: docs
+    * sharing any of the `bands` band keys, as distinct (doc1 < doc2) rows.
+    * All shuffles equality-keyed on (band, bkey).
+    */
+  private def bandCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           Hashing.bandKeyFromCols(((b * rows) until ((b + 1) * rows))
             .map(i => col(s"mh_$i"))).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-    val candidates = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
-    verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
+  }
+
+  /** Signature-estimated Jaccard (fraction of agreeing minhash components)
+    * appended to a (doc1, doc2, ...) pair frame — two equality joins onto
+    * the one-row-per-doc signature table, input columns preserved.
+    */
+  private def estimatedJaccard(pairs: DataFrame, sig: DataFrame, k: Int): DataFrame = {
+    def side(tag: String, key: String) = sig.select(
+      col("doc_id").as(key) +:
+        (0 until k).map(i => col(s"mh_$i").as(s"${tag}_$i")): _*)
+    val eq = (0 until k)
+      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(side("a", "doc1"), "doc1")
+      .join(side("b", "doc2"), "doc2")
+      .select(pairs.columns.map(col) :+
+        round(eq.cast("double") / k, 6).as("est_jaccard"): _*)
+  }
+
+  /** Margin-gated near-dup pairs — the production payoff of the q97
+    * estimator audit: candidates whose SIGNATURE-estimated Jaccard clears
+    * `marginHigh` are accepted WITHOUT the exact shingle verify (the
+    * expensive stage at 100 TB), candidates below `marginLow` are rejected
+    * outright, and only the band between runs [[verifiedJaccard]] against
+    * `threshold`. Output: (doc1, doc2, est_jaccard, verified) where
+    * verified=0 marks margin-accepted pairs and verified=1 exact-verified
+    * ones.
+    *
+    * Soundness contract: equals [[minhashPairs]]' pair set whenever the
+    * estimator's max |est − exact| over the band candidates (measured by
+    * [[minhashCandidateAudit]]) is bounded by min(marginHigh − threshold,
+    * threshold − marginLow) — the audit is the evidence gate, specced on a
+    * fixture. Past that bound the margins trade recall/precision for
+    * skipping verify I/O, the standard corpus-scale compromise.
+    *
+    * Scale shape: identical candidate stage to [[minhashPairs]]; the
+    * estimate is two equality joins on the one-row-per-doc signature
+    * table; the exact verify — the only stage touching shingle sets —
+    * now runs over the uncertain band alone.
+    */
+  def minhashPairsFast(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7, marginLow: Double = 0.5,
+      marginHigh: Double = 0.875, k: Int = 16, bands: Int = 4): DataFrame =
+    SessionMemo(spark,
+        s"minhashPairsFast|$sfDir|$threshold|$marginLow|$marginHigh|$k|$bands") {
+      require(marginLow <= threshold && threshold <= marginHigh,
+        s"minhashPairsFast: need marginLow <= threshold <= marginHigh, " +
+          s"got $marginLow / $threshold / $marginHigh")
+      val docs = materialized(minhashSignatures(spark, sfDir, k))
+      val est = estimatedJaccard(bandCandidates(docs, k, bands), docs, k)
+      val accepted = est.where(col("est_jaccard") >= marginHigh)
+        .select(col("doc1"), col("doc2"), col("est_jaccard"),
+          lit(0).as("verified"))
+      val uncertain = est.where(
+        col("est_jaccard") >= marginLow && col("est_jaccard") < marginHigh)
+      val verified = uncertain.join(
+          verifiedJaccard(uncertain.select(col("doc1"), col("doc2")),
+            materialized(shingleSet(spark, sfDir)), threshold)
+            .select(col("doc1"), col("doc2")),
+          Seq("doc1", "doc2"), "left_semi")
+        .select(col("doc1"), col("doc2"), col("est_jaccard"),
+          lit(1).as("verified"))
+      accepted.union(verified)
+    }
+
+  /** Estimator audit over ALL band candidates — not just the survivors
+    * q97 covers: (doc1, doc2, est_jaccard, jaccard, abs_err) with
+    * jaccard = 0 for candidates sharing no shingle. This is the
+    * calibration table for [[minhashPairsFast]]'s margins: rejecting
+    * below `marginLow` is only sound if NON-pairs estimate low too, which
+    * the survivor-only audit cannot witness.
+    */
+  def minhashCandidateAudit(spark: SparkSession, sfDir: String,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val docs = materialized(minhashSignatures(spark, sfDir, k))
+    val est = estimatedJaccard(bandCandidates(docs, k, bands), docs, k)
+    est.join(
+        exactJaccardOf(est.select(col("doc1"), col("doc2")),
+          materialized(shingleSet(spark, sfDir))),
+        Seq("doc1", "doc2"), "left")
+      .select(col("doc1"), col("doc2"), col("est_jaccard"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
   }
 
   /** MinHash estimator audit: for every verified near-dup pair (q25), the
@@ -391,21 +490,10 @@ object Dedup {
     * upstream is memoized, so the audit costs two hash joins.
     */
   def minhashEstimatorAudit(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.7, k: Int = 16): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir, k)
-    def side(tag: String, key: String) = sig.select(
-      col("doc_id").as(key) +:
-        (0 until k).map(i => col(s"mh_$i").as(s"${tag}_$i")): _*)
-    val eq = (0 until k)
-      .map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    minhashPairs(spark, sfDir, threshold, k)
-      .join(side("a", "doc1"), "doc1")
-      .join(side("b", "doc2"), "doc2")
-      .select(col("doc1"), col("doc2"), col("jaccard"),
-        round(eq.cast("double") / k, 6).as("est_jaccard"))
+      threshold: Double = 0.7, k: Int = 16): DataFrame =
+    estimatedJaccard(minhashPairs(spark, sfDir, threshold, k),
+        minhashSignatures(spark, sfDir, k), k)
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
-  }
 
   /** Per-document 32-bit SimHash over whitespace tokens (term-frequency
     * weighted: duplicates vote once each, so no distinct). Same explode +

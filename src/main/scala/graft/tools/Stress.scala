@@ -165,6 +165,15 @@ object Stress {
     val t13f = System.nanoTime()
     val curRows = graft.operators.Curation.curriculumPacking(spark, docDir).count()
     println(f"[stress] curriculum packing ($nDocs docs): $curRows rows in ${(System.nanoTime() - t13f) / 1e9}%.1f s")
+    // margin-gated dedup vs the always-verify pipeline: both reuse the
+    // memoized signature/shingle tables built above, so the delta isolates
+    // the verify-stage cost the margins skip
+    val t13g = System.nanoTime()
+    val fastAll = graft.operators.Dedup.minhashPairsFast(spark, docDir, threshold = 0.7)
+      .collect()
+    val skipped = fastAll.count(_.getInt(3) == 0)
+    println(f"[stress] minhash fast pairs ($nDocs docs): ${fastAll.length} pairs " +
+      f"($skipped accepted without exact verify) in ${(System.nanoTime() - t13g) / 1e9}%.1f s")
 
     // JL projection, PQ encode/ADC, and cluster-balanced sampling over a
     // synthetic embeddings table at 100× the bench vector count (64-dim

@@ -170,6 +170,46 @@ class RankGraphPqSpec extends SparkTestBase {
     }
   }
 
+  test("margin-gated fast pairs: audit-bounded margins reproduce the exact pipeline") {
+    val thr = 0.7
+    // the CANDIDATE audit (not the survivor-only q97 one) witnesses the
+    // worst estimator error over every band candidate; margins at least
+    // that wide make the skip/reject decisions provably agree with the
+    // exact pipeline (1e-6 slack absorbs the 6-dp rounding of the audit)
+    val eps = Dedup.minhashCandidateAudit(spark, sf).collect()
+      .map(_.getAs[Double]("abs_err")).max
+    val fast = Dedup.minhashPairsFast(spark, sf, thr,
+        marginLow = thr - eps - 1e-6, marginHigh = thr + eps + 1e-6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = Dedup.minhashPairs(spark, sf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === slow)
+  }
+
+  test("fast pairs with an infinite margin verify everything and change nothing") {
+    val fast = Dedup.minhashPairsFast(spark, sf, 0.7,
+      marginLow = 0.0, marginHigh = 1.1).collect()
+    assert(fast.forall(_.getInt(3) == 1), "nothing may skip the verify")
+    val slow = Dedup.minhashPairs(spark, sf, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.map(r => (r.getLong(0), r.getLong(1))).toSet === slow)
+  }
+
+  test("default margins: verified flag tracks the estimate band; audit covers q97") {
+    val fast = Dedup.minhashPairsFast(spark, sf).collect()
+    assert(fast.nonEmpty)
+    fast.foreach { r =>
+      val (est, verified) = (r.getDouble(2), r.getInt(3))
+      if (verified == 0) assert(est >= 0.875)
+      else assert(est >= 0.5 && est < 0.875)
+    }
+    val all = Dedup.minhashCandidateAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val survivors = Dedup.minhashEstimatorAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(survivors.subsetOf(all), "candidate audit must cover every survivor")
+  }
+
   test("curriculum packing: per-shard offsets chain in score order") {
     val rows = Curation.curriculumPacking(spark, sf, capacity = 512, nShards = 4)
       .collect()
