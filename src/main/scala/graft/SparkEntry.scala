@@ -165,6 +165,8 @@ object SparkEntry {
     "q99_shard_manifest" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardManifest(s, d)),
     // margin-gated dedup: estimator-accepted pairs skip the exact verify
     "q100_minhash_fast" -> ((s: SparkSession, d: String) => Dedup.minhashPairsFast(s, d)),
+    // PQ serving accuracy: ADC top-5 recall vs exact squared-L2 ranking
+    "q101_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallAt5(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -677,6 +679,30 @@ private object CorpusOracles {
        |   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
        |  FROM x)
        |SELECT vec_id, sub, code, d2 AS md2 FROM a WHERE rn = 1""".stripMargin
+
+  /** Full q93 ADC top-k SQL; also the approximate side of the q101 PQ
+    * recall gate.
+    */
+  private val pqTopkSql =
+    s"""WITH best AS ($pqBestSql),
+       |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+       |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+       |lut AS (SELECT query_id, sub, cid AS code,
+       |   round(list_dot_product(d, d), 6) AS dd
+       |  FROM (SELECT q.query_id, t.sub, cents.cid,
+       |    list_transform(range(1, 9), i -> q.qv[t.sub*8 + i] - cents.cv[t.sub*8 + i]) AS d
+       |   FROM q CROSS JOIN cents CROSS JOIN UNNEST([0,1,2,3,4,5,6,7]) AS t(sub))),
+       |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+       |   round(CAST(sum(CAST(round(dd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS adc_dist
+       |  FROM best b JOIN lut ON b.sub = lut.sub AND b.code = lut.code
+       |   AND b.vec_id <> lut.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS "rank"
+       |  FROM scored)
+       |SELECT * FROM r WHERE "rank" <= 5""".stripMargin
 
   /** One oracle for both range-join gates: q43 (manual bucketing) and q65
     * (optimizer-rule rewrite) are defined to share EXACT semantics, so a
@@ -1337,26 +1363,29 @@ private object CorpusOracles {
          |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS pq_codes,
          | round(CAST(sum(CAST(round(md2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS pq_error
          |FROM best GROUP BY 1""".stripMargin,
-    "q93_pq_topk" ->
-      s"""WITH best AS ($pqBestSql),
+    "q93_pq_topk" -> pqTopkSql,
+    // q101: PQ serving accuracy — ADC top-5 vs the exact squared-L2
+    // ranking (the distance ADC approximates), per query
+    "q101_pq_recall" ->
+      s"""WITH pq AS (SELECT query_id, neighbor_id FROM ($pqTopkSql)),
          |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM c
-         |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
-         |lut AS (SELECT query_id, sub, cid AS code,
-         |   round(list_dot_product(d, d), 6) AS dd
-         |  FROM (SELECT q.query_id, t.sub, cents.cid,
-         |    list_transform(range(1, 9), i -> q.qv[t.sub*8 + i] - cents.cv[t.sub*8 + i]) AS d
-         |   FROM q CROSS JOIN cents CROSS JOIN UNNEST([0,1,2,3,4,5,6,7]) AS t(sub))),
-         |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
-         |   round(CAST(sum(CAST(round(dd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS adc_dist
-         |  FROM best b JOIN lut ON b.sub = lut.sub AND b.code = lut.code
-         |   AND b.vec_id <> lut.query_id
-         |  GROUP BY 1, 2),
-         |r AS (SELECT *, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS "rank"
-         |  FROM scored)
-         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+         |sc AS (SELECT query_id, vec_id AS neighbor_id,
+         |   round(list_dot_product(d, d), 6) AS d2
+         |  FROM (SELECT q.query_id, c.vec_id,
+         |    list_transform(range(1, 65), i -> c.v[i] - q.qv[i]) AS d
+         |   FROM c JOIN q ON c.vec_id <> q.query_id)),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn FROM sc)
+         |  WHERE rn <= 5)
+         |SELECT a.query_id,
+         | CAST(count(*) AS BIGINT) AS n_returned,
+         | CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         | round(CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5, 4) AS recall_at_5
+         |FROM pq a LEFT JOIN ex e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // q94: bigrams formed positionally (w[i], w[i+1]); the same
     // fixed-point mean recipe as q71
     "q94_bigram_surprisal" ->

@@ -527,6 +527,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Recall@5 of the PQ ADC ranking ([[pqTopK]]) against the EXACT
+    * squared-L2 top-k — the distance ADC approximates, so this is the
+    * number a PQ user actually cares about (the q67 recall-gate recipe
+    * applied to the compressed index). Deterministic end to end: both
+    * rankings round at 6 dp with vec_id tiebreaks, so the oracle replays
+    * the recall exactly.
+    *
+    * Scale shape: the exact side is the [[bruteForceTopK]] plan (query set
+    * broadcast, corpus streamed once, per-query WindowGroupLimit); the
+    * recall join is top-k-sized — free.
+    */
+  def pqRecallAt5(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(sqDist(col("qv"), col("v")), 6).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    pqTopK(spark, sfDir, k, nQueries).alias("a")
+      .join(broadcast(exact).alias("e"),
+        col("a.query_id") === col("e.query_id") &&
+          col("a.neighbor_id") === col("e.neighbor_id"), "left")
+      .groupBy(col("a.query_id").as("query_id"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(when(col("e.neighbor_id").isNotNull, 1).otherwise(0)).as("n_hits"),
+        round(sum(when(col("e.neighbor_id").isNotNull, 1).otherwise(0))
+          .cast("double") / k, 4).as("recall_at_5"))
+  }
+
   /** Cluster-balanced sampling: cap each [[ivfAssignTrained]] semantic
     * cell at `cap` members, chosen by pinned hash (vec_id tiebreak) — the
     * diversity-preserving down-sampling step of embedding-aware curation

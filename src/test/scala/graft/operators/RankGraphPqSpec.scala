@@ -100,6 +100,18 @@ class RankGraphPqSpec extends SparkTestBase {
     }
   }
 
+  test("pq recall gate: one row per query, hits consistent with recall") {
+    val rows = Similarity.pqRecallAt5(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L until 10L).toSet)
+    rows.foreach { r =>
+      val (n, hits, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n === 5L)
+      assert(hits >= 0L && hits <= 5L)
+      assert(rec === BigDecimal(hits / 5.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("bigram surprisal: repeated bigrams score below novel ones") {
     val s = spark
     import s.implicits._
