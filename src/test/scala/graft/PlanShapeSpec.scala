@@ -117,6 +117,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q73 prefix Jaccard: every join equality-keyed, shingle set cached once") {
+    val p = planOf("q73_jaccard_prefix")
+    // the whole point of prefix filtering: no all-pairs stage anywhere
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct shingle set feeds df/prefix/verify branches from one
+    // cached relation, not four parquet scans
+    assert(p.contains("InMemoryRelation"), p)
+  }
+
+  test("q81 winnow pairs: fingerprint collision join is equality-keyed") {
+    val p = planOf("q81_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q93 PQ ADC top-k: broadcast LUT, group-limit rank, no nested loop") {
+    val p = planOf("q93_pq_topk")
+    assert(p.contains("BroadcastExchange"), p) // the |q|·m·k LUT ships, codes stream
+    assert(p.contains("WindowGroupLimit"), p)  // per-query rank never globally sorts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q100 margin-gated pairs: candidate/estimate/verify joins all equality-keyed") {
+    val p = planOf("q100_minhash_fast")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q87 score calibration: CDF windows over the histogram only, doc join-back is broadcast") {
     val p = planOf("q87_score_calibration")
     // one Window (the running sum over (source, bin) aggregates)
