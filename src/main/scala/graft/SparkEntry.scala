@@ -167,6 +167,21 @@ object SparkEntry {
     "q100_minhash_fast" -> ((s: SparkSession, d: String) => Dedup.minhashPairsFast(s, d)),
     // PQ serving accuracy: ADC top-5 recall vs exact squared-L2 ranking
     "q101_pq_recall" -> ((s: SparkSession, d: String) => Similarity.pqRecallAt5(s, d)),
+    // intra-document repeated 8-gram audit (loop/template artifact signal)
+    "q102_repeated_grams" -> ((s: SparkSession, d: String) => TextAnalytics.repeatedGrams(s, d)),
+    // per-source unigram KL divergence from the corpus mix (domain drift)
+    "q103_source_kl" -> ((s: SparkSession, d: String) => TextAnalytics.sourceKlDrift(s, d)),
+    // per-source token-budget selection in quality order (mixture assembly)
+    "q104_token_budget" -> ((s: SparkSession, d: String) => graft.operators.Curation.tokenBudgetSelection(s, d)),
+    // per-cluster dedup savings report over the component resolution
+    "q105_cluster_stats" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupClusterStats(s, d)),
+    // asymmetric containment pairs over winnow fingerprints (quote/subset)
+    "q106_winnow_containment" -> ((s: SparkSession, d: String) => Dedup.winnowContainment(s, d)),
+    // benchmark-contamination span positions per training document.
+    // Gated at n=3: the synthetic corpus has zero cross-doc 8-gram overlap
+    // (an empty result would be a trivially-passing oracle); the operator's
+    // production default stays n=8
+    "q107_decontam_spans" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontaminationSpans(s, d, n = 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1455,6 +1470,88 @@ private object CorpusOracles {
          |SELECT doc_id, shard, model_score, n_tokens, start_offset,
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
          |FROM o""".stripMargin,
+    // q102: 0-based positional 8-grams; a position repeats when its
+    // row_number within (doc, gram) is >= 2
+    "q102_repeated_grams" ->
+      s"""WITH g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |   array_to_string(list_slice(w, i, i+7), ' ') AS gram
+         |  FROM ($toks), UNNEST(range(1, len(w)-6)) AS t(i)),
+         |r AS (SELECT doc_id, pos, row_number() OVER (
+         |   PARTITION BY doc_id, gram ORDER BY pos) AS rn FROM g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         | round(CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS repeated_frac,
+         | CAST(coalesce(min(CASE WHEN rn >= 2 THEN pos END), -1) AS INTEGER) AS first_repeat_pos
+         |FROM r GROUP BY 1""".stripMargin,
+    // q103: KL(P_source || P_corpus) over unigrams; per-(source, word)
+    // term rounded once, fixed-point per-source sum
+    "q103_source_kl" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sw AS (SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT word, count(*) AS c_w FROM tok GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_c FROM tok),
+        |terms AS (SELECT sw.source, st.n_s,
+        |   round((CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_c)), 6) AS term
+        |  FROM sw JOIN cw USING (word) JOIN st ON sw.source = st.source CROSS JOIN tt)
+        |SELECT source, CAST(min(n_s) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS kl_divergence
+        |FROM terms GROUP BY 1""".stripMargin,
+    // q104: per-source running token total in (model_score desc, doc_id)
+    // order, kept while within the 5000-token budget
+    "q104_token_budget" ->
+      s"""WITH ms AS ($modelScoreSql),
+         |d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |j AS (SELECT ms.doc_id, ms.source, ms.model_score, d.n_tokens
+         |  FROM ms JOIN d USING (doc_id)),
+         |o AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY model_score DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM j)
+         |SELECT doc_id, source, model_score, n_tokens, cum_tokens
+         |FROM o WHERE cum_tokens <= 5000""".stripMargin,
+    // q105: per-component member/token rollup over the q50 closure
+    "q105_cluster_stats" ->
+      s"""WITH comp AS ($componentsSql),
+         |t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+         |j AS (SELECT comp.doc_id, comp.component, t.n_tokens FROM comp JOIN t USING (doc_id)),
+         |a AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |   CAST(sum(CASE WHEN doc_id <> component THEN n_tokens ELSE 0 END) AS BIGINT) AS duplicate_tokens
+         |  FROM j GROUP BY 1)
+         |SELECT component, n_members, total_tokens, duplicate_tokens,
+         | round(CAST(duplicate_tokens AS DOUBLE) / total_tokens, 6) AS dup_token_frac
+         |FROM a""".stripMargin,
+    // q106: Broder containment on the winnow sketch — shared fingerprints
+    // over the smaller document's fingerprint count
+    "q106_winnow_containment" ->
+      s"""WITH bh AS ($baseHashes),
+         |wf AS (SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |      range(1, greatest(len(hs)-3, 1)+1), i -> list_min(hs[i:i+3])))) AS fp
+         |  FROM bh WHERE len(hs) > 0)),
+         |sizes AS (SELECT doc_id, count(*) AS n_fp FROM wf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc1, doc2, n_shared,
+         | round(CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp), 6) AS containment
+         |FROM inter JOIN sizes x ON doc1 = x.doc_id JOIN sizes y ON doc2 = y.doc_id
+         |WHERE round(CAST(n_shared AS DOUBLE) / least(x.n_fp, y.n_fp), 6) >= 0.5""".stripMargin,
+    // q107: positional variant of the q56 gram match — only contaminated
+    // training docs report, with first/last matched token positions.
+    // n=3 to give the gate a non-empty result on the synthetic corpus
+    "q107_decontam_spans" ->
+      s"""WITH g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |   CAST(('0x'||substr(md5(array_to_string(list_slice(w, i, i+2), ' ')),1,15)) AS BIGINT) AS gram_h
+         |  FROM ($toks), UNNEST(range(1, len(w)-1)) AS t(i)),
+         |b AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+         |t AS (SELECT doc_id, pos, gram_h FROM g WHERE doc_id % 97 <> 0)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_positions,
+         | CAST(min(pos) AS INTEGER) AS first_pos, CAST(max(pos) AS INTEGER) AS last_pos,
+         | CAST(max(pos) - min(pos) + 3 AS INTEGER) AS span_tokens
+         |FROM t JOIN b USING (gram_h)
+         |GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

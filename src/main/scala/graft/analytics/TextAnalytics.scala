@@ -484,6 +484,92 @@ object TextAnalytics {
       .distinct()
   }
 
+  /** Intra-document repeated n-gram audit — the WITHIN-document
+    * counterpart of cross-document dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 measure the same
+    * signal): for every document, how many of its word `n`-gram positions
+    * repeat an earlier position, and where the first repeat starts.
+    * Looping generation artifacts and templated spam light up here while
+    * q54's distinct-ratio metric only sees the aggregate. Documents with
+    * fewer than `n` tokens have no grams and produce no row (same contract
+    * as the shingle pipelines).
+    *
+    * Output: (doc_id, n_grams, n_repeated, repeated_frac, first_repeat_pos)
+    * with first_repeat_pos = −1 when nothing repeats (0-based token
+    * position of the first repeated gram otherwise).
+    *
+    * Scale shape: one posexplode, a row_number window keyed on the
+    * COMPOSITE (doc_id, gram) — hot grams across documents cannot pile on
+    * one reducer, and within a document a gram's repeat count is bounded
+    * by document length — then the per-doc rollup. Two equality-keyed
+    * shuffles, nothing corpus-quadratic.
+    */
+  def repeatedGrams(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
+    repeatedGramsOf(Tables.documents(spark, sfDir), n)
+
+  /** [[repeatedGrams]] over an arbitrary (doc_id, text) frame. */
+  def repeatedGramsOf(documents: DataFrame, n: Int = 8): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"),
+        posexplode(Text.shingles(col("text"), n)).as(Seq("pos", "gram")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))
+    grams.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("rn") >= 2, 1L).otherwise(0L)).as("n_repeated"),
+        coalesce(min(when(col("rn") >= 2, col("pos"))), lit(-1))
+          .as("first_repeat_pos"))
+      .select(col("doc_id"), col("n_grams"), col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_grams"), 6)
+          .as("repeated_frac"),
+        col("first_repeat_pos"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * KL(P_source ‖ P_corpus) — the domain-drift / mixture-skew monitor a
+    * curation pipeline runs per crawl snapshot: a source whose language
+    * drifts from the mix (spam injection, template takeover, language
+    * shift) spikes here before any per-document filter notices. Every
+    * source word appears in the corpus by construction, so no smoothing
+    * is needed and the divergence is finite.
+    *
+    * Determinism: term = round(p_s·ln(p_s/p_c), 6) per (source, word) —
+    * a fixed left-to-right IEEE chain — then a fixed-point ×10⁶ sum per
+    * source (order-independent; see labelCentroids).
+    *
+    * Scale shape: (source, word) and word counts are map-side-combinable
+    * aggregates (the q59 df recipe); the corpus word table is
+    * vocab-sized — Heaps'-law bounded, same broadcast contract as q71 —
+    * and the per-source totals are |sources| rows. The (source, word)
+    * stream shuffles once on its composite key; nothing else moves.
+    */
+  def sourceKlDrift(spark: SparkSession, sfDir: String): DataFrame =
+    sourceKlDriftOf(Tables.documents(spark, sfDir))
+
+  /** [[sourceKlDrift]] over an arbitrary (source, text) frame. */
+  def sourceKlDriftOf(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(Text.tokens(col("text"))).as("word"))
+    val sw = tok.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c_sw"))
+    val cw = tok.groupBy(col("word")).agg(count(lit(1)).as("c_w"))
+    val st = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = tok.agg(count(lit(1)).as("n_c"))
+    val pS = col("c_sw").cast("double") / col("n_s")
+    val pC = col("c_w").cast("double") / col("n_c")
+    sw.join(broadcast(cw), "word")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_s"),
+        round(pS * log(pS / pC), 6).as("term"))
+      .groupBy(col("source"))
+      .agg(min(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        round(sum(round(col("term") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("kl_divergence"))
+  }
+
   /** Frequent cross-document n-grams — the boilerplate DETECTOR aggregate
     * (top-k word n-grams by document frequency) that tells a curation
     * pipeline what [[graft.operators.Curation.boilerplateScrub]] is about

@@ -385,6 +385,108 @@ object Curation {
         col("start_offset"), col("n_tokens"))
   }
 
+  /** Token-budget-capped per-source selection — the mixture assembly step
+    * once shares are decided (q57/q78 pick RATES; this picks the DOCUMENTS):
+    * per source, take documents in (model_score desc, doc_id) order while
+    * the running token total stays within `budget`. Output: the kept rows
+    * with their cumulative token position — the per-source reading order.
+    *
+    * Scale shape: one shuffle on source, a per-source cumulative-sum
+    * window in that deterministic total order, and the budget filter. The
+    * window is the honest plan — a running sum cannot group-limit — so a
+    * mega-source pays one sort of ITS documents (per-source, never
+    * global); at 100 TB shares per source are corpus-fractions and
+    * `nShards`-style source splitting bounds any single sort.
+    */
+  def tokenBudgetSelection(spark: SparkSession, sfDir: String,
+      budget: Long = 5000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.Text.modelScore(col("text")).as("model_score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("model_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("model_score"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-cluster dedup accounting over the [[dedupComponents]] resolution:
+    * member count, total tokens, and the duplicate tokens (non-canonical
+    * members') the dedup pass saves — the "what did dedup buy us" report
+    * every corpus release ships with. One row per component (singletons
+    * included: n_members = 1, duplicate_tokens = 0); the canonical member
+    * IS the component id (min-label fixpoint).
+    *
+    * Scale shape: the component table is memoized (one row per doc); the
+    * token counts are a map-side projection on the documents scan; one
+    * equality join on doc_id and one aggregate keyed on component.
+    */
+  def dedupClusterStats(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    dedupComponents(spark, sfDir, threshold)
+      .join(toks, "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("doc_id") =!= col("component"), col("n_tokens"))
+          .otherwise(0L)).as("duplicate_tokens"))
+      .select(col("component"), col("n_members"), col("total_tokens"),
+        col("duplicate_tokens"),
+        round(col("duplicate_tokens").cast("double") / col("total_tokens"), 6)
+          .as("dup_token_frac"))
+  }
+
+  /** WHERE the contamination sits, not just whether: for every training
+    * document sharing an `n`-gram with the benchmark slice, the 0-based
+    * token positions of the matching grams — first/last match and the
+    * matched-position count. The span detail is what an audit needs to
+    * decide between dropping the document and excising the span (the
+    * common remediation when a long document quotes one benchmark item).
+    * Only contaminated documents produce rows (the q56 flag already
+    * covers the rest).
+    *
+    * Scale shape: the positional gram stream is the q56 map pass plus one
+    * int; the benchmark side is distinct-hashed and broadcast (same
+    * eval-suite-sized contract as [[decontaminateAgainst]]); matches
+    * survive an inner broadcast join — clean grams die map-side — and the
+    * rollup is per-doc. No shuffle on the gram key at any corpus size.
+    */
+  def decontaminationSpans(spark: SparkSession, sfDir: String,
+      n: Int = 8, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminationSpansAgainst(
+      docs.where(col("doc_id") % benchMod =!= 0),
+      docs.where(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** [[decontaminationSpans]] against an explicit benchmark table — the
+    * production form, mirroring [[decontaminateAgainst]].
+    */
+  def decontaminationSpansAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+      n: Int = 8): DataFrame = {
+    val grams = trainDocs
+      .select(col("doc_id"),
+        posexplode(graft.functions.Text.shingles(col("text"), n))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        Hashing.stableHash60(col("gram")).as("gram_h"))
+    val bench = benchDocs
+      .select(explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
+      .select(Hashing.stableHash60(col("gram")).as("gram_h"))
+      .distinct()
+    grams.join(broadcast(bench), Seq("gram_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_positions"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+      .withColumn("span_tokens", col("last_pos") - col("first_pos") + n)
+  }
+
   /** Benchmark decontamination scan: flag training documents sharing any
     * word `n`-gram with the held-out benchmark slice (docs whose id is
     * divisible by `benchMod` stand in for an eval set). Output per training

@@ -288,6 +288,39 @@ object Dedup {
     verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
   }
 
+  /** Fingerprint CONTAINMENT pairs — the asymmetric overlap signal
+    * Jaccard-thresholded dedup misses: a short document quoted wholesale
+    * inside a long one shares nearly all of ITS winnow fingerprints while
+    * the symmetric Jaccard stays tiny. containment = |FP(A) ∩ FP(B)| /
+    * min(|FP(A)|, |FP(B)|) — the Broder containment measure on the
+    * winnowed sketch, which the winnowing guarantee makes a faithful
+    * proxy for shared-run coverage of the smaller document (quote /
+    * mirror-with-navigation / subset detection).
+    *
+    * Scale shape: same fingerprint-collision equality join as
+    * [[winnowPairs]] (fingerprints are ~2/(w+1) of shingle bytes), the
+    * per-pair intersection count is the join's rollup, and the two size
+    * lookups join a doc-sized aggregate. Nothing all-pairs.
+    */
+  def winnowContainment(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val fps = materialized(
+      graft.analytics.TextAnalytics.winnowFingerprints(spark, sfDir))
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val inter = fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("n_fp", "n1"), Seq("doc1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("n_fp", "n2"), Seq("doc2"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / least(col("n1"), col("n2")), 6))
+      .where(col("containment") >= threshold)
+      .select(col("doc1"), col("doc2"), col("n_shared"), col("containment"))
+  }
+
   /** Incremental ingest dedup: flag each BATCH document whose exact
     * content already exists in the HISTORY corpus — the check every daily
     * ingest runs before appending. The mock split carves history/batch out

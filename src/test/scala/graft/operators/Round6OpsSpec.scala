@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.TextAnalytics
+import org.apache.spark.sql.functions.col
+
+/** Semantics of the round-6 curation operators: intra-document repeated
+  * n-grams, per-source KL drift, token-budget selection, dedup cluster
+  * stats, winnow containment, and decontamination spans. Crafted fixtures
+  * where the expectation is computable by hand; the DuckDB oracle covers
+  * exact corpus values at sf0.01.
+  */
+class Round6OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def fixedPoint(x: Double): Long =
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("repeated grams: alternating text replays by hand; unique text reports -1") {
+    val s = spark
+    import s.implicits._
+    // doc 1, n=2: grams "a b","b a","a b","b a","a b","b a" at pos 0..5 —
+    // first occurrences at 0 and 1, everything later repeats
+    val docs = Seq(
+      (1L, "a b a b a b a"),
+      (2L, "all words here differ now")).toDF("doc_id", "text")
+    val got = TextAnalytics.repeatedGramsOf(docs, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(got(1L) === ((6L, 4L, roundAt(4.0 / 6, 6), 2)))
+    assert(got(2L) === ((4L, 0L, 0.0, -1)))
+  }
+
+  test("repeated grams: documents shorter than n produce no row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalytics.repeatedGramsOf(docs, n = 3).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("source KL drift: two-source fixture replays the smoothless formula") {
+    val s = spark
+    import s.implicits._
+    // srcA: 4 tokens (a a a b), srcB: 4 tokens (b b b c)
+    // corpus: a=3, b=4, c=1, total 8
+    val docs = Seq(
+      ("srcA", "a a a b"),
+      ("srcB", "b b b c")).toDF("source", "text")
+    val got = TextAnalytics.sourceKlDriftOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def term(cSw: Long, nS: Long, cW: Long, nC: Long): Double =
+      roundAt((cSw.toDouble / nS) * math.log((cSw.toDouble / nS) / (cW.toDouble / nC)), 6)
+    def kl(terms: Seq[Double]): Double =
+      roundAt(terms.map(fixedPoint).sum / 1e6, 6)
+    assert(got("srcA") ===
+      ((4L, 2L, kl(Seq(term(3, 4, 3, 8), term(1, 4, 4, 8))))))
+    assert(got("srcB") ===
+      ((4L, 2L, kl(Seq(term(3, 4, 4, 8), term(1, 4, 1, 8))))))
+    // a balanced source matches the corpus: KL must exceed 0 for skewed ones
+    assert(got("srcA")._3 > 0.0)
+  }
+
+  test("token budget: per-source prefix in score order, cumulative chain holds") {
+    val rows = Curation.tokenBudgetSelection(spark, sf, budget = 2000L).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, src) =>
+      val ordered = src.sortBy { case (_, score, id, _, _) => (-score, id) }
+      var cum = 0L
+      ordered.foreach { case (_, _, _, n, c) =>
+        cum += n
+        assert(c === cum, "cumulative token total must chain in score order")
+        assert(c <= 2000L)
+      }
+    }
+  }
+
+  test("cluster stats: token totals reconcile with the corpus and the canonicals") {
+    val stats = Curation.dedupClusterStats(spark, sf).collect()
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.map(_.getLong(1)).sum === docs.size.toLong) // members cover corpus
+    assert(stats.map(_.getLong(2)).sum === docs.values.sum)  // tokens reconcile
+    stats.foreach { r =>
+      val (comp, total, dup) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      // duplicate tokens = total minus the canonical member's own tokens
+      // only when the canonical is the single non-duplicate (min-label ⇒
+      // canonical == component id and is always a member)
+      assert(dup === total - docs(comp) ||
+        r.getLong(1) > 1, s"component $comp")
+      assert(dup >= 0L && dup <= total)
+    }
+    // at least one real cluster exists at this sf
+    assert(stats.exists(_.getLong(1) > 1))
+  }
+
+  test("winnow containment: bounded by 1, covers the symmetric near-dup pairs") {
+    val rows = Dedup.winnowContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= 0.5 && c <= 1.0)
+    }
+    // a pair passing the symmetric jaccard-0.8 verify shares most shingles,
+    // so its fingerprint containment clears the 0.5 default too
+    val sym = Dedup.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym.subsetOf(cont))
+  }
+
+  test("decontamination spans: quoted benchmark trigram localized exactly") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "a b x y z c"),        // "x y z" at gram position 2
+      (2L, "clean words only here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "x y z")).toDF("doc_id", "text")
+    val got = Curation.decontaminationSpansAgainst(train, bench, n = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      === ((1L, 1L, 2, 2, 3)))
+  }
+}
