@@ -182,6 +182,14 @@ object SparkEntry {
     // (an empty result would be a trivially-passing oracle); the operator's
     // production default stays n=8
     "q107_decontam_spans" -> ((s: SparkSession, d: String) => graft.operators.Curation.decontaminationSpans(s, d, n = 3)),
+    // Zipf-slope regression over the vocabulary head (broadcast-assumption gate)
+    "q108_zipf_audit" -> ((s: SparkSession, d: String) => TextAnalytics.zipfAudit(s, d)),
+    // per-shard packing utilization report over the q52 layout
+    "q109_packing_efficiency" -> ((s: SparkSession, d: String) => graft.operators.Curation.packingEfficiency(s, d)),
+    // per-source canonical-survival attrition after component resolution
+    "q110_dedup_survival" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupSurvivalBySource(s, d)),
+    // C4-style normalized exact dedup (lowercase/punct-strip/space-squeeze)
+    "q111_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1552,6 +1560,59 @@ private object CorpusOracles {
          | CAST(max(pos) - min(pos) + 3 AS INTEGER) AS span_tokens
          |FROM t JOIN b USING (gram_h)
          |GROUP BY 1""".stripMargin,
+    // q108: least-squares ln(freq) ~ ln(rank) over the top-1000 words;
+    // every term rounded once, fixed-point sums, closed-form slope
+    "q108_zipf_audit" ->
+      """WITH f AS (SELECT word, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, word LIMIT 1000),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS r FROM f),
+        |t AS (SELECT round(ln(CAST(r AS DOUBLE)), 6) AS x,
+        |   round(ln(CAST(n AS DOUBLE)), 6) AS y FROM r),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+        |   round(CAST(sum(CAST(round(x*1000000) AS BIGINT)) AS DOUBLE)/1000000, 6) AS sx,
+        |   round(CAST(sum(CAST(round(y*1000000) AS BIGINT)) AS DOUBLE)/1000000, 6) AS sy,
+        |   round(CAST(sum(CAST(round(round(x*y,6)*1000000) AS BIGINT)) AS DOUBLE)/1000000, 6) AS sxy,
+        |   round(CAST(sum(CAST(round(round(x*x,6)*1000000) AS BIGINT)) AS DOUBLE)/1000000, 6) AS sxx
+        |  FROM t)
+        |SELECT n_words,
+        | round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 6) AS zipf_slope,
+        | round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx) / n_words, 6) AS zipf_intercept
+        |FROM s""".stripMargin,
+    // q109: q52's packing chained into a per-shard utilization rollup
+    "q109_packing_efficiency" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset FROM d),
+        |b AS (SELECT shard, n_tokens, CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id FROM p),
+        |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |   CAST(max(bin_id) + 1 AS BIGINT) AS n_bins FROM b GROUP BY 1)
+        |SELECT shard, n_docs, total_tokens, n_bins,
+        | round(CAST(total_tokens AS DOUBLE) / (n_bins * 2048), 6) AS utilization
+        |FROM a""".stripMargin,
+    // q110: per-source canonical survival over the q50 closure
+    "q110_dedup_survival" ->
+      s"""WITH comp AS ($componentsSql),
+         |s AS (SELECT comp.doc_id, comp.component, d.source
+         |  FROM comp JOIN documents d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         | round(CAST(sum(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS survival_rate
+         |FROM s GROUP BY 1""".stripMargin,
+    // q111: md5 of the C4 normal form (lowercase, strip non-[a-z0-9 ],
+    // squeeze spaces, trim); 'g' flags match Spark's replace-all
+    "q111_normalized_dedup" ->
+      """WITH h AS (SELECT doc_id,
+        |   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM documents),
+        |g AS (SELECT norm_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |   min(doc_id) AS canonical_doc_id FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.norm_hash, g.n_docs, g.canonical_doc_id,
+        | CAST(h.doc_id <> g.canonical_doc_id AS INTEGER) AS is_duplicate
+        |FROM h JOIN g USING (norm_hash)""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

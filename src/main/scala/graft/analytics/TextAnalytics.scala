@@ -570,6 +570,51 @@ object TextAnalytics {
           .as("kl_divergence"))
   }
 
+  /** Zipf-slope audit over the vocabulary head: least-squares fit of
+    * ln(freq) against ln(rank) for the top-`k` words — the measured
+    * evidence behind every "vocabulary-sized, Heaps'-law-bounded
+    * broadcast" claim this engine makes (q59 df, q71/q94 LM lookups,
+    * q103's corpus word table): natural text sits near slope −1; a corpus
+    * whose slope collapses toward 0 (flat head — template/spam floods) or
+    * dives steeply (tiny effective vocabulary) breaks those assumptions,
+    * and this one-row gate notices before a broadcast does.
+    *
+    * Determinism: ranks are integers from a total order (freq desc,
+    * word); each regression term — x = round(ln rank, 6), y =
+    * round(ln freq, 6), then xy and x² rounded at 6 — is fixed-point
+    * summed, and the closed-form slope/intercept are a fixed chain of
+    * IEEE double ops the oracle replays exactly.
+    *
+    * Scale shape: word counts are the map-side-combinable q58 aggregate;
+    * the top-k cut is `TakeOrderedAndProject`; the regression runs over k
+    * rows. One corpus scan, one vocab-keyed shuffle, constant-size rest.
+    */
+  def zipfAudit(spark: SparkSession, sfDir: String, k: Int = 1000): DataFrame = {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(k)
+    val ranked = freqs.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("word"))))
+    val terms = ranked.select(
+      round(log(col("r").cast("double")), 6).as("x"),
+      round(log(col("n").cast("double")), 6).as("y"))
+    def fp(c: org.apache.spark.sql.Column) = sum(round(c * 1e6).cast("long"))
+    val sums = terms.agg(
+      count(lit(1)).as("n_words"),
+      round(fp(col("x")).cast("double") / 1e6, 6).as("sx"),
+      round(fp(col("y")).cast("double") / 1e6, 6).as("sy"),
+      round(fp(round(col("x") * col("y"), 6)).cast("double") / 1e6, 6).as("sxy"),
+      round(fp(round(col("x") * col("x"), 6)).cast("double") / 1e6, 6).as("sxx"))
+    sums.select(col("n_words"),
+      round((col("n_words") * col("sxy") - col("sx") * col("sy"))
+        / (col("n_words") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+      round((col("sy") - ((col("n_words") * col("sxy") - col("sx") * col("sy"))
+        / (col("n_words") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+        / col("n_words"), 6).as("zipf_intercept"))
+  }
+
   /** Frequent cross-document n-grams — the boilerplate DETECTOR aggregate
     * (top-k word n-grams by document frequency) that tells a curation
     * pipeline what [[graft.operators.Curation.boilerplateScrub]] is about

@@ -441,6 +441,48 @@ object Curation {
           .as("dup_token_frac"))
   }
 
+  /** Per-shard packing-efficiency report over [[sequencePacking]]: bins
+    * opened, token mass, and utilization (tokens / bins·capacity) — the
+    * number that tells a training run how much padding/waste the packed
+    * layout carries per output shard (low utilization ⇒ revisit capacity
+    * or ordering). One row per shard.
+    *
+    * Scale shape: chains the packing's per-shard windows, then one
+    * shard-keyed aggregate — nShards rows out.
+    */
+  def packingEfficiency(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame =
+    sequencePacking(spark, sfDir, capacity, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("bin_id")) + 1).as("n_bins"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"), col("n_bins"),
+        round(col("total_tokens").cast("double") / (col("n_bins") * capacity), 6)
+          .as("utilization"))
+
+  /** Dedup survival by source: how many of each source's documents remain
+    * canonical after the [[dedupComponents]] resolution — the per-source
+    * attrition report that shows WHERE the near-dup mass lives (a mirror
+    * site's survival rate collapses; an original's stays ~1).
+    *
+    * Scale shape: the component table is memoized and doc-sized; one
+    * equality join to the documents scan's (doc_id, source) projection
+    * and one source-keyed aggregate.
+    */
+  def dedupSurvivalBySource(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    dedupComponents(spark, sfDir, threshold)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("component"), 1L).otherwise(0L))
+          .as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_canonical"),
+        round(col("n_canonical").cast("double") / col("n_docs"), 6)
+          .as("survival_rate"))
+
   /** WHERE the contamination sits, not just whether: for every training
     * document sharing an `n`-gram with the benchmark slice, the 0-based
     * token positions of the matching grams — first/last match and the

@@ -44,6 +44,33 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
 
+  /** NORMALIZED exact dedup (the C4 recipe): lowercase, strip everything
+    * but [a-z0-9 ], squeeze runs of spaces, trim — then group by the md5
+    * of the normal form. Catches the trivially-reformatted duplicates
+    * (case, punctuation, whitespace) raw [[exactGroups]] misses while
+    * staying one hash-shuffle cheap; per document it reports the group's
+    * canonical id and whether THIS doc is a normalized duplicate of an
+    * earlier one. Same map-side-hash + single-shuffle shape as exact
+    * dedup — the normalization is a codegen'd regexp chain in the scan
+    * projection.
+    */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, sfDir))
+
+  /** [[normalizedDedup]] over an arbitrary (doc_id, text) frame. */
+  def normalizedDedupOf(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val hashed = documents
+      .select(col("doc_id"), md5(norm).as("norm_hash"))
+    val groups = hashed.groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+    hashed.join(groups, "norm_hash")
+      .select(col("doc_id"), col("norm_hash"), col("n_docs"),
+        col("canonical_doc_id"),
+        (col("doc_id") =!= col("canonical_doc_id")).cast("int").as("is_duplicate"))
+  }
+
   /** doc_id → distinct 3-gram shingle set, exploded. */
   private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
     shingleSetOf(Tables.documents(spark, sfDir))

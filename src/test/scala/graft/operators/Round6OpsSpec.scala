@@ -117,6 +117,76 @@ class Round6OpsSpec extends SparkTestBase {
     assert(sym.subsetOf(cont))
   }
 
+  test("zipf audit: driver-side regression replay matches; slope is negative") {
+    val r = TextAnalytics.zipfAudit(spark, sf).collect().head
+    val (n, slope, intercept) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    // replay: word frequencies from the corpus, top-1000 by (freq desc, word)
+    val freqs = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).count().collect()
+      .map(row => row.getString(0) -> row.getLong(1))
+      .sortBy { case (w, c) => (-c, w) }.take(1000)
+    val terms = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (roundAt(math.log((i + 1).toDouble), 6), roundAt(math.log(c.toDouble), 6))
+    }
+    def fpSum(xs: Seq[Double]): Double = roundAt(xs.map(fixedPoint).sum / 1e6, 6)
+    val (sx, sy) = (fpSum(terms.map(_._1).toSeq), fpSum(terms.map(_._2).toSeq))
+    val sxy = fpSum(terms.map(t => roundAt(t._1 * t._2, 6)).toSeq)
+    val sxx = fpSum(terms.map(t => roundAt(t._1 * t._1, 6)).toSeq)
+    val m = roundAt((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    val b = roundAt((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    assert(n === terms.length.toLong)
+    assert(slope === m)
+    assert(intercept === b)
+    assert(slope < 0.0, "natural-ish text must have a decaying head")
+  }
+
+  test("packing efficiency: per-shard totals reconcile with the corpus") {
+    val rows = Curation.packingEfficiency(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length === 8)
+    assert(rows.map(_._2).sum === 500L)
+    val tokens = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0) % 8, r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (shard, _, total, bins, util) =>
+      assert(total === tokens(shard.toLong))
+      assert(bins >= 1L)
+      assert(util > 0.0)
+    }
+  }
+
+  test("dedup survival: per-source canonicals reconcile with the component table") {
+    val rows = Curation.dedupSurvivalBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum === 500L)
+    val comps = Curation.dedupComponents(spark, sf).collect()
+    val nCanonical = comps.count(r => r.getLong(0) == r.getLong(1)).toLong
+    assert(rows.map(_._3).sum === nCanonical)
+    rows.foreach { case (_, n, c, rate) =>
+      assert(c <= n)
+      assert(rate === roundAt(c.toDouble / n, 6))
+    }
+  }
+
+  test("normalized dedup: case/punct/whitespace variants collapse, distinct text survives") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!  This is FINE."),
+      (2L, "hello world this is fine"),
+      (3L, "a different document")).toDF("doc_id", "text")
+    val got = Dedup.normalizedDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got(1L) === ((2L, 1L, 0)))
+    assert(got(2L) === ((2L, 1L, 1))) // the later variant is the duplicate
+    assert(got(3L) === ((1L, 3L, 0)))
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
