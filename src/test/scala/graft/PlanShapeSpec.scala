@@ -146,6 +146,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q108 zipf audit: vocabulary head cut via TakeOrderedAndProject, no global sort") {
+    val p = planOf("q108_zipf_audit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only Window runs over the k-row head (post-limit), never the vocab
+    assert(!p.contains("windowspecdefinition(word"), p)
+  }
+
+  test("q102 repeated grams: window keyed on the composite (doc, gram), no cartesian") {
+    val p = planOf("q102_repeated_grams")
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q87 score calibration: CDF windows over the histogram only, doc join-back is broadcast") {
     val p = planOf("q87_score_calibration")
     // one Window (the running sum over (source, bin) aggregates)
