@@ -190,6 +190,12 @@ object SparkEntry {
     "q110_dedup_survival" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupSurvivalBySource(s, d)),
     // C4-style normalized exact dedup (lowercase/punct-strip/space-squeeze)
     "q111_normalized_dedup" -> ((s: SparkSession, d: String) => Dedup.normalizedDedup(s, d)),
+    // BPE first-merge candidate table: adjacent char-pair counts, top-100
+    "q112_bpe_pairs" -> ((s: SparkSession, d: String) => TextAnalytics.bpePairCounts(s, d)),
+    // LSH vs winnowing verified-pair reconciliation at the same threshold
+    "q113_route_agreement" -> ((s: SparkSession, d: String) => Dedup.dedupRouteAgreement(s, d)),
+    // integer-exact log2 document-length histogram (packing/truncation profile)
+    "q114_length_histogram" -> ((s: SparkSession, d: String) => TextAnalytics.lengthHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -703,6 +709,27 @@ private object CorpusOracles {
        |  FROM x)
        |SELECT vec_id, sub, code, d2 AS md2 FROM a WHERE rn = 1""".stripMargin
 
+  /** Winnow-collision near-dup pairs at a given verify threshold — q81's
+    * body (0.8) and the winnow side of the q113 route-agreement audit
+    * (0.7).
+    */
+  private def winnowPairsSql(threshold: Double): String =
+    s"""WITH bh AS ($baseHashes),
+       |wf AS (SELECT DISTINCT doc_id, fp FROM (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(hs)-3, 1)+1), i -> list_min(hs[i:i+3])))) AS fp
+       |  FROM bh WHERE len(hs) > 0)),
+       |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sh AS ($shingleRows),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT c.doc1, c.doc2, count(*) AS cnt
+       |  FROM cand c JOIN sh x ON x.doc_id = c.doc1
+       |  JOIN sh y ON y.doc_id = c.doc2 AND x.shingle = y.shingle
+       |  GROUP BY 1, 2)
+       |SELECT * FROM ($jaccardTail) WHERE jaccard >= $threshold""".stripMargin
+
   /** Full q93 ADC top-k SQL; also the approximate side of the q101 PQ
     * recall gate.
     */
@@ -1133,22 +1160,7 @@ private object CorpusOracles {
     // q81: the oracle replays the winnow-collision CANDIDATE pipeline
     // (fingerprint recall is the contract, like q25's LSH oracle), then
     // the exact-Jaccard verify tail
-    "q81_winnow_pairs" ->
-      s"""WITH bh AS ($baseHashes),
-         |wf AS (SELECT DISTINCT doc_id, fp FROM (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |      range(1, greatest(len(hs)-3, 1)+1), i -> list_min(hs[i:i+3])))) AS fp
-         |  FROM bh WHERE len(hs) > 0)),
-         |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sh AS ($shingleRows),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT c.doc1, c.doc2, count(*) AS cnt
-         |  FROM cand c JOIN sh x ON x.doc_id = c.doc1
-         |  JOIN sh y ON y.doc_id = c.doc2 AND x.shingle = y.shingle
-         |  GROUP BY 1, 2)
-         |SELECT * FROM ($jaccardTail) WHERE jaccard >= 0.8""".stripMargin,
+    "q81_winnow_pairs" -> winnowPairsSql(0.8),
     // q83: batch (odd ids) flagged against history (even ids) by content
     "q83_incremental_dedup" ->
       """WITH b AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 <> 0),
@@ -1613,6 +1625,36 @@ private object CorpusOracles {
         |SELECT h.doc_id, h.norm_hash, g.n_docs, g.canonical_doc_id,
         | CAST(h.doc_id <> g.canonical_doc_id AS INTEGER) AS is_duplicate
         |FROM h JOIN g USING (norm_hash)""".stripMargin,
+    // q112: occurrence-weighted adjacent char pairs (1-based inclusive
+    // slice w[i:i+1] = DuckDB's two-char window, mirroring substr(i, 2))
+    "q112_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 100""".stripMargin,
+    // q113: full-outer reconciliation of the two verified pair sets at 0.7
+    "q113_route_agreement" ->
+      s"""WITH l AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |w AS (SELECT doc1, doc2 FROM (${winnowPairsSql(0.7)})),
+         |f AS (SELECT
+         |   CASE WHEN l.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_l,
+         |   CASE WHEN w.doc1 IS NOT NULL THEN 1 ELSE 0 END AS in_w
+         |  FROM l FULL OUTER JOIN w ON l.doc1 = w.doc1 AND l.doc2 = w.doc2)
+         |SELECT CAST(sum(in_l) AS BIGINT) AS lsh_pairs,
+         | CAST(sum(in_w) AS BIGINT) AS winnow_pairs,
+         | CAST(sum(CASE WHEN in_l = 1 AND in_w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS common_pairs,
+         | CAST(sum(CASE WHEN in_w = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lsh_only,
+         | CAST(sum(CASE WHEN in_l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS winnow_only
+         |FROM f""".stripMargin,
+    // q114: bin = len(bin(n)) - 1 = floor(log2 n), integer-exact on both
+    // engines (a float log wobbles at power-of-two boundaries)
+    "q114_length_histogram" ->
+      """WITH n AS (SELECT greatest(len(string_split(text,' ')), 1) AS n FROM documents)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS length_bin,
+        | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+        | CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
+        |FROM n GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -570,6 +570,50 @@ object TextAnalytics {
           .as("kl_divergence"))
   }
 
+  /** Adjacent character-pair counts over word occurrences — the first
+    * merge-candidate table of BPE tokenizer training (Sennrich et al.,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL'16): the pair with the top count is the first merge a trained
+    * BPE vocabulary would make, and the distributed count table IS the
+    * step tokenizer training repeats per merge. Occurrence-weighted (a
+    * frequent word votes once per occurrence, as BPE counts do).
+    *
+    * Scale shape: tokens explode map-side, character pairs are built
+    * in-row (transform over a sequence — two chars per position), and the
+    * count is one map-side-combinable aggregate; the top-k cut is
+    * `TakeOrderedAndProject`. One corpus scan, one pair-keyed shuffle.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+
+  /** Log2-bucketed document-length histogram — the corpus profile every
+    * packing/chunking decision reads first (capacity choice, truncation
+    * policy, long-tail share). Bins are integer-exact on BOTH engines:
+    * bin = len(bin(n)) − 1 = ⌊log2 n⌋ via the binary-string length, never
+    * a float log at a power-of-two boundary (ln(64)/ln(2) lands on either
+    * side of 6.0 depending on the engine's libm — the cross-engine trap
+    * this representation dodges). Map-side projection + one small-keyed
+    * aggregate; ~60 rows out at any corpus size.
+    */
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(greatest(size(Text.tokens(col("text"))).cast("long"), lit(1L)).as("n"))
+      .select((length(bin(col("n"))) - 1).cast("int").as("length_bin"), col("n"))
+      .groupBy(col("length_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+
   /** Zipf-slope audit over the vocabulary head: least-squares fit of
     * ln(freq) against ln(rank) for the top-`k` words — the measured
     * evidence behind every "vocabulary-sized, Heaps'-law-bounded

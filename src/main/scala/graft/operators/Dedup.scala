@@ -304,15 +304,47 @@ object Dedup {
     * the verify).
     */
   def winnowPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val fps = materialized(
-      graft.analytics.TextAnalytics.winnowFingerprints(spark, sfDir))
-    val candidates = fps.as("a").join(fps.as("b"),
-        col("a.fingerprint") === col("b.fingerprint")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-    verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
+      threshold: Double = 0.8): DataFrame =
+    // memoized: q81 and the q113 route-agreement audit share one build
+    SessionMemo(spark, s"winnowPairs|$sfDir|$threshold") {
+      val fps = materialized(
+        graft.analytics.TextAnalytics.winnowFingerprints(spark, sfDir))
+      val candidates = fps.as("a").join(fps.as("b"),
+          col("a.fingerprint") === col("b.fingerprint")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .distinct()
+      verifiedJaccard(candidates, materialized(shingleSet(spark, sfDir)), threshold)
+    }
+
+  /** Cross-route dedup agreement audit: the verified near-dup pair sets of
+    * the two independent candidate generators — MinHash-LSH banding
+    * ([[minhashPairs]]) and winnowing collisions ([[winnowPairs]]) — at the
+    * SAME threshold, reconciled. Both routes verify with the same exact
+    * Jaccard, so a disagreement is purely a CANDIDATE-RECALL gap: LSH's
+    * probabilistic band misses vs winnowing's contiguity requirement. The
+    * one-row report (pair counts + each side's exclusives) is the ongoing
+    * evidence for trusting either route alone at corpus scale — the
+    * cross-validation a pipeline runs on a sample before picking its
+    * production candidate generator.
+    *
+    * Scale shape: both pair sets are memoized near-dup-sized tables; the
+    * reconciliation is one full outer equality join over pairs.
+    */
+  def dedupRouteAgreement(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val lsh = minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"), lit(1).as("in_lsh"))
+    val win = winnowPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"), lit(1).as("in_winnow"))
+    lsh.join(win, Seq("doc1", "doc2"), "full")
+      .agg(
+        sum(coalesce(col("in_lsh"), lit(0))).cast("long").as("lsh_pairs"),
+        sum(coalesce(col("in_winnow"), lit(0))).cast("long").as("winnow_pairs"),
+        sum(when(col("in_lsh").isNotNull && col("in_winnow").isNotNull, 1L)
+          .otherwise(0L)).as("common_pairs"),
+        sum(when(col("in_winnow").isNull, 1L).otherwise(0L)).as("lsh_only"),
+        sum(when(col("in_lsh").isNull, 1L).otherwise(0L)).as("winnow_only"))
   }
 
   /** Fingerprint CONTAINMENT pairs — the asymmetric overlap signal

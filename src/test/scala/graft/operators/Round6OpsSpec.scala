@@ -187,6 +187,44 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got(3L) === ((1L, 3L, 0)))
   }
 
+  test("route agreement: exclusives reconcile and match the two pair sets") {
+    val r = Dedup.dedupRouteAgreement(spark, sf).collect().head
+    val (l, w, c, lo, wo) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(l === c + lo)
+    assert(w === c + wo)
+    assert(l === Dedup.minhashPairs(spark, sf, 0.7).count())
+    assert(w === Dedup.winnowPairs(spark, sf, 0.7).count())
+    assert(c > 0L, "the routes must agree on the planted near-dups")
+  }
+
+  test("bpe pairs: occurrence-weighted adjacent character pairs count exactly") {
+    // corpus-level check at sf0.001: the count of any returned pair equals
+    // a driver-side recount over the raw tokens
+    val rows = TextAnalytics.bpePairCounts(spark, sf, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length === 10)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    val tokens = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+    val counts = tokens.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (p, n) => assert(counts(p) === n, s"pair $p") }
+  }
+
+  test("length histogram: bins are exact powers of two and totals reconcile") {
+    val rows = TextAnalytics.lengthHistogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum === 500L)
+    rows.foreach { case (bin, _, _, mn, mx) =>
+      assert(mn >= (1L << bin) && mx < (1L << (bin + 1)),
+        s"bin $bin bounds [$mn, $mx]")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
