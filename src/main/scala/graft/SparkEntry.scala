@@ -196,6 +196,10 @@ object SparkEntry {
     "q113_route_agreement" -> ((s: SparkSession, d: String) => Dedup.dedupRouteAgreement(s, d)),
     // integer-exact log2 document-length histogram (packing/truncation profile)
     "q114_length_histogram" -> ((s: SparkSession, d: String) => TextAnalytics.lengthHistogram(s, d)),
+    // JL-projected pre-score + exact-cosine verify (the q79 payoff loop)
+    "q115_projected_neardup" -> ((s: SparkSession, d: String) => Similarity.projectedNearDups(s, d)),
+    // incremental near-dup: batch bands vs history, zero history shuffle
+    "q116_incremental_neardup" -> ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -709,6 +713,30 @@ private object CorpusOracles {
        |  FROM x)
        |SELECT vec_id, sub, code, d2 AS md2 FROM a WHERE rn = 1""".stripMargin
 
+  /** q79 seedless ±1 JL projection (8 dims) — also the pre-score side of
+    * the q115 projected near-dup gate.
+    */
+  private val projectionSql: String = {
+    val dOut = 8
+    val sums = (0 until dOut).map { j =>
+      s"sum(CASE WHEN (${h32(s"CAST(i - 1 AS VARCHAR)||':'||'$j'")}) % 2 = 0" +
+        s" THEN fx ELSE -fx END) AS fxs_$j"
+    }.mkString(",\n ")
+    val projs = (0 until dOut).map { j =>
+      s"round(CAST(fxs_$j AS DOUBLE) / (CAST(1000000 AS DOUBLE) * " +
+        s"sqrt(CAST($dOut AS DOUBLE))), 6) AS p_$j"
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
+       |fx AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS fx FROM x),
+       |s AS (SELECT vec_id,
+       | $sums
+       | FROM fx GROUP BY 1)
+       |SELECT vec_id,
+       | $projs
+       |FROM s""".stripMargin
+  }
+
   /** Winnow-collision near-dup pairs at a given verify threshold — q81's
     * body (0.8) and the winnow side of the q113 route-agreement audit
     * (0.7).
@@ -1188,26 +1216,7 @@ private object CorpusOracles {
     // md5-prefix hash of "i:j" (0-based dim index), components sum as
     // fixed-point BIGINTs, one double division at the end — the q60
     // determinism recipe applied to a projection
-    "q79_random_projection" -> {
-      val dOut = 8
-      val sums = (0 until dOut).map { j =>
-        s"sum(CASE WHEN (${h32(s"CAST(i - 1 AS VARCHAR)||':'||'$j'")}) % 2 = 0" +
-          s" THEN fx ELSE -fx END) AS fxs_$j"
-      }.mkString(",\n ")
-      val projs = (0 until dOut).map { j =>
-        s"round(CAST(fxs_$j AS DOUBLE) / (CAST(1000000 AS DOUBLE) * " +
-          s"sqrt(CAST($dOut AS DOUBLE))), 6) AS p_$j"
-      }.mkString(",\n ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS i, v FROM e),
-         |fx AS (SELECT vec_id, i, CAST(round(v[i] * 1000000) AS BIGINT) AS fx FROM x),
-         |s AS (SELECT vec_id,
-         | $sums
-         | FROM fx GROUP BY 1)
-         |SELECT vec_id,
-         | $projs
-         |FROM s""".stripMargin
-    },
+    "q79_random_projection" -> projectionSql,
     "q60_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)
@@ -1655,6 +1664,46 @@ private object CorpusOracles {
         | CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
         | CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
         |FROM n GROUP BY 1""".stripMargin,
+    // q115: trained-cell blocking, projected-cosine pre-filter >= 0,
+    // exact cosine >= 0.3 decides (both scores emitted)
+    "q115_projected_neardup" ->
+      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |pr AS (SELECT vec_id, [${(0 until 8).map(j => s"p_$j").mkString(", ")}] AS pv
+         |  FROM ($projectionSql)),
+         |j AS (SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.cell AS cell,
+         |   ${cosExpr("ap.pv", "bp.pv")} AS proj_cosine,
+         |   a.v AS av, b.v AS bv
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN pr ap ON ap.vec_id = a.vec_id
+         |  JOIN pr bp ON bp.vec_id = b.vec_id)
+         |SELECT vec1, vec2, cell, proj_cosine, ${cosExpr("av", "bv")} AS cosine
+         |FROM j
+         |WHERE proj_cosine >= CAST(0.0 AS DOUBLE)
+         |  AND ${cosExpr("av", "bv")} >= CAST(0.3 AS DOUBLE)""".stripMargin,
+    // q116: parity carve (odd = batch, even = history); band collisions
+    // across the carve, exact Jaccard >= 0.7 verify
+    "q116_incremental_neardup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |banded AS (SELECT doc_id, b AS band,
+         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+         |bb AS (SELECT * FROM banded WHERE doc_id % 2 <> 0),
+         |hb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT bb.doc_id AS d1, hb.doc_id AS d2
+         |  FROM bb JOIN hb ON bb.band = hb.band AND bb.bkey = hb.bkey),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT d1, d2, count(*) AS cnt
+         |  FROM cand JOIN sh s1 ON s1.doc_id = d1
+         |  JOIN sh s2 ON s2.doc_id = d2 AND s1.shingle = s2.shingle
+         |  GROUP BY 1, 2)
+         |SELECT d1 AS batch_doc, d2 AS history_doc,
+         | round(cnt*1.0/(x.n + y.n - cnt), 6) AS jaccard
+         |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
+         |WHERE round(cnt*1.0/(x.n + y.n - cnt), 6) >= 0.7""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -426,8 +426,12 @@ object Dedup {
     * deduped by ReuseExchange when this feeds a self-join. Duplicate
     * shingles don't affect a min, so no distinct pass is needed.
     */
-  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
-    val hashed = Tables.documents(spark, sfDir)
+  def minhashSignatures(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame =
+    minhashSignaturesOf(Tables.documents(spark, sfDir), k)
+
+  /** [[minhashSignatures]] over an arbitrary (doc_id, text) frame. */
+  def minhashSignaturesOf(documents: DataFrame, k: Int = 16): DataFrame = {
+    val hashed = documents
       .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("shingle"))
       .select(col("doc_id"), Hashing.stableHash32(col("shingle")).as("h"))
     val sig = hashed.groupBy(col("doc_id"))
@@ -435,7 +439,7 @@ object Dedup {
         (1 until k).map(i => min(Hashing.minhashPerm(col("h"), i)).as(s"mh_$i")): _*)
     // left join keeps docs with < 3 tokens (no shingles → null signature),
     // matching the oracle's per-document output
-    Tables.documents(spark, sfDir).select(col("doc_id"))
+    documents.select(col("doc_id"))
       .join(sig, Seq("doc_id"), "left")
   }
 
@@ -470,18 +474,69 @@ object Dedup {
     * All shuffles equality-keyed on (band, bkey).
     */
   private def bandCandidates(docs: DataFrame, k: Int, bands: Int): DataFrame = {
-    val rows = k / bands
-    val banded = docs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          Hashing.bandKeyFromCols(((b * rows) until ((b + 1) * rows))
-            .map(i => col(s"mh_$i"))).as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val banded = bandKeys(docs, k, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .distinct()
+  }
+
+  /** (doc_id, band, bkey) LSH band-key rows of a signature frame. */
+  private def bandKeys(docs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    docs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          Hashing.bandKeyFromCols(((b * rows) until ((b + 1) * rows))
+            .map(i => col(s"mh_$i"))).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
+  /** Incremental NEAR-dup check — the [[incrementalDedupAgainst]] recipe
+    * lifted from exact content hashes to MinHash near-dups: each BATCH
+    * document is banded, history documents sharing any band key become
+    * candidates, and candidates verify at exact shingle Jaccard ≥
+    * `threshold`. Output: the (batch_doc, history_doc, jaccard) hit list
+    * a daily ingest uses to drop near-dups of already-owned content.
+    *
+    * Scale shape — the q83 contract: the 100 TB HISTORY never shuffles.
+    * The batch's band keys (ingest-sized ×4) broadcast into a LEFT SEMI
+    * that filters the history's band stream map-side; the surviving
+    * history candidates (bounded by batch collisions) meet the broadcast
+    * batch bands again for pairing, and only those pairs touch shingle
+    * sets for the verify. History is scanned twice (bands + candidate
+    * shingles), shuffled never; doc-id spaces of the two frames must be
+    * disjoint (the mock parity carve guarantees it).
+    */
+  def incrementalNearDup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    incrementalNearDupAgainst(
+      docs.where(col("doc_id") % 2 =!= 0),
+      docs.where(col("doc_id") % 2 === 0), threshold)
+  }
+
+  /** [[incrementalNearDup]] against explicit frames. */
+  def incrementalNearDupAgainst(batchDocs: DataFrame, historyDocs: DataFrame,
+      threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bBand = materialized(bandKeys(minhashSignaturesOf(batchDocs, k), k, bands)
+      .where(col("bkey").isNotNull))
+    val hBand = bandKeys(minhashSignaturesOf(historyDocs, k), k, bands)
+    val hCand = hBand
+      .join(broadcast(bBand.select(col("band"), col("bkey")).distinct()),
+        Seq("band", "bkey"), "left_semi")
+    val pairs = hCand.as("h")
+      .join(broadcast(bBand).as("b"),
+        col("h.band") === col("b.band") && col("h.bkey") === col("b.bkey"))
+      .select(col("b.doc_id").as("doc1"), col("h.doc_id").as("doc2"))
+      .distinct()
+    val sh = materialized(
+      shingleSetOf(batchDocs.unionByName(historyDocs)))
+    exactJaccardOf(pairs, sh)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1").as("batch_doc"), col("doc2").as("history_doc"),
+        col("jaccard"))
   }
 
   /** Signature-estimated Jaccard (fraction of agreeing minhash components)

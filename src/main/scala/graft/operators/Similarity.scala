@@ -230,6 +230,49 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** JL-projection-ACCELERATED semantic near-dups — the payoff loop of
+    * [[randomProjection]]: same trained-cell blocking as
+    * [[semanticNearDups]], but every candidate pair is pre-scored with
+    * the 8-dim projected cosine (~8× fewer multiply-adds than the full
+    * 64-dim scoring) and only pairs clearing `preFilter` pay the exact
+    * cosine, which alone decides. Both scores are emitted, so the gate
+    * documents the projection's per-pair fidelity.
+    *
+    * The pre-filter is a recall HEURISTIC, not a proven bound — JL
+    * distorts each pair by a data-dependent factor — so `preFilter`
+    * defaults far below the decision threshold (0.0 vs 0.3): roughly half
+    * the candidate space (negative-projected pairs) dies at 1/8 of the
+    * scoring cost, while distortion would have to flip a true 0.3-cosine
+    * pair all the way negative to cost recall. The gated CONTRACT is
+    * "pairs ≥ threshold among those passing the pre-filter" — the same
+    * candidate-stage discipline as the q25/q81 dedup gates.
+    *
+    * Scale shape: one extra corpus aggregate (the projection), the same
+    * cell-blocked equality self-join, and the expensive fold runs on the
+    * filtered survivor stream only.
+    */
+  def projectedNearDups(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.3, preFilter: Double = 0.0,
+      dOut: Int = 8): DataFrame = {
+    val pv = randomProjection(spark, sfDir, dOut)
+      .select(col("vec_id"),
+        array((0 until dOut).map(j => col(s"p_$j")): _*).as("pv"))
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+      .join(pv, "vec_id")
+    av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        col("a.cell").as("cell"),
+        round(Vectors.cosine(col("a.pv"), col("b.pv")), 4).as("proj_cosine"),
+        col("a.v").as("av"), col("b.v").as("bv"))
+      .where(col("proj_cosine") >= preFilter)
+      .select(col("vec1"), col("vec2"), col("cell"), col("proj_cosine"),
+        round(Vectors.cosine(col("av"), col("bv")), 4).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** SemDeDup cluster RESOLUTION: turn [[semanticNearDups]]' pair list into
     * per-vector keep/drop verdicts. Pairs are resolved into connected
     * components ([[Curation.connectedComponents]] — near-dup clusters are

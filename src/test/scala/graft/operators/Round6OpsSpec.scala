@@ -225,6 +225,36 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("projected near-dups: a pre-filtered subset of the exact semantic pairs") {
+    val proj = Similarity.projectedNearDups(spark, sf).collect()
+    assert(proj.nonEmpty)
+    proj.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)  // pre-filter held
+      assert(r.getDouble(4) >= 0.3)  // exact threshold decides
+    }
+    val exact = Similarity.semanticNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val projSet = proj.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(projSet.subsetOf(exact),
+      "the pre-filter may only drop pairs, never add them")
+  }
+
+  test("incremental near-dup equals the cross-parity slice of the LSH pipeline") {
+    val inc = Dedup.incrementalNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    inc.foreach { case (b, h, j) =>
+      assert(b % 2 != 0 && h % 2 == 0, "batch odd, history even")
+      assert(j >= 0.7)
+    }
+    // same bands, same verify: the q25 pairs with mixed parity are exactly
+    // the incremental hit list (normalized to (odd, even) order)
+    val crossParity = Dedup.minhashPairs(spark, sf, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b) => if (a % 2 != 0) (a, b) else (b, a) }.toSet
+    assert(inc.map(t => (t._1, t._2)).toSet === crossParity)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
