@@ -200,6 +200,10 @@ object SparkEntry {
     "q115_projected_neardup" -> ((s: SparkSession, d: String) => Similarity.projectedNearDups(s, d)),
     // incremental near-dup: batch bands vs history, zero history shuffle
     "q116_incremental_neardup" -> ((s: SparkSession, d: String) => Dedup.incrementalNearDup(s, d)),
+    // contrastive triplets: in-cell positive + hardest in-cell negative
+    "q117_triplet_mining" -> ((s: SparkSession, d: String) => Similarity.tripletMining(s, d)),
+    // span excision: cut benchmark-matching grams, rebuild the document
+    "q118_excise_contamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.exciseContamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1704,6 +1708,47 @@ private object CorpusOracles {
          | round(cnt*1.0/(x.n + y.n - cnt), 6) AS jaccard
          |FROM inter JOIN sizes x ON d1 = x.doc_id JOIN sizes y ON d2 = y.doc_id
          |WHERE round(cnt*1.0/(x.n + y.n - cnt), 6) >= 0.7""".stripMargin,
+    // q117: per-anchor argmax over the in-cell pair space — positive at
+    // cosine >= 0.3, hardest negative strictly below 0.2; row_number
+    // (cosine desc, cand asc) mirrors max_by(cand, struct(cos, -cand))
+    "q117_triplet_mining" ->
+      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
+         |    ${cosExpr("a.v", "b.v")} AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |pos AS (SELECT anchor, cand AS positive, cosine AS pos_cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor
+         |     ORDER BY cosine DESC, cand) AS rn
+         |  FROM p WHERE cosine >= CAST(0.3 AS DOUBLE)) WHERE rn = 1),
+         |neg AS (SELECT anchor, cand AS negative, cosine AS neg_cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor
+         |     ORDER BY cosine DESC, cand) AS rn
+         |  FROM p WHERE cosine < CAST(0.2 AS DOUBLE)) WHERE rn = 1)
+         |SELECT pos.anchor, positive, pos_cosine, negative, neg_cosine
+         |FROM pos JOIN neg ON pos.anchor = neg.anchor""".stripMargin,
+    // q118: tokens covered by any benchmark-matching 3-gram are excised;
+    // string_agg skips the NULLed covered tokens, order restored by pos
+    "q118_excise_contamination" ->
+      s"""WITH g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         |   CAST(('0x'||substr(md5(array_to_string(list_slice(w, i, i+2), ' ')),1,15)) AS BIGINT) AS gram_h
+         |  FROM ($toks), UNNEST(range(1, len(w)-1)) AS t(i)),
+         |b AS (SELECT DISTINCT gram_h FROM g WHERE doc_id % 97 = 0),
+         |hits AS (SELECT DISTINCT g.doc_id, g.pos FROM g
+         |  JOIN b USING (gram_h) WHERE g.doc_id % 97 <> 0),
+         |cover AS (SELECT DISTINCT doc_id, pos + off AS cpos
+         |  FROM hits, UNNEST(range(0, 3)) AS o(off)),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS tok
+         |  FROM ($toks), UNNEST(range(1, len(w)+1)) AS ti(i)
+         |  WHERE doc_id % 97 <> 0),
+         |j AS (SELECT tok.doc_id, tok.pos, tok.tok,
+         |   CASE WHEN cover.cpos IS NULL THEN 0 ELSE 1 END AS cov
+         |  FROM tok LEFT JOIN cover
+         |    ON tok.doc_id = cover.doc_id AND tok.pos = cover.cpos)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(cov) AS BIGINT) AS n_removed,
+         | coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+         |FROM j GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

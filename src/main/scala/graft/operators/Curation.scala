@@ -529,6 +529,67 @@ object Curation {
       .withColumn("span_tokens", col("last_pos") - col("first_pos") + n)
   }
 
+  /** Contamination EXCISION — the remediation [[decontaminationSpans]]
+    * provides the evidence for: remove every token covered by a
+    * benchmark-matching `n`-gram and rebuild the document, instead of
+    * dropping it wholesale (the right call when a long document quotes
+    * one eval item). One row per training document (clean documents pass
+    * through with n_removed = 0); reconstruction restores original token
+    * order, so clean documents' text survives byte-identical.
+    *
+    * Scale shape: the benchmark side broadcasts (eval-suite-sized
+    * contract, as in [[decontaminateAgainst]]); matched gram starts
+    * explode into ≤ n covered positions each; the anti-membership join is
+    * equality-keyed on the composite (doc_id, pos); the rebuild is one
+    * doc_id shuffle — the boilerplate-scrub reconstruction shape.
+    */
+  def exciseContamination(spark: SparkSession, sfDir: String,
+      n: Int = 3, benchMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    exciseContaminationAgainst(
+      docs.where(col("doc_id") % benchMod =!= 0),
+      docs.where(col("doc_id") % benchMod === 0), n)
+  }
+
+  /** [[exciseContamination]] against an explicit benchmark table. */
+  def exciseContaminationAgainst(trainDocs: DataFrame, benchDocs: DataFrame,
+      n: Int = 3): DataFrame = {
+    import graft.functions.Text
+    val bench = benchDocs
+      .select(explode(Text.shingles(col("text"), n)).as("gram"))
+      .select(Hashing.stableHash60(col("gram")).as("gram_h"))
+      .distinct()
+    val hits = trainDocs
+      .select(col("doc_id"),
+        posexplode(Text.shingles(col("text"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        Hashing.stableHash60(col("gram")).as("gram_h"))
+      .join(broadcast(bench), Seq("gram_h"))
+      .select(col("doc_id"), col("pos"))
+    val covered = hits
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    trainDocs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .as("t")
+      .join(covered.as("c"),
+        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cpos"),
+        "left")
+      .select(col("t.doc_id").as("doc_id"), col("t.pos").as("pos"),
+        col("tok"), col("cov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("cov"), lit(0))).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")), " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination scan: flag training documents sharing any
     * word `n`-gram with the held-out benchmark slice (docs whose id is
     * divisible by `benchMod` stand in for an eval set). Output per training

@@ -273,6 +273,41 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Contrastive TRIPLET mining over the trained-cell blocking — the
+    * training-data generator for embedding-model fine-tuning: per anchor,
+    * the most-similar in-cell neighbor at or above `posThr` (the
+    * positive) and the HARDEST in-cell negative — the highest-cosine
+    * neighbor still strictly below `negThr` (hard negatives are the ones
+    * that teach; easy negatives are free but useless). Anchors lacking
+    * either side are dropped. Ties break toward the smaller vec_id, so
+    * the mined set is engine-deterministic.
+    *
+    * Scale shape: the pair space is cell-blocked (never n²) and scored
+    * once; each argmax is a map-side-combinable `max_by` keyed on anchor
+    * — no windows, no sorts.
+    */
+  def tripletMining(spark: SparkSession, sfDir: String,
+      posThr: Double = 0.3, negThr: Double = 0.2): DataFrame = {
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("cand"),
+        round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+    val pos = pairs.where(col("cosine") >= posThr)
+      .groupBy(col("anchor"))
+      .agg(max_by(col("cand"), struct(col("cosine"), -col("cand"))).as("positive"),
+        max(col("cosine")).as("pos_cosine"))
+    val neg = pairs.where(col("cosine") < negThr)
+      .groupBy(col("anchor"))
+      .agg(max_by(col("cand"), struct(col("cosine"), -col("cand"))).as("negative"),
+        max(col("cosine")).as("neg_cosine"))
+    pos.join(neg, "anchor")
+      .select(col("anchor"), col("positive"), col("pos_cosine"),
+        col("negative"), col("neg_cosine"))
+  }
+
   /** SemDeDup cluster RESOLUTION: turn [[semanticNearDups]]' pair list into
     * per-vector keep/drop verdicts. Pairs are resolved into connected
     * components ([[Curation.connectedComponents]] — near-dup clusters are

@@ -255,6 +255,34 @@ class Round6OpsSpec extends SparkTestBase {
     assert(inc.map(t => (t._1, t._2)).toSet === crossParity)
   }
 
+  test("triplet mining: margins hold and positives agree with the semantic pairs") {
+    val rows = Similarity.tripletMining(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val semantic = Similarity.semanticNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, p, pc, n, nc) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(pc >= 0.3 && nc < 0.2)
+      assert(p != a && n != a && p != n)
+      val pair = (math.min(a, p), math.max(a, p))
+      assert(semantic.contains(pair), s"positive pair $pair must be a semantic near-dup")
+    }
+  }
+
+  test("excision: quoted trigram cut and rebuilt; clean text survives byte-identical") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "a b x y z c"),
+      (2L, "untouched words entirely")).toDF("doc_id", "text")
+    val bench = Seq((100L, "x y z")).toDF("doc_id", "text")
+    val got = Curation.exciseContaminationAgainst(train, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((6L, 3L, "a b c")))
+    assert(got(2L) === ((3L, 0L, "untouched words entirely")))
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
