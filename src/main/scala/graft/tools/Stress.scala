@@ -174,6 +174,19 @@ object Stress {
     val skipped = fastAll.count(_.getInt(3) == 0)
     println(f"[stress] minhash fast pairs ($nDocs docs): ${fastAll.length} pairs " +
       f"($skipped accepted without exact verify) in ${(System.nanoTime() - t13g) / 1e9}%.1f s")
+    // round-6 heavies: the intra-doc repeated-gram window (composite-keyed),
+    // the normalized-dedup hash shuffle, and the incremental near-dup
+    // (batch bands vs history, zero history shuffle)
+    val t13h = System.nanoTime()
+    val rgRows = graft.analytics.TextAnalytics.repeatedGrams(spark, docDir).count()
+    println(f"[stress] repeated grams ($nDocs docs): $rgRows rows in ${(System.nanoTime() - t13h) / 1e9}%.1f s")
+    val t13i = System.nanoTime()
+    val ndRows = graft.operators.Dedup.normalizedDedup(spark, docDir)
+      .where(col("is_duplicate") === 1).count()
+    println(f"[stress] normalized dedup ($nDocs docs): $ndRows duplicates in ${(System.nanoTime() - t13i) / 1e9}%.1f s")
+    val t13j = System.nanoTime()
+    val inRows = graft.operators.Dedup.incrementalNearDup(spark, docDir).count()
+    println(f"[stress] incremental near-dup ($nDocs docs): $inRows hits in ${(System.nanoTime() - t13j) / 1e9}%.1f s")
 
     // JL projection, PQ encode/ADC, and cluster-balanced sampling over a
     // synthetic embeddings table at 100× the bench vector count (64-dim
