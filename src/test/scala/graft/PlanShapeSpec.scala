@@ -159,6 +159,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q116 incremental near-dup: history meets batch via broadcasts, no sort-merge") {
+    val p = planOf("q116_incremental_neardup")
+    // the band semi-filter and the pairing join must both broadcast the
+    // batch side — a SortMergeJoin before the verify means history shuffled
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q117 triplet mining: cell-blocked pair space, argmax by aggregation not window") {
+    val p = planOf("q117_triplet_mining")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop allowed is the pinned 8-row codebook broadcast
+    // cross of ivfAssignTrained (the q29/q66 pattern) — never a pair stage
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"), p)
+    // the per-anchor argmax is max_by aggregation — no anchor-keyed window
+    assert(!p.contains("windowspecdefinition(anchor"), p)
+  }
+
+  test("q118 excision: benchmark grams broadcast onto the token stream") {
+    val p = planOf("q118_excise_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q87 score calibration: CDF windows over the histogram only, doc join-back is broadcast") {
     val p = planOf("q87_score_calibration")
     // one Window (the running sum over (source, bin) aggregates)
