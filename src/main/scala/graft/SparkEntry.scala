@@ -204,6 +204,12 @@ object SparkEntry {
     "q117_triplet_mining" -> ((s: SparkSession, d: String) => Similarity.tripletMining(s, d)),
     // span excision: cut benchmark-matching grams, rebuild the document
     "q118_excise_contamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.exciseContamination(s, d)),
+    // per-source winsorized model scores (histogram-exact p5/p95 clip)
+    "q119_winsorized_scores" -> ((s: SparkSession, d: String) => TextAnalytics.winsorizedScores(s, d)),
+    // mixture shares before vs after the composed keep/drop verdict
+    "q120_survivor_mix" -> ((s: SparkSession, d: String) => graft.operators.Curation.survivorMixShift(s, d)),
+    // reverse contamination: per-benchmark-doc blast radius in the corpus
+    "q121_benchmark_contamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.benchmarkContamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1749,6 +1755,51 @@ private object CorpusOracles {
          | CAST(sum(cov) AS BIGINT) AS n_removed,
          | coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '') AS clean_text
          |FROM j GROUP BY 1""".stripMargin,
+    // q119: smallest 2-dp bin whose cumulative fraction clears 5% / 95%
+    // bounds the clip band; least/greatest clips the (6-dp) score
+    "q119_winsorized_scores" ->
+      s"""WITH s AS ($modelScoreSql),
+         |b AS (SELECT doc_id, source, model_score, round(model_score, 2) AS bin FROM s),
+         |h AS (SELECT source, bin, count(*) AS n FROM b GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source FROM h GROUP BY 1),
+         |c AS (SELECT source, bin,
+         |   CAST(sum(n) OVER (PARTITION BY source ORDER BY bin) AS DOUBLE) / n_source AS cum_frac
+         |  FROM h JOIN t USING (source)),
+         |bounds AS (SELECT source,
+         |   min(CASE WHEN cum_frac >= CAST(0.05 AS DOUBLE) THEN bin END) AS lo_bound,
+         |   min(CASE WHEN cum_frac >= CAST(0.95 AS DOUBLE) THEN bin END) AS hi_bound
+         |  FROM c GROUP BY 1)
+         |SELECT b.doc_id, b.source, b.model_score, lo_bound, hi_bound,
+         | least(greatest(b.model_score, lo_bound), hi_bound) AS winsorized_score
+         |FROM b JOIN bounds USING (source)""".stripMargin,
+    // q120: per-source shares over all docs vs the q61 keep-set
+    "q120_survivor_mix" ->
+      s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
+         |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |surv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM documents JOIN keep USING (doc_id) GROUP BY 1),
+         |t AS (SELECT (SELECT sum(n_docs) FROM raw) AS total_docs,
+         |          (SELECT sum(n_kept) FROM surv) AS total_kept),
+         |j AS (SELECT raw.source, raw.n_docs, coalesce(surv.n_kept, 0) AS n_kept,
+         |   round(CAST(raw.n_docs AS DOUBLE) / total_docs, 6) AS raw_share,
+         |   round(CAST(coalesce(surv.n_kept, 0) AS DOUBLE) / total_kept, 6) AS survivor_share
+         |  FROM raw LEFT JOIN surv ON raw.source = surv.source CROSS JOIN t)
+         |SELECT source, n_docs, n_kept, raw_share, survivor_share,
+         | round(survivor_share - raw_share, 6) AS share_delta
+         |FROM j""".stripMargin,
+    // q121: per-benchmark-doc contamination blast radius (3-grams)
+    "q121_benchmark_contamination" ->
+      s"""WITH g AS (SELECT doc_id,
+         |   CAST(('0x'||substr(md5(array_to_string(list_slice(w, i, i+2), ' ')),1,15)) AS BIGINT) AS gram_h
+         |  FROM ($toks), UNNEST(range(1, len(w)-1)) AS t(i)),
+         |b AS (SELECT DISTINCT doc_id AS bench_doc, gram_h FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT DISTINCT doc_id, gram_h FROM g WHERE doc_id % 97 <> 0)
+         |SELECT bench_doc,
+         | CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+         | CAST(count(DISTINCT tr.gram_h) AS BIGINT) AS n_shared_grams
+         |FROM tr JOIN b USING (gram_h)
+         |GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -728,6 +728,45 @@ object TextAnalytics {
         col("bin"), col("pct_below"))
   }
 
+  /** Per-source WINSORIZATION of the model score: clip every document's
+    * score into its source's [p(loPct), p(hiPct)] band, with the
+    * percentile bounds read off the same histogram-exact CDF as
+    * [[scoreCalibration]] (2-dp bins — deterministic, engine-portable;
+    * never a `percentile` sketch). The robust-statistics step before any
+    * cross-source score comparison: a source's outlier tail (scraper
+    * glitches, boilerplate floods) stops dragging its mean/threshold.
+    *
+    * Scale shape: q87's — histogram windows run over (source, bin)
+    * aggregates, never documents; the per-source bound table is
+    * |sources|-rows and broadcasts back onto the scan.
+    */
+  def winsorizedScores(spark: SparkSession, sfDir: String,
+      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        Text.modelScore(col("text")).as("model_score"))
+      .withColumn("bin", round(col("model_score"), 2))
+    val hist = scored.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val totals = hist.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bounds = hist
+      .withColumn("cum", sum(col("n")).over(run))
+      .join(broadcast(totals), "source")
+      .withColumn("cum_frac", col("cum").cast("double") / col("n_source"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum_frac") >= loPct, col("bin"))).as("lo_bound"),
+        min(when(col("cum_frac") >= hiPct, col("bin"))).as("hi_bound"))
+    scored.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("model_score"),
+        col("lo_bound"), col("hi_bound"),
+        least(greatest(col("model_score"), col("lo_bound")), col("hi_bound"))
+          .as("winsorized_score"))
+  }
+
   /** Per-source quality cap: keep only the top-`cap` documents of EACH
     * source by model score — the "best N pages per domain" rule that
     * bounds any single domain's contribution to the training mix by

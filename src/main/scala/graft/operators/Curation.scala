@@ -529,6 +529,67 @@ object Curation {
       .withColumn("span_tokens", col("last_pos") - col("first_pos") + n)
   }
 
+  /** Mixture shift under curation: per-source document shares BEFORE the
+    * composed keep/drop verdict and AFTER it, with the delta — the report
+    * that tells a data lead whether dedup/quality filtering silently
+    * re-weighted the training mix (a mirror-heavy source collapses, and
+    * the remix either gets compensated in the q57 rates or signed off).
+    *
+    * Scale shape: two source-keyed counts (the verdict side reuses the
+    * memoized q61 pipeline) and a one-row totals broadcast; |sources|
+    * rows out.
+    */
+  def survivorMixShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val kept = curationDecisions(spark, sfDir)
+      .where(col("keep") === 1).select(col("doc_id"))
+    val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val surv = docs.join(kept, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    val totals = raw.agg(sum(col("n_docs")).as("total_docs"))
+      .crossJoin(surv.agg(sum(col("n_kept")).as("total_kept")))
+    raw.join(surv, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("raw_share"),
+        round(col("n_kept").cast("double") / col("total_kept"), 6)
+          .as("survivor_share"))
+      .withColumn("share_delta",
+        round(col("survivor_share") - col("raw_share"), 6))
+  }
+
+  /** REVERSE contamination view: per BENCHMARK document, how much of the
+    * training corpus touches it — distinct contaminated train docs and
+    * distinct shared grams. [[decontaminate]] answers "which train docs
+    * must go"; this answers the leaderboard-integrity question "which
+    * eval items are compromised, and how badly" — the report an eval
+    * owner reads before trusting a score.
+    *
+    * Scale shape: the benchmark gram set (eval-suite-sized, WITH its doc
+    * ids) broadcasts onto one pass of the training gram stream; the
+    * surviving (bench_doc, train_doc/gram) hits — contamination-volume
+    * sized, not corpus-sized — roll up per bench doc.
+    */
+  def benchmarkContamination(spark: SparkSession, sfDir: String,
+      n: Int = 3, benchMod: Int = 97): DataFrame = {
+    import graft.functions.Text
+    val docs = Tables.documents(spark, sfDir)
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(Text.shingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), Hashing.stableHash60(col("gram")).as("gram_h"))
+      .distinct()
+    val bench = grams(docs.where(col("doc_id") % benchMod === 0))
+      .withColumnRenamed("doc_id", "bench_doc")
+    grams(docs.where(col("doc_id") % benchMod =!= 0))
+      .join(broadcast(bench), Seq("gram_h"))
+      .groupBy(col("bench_doc"))
+      .agg(countDistinct(col("doc_id")).as("n_train_docs"),
+        countDistinct(col("gram_h")).as("n_shared_grams"))
+  }
+
   /** Contamination EXCISION — the remediation [[decontaminationSpans]]
     * provides the evidence for: remove every token covered by a
     * benchmark-matching `n`-gram and rebuild the document, instead of

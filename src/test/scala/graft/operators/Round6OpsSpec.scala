@@ -283,6 +283,48 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got(2L) === ((3L, 0L, "untouched words entirely")))
   }
 
+  test("winsorize: clip band honored, at most loPct of a source sits below it") {
+    val rows = TextAnalytics.winsorizedScores(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, score, lo, hi, w) =>
+      assert(lo <= hi)
+      assert(w >= lo && w <= hi)
+      if (score >= lo && score <= hi) assert(w === score)
+    }
+    // the bound is defined on 2-dp BINS: strictly-lower bins hold < 5% of
+    // the source (the bin containing the bound may straddle the cut)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val below = docs.count(d => roundAt(d._2, 2) < d._3 - 1e-9)
+      assert(below.toDouble / docs.size < 0.05, s"source $src clips too much")
+    }
+  }
+
+  test("survivor mix: counts and shares reconcile with the verdict") {
+    val rows = Curation.survivorMixShift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._2).sum === 500L)
+    val kept = Curation.curationDecisions(spark, sf)
+      .where(col("keep") === 1).count()
+    assert(rows.map(_._3).sum === kept)
+    rows.foreach { case (_, _, _, raw, surv, delta) =>
+      assert(delta === roundAt(surv - raw, 6))
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4)
+  }
+
+  test("benchmark contamination: only bench docs report, with positive blast radius") {
+    val rows = Curation.benchmarkContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, nd, ng) =>
+      assert(b % 97 === 0)
+      assert(nd >= 1L && ng >= 1L)
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
