@@ -1509,14 +1509,15 @@ private object CorpusOracles {
          |SELECT doc_id, shard, model_score, n_tokens, start_offset,
          | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id
          |FROM o""".stripMargin,
-    // q102: 0-based positional 8-grams; a position repeats when its
-    // row_number within (doc, gram) is >= 2
+    // q102: 0-based positional 8-grams as 60-bit hashes (the q56 key
+    // contract); a position repeats when its row_number within
+    // (doc, gram_h) is >= 2
     "q102_repeated_grams" ->
       s"""WITH g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-         |   array_to_string(list_slice(w, i, i+7), ' ') AS gram
+         |   CAST(('0x'||substr(md5(array_to_string(list_slice(w, i, i+7), ' ')),1,15)) AS BIGINT) AS gram_h
          |  FROM ($toks), UNNEST(range(1, len(w)-6)) AS t(i)),
          |r AS (SELECT doc_id, pos, row_number() OVER (
-         |   PARTITION BY doc_id, gram ORDER BY pos) AS rn FROM g)
+         |   PARTITION BY doc_id, gram_h ORDER BY pos) AS rn FROM g)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
          | CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
          | round(CAST(sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS repeated_frac,

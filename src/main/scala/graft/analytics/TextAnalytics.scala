@@ -205,7 +205,7 @@ object TextAnalytics {
     * the q59-df recipe). UNLIKE a unigram vocabulary, bigram TYPES grow
     * near-linearly with corpus size (no Heaps'-law saturation), so the
     * LM-lookup join is count-gated: the finished log-prob table is
-    * materialized once, and only if it fits under `maxBroadcastLm` entries
+    * materialized once, and only if it fits under [[MaxBroadcastLmEntries]]
     * does the hint ship it — otherwise the lookup degrades to a shuffled
     * equality join on (w1, w2) where AQE skew-splitting handles the hot
     * bigrams. Both paths are row-identical (specced); at true corpus scale
@@ -237,7 +237,10 @@ object TextAnalytics {
     val (lp, hint) = broadcastLm match {
       case Some(flag) => (lpRaw, flag)
       case None =>
-        val mat = lpRaw.localCheckpoint()
+        // memoized per plan: one cached LM build per session, not one
+        // re-aggregation + checkpoint per invocation
+        val mat = graft.operators.SessionMemo(documents.sparkSession,
+          s"bigramLm|${lpRaw.queryExecution.analyzed.semanticHash()}")(lpRaw)
         (mat, mat.count() <= MaxBroadcastLmEntries)
     }
     bg.join(if (hint) broadcast(lp) else lp, Seq("w1", "w2"))
@@ -498,11 +501,15 @@ object TextAnalytics {
     * with first_repeat_pos = −1 when nothing repeats (0-based token
     * position of the first repeated gram otherwise).
     *
-    * Scale shape: one posexplode, a row_number window keyed on the
-    * COMPOSITE (doc_id, gram) — hot grams across documents cannot pile on
-    * one reducer, and within a document a gram's repeat count is bounded
-    * by document length — then the per-doc rollup. Two equality-keyed
-    * shuffles, nothing corpus-quadratic.
+    * Scale shape: one posexplode, then grams cross the wire as 60-bit
+    * md5-prefix longs (the q56 contract — 8-byte keys instead of ~8-word
+    * strings), a row_number window keyed on the COMPOSITE (doc_id,
+    * gram_h) — hot grams across documents cannot pile on one reducer,
+    * and within a document a gram's repeat count is bounded by document
+    * length — then the per-doc rollup. Two equality-keyed shuffles,
+    * nothing corpus-quadratic. A 60-bit in-doc collision (~2⁻⁶⁰) would
+    * count one extra repeat; the oracle hashes identically, so even that
+    * stays engine-consistent.
     */
   def repeatedGrams(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
     repeatedGramsOf(Tables.documents(spark, sfDir), n)
@@ -512,8 +519,10 @@ object TextAnalytics {
     val grams = documents
       .select(col("doc_id"),
         posexplode(Text.shingles(col("text"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        Hashing.stableHash60(col("gram")).as("gram_h"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))
+      .partitionBy(col("doc_id"), col("gram_h")).orderBy(col("pos"))
     grams.withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -546,12 +546,15 @@ object Curation {
     val raw = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val surv = docs.join(kept, "doc_id")
       .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-    val totals = raw.agg(sum(col("n_docs")).as("total_docs"))
-      .crossJoin(surv.agg(sum(col("n_kept")).as("total_kept")))
+    // totals via a window over the |sources|-row joined frame — one pass
+    // per side instead of re-running both aggregations for a totals row
+    // (the window's single partition holds |sources| rows, not documents)
+    val all = Window.partitionBy(lit(1))
     raw.join(surv, Seq("source"), "left")
       .select(col("source"), col("n_docs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-      .crossJoin(broadcast(totals))
+      .withColumn("total_docs", sum(col("n_docs")).over(all))
+      .withColumn("total_kept", sum(col("n_kept")).over(all))
       .select(col("source"), col("n_docs"), col("n_kept"),
         round(col("n_docs").cast("double") / col("total_docs"), 6).as("raw_share"),
         round(col("n_kept").cast("double") / col("total_kept"), 6)
@@ -1110,7 +1113,12 @@ object Curation {
     val (boiler, hint) = broadcastFlagged match {
       case Some(flag) => (boilerRaw, flag)
       case None =>
-        val mat = boilerRaw.localCheckpoint()
+        // memoized per plan (like Dedup's helper caches): repeated calls in
+        // one session share a single cached build + CacheManager entry
+        // instead of re-aggregating and re-checkpointing per invocation
+        val mat = SessionMemo(docs.sparkSession,
+          s"boilerFlagged|${boilerRaw.queryExecution.analyzed.semanticHash()}")(
+          boilerRaw)
         (mat, mat.count() <= MaxBroadcastFlaggedChunks)
     }
     chunks
