@@ -210,6 +210,10 @@ object SparkEntry {
     "q120_survivor_mix" -> ((s: SparkSession, d: String) => graft.operators.Curation.survivorMixShift(s, d)),
     // reverse contamination: per-benchmark-doc blast radius in the corpus
     "q121_benchmark_contamination" -> ((s: SparkSession, d: String) => graft.operators.Curation.benchmarkContamination(s, d)),
+    // session-sequence dedup: behavioral replay/bot detection (q22 on sessions)
+    "q122_session_dedup" -> ((s: SparkSession, d: String) => Sessions.sessionSequenceDedup(s, d)),
+    // per-user replay score: fraction of a user's sessions duplicated elsewhere
+    "q123_user_replay" -> ((s: SparkSession, d: String) => Sessions.userReplayScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1801,6 +1805,35 @@ private object CorpusOracles {
          | CAST(count(DISTINCT tr.gram_h) AS BIGINT) AS n_shared_grams
          |FROM tr JOIN b USING (gram_h)
          |GROUP BY 1""".stripMargin,
+    // q122: md5 of the ordered (capped-100) event-type sequence per
+    // session; group stats joined back, replay = shared sequence
+    "q122_session_dedup" ->
+      """WITH s AS (SELECT user_id,
+        |   time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
+        |   md5(array_to_string(list_slice(list(event_type ORDER BY event_id), 1, 100), ',')) AS seq_hash,
+        |   CAST(count(*) AS BIGINT) AS seq_len
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT seq_hash, CAST(count(*) AS BIGINT) AS n_sessions,
+        |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM s GROUP BY 1)
+        |SELECT s.user_id, s.session_start, s.seq_hash, s.seq_len,
+        | g.n_sessions, g.n_users,
+        | CAST(g.n_sessions > 1 AS INTEGER) AS is_replayed
+        |FROM s JOIN g USING (seq_hash)""".stripMargin,
+    // q123: per-user rollup of the replay flags
+    "q123_user_replay" ->
+      """WITH s AS (SELECT user_id,
+        |   time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
+        |   md5(array_to_string(list_slice(list(event_type ORDER BY event_id), 1, 100), ',')) AS seq_hash
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT seq_hash, count(*) AS n_sessions FROM s GROUP BY 1),
+        |j AS (SELECT s.user_id,
+        |   CASE WHEN g.n_sessions > 1 THEN 1 ELSE 0 END AS is_replayed
+        |  FROM s JOIN g USING (seq_hash))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(is_replayed) AS BIGINT) AS n_replayed,
+        | round(CAST(sum(is_replayed) AS DOUBLE) / count(*), 6) AS replay_frac
+        |FROM j GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

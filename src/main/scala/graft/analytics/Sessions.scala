@@ -201,6 +201,54 @@ object Sessions {
         col("e.event_id").as("event_id"), col("e.event_type").as("event_type"))
   }
 
+  /** Session-SEQUENCE dedup — the corpus-dedup toolkit pointed back at the
+    * reference's clickstream domain: two sessions whose ordered event-type
+    * sequences hash identically are behavioral replays (bots, scripted
+    * traffic, stuck clients re-posting the same flow). One row per session
+    * with its sequence hash, the number of sessions and distinct users
+    * sharing it, and the replay flag — the session-level analogue of q22's
+    * exact content-hash dedup.
+    *
+    * Scale shape: one (user, session) rollup (the q20 shuffle) building
+    * the sequence IN-ROW from the capped sorted event list; the sequence
+    * stats are a hash-keyed aggregate; the join back is equality-keyed on
+    * seq_hash. A mega-popular sequence (every single-pageview session
+    * hashes alike) concentrates its GROUP row, not the session stream —
+    * AQE handles the joined hot key.
+    */
+  def sessionSequenceDedup(spark: SparkSession, sfDir: String,
+      cap: Int = 100): DataFrame = {
+    val seqs = sessionKey(Tables.events(spark, sfDir))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(
+        md5(concat_ws(",", transform(
+          slice(array_sort(collect_list(
+            struct(col("event_id"), col("event_type")))), 1, cap),
+          e => e.getField("event_type")))).as("seq_hash"),
+        count(lit(1)).as("seq_len"))
+    val stats = seqs.groupBy(col("seq_hash"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+    seqs.join(stats, "seq_hash")
+      .select(col("user_id"), col("session_start"), col("seq_hash"),
+        col("seq_len"), col("n_sessions"), col("n_users"),
+        (col("n_sessions") > 1).cast("int").as("is_replayed"))
+  }
+
+  /** Per-user replay score over [[sessionSequenceDedup]]: how much of a
+    * user's traffic is behaviorally duplicated elsewhere — the bot-account
+    * ranking a clickstream curation pass sorts by before excluding
+    * synthetic traffic from the training mix.
+    */
+  def userReplayScore(spark: SparkSession, sfDir: String): DataFrame =
+    sessionSequenceDedup(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("is_replayed")).cast("long").as("n_replayed"))
+      .select(col("user_id"), col("n_sessions"), col("n_replayed"),
+        round(col("n_replayed").cast("double") / col("n_sessions"), 6)
+          .as("replay_frac"))
+
   /** Event enrichment projection — reference P4-P11 (spark_stream.py:62-91):
     * date/day-of-week/hour derivations and conditional purchase columns.
     */

@@ -325,6 +325,26 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("session-sequence dedup: group stats reconcile; replay score rolls up") {
+    val rows = graft.analytics.Sessions.sessionSequenceDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, group) =>
+      assert(group.forall(_._3 === group.length.toLong))
+      assert(group.forall(_._4 === group.map(_._1).distinct.length.toLong))
+      assert(group.forall(_._5 === (if (group.length > 1) 1 else 0)))
+    }
+    val replay = graft.analytics.Sessions.userReplayScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(replay.map(_._2).sum === rows.length.toLong)
+    val perUser = rows.groupBy(_._1)
+    replay.foreach { case (u, n, rep, frac) =>
+      assert(n === perUser(u).length.toLong)
+      assert(rep === perUser(u).count(_._5 == 1).toLong)
+      assert(frac === roundAt(rep.toDouble / n, 6))
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
