@@ -214,6 +214,8 @@ object SparkEntry {
     "q122_session_dedup" -> ((s: SparkSession, d: String) => Sessions.sessionSequenceDedup(s, d)),
     // per-user replay score: fraction of a user's sessions duplicated elsewhere
     "q123_user_replay" -> ((s: SparkSession, d: String) => Sessions.userReplayScore(s, d)),
+    // per-shard release-integrity checksums over the packed manifest
+    "q124_shard_checksums" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardChecksums(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1834,6 +1836,19 @@ private object CorpusOracles {
         | CAST(sum(is_replayed) AS BIGINT) AS n_replayed,
         | round(CAST(sum(is_replayed) AS DOUBLE) / count(*), 6) AS replay_frac
         |FROM j GROUP BY 1""".stripMargin,
+    // q124: q99's keep-set rolled into per-shard counts + the commutative
+    // 60-bit-hash-sum checksum (HUGEINT, matching Spark's DECIMAL(38,0))
+    "q124_shard_checksums" ->
+      s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
+         |d AS (SELECT doc_id,
+         |  CAST(doc_id % 8 AS INTEGER) AS shard,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS HUGEINT) AS h
+         | FROM documents JOIN keep USING (doc_id))
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | sum(h) AS content_checksum
+         |FROM d GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -654,6 +654,34 @@ object Curation {
             s => s.getField("tok")), " ").as("clean_text"))
   }
 
+  /** Per-shard content checksums over the packed [[shardManifest]] — the
+    * release-integrity artifact shipped next to the shards: document
+    * count, token mass, and an ORDER-INDEPENDENT content checksum (the
+    * exact sum of every member's 60-bit md5-prefix hash, carried as
+    * DECIMAL(38,0) so it cannot overflow at any shard size). A reader
+    * re-derives the same number from the bytes on disk in any read order
+    * — which is why the checksum is a commutative sum and NOT an md5 of
+    * a concatenation: hashing a concatenated list would need the whole
+    * shard collected in order (the collect_list-per-shard trap at a
+    * million documents per shard).
+    *
+    * Scale shape: one join of the memoized manifest to the doc-hash
+    * projection, one shard-keyed aggregate with map-side partials.
+    */
+  def shardChecksums(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val hashes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Hashing.stableHash60(col("text"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+    shardManifest(spark, sfDir, capacity, nShards)
+      .join(hashes, "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("h")).as("content_checksum"))
+  }
+
   /** Benchmark decontamination scan: flag training documents sharing any
     * word `n`-gram with the held-out benchmark slice (docs whose id is
     * divisible by `benchMod` stand in for an eval set). Output per training

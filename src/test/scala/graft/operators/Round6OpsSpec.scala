@@ -345,6 +345,28 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("shard checksums: commutative hash sums replay against the manifest") {
+    val sums = Curation.shardChecksums(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger)).toMap
+    val manifest = Curation.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
+    assert(sums.values.map(_._1).sum === manifest.length.toLong)
+    // driver-side replay: md5-prefix hash of each kept doc's text
+    val texts = graft.core.Tables.documents(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def h60(t: String): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
+        .take(15), 16)
+    manifest.groupBy(_._2).foreach { case (shard, docs) =>
+      val (n, toks, sum) = sums(shard)
+      assert(n === docs.length.toLong)
+      assert(toks === docs.map(_._3).sum)
+      assert(BigInt(sum) === docs.map(d => h60(texts(d._1))).sum, s"shard $shard")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
