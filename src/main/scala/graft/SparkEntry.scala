@@ -216,6 +216,8 @@ object SparkEntry {
     "q123_user_replay" -> ((s: SparkSession, d: String) => Sessions.userReplayScore(s, d)),
     // per-shard release-integrity checksums over the packed manifest
     "q124_shard_checksums" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardChecksums(s, d)),
+    // IVF-PQ composed: probe cells prune candidates, ADC codes score them
+    "q125_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1849,6 +1851,39 @@ private object CorpusOracles {
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          | sum(h) AS content_checksum
          |FROM d GROUP BY 1""".stripMargin,
+    // q125: IVF probe (cosine cells, rn<=4) prunes candidates; ADC codes
+    // + LUT score them; fixed-point rollup, top-5 per query
+    "q125_ivfpq_topk" ->
+      s"""WITH best AS ($pqBestSql),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM c
+         |  ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 16),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |  SELECT c.vec_id, cents.cid AS cell, row_number() OVER (
+         |    PARTITION BY c.vec_id ORDER BY ${cosExpr("c.v", "cents.cv", 6)} DESC, cents.cid) AS rn
+         |  FROM c CROSS JOIN cents) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+         |probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, cents.cid AS cell, row_number() OVER (
+         |    PARTITION BY q.query_id ORDER BY ${cosExpr("q.qv", "cents.cv", 6)} DESC, cents.cid) AS rn
+         |  FROM q CROSS JOIN cents) WHERE rn <= 4),
+         |cand AS (SELECT query_id, vec_id
+         |  FROM assigned JOIN probes USING (cell) WHERE vec_id <> query_id),
+         |lut AS (SELECT query_id, sub, cid AS code,
+         |   round(list_dot_product(d, d), 6) AS dd
+         |  FROM (SELECT q.query_id, t.sub, cents.cid,
+         |    list_transform(range(1, 9), i -> q.qv[t.sub*8 + i] - cents.cv[t.sub*8 + i]) AS d
+         |   FROM q CROSS JOIN cents CROSS JOIN UNNEST([0,1,2,3,4,5,6,7]) AS t(sub))),
+         |scored AS (SELECT cand.query_id, b.vec_id AS neighbor_id,
+         |   round(CAST(sum(CAST(round(dd * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS adc_dist
+         |  FROM cand JOIN best b ON b.vec_id = cand.vec_id
+         |  JOIN lut ON lut.query_id = cand.query_id
+         |   AND b.sub = lut.sub AND b.code = lut.code
+         |  GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS "rank"
+         |  FROM scored)
+         |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

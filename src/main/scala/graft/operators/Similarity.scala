@@ -585,18 +585,76 @@ object Similarity {
     */
   def pqTopK(spark: SparkSession, sfDir: String,
       k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val scored = pqAssign(spark, sfDir)
+      .join(broadcast(pqLut(spark, sfDir, nQueries)), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(round(col("d") * 1e6).cast("long")).cast("double") / 1e6, 6)
+        .as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** The ADC lookup table shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * (query_id, sub, code, d) — the rounded sub-block distance from each
+    * query's sub-vector to every sub-centroid. |queries|·m·k rows,
+    * broadcast-sized by construction.
+    */
+  private def pqLut(spark: SparkSession, sfDir: String,
+      nQueries: Int): DataFrame = {
     val q = subSliced(corpus(spark, sfDir).where(col("vec_id") < nQueries),
       "vec_id").select(col("vec_id").as("query_id"), col("sub"),
       col("sv").as("qsv"))
-    val lut = q.join(
+    q.join(
         subSliced(ivfCentroids(spark, sfDir, PqK)
           .select(col("cid"), col("cv").as("v")), "cid")
           .select(col("cid"), col("sub"), col("sv").as("csv")), "sub")
       .select(col("query_id"), col("sub"), col("cid").as("code"),
         round(unrolledSqDist(col("qsv"), col("csv")), 6).as("d"))
-    val scored = pqAssign(spark, sfDir)
-      .join(broadcast(lut), Seq("sub", "code"))
+  }
+
+  /** IVF-PQ — the two approximations COMPOSED, which is the production
+    * billion-vector serving architecture (FAISS's IVFPQ default): the
+    * inverted file prunes WHICH vectors are scored (only the `nProbe`
+    * probed cells' members), and product quantization prunes HOW each
+    * survivor is scored (8-byte codes against the broadcast ADC LUT
+    * instead of 64 floats). Neither the corpus floats nor the unprobed
+    * cells are ever touched at query time.
+    *
+    * Scale shape: cell assignment and the PQ code stream are the
+    * existing one-map-pass plans (both reuse the memoized [[pqAssign]] /
+    * codebook); the probe list and LUT are query-set-sized broadcasts;
+    * the only shuffled stream is the candidate rollup, bounded by
+    * nProbe/k of the corpus per query. Deterministic end to end, so the
+    * oracle replays it exactly.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+      k: Int = 5, nQueries: Int = 10, nProbe: Int = 4): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val cents = ivfCentroids(spark, sfDir, PqK)
+    val assigned = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(Vectors.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cell"))
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        round(Vectors.cosine(col("qv"), col("cv")), 6).as("qcos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = pqAssign(spark, sfDir)
+      .join(cand, Seq("vec_id"))
+      .join(broadcast(pqLut(spark, sfDir, nQueries)),
+        Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(round(sum(round(col("d") * 1e6).cast("long")).cast("double") / 1e6, 6)
         .as("adc_dist"))

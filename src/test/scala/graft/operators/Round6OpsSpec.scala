@@ -367,6 +367,30 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf-pq: 5 ranked rows per query, ADC distances agree with full-scan PQ") {
+    val rows = Similarity.ivfPqTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to 5))
+      assert(rs.forall(_.getLong(1) != q))
+      val ordered = rs.sortBy(_.getInt(3))
+        .map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(ordered === ordered.sorted)
+    }
+    // where a neighbor also appears in the unpruned ADC top-k, the two
+    // pipelines computed the identical asymmetric distance
+    val full = Similarity.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var overlap = 0
+    rows.foreach { r =>
+      full.get((r.getLong(0), r.getLong(1))).foreach { d =>
+        assert(d === r.getDouble(2)); overlap += 1
+      }
+    }
+    assert(overlap > 0, "probing must retain some of the full top-k")
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
