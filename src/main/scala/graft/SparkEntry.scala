@@ -218,6 +218,10 @@ object SparkEntry {
     "q124_shard_checksums" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardChecksums(s, d)),
     // IVF-PQ composed: probe cells prune candidates, ADC codes score them
     "q125_ivfpq_topk" -> ((s: SparkSession, d: String) => Similarity.ivfPqTopK(s, d)),
+    // threshold tuning curve from one pass over the candidate audit
+    "q126_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdSweep(s, d)),
+    // split-homogeneity audit: per-split KL vs the corpus distribution
+    "q127_split_drift" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitDriftAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1884,6 +1888,59 @@ private object CorpusOracles {
          |    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INTEGER) AS "rank"
          |  FROM scored)
          |SELECT * FROM r WHERE "rank" <= 5""".stripMargin,
+    // q126: the q100 candidate table swept over verify thresholds;
+    // zero-overlap candidates carry jaccard 0.0; thresholds CAST to
+    // DOUBLE (a DECIMAL 0.6 would not equal the engine's float 0.6)
+    "q126_threshold_sweep" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |banded AS (SELECT doc_id, b AS band,
+         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT doc1, doc2, count(*) AS cnt
+         |  FROM cand
+         |  JOIN sh s1 ON s1.doc_id = doc1
+         |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+         |  GROUP BY 1,2),
+         |ex AS (SELECT inter.doc1, inter.doc2,
+         |   round(cnt*1.0/(x.n + y.n - cnt), 6) AS j
+         |  FROM inter JOIN sizes x ON inter.doc1 = x.doc_id
+         |  JOIN sizes y ON inter.doc2 = y.doc_id),
+         |e AS (SELECT cand.doc1, cand.doc2,
+         |   coalesce(ex.j, CAST(0.0 AS DOUBLE)) AS jaccard
+         |  FROM cand LEFT JOIN ex
+         |    ON cand.doc1 = ex.doc1 AND cand.doc2 = ex.doc2)
+         |SELECT t.threshold, CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(sum(CASE WHEN jaccard >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         |FROM e CROSS JOIN UNNEST(CAST([0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS t(threshold)
+         |GROUP BY 1""".stripMargin,
+    // q127: q82's pinned-hash split feeding q103's KL recipe, split as
+    // the grouping key
+    "q127_split_drift" ->
+      """WITH sp AS (SELECT doc_id,
+        |   CASE WHEN d < 900 THEN 'train' WHEN d < 950 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST(('0x'||substr(md5('split:'||source||':'||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 AS d
+        |   FROM documents)),
+        |tok AS (SELECT sp.split AS source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents JOIN sp USING (doc_id)),
+        |sw AS (SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT word, count(*) AS c_w FROM tok GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_c FROM tok),
+        |terms AS (SELECT sw.source, st.n_s,
+        |   round((CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_c)), 6) AS term
+        |  FROM sw JOIN cw USING (word) JOIN st ON sw.source = st.source CROSS JOIN tt)
+        |SELECT source AS split, CAST(min(n_s) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS kl_divergence
+        |FROM terms GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

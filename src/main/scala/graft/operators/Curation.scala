@@ -654,6 +654,22 @@ object Curation {
             s => s.getField("tok")), " ").as("clean_text"))
   }
 
+  /** Split-homogeneity audit: unigram KL divergence of each
+    * train/val/test split ([[trainValTestSplit]]'s pinned-hash draw) from
+    * the whole corpus — [[graft.analytics.TextAnalytics.sourceKlDriftOf]]
+    * with the split tag standing in for the source. A sound random split
+    * sits near zero on every row; a split that accidentally correlates
+    * with content (hashing a biased key, a buggy stratifier) shows up
+    * here before a model trains on it.
+    */
+  def splitDriftAudit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.analytics.TextAnalytics.sourceKlDriftOf(
+      Tables.documents(spark, sfDir)
+        .join(trainValTestSplit(spark, sfDir).select(col("doc_id"), col("split")),
+          "doc_id")
+        .select(col("split").as("source"), col("text")))
+      .withColumnRenamed("source", "split")
+
   /** Per-shard content checksums over the packed [[shardManifest]] — the
     * release-integrity artifact shipped next to the shards: document
     * count, token mass, and an ORDER-INDEPENDENT content checksum (the

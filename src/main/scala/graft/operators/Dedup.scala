@@ -642,6 +642,28 @@ object Dedup {
         minhashSignatures(spark, sfDir, k), k)
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
 
+  /** Dedup threshold-sensitivity sweep: how many verified pairs each
+    * candidate Jaccard threshold would keep, computed from ONE pass over
+    * the band-candidate exact-Jaccard table ([[minhashCandidateAudit]]) —
+    * the tuning curve an operator reads before pinning the production
+    * threshold, instead of re-running the pipeline per candidate value.
+    * Candidates are the LSH band collisions (banding fixed), so the sweep
+    * answers "what would THIS pipeline yield at threshold t".
+    *
+    * Scale shape: the audit table is candidate-sized and computed once;
+    * the sweep explodes each row by |thresholds| (a constant) and rolls
+    * up — one small aggregate.
+    */
+  def dedupThresholdSweep(spark: SparkSession, sfDir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame =
+    minhashCandidateAudit(spark, sfDir)
+      .select(col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pairs"))
+
   /** Per-document 32-bit SimHash over whitespace tokens (term-frequency
     * weighted: duplicates vote once each, so no distinct). Same explode +
     * aggregate plan shape as [[minhashSignatures]] and for the same reason:

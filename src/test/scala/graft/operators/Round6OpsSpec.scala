@@ -391,6 +391,34 @@ class Round6OpsSpec extends SparkTestBase {
     assert(overlap > 0, "probing must retain some of the full top-k")
   }
 
+  test("threshold sweep: monotone non-increasing, anchored to the real pipelines") {
+    val rows = Dedup.dedupThresholdSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    assert(rows.map(_._2).distinct.length === 1, "candidate count is threshold-free")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 >= hi._3, "raising the threshold cannot add pairs")
+    }
+    // the 0.7 row must agree with the production pipeline's pair count
+    val at07 = rows.find(_._1 == 0.7).get._3
+    assert(at07 === Dedup.minhashPairs(spark, sf, 0.7).count())
+  }
+
+  test("split drift: every split present, near-zero divergence for the hash draw") {
+    val rows = Curation.splitDriftAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("train", "val", "test"))
+    assert(rows.values.map(_._1).sum > 0L)
+    // a pinned-hash split is content-blind: KL stays small (loose bound —
+    // the val/test slices are tiny at sf0.001, so estimation noise is real)
+    rows.foreach { case (split, (_, kl)) =>
+      assert(kl >= 0.0 && kl < 1.0, s"split $split diverges implausibly: $kl")
+    }
+    // train dominates the mass, so its divergence is the smallest
+    assert(rows("train")._2 <= rows("val")._2)
+    assert(rows("train")._2 <= rows("test")._2)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
