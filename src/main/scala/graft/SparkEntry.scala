@@ -222,6 +222,8 @@ object SparkEntry {
     "q126_threshold_sweep" -> ((s: SparkSession, d: String) => Dedup.dedupThresholdSweep(s, d)),
     // split-homogeneity audit: per-split KL vs the corpus distribution
     "q127_split_drift" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitDriftAudit(s, d)),
+    // quality-aware canonical: keep each cluster's cleanest member
+    "q128_quality_canonical" -> ((s: SparkSession, d: String) => graft.operators.Curation.qualityCanonical(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1941,6 +1943,19 @@ private object CorpusOracles {
         | CAST(count(*) AS BIGINT) AS n_words,
         | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS kl_divergence
         |FROM terms GROUP BY 1""".stripMargin,
+    // q128: per-component argmax on (model_score, -doc_id) — row_number
+    // (score desc, doc_id) mirrors the engine's max_by tiebreak
+    "q128_quality_canonical" ->
+      s"""WITH comp AS ($componentsSql),
+         |ms AS (SELECT doc_id, model_score FROM ($modelScoreSql)),
+         |s AS (SELECT comp.doc_id, comp.component, ms.model_score
+         |  FROM comp JOIN ms USING (doc_id)),
+         |best AS (SELECT component, doc_id AS keep_doc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY component
+         |     ORDER BY model_score DESC, doc_id) AS rn FROM s) WHERE rn = 1)
+         |SELECT s.doc_id, s.component, s.model_score,
+         | CAST(s.doc_id = best.keep_doc AS INTEGER) AS keep
+         |FROM s JOIN best ON s.component = best.component""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

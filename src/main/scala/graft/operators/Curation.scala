@@ -654,6 +654,34 @@ object Curation {
             s => s.getField("tok")), " ").as("clean_text"))
   }
 
+  /** Quality-aware canonical selection: within each near-dup component,
+    * keep the HIGHEST-model-score member (doc_id tiebreak) instead of the
+    * min-label convenience canonical the resolver emits — the production
+    * keep policy ("of these duplicates, keep the cleanest copy"), and the
+    * text-side twin of q86's SemDeDup least-central rule. One row per
+    * document with its component, score, and keep flag; singletons keep
+    * themselves.
+    *
+    * Scale shape: the memoized component table joins the map-side score
+    * projection; the argmax is a map-side-combinable `max_by` keyed on
+    * component (never a window over the corpus), broadcast back onto the
+    * doc-sized frame.
+    */
+  def qualityCanonical(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val scored = dedupComponents(spark, sfDir, threshold)
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.functions.Text.modelScore(col("text")).as("model_score")),
+        "doc_id")
+    val best = scored.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("model_score"), -col("doc_id"))).as("keep_doc"))
+    scored.join(best, "component")
+      .select(col("doc_id"), col("component"), col("model_score"),
+        (col("doc_id") === col("keep_doc")).cast("int").as("keep"))
+  }
+
   /** Split-homogeneity audit: unigram KL divergence of each
     * train/val/test split ([[trainValTestSplit]]'s pinned-hash draw) from
     * the whole corpus — [[graft.analytics.TextAnalytics.sourceKlDriftOf]]

@@ -419,6 +419,30 @@ class Round6OpsSpec extends SparkTestBase {
     assert(rows("train")._2 <= rows("test")._2)
   }
 
+  test("quality canonical: one keep per component, argmax score with doc_id tiebreak") {
+    val rows = Curation.qualityCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // total coverage: every document appears exactly once
+    assert(rows.length === graft.core.Tables.documents(spark, sf).count().toInt)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      val keeps = members.filter(_._4 == 1)
+      assert(keeps.length === 1, s"component $comp keeps ${keeps.length}")
+      // the keep is the best (score desc, doc_id asc) member
+      val expect = members.minBy(m => (-m._3, m._1))._1
+      assert(keeps.head._1 === expect, s"component $comp kept the wrong doc")
+    }
+    // singleton components always keep themselves
+    byComp.filter(_._2.length == 1).foreach { case (_, Array(m)) =>
+      assert(m._4 === 1)
+    }
+    // agreement with the resolver: same component assignment per doc
+    val comp = Curation.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, c, _, _) => assert(comp(doc) === c) }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
