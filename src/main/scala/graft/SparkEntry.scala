@@ -224,6 +224,10 @@ object SparkEntry {
     "q127_split_drift" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitDriftAudit(s, d)),
     // quality-aware canonical: keep each cluster's cleanest member
     "q128_quality_canonical" -> ((s: SparkSession, d: String) => graft.operators.Curation.qualityCanonical(s, d)),
+    // hybrid retrieval: BM25 ⊕ cosine fused by reciprocal rank (RRF)
+    "q129_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRetrievalRRF(s, d)),
+    // leakage-aware split: one pinned draw per near-dup component
+    "q130_leakage_aware_split" -> ((s: SparkSession, d: String) => graft.operators.Curation.leakageAwareSplit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -559,6 +563,33 @@ private object CorpusOracles {
     }.mkString(" + ")
     s"""SELECT doc_id, ($terms) AS simhash
        |FROM (SELECT doc_id, list_transform(string_split(text,' '), t -> ${h32("t")}) AS hs FROM documents)""".stripMargin
+  }
+
+  /** q90: Okapi BM25 — constants interpolated from the same Scala doubles
+    * the engine scores with (Double.toString round-trips to the identical
+    * IEEE value); per-term scores rounded once, fixed-point doc sums.
+    * Shared with the q129 hybrid-retrieval oracle as its lexical ranker.
+    */
+  private val bm25Sql = {
+    import graft.analytics.TextAnalytics.{Bm25B, Bm25K1, Bm25Terms}
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
+       |   unnest(string_split(text,' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, min(doc_len) AS doc_len, count(*) AS c
+       |  FROM t GROUP BY 1,2),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avgdl
+       | FROM documents),
+       |qt AS (SELECT * FROM tf WHERE word IN ($terms)),
+       |df AS (SELECT word, count(*) AS df FROM qt GROUP BY 1),
+       |s AS (SELECT doc_id,
+       |  round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |    * (c * ${Bm25K1 + 1.0})
+       |    / (c + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * (doc_len / avgdl))), 6) AS ts
+       | FROM qt JOIN df USING (word) CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+       | round(CAST(sum(CAST(round(ts * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS bm25
+       |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
 
   private def cosExpr(a: String, b: String, digits: Int = 4) =
@@ -1381,27 +1412,7 @@ private object CorpusOracles {
     // q90: Okapi BM25 — constants interpolated from the same Scala doubles
     // the engine scores with (Double.toString round-trips to the identical
     // IEEE value); per-term scores rounded once, fixed-point doc sums
-    "q90_bm25" -> {
-      import graft.analytics.TextAnalytics.{Bm25B, Bm25K1, Bm25Terms}
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
-         |   unnest(string_split(text,' ')) AS word FROM documents),
-         |tf AS (SELECT doc_id, word, min(doc_len) AS doc_len, count(*) AS c
-         |  FROM t GROUP BY 1,2),
-         |stats AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avgdl
-         | FROM documents),
-         |qt AS (SELECT * FROM tf WHERE word IN ($terms)),
-         |df AS (SELECT word, count(*) AS df FROM qt GROUP BY 1),
-         |s AS (SELECT doc_id,
-         |  round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |    * (c * ${Bm25K1 + 1.0})
-         |    / (c + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * (doc_len / avgdl))), 6) AS ts
-         | FROM qt JOIN df USING (word) CROSS JOIN stats)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
-         | round(CAST(sum(CAST(round(ts * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS bm25
-         |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
-    },
+    "q90_bm25" -> bm25Sql,
     // q91: truncated-integer PageRank, 10 unrolled power iterations over
     // the q25 pair graph — every op is 64-bit integer arithmetic, so the
     // unrolled CTE chain reproduces the engine bit-for-bit
@@ -1956,6 +1967,39 @@ private object CorpusOracles {
          |SELECT s.doc_id, s.component, s.model_score,
          | CAST(s.doc_id = best.keep_doc AS INTEGER) AS keep
          |FROM s JOIN best ON s.component = best.component""".stripMargin,
+    // q129: RRF fusion — ranks are integers, contributions ×10⁶ fixed-point
+    // longs (round half-up matches in both engines on positives), so the
+    // fused score cannot drift; absent ranks → -1 sentinel, 0 contribution
+    "q129_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_lex
+         |  FROM ($bm25Sql)),
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |semtop AS (SELECT vec_id AS doc_id, ${cosExpr("qv", "v")} AS cosine
+         |  FROM c CROSS JOIN q ORDER BY cosine DESC, doc_id LIMIT 50),
+         |sem AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cosine DESC, doc_id) AS INTEGER) AS rank_sem FROM semtop),
+         |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem
+         |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, coalesce(rank_lex, -1) AS rank_lex,
+         | coalesce(rank_sem, -1) AS rank_sem,
+         | round((coalesce(CAST(round(1000000.0 / (60 + rank_lex)) AS BIGINT), 0)
+         |      + coalesce(CAST(round(1000000.0 / (60 + rank_sem)) AS BIGINT), 0))
+         |   / 1000000.0, 6) AS rrf
+         |FROM f""".stripMargin,
+    // q130: the component id (not the doc id) seeds the split draw, so a
+    // whole near-dup cluster lands on one side of the cut by construction
+    "q130_leakage_aware_split" ->
+      s"""WITH comp AS ($componentsSql)
+         |SELECT d.doc_id, d.source, cs.component,
+         | CASE WHEN dr < 900 THEN 'train' WHEN dr < 950 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source FROM documents) d
+         |JOIN (SELECT doc_id, component,
+         |    CAST(('0x' || substr(md5('csplit:' || CAST(component AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 1000 AS dr
+         |  FROM comp) cs USING (doc_id)""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

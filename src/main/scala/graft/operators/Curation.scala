@@ -682,6 +682,29 @@ object Curation {
         (col("doc_id") === col("keep_doc")).cast("int").as("keep"))
   }
 
+  /** Leakage-AWARE train/val/test split: the whole near-dup component
+    * draws ONE split from a pinned hash of its component id, so both ends
+    * of every near-dup pair land on the same side of the cut by
+    * construction — the repair for exactly the leakage [[splitLeakage]]
+    * (q89) measures on the content-blind per-document draw (q82). This is
+    * the split every serious pipeline uses: dedup-cluster-level, not
+    * document-level (near-dup val docs leaking into train inflate eval).
+    *
+    * Scale shape: the memoized component table joins the doc frame on
+    * doc_id (equality shuffle), then the draw is a pure map-side hash of
+    * the component id — no window, no extra shuffle beyond the resolver's.
+    */
+  def leakageAwareSplit(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val draw = pmod(Hashing.stableHash32(
+      concat(lit("csplit:"), col("component").cast("string"))), lit(1000L))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(dedupComponents(spark, sfDir, threshold), "doc_id")
+      .select(col("doc_id"), col("source"), col("component"),
+        when(draw < 900, "train").when(draw < 950, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Split-homogeneity audit: unigram KL divergence of each
     * train/val/test split ([[trainValTestSplit]]'s pinned-hash draw) from
     * the whole corpus — [[graft.analytics.TextAnalytics.sourceKlDriftOf]]

@@ -749,4 +749,52 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse a lexical BM25 ranking
+    * ([[graft.analytics.TextAnalytics.bm25Rank]], pinned query terms) with
+    * a semantic cosine ranking (corpus vs the pinned query vector, vec_id
+    * = `queryVec`; embeddings row i embeds document i). RRF(d) =
+    * Σ_rankers 1/(c + rank_r(d)) — RANK-based, so the two rankers'
+    * incomparable score scales never matter; c = 60 per the paper. The
+    * standard fusion behind every "hybrid search" mode in production
+    * vector stores.
+    *
+    * Determinism: ranks are integers; each 1/(c+rank) contribution is a
+    * ×10⁶ fixed-point long (half-up, identical in both engines) and the
+    * fused score one rounded sum — no cross-engine float drift possible.
+    * Absent ranks contribute 0 and surface as the −1 sentinel.
+    *
+    * Scale shape: each ranker ends in a TakeOrderedAndProject top-k (the
+    * corpus is never globally sorted); the fusion is a full outer join of
+    * two ≤k-row frames — driver-trivial at any corpus size. Ranks are
+    * assigned by a window over the already-limited k rows, so the
+    * single-partition window is bounded by k, not the corpus.
+    */
+  def hybridRetrievalRRF(spark: SparkSession, sfDir: String,
+      k: Int = 50, queryVec: Long = 0L, c: Int = 60): DataFrame = {
+    val lexTop = graft.analytics.TextAnalytics.bm25Rank(spark, sfDir, k = k)
+      .select(col("doc_id"), col("bm25"))
+    val lex = lexTop.withColumn("rank_lex", row_number().over(
+      Window.orderBy(col("bm25").desc, col("doc_id"))).cast("int"))
+    val all = corpus(spark, sfDir)
+    val qv = all.where(col("vec_id") === queryVec)
+      .select(col("v").as("qv"))
+    val semTop = all.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+    val sem = semTop.withColumn("rank_sem", row_number().over(
+      Window.orderBy(col("cosine").desc, col("doc_id"))).cast("int"))
+    def contrib(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1e6) / (lit(c) + rank)).cast("long"), lit(0L))
+    lex.select(col("doc_id"), col("rank_lex"))
+      .join(sem.select(col("doc_id"), col("rank_sem")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(-1)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(-1)).as("rank_sem"),
+        round((contrib(col("rank_lex")) + contrib(col("rank_sem")))
+          .cast("double") / 1e6, 6).as("rrf"))
+  }
 }

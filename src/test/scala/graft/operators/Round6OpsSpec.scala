@@ -443,6 +443,54 @@ class Round6OpsSpec extends SparkTestBase {
     rows.foreach { case (doc, c, _, _) => assert(comp(doc) === c) }
   }
 
+  test("rrf fusion: contributions replay by hand, both rankers' top-1 surface") {
+    val rows = Similarity.hybridRetrievalRRF(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // every fused row replays 1/(60+rank) fixed-point by hand
+    rows.foreach { case (doc, rl, rs, rrf) =>
+      def contrib(r: Int): Long =
+        if (r < 0) 0L else math.round(1e6 / (60.0 + r))
+      assert(rrf === (contrib(rl) + contrib(rs)) / 1e6,
+        s"doc $doc fusion mismatch")
+      assert(rl != -1 || rs != -1, s"doc $doc in neither ranking")
+      assert(rl >= -1 && rl <= 50 && rs >= -1 && rs <= 50)
+    }
+    // ranks are unique within each ranker
+    val lex = rows.filter(_._2 > 0).map(_._2)
+    assert(lex.distinct.length === lex.length)
+    val sem = rows.filter(_._3 > 0).map(_._3)
+    assert(sem.distinct.length === sem.length)
+    // the semantic ranker's top-1 is the query vector itself (cosine 1)
+    assert(rows.find(_._3 == 1).map(_._1) === Some(0L))
+    // a doc ranked top-1 by both rankers would score the max possible
+    val maxRrf = rows.map(_._4).max
+    assert(maxRrf <= 2 * math.round(1e6 / 61.0) / 1e6)
+  }
+
+  test("leakage-aware split: near-dup pairs never straddle a split") {
+    val split = Curation.leakageAwareSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // total coverage, every doc exactly once
+    assert(split.size === graft.core.Tables.documents(spark, sf).count().toInt)
+    // the theorem: both ends of every near-dup pair share a split
+    val pairs = Dedup.minhashPairs(spark, sf, 0.7)
+      .select(col("doc1"), col("doc2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must exercise the repair")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles splits")
+      assert(split(a)._1 === split(b)._1, s"pair ($a,$b) in two components")
+    }
+    // all three splits drawn, train dominating
+    val bySplit = split.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+    // one draw per component: a component's split is a function of its id
+    split.values.groupBy(_._1).foreach { case (comp, members) =>
+      assert(members.map(_._2).toSet.size === 1, s"component $comp split twice")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
