@@ -228,6 +228,10 @@ object SparkEntry {
     "q129_hybrid_rrf" -> ((s: SparkSession, d: String) => Similarity.hybridRetrievalRRF(s, d)),
     // leakage-aware split: one pinned draw per near-dup component
     "q130_leakage_aware_split" -> ((s: SparkSession, d: String) => graft.operators.Curation.leakageAwareSplit(s, d)),
+    // per-label embedding integrity: degenerate vectors, norm envelope
+    "q131_embedding_audit" -> ((s: SparkSession, d: String) => Similarity.embeddingAudit(s, d)),
+    // quality-feature redundancy: pairwise Pearson r, decimal-exact sums
+    "q132_feature_corr" -> ((s: SparkSession, d: String) => TextAnalytics.featureCorrelation(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2000,6 +2004,55 @@ private object CorpusOracles {
          |    CAST(('0x' || substr(md5('csplit:' || CAST(component AS VARCHAR)), 1, 8))
          |      AS BIGINT) % 1000 AS dr
          |  FROM comp) cs USING (doc_id)""".stripMargin,
+    // q131: per-row norms rounded once at 6 dp (both engines fold the dot
+    // product in element order), mean as a ×10⁶ fixed-point sum
+    "q131_embedding_audit" ->
+      """WITH n AS (SELECT label,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |  len(embedding) AS dim FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        | CAST(sum(CASE WHEN norm < 0.000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+        | CAST(min(dim) AS INTEGER) AS min_dim, CAST(max(dim) AS INTEGER) AS max_dim,
+        | min(norm) AS min_norm, max(norm) AS max_norm,
+        | round(CAST(sum(CAST(round(norm * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000 / count(*), 6) AS mean_norm
+        |FROM n GROUP BY label""".stripMargin,
+    // q132: features sit on fixed grids, so ×10⁶ rows are exact integers;
+    // all sums are HUGEINT (mirrors the engine's decimal(38,0)) and only
+    // the final r touches floats, through the identical expression shape.
+    // Generated from the same CorrFeatures list the engine iterates.
+    "q132_feature_corr" -> {
+      val feats = graft.analytics.TextAnalytics.CorrFeatures
+      val pairs = for {
+        i <- feats.indices; j <- i + 1 until feats.size
+      } yield (feats(i), feats(j))
+      val fpCols = feats
+        .map(f => s"CAST(round(CAST($f AS DOUBLE) * 1000000) AS BIGINT) AS $f")
+        .mkString(",\n ")
+      val sums = (feats.flatMap(f => Seq(
+          s"sum(CAST($f AS HUGEINT)) AS s_$f",
+          s"sum(CAST($f AS HUGEINT) * $f) AS ss_$f")) ++
+        pairs.map { case (x, y) =>
+          s"sum(CAST($x AS HUGEINT) * $y) AS sp_${x}__$y"
+        } :+ "count(*) AS n").mkString(",\n ")
+      val rows = pairs.map { case (x, y) =>
+        s"""SELECT '$x' AS feature_x, '$y' AS feature_y, CAST(n AS BIGINT) AS n,
+           | CASE WHEN (CAST(n AS HUGEINT) * ss_$x - s_$x * s_$x) = 0
+           |        OR (CAST(n AS HUGEINT) * ss_$y - s_$y * s_$y) = 0 THEN NULL
+           |   ELSE round(CAST(CAST(n AS HUGEINT) * sp_${x}__$y - s_$x * s_$y AS DOUBLE)
+           |     / (sqrt(CAST(CAST(n AS HUGEINT) * ss_$x - s_$x * s_$x AS DOUBLE))
+           |        * sqrt(CAST(CAST(n AS HUGEINT) * ss_$y - s_$y * s_$y AS DOUBLE))), 6)
+           | END AS pearson_r FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m0 AS (SELECT$qualityCols,
+         | $qualityScore AS quality_score FROM documents),
+         |fp AS (SELECT
+         | $fpCols FROM m0),
+         |s AS (SELECT
+         | $sums FROM fp)
+         |$rows""".stripMargin
+    },
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -800,6 +800,66 @@ object TextAnalytics {
       .where(col("quality_rank") <= cap)
   }
 
+  /** The [[graft.functions.Text.qualityMetrics]] feature names, in pinned
+    * order — shared with the q132 oracle generator so engine and oracle
+    * iterate the identical pair list.
+    */
+  val CorrFeatures: Seq[String] =
+    Seq("n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+      "quality_score")
+
+  /** Pearson correlation between every pair of quality features — the
+    * feature-redundancy audit run before trusting a pinned-weight quality
+    * model (two features correlating at |r| ≈ 1 mean the model double
+    * counts one signal). One row per unordered pair.
+    *
+    * Determinism: every feature is already rounded onto a fixed grid, so
+    * the ×10⁶ per-row values are EXACT longs; all five sums (Σx, Σx²,
+    * Σxy…) accumulate as decimal(38,0) — order-independent integer
+    * arithmetic, immune to both float drift and long overflow (Σx² terms
+    * reach 10²⁰). Only the final r is floating point, computed through an
+    * expression shape the oracle mirrors token-for-token.
+    *
+    * Scale shape: ONE map-side pass over the corpus into a single global
+    * partial-aggregated row (15 sums + a count), then an in-row explode
+    * to the 10 pair rows — no shuffle beyond the 1-row final aggregate,
+    * no repeated corpus scans. At extreme row counts the decimal(38)
+    * headroom thins (Σx² ~ n·10²⁰); the escape is per-partition
+    * pre-standardization, not a different plan.
+    */
+  def featureCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Text.qualityMetrics(col("text")).toMap
+    val feats = CorrFeatures
+    val base = Tables.documents(spark, sfDir).select(feats.map(f =>
+      round(m(f).cast("double") * 1e6).cast("long").as(f)): _*)
+    val pairs = for {
+      i <- feats.indices; j <- i + 1 until feats.size
+    } yield (feats(i), feats(j))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val aggs =
+      feats.flatMap(f => Seq(
+        sum(dec(col(f))).as(s"s_$f"),
+        sum(dec(col(f)) * col(f)).as(s"ss_$f"))) ++
+      pairs.map { case (x, y) =>
+        sum(dec(col(x)) * col(y)).as(s"sp_${x}__$y")
+      } :+ count(lit(1)).as("n")
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val pairStructs = pairs.map { case (x, y) =>
+      val num = dec(col("n")) * col(s"sp_${x}__$y") - col(s"s_$x") * col(s"s_$y")
+      val dx = dec(col("n")) * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")
+      val dy = dec(col("n")) * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")
+      struct(lit(x).as("feature_x"), lit(y).as("feature_y"),
+        num.as("num"), dx.as("dx"), dy.as("dy"))
+    }
+    one.select(col("n"), explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.feature_x").as("feature_x"),
+        col("p.feature_y").as("feature_y"), col("n"),
+        when(col("p.dx") === 0 || col("p.dy") === 0, lit(null).cast("double"))
+          .otherwise(round(col("p.num").cast("double")
+            / (sqrt(col("p.dx").cast("double")) * sqrt(col("p.dy").cast("double"))), 6))
+          .as("pearson_r"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -750,6 +750,34 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-integrity audit, per label: vector count, dimension range,
+    * degenerate (≈zero-norm) count, and the rounded L2-norm envelope
+    * (min/mean/max). Zero or collapsed embeddings silently poison every
+    * downstream cosine (they score 0 against everything and cluster
+    * together under any index) — this is the data-quality gate an
+    * embedding pipeline runs before building ANN structures from a new
+    * encoder drop.
+    *
+    * Determinism: each per-row norm is rounded once at 6 dp (the engines'
+    * IEEE dot-product folds match element order), then the mean is a ×10⁶
+    * fixed-point long sum. Scale shape: one map-side pass, one partial
+    * aggregate on the (vocabulary-sized) label key — no shuffle of vector
+    * payloads, no join.
+    */
+  def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("label"),
+        round(Vectors.l2Norm(col("embedding")), 6).as("norm"),
+        size(col("embedding")).as("dim"))
+    n.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("norm") < 0.000001, 1L).otherwise(0L)).as("n_degenerate"),
+      min(col("dim")).as("min_dim"), max(col("dim")).as("max_dim"),
+      min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"),
+      round(sum(round(col("norm") * 1e6).cast("long")).cast("double")
+        / 1e6 / count(lit(1)), 6).as("mean_norm"))
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
     * Buettcher, SIGIR 2009): fuse a lexical BM25 ranking
     * ([[graft.analytics.TextAnalytics.bm25Rank]], pinned query terms) with

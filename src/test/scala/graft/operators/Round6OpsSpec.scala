@@ -491,6 +491,68 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("embedding audit: driver-side norm fold replays every per-label row") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = vecs.groupBy(_._1).map { case (label, vs) =>
+      val norms = vs.map { case (_, v) =>
+        round6(math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      val meanFp = norms.map(n => math.round(n * 1e6)).sum
+      label -> (vs.length.toLong, norms.min, norms.max,
+        round6(meanFp / 1e6 / vs.length))
+    }
+    val got = Similarity.embeddingAudit(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (n, mn, mx, mean) = expect(r.getInt(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === 0L, "synthetic embeddings are non-degenerate")
+      assert((r.getInt(3), r.getInt(4)) === ((64, 64)))
+      assert((r.getDouble(5), r.getDouble(6), r.getDouble(7)) === ((mn, mx, mean)))
+    }
+  }
+
+  test("feature correlation: BigInt replay matches; r bounded; pairs complete") {
+    val feats = TextAnalytics.CorrFeatures
+    val m = graft.functions.Text.qualityMetrics(col("text")).toMap
+    val rowsFp = graft.core.Tables.documents(spark, sf)
+      .select(feats.map(f => org.apache.spark.sql.functions
+        .round(m(f).cast("double") * 1e6).cast("long").as(f)): _*)
+      .collect().map(r => feats.indices.map(r.getLong).toVector)
+    val n = BigInt(rowsFp.length)
+    // a zero-variance feature (constant at this sf) has no defined r: NULL
+    def pearson(i: Int, j: Int): Option[Double] = {
+      val (sx, sy) = (rowsFp.map(r => BigInt(r(i))).sum, rowsFp.map(r => BigInt(r(j))).sum)
+      val sxx = rowsFp.map(r => BigInt(r(i)) * r(i)).sum
+      val syy = rowsFp.map(r => BigInt(r(j)) * r(j)).sum
+      val sxy = rowsFp.map(r => BigInt(r(i)) * r(j)).sum
+      val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+      if (dx == 0 || dy == 0) None
+      else {
+        val num = (n * sxy - sx * sy).toDouble
+        val den = math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble)
+        Some(BigDecimal(num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = TextAnalytics.featureCorrelation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size === 10, "5 features -> 10 unordered pairs")
+    var defined = 0
+    got.foreach { case ((fx, fy), (cnt, r)) =>
+      assert(cnt === rowsFp.length.toLong)
+      r.foreach(v => assert(math.abs(v) <= 1.0, s"($fx,$fy) out of range: $v"))
+      if (r.isDefined) defined += 1
+      assert(r === pearson(feats.indexOf(fx), feats.indexOf(fy)),
+        s"($fx,$fy) replay mismatch")
+    }
+    assert(defined >= 6, "most pairs must have defined correlations")
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
