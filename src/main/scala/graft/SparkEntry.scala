@@ -232,6 +232,10 @@ object SparkEntry {
     "q131_embedding_audit" -> ((s: SparkSession, d: String) => Similarity.embeddingAudit(s, d)),
     // quality-feature redundancy: pairwise Pearson r, decimal-exact sums
     "q132_feature_corr" -> ((s: SparkSession, d: String) => TextAnalytics.featureCorrelation(s, d)),
+    // per-domain epoch plan: budget·share/tokens, fixed-point, capped
+    "q133_epoch_plan" -> ((s: SparkSession, d: String) => graft.operators.Curation.mixtureEpochPlan(s, d)),
+    // triangle participation over the near-dup graph (degree-oriented)
+    "q134_triangles" -> ((s: SparkSession, d: String) => graft.operators.Curation.triangleCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2053,6 +2057,43 @@ private object CorpusOracles {
          | $sums FROM fp)
          |$rows""".stripMargin
     },
+    // q133: all-integer until the display column — token sums and the
+    // budget are exact, epochs a ×10⁶ truncating division capped at 4
+    "q133_epoch_plan" ->
+      s"""WITH tgt(source, target_share) AS (VALUES
+         |  ${graft.operators.Curation.DomainTargets.map { case (s, w) =>
+              s"('$s', CAST($w AS DOUBLE))" }.mkString(",\n|  ")}),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY 1),
+         |b AS (SELECT CAST((sum(n_tokens) * 150) // 100 AS BIGINT) AS budget FROM ps)
+         |SELECT source, n_docs, n_tokens, target_share,
+         | CAST(round(budget * target_share) AS BIGINT) AS target_tokens,
+         | round(CAST(least(4000000,
+         |   (CAST(round(budget * target_share) AS BIGINT) * 1000000) // n_tokens)
+         |  AS DOUBLE) / 1000000, 6) AS epochs,
+         | CAST(least(4000000,
+         |   (CAST(round(budget * target_share) AS BIGINT) * 1000000) // n_tokens)
+         |  > 1000000 AS INTEGER) AS upsampled
+         |FROM ps CROSS JOIN b JOIN tgt USING (source)""".stripMargin,
+    // q134: degree-ordered orientation — each triangle counted once at its
+    // unique (deg, id)-lowest vertex; closure against the canonical
+    // doc1<doc2 pair list
+    "q134_triangles" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |p AS (SELECT doc1, doc2 FROM mp),
+         |e AS (SELECT doc1 AS u, doc2 AS v FROM p
+         |      UNION ALL SELECT doc2, doc1 FROM p),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+         |o AS (SELECT u, v FROM e
+         |  JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
+         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
+         |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
+         |x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM x GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

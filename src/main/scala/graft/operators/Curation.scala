@@ -705,6 +705,85 @@ object Curation {
           .otherwise("test").as("split"))
   }
 
+  /** Mixture epoch plan: the per-domain up/down-sampling factors a
+    * pre-training run derives from pinned target shares
+    * ([[DomainTargets]]) and a token budget (`budgetPct`% of the corpus) —
+    * epochs_i = min(cap, budget·share_i / tokens_i), the "how many passes
+    * over each domain" table (q57/q78 pick the RATE, q104 picks the
+    * DOCUMENTS; this picks the PASSES — the LLaMA-style mixture recipe's
+    * third axis). Sources with epochs > 1 are up-sampled (repeated), the
+    * rest down-sampled.
+    *
+    * Determinism: token counts and the budget are exact longs (integer
+    * DIV), epochs is a ×10⁶ fixed-point truncating division capped at 4 —
+    * no float until the final display column. Scale shape: one map-side
+    * token count into a |sources|-row aggregate; everything after is
+    * metadata-sized. */
+  def mixtureEpochPlan(spark: SparkSession, sfDir: String,
+      budgetPct: Int = 150, capFp: Long = 4000000L): DataFrame = {
+    val t = spark.createDataFrame(DomainTargets).toDF("source", "target_share")
+    val perSrc = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val budget = perSrc.agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(expr(s"(total_tokens * ${budgetPct}L) DIV 100").as("budget"))
+    perSrc.crossJoin(broadcast(budget)).join(broadcast(t), "source")
+      .withColumn("target_tokens",
+        round(col("budget") * col("target_share")).cast("long"))
+      .withColumn("epochs_fp",
+        least(lit(capFp), expr("(target_tokens * 1000000L) DIV n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_share"), col("target_tokens"),
+        round(col("epochs_fp").cast("double") / 1e6, 6).as("epochs"),
+        (col("epochs_fp") > 1000000L).cast("int").as("upsampled"))
+  }
+
+  /** Exact triangle participation counts over the near-dup graph — the
+    * graph-density signal that separates tight mirror FAMILIES (cliques:
+    * every member pairwise-similar) from chain-shaped false-positive
+    * components (paths: no triangles), which [[dedupComponents]] cannot
+    * distinguish. One row per document in ≥1 triangle.
+    *
+    * The MapReduce-canonical degree-ordered orientation (Suri &
+    * Vassilvitskii, WWW 2011; Cohen's MR graph kernels): orient every
+    * edge from its (degree, id)-smaller endpoint, build wedges only at
+    * each triangle's unique lowest vertex, close against the canonical
+    * pair list. Out-degrees under this orientation are O(√m), so the
+    * wedge stage — the only superlinear step — is bounded regardless of
+    * hub vertices; every shuffle is equality-keyed (vertex or pair).
+    */
+  def triangleCounts(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    triangleCountsOf(Dedup.minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2")))
+
+  /** [[triangleCounts]] over an arbitrary canonical (doc1 < doc2) pair
+    * list — the fixture-testable core.
+    */
+  def triangleCountsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc1").as("u"), col("doc2").as("v"))
+      .union(pairs.select(col("doc2").as("u"), col("doc1").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    val oriented = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .where(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = wedges.join(pairs,
+      col("b") === col("doc1") && col("c") === col("doc2"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Split-homogeneity audit: unigram KL divergence of each
     * train/val/test split ([[trainValTestSplit]]'s pinned-hash draw) from
     * the whole corpus — [[graft.analytics.TextAnalytics.sourceKlDriftOf]]

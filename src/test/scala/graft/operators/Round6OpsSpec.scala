@@ -553,6 +553,55 @@ class Round6OpsSpec extends SparkTestBase {
     assert(defined >= 6, "most pairs must have defined correlations")
   }
 
+  test("epoch plan: integer replay from token counts; budget conserved") {
+    val perSrc = graft.core.Tables.documents(spark, sf)
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Text.tokens(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val budget = perSrc.values.map(_._2).sum * 150L / 100L
+    val shares = Curation.DomainTargets.toMap
+    val got = Curation.mixtureEpochPlan(spark, sf).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nDocs, nTok) = perSrc(src)
+      assert((r.getLong(1), r.getLong(2)) === ((nDocs, nTok)))
+      val target = math.round(budget * shares(src))
+      assert(r.getLong(4) === target, s"$src target")
+      val epochsFp = math.min(4000000L, target * 1000000L / nTok)
+      assert(r.getDouble(5) === BigDecimal(epochsFp / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$src epochs")
+      assert(r.getInt(6) === (if (epochsFp > 1000000L) 1 else 0))
+    }
+    // pinned shares sum to 1, so targets reconcile with the budget
+    val targetSum = got.map(_.getLong(4)).sum
+    assert(math.abs(targetSum - budget) <= 20, "rounding only")
+    // head domains up-sample, tail domains down-sample (shares are monotone)
+    assert(got.map(_.getInt(6)).sum > 0)
+  }
+
+  test("triangles: K4 and a 3-cycle replay by hand; paths contribute none") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1-4 (4 triangles, 3 per vertex), path 5-6-7 (none),
+    // triangle 8-9-10 (1 each), isolated edge 11-12 (none)
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L),
+      (11L, 12L)).toDF("doc1", "doc2")
+    val got = Curation.triangleCountsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      8L -> 1L, 9L -> 1L, 10L -> 1L))
+    // corpus sanity: participation total is divisible by 3 and non-empty
+    val corpus = Curation.triangleCounts(spark, sf).collect().map(_.getLong(1))
+    assert(corpus.nonEmpty, "fixture corpus must contain triangles")
+    assert(corpus.sum % 3 === 0)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
