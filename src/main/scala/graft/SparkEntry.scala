@@ -236,6 +236,10 @@ object SparkEntry {
     "q133_epoch_plan" -> ((s: SparkSession, d: String) => graft.operators.Curation.mixtureEpochPlan(s, d)),
     // triangle participation over the near-dup graph (degree-oriented)
     "q134_triangles" -> ((s: SparkSession, d: String) => graft.operators.Curation.triangleCounts(s, d)),
+    // doc-level near-dup pair counts by source pair (mirroring matrix)
+    "q135_cross_source" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d)),
+    // fraction of each doc's trigrams found nowhere else (info yield)
+    "q136_novelty" -> ((s: SparkSession, d: String) => TextAnalytics.noveltyScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2094,6 +2098,31 @@ private object CorpusOracles {
          |x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM x GROUP BY 1""".stripMargin,
+    // q135: the pair list decorated with sources, unordered-pair canonical
+    "q135_cross_source" ->
+      s"""WITH mp AS ($minhashPairsSql)
+         |SELECT least(a.source, b.source) AS source1,
+         |  greatest(a.source, b.source) AS source2,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM mp JOIN documents a ON mp.doc1 = a.doc_id
+         |        JOIN documents b ON mp.doc2 = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    // q136: distinct trigram stream keyed by the shared 60-bit md5-prefix
+    // hash; df == 1 marks globally-unique grams
+    "q136_novelty" ->
+      """WITH g AS (SELECT DISTINCT doc_id,
+        |  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+        | FROM (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |     i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+        |          || ' ' || string_split(text,' ')[i+2])) AS gram
+        |  FROM documents)),
+        |df AS (SELECT gh, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS novelty
+        |FROM g JOIN df USING (gh) GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

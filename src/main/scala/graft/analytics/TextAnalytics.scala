@@ -860,6 +860,33 @@ object TextAnalytics {
           .as("pearson_r"))
   }
 
+  /** Per-document novelty: the fraction of a document's distinct trigrams
+    * that occur NOWHERE else in the corpus — the "information yield"
+    * signal that boilerplate-heavy and templated documents score low on
+    * even when no single near-dup partner exists (their grams are spread
+    * thin across MANY documents, which pairwise dedup never sees).
+    * Trigrams, not 8-grams: the synthetic corpus has zero cross-document
+    * 8-gram overlap, and real boilerplate is short.
+    *
+    * Scale shape: grams shuffle as 60-bit hashes, never raw strings (the
+    * q89 key discipline); both the distinct and the df aggregate are
+    * map-side-combinable; the df join is equality-keyed on the hash. Hot
+    * grams are absorbed by partial aggregation before the shuffle.
+    */
+  def noveltyScore(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), Hashing.stableHash60(col("gram")).as("g"))
+      .distinct()
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

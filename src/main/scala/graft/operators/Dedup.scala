@@ -784,6 +784,32 @@ object Dedup {
     * (ReuseExchange) and a chunk meets at most |sources|² pairs, so the
     * join output is bounded by n_chunks · |sources|², never corpus².
     */
+  /** Cross-source near-dup matrix: DOCUMENT-level near-dup pair counts by
+    * unordered source pair — which sources mirror each other's content
+    * ("who is scraping whom"), the provenance complement of
+    * [[sourceLeakage]]'s CHUNK-level view. Diagonal rows (source1 =
+    * source2) are intra-source duplication; off-diagonal rows are
+    * cross-source mirroring, the rows that decide which source to
+    * down-weight in the mixture.
+    *
+    * Scale shape: two doc_id equality joins decorate the (already
+    * candidate-bounded) pair list with sources; the matrix aggregate is
+    * |sources|²-bounded — metadata-sized output no matter the corpus.
+    */
+  def crossSourceMatrix(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val pairs = minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"))
+      .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")), "doc1")
+      .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")), "doc2")
+    pairs
+      .select(least(col("s1"), col("s2")).as("source1"),
+        greatest(col("s1"), col("s2")).as("source2"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def sourceLeakage(spark: SparkSession, sfDir: String,
       chunkWords: Int = 8): DataFrame = {
     val ch = Tables.documents(spark, sfDir)

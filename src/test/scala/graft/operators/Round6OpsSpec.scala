@@ -602,6 +602,51 @@ class Round6OpsSpec extends SparkTestBase {
     assert(corpus.sum % 3 === 0)
   }
 
+  test("cross-source matrix: reconciles with the pair list; canonical order") {
+    val srcOf = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, sf, 0.7)
+      .select(col("doc1"), col("doc2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) =>
+      val (s1, s2) = (srcOf(a), srcOf(b))
+      if (s1 <= s2) (s1, s2) else (s2, s1)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.crossSourceMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    got.keys.foreach { case (s1, s2) => assert(s1 <= s2) }
+    assert(got.values.sum === pairs.length.toLong)
+  }
+
+  test("novelty: driver-side trigram replay matches every document") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramSets = docs.map { case (id, text) =>
+      id -> text.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val dfCount = gramSets.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = TextAnalytics.noveltyScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size === gramSets.count(_._2.nonEmpty))
+    gramSets.filter(_._2.nonEmpty).foreach { case (id, grams) =>
+      val uniq = grams.count(g => dfCount(g) == 1).toLong
+      val (n, u, nov) = got(id)
+      assert(n === grams.size.toLong, s"doc $id gram count")
+      assert(u === uniq, s"doc $id unique count")
+      assert(nov === BigDecimal(uniq.toDouble / grams.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the signal must discriminate at this sf (not all-0 or all-1)
+    val novs = got.values.map(_._3).toSet
+    assert(novs.size > 10, "novelty collapsed to a constant")
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
