@@ -240,6 +240,8 @@ object SparkEntry {
     "q135_cross_source" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d)),
     // fraction of each doc's trigrams found nowhere else (info yield)
     "q136_novelty" -> ((s: SparkSession, d: String) => TextAnalytics.noveltyScore(s, d)),
+    // weighted sample w/o replacement: exponential clocks, pinned hash
+    "q137_weighted_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.weightedSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2123,6 +2125,17 @@ private object CorpusOracles {
         | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS novelty
         |FROM g JOIN df USING (gh) GROUP BY 1""".stripMargin,
+    // q137: Efraimidis-Spaggiari keys — u is an exact dyadic rational, w
+    // sits on the score grid, ln is the one transcendental (q90 precedent)
+    "q137_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |  (CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |     AS BIGINT) + 1) / 4294967296.0 AS u,
+         |  model_score + 2.0 AS w
+         | FROM ($modelScoreSql))
+         |SELECT doc_id, source, round(w, 6) AS weight,
+         | round(-ln(u) / w, 6) AS sample_key
+         |FROM b ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

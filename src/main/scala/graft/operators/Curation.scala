@@ -784,6 +784,38 @@ object Curation {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Quality-weighted sample WITHOUT replacement via exponential clocks
+    * (Efraimidis & Spaggiari, IPL 2006 — the distributed-standard
+    * one-pass weighted draw): key_i = −ln(u_i)/w_i with u_i a pinned-hash
+    * uniform and w_i a positive weight monotone in the model score; the k
+    * SMALLEST keys are the sample. Exactly the draw a curation pipeline
+    * uses to over-sample high-quality documents while keeping every
+    * document reachable — and it's reproducible: no RNG, the "randomness"
+    * is the md5 of the doc key (re-running cannot change the sample).
+    *
+    * Determinism: u is an exact dyadic rational from a 32-bit hash; w
+    * sits on the 6-dp score grid (shifted +2 so the worst score stays
+    * positive); ln is the one transcendental — the q90/q94 precedent,
+    * both engines agreeing through a 6-dp round with doc_id tiebreak.
+    *
+    * Scale shape: one map-side pass computes keys; the selection is a
+    * TakeOrderedAndProject k-heap — no global sort, no shuffle at all
+    * beyond the k·P-row driver merge.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String,
+      k: Int = 100): DataFrame = {
+    val u = (Hashing.stableHash32(
+      concat(lit("wsample:"), col("doc_id").cast("string"))) + 1L)
+      .cast("double") / lit(4294967296.0)
+    val w = graft.functions.Text.modelScore(col("text")) + lit(2.0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        round(w, 6).as("weight"),
+        round(-log(u) / w, 6).as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Split-homogeneity audit: unigram KL divergence of each
     * train/val/test split ([[trainValTestSplit]]'s pinned-hash draw) from
     * the whole corpus — [[graft.analytics.TextAnalytics.sourceKlDriftOf]]

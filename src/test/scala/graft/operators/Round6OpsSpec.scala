@@ -647,6 +647,33 @@ class Round6OpsSpec extends SparkTestBase {
     assert(novs.size > 10, "novelty collapsed to a constant")
   }
 
+  test("weighted sample: exponential-clock keys replay; selection is top-k") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Text.modelScore(col("text")).as("ms")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val keys = docs.map { case (id, ms) =>
+      val u = (hash32(s"wsample:$id") + 1L).toDouble / 4294967296.0
+      val w = ms + 2.0
+      (id, round6(w), round6(-math.log(u) / w))
+    }
+    val expect = keys.sortBy(t => (t._3, t._1)).take(100)
+    val got = Curation.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._3, t._1)).toSeq === expect.toSeq)
+    got.foreach { case (_, w, key) =>
+      assert(w > 0.0, "weights must stay positive")
+      assert(key >= 0.0, "clock keys are non-negative")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
