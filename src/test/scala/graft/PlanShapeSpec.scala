@@ -197,4 +197,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("Partial"), p)
   }
+
+  test("q129 hybrid RRF: rankers end in k-heaps; rank windows sit above the limits") {
+    val p = planOf("q129_hybrid_rrf")
+    // both rankers cut to k via per-partition heaps, never a global sort
+    assert(p.split("TakeOrderedAndProject").length >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are the broadcast one-row query-vector crosses
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses, s"non-cross nested loop present:\n$p")
+    // rank windows are bounded: they consume a TakeOrderedAndProject output
+    assert(p.contains("Window"), p)
+  }
+
+  test("q134 triangles: wedge and closure joins all equality-keyed") {
+    val p = planOf("q134_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+  }
+
+  test("q136 novelty: grams shuffle hashed, never as raw strings") {
+    val p = planOf("q136_novelty")
+    // every exchange keys on the 60-bit hash or doc_id — no raw gram key
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("hashpartitioning(gram"), p)
+  }
+
+  test("q137 weighted sample: one map-side pass into a k-heap, no shuffle") {
+    val p = planOf("q137_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
