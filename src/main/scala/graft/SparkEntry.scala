@@ -242,6 +242,10 @@ object SparkEntry {
     "q136_novelty" -> ((s: SparkSession, d: String) => TextAnalytics.noveltyScore(s, d)),
     // weighted sample w/o replacement: exponential clocks, pinned hash
     "q137_weighted_sample" -> ((s: SparkSession, d: String) => graft.operators.Curation.weightedSample(s, d)),
+    // incremental resolver: history contracts to label edges, batch merges
+    "q138_incremental_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.incrementalComponents(s, d)),
+    // tokenizer-coverage audit: per-doc OOV rate vs the pinned vocab head
+    "q139_oov_rate" -> ((s: SparkSession, d: String) => TextAnalytics.oovRate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2136,6 +2140,21 @@ private object CorpusOracles {
          |SELECT doc_id, source, round(w, 6) AS weight,
          | round(-ln(u) / w, 6) AS sample_key
          |FROM b ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    // q138: THE THEOREM IS THE GATE — the incremental path must reproduce
+    // q50's full-recompute labels exactly, so it shares q50's oracle
+    "q138_incremental_components" -> componentsSql,
+    // q139: vocab head pinned by (count desc, word) — the q58 ranking
+    "q139_oov_rate" ->
+      """WITH v AS (SELECT word FROM (
+        |  SELECT word, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text,' ')) AS word FROM documents)
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT 100)),
+        |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.word = v.word GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

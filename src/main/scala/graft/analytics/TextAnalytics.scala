@@ -887,6 +887,31 @@ object TextAnalytics {
         round(col("n_unique").cast("double") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Per-document out-of-vocabulary rate against the pinned top-`v`
+    * corpus vocabulary ([[vocabTopK]]) — the tokenizer-coverage audit: a
+    * doc whose tokens mostly fall outside the vocabulary head is either
+    * foreign-language, noisy, or will fragment into long subword chains
+    * under a trained tokenizer (token-budget inflation). Run before
+    * freezing a vocab size.
+    *
+    * Scale shape: the vocabulary is k-bounded BY CONSTRUCTION (the
+    * broadcast ships ≤ v rows no matter the corpus); the token stream is
+    * map-side left-joined against it and folded by doc — one shuffle,
+    * keyed on doc_id.
+    */
+  def oovRate(spark: SparkSession, sfDir: String, v: Int = 100): DataFrame = {
+    val vocab = vocabTopK(spark, sfDir, v)
+      .select(col("word"), lit(1).as("in_vocab"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

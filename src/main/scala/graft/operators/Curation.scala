@@ -705,6 +705,48 @@ object Curation {
           .otherwise("test").as("split"))
   }
 
+  /** INCREMENTAL connected components: resolve a new batch of near-dup
+    * edges against ALREADY-RESOLVED history components without touching
+    * history edges — contraction: each history (doc → component) row IS an
+    * edge to its label vertex, so propagating min-labels over
+    * {history-label edges} ∪ {new-batch pairs} reproduces exactly the
+    * full-recompute labels (contraction preserves connectivity, and the
+    * min-doc_id label of a merged cluster is the min over its parts).
+    * This is how a 100 TB ingest keeps its duplicate graph current: the
+    * history side enters as ONE row per document (its label edge), never
+    * as its original pair list — the resolver's work scales with the
+    * batch, not the corpus history.
+    *
+    * History/batch split mirrors q116's cross-parity recipe: "history" =
+    * pairs with both ends doc_id % 5 != 0, "batch" = the rest. The gate
+    * proves the theorem: output is hash-identical to q50's full recompute
+    * (same oracle).
+    */
+  def incrementalComponents(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"))
+    val isHist = (col("doc1") % 5 =!= 0) && (col("doc2") % 5 =!= 0)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    // resolve history alone (in production this table already exists)
+    val hist = connectedComponents(pairs.where(isHist),
+      docs.where(col("doc_id") % 5 =!= 0))
+    incrementalComponentsOf(hist, pairs.where(!isHist), docs)
+  }
+
+  /** [[incrementalComponents]]' core: merge `batchPairs` into an existing
+    * (doc_id, component) resolution by contracting each history row to a
+    * single label edge. `allDocs` spans history ∪ batch.
+    */
+  def incrementalComponentsOf(history: DataFrame, batchPairs: DataFrame,
+      allDocs: DataFrame): DataFrame = {
+    // contraction edges: doc → its resolved label (self-loops drop out)
+    val labelEdges = history.where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc1"), col("component").as("doc2"))
+    connectedComponents(
+      labelEdges.union(batchPairs.select(col("doc1"), col("doc2"))), allDocs)
+  }
+
   /** Mixture epoch plan: the per-domain up/down-sampling factors a
     * pre-training run derives from pinned target shares
     * ([[DomainTargets]]) and a token budget (`budgetPct`% of the corpus) —

@@ -674,6 +674,48 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental components: batch edges merge resolved history clusters") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 8L).toDF("doc_id")
+    // history resolved two clusters {1,2} and {3,4}; 5-8 were singletons
+    val history = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 6L), (7L, 7L), (8L, 8L)).toDF("doc_id", "component")
+    // batch: bridge the two clusters via 2-3, and attach 6 to 5
+    val batch = Seq((2L, 3L), (5L, 6L)).toDF("doc1", "doc2")
+    val got = Curation.incrementalComponentsOf(history, batch, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+    // corpus theorem: incremental equals the full recompute exactly
+    val inc = Curation.incrementalComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Curation.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+  }
+
+  test("oov rate: vocabulary head replayed driver-side; rates replay exactly") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+      .map(_._1).toSet
+    val got = TextAnalytics.oovRate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size === docs.length)
+    docs.foreach { case (id, toks) =>
+      val oov = toks.count(t => !vocab(t)).toLong
+      val (n, o, rate) = got(id)
+      assert(n === toks.size.toLong, s"doc $id token count")
+      assert(o === oov, s"doc $id oov count")
+      assert(rate === BigDecimal(oov.toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
