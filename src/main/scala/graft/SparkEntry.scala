@@ -246,6 +246,8 @@ object SparkEntry {
     "q138_incremental_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.incrementalComponents(s, d)),
     // tokenizer-coverage audit: per-doc OOV rate vs the pinned vocab head
     "q139_oov_rate" -> ((s: SparkSession, d: String) => TextAnalytics.oovRate(s, d)),
+    // first-order Markov transitions over per-user event streams
+    "q140_transition_matrix" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.transitionMatrix(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2155,6 +2157,18 @@ private object CorpusOracles {
         | round(CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS oov_rate
         |FROM t LEFT JOIN v ON t.word = v.word GROUP BY 1""".stripMargin,
+    // q140: lead over (ts, event_id) — same-user microsecond ties don't
+    // exist in the corpus and the event_id tiebreak pins the order anyway
+    "q140_transition_matrix" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n_transitions) AS n_from FROM c GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+        | round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p_next
+        |FROM c JOIN tot USING (from_type)""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

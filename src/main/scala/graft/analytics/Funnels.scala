@@ -63,4 +63,34 @@ object Funnels {
         floor(datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * P(next event type | current event type) with transition counts — the
+    * behavioral fingerprint behind "what do users do after add_to_cart",
+    * next-event prediction baselines, and bot detection (bots have
+    * near-deterministic rows). Consecutive pairs come from `lead` over
+    * (ts, event_id) within each user — the deterministic order the
+    * sessionizers already rely on.
+    *
+    * Scale shape: ONE hash-shuffle on user_id feeds the window; the pair
+    * counts are a map-side-combinable aggregate on the (tiny)
+    * |types|²-keyed matrix, and the row-normalizing totals join is
+    * |types|-sized — broadcast by construction. Output is metadata-sized
+    * at any corpus scale.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("n_from"), 6).as("p_next"))
+  }
 }

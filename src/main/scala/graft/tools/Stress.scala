@@ -188,6 +188,38 @@ object Stress {
     val inRows = graft.operators.Dedup.incrementalNearDup(spark, docDir).count()
     println(f"[stress] incremental near-dup ($nDocs docs): $inRows hits in ${(System.nanoTime() - t13j) / 1e9}%.1f s")
 
+    // round-6b operators at the same corpus: triangle counting (the wedge
+    // join over the planted pair graph), incremental component merge
+    // (history contracts to label edges), trigram novelty (the biggest
+    // gram stream here: distinct + df + join-back), OOV rate (k-bounded
+    // vocab broadcast), exponential-clock weighted sampling (pure k-heap),
+    // the cross-source pair matrix, pairwise feature correlation (one
+    // pass, decimal sums), and the epoch plan (metadata-sized)
+    val t13k = System.nanoTime()
+    val triRows = graft.operators.Curation.triangleCounts(spark, docDir).count()
+    println(f"[stress] triangle counts ($nDocs docs): $triRows docs in triangles in ${(System.nanoTime() - t13k) / 1e9}%.1f s")
+    val t13l = System.nanoTime()
+    val incRows = graft.operators.Curation.incrementalComponents(spark, docDir).count()
+    println(f"[stress] incremental components ($nDocs docs): $incRows labels in ${(System.nanoTime() - t13l) / 1e9}%.1f s")
+    val t13m = System.nanoTime()
+    val novRows = graft.analytics.TextAnalytics.noveltyScore(spark, docDir).count()
+    println(f"[stress] trigram novelty ($nDocs docs): $novRows rows in ${(System.nanoTime() - t13m) / 1e9}%.1f s")
+    val t13n = System.nanoTime()
+    val oovRows = graft.analytics.TextAnalytics.oovRate(spark, docDir).count()
+    println(f"[stress] oov rate ($nDocs docs): $oovRows rows in ${(System.nanoTime() - t13n) / 1e9}%.1f s")
+    val t13o = System.nanoTime()
+    val wsRows = graft.operators.Curation.weightedSample(spark, docDir).count()
+    println(f"[stress] weighted sample ($nDocs docs): $wsRows rows in ${(System.nanoTime() - t13o) / 1e9}%.1f s")
+    val t13p = System.nanoTime()
+    val csRows = graft.operators.Dedup.crossSourceMatrix(spark, docDir).count()
+    println(f"[stress] cross-source matrix ($nDocs docs): $csRows source pairs in ${(System.nanoTime() - t13p) / 1e9}%.1f s")
+    val t13q = System.nanoTime()
+    val fcRows = graft.analytics.TextAnalytics.featureCorrelation(spark, docDir).count()
+    println(f"[stress] feature correlation ($nDocs docs): $fcRows pairs in ${(System.nanoTime() - t13q) / 1e9}%.1f s")
+    val t13r = System.nanoTime()
+    val epRows = graft.operators.Curation.mixtureEpochPlan(spark, docDir).count()
+    println(f"[stress] epoch plan ($nDocs docs): $epRows sources in ${(System.nanoTime() - t13r) / 1e9}%.1f s")
+
     // JL projection, PQ encode/ADC, and cluster-balanced sampling over a
     // synthetic embeddings table at 100× the bench vector count (64-dim
     // floats from the pinned hash — the corpus schema's shape)
@@ -211,6 +243,12 @@ object Stress {
     val t16 = System.nanoTime()
     val cbsRows = graft.operators.Similarity.clusterBalancedSample(spark, docDir).count()
     println(f"[stress] cluster-balanced sample ($nVecs vecs): $cbsRows rows in ${(System.nanoTime() - t16) / 1e9}%.1f s")
+    val t17 = System.nanoTime()
+    val eaRows = graft.operators.Similarity.embeddingAudit(spark, docDir).count()
+    println(f"[stress] embedding audit ($nVecs vecs): $eaRows labels in ${(System.nanoTime() - t17) / 1e9}%.1f s")
+    val t18 = System.nanoTime()
+    val rrfRows = graft.operators.Similarity.hybridRetrievalRRF(spark, docDir).count()
+    println(f"[stress] hybrid RRF ($nVecs vecs semantic, $nDocs docs lexical): $rrfRows fused rows in ${(System.nanoTime() - t18) / 1e9}%.1f s")
     spark.stop()
   }
 }

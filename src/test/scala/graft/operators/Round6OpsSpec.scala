@@ -716,6 +716,26 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("transition matrix: driver-side replay matches; rows normalize to 1") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val types = evs.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      types.zip(types.drop(1))
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = graft.analytics.Funnels.transitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.map { case (k, v) => k -> v._1 } === expect)
+    // each from-row's probabilities sum to 1 (fixed-point rounding slack)
+    got.keys.map(_._1).toSeq.distinct.foreach { from =>
+      val ps = got.collect { case ((f, _), (_, p)) if f == from => p }
+      assert(math.abs(ps.sum - 1.0) < 1e-4, s"$from row sums to ${ps.sum}")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
