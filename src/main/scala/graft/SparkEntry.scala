@@ -248,6 +248,10 @@ object SparkEntry {
     "q139_oov_rate" -> ((s: SparkSession, d: String) => TextAnalytics.oovRate(s, d)),
     // first-order Markov transitions over per-user event streams
     "q140_transition_matrix" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.transitionMatrix(s, d)),
+    // PSI drift alarm per event type between the pinned cohorts
+    "q141_value_drift_psi" -> ((s: SparkSession, d: String) => Relational.valueDriftPsi(s, d)),
+    // estimator-error histogram by exact-Jaccard bin (margin evidence)
+    "q142_estimator_margins" -> ((s: SparkSession, d: String) => Dedup.estimatorMarginHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -611,6 +615,21 @@ private object CorpusOracles {
        | round(CAST(sum(CAST(round(ts * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS bm25
        |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
+
+  /** q97: signature-estimated vs exact Jaccard per candidate pair. Shared
+    * with the q142 margin-histogram oracle.
+    */
+  private lazy val estimatorAuditSql =
+    s"""WITH mp AS ($minhashPairsSql),
+       |sig AS (SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+       |  FROM ($baseHashes)),
+       |e AS (SELECT mp.doc1, mp.doc2, mp.jaccard,
+       |   round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+       |     / CAST(16 AS DOUBLE), 6) AS est_jaccard
+       |  FROM mp JOIN sig a ON mp.doc1 = a.doc_id
+       |  JOIN sig b ON mp.doc2 = b.doc_id)
+       |SELECT doc1, doc2, jaccard, est_jaccard,
+       | round(abs(est_jaccard - jaccard), 6) AS abs_err FROM e""".stripMargin
 
   private def cosExpr(a: String, b: String, digits: Int = 4) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), $digits)"
@@ -1528,17 +1547,7 @@ private object CorpusOracles {
          |FROM c GROUP BY 1, 2""".stripMargin,
     // q97: the verified pairs with the k=16 signature-agreement estimate
     // alongside the exact Jaccard
-    "q97_minhash_estimator" ->
-      s"""WITH mp AS ($minhashPairsSql),
-         |sig AS (SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
-         |  FROM ($baseHashes)),
-         |e AS (SELECT mp.doc1, mp.doc2, mp.jaccard,
-         |   round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
-         |     / CAST(16 AS DOUBLE), 6) AS est_jaccard
-         |  FROM mp JOIN sig a ON mp.doc1 = a.doc_id
-         |  JOIN sig b ON mp.doc2 = b.doc_id)
-         |SELECT doc1, doc2, jaccard, est_jaccard,
-         | round(abs(est_jaccard - jaccard), 6) AS abs_err FROM e""".stripMargin,
+    "q97_minhash_estimator" -> estimatorAuditSql,
     // q98: q52's packing windows ordered by (model score desc, doc_id)
     "q98_curriculum_pack" ->
       s"""WITH ms AS ($modelScoreSql),
@@ -2169,6 +2178,40 @@ private object CorpusOracles {
         |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
         | round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p_next
         |FROM c JOIN tot USING (from_type)""".stripMargin,
+    // q141: per-bin PSI terms rounded once then fixed-point summed (the
+    // q103 recipe); one-sided bins counted, excluded from the sum
+    "q141_value_drift_psi" ->
+      """WITH e AS (SELECT event_type, event_id % 2 AS cohort,
+        |  CAST(floor(value / 25.0) AS BIGINT) AS bin FROM events),
+        |cb AS (SELECT event_type, bin,
+        |  sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS n_b
+        | FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n_a) AS t_a, sum(n_b) AS t_b
+        | FROM cb GROUP BY 1),
+        |t AS (SELECT cb.event_type,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+        |      * ln((CAST(n_a AS DOUBLE) / t_a) / (CAST(n_b AS DOUBLE) / t_b)), 6)
+        |  ELSE 0.0 END AS term,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN 1 ELSE 0 END AS onesided
+        | FROM cb JOIN tot USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        | CAST(sum(onesided) AS BIGINT) AS n_onesided,
+        | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000, 6) AS psi
+        |FROM t GROUP BY 1""".stripMargin,
+    // q142: the q97 audit binned by exact Jaccard; means fixed-point
+    "q142_estimator_margins" ->
+      s"""WITH a AS ($estimatorAuditSql)
+         |SELECT CAST(floor(jaccard / 0.05) AS BIGINT) AS bin,
+         | CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(CAST(sum(CAST(round(est_jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+         |   / 1000000 / count(*), 6) AS mean_est,
+         | round(CAST(sum(CAST(round(abs_err * 1000000) AS BIGINT)) AS DOUBLE)
+         |   / 1000000 / count(*), 6) AS mean_abs_err,
+         | max(abs_err) AS max_abs_err
+         |FROM a GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -226,6 +226,45 @@ object Relational {
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
 
+  /** Population Stability Index per event type between the two pinned
+    * event cohorts (event_id parity — the deterministic stand-in for
+    * "yesterday's batch vs today's"): PSI = Σ_bins (p−q)·ln(p/q) over the
+    * [[valueHistogram]] bin grid — the distribution-drift alarm every
+    * monitoring pipeline puts on its value columns (PSI > 0.2 = act).
+    * One-sided bins (mass in only one cohort) are COUNTED and excluded
+    * from the sum rather than smoothed — the exclusion is reported, not
+    * silent.
+    *
+    * Determinism: per-bin terms round once at 6 dp then sum as ×10⁶
+    * fixed-point longs (the q103 KL recipe; ln per the q90 contract).
+    * Scale shape: one (type, bin) map-side-combinable aggregate; the
+    * per-type totals join back by broadcast (|types|-sized); output is
+    * |types|-bounded.
+    */
+  def valueDriftPsi(spark: SparkSession, sfDir: String,
+      binWidth: Double = 25.0): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_type"), pmod(col("event_id"), lit(2L)).as("cohort"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+    val cb = e.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = cb.groupBy(col("event_type"))
+      .agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    val p = col("n_a").cast("double") / col("t_a")
+    val q = col("n_b").cast("double") / col("t_b")
+    cb.join(broadcast(tot), "event_type")
+      .select(col("event_type"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((p - q) * log(p / q), 6)).otherwise(lit(0.0)).as("term"),
+        (col("n_a") === 0 || col("n_b") === 0).cast("long").as("onesided"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("onesided")).as("n_onesided"),
+        round(sum(round(col("term") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("psi"))
+  }
+
   /** String-function coverage: case, trim/pad, substring, regexp_replace,
     * concat, length, reverse, instr-style position — one deterministic
     * projection over part.

@@ -642,6 +642,24 @@ object Dedup {
         minhashSignatures(spark, sfDir, k), k)
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
 
+  /** Estimator-margin histogram: the [[minhashEstimatorAudit]] pair table
+    * binned by EXACT Jaccard, with per-bin mean estimate and mean absolute
+    * error — the evidence chart behind choosing [[minhashPairsFast]]'s
+    * accept/reject margins: bins where the estimator's error envelope
+    * clears the threshold are safe to skip exact verification. One
+    * candidate-table pass.
+    */
+  def estimatorMarginHistogram(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7, binWidth: Double = 0.05): DataFrame =
+    minhashEstimatorAudit(spark, sfDir, threshold)
+      .groupBy(floor(col("jaccard") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(round(col("est_jaccard") * 1e6).cast("long")).cast("double")
+          / 1e6 / count(lit(1)), 6).as("mean_est"),
+        round(sum(round(col("abs_err") * 1e6).cast("long")).cast("double")
+          / 1e6 / count(lit(1)), 6).as("mean_abs_err"),
+        max(col("abs_err")).as("max_abs_err"))
+
   /** Dedup threshold-sensitivity sweep: how many verified pairs each
     * candidate Jaccard threshold would keep, computed from ONE pass over
     * the band-candidate exact-Jaccard table ([[minhashCandidateAudit]]) —

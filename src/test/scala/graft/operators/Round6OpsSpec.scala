@@ -736,6 +736,54 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("psi drift: parity cohorts are iid, so psi stays small; replay by hand") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = events.groupBy(_._1).map { case (tpe, evs) =>
+      val bins = evs.groupBy(e => math.floor(e._3 / 25.0).toLong)
+        .map { case (b, es) =>
+          b -> (es.count(_._2 % 2 == 0).toLong, es.count(_._2 % 2 == 1).toLong)
+        }
+      val (ta, tb) = (bins.values.map(_._1).sum, bins.values.map(_._2).sum)
+      val terms = bins.values.map { case (na, nb) =>
+        if (na > 0 && nb > 0) {
+          val (p, q) = (na.toDouble / ta, nb.toDouble / tb)
+          math.round(round6((p - q) * math.log(p / q)) * 1e6)
+        } else 0L
+      }
+      val onesided = bins.values.count { case (na, nb) => na == 0 || nb == 0 }
+      tpe -> (bins.size.toLong, onesided.toLong, round6(terms.sum / 1e6))
+    }
+    val got = graft.analytics.Relational.valueDriftPsi(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expect)
+    // event_id parity is content-blind, but sf0.001 bins are thin (a few
+    // events per bin), so sampling noise inflates PSI well past the 0.2
+    // production alarm line — bound loosely, the replay above is exact
+    got.values.foreach { case (_, _, psi) =>
+      assert(psi >= 0.0 && psi < 2.0)
+    }
+  }
+
+  test("estimator margins: bins reconcile with the audit; errors bounded") {
+    val audit = Dedup.minhashEstimatorAudit(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val got = Dedup.estimatorMarginHistogram(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(4)))
+    assert(got.map(_._2._1).sum === audit.length.toLong)
+    got.foreach { case (bin, (n, maxErr)) =>
+      val inBin = audit.filter(a => math.floor(a._1 / 0.05).toLong == bin)
+      assert(inBin.length.toLong === n, s"bin $bin count")
+      assert(inBin.map(_._3).max === maxErr, s"bin $bin max err")
+    }
+    // every pair passed the 0.7 exact threshold, so bins start at 14
+    assert(got.map(_._1).min >= 14L)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
