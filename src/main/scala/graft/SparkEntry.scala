@@ -252,6 +252,10 @@ object SparkEntry {
     "q141_value_drift_psi" -> ((s: SparkSession, d: String) => Relational.valueDriftPsi(s, d)),
     // estimator-error histogram by exact-Jaccard bin (margin evidence)
     "q142_estimator_margins" -> ((s: SparkSession, d: String) => Dedup.estimatorMarginHistogram(s, d)),
+    // per-edge triangle support: flags weak chain-link near-dup edges
+    "q143_edge_support" -> ((s: SparkSession, d: String) => graft.operators.Curation.edgeSupport(s, d)),
+    // language-ID confusion matrix with per-language recall
+    "q144_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalytics.langConfusion(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2212,6 +2216,38 @@ private object CorpusOracles {
          |   / 1000000 / count(*), 6) AS mean_abs_err,
          | max(abs_err) AS max_abs_err
          |FROM a GROUP BY 1""".stripMargin,
+    // q143: triangles credit their three id-canonical edges; left join
+    // keeps support-0 chain links visible
+    "q143_edge_support" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |p AS (SELECT doc1, doc2 FROM mp),
+         |e AS (SELECT doc1 AS u, doc2 AS v FROM p
+         |      UNION ALL SELECT doc2, doc1 FROM p),
+         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+         |o AS (SELECT u, v FROM e
+         |  JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
+         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
+         |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+         |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
+         |cr AS (SELECT least(x, y) AS doc1, greatest(x, y) AS doc2
+         |  FROM (SELECT unnest([[a, b], [a, c], [b, c]]) AS pr FROM t),
+         |       LATERAL (SELECT pr[1] AS x, pr[2] AS y)),
+         |sup AS (SELECT doc1, doc2, count(*) AS support FROM cr GROUP BY 1, 2)
+         |SELECT p.doc1, p.doc2,
+         | CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
+         | CAST(coalesce(sup.support, 0) = 0 AS INTEGER) AS is_chain_link
+         |FROM p LEFT JOIN sup USING (doc1, doc2)""".stripMargin,
+    // q144: the q32 predictor rolled into a confusion matrix
+    "q144_lang_confusion" ->
+      s"""WITH pr AS (SELECT lang AS actual_lang, $langPredicted AS predicted_lang
+         |  FROM (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents)),
+         |c AS (SELECT actual_lang, predicted_lang, count(*) AS n_docs
+         | FROM pr GROUP BY 1, 2),
+         |tot AS (SELECT actual_lang, sum(n_docs) AS n_actual FROM c GROUP BY 1)
+         |SELECT actual_lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
+         | round(CAST(n_docs AS DOUBLE) / n_actual, 6) AS rate
+         |FROM c JOIN tot USING (actual_lang)""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

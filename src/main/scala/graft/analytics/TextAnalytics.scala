@@ -25,6 +25,23 @@ object TextAnalytics {
       .select(col("doc_id"), col("lang").as("actual_lang"),
         Text.langId(col("text")).as("predicted_lang"))
 
+  /** Language-ID confusion matrix with per-actual-language recall — the
+    * eval artifact behind trusting [[langPredictions]] as a corpus filter:
+    * off-diagonal mass shows which languages the stopword heuristic
+    * confuses (and therefore which filters need a stronger model).
+    * |langs|²-bounded output; the recall denominator joins back by
+    * broadcast.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = langPredictions(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = c.groupBy(col("actual_lang")).agg(sum(col("n_docs")).as("n_actual"))
+    c.join(broadcast(tot), "actual_lang")
+      .select(col("actual_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_actual"), 6).as("rate"))
+  }
+
   /** Token counts (whitespace + regex-subword proxy) and the rolling-hash
     * document fingerprint.
     */

@@ -804,7 +804,17 @@ object Curation {
   /** [[triangleCounts]] over an arbitrary canonical (doc1 < doc2) pair
     * list — the fixture-testable core.
     */
-  def triangleCountsOf(pairs: DataFrame): DataFrame = {
+  def triangleCountsOf(pairs: DataFrame): DataFrame =
+    trianglesOf(pairs)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** Degree-ordered triangle enumeration (one row per triangle, each
+    * exactly once) — shared by [[triangleCountsOf]] and
+    * [[edgeSupportOf]].
+    */
+  private def trianglesOf(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc1").as("u"), col("doc2").as("v"))
       .union(pairs.select(col("doc2").as("u"), col("doc1").as("v")))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -819,11 +829,44 @@ object Curation {
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val tri = wedges.join(pairs,
-      col("b") === col("doc1") && col("c") === col("doc2"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_triangles"))
+    wedges.join(pairs,
+        col("b") === col("doc1") && col("c") === col("doc2"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Edge support (embeddedness): for every near-dup pair, the number of
+    * triangles it sits in — i.e. common near-dup neighbors of its two
+    * endpoints. Support-0 edges are the CHAIN LINKS: the weak transitive
+    * joints through which connected components glue genuinely different
+    * content into one cluster (the known failure mode of
+    * transitive-closure dedup). The production use: resolve components
+    * over support ≥ 1 edges only, or route support-0 edges to exact
+    * verification before trusting them.
+    *
+    * Scale shape: triangle enumeration is [[trianglesOf]] (O(√m)
+    * out-degrees); crediting explodes each triangle to its 3 canonical
+    * edges and counts — equality-keyed on the edge; the final left join
+    * keeps support-0 edges visible.
+    */
+  def edgeSupport(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    edgeSupportOf(Dedup.minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2")))
+
+  /** [[edgeSupport]] over an arbitrary canonical pair list. */
+  def edgeSupportOf(pairs: DataFrame): DataFrame = {
+    // a is DEGREE-lowest, not id-lowest — canonicalize each edge by id
+    def edge(x: String, y: String) =
+      struct(least(col(x), col(y)).as("doc1"),
+        greatest(col(x), col(y)).as("doc2"))
+    val credit = trianglesOf(pairs)
+      .select(explode(array(edge("a", "b"), edge("a", "c"), edge("b", "c"))).as("e"))
+      .groupBy(col("e.doc1").as("doc1"), col("e.doc2").as("doc2"))
+      .agg(count(lit(1)).as("support"))
+    pairs.join(credit, Seq("doc1", "doc2"), "left")
+      .select(col("doc1"), col("doc2"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (coalesce(col("support"), lit(0L)) === 0L).cast("int").as("is_chain_link"))
   }
 
   /** Quality-weighted sample WITHOUT replacement via exponential clocks

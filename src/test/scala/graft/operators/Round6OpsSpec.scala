@@ -784,6 +784,45 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got.map(_._1).min >= 14L)
   }
 
+  test("edge support: K4 edges carry 2, triangle edges 1, chains and paths 0") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L),
+      (11L, 12L)).toDF("doc1", "doc2")
+    val got = Curation.edgeSupportOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got.size === 12, "every input edge survives the left join")
+    Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).foreach(e =>
+      assert(got(e) === ((2L, 0)), s"K4 edge $e"))
+    Seq((8L, 9L), (8L, 10L), (9L, 10L)).foreach(e =>
+      assert(got(e) === ((1L, 0)), s"triangle edge $e"))
+    Seq((5L, 6L), (6L, 7L), (11L, 12L)).foreach(e =>
+      assert(got(e) === ((0L, 1)), s"chain link $e"))
+    // corpus reconciliation: summed support = 3 × triangle count
+    val support = Curation.edgeSupport(spark, sf).collect().map(_.getLong(2)).sum
+    val triangles = Curation.triangleCounts(spark, sf).collect()
+      .map(_.getLong(1)).sum / 3
+    assert(support === triangles * 3)
+  }
+
+  test("lang confusion: reconciles with per-doc predictions; rows normalize") {
+    val preds = TextAnalytics.langPredictions(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expect = preds.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalytics.langConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.map { case (k, v) => k -> v._1 } === expect)
+    assert(got.values.map(_._1).sum === preds.length.toLong)
+    got.keys.map(_._1).toSeq.distinct.foreach { actual =>
+      val rates = got.collect { case ((a, _), (_, r)) if a == actual => r }
+      assert(math.abs(rates.sum - 1.0) < 1e-4, s"$actual rates sum ${rates.sum}")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
