@@ -256,6 +256,8 @@ object SparkEntry {
     "q143_edge_support" -> ((s: SparkSession, d: String) => graft.operators.Curation.edgeSupport(s, d)),
     // language-ID confusion matrix with per-language recall
     "q144_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalytics.langConfusion(s, d)),
+    // conservative resolve: components over triangle-supported edges only
+    "q145_supported_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.supportedComponents(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -619,6 +621,31 @@ private object CorpusOracles {
        | round(CAST(sum(CAST(round(ts * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS bm25
        |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
+
+  /** q143: per-edge triangle support over the near-dup graph — triangles
+    * enumerated at their degree-lowest vertex, credited to their three
+    * id-canonical edges. Shared with the q145 supported-components oracle.
+    */
+  private lazy val edgeSupportSql =
+    s"""WITH mp AS ($minhashPairsSql),
+       |p AS (SELECT doc1, doc2 FROM mp),
+       |e AS (SELECT doc1 AS u, doc2 AS v FROM p
+       |      UNION ALL SELECT doc2, doc1 FROM p),
+       |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+       |o AS (SELECT u, v FROM e
+       |  JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
+       |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
+       |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+       |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
+       |cr AS (SELECT least(x, y) AS doc1, greatest(x, y) AS doc2
+       |  FROM (SELECT unnest([[a, b], [a, c], [b, c]]) AS pr FROM t),
+       |       LATERAL (SELECT pr[1] AS x, pr[2] AS y)),
+       |sup AS (SELECT doc1, doc2, count(*) AS support FROM cr GROUP BY 1, 2)
+       |SELECT p.doc1, p.doc2,
+       | CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
+       | CAST(coalesce(sup.support, 0) = 0 AS INTEGER) AS is_chain_link
+       |FROM p LEFT JOIN sup USING (doc1, doc2)""".stripMargin
 
   /** q97: signature-estimated vs exact Jaccard per candidate pair. Shared
     * with the q142 margin-histogram oracle.
@@ -2218,26 +2245,20 @@ private object CorpusOracles {
          |FROM a GROUP BY 1""".stripMargin,
     // q143: triangles credit their three id-canonical edges; left join
     // keeps support-0 chain links visible
-    "q143_edge_support" ->
-      s"""WITH mp AS ($minhashPairsSql),
-         |p AS (SELECT doc1, doc2 FROM mp),
-         |e AS (SELECT doc1 AS u, doc2 AS v FROM p
-         |      UNION ALL SELECT doc2, doc1 FROM p),
-         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
-         |o AS (SELECT u, v FROM e
-         |  JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
-         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
-         |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
-         |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
-         |cr AS (SELECT least(x, y) AS doc1, greatest(x, y) AS doc2
-         |  FROM (SELECT unnest([[a, b], [a, c], [b, c]]) AS pr FROM t),
-         |       LATERAL (SELECT pr[1] AS x, pr[2] AS y)),
-         |sup AS (SELECT doc1, doc2, count(*) AS support FROM cr GROUP BY 1, 2)
-         |SELECT p.doc1, p.doc2,
-         | CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
-         | CAST(coalesce(sup.support, 0) = 0 AS INTEGER) AS is_chain_link
-         |FROM p LEFT JOIN sup USING (doc1, doc2)""".stripMargin,
+    "q143_edge_support" -> edgeSupportSql,
+    // q145: the same recursive reach as q50, over supported edges only
+    "q145_supported_components" ->
+      s"""WITH RECURSIVE
+         |es AS ($edgeSupportSql),
+         |keep AS (SELECT doc1, doc2 FROM es WHERE support >= 1),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM keep
+         |          UNION ALL SELECT doc2, doc1 FROM keep),
+         |reach(doc_id, component) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(component) AS component
+         |FROM reach GROUP BY doc_id""".stripMargin,
     // q144: the q32 predictor rolled into a confusion matrix
     "q144_lang_confusion" ->
       s"""WITH pr AS (SELECT lang AS actual_lang, $langPredicted AS predicted_lang

@@ -747,6 +747,26 @@ object Curation {
       labelEdges.union(batchPairs.select(col("doc1"), col("doc2"))), allDocs)
   }
 
+  /** Chain-link-hardened component resolution: [[dedupComponents]]
+    * restricted to edges with triangle support ≥ 1 ([[edgeSupport]]) —
+    * drops exactly the weak transitive joints, so mirror FAMILIES (whose
+    * edges sit in triangles) still collapse while chain-merged
+    * heterogeneous clusters break back apart. The conservative resolver a
+    * pipeline switches to when q105's cluster stats show implausibly
+    * large components.
+    *
+    * Scale shape: the support filter is a map-side predicate on the
+    * already-computed q143 table; the resolution is the same
+    * edge-touched-only iteration as q50.
+    */
+  def supportedComponents(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    connectedComponents(
+      edgeSupport(spark, sfDir, threshold)
+        .where(col("support") >= 1)
+        .select(col("doc1"), col("doc2")),
+      Tables.documents(spark, sfDir).select(col("doc_id")))
+
   /** Mixture epoch plan: the per-domain up/down-sampling factors a
     * pre-training run derives from pinned target shares
     * ([[DomainTargets]]) and a token budget (`budgetPct`% of the corpus) —

@@ -823,6 +823,26 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("supported components: refines the full resolution, breaks only chains") {
+    val full = Curation.dedupComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hard = Curation.supportedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hard.keySet === full.keySet, "coverage identical")
+    // refinement: docs sharing a hardened component share the full one
+    hard.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => full(m._1)).toSet.size === 1,
+        "hardened clusters never span full-resolution clusters")
+    }
+    // the hardened resolution has at least as many clusters
+    assert(hard.values.toSet.size >= full.values.toSet.size)
+    // chain links exist in this corpus, so some cluster must actually split
+    val chainLinks = Curation.edgeSupport(spark, sf).collect()
+      .count(_.getInt(3) == 1)
+    assert(chainLinks > 0, "fixture must exercise the split")
+    assert(hard.values.toSet.size > full.values.toSet.size)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
