@@ -622,12 +622,13 @@ private object CorpusOracles {
        |FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
   }
 
-  /** q143: per-edge triangle support over the near-dup graph — triangles
-    * enumerated at their degree-lowest vertex, credited to their three
-    * id-canonical edges. Shared with the q145 supported-components oracle.
+  /** Degree-ordered triangle enumeration CTE chain ending in `t(a, b, c)`
+    * (each triangle once, at its (deg, id)-lowest vertex) — shared by the
+    * q134, q143, and q145 oracles exactly as the engine shares
+    * `trianglesOf`.
     */
-  private lazy val edgeSupportSql =
-    s"""WITH mp AS ($minhashPairsSql),
+  private lazy val trianglesCtes =
+    s"""mp AS ($minhashPairsSql),
        |p AS (SELECT doc1, doc2 FROM mp),
        |e AS (SELECT doc1 AS u, doc2 AS v FROM p
        |      UNION ALL SELECT doc2, doc1 FROM p),
@@ -637,7 +638,14 @@ private object CorpusOracles {
        |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
        |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
        |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
-       |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
+       |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2)""".stripMargin
+
+  /** q143: per-edge triangle support over the near-dup graph — triangles
+    * credited to their three id-canonical edges. Shared with the q145
+    * supported-components oracle.
+    */
+  private lazy val edgeSupportSql =
+    s"""WITH $trianglesCtes,
        |cr AS (SELECT least(x, y) AS doc1, greatest(x, y) AS doc2
        |  FROM (SELECT unnest([[a, b], [a, c], [b, c]]) AS pr FROM t),
        |       LATERAL (SELECT pr[1] AS x, pr[2] AS y)),
@@ -2129,20 +2137,9 @@ private object CorpusOracles {
          |  > 1000000 AS INTEGER) AS upsampled
          |FROM ps CROSS JOIN b JOIN tgt USING (source)""".stripMargin,
     // q134: degree-ordered orientation — each triangle counted once at its
-    // unique (deg, id)-lowest vertex; closure against the canonical
-    // doc1<doc2 pair list
+    // unique (deg, id)-lowest vertex (shared trianglesCtes fragment)
     "q134_triangles" ->
-      s"""WITH mp AS ($minhashPairsSql),
-         |p AS (SELECT doc1, doc2 FROM mp),
-         |e AS (SELECT doc1 AS u, doc2 AS v FROM p
-         |      UNION ALL SELECT doc2, doc1 FROM p),
-         |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
-         |o AS (SELECT u, v FROM e
-         |  JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node
-         |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)),
-         |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
-         |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
-         |t AS (SELECT a, b, c FROM w JOIN p ON b = p.doc1 AND c = p.doc2),
+      s"""WITH $trianglesCtes,
          |x AS (SELECT unnest([a, b, c]) AS doc_id FROM t)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM x GROUP BY 1""".stripMargin,
@@ -2171,7 +2168,7 @@ private object CorpusOracles {
         | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / count(*), 6) AS novelty
         |FROM g JOIN df USING (gh) GROUP BY 1""".stripMargin,
-    // q137: Efraimidis-Spaggiari keys — u is an exact dyadic rational, w
+    // q137: Efraimidis-Spirakis keys — u is an exact dyadic rational, w
     // sits on the score grid, ln is the one transcendental (q90 precedent)
     "q137_weighted_sample" ->
       s"""WITH b AS (SELECT doc_id, source,

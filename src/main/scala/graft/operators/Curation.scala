@@ -818,8 +818,21 @@ object Curation {
     */
   def triangleCounts(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    triangleCountsOf(Dedup.minhashPairs(spark, sfDir, threshold)
-      .select(col("doc1"), col("doc2")))
+    trianglesTable(spark, sfDir, threshold)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+  /** The corpus triangle list, memoized per session — q134, q143, and
+    * q145 all consume it, and the wedge join (the expensive step) must
+    * run once, not three times.
+    */
+  private def trianglesTable(spark: SparkSession, sfDir: String,
+      threshold: Double): DataFrame =
+    SessionMemo(spark, s"triangles|$sfDir|$threshold") {
+      trianglesOf(Dedup.minhashPairs(spark, sfDir, threshold)
+        .select(col("doc1"), col("doc2")))
+    }
 
   /** [[triangleCounts]] over an arbitrary canonical (doc1 < doc2) pair
     * list — the fixture-testable core.
@@ -870,16 +883,23 @@ object Curation {
     */
   def edgeSupport(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    edgeSupportOf(Dedup.minhashPairs(spark, sfDir, threshold)
-      .select(col("doc1"), col("doc2")))
+    SessionMemo(spark, s"edgeSupport|$sfDir|$threshold") {
+      supportTail(
+        Dedup.minhashPairs(spark, sfDir, threshold)
+          .select(col("doc1"), col("doc2")),
+        trianglesTable(spark, sfDir, threshold))
+    }
 
   /** [[edgeSupport]] over an arbitrary canonical pair list. */
-  def edgeSupportOf(pairs: DataFrame): DataFrame = {
+  def edgeSupportOf(pairs: DataFrame): DataFrame =
+    supportTail(pairs, trianglesOf(pairs))
+
+  private def supportTail(pairs: DataFrame, triangles: DataFrame): DataFrame = {
     // a is DEGREE-lowest, not id-lowest — canonicalize each edge by id
     def edge(x: String, y: String) =
       struct(least(col(x), col(y)).as("doc1"),
         greatest(col(x), col(y)).as("doc2"))
-    val credit = trianglesOf(pairs)
+    val credit = triangles
       .select(explode(array(edge("a", "b"), edge("a", "c"), edge("b", "c"))).as("e"))
       .groupBy(col("e.doc1").as("doc1"), col("e.doc2").as("doc2"))
       .agg(count(lit(1)).as("support"))
@@ -890,7 +910,7 @@ object Curation {
   }
 
   /** Quality-weighted sample WITHOUT replacement via exponential clocks
-    * (Efraimidis & Spaggiari, IPL 2006 — the distributed-standard
+    * (Efraimidis & Spirakis, IPL 2006 — the distributed-standard
     * one-pass weighted draw): key_i = −ln(u_i)/w_i with u_i a pinned-hash
     * uniform and w_i a positive weight monotone in the model score; the k
     * SMALLEST keys are the sample. Exactly the draw a curation pipeline

@@ -791,17 +791,6 @@ object Dedup {
           .as("shared_frac"))
   }
 
-  /** Cross-source leakage matrix: for every source pair, how many distinct
-    * chunks appear in BOTH sources — the monitoring aggregate that catches
-    * one ingest feed replicating another (mirrors, scrapes of scrapes)
-    * before near-dup dedup has to pay for it.
-    *
-    * Scale shape: one pass derives the distinct (source, chunk) table (the
-    * source column rides the explode — no join against the corpus), then a
-    * self-join on the chunk hash; both sides are the same shuffle
-    * (ReuseExchange) and a chunk meets at most |sources|² pairs, so the
-    * join output is bounded by n_chunks · |sources|², never corpus².
-    */
   /** Cross-source near-dup matrix: DOCUMENT-level near-dup pair counts by
     * unordered source pair — which sources mirror each other's content
     * ("who is scraping whom"), the provenance complement of
@@ -828,6 +817,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cross-source leakage matrix: for every source pair, how many distinct
+    * chunks appear in BOTH sources — the monitoring aggregate that catches
+    * one ingest feed replicating another (mirrors, scrapes of scrapes)
+    * before near-dup dedup has to pay for it.
+    *
+    * Scale shape: one pass derives the distinct (source, chunk) table (the
+    * source column rides the explode — no join against the corpus), then a
+    * self-join on the chunk hash; both sides are the same shuffle
+    * (ReuseExchange) and a chunk meets at most |sources|² pairs, so the
+    * join output is bounded by n_chunks · |sources|², never corpus².
+    */
   def sourceLeakage(spark: SparkSession, sfDir: String,
       chunkWords: Int = 8): DataFrame = {
     val ch = Tables.documents(spark, sfDir)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import graft.analytics.TextAnalytics
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 /** Semantics of the round-6 curation operators: intra-document repeated
   * n-grams, per-source KL drift, token-budget selection, dedup cluster
@@ -718,7 +718,7 @@ class Round6OpsSpec extends SparkTestBase {
 
   test("transition matrix: driver-side replay matches; rows normalize to 1") {
     val events = graft.core.Tables.events(spark, sf)
-      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
         col("event_type")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val expect = events.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
@@ -780,8 +780,9 @@ class Round6OpsSpec extends SparkTestBase {
       assert(inBin.length.toLong === n, s"bin $bin count")
       assert(inBin.map(_._3).max === maxErr, s"bin $bin max err")
     }
-    // every pair passed the 0.7 exact threshold, so bins start at 14
-    assert(got.map(_._1).min >= 14L)
+    // every pair passed the 0.7 exact threshold; floor(0.7/0.05) is 13 in
+    // IEEE arithmetic (0.7/0.05 = 13.999…98), so bins start at 13
+    assert(got.map(_._1).min >= 13L)
   }
 
   test("edge support: K4 edges carry 2, triangle edges 1, chains and paths 0") {
