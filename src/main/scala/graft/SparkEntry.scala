@@ -258,6 +258,8 @@ object SparkEntry {
     "q144_lang_confusion" -> ((s: SparkSession, d: String) => TextAnalytics.langConfusion(s, d)),
     // conservative resolve: components over triangle-supported edges only
     "q145_supported_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.supportedComponents(s, d)),
+    // per-user event-type entropy with a high-volume/low-entropy bot flag
+    "q146_user_entropy" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userEntropy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2266,6 +2268,24 @@ private object CorpusOracles {
          |SELECT actual_lang, predicted_lang, CAST(n_docs AS BIGINT) AS n_docs,
          | round(CAST(n_docs AS DOUBLE) / n_actual, 6) AS rate
          |FROM c JOIN tot USING (actual_lang)""".stripMargin,
+    // q146: −p·ln(p) terms rounded once then fixed-point summed (q103
+    // recipe); the flag is integer logic over the rounded entropy
+    "q146_user_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, sum(c) AS n_events FROM ut GROUP BY 1),
+        |t AS (SELECT ut.user_id, tot.n_events,
+        |  round(-(CAST(c AS DOUBLE) / n_events)
+        |    * ln(CAST(c AS DOUBLE) / n_events), 6) AS term
+        | FROM ut JOIN tot USING (user_id)),
+        |h AS (SELECT user_id, CAST(min(n_events) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / 1000000, 6) AS entropy
+        | FROM t GROUP BY 1)
+        |SELECT user_id, n_events, n_types, entropy,
+        | CAST(n_events >= 20 AND entropy < 0.5 AS INTEGER) AS bot_like
+        |FROM h""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -78,6 +78,38 @@ object Funnels {
     * |types|-sized — broadcast by construction. Output is metadata-sized
     * at any corpus scale.
     */
+  /** Per-user behavioral entropy: Shannon entropy (nats) of each user's
+    * event-type distribution, with a bot-likeness flag — scripted clients
+    * repeat one or two actions (entropy → 0) while organic users mix
+    * types; the standard first-cut bot screen next to [[transitionMatrix]]
+    * ("near-deterministic rows"). Flag = high-volume AND low-entropy, so
+    * thin users (whose entropy estimate is meaningless) never flag.
+    *
+    * Determinism: per-type terms −p·ln(p) round once at 6 dp and sum as
+    * ×10⁶ fixed-point longs (q103 recipe; ln per the q90 contract).
+    * Scale shape: one (user, type) map-side-combinable aggregate, then a
+    * |users|-keyed rollup — no window, no join.
+    */
+  def userEntropy(spark: SparkSession, sfDir: String,
+      minEvents: Long = 20L, flagBelow: Double = 0.5): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = ut.groupBy(col("user_id")).agg(sum(col("c")).as("n_events"))
+    val p = col("c").cast("double") / col("n_events")
+    ut.join(tot, "user_id")
+      .select(col("user_id"), col("n_events"),
+        round(-p * log(p), 6).as("term"))
+      .groupBy(col("user_id"))
+      .agg(min(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum(round(col("term") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("entropy"))
+      .select(col("user_id"), col("n_events"), col("n_types"), col("entropy"),
+        (col("n_events") >= minEvents && col("entropy") < flagBelow)
+          .cast("int").as("bot_like"))
+  }
+
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, sfDir)

@@ -844,6 +844,34 @@ class Round6OpsSpec extends SparkTestBase {
     assert(hard.values.toSet.size > full.values.toSet.size)
   }
 
+  test("user entropy: driver-side replay; uniform-bound and flag logic hold") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = events.groupBy(_._1).map { case (u, evs) =>
+      val byType = evs.groupBy(_._2).view.mapValues(_.size).toMap
+      val n = evs.size
+      val terms = byType.values.map { c =>
+        val p = c.toDouble / n
+        math.round(round6(-p * math.log(p)) * 1e6)
+      }
+      u -> (n.toLong, byType.size.toLong, round6(terms.sum / 1e6))
+    }
+    val got = graft.analytics.Funnels.userEntropy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (u, (n, k, h)) =>
+      val (gn, gk, gh, flag) = got(u)
+      assert((gn, gk, gh) === ((n, k, h)), s"user $u")
+      // entropy of a k-type distribution is bounded by ln(k) (+ rounding)
+      assert(gh >= 0.0 && gh <= math.log(k.toDouble) + 1e-5)
+      assert(flag === (if (n >= 20 && h < 0.5) 1 else 0))
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
