@@ -198,6 +198,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Partial"), p)
   }
 
+  test("q121 benchmark contamination: bench grams broadcast, no cartesian") {
+    val p = planOf("q121_benchmark_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q107 decontam spans: gram stream shuffles on the hash key only") {
+    val p = planOf("q107_decontam_spans")
+    assert(p.contains("hashpartitioning(gram_h"), p)
+    assert(!p.contains("hashpartitioning(gram#"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q85 frequent n-grams: two-level aggregate into a k-heap, no window") {
+    val p = planOf("q85_frequent_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // (gram, doc) pre-aggregate spreads hot grams before the gram rollup
+    assert(p.contains("hashpartitioning(gram"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q115 projected near-dup: only broadcast crosses, every real join hashed") {
+    val p = planOf("q115_projected_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses, s"non-cross nested loop present:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q129 hybrid RRF: rankers end in k-heaps; rank windows sit above the limits") {
     val p = planOf("q129_hybrid_rrf")
     // both rankers cut to k via per-partition heaps, never a global sort
