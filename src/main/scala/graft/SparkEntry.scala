@@ -260,6 +260,8 @@ object SparkEntry {
     "q145_supported_components" -> ((s: SparkSession, d: String) => graft.operators.Curation.supportedComponents(s, d)),
     // per-user event-type entropy with a high-volume/low-entropy bot flag
     "q146_user_entropy" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userEntropy(s, d)),
+    // RFM user-value segmentation with pinned band thresholds
+    "q147_rfm_segments" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.rfmSegments(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2286,6 +2288,35 @@ private object CorpusOracles {
         |SELECT user_id, n_events, n_types, entropy,
         | CAST(n_events >= 20 AND entropy < 0.5 AS INTEGER) AS bot_like
         |FROM h""".stripMargin,
+    // q147: pinned band thresholds (not data quantiles) — reproducible
+    // and sketch-free; the anchor is the corpus max date, like q12
+    "q147_rfm_segments" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor_date FROM events),
+        |b AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_date,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  round(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |    THEN value ELSE 0.0 END), 2) AS monetary
+        | FROM events GROUP BY 1),
+        |s AS (SELECT user_id,
+        |  CAST(date_diff('day', last_date, anchor_date) AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CASE WHEN date_diff('day', last_date, anchor_date) <= 7 THEN 3
+        |       WHEN date_diff('day', last_date, anchor_date) <= 30 THEN 2
+        |       ELSE 1 END AS r_score,
+        |  CASE WHEN frequency >= 50 THEN 3 WHEN frequency >= 10 THEN 2
+        |       ELSE 1 END AS f_score,
+        |  CASE WHEN monetary >= 500.0 THEN 3 WHEN monetary >= 50.0 THEN 2
+        |       ELSE 1 END AS m_score
+        | FROM b CROSS JOIN a)
+        |SELECT user_id, recency_days, frequency, monetary,
+        | CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+        | CAST(m_score AS INTEGER) AS m_score,
+        | CASE WHEN r_score = 3 AND f_score = 3 AND m_score = 3 THEN 'champion'
+        |      WHEN r_score >= 2 AND f_score >= 2 THEN 'loyal'
+        |      WHEN r_score = 1 AND f_score >= 2 THEN 'at_risk'
+        |      WHEN r_score >= 2 AND f_score = 1 THEN 'new'
+        |      ELSE 'hibernating' END AS segment
+        |FROM s""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

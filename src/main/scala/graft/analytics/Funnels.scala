@@ -78,6 +78,45 @@ object Funnels {
     * |types|-sized — broadcast by construction. Output is metadata-sized
     * at any corpus scale.
     */
+  /** RFM segmentation: per-user Recency (days from last event to the
+    * corpus anchor date), Frequency (event count), Monetary (summed
+    * purchase value) with pinned band scores 1–3 each and the classic
+    * segment labels — the user-value rollup every e-commerce session
+    * pipeline serves to marketing. Bands are PINNED thresholds, not
+    * data-dependent quantiles: reproducible across engines and runs, and
+    * at corpus scale a quantile cut would need a sketch pass anyway.
+    *
+    * Scale shape: one user-keyed aggregate; the anchor date is a one-row
+    * broadcast (the q12 pattern — no driver collect); band scoring is
+    * map-side arithmetic.
+    */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_date"))
+    val base = ev.groupBy(col("user_id"))
+      .agg(max(to_date(col("ts"))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        round(sum(when(col("event_type") === "purchase" && col("value").isNotNull,
+          col("value")).otherwise(lit(0.0))), 2).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_date"), col("last_date")).cast("long"))
+    val r = when(col("recency_days") <= 7, 3)
+      .when(col("recency_days") <= 30, 2).otherwise(1)
+    val f = when(col("frequency") >= 50, 3)
+      .when(col("frequency") >= 10, 2).otherwise(1)
+    val m = when(col("monetary") >= 500.0, 3)
+      .when(col("monetary") >= 50.0, 2).otherwise(1)
+    base.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .withColumn("segment",
+        when(col("r_score") === 3 && col("f_score") === 3 && col("m_score") === 3, "champion")
+          .when(col("r_score") >= 2 && col("f_score") >= 2, "loyal")
+          .when(col("r_score") === 1 && col("f_score") >= 2, "at_risk")
+          .when(col("r_score") >= 2 && col("f_score") === 1, "new")
+          .otherwise("hibernating"))
+  }
+
   /** Per-user behavioral entropy: Shannon entropy (nats) of each user's
     * event-type distribution, with a bot-likeness flag — scripted clients
     * repeat one or two actions (entropy → 0) while organic users mix

@@ -872,6 +872,42 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rfm segments: driver-side replay; band and segment logic total") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.to_date(col("ts")).cast("string"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
+        r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val anchor = events.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val got = graft.analytics.Funnels.rfmSegments(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))).toMap
+    val byUser = events.groupBy(_._1)
+    assert(got.size === byUser.size)
+    byUser.foreach { case (u, evs) =>
+      val rec = java.time.temporal.ChronoUnit.DAYS.between(
+        evs.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)), anchor)
+      val freq = evs.size.toLong
+      val mon = BigDecimal(evs.collect {
+        case (_, _, "purchase", Some(v)) => v
+      }.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gr, gf, gm, rs, fs, ms, seg) = got(u)
+      assert((gr, gf, gm) === ((rec, freq, mon)), s"user $u rfm")
+      assert(rs === (if (rec <= 7) 3 else if (rec <= 30) 2 else 1))
+      assert(fs === (if (freq >= 50) 3 else if (freq >= 10) 2 else 1))
+      assert(ms === (if (mon >= 500.0) 3 else if (mon >= 50.0) 2 else 1))
+      val expSeg =
+        if (rs == 3 && fs == 3 && ms == 3) "champion"
+        else if (rs >= 2 && fs >= 2) "loyal"
+        else if (rs == 1 && fs >= 2) "at_risk"
+        else if (rs >= 2 && fs == 1) "new"
+        else "hibernating"
+      assert(seg === expSeg, s"user $u segment")
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
