@@ -262,6 +262,8 @@ object SparkEntry {
     "q146_user_entropy" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userEntropy(s, d)),
     // RFM user-value segmentation with pinned band thresholds
     "q147_rfm_segments" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.rfmSegments(s, d)),
+    // market-basket item co-occurrence with lift over (user, day) baskets
+    "q148_item_cooccurrence" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.itemCooccurrence(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2317,6 +2319,25 @@ private object CorpusOracles {
         |      WHEN r_score >= 2 AND f_score = 1 THEN 'new'
         |      ELSE 'hibernating' END AS segment
         |FROM s""".stripMargin,
+    // q148: distinct (user, day, item) baskets; lift vs independence
+    "q148_item_cooccurrence" ->
+      """WITH i AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(props->>'k' AS INTEGER) AS item
+        | FROM events WHERE props->>'k' IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_baskets
+        | FROM (SELECT DISTINCT user_id, day FROM i)),
+        |ic AS (SELECT item, count(*) AS n_item FROM i GROUP BY 1),
+        |p AS (SELECT a.item AS item1, b.item AS item2, count(*) AS n_pairs
+        | FROM i a JOIN i b ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.item < b.item
+        | GROUP BY 1, 2)
+        |SELECT item1, item2, CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(i1.n_item AS BIGINT) AS n_item1,
+        | CAST(i2.n_item AS BIGINT) AS n_item2,
+        | round(CAST(n_pairs AS DOUBLE) * n_baskets
+        |   / (i1.n_item * i2.n_item), 6) AS lift
+        |FROM p JOIN ic i1 ON p.item1 = i1.item
+        |       JOIN ic i2 ON p.item2 = i2.item CROSS JOIN tot""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

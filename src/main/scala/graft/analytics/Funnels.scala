@@ -117,6 +117,44 @@ object Funnels {
           .otherwise("hibernating"))
   }
 
+  /** Item co-occurrence with lift over (user, day) baskets: which items
+    * appear together more often than independence predicts — the
+    * market-basket association baseline behind "bought together" and
+    * session-item recommendation candidates. lift(i,j) =
+    * P(i,j)/(P(i)·P(j)) as basket ratios; > 1 means genuine affinity.
+    *
+    * Scale shape: the distinct (basket, item) stream shuffles on the
+    * basket key; the pair self-join explodes per basket (bounded by a
+    * day's distinct items per user — screen hub users with q146's bot
+    * flag upstream, or add a basket-size filter: same plan, one
+    * predicate); item marginals and the basket total are
+    * vocabulary-/one-row-sized broadcasts. Output ≤ |items|².
+    */
+  def itemCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val tot = items.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+          && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .join(broadcast(ic.select(col("item").as("item1"), col("n_item").as("n_item1"))), "item1")
+      .join(broadcast(ic.select(col("item").as("item2"), col("n_item").as("n_item2"))), "item2")
+      .crossJoin(broadcast(tot))
+      .select(col("item1"), col("item2"), col("n_pairs"),
+        col("n_item1"), col("n_item2"),
+        round(col("n_pairs").cast("double") * col("n_baskets")
+          / (col("n_item1") * col("n_item2")), 6).as("lift"))
+  }
+
   /** Per-user behavioral entropy: Shannon entropy (nats) of each user's
     * event-type distribution, with a bot-likeness flag — scripted clients
     * repeat one or two actions (entropy → 0) while organic users mix

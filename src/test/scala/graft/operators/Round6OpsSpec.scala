@@ -908,6 +908,36 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("item co-occurrence: driver-side basket replay; lift symmetry holds") {
+    val rows = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.to_date(col("ts")).cast("string"),
+        org.apache.spark.sql.functions
+          .get_json_object(col("props"), "$.k").cast("int")).collect()
+      .filter(!_.isNullAt(2))
+      .map(r => ((r.getLong(0), r.getString(1)), r.getInt(2)))
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nBaskets = baskets.size.toLong
+    val itemCount = baskets.values.flatten.toSeq
+      .groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val pairCount = baskets.values.toSeq.flatMap { items =>
+      val s = items.toSeq.sorted
+      for { i <- s.indices; j <- i + 1 until s.size } yield (s(i), s(j))
+    }.groupBy(identity(_)).view.mapValues(_.size.toLong).toMap
+    val got = graft.analytics.Funnels.itemCooccurrence(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.map { case (k, v) => k -> v._1 } === pairCount)
+    got.foreach { case ((i, j), (np, ni, nj, lift)) =>
+      assert(i < j, "canonical pair order")
+      assert(ni === itemCount(i) && nj === itemCount(j))
+      val expect = BigDecimal(np.toDouble * nBaskets / (ni * nj))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift === expect, s"pair ($i,$j) lift")
+      assert(lift > 0.0)
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
