@@ -264,6 +264,8 @@ object SparkEntry {
     "q147_rfm_segments" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.rfmSegments(s, d)),
     // market-basket item co-occurrence with lift over (user, day) baskets
     "q148_item_cooccurrence" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.itemCooccurrence(s, d)),
+    // per-user purchase cadence: day gaps between consecutive purchases
+    "q149_purchase_cadence" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.purchaseCadence(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2338,6 +2340,19 @@ private object CorpusOracles {
         |   / (i1.n_item * i2.n_item), 6) AS lift
         |FROM p JOIN ic i1 ON p.item1 = i1.item
         |       JOIN ic i2 ON p.item2 = i2.item CROSS JOIN tot""".stripMargin,
+    // q149: integer day gaps over the (ts, event_id)-ordered purchases
+    "q149_purchase_cadence" ->
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id,
+        |  CAST(date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) AS BIGINT)
+        |    AS gap_days
+        | FROM p WHERE prev_ts IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        | min(gap_days) AS min_gap, max(gap_days) AS max_gap,
+        | round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS mean_gap
+        |FROM g GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

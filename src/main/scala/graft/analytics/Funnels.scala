@@ -117,6 +117,33 @@ object Funnels {
           .otherwise("hibernating"))
   }
 
+  /** Per-user purchase cadence: gap statistics (days) between consecutive
+    * purchases — the repeat-buy rhythm behind churn prediction and
+    * replenishment timing; only users with ≥ 2 purchases report (one
+    * purchase has no cadence). Gaps are integer day diffs over the
+    * (ts, event_id)-ordered purchase stream; the mean divides exact
+    * integer sums, so the output is engine-exact.
+    *
+    * Scale shape: the purchase filter is map-side; one user-keyed window
+    * for the lag and one user-keyed aggregate — same single-shuffle
+    * distribution reused.
+    */
+  def purchaseCadence(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(col("prev_ts"))).cast("long").as("gap_days"))
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"),
+        round(sum(col("gap_days")).cast("double") / count(lit(1)), 6).as("mean_gap"))
+  }
+
   /** Item co-occurrence with lift over (user, day) baskets: which items
     * appear together more often than independence predicts — the
     * market-basket association baseline behind "bought together" and

@@ -938,6 +938,34 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("purchase cadence: driver-side gap replay; invariants hold") {
+    val purchases = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        org.apache.spark.sql.functions.to_date(col("ts")).cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.time.LocalDate.parse(r.getString(3))))
+    val expect = purchases.groupBy(_._1).collect {
+      case (u, evs) if evs.length >= 2 =>
+        val days = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        val gaps = days.zip(days.drop(1)).map { case (a, b) =>
+          java.time.temporal.ChronoUnit.DAYS.between(a, b)
+        }
+        u -> (gaps.length.toLong, gaps.min, gaps.max,
+          BigDecimal(gaps.sum.toDouble / gaps.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.analytics.Funnels.purchaseCadence(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got === expect.toMap)
+    got.values.foreach { case (n, mn, mx, mean) =>
+      assert(n >= 1 && mn >= 0 && mn <= mx)
+      assert(mean >= mn.toDouble && mean <= mx.toDouble)
+    }
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
