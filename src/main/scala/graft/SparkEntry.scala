@@ -266,6 +266,13 @@ object SparkEntry {
     "q148_item_cooccurrence" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.itemCooccurrence(s, d)),
     // per-user purchase cadence: day gaps between consecutive purchases
     "q149_purchase_cadence" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.purchaseCadence(s, d)),
+    // local clustering coefficient over the near-dup graph (mirror
+    // families vs transitive hubs), from the memoized triangle table
+    "q150_clustering_coeff" -> ((s: SparkSession, d: String) => graft.operators.Curation.clusteringCoefficient(s, d)),
+    // top 30-min-gap session paths as ordered event-type strings
+    "q151_session_paths" -> ((s: SparkSession, d: String) => Sessions.sessionPaths(s, d)),
+    // Gini concentration of per-user activity, histogram-exact
+    "q152_gini_activity" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.giniConcentration(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2353,6 +2360,54 @@ private object CorpusOracles {
         | min(gap_days) AS min_gap, max(gap_days) AS max_gap,
         | round(CAST(sum(gap_days) AS DOUBLE) / count(*), 6) AS mean_gap
         |FROM g GROUP BY 1""".stripMargin,
+    // q150: lcc = 2T/(d(d-1)) for deg >= 2 nodes; triangles + degrees
+    // share the q134 CTE chain exactly as the engine shares trianglesOf
+    "q150_clustering_coeff" ->
+      s"""WITH $trianglesCtes,
+         |tc AS (SELECT doc_id, count(*) AS n_triangles
+         |  FROM (SELECT unnest([a, b, c]) AS doc_id FROM t) GROUP BY 1)
+         |SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree,
+         | CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         | round(2.0 * coalesce(tc.n_triangles, 0) / (deg * (deg - 1)), 6) AS lcc
+         |FROM deg LEFT JOIN tc ON deg.node = tc.doc_id
+         |WHERE deg >= 2""".stripMargin,
+    // q151: session_window merges TOUCHING windows — a gap of exactly
+    // 1800 s stays in the SAME session (strict > in new_s, pinned by
+    // fixture); paths cap at the first 50 events per session
+    "q151_session_paths" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(CAST(ts AS TIMESTAMP))
+        |       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT *, sum(new_s) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM s),
+        |c AS (SELECT *, row_number() OVER (
+        |  PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM g),
+        |p AS (SELECT user_id, sid,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM c WHERE rn <= 50 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin,
+    // q152: tie-block rank sums over the count histogram, HUGEINT-exact;
+    // Gini = srs2/(n*tot) - (n+1)/n with divisions only on the final row
+    "q152_gini_activity" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |h AS (SELECT c, count(*) AS m FROM cnt GROUP BY 1),
+        |s AS (SELECT c, m,
+        |  sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m AS start FROM h),
+        |t AS (SELECT
+        |  CAST(sum(CAST(c AS HUGEINT) * (2 * CAST(m AS HUGEINT) * CAST(start AS HUGEINT)
+        |    + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1))) AS HUGEINT) AS srs2,
+        |  CAST(sum(CAST(c AS HUGEINT) * CAST(m AS HUGEINT)) AS HUGEINT) AS tot,
+        |  CAST(sum(m) AS BIGINT) AS n FROM s)
+        |SELECT n AS n_users, CAST(tot AS BIGINT) AS total_events,
+        | round(CAST(srs2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |   - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM t""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -214,6 +214,54 @@ object Funnels {
           .cast("int").as("bot_like"))
   }
 
+  /** Gini concentration of user activity: how unequally events distribute
+    * across users — the one-number inequality reading of the traffic
+    * (0 = every user equally active, → 1 = a handful of users generate
+    * everything; a sudden jump is the classic bot-cohort arrival signal
+    * next to [[userEntropy]]'s per-user flag).
+    *
+    * Exact, not sampled: Gini = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over
+    * rank-sorted per-user counts, computed from the COUNT HISTOGRAM —
+    * for each distinct activity level c with multiplicity m starting at
+    * exclusive rank s, Σ 2i·xᵢ over the tie block is c·(2·m·s + m·(m+1)),
+    * so the whole statistic needs only the histogram, never a global
+    * per-user ranking. All sums are decimal(38,0) (HUGEINT-exact in the
+    * oracle, the q132 recipe); the two divisions happen once, on the
+    * final one-row frame, rounded at 6 dp.
+    *
+    * Scale shape: one user-keyed aggregate, one histogram aggregate
+    * (|distinct counts| rows — bounded by max per-user activity, not by
+    * |users|), and a single-partition window over that bounded histogram
+    * (the q87 bins-never-docs contract).
+    */
+  def giniConcentration(spark: SparkSession, sfDir: String): DataFrame =
+    giniOfCounts(Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c")))
+
+  /** [[giniConcentration]] over an arbitrary (user, c) count frame — the
+    * fixture-testable core.
+    */
+  def giniOfCounts(cnt: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val h = cnt.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("start", sum(col("m")).over(w) - col("m"))
+      .select(
+        (dec(col("c")) * (lit(2) * dec(col("m")) * dec(col("start"))
+          + dec(col("m")) * (dec(col("m")) + lit(1)))).as("rs2"),
+        (dec(col("c")) * dec(col("m"))).as("tot"),
+        col("m"))
+      .agg(sum(col("rs2")).as("srs2"), sum(col("tot")).as("tot"),
+        sum(col("m")).as("n"))
+      .select(col("n").cast("long").as("n_users"),
+        col("tot").cast("long").as("total_events"),
+        round(col("srs2").cast("double")
+          / (col("n").cast("double") * col("tot").cast("double"))
+          - (col("n").cast("double") + lit(1)) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, sfDir)

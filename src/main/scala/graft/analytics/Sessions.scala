@@ -235,6 +235,43 @@ object Sessions {
         (col("n_sessions") > 1).cast("int").as("is_replayed"))
   }
 
+  /** Top session PATHS: the most common ordered event-type sequences per
+    * 30-min-gap session, as readable `view>click>purchase` strings — the
+    * navigation-pattern mining behind funnel design and anomaly triage
+    * (a top path that is `click>click>click…` is a scripted client;
+    * [[sessionSequenceDedup]] flags those sessions individually, this
+    * ranks the shapes corpus-wide). Paths are capped at the first `cap`
+    * events per session (the q20 hazard: one unbroken bot session must
+    * not build an unbounded string).
+    *
+    * Session semantics are `session_window`'s: TOUCHING windows merge,
+    * so an event exactly `gap` after its predecessor stays in the SAME
+    * session (a new one needs a strictly larger gap) — pinned by fixture.
+    *
+    * Scale shape: one user-keyed session aggregate builds each path
+    * in-row from the capped sorted event list; path counting is a
+    * hash-keyed aggregate; the top-k is a TakeOrderedAndProject heap —
+    * no global sort.
+    */
+  def sessionPaths(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes", cap: Int = 50, topK: Int = 50): DataFrame =
+    sessionPathsOf(Tables.events(spark, sfDir), gap, cap, topK)
+
+  /** [[sessionPaths]] over an arbitrary events frame — the
+    * fixture-testable core.
+    */
+  def sessionPathsOf(ev: DataFrame, gap: String = "30 minutes",
+      cap: Int = 50, topK: Int = 50): DataFrame =
+    ev.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(array_join(transform(
+        slice(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))), 1, cap),
+        e => e.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+
   /** Per-user replay score over [[sessionSequenceDedup]]: how much of a
     * user's traffic is behaviorally duplicated elsewhere — the bot-account
     * ranking a clickstream curation pass sorts by before excluding

@@ -909,6 +909,48 @@ object Curation {
         (coalesce(col("support"), lit(0L)) === 0L).cast("int").as("is_chain_link"))
   }
 
+  /** Local clustering coefficient over the near-dup graph: for every
+    * document with ≥ 2 near-dup neighbors, lcc = 2·T/(d·(d−1)) — the
+    * per-node density reading of [[triangleCounts]]. lcc ≈ 1 marks a
+    * mirror FAMILY member (its neighborhood is a clique: resolve the
+    * whole component to one canonical); lcc ≈ 0 marks a transitive HUB
+    * (its neighbors are pairwise dissimilar — the chain-merge false
+    * positive [[edgeSupport]] flags edge-by-edge, read node-by-node).
+    * Degree-1 nodes carry no signal (0/0) and are excluded.
+    *
+    * Determinism: T and d are exact integers; the one division rounds at
+    * 6 dp. Scale shape: triangles come from the memoized session table
+    * (the q134/q143/q145 share); degrees are one equality-keyed
+    * aggregate over the pair list; the left join is doc-keyed.
+    */
+  def clusteringCoefficient(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    lccTail(
+      Dedup.minhashPairs(spark, sfDir, threshold)
+        .select(col("doc1"), col("doc2")),
+      trianglesTable(spark, sfDir, threshold))
+
+  /** [[clusteringCoefficient]] over an arbitrary canonical (doc1 < doc2)
+    * pair list — the fixture-testable core.
+    */
+  def clusteringCoefficientOf(pairs: DataFrame): DataFrame =
+    lccTail(pairs, trianglesOf(pairs))
+
+  private def lccTail(pairs: DataFrame, triangles: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("degree") >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+          / (col("degree") * (col("degree") - lit(1))), 6).as("lcc"))
+  }
+
   /** Quality-weighted sample WITHOUT replacement via exponential clocks
     * (Efraimidis & Spirakis, IPL 2006 — the distributed-standard
     * one-pass weighted draw): key_i = −ln(u_i)/w_i with u_i a pinned-hash

@@ -966,6 +966,85 @@ class Round6OpsSpec extends SparkTestBase {
     }
   }
 
+  test("clustering coefficient: triangle-plus-pendant replays by hand") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} plus pendant edge (3,4): deg 1→2, 2→2, 3→3, 4→1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
+    val got = Curation.clusteringCoefficientOf(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 1.0)),
+      2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, roundAt(2.0 * 1 / (3 * 2), 6)))))
+    assert(!got.contains(4L), "degree-1 nodes excluded (0/0 undefined)")
+  }
+
+  test("clustering coefficient: star center has lcc 0") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc1", "doc2")
+    val got = Curation.clusteringCoefficientOf(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(1L -> ((3L, 0L, 0.0))))
+  }
+
+  test("session paths: exact-gap events merge (touching windows); cap truncates") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // user 1: e3 exactly 1800 s after e2 — session_window merges TOUCHING
+    // windows, so e3 stays in the same session; e4 at 1801 s after e3
+    // strictly exceeds the gap and starts a new one
+    val ev = Seq(
+      (1L, t(0), 1L, "view"), (1L, t(600), 2L, "click"), (1L, t(2400), 3L, "view"),
+      (1L, t(4201), 4L, "purchase"),
+      (2L, t(0), 5L, "view"), (2L, t(10), 6L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.analytics.Sessions.sessionPathsOf(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "view>click>view" -> 1L, "purchase" -> 1L, "view>click" -> 1L))
+    val capped = graft.analytics.Sessions.sessionPathsOf(ev, cap = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("view" -> 2L, "purchase" -> 1L),
+      "cap keeps only each session's first event")
+  }
+
+  test("gini: hand-computed histogram ranks; uniform activity scores zero") {
+    val s = spark
+    import s.implicits._
+    // counts 1,1,2,4 sorted: sum(i*x) = 1+2+6+16 = 25; gini = 50/32 - 5/4
+    val cnt = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L)).toDF("user_id", "c")
+    val r = graft.analytics.Funnels.giniOfCounts(cnt).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2))
+      === ((4L, 8L, roundAt(2.0 * 25 / (4 * 8) - 5.0 / 4, 6))))
+    val uniform = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("user_id", "c")
+    val u = graft.analytics.Funnels.giniOfCounts(uniform).collect().head
+    assert((u.getLong(0), u.getLong(1), u.getDouble(2)) === ((3L, 21L, 0.0)))
+  }
+
+  test("gini: sf replay against exact BigInt rank sums") {
+    val counts = graft.core.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = BigInt(counts.length)
+    val tot = counts.map(BigInt(_)).sum
+    val srs = counts.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val expect = roundAt(
+      (BigDecimal(2 * srs) / BigDecimal(n * tot)
+        - BigDecimal(n + 1) / BigDecimal(n)).toDouble, 6)
+    val r = graft.analytics.Funnels.giniConcentration(spark, sf).collect().head
+    assert(r.getLong(0) === counts.length.toLong)
+    assert(r.getLong(1) === tot.toLong)
+    assert(math.abs(r.getDouble(2) - expect) < 2e-6)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
