@@ -273,6 +273,12 @@ object SparkEntry {
     "q151_session_paths" -> ((s: SparkSession, d: String) => Sessions.sessionPaths(s, d)),
     // Gini concentration of per-user activity, histogram-exact
     "q152_gini_activity" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.giniConcentration(s, d)),
+    // Coleman-Liau readability: count-exact, map-side only
+    "q153_readability" -> ((s: SparkSession, d: String) => TextAnalytics.readability(s, d)),
+    // per-user inter-event burstiness (periodic-bot screen)
+    "q154_burstiness" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.burstiness(s, d)),
+    // top-k vocabulary token-coverage curve at pinned budgets
+    "q155_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalytics.vocabCoverage(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2408,6 +2414,56 @@ private object CorpusOracles {
         | round(CAST(srs2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
         |   - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
         |FROM t""".stripMargin,
+    // q153: CLI from exact letter/word/sentence counts; no-punctuation
+    // docs count as one sentence (greatest-1 guard both sides)
+    "q153_readability" ->
+      """SELECT doc_id, source,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+        |   AS n_letters,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+        | round(0.0588 * ((100.0 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+        |     / len(string_split(text, ' ')))
+        |   - 0.296 * ((100.0 * greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |     / len(string_split(text, ' ')))
+        |   - 15.8, 6) AS cli
+        |FROM documents""".stripMargin,
+    // q154: whole-second gaps (floor-div), HUGEINT moment sums,
+    // sigma/mu in IEEE doubles with identical op order to the engine
+    "q154_burstiness" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |d AS (SELECT user_id,
+        |  (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id))
+        |    // 1000000 AS g
+        | FROM e),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CAST(g AS HUGEINT)) AS HUGEINT) AS sg,
+        |  CAST(sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS HUGEINT) AS sg2
+        | FROM d WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 5),
+        |m AS (SELECT user_id, n_gaps,
+        |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |  sqrt(CAST(CAST(n_gaps AS HUGEINT) * sg2 - sg * sg AS DOUBLE))
+        |    / CAST(n_gaps AS DOUBLE) AS sigma
+        | FROM s)
+        |SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s,
+        | round(sigma, 6) AS std_gap_s,
+        | CASE WHEN sigma + mu > 0 THEN round((sigma - mu) / (sigma + mu), 6)
+        |  END AS burstiness
+        |FROM m""".stripMargin,
+    // q155: rank window above the 10k limit; ties break on the word
+    "q155_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM f),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+        |  FROM f ORDER BY n DESC, word LIMIT 10000),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT k, CAST(sum(n) AS BIGINT) AS covered_tokens, total_tokens,
+        | round(CAST(sum(n) AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+        |   AS coverage
+        |FROM ks JOIN r ON r.rank <= ks.k CROSS JOIN tot
+        |GROUP BY k, total_tokens""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

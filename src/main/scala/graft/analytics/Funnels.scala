@@ -214,6 +214,55 @@ object Funnels {
           .cast("int").as("bot_like"))
   }
 
+  /** Per-user inter-event burstiness B = (σ−μ)/(σ+μ) (Goh & Barabási,
+    * EPL 2008) over whole-second event gaps: B → −1 is a PERIODIC client
+    * (σ ≈ 0 — cron-scheduled bots), B ≈ 0 Poisson-like organic traffic,
+    * B → 1 extreme bursts. The inter-arrival-shape screen completing the
+    * trio with [[userEntropy]] (what they do) and
+    * [[transitionMatrix]] (in what order); users need > `minGaps` gaps so
+    * the σ estimate means something.
+    *
+    * Determinism: gaps are floor-divided microsecond diffs (exact
+    * integers); Σg and Σg² accumulate as decimal(38,0) (HUGEINT in the
+    * oracle — g² overflows a long on multi-week gaps); σ =
+    * √(n·Σg² − (Σg)²)/n and μ = Σg/n evaluate in IEEE doubles with
+    * identical op order both sides (sqrt is correctly rounded), rounding
+    * once at 6 dp. σ+μ = 0 (a user whose every gap is 0 s) yields null.
+    *
+    * Scale shape: one user-keyed window for the lag and one user-keyed
+    * aggregate on the same distribution — the q149 shape.
+    */
+  def burstiness(spark: SparkSession, sfDir: String,
+      minGaps: Long = 5L): DataFrame =
+    burstinessOf(Tables.events(spark, sfDir), minGaps)
+
+  /** [[burstiness]] over an arbitrary events frame — the fixture-testable
+    * core.
+    */
+  def burstinessOf(ev: DataFrame, minGaps: Long = 5L): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = ev
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("prev_us").isNotNull)
+      .withColumn("g", expr("(unix_micros(ts) - prev_us) DIV 1000000"))
+    val stats = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(dec(col("g"))).as("sg"),
+        sum(dec(col("g")) * dec(col("g"))).as("sg2"))
+      .where(col("n_gaps") >= minGaps)
+    val nD = col("n_gaps").cast("double")
+    val mu = col("sg").cast("double") / nD
+    val sigma = sqrt((dec(col("n_gaps")) * col("sg2")
+      - col("sg") * col("sg")).cast("double")) / nD
+    stats.select(col("user_id"), col("n_gaps"),
+      round(mu, 6).as("mean_gap_s"),
+      round(sigma, 6).as("std_gap_s"),
+      when(sigma + mu > 0, round((sigma - mu) / (sigma + mu), 6))
+        .as("burstiness"))
+  }
+
   /** Gini concentration of user activity: how unequally events distribute
     * across users — the one-number inequality reading of the traffic
     * (0 = every user equally active, → 1 = a handful of users generate

@@ -929,6 +929,73 @@ object TextAnalytics {
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Coleman–Liau readability per document: CLI = 0.0588·L − 0.296·S −
+    * 15.8 with L = letters per 100 words, S = sentences per 100 words —
+    * the readability family member computable EXACTLY from counts (no
+    * syllable estimator, unlike Flesch), which is why it cross-checks
+    * against a SQL oracle. A text with no terminal punctuation counts as
+    * one sentence (greatest-1 guard — the synthetic corpus has none, so
+    * the S term is constant there; the fixture spec carries the
+    * sentence-splitting arithmetic on punctuated text).
+    *
+    * Scale shape: pure map-side projection over (doc_id, source, text) —
+    * no shuffle at all; the three counts are codegen'd regexp/split
+    * expressions.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame =
+    readabilityOf(Tables.documents(spark, sfDir))
+
+  /** [[readability]] over an arbitrary documents frame. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+        .as("n_letters"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long").as("n_sentences"))
+      .withColumn("cli", round(
+        lit(0.0588) * (lit(100.0) * col("n_letters") / col("n_words"))
+          - lit(0.296) * (lit(100.0) * greatest(col("n_sentences"), lit(1L))
+            / col("n_words"))
+          - lit(15.8), 6))
+
+  /** Vocabulary coverage curve: the fraction of all corpus tokens covered
+    * by the top-k vocabulary, at pinned budgets k ∈ {100, 1000, 10000} —
+    * the tokenizer-budget planning number next to [[zipfAudit]]'s slope
+    * (Zipf says the curve's SHAPE; this measures the actual mass) and
+    * [[oovRate]]'s per-doc reading. Ranking ties break on the word
+    * itself, so the curve is engine-exact.
+    *
+    * Scale shape: one vocab aggregate; the ranking is a
+    * TakeOrderedAndProject k-heap (max(ks)-bounded, no global sort) and
+    * the rank window sits ABOVE that limit, so its single partition holds
+    * ≤ max(ks) rows; budgets and the token total are broadcast.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame =
+    vocabCoverageOf(spark, Tables.documents(spark, sfDir), ks)
+
+  /** [[vocabCoverage]] over an arbitrary documents frame. */
+  def vocabCoverageOf(spark: SparkSession, docs: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val wf = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val tot = wf.agg(sum(col("n")).as("total_tokens"))
+    val ranked = wf.orderBy(col("n").desc, col("word")).limit(ks.max)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("word"))))
+    ranked.crossJoin(broadcast(ks.toDF("k")))
+      .where(col("rank") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("n")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        round(col("covered_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("coverage"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

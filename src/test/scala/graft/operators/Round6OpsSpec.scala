@@ -1045,6 +1045,60 @@ class Round6OpsSpec extends SparkTestBase {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
 
+  test("readability: punctuated fixture replays CLI by hand; guard covers no-punct") {
+    val s = spark
+    import s.implicits._
+    // "The cat sat. It ran! Why?" — 17 letters, 6 words, 3 sentence runs
+    val docs = Seq(
+      (1L, "The cat sat. It ran! Why?", "web"),
+      (2L, "no punctuation here", "web")).toDF("doc_id", "text", "source")
+    val got = TextAnalytics.readabilityOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(1L) === ((17L, 6L, 3L,
+      roundAt(0.0588 * (100.0 * 17 / 6) - 0.296 * (100.0 * 3 / 6) - 15.8, 6))))
+    // 17 letters, 3 words, 0 sentences -> guard counts 1 sentence
+    assert(got(2L) === ((17L, 3L, 0L,
+      roundAt(0.0588 * (100.0 * 17 / 3) - 0.296 * (100.0 * 1 / 3) - 15.8, 6))))
+  }
+
+  test("burstiness: periodic user scores -1; hand-computed moments; all-zero gaps null") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ev =
+      // user 1: gaps 60 x5 (periodic) -> sigma 0, B = -1
+      (1 to 6).map(i => (1L, t(60 * (i - 1)), i.toLong, "view")) ++
+      // user 2: gaps 10,10,10,10,50 -> mu 18, sigma 16, B = -2/34
+      Seq(0, 10, 20, 30, 40, 90).zipWithIndex.map { case (sec, i) =>
+        (2L, t(sec), 10L + i, "view") } ++
+      // user 3: six events same second -> sigma + mu = 0 -> null
+      (1 to 6).map(i => (3L, t(0), 20L + i, "view")) ++
+      // user 4: below minGaps -> no row
+      Seq((4L, t(0), 30L, "view"), (4L, t(10), 31L, "view"))
+    val got = graft.analytics.Funnels.burstinessOf(
+        ev.toDF("user_id", "ts", "event_id", "event_type")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(1L) === ((5L, 60.0, 0.0, Some(-1.0))))
+    assert(got(2L) === ((5L, 18.0, 16.0, Some(roundAt((16.0 - 18) / (16 + 18), 6)))))
+    assert(got(3L) === ((5L, 0.0, 0.0, None)))
+    assert(!got.contains(4L))
+  }
+
+  test("vocab coverage: known frequencies at tiny budgets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalytics.vocabCoverageOf(spark, docs, Seq(1, 2)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(
+      1 -> ((3L, 6L, 0.5)),
+      2 -> ((5L, 6L, roundAt(5.0 / 6, 6)))))
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
