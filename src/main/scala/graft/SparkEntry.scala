@@ -279,6 +279,12 @@ object SparkEntry {
     "q154_burstiness" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.burstiness(s, d)),
     // top-k vocabulary token-coverage curve at pinned budgets
     "q155_vocab_coverage" -> ((s: SparkSession, d: String) => TextAnalytics.vocabCoverage(s, d)),
+    // days from first event to first purchase, bounded histogram
+    "q156_conversion_lag" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.conversionLag(s, d)),
+    // same-source adjacency in packed shards vs random-permutation rate
+    "q157_shard_mixing" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardMixing(s, d)),
+    // pairwise cosine between label centroids (class separability)
+    "q158_centroid_geometry" -> ((s: SparkSession, d: String) => Similarity.centroidGeometry(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -675,6 +681,37 @@ private object CorpusOracles {
        | CAST(coalesce(sup.support, 0) AS BIGINT) AS support,
        | CAST(coalesce(sup.support, 0) = 0 AS INTEGER) AS is_chain_link
        |FROM p LEFT JOIN sup USING (doc1, doc2)""".stripMargin
+
+  /** q60: fixed-point per-(label, dim) centroid means. Shared with the
+    * q158 centroid-geometry oracle exactly as the engine shares
+    * `labelCentroids`.
+    */
+  private lazy val labelCentroidsSql =
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)
+      |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
+      | round(CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
+      |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_v
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  /** q99: the capstone layout contract — q61's keep-set packed with q52's
+    * per-shard running-sum recipe. Shared with the q157 shard-mixing
+    * oracle exactly as the engine shares `shardManifest`.
+    */
+  private lazy val shardManifestSql =
+    s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
+       |d AS (SELECT doc_id,
+       |  CAST(doc_id % 8 AS INTEGER) AS shard,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       | FROM documents JOIN keep USING (doc_id)),
+       |p AS (SELECT doc_id, shard, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+       | FROM d)
+       |SELECT doc_id, shard,
+       | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id,
+       | start_offset, n_tokens
+       |FROM p""".stripMargin
 
   /** q97: signature-estimated vs exact Jaccard per candidate pair. Shared
     * with the q142 margin-histogram oracle.
@@ -1157,20 +1194,7 @@ private object CorpusOracles {
     // the capstone layout contract: q61's keep-set packed with q52's
     // per-shard running-sum recipe — the manifest writeTrainingShards
     // puts on disk, gated as a pure query
-    "q99_shard_manifest" ->
-      s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
-         |d AS (SELECT doc_id,
-         |  CAST(doc_id % 8 AS INTEGER) AS shard,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         | FROM documents JOIN keep USING (doc_id)),
-         |p AS (SELECT doc_id, shard, n_tokens,
-         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
-         | FROM d)
-         |SELECT doc_id, shard,
-         | CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin_id,
-         | start_offset, n_tokens
-         |FROM p""".stripMargin,
+    "q99_shard_manifest" -> shardManifestSql,
     "q51_stratified_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,
          |   ${h32("lang||':'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),
@@ -1371,13 +1395,7 @@ private object CorpusOracles {
     // fixed-point BIGINTs, one double division at the end — the q60
     // determinism recipe applied to a projection
     "q79_random_projection" -> projectionSql,
-    "q60_label_centroids" ->
-      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |x AS (SELECT label, unnest(range(1, len(v)+1)) AS i, v FROM e)
-        |SELECT label, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n_vectors,
-        | round(CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS DOUBLE)
-        |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_v
-        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q60_label_centroids" -> labelCentroidsSql,
     // q65 is DEFINED as "same semantics as q43, planned by the rewrite
     // rule" — one shared oracle string keeps the two gates from drifting
     "q65_range_join_rewrite" -> rangeJoinSql,
@@ -2464,6 +2482,67 @@ private object CorpusOracles {
         |   AS coverage
         |FROM ks JOIN r ON r.rank <= ks.k CROSS JOIN tot
         |GROUP BY k, total_tokens""".stripMargin,
+    // q156: conditional mins in one user pass; converter-share from a
+    // one-row total
+    "q156_conversion_lag" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_date,
+        |  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+        |    AS first_purchase_date
+        | FROM events GROUP BY 1),
+        |l AS (SELECT CAST(date_diff('day', first_date, first_purchase_date)
+        |    AS BIGINT) AS lag_days
+        | FROM f WHERE first_purchase_date IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_converters FROM l)
+        |SELECT lag_days, CAST(count(*) AS BIGINT) AS n_users,
+        | round(CAST(count(*) AS DOUBLE) / CAST(n_converters AS DOUBLE), 6)
+        |   AS share
+        |FROM l CROSS JOIN tot GROUP BY 1, n_converters""".stripMargin,
+    // q157: adjacency over the q99 manifest's (shard, start_offset) read
+    // order; expected rate is the no-replacement permutation collision
+    // probability sum(c(c-1))/(n(n-1)); all-unique shards -> null ratio
+    "q157_shard_mixing" ->
+      s"""WITH m AS ($shardManifestSql),
+         |j AS (SELECT m.shard, m.start_offset, d.source
+         |  FROM m JOIN documents d USING (doc_id)),
+         |a AS (SELECT shard, source,
+         |   lag(source) OVER (PARTITION BY shard ORDER BY start_offset)
+         |     AS prev_source
+         |  FROM j),
+         |adj AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_adjacent,
+         |   CAST(sum(CASE WHEN source = prev_source THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS n_same
+         |  FROM a WHERE prev_source IS NOT NULL GROUP BY 1),
+         |cs AS (SELECT shard, source, count(*) AS c FROM j GROUP BY 1, 2),
+         |comp AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+         |   CAST(sum(c * (c - 1)) AS BIGINT) AS ssq FROM cs GROUP BY 1)
+         |SELECT shard, n_docs, n_adjacent, n_same,
+         | round(CAST(n_same AS DOUBLE) / CAST(n_adjacent AS DOUBLE), 6)
+         |   AS same_rate,
+         | round(CAST(ssq AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE), 6)
+         |   AS expected_rate,
+         | CASE WHEN ssq > 0 THEN
+         |   round((CAST(n_same AS DOUBLE) / CAST(n_adjacent AS DOUBLE))
+         |     / (CAST(ssq AS DOUBLE) / CAST(n_docs * (n_docs - 1) AS DOUBLE)), 6)
+         |  END AS mixing_ratio
+         |FROM adj JOIN comp USING (shard) WHERE n_docs >= 2""".stripMargin,
+    // q158: per-dim centroid products on a x1e12 fixed-point grid; the
+    // cosine normalizes fixed-point sums (scales cancel)
+    "q158_centroid_geometry" ->
+      s"""WITH c AS ($labelCentroidsSql),
+         |p AS (SELECT a.label AS label1, b.label AS label2,
+         |  CAST(sum(CAST(round(a.mean_v * b.mean_v * 1000000000000) AS BIGINT))
+         |    AS BIGINT) AS sxy,
+         |  CAST(sum(CAST(round(a.mean_v * a.mean_v * 1000000000000) AS BIGINT))
+         |    AS BIGINT) AS sxx,
+         |  CAST(sum(CAST(round(b.mean_v * b.mean_v * 1000000000000) AS BIGINT))
+         |    AS BIGINT) AS syy
+         | FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+         | GROUP BY 1, 2)
+         |SELECT label1, label2,
+         | round(CAST(sxy AS DOUBLE)
+         |   / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
+         |   AS centroid_cosine
+         |FROM p""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

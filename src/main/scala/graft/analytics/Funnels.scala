@@ -311,6 +311,35 @@ object Funnels {
           .as("gini"))
   }
 
+  /** Conversion-lag histogram: integer days from each user's FIRST event
+    * to their FIRST purchase, for users who ever purchase — the
+    * time-to-convert distribution behind attribution-window sizing (how
+    * long must a campaign wait before writing a visitor off) next to
+    * [[funnelDepth]]'s step view. Bounded output: one row per distinct
+    * lag day with user count and converter share.
+    *
+    * Scale shape: one user-keyed conditional aggregate (no window — min
+    * and conditional min collapse in one pass), a bounded histogram
+    * aggregate, and a one-row total broadcast.
+    */
+  def conversionLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_date"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("first_purchase_date"))
+      .where(col("first_purchase_date").isNotNull)
+      .select(datediff(col("first_purchase_date"), col("first_date"))
+        .cast("long").as("lag_days"))
+    val tot = firsts.agg(count(lit(1)).as("n_converters"))
+    firsts.groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("lag_days"), col("n_users"),
+        round(col("n_users").cast("double")
+          / col("n_converters").cast("double"), 6).as("share"))
+  }
+
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, sfDir)

@@ -802,6 +802,56 @@ object Curation {
         (col("epochs_fp") > 1000000L).cast("int").as("upsampled"))
   }
 
+  /** Shard MIXING audit over the packed layout: for each shard, the rate
+    * at which consecutive documents (in [[shardManifest]]'s read order)
+    * share a source, against the expected rate under a random permutation
+    * — Σ c_s(c_s−1)/(n(n−1)) over the shard's source counts. A trainer
+    * streams shards sequentially, so a clumpy shard (ratio ≫ 1) feeds
+    * the model long single-source runs — exactly what curriculum
+    * shuffling is supposed to prevent; this gate measures it instead of
+    * assuming it. q109 audits the PACKING (bin utilization); this audits
+    * the COMPOSITION ORDER.
+    *
+    * Determinism: counts are exact integers; observed/expected rates and
+    * their ratio evaluate in IEEE doubles with identical op order both
+    * sides; all-unique-source shards have expected = 0 → null ratio.
+    *
+    * Scale shape: the manifest joins sources doc-keyed; adjacency is one
+    * per-shard window over start_offset (per-shard, never global — the
+    * q52 contract); both rollups are shard-keyed aggregates.
+    */
+  def shardMixing(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame =
+    shardMixingOf(shardManifest(spark, sfDir, capacity, nShards)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        "doc_id"))
+
+  /** [[shardMixing]] over an arbitrary (shard, start_offset, source)
+    * frame — the fixture-testable core.
+    */
+  def shardMixingOf(m: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("start_offset"))
+    val adj = m.withColumn("prev_source", lag(col("source"), 1).over(w))
+      .where(col("prev_source").isNotNull)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_adjacent"),
+        sum((col("source") === col("prev_source")).cast("long")).as("n_same"))
+    val comp = m.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") * (col("c") - lit(1))).as("ssq"))
+    val obs = col("n_same").cast("double") / col("n_adjacent").cast("double")
+    val exp0 = col("ssq").cast("double") /
+      (col("n_docs") * (col("n_docs") - lit(1))).cast("double")
+    adj.join(comp, "shard")
+      .where(col("n_docs") >= 2)
+      .select(col("shard"), col("n_docs"), col("n_adjacent"), col("n_same"),
+        round(obs, 6).as("same_rate"),
+        round(exp0, 6).as("expected_rate"),
+        when(col("ssq") > 0, round(obs / exp0, 6)).as("mixing_ratio"))
+  }
+
   /** Exact triangle participation counts over the near-dup graph — the
     * graph-density signal that separates tight mirror FAMILIES (cliques:
     * every member pairwise-similar) from chain-shaped false-positive

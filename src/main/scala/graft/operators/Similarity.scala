@@ -398,6 +398,42 @@ object Similarity {
           .cast("double") / k, 4).as("recall_at_5"))
   }
 
+  /** Label-centroid geometry: pairwise cosine between the
+    * [[labelCentroids]] vectors — the class-separability audit a labeled
+    * embedding corpus gets before anyone trusts the labels as blocking
+    * keys (q28) or contrastive negatives (q117): centroid cosine → 1
+    * means two labels are geometrically indistinguishable and
+    * label-blocked dedup will miss their cross-label near-dups.
+    *
+    * Determinism: centroid components are the q60 6-dp grid; per-dim
+    * products round once onto a ×10¹² fixed-point grid and sum as longs
+    * (order-free); the cosine normalizes fixed-point sums — the scales
+    * cancel — with one IEEE division + round. Scale shape: the centroid
+    * table is |labels|·dim rows (metadata-sized at any corpus scale);
+    * the dim-keyed self-join and label-pair rollup never touch the
+    * corpus.
+    */
+  def centroidGeometry(spark: SparkSession, sfDir: String): DataFrame =
+    centroidGeometryOf(labelCentroids(spark, sfDir))
+
+  /** [[centroidGeometry]] over an arbitrary (label, dim, mean_v) centroid
+    * frame — the fixture-testable core.
+    */
+  def centroidGeometryOf(centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("label"), col("dim"), col("mean_v"))
+    def fp(x: org.apache.spark.sql.Column) = round(x * lit(1e12)).cast("long")
+    c.as("a").join(c.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label1"), col("b.label").as("label2"))
+      .agg(sum(fp(col("a.mean_v") * col("b.mean_v"))).as("sxy"),
+        sum(fp(col("a.mean_v") * col("a.mean_v"))).as("sxx"),
+        sum(fp(col("b.mean_v") * col("b.mean_v"))).as("syy"))
+      .select(col("label1"), col("label2"),
+        round(col("sxy").cast("double")
+          / (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))),
+          6).as("centroid_cosine"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× memory reduction applied before ANN serving at corpus scale.
     * Per-vector max-abs scaling: q_i = round(x_i / scale · 127), with the
@@ -446,13 +482,15 @@ object Similarity {
     * realistic group).
     */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("label"),
-        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n_vectors"),
-        round(sum(round(col("v") * 1e6).cast("long")).cast("double")
-          / (count(lit(1)) * lit(1e6)), 6).as("mean_v"))
+    graft.operators.SessionMemo(spark, s"labelCentroids|$sfDir") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(round(col("v") * 1e6).cast("long")).cast("double")
+            / (count(lit(1)) * lit(1e6)), 6).as("mean_v"))
+    }
 
   /** Johnson–Lindenstrauss random projection to `dOut` dimensions with a
     * SEEDLESS sign matrix: s_ij = ±1 derived from the pinned md5-prefix

@@ -1099,6 +1099,57 @@ class Round6OpsSpec extends SparkTestBase {
       2 -> ((5L, 6L, roundAt(5.0 / 6, 6)))))
   }
 
+  test("conversion lag: first-event-to-first-purchase days; non-converters drop") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    val dir = java.nio.file.Files.createTempDirectory("convlag").toString
+    // conversionLag reads a table dir; write the fixture as parquet
+    Seq(
+      (1L, t(0), 1L, "view"), (1L, t(3), 2L, "purchase"), (1L, t(5), 3L, "purchase"),
+      (2L, t(0), 4L, "purchase"),
+      (3L, t(0), 5L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.analytics.Funnels.conversionLag(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(3L -> ((1L, 0.5)), 0L -> ((1L, 0.5))))
+  }
+
+  test("shard mixing: clumpy shard replays by hand; all-unique shard nulls") {
+    val s = spark
+    import s.implicits._
+    // shard 0 read order a,a,b,b: adj 3, same 2; ssq 4, n 4 ->
+    // expected 1/3, observed 2/3, ratio 2. shard 1 a,b: ssq 0 -> null.
+    val m = Seq(
+      (0, 0L, "a"), (0, 10L, "a"), (0, 20L, "b"), (0, 30L, "b"),
+      (1, 0L, "a"), (1, 10L, "b"))
+      .toDF("shard", "start_offset", "source")
+    val got = Curation.shardMixingOf(m).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(got(0) === ((4L, 3L, 2L, roundAt(2.0 / 3, 6), roundAt(1.0 / 3, 6),
+      Some(roundAt((2.0 / 3) / (1.0 / 3), 6)))))
+    assert(got(1) === ((2L, 1L, 0L, 0.0, 0.0, None)))
+  }
+
+  test("centroid geometry: orthogonal and collinear centroids") {
+    val s = spark
+    import s.implicits._
+    val c = Seq(
+      ("A", 0, 1.0), ("A", 1, 0.0),
+      ("B", 0, 0.0), ("B", 1, 1.0),
+      ("C", 0, 0.5), ("C", 1, 0.0))
+      .toDF("label", "dim", "mean_v")
+    val got = graft.operators.Similarity.centroidGeometryOf(c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      ("A", "B") -> 0.0, ("A", "C") -> 1.0, ("B", "C") -> 0.0))
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
