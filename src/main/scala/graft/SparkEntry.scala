@@ -285,6 +285,12 @@ object SparkEntry {
     "q157_shard_mixing" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardMixing(s, d)),
     // pairwise cosine between label centroids (class separability)
     "q158_centroid_geometry" -> ((s: SparkSession, d: String) => Similarity.centroidGeometry(s, d)),
+    // corpus unigram entropy rate (nats/token), vocab-side fixed-point
+    "q159_entropy_rate" -> ((s: SparkSession, d: String) => TextAnalytics.entropyRate(s, d)),
+    // near-dup pairs whose endpoints carry different language labels
+    "q160_cross_lang_pairs" -> ((s: SparkSession, d: String) => Dedup.crossLangPairs(s, d)),
+    // mean model score of near-dup members vs unique docs (two rows)
+    "q161_dedup_quality" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupQualityLink(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2543,6 +2549,42 @@ private object CorpusOracles {
          |   / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
          |   AS centroid_cosine
          |FROM p""".stripMargin,
+    // q159: -p·ln p terms round at 6 dp and sum as x1e6 longs (q146
+    // recipe); vocab-side so the corpus is scanned once
+    "q159_entropy_rate" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM f),
+        |t AS (SELECT n_total,
+        |  round(-(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    * ln(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS term
+        | FROM f CROSS JOIN tot)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        | min(n_total) AS total_tokens,
+        | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000, 6) AS entropy_nats
+        |FROM t""".stripMargin,
+    // q160: the q25 pair list decorated with both language labels,
+    // filtered to label-crossing pairs (translation or label-noise)
+    "q160_cross_lang_pairs" ->
+      s"""WITH mp AS ($minhashPairsSql)
+         |SELECT mp.doc1, mp.doc2, a.lang AS lang1, b.lang AS lang2, mp.jaccard
+         |FROM mp JOIN documents a ON mp.doc1 = a.doc_id
+         |JOIN documents b ON mp.doc2 = b.doc_id
+         |WHERE a.lang <> b.lang""".stripMargin,
+    // q161: pair-member set vs the rest, fixed-point mean of the 6-dp
+    // model scores; composes the q25 and q69 fragments
+    "q161_dedup_quality" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc1 AS doc_id FROM mp UNION ALL SELECT doc2 FROM mp)),
+         |s AS ($modelScoreSql)
+         |SELECT CASE WHEN dup.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | round(CAST(sum(CAST(round(model_score * 1000000) AS BIGINT)) AS DOUBLE)
+         |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_score
+         |FROM s LEFT JOIN dup ON s.doc_id = dup.doc_id
+         |GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

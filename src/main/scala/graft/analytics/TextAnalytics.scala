@@ -996,6 +996,36 @@ object TextAnalytics {
           / col("total_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /** Corpus unigram entropy rate (nats/token): H = −Σ p·ln p over the
+    * word distribution — the information-density one-number next to
+    * [[zipfAudit]] (shape) and [[vocabCoverage]] (mass): a corpus whose
+    * entropy rate FALLS between crawls is filling with boilerplate and
+    * template text faster than with content. Exactly the quantity q71's
+    * per-token surprisal averages to, computed vocab-side so the corpus
+    * is touched once.
+    *
+    * Determinism: per-word terms round at 6 dp and sum as ×10⁶
+    * fixed-point longs (the q103/q146 recipe; ln per the q90 contract).
+    * Scale shape: one vocab aggregate + a one-row total broadcast; the
+    * entropy rollup is map-side-combinable over vocab rows.
+    */
+  def entropyRate(spark: SparkSession, sfDir: String): DataFrame =
+    entropyRateOf(Tables.documents(spark, sfDir))
+
+  /** [[entropyRate]] over an arbitrary documents frame. */
+  def entropyRateOf(docs: DataFrame): DataFrame = {
+    val wf = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val tot = wf.agg(sum(col("n")).as("n_total"))
+    val p = col("n").cast("double") / col("n_total").cast("double")
+    wf.crossJoin(broadcast(tot))
+      .select(col("n_total"), round(-p * log(p), 6).as("term"))
+      .agg(count(lit(1)).as("vocab_size"),
+        min(col("n_total")).as("total_tokens"),
+        round(sum(round(col("term") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("entropy_nats"))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

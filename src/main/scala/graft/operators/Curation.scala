@@ -852,6 +852,34 @@ object Curation {
         when(col("ssq") > 0, round(obs / exp0, 6)).as("mixing_ratio"))
   }
 
+  /** Dedup–quality link: mean model score of documents that participate
+    * in ≥ 1 near-dup pair vs documents that don't — the two-row evidence
+    * behind a standing curation belief (mirrored/templated content scores
+    * worse than unique content). If the gap is real, dedup priority can
+    * follow quality; if it isn't, near-dup pruning must NOT be sold as a
+    * quality filter. Two rows, exact counts, fixed-point mean of the
+    * 6-dp model scores.
+    *
+    * Scale shape: the distinct pair-member set is doc-keyed off the
+    * memoized pair list; one left join against the scored corpus and a
+    * 2-group aggregate — nothing corpus² anywhere.
+    */
+  def dedupQualityLink(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir, threshold)
+    val dup = pairs.select(col("doc1").as("doc_id"))
+      .union(pairs.select(col("doc2").as("doc_id"))).distinct()
+      .withColumn("flag", lit(1))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.Text.modelScore(col("text")).as("model_score"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy(coalesce(col("flag"), lit(0)).as("is_dup"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(round(col("model_score") * 1e6).cast("long")).cast("double")
+          / (count(lit(1)) * lit(1e6)), 6).as("mean_score"))
+  }
+
   /** Exact triangle participation counts over the near-dup graph — the
     * graph-density signal that separates tight mirror FAMILIES (cliques:
     * every member pairwise-similar) from chain-shaped false-positive

@@ -817,6 +817,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cross-LANGUAGE near-dup pairs: the [[minhashPairs]] candidates whose
+    * endpoints carry different language labels, listed with both labels
+    * and the exact Jaccard — each is either a translation/transliteration
+    * pair (keep both: parallel text is valuable) or a language-label
+    * error (route to [[graft.analytics.TextAnalytics.langConfusion]]'s
+    * repair path). Language-blocked dedup would never score these, which
+    * is exactly why they get their own audit before anyone blocks on
+    * `lang`.
+    *
+    * Scale shape: two doc-keyed equality joins decorate the memoized pair
+    * list with metadata; the filter is map-side. Output is bounded by the
+    * pair list, which LSH already bounded.
+    */
+  def crossLangPairs(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    minhashPairs(spark, sfDir, threshold)
+      .join(langs.select(col("doc_id").as("doc1"), col("lang").as("lang1")), "doc1")
+      .join(langs.select(col("doc_id").as("doc2"), col("lang").as("lang2")), "doc2")
+      .where(col("lang1") =!= col("lang2"))
+      .select(col("doc1"), col("doc2"), col("lang1"), col("lang2"), col("jaccard"))
+  }
+
   /** Cross-source leakage matrix: for every source pair, how many distinct
     * chunks appear in BOTH sources — the monitoring aggregate that catches
     * one ingest feed replicating another (mirrors, scrapes of scrapes)

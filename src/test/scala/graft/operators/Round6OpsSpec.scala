@@ -1150,6 +1150,59 @@ class Round6OpsSpec extends SparkTestBase {
       ("A", "B") -> 0.0, ("A", "C") -> 1.0, ("B", "C") -> 0.0))
   }
 
+  test("entropy rate: two-symbol corpus replays -p ln p by hand; uniform maxes") {
+    val s = spark
+    import s.implicits._
+    // 3x "a", 1x "b": H = -(3/4)ln(3/4) - (1/4)ln(1/4), terms on the 6-dp grid
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = TextAnalytics.entropyRateOf(docs).collect().head
+    val expect = roundAt(
+      (fixedPoint(roundAt(-(0.75) * math.log(0.75), 6))
+        + fixedPoint(roundAt(-(0.25) * math.log(0.25), 6))).toDouble / 1e6, 6)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 4L, expect)))
+    // uniform over 4 symbols -> ln(4)
+    val u = TextAnalytics.entropyRateOf(
+      Seq((1L, "w x y z")).toDF("doc_id", "text")).collect().head
+    assert(math.abs(u.getDouble(2) - math.log(4)) < 3e-6)
+  }
+
+  test("cross-lang pairs: only label-crossing near-dups survive, labels attached") {
+    val got = Dedup.crossLangPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4)))
+    val langs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allPairs = Dedup.minhashPairs(spark, sf, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = allPairs.collect {
+      case ((d1, d2), j) if langs(d1) != langs(d2) =>
+        (d1, d2, langs(d1), langs(d2), j)
+    }.toSet
+    assert(got.toSet === expect)
+    assert(got.nonEmpty, "fixture corpus has label-crossing near-dups")
+    got.foreach { case (_, _, l1, l2, j) =>
+      assert(l1 != l2); assert(j >= 0.7)
+    }
+  }
+
+  test("dedup-quality link: groups partition the corpus; means replay") {
+    val scores = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Text.modelScore(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.minhashPairs(spark, sf, 0.7).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val got = Curation.dedupQualityLink(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val (dup, uniq) = scores.partition { case (id, _) => members(id) }
+    def mean(m: Map[Long, Double]) =
+      roundAt(m.values.map(fixedPoint).sum.toDouble / (m.size * 1e6), 6)
+    assert(got(1) === ((dup.size.toLong, mean(dup))))
+    assert(got(0) === ((uniq.size.toLong, mean(uniq))))
+    assert(got(0)._1 + got(1)._1 === scores.size.toLong)
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
