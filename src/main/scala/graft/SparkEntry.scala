@@ -291,6 +291,12 @@ object SparkEntry {
     "q160_cross_lang_pairs" -> ((s: SparkSession, d: String) => Dedup.crossLangPairs(s, d)),
     // mean model score of near-dup members vs unique docs (two rows)
     "q161_dedup_quality" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupQualityLink(s, d)),
+    // token-mass duplication rate per source (chunk df >= 2, mass-weighted)
+    "q162_duplication_mass" -> ((s: SparkSession, d: String) => Dedup.duplicationMass(s, d)),
+    // median/MAD robust length fences per source
+    "q163_length_outliers" -> ((s: SparkSession, d: String) => TextAnalytics.lengthOutliers(s, d)),
+    // users returning each day after >= 2-day dormancy
+    "q164_winback" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.winbackReport(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2585,6 +2591,53 @@ private object CorpusOracles {
          |   / (count(*) * CAST(1000000 AS DOUBLE)), 6) AS mean_score
          |FROM s LEFT JOIN dup ON s.doc_id = dup.doc_id
          |GROUP BY 1""".stripMargin,
+    // q162: occurrences keep every chunk (mass), doc frequency counts
+    // DISTINCT (doc, chunk); the q55 list_slice chunking convention
+    "q162_duplication_mass" ->
+      """WITH e AS (SELECT doc_id, source, w,
+        |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
+        |  FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents)),
+        |occ AS (SELECT doc_id, source,
+        |   md5(array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS h,
+        |   CAST(len(list_slice(w, i*8+1, i*8+8)) AS BIGINT) AS l FROM e),
+        |df AS (SELECT h, count(*) AS nd
+        |  FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY 1)
+        |SELECT source, CAST(sum(l) AS BIGINT) AS total_tokens,
+        | CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS BIGINT) AS dup_tokens,
+        | round(CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS DOUBLE)
+        |   / CAST(sum(l) AS DOUBLE), 6) AS dup_mass_rate
+        |FROM occ JOIN df USING (h) GROUP BY 1""".stripMargin,
+    // q163: the q38 percentile<->quantile_cont contract; integer lengths
+    // make every median/MAD .0/.5-exact, so the 3*MAD fence is exact
+    "q163_length_outliers" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |med AS (SELECT source, quantile_cont(n_tokens, 0.5) AS med
+        |  FROM t GROUP BY 1),
+        |d AS (SELECT t.source, abs(CAST(n_tokens AS DOUBLE) - med) AS dev
+        |  FROM t JOIN med USING (source)),
+        |mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(min(med.med), 6) AS median_tokens,
+        | round(min(mad.mad), 6) AS mad_tokens,
+        | CAST(sum(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers,
+        | round(CAST(sum(CASE WHEN dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+        |FROM d JOIN mad USING (source) JOIN med ON d.source = med.source
+        |GROUP BY 1""".stripMargin,
+    // q164: first event after a >= 2-day gap is a resurrection; one
+    // return per user per day by construction
+    "q164_winback" ->
+      """WITH s AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events)
+        |SELECT CAST(ts AS DATE) AS return_date,
+        | count(DISTINCT user_id) AS n_resurrected
+        |FROM s
+        |WHERE prev_ts IS NOT NULL
+        |  AND date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) >= 2
+        |GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

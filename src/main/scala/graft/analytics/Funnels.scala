@@ -340,6 +340,32 @@ object Funnels {
           / col("n_converters").cast("double"), 6).as("share"))
   }
 
+  /** Daily winback report: how many users RETURNED each day after a
+    * dormancy of ≥ `dormantDays` days — the re-engagement time series a
+    * growth team reads next to [[cohortRetention]] (retention says who
+    * stays; this says who comes back). A return day is the first event
+    * after a qualifying gap; two dormancies cannot end on the same day
+    * for one user (the gap after a return is 0), so the distinct-user
+    * count equals the resurrection count.
+    *
+    * Scale shape: one user-keyed window for the lag (the q149/q154
+    * distribution) and one bounded per-day aggregate.
+    */
+  def winbackReport(spark: SparkSession, sfDir: String,
+      dormantDays: Int = 2): DataFrame =
+    winbackReportOf(Tables.events(spark, sfDir), dormantDays)
+
+  /** [[winbackReport]] over an arbitrary events frame. */
+  def winbackReportOf(ev: DataFrame, dormantDays: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("prev_ts").isNotNull &&
+        datediff(to_date(col("ts")), to_date(col("prev_ts"))) >= dormantDays)
+      .groupBy(to_date(col("ts")).as("return_date"))
+      .agg(countDistinct(col("user_id")).as("n_resurrected"))
+  }
+
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, sfDir)

@@ -1026,6 +1026,44 @@ object TextAnalytics {
           .as("entropy_nats"))
   }
 
+  /** Robust per-source length outliers: median/MAD fences instead of
+    * mean/σ (one mirror dump would drag a mean fence; the median ignores
+    * it) — the standard truncation-candidate screen before token-budget
+    * accounting. A document is flagged when |len − median| > k·MAD.
+    *
+    * Determinism: the q38 percentile↔quantile_cont contract; integer
+    * inputs make every median/MAD a .0/.5-exact double, so the k·MAD
+    * comparison is exact in both engines. MAD = 0 sources (all docs the
+    * same length) flag nothing beyond the median itself by construction.
+    *
+    * Scale shape: exact percentile is memory-per-group (the documented
+    * q38 trade — swap approx_percentile past memory limits); two
+    * source-keyed aggregates with a broadcast fence join between them.
+    */
+  def lengthOutliers(spark: SparkSession, sfDir: String,
+      k: Double = 3.0): DataFrame =
+    lengthOutliersOf(Tables.documents(spark, sfDir), k)
+
+  /** [[lengthOutliers]] over an arbitrary (doc_id, source, text) frame. */
+  def lengthOutliersOf(docs: DataFrame, k: Double = 3.0): DataFrame = {
+    val toks = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val med = toks.groupBy(col("source"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    val dev = toks.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_tokens").cast("double") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("med")), 6).as("median_tokens"),
+        round(min(col("mad")), 6).as("mad_tokens"),
+        sum((col("dev") > lit(k) * col("mad")).cast("long")).as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** Corpus roll-up per (lang, source): volume, mean quality, distinct
     * fingerprints (content diversity) — the monitoring query a data
     * pipeline runs per ingest batch.

@@ -840,6 +840,51 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("lang1"), col("lang2"), col("jaccard"))
   }
 
+  /** Corpus duplication-MASS rate per source: the fraction of each
+    * source's TOKEN MASS sitting inside 8-word chunks that appear in ≥ 2
+    * documents corpus-wide — the headline "x% of the crawl is
+    * duplicated" number (the RefinedWeb/FineWeb reporting convention)
+    * that q55's per-doc fractions roll up to, but mass-weighted: a
+    * duplicated 10k-token mirror counts 10k, not 1. Doc frequency comes
+    * from DISTINCT (doc, chunk) — in-doc repeats don't make a chunk
+    * "duplicated" — while mass counts every occurrence.
+    *
+    * Scale shape: chunks explode map-side with the source riding along
+    * (no corpus join); doc frequency is one hash-keyed aggregate; the
+    * occurrence–frequency join is equality-keyed on the chunk hash (hot
+    * boilerplate chunks are AQE skew-split); the rollup is
+    * |sources|-keyed.
+    */
+  def duplicationMass(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8): DataFrame =
+    duplicationMassOf(Tables.documents(spark, sfDir), chunkWords)
+
+  /** [[duplicationMass]] over an arbitrary (doc_id, source, text) frame. */
+  def duplicationMassOf(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+    val w = Text.tokens(col("text"))
+    val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
+    val chunks = when(size(w) > 0,
+      transform(sequence(lit(0), nChunks - 1), i => struct(
+        md5(concat_ws(" ", slice(w, i * chunkWords + 1, lit(chunkWords))))
+          .as("h"),
+        size(slice(w, i * chunkWords + 1, lit(chunkWords))).cast("long")
+          .as("l"))))
+      .otherwise(array().cast("array<struct<h:string,l:bigint>>"))
+    val occ = materialized(docs
+      .select(col("doc_id"), col("source"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("source"), col("c.h").as("h"),
+        col("c.l").as("l")))
+    val df = occ.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    occ.join(df, "h")
+      .groupBy(col("source"))
+      .agg(sum(col("l")).as("total_tokens"),
+        sum(when(col("nd") >= 2, col("l")).otherwise(lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("dup_mass_rate"))
+  }
+
   /** Cross-source leakage matrix: for every source pair, how many distinct
     * chunks appear in BOTH sources — the monitoring aggregate that catches
     * one ingest feed replicating another (mirrors, scrapes of scrapes)

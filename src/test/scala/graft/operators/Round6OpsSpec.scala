@@ -1203,6 +1203,68 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got(0)._1 + got(1)._1 === scores.size.toLong)
   }
 
+  test("duplication mass: shared chunk counts mass-weighted; in-doc repeat is not dup") {
+    val s = spark
+    import s.implicits._
+    val c8 = "a b c d e f g h" // one full 8-word chunk
+    val docs = Seq(
+      (1L, s"$c8 i j", "s"),       // chunks: c8 (8 tok) + "i j" (2 tok)
+      (2L, s"$c8 x y", "s"),       // shares c8 -> df 2
+      (3L, "p q", "s"),            // unique
+      (4L, s"$c8 $c8", "t"))       // c8 twice IN ONE doc elsewhere? no —
+      .toDF("doc_id", "text", "source")
+    // doc 4 contains c8 at chunk 0 and chunk 1: df(c8) counts doc 4 once,
+    // but docs 1/2 already make df >= 2, so BOTH of doc 4's chunks are dup
+    // mass. Totals: s -> 22 tokens, dup 16; t -> 16 tokens, dup 16.
+    val got = Dedup.duplicationMassOf(docs.toDF()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got("s") === ((22L, 16L, roundAt(16.0 / 22, 6))))
+    assert(got("t") === ((16L, 16L, 1.0)))
+    // without docs 1/2, doc 4's in-doc repeat alone is NOT duplication
+    val solo = Dedup.duplicationMassOf(
+      Seq((4L, s"$c8 $c8", "t")).toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(solo("t") === ((16L, 0L, 0.0)))
+  }
+
+  test("length outliers: zero-MAD flags every deviation; even-count interpolation") {
+    val s = spark
+    import s.implicits._
+    def doc(id: Long, n: Int, src: String) =
+      (id, Seq.fill(n)("w").mkString(" "), src)
+    val docs = Seq(doc(1, 10, "a"), doc(2, 10, "a"), doc(3, 10, "a"),
+      doc(4, 10, "a"), doc(5, 100, "a"),
+      doc(6, 1, "b"), doc(7, 2, "b"), doc(8, 3, "b"), doc(9, 4, "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalytics.lengthOutliersOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("a") === ((5L, 10.0, 0.0, 1L, 0.2)))
+    // lengths 1,2,3,4: med 2.5, devs {1.5,.5,.5,1.5}, mad 1.0, none > 3
+    assert(got("b") === ((4L, 2.5, 1.0, 0L, 0.0)))
+  }
+
+  test("winback: returns after >= 2-day gaps count once per user-day") {
+    val s = spark
+    import s.implicits._
+    def t(day: Int, sec: Int = 0) =
+      new java.sql.Timestamp(1700000000000L + day * 86400000L + sec * 1000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "view"), (1L, t(1), 2L, "view"),   // gap 1 — no
+      (1L, t(4), 3L, "view"), (1L, t(4, 60), 4L, "view"), // gap 3 — day 4
+      (1L, t(7), 5L, "view"),                            // gap 3 — day 7
+      (2L, t(0), 6L, "view"), (2L, t(2), 7L, "view"))    // gap 2 — day 2
+      .toDF("user_id", "ts", "event_id", "event_type")
+    // base 1700000000000 ms = 2023-11-14T22:13:20Z; day N lands on Nov 14+N
+    val got = graft.analytics.Funnels.winbackReportOf(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === Map(
+      "2023-11-16" -> 1L, "2023-11-18" -> 1L, "2023-11-21" -> 1L))
+  }
+
   test("decontamination spans: quoted benchmark trigram localized exactly") {
     val s = spark
     import s.implicits._
