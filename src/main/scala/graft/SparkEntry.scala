@@ -297,6 +297,12 @@ object SparkEntry {
     "q163_length_outliers" -> ((s: SparkSession, d: String) => TextAnalytics.lengthOutliers(s, d)),
     // users returning each day after >= 2-day dormancy
     "q164_winback" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.winbackReport(s, d)),
+    // DAU/WAU stickiness via interval-delta prefix sums over the date grid
+    "q165_stickiness" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.stickiness(s, d)),
+    // daily audience split into first-seen vs returning users
+    "q166_new_returning" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.newVsReturning(s, d)),
+    // per-type daily volume z-scores against own history (exact moments)
+    "q167_daily_anomalies" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.dailyAnomalies(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2638,6 +2644,51 @@ private object CorpusOracles {
         |WHERE prev_ts IS NOT NULL
         |  AND date_diff('day', CAST(prev_ts AS DATE), CAST(ts AS DATE)) >= 2
         |GROUP BY 1""".stripMargin,
+    // q165: WAU via a range join over distinct user-days (oracle-side
+    // only — the engine uses interval deltas; same trailing-7 window)
+    "q165_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+        |  FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        | round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau USING (day)""".stripMargin,
+    // q166: a user is "new" on exactly the day of their first user-day
+    "q166_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_new,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_returning,
+        | round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE), 6) AS new_frac
+        |FROM ud JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+    // q167: HUGEINT moments (daily-count squares overflow BIGINT at
+    // corpus scale), sigma via sqrt of the exact variance numerator;
+    // flag evaluated on the UNROUNDED z like the engine
+    "q167_daily_anomalies" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1,2),
+        |st AS (SELECT event_type, count(*) AS nd,
+        |   sum(CAST(n AS HUGEINT)) AS s1,
+        |   sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS s2
+        |  FROM daily GROUP BY 1),
+        |j AS (SELECT d.event_type, d.day, d.n,
+        |   CAST(st.s1 AS DOUBLE) / CAST(st.nd AS DOUBLE) AS mu,
+        |   sqrt(CAST(CAST(st.nd AS HUGEINT) * st.s2 - st.s1 * st.s1 AS DOUBLE))
+        |     / CAST(st.nd AS DOUBLE) AS sigma
+        |  FROM daily d JOIN st USING (event_type))
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+        | CASE WHEN sigma > 0
+        |   THEN round((CAST(n AS DOUBLE) - mu) / sigma, 6) END AS z_score,
+        | CAST(CASE WHEN sigma > 0
+        |     AND abs((CAST(n AS DOUBLE) - mu) / sigma) > 2.0
+        |   THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+        |FROM j""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

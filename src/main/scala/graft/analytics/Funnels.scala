@@ -366,6 +366,131 @@ object Funnels {
       .agg(countDistinct(col("user_id")).as("n_resurrected"))
   }
 
+  /** DAU/WAU stickiness: per active day, the distinct users active that
+    * day (DAU), the distinct users active in the trailing `windowDays`
+    * days (WAU), and their ratio — the engagement-frequency number
+    * (what share of the weekly audience shows up on a given day).
+    *
+    * The rolling distinct count is NOT computed as a windowed
+    * count-distinct (no such aggregate) nor as a day×window range join
+    * over user-days (a `windowDays`× blowup of the biggest table).
+    * Instead each user's active-day sequence becomes disjoint coverage
+    * intervals — active day a covers [a, a+w-1], truncated at the next
+    * active day — and WAU(d) is an interval-stabbing count: +1/−1
+    * deltas at interval ends, prefix-summed over the DATE GRID. The
+    * single-partition running-sum window touches only distinct dates
+    * (thousands of rows at any corpus scale), never user-days — the
+    * q87 bins-never-docs contract applied to time.
+    *
+    * Scale shape: one user-day distinct (user-keyed), one user-keyed
+    * lag window, one date-keyed delta aggregate, one bounded date-grid
+    * window.
+    */
+  def stickiness(spark: SparkSession, sfDir: String,
+      windowDays: Int = 7): DataFrame =
+    stickinessOf(Tables.events(spark, sfDir), windowDays)
+
+  /** [[stickiness]] over an arbitrary events frame — the fixture-testable
+    * core.
+    */
+  def stickinessOf(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val iv = days
+      .withColumn("next_day", lead(col("day"), 1).over(wu))
+      .withColumn("end_excl",
+        when(col("next_day").isNotNull &&
+            col("next_day") < date_add(col("day"), windowDays), col("next_day"))
+          .otherwise(date_add(col("day"), windowDays)))
+    val dau = days.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    // active days enter the grid with delta 0 so the running sum is
+    // defined on every day DAU reports (interval ends may fall later)
+    val deltas = iv.select(col("day").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("end_excl").as("d"), lit(-1L).as("delta")))
+      .unionByName(dau.select(col("day").as("d"), lit(0L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    val wd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wau = deltas.withColumn("wau", sum(col("delta")).over(wd))
+      .select(col("d").as("day"), col("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
+  /** New-vs-returning daily mix: per active day, how many of the day's
+    * users are seen for the FIRST time ever vs returning — the
+    * acquisition/retention split of the daily audience, the companion
+    * series to [[winbackReport]] (which counts only the resurrected
+    * subset of returners).
+    *
+    * Scale shape: one user-day distinct, one user-keyed min aggregate
+    * folded back by a user-keyed join (both sides pre-aggregated to
+    * user grain — no broadcast needed, no raw-event shuffle), one
+    * bounded per-day rollup.
+    */
+  def newVsReturning(spark: SparkSession, sfDir: String): DataFrame =
+    newVsReturningOf(Tables.events(spark, sfDir))
+
+  /** [[newVsReturning]] over an arbitrary events frame. */
+  def newVsReturningOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+        .as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(col("day"), col("n_new"), col("n_returning"),
+        round(col("n_new").cast("double")
+          / (col("n_new") + col("n_returning")).cast("double"), 6)
+          .as("new_frac"))
+  }
+
+  /** Daily volume anomalies: per (event_type, day) count z-scored against
+    * that type's own 30-day history — the ops-dashboard alarm (a traffic
+    * spike, a silent drop, an error burst) on the same series
+    * [[transitionMatrix]] reads structurally.
+    *
+    * Determinism: the moments are exact — daily counts are integers and
+    * Σn, Σn² accumulate as decimal(38,0) (HUGEINT in the oracle; a
+    * 100 TB day count squared overflows a long, the q132/q154 recipe).
+    * z = (n − μ)/σ evaluates in IEEE doubles with identical op order
+    * both sides (σ via correctly-rounded sqrt of the integer variance
+    * numerator), rounded once at 6 dp; a zero-variance type yields null
+    * z and is never flagged.
+    *
+    * Scale shape: one (type, day) aggregate, one bounded per-type moment
+    * aggregate (|types| rows) broadcast back onto the daily series.
+    */
+  def dailyAnomalies(spark: SparkSession, sfDir: String,
+      zThresh: Double = 2.0): DataFrame =
+    dailyAnomaliesOf(Tables.events(spark, sfDir), zThresh)
+
+  /** [[dailyAnomalies]] over an arbitrary events frame. */
+  def dailyAnomaliesOf(ev: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("n_events"))).as("s1"),
+        sum(dec(col("n_events")) * dec(col("n_events"))).as("s2"))
+    val nD = col("n_days").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val sigma = sqrt((dec(col("n_days")) * col("s2")
+      - col("s1") * col("s1")).cast("double")) / nD
+    val z = (col("n_events").cast("double") - mu) / sigma
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        when(sigma > 0, round(z, 6)).as("z_score"),
+        when(sigma > 0 && abs(z) > zThresh, 1).otherwise(0)
+          .cast("int").as("is_anomaly"))
+  }
+
   def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, sfDir)
