@@ -303,6 +303,12 @@ object SparkEntry {
     "q166_new_returning" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.newVsReturning(s, d)),
     // per-type daily volume z-scores against own history (exact moments)
     "q167_daily_anomalies" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.dailyAnomalies(s, d)),
+    // in-degree histogram of the cell-blocked kNN graph (hubness audit)
+    "q168_knn_hubness" -> ((s: SparkSession, d: String) => Similarity.knnHubness(s, d)),
+    // full 2^n grouping-set lattice over (event_type, day_of_week)
+    "q169_event_cube" -> ((s: SparkSession, d: String) => Relational.eventCube(s, d)),
+    // Pareto frontier on (n_tokens, model_score) via per-length maxima
+    "q170_skyline_docs" -> ((s: SparkSession, d: String) => TextAnalytics.skylineDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2689,6 +2695,48 @@ private object CorpusOracles {
         |     AND abs((CAST(n AS DOUBLE) - mu) / sigma) > 2.0
         |   THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
         |FROM j""".stripMargin,
+    // q168: directed top-5 inside trained cells (q68's blocking), then
+    // two count rollups; the zero-degree row is total minus covered
+    "q168_knn_hubness" ->
+      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |p AS (SELECT a.vec_id AS anchor, b.vec_id AS neighbor,
+         |    ${cosExpr("a.v", "b.v")} AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |r AS (SELECT anchor, neighbor, row_number() OVER (
+         |    PARTITION BY anchor ORDER BY cosine DESC, neighbor) AS rn FROM p),
+         |ind AS (SELECT neighbor, CAST(count(*) AS BIGINT) AS in_degree
+         |  FROM r WHERE rn <= 5 GROUP BY 1),
+         |h AS (SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vecs
+         |  FROM ind GROUP BY 1)
+         |SELECT in_degree, n_vecs FROM h
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT) AS in_degree, n_vecs FROM (
+         |  SELECT (SELECT count(*) FROM assigned)
+         |    - (SELECT count(*) FROM ind) AS n_vecs) WHERE n_vecs > 0""".stripMargin,
+    // q169: GROUPING() disambiguates rolled-up levels from NULL values,
+    // mirroring the engine's grouping() markers
+    "q169_event_cube" ->
+      """WITH e AS (SELECT event_type,
+        |   dayname(CAST(ts AS TIMESTAMP)) AS day_of_week, user_id FROM events)
+        |SELECT event_type, day_of_week,
+        | CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+        | CAST(GROUPING(day_of_week) AS INTEGER) AS g_dow,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY CUBE(event_type, day_of_week)""".stripMargin,
+    // q170: textbook NOT-EXISTS dominance check (oracle-side only — the
+    // engine goes through per-length maxima and a prefix-max window);
+    // minimize n_tokens, maximize model_score
+    "q170_skyline_docs" ->
+      s"""WITH sc AS ($modelScoreSql),
+         |s AS (SELECT d.doc_id,
+         |   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |   sc.model_score
+         |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT a.doc_id, a.n_tokens, a.model_score FROM s a
+         |WHERE NOT EXISTS (SELECT 1 FROM s b
+         |  WHERE b.n_tokens <= a.n_tokens AND b.model_score >= a.model_score
+         |    AND (b.n_tokens < a.n_tokens OR b.model_score > a.model_score))""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -186,6 +186,27 @@ object Relational {
         count(lit(1)).as("n_rows"),
         grouping_id().cast("int").as("gid"))
 
+  /** CUBE: the full 2ⁿ grouping-set lattice over (event_type, day_of_week)
+    * — every marginal and the grand total in ONE pass (Spark expands the
+    * cube into grouping sets inside a single Expand + hash aggregate; no
+    * repeated scans, no union of rollups). `grouping()` markers
+    * disambiguate a genuine NULL group value from a rolled-up level, the
+    * same contract as [[revenueRollup]]'s grouping_id. Cube dimensions
+    * stay bounded-cardinality by design (5 types × 7 days); cubing an
+    * unbounded key would multiply the shuffle by the lattice size.
+    */
+  def eventCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        date_format(col("ts"), "EEEE").as("day_of_week"), col("user_id"))
+      .cube(col("event_type"), col("day_of_week"))
+      .agg(grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day_of_week")).cast("int").as("g_dow"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("day_of_week"),
+        col("g_type"), col("g_dow"), col("n_events"), col("n_users"))
+
   /** Pivot: per-user event-type counts as columns. Spark's pivot plans as
     * conditional aggregates (one shuffle); values are pinned so the schema
     * is static — never pivot on unbounded cardinality at scale.

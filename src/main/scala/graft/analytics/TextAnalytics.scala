@@ -958,6 +958,46 @@ object TextAnalytics {
             / col("n_words"))
           - lit(15.8), 6))
 
+  /** Skyline (Pareto frontier) over (n_tokens ↓, model_score ↑): the
+    * documents no other document beats on BOTH brevity and quality — for
+    * every token budget, the best attainable score (the shortlist a
+    * budget-constrained curation pass reads; the score model rewards
+    * length up to its cap, so the two axes genuinely trade off and the
+    * frontier is a curve). A doc is dominated iff some other doc is no
+    * longer AND scores no worse, strictly better on at least one; exact
+    * ties on both dimensions are mutually non-dominating.
+    *
+    * NOT the textbook O(n²) self-join, and no global sort over docs:
+    * because 2-D dominance only depends on the best score at each
+    * length, the frontier factors through the per-length maxima —
+    * (1) one doc-keyed aggregate to `best_score` per n_tokens (bounded
+    * by max doc length, not corpus size), (2) a prefix-max window over
+    * that BOUNDED table (range frame (−∞, −1) = strictly shorter
+    * lengths — bins, never docs, the q87 contract), (3) an equality
+    * join of the tiny skyline-length table back onto the doc stream. A
+    * doc survives iff it attains its length's best score and no shorter
+    * length reaches that score.
+    */
+  def skylineDocs(spark: SparkSession, sfDir: String): DataFrame =
+    skylineDocsOf(Tables.documents(spark, sfDir))
+
+  /** [[skylineDocs]] over an arbitrary documents frame. */
+  def skylineDocsOf(docs: DataFrame): DataFrame = {
+    val s = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      Text.modelScore(col("text")).as("model_score"))
+    val perX = s.groupBy(col("n_tokens"))
+      .agg(max(col("model_score")).as("best_score"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_tokens"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+    val sky = perX.withColumn("run_max", max(col("best_score")).over(w))
+      .where(col("run_max").isNull || col("best_score") > col("run_max"))
+      .select(col("n_tokens"), col("best_score"))
+    s.join(broadcast(sky), Seq("n_tokens"))
+      .where(col("model_score") === col("best_score"))
+      .select(col("doc_id"), col("n_tokens"), col("model_score"))
+  }
+
   /** Vocabulary coverage curve: the fraction of all corpus tokens covered
     * by the top-k vocabulary, at pinned budgets k ∈ {100, 1000, 10000} —
     * the tokenizer-budget planning number next to [[zipfAudit]]'s slope

@@ -837,6 +837,48 @@ object Similarity {
     * assigned by a window over the already-limited k rows, so the
     * single-partition window is bounded by k, not the corpus.
     */
+  /** kNN hubness audit: the in-degree histogram of the directed
+    * cell-blocked kNN graph — for each vector, how many OTHER vectors
+    * list it among their top-`k` in-cell neighbors, bucketed into
+    * (in_degree → n_vecs) rows including the never-chosen in_degree-0
+    * mass. Hub vectors (in-degree ≫ k) are the classic symptom of
+    * degenerate/anisotropic embeddings (Radovanović et al., JMLR 2010):
+    * they dominate retrieval results and silently skew ANN-based dedup,
+    * so the histogram's tail is the one-glance health read on an
+    * embedding column before trusting q68/q86-style semantic dedup.
+    *
+    * Scale shape: the pair space is cell-blocked via the trained
+    * codebook (never n²); per-anchor top-k is a window INSIDE cells
+    * (rank ≤ k prunes with WindowGroupLimit); in-degree and its
+    * histogram are two hash-keyed aggregates, the second over rows
+    * bounded by the max in-degree — bins, never vectors. The zero-row
+    * arithmetic is a broadcast of two one-row aggregates.
+    */
+  def knnHubness(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor"), col("b.vec_id").as("neighbor"),
+        round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    val edges = pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val indeg = edges.groupBy(col("neighbor"))
+      .agg(count(lit(1)).as("in_degree"))
+    val hist = indeg.groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = av.agg(count(lit(1)).as("n_total"))
+    val covered = indeg.agg(count(lit(1)).as("n_covered"))
+    val zero = broadcast(total).crossJoin(broadcast(covered))
+      .select(lit(0L).as("in_degree"),
+        (col("n_total") - col("n_covered")).as("n_vecs"))
+      .where(col("n_vecs") > 0)
+    hist.unionByName(zero)
+  }
+
   def hybridRetrievalRRF(spark: SparkSession, sfDir: String,
       k: Int = 50, queryVec: Long = 0L, c: Int = 60): DataFrame = {
     val lexTop = graft.analytics.TextAnalytics.bm25Rank(spark, sfDir, k = k)
