@@ -309,6 +309,10 @@ object SparkEntry {
     "q169_event_cube" -> ((s: SparkSession, d: String) => Relational.eventCube(s, d)),
     // Pareto frontier on (n_tokens, model_score) via per-length maxima
     "q170_skyline_docs" -> ((s: SparkSession, d: String) => TextAnalytics.skylineDocs(s, d)),
+    // exact mean pairwise cosine via the sum-vector identity (no pairs)
+    "q171_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropy(s, d)),
+    // Markov stationary distribution, integer fixed-point power iteration
+    "q172_stationary_dist" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.stationaryDistribution(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1007,6 +1011,19 @@ private object CorpusOracles {
       | ON l_shipdate >= o_orderdate
       |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
       |GROUP BY 1,2""".stripMargin
+
+  /** First-order transition counts over per-user event streams — the
+    * shared stage of the q140 matrix and the q172 stationary-distribution
+    * CTE chain (mirrors Funnels.transitionCounts).
+    */
+  private val transitionCountsSql =
+    """SELECT event_type AS from_type, next_type AS to_type,
+      |  count(*) AS n_transitions
+      |FROM (SELECT user_id, event_type,
+      |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |     AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
   /** Corpus assignment under the pinned trained codebook (q66 body, and
     * the blocking stage of the q68 semantic-dedup oracle). Carries `v` so
@@ -2260,15 +2277,11 @@ private object CorpusOracles {
     // q140: lead over (ts, event_id) — same-user microsecond ties don't
     // exist in the corpus and the event_id tiebreak pins the order anyway
     "q140_transition_matrix" ->
-      """WITH t AS (SELECT user_id, event_type,
-        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-        | FROM events),
-        |c AS (SELECT event_type AS from_type, next_type AS to_type,
-        |  count(*) AS n_transitions FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT from_type, sum(n_transitions) AS n_from FROM c GROUP BY 1)
-        |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
-        | round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p_next
-        |FROM c JOIN tot USING (from_type)""".stripMargin,
+      s"""WITH c AS ($transitionCountsSql),
+         |tot AS (SELECT from_type, sum(n_transitions) AS n_from FROM c GROUP BY 1)
+         |SELECT from_type, to_type, CAST(n_transitions AS BIGINT) AS n_transitions,
+         | round(CAST(n_transitions AS DOUBLE) / n_from, 6) AS p_next
+         |FROM c JOIN tot USING (from_type)""".stripMargin,
     // q141: per-bin PSI terms rounded once then fixed-point summed (the
     // q103 recipe); one-sided bins counted, excluded from the sum
     "q141_value_drift_psi" ->
@@ -2737,6 +2750,41 @@ private object CorpusOracles {
          |WHERE NOT EXISTS (SELECT 1 FROM s b
          |  WHERE b.n_tokens <= a.n_tokens AND b.model_score >= a.model_score
          |    AND (b.n_tokens < a.n_tokens OR b.model_score > a.model_score))""".stripMargin,
+    // q171: ‖Σû‖² − Σ‖û‖² over ×10⁹ fixed-point unit components;
+    // HUGEINT squares (component sums square past BIGINT at scale)
+    "q171_isotropy" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM c),
+        |e AS (SELECT vec_id, i, CAST(round(v[i] / nrm * 1e9) AS BIGINT) AS rij
+        |  FROM u, UNNEST(range(1, 65)) AS t(i) WHERE nrm > 0),
+        |s AS (SELECT i, sum(CAST(rij AS HUGEINT)) AS sj FROM e GROUP BY 1),
+        |qq AS (SELECT sum(sj * sj) AS q FROM s),
+        |tt AS (SELECT sum(CAST(rij AS HUGEINT) * CAST(rij AS HUGEINT)) AS t FROM e),
+        |nn AS (SELECT count(*) AS n_vecs FROM u WHERE nrm > 0)
+        |SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+        | round(CAST(q - t AS DOUBLE)
+        |   / CAST(n_vecs * (n_vecs - 1) AS DOUBLE) / 1e18, 6)
+        |   AS mean_pairwise_cos
+        |FROM nn, qq, tt""".stripMargin,
+    // q172: the q91 unrolled-CTE recipe — 20 power-iteration rounds in
+    // ×10^12 integer fixed-point, per-edge truncating division
+    "q172_stationary_dist" -> {
+      val pIter = (1 to 20).map(k =>
+        s"""p$k AS (SELECT c.to_type AS state,
+           |  sum((p.p * c.n_transitions) // tot.n_from) AS p
+           | FROM p${k - 1} p JOIN cm c ON p.state = c.from_type
+           | JOIN tot ON c.from_type = tot.from_type GROUP BY 1)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH cm AS ($transitionCountsSql),
+         |tot AS (SELECT from_type, sum(n_transitions) AS n_from FROM cm GROUP BY 1),
+         |p0 AS (SELECT from_type AS state,
+         |   CAST(1000000000000 AS HUGEINT) // (SELECT count(*) FROM tot) AS p
+         |  FROM tot),
+         |$pIter
+         |SELECT state, CAST(p AS BIGINT) AS p_fp,
+         | round(CAST(p AS BIGINT) / 1e12, 6) AS stationary_p
+         |FROM p20""".stripMargin
+    },
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -491,19 +491,73 @@ object Funnels {
           .cast("int").as("is_anomaly"))
   }
 
-  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+  /** First-order transition counts over per-user event streams — the
+    * shared distributed stage of [[transitionMatrix]] and
+    * [[stationaryDistribution]]: one user-keyed lead window, one
+    * (from, to)-keyed aggregate to |types|² rows.
+    */
+  private def transitionCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(w))
       .where(col("next_type").isNotNull)
-    val counts = pairs
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = transitionCounts(spark, sfDir)
     val totals = counts.groupBy(col("from_type"))
       .agg(sum(col("n_transitions")).as("n_from"))
     counts.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n_transitions"),
         round(col("n_transitions").cast("double") / col("n_from"), 6).as("p_next"))
+  }
+
+  /** Stationary distribution of the [[transitionMatrix]] chain: where a
+    * user's event stream spends its time in the long run — the one-vector
+    * summary that ranks states by steady-state visit share (an
+    * error-state's stationary mass is the "how stuck do users get"
+    * number the raw transition row can't give).
+    *
+    * Power iteration in ×10¹² integer fixed-point (the q91 PageRank
+    * recipe): p′(t) = Σₛ ⌊p(s)·n(s,t) / n(s)⌋, `iters` rounds from the
+    * uniform start over states with outgoing mass — every term is exact
+    * integer arithmetic, so both engines (and the oracle's unrolled CTE
+    * chain) produce bit-identical `p_fp`. Truncation leaks ≤|edges|
+    * units of 10⁻¹² mass per round by design — determinism is worth more
+    * than the 15th decimal.
+    *
+    * Scale shape: the corpus-scale work — counting transitions over the
+    * event stream — is the distributed [[transitionCounts]] stage. The
+    * chain solve itself runs on the driver over the collected counts:
+    * |event-type vocabulary|² cells, METADATA-sized by construction (the
+    * TrainedCodebook discipline, not a corpus-sized collect — cf. the
+    * distributed q91 iteration, which walks a corpus-sized graph).
+    */
+  def stationaryDistribution(spark: SparkSession, sfDir: String,
+      iters: Int = 20): DataFrame = {
+    val edges = transitionCounts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTotals = edges.groupBy(_._1).map { case (f, es) =>
+      f -> es.map(e => BigInt(e._3)).sum
+    }
+    val scale = BigInt("1000000000000")
+    var p: Map[String, BigInt] =
+      outTotals.keys.map(_ -> scale / outTotals.size).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map.empty[String, BigInt]
+        .withDefaultValue(BigInt(0))
+      for ((f, t, n) <- edges if p.contains(f))
+        next(t) += p(f) * n / outTotals(f)
+      p = next.toMap
+    }
+    val s = spark
+    import s.implicits._
+    p.toSeq.map { case (st, v) => (st, v.toLong) }.sortBy(_._1)
+      .toDF("state", "p_fp")
+      .select(col("state"), col("p_fp"),
+        round(col("p_fp").cast("double") / lit(1e12), 6).as("stationary_p"))
   }
 }

@@ -837,6 +837,47 @@ object Similarity {
     * assigned by a window over the already-limited k rows, so the
     * single-partition window is bounded by k, not the corpus.
     */
+  /** Embedding isotropy: the EXACT mean pairwise cosine between all unit
+    * vectors, WITHOUT scoring a single pair — via the sum-vector
+    * identity Σᵢ≠ⱼ cos(vᵢ,vⱼ) = ‖Σᵢûᵢ‖² − Σᵢ‖ûᵢ‖², so the n² pair space
+    * collapses into one componentwise sum. A mean near 0 is an isotropic
+    * (healthy) embedding space; a large positive mean is the anisotropy
+    * / hubness pathology (Ethayarajh, EMNLP 2019) that q168's histogram
+    * diagnoses per-vector — this is the corpus-level single number.
+    *
+    * Determinism: each unit component is rounded once to ×10⁹
+    * fixed-point (the identity is then evaluated over EXACTLY the same
+    * integers in both engines); component sums, their squares and the
+    * per-component square sum accumulate as decimal(38,0) (HUGEINT in
+    * the oracle — a component sum over 10⁹ vectors squares past a
+    * long); the one division happens on the final one-row frame.
+    *
+    * Scale shape: one posexplode pass collapsed by a map-side-combinable
+    * per-component aggregate (64 output rows), one scalar aggregate for
+    * the square mass, one count — no joins except one-row broadcasts.
+    */
+  def isotropy(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val norm2 = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (a, e) => a + e)
+    val unit = corpus(spark, sfDir)
+      .select(col("vec_id"), col("v"), sqrt(norm2).as("nrm"))
+      .where(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => round(x / col("nrm") * lit(1e9)).cast("long"))
+          .as("r"))
+    val ex = unit.select(posexplode(col("r")).as(Seq("j", "rij")))
+    val q = ex.groupBy(col("j")).agg(sum(dec(col("rij"))).as("sj"))
+      .agg(sum(col("sj") * col("sj")).as("q"))
+    val t = ex.agg(sum(dec(col("rij")) * dec(col("rij"))).as("t"))
+    val n = unit.agg(count(lit(1)).as("n_vecs"))
+    broadcast(n).crossJoin(broadcast(q)).crossJoin(broadcast(t))
+      .select(col("n_vecs"),
+        round((col("q") - col("t")).cast("double")
+          / (col("n_vecs") * (col("n_vecs") - lit(1L))).cast("double")
+          / lit(1e18), 6).as("mean_pairwise_cos"))
+  }
+
   /** kNN hubness audit: the in-degree histogram of the directed
     * cell-blocked kNN graph — for each vector, how many OTHER vectors
     * list it among their top-`k` in-cell neighbors, bucketed into
