@@ -313,6 +313,12 @@ object SparkEntry {
     "q171_isotropy" -> ((s: SparkSession, d: String) => Similarity.isotropy(s, d)),
     // Markov stationary distribution, integer fixed-point power iteration
     "q172_stationary_dist" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.stationaryDistribution(s, d)),
+    // conversion share vs attribution-window length (asof + pinned sweep)
+    "q173_attribution_windows" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.attributionWindows(s, d)),
+    // per-doc shared-chunk token fraction with integer-exact template flag
+    "q174_template_scores" -> ((s: SparkSession, d: String) => Dedup.templateScores(s, d)),
+    // day-N retention with right-censored denominators (offset-grid plan)
+    "q175_retention_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.retentionCurve(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1011,6 +1017,22 @@ private object CorpusOracles {
       | ON l_shipdate >= o_orderdate
       |AND l_shipdate < o_orderdate + INTERVAL 1 DAY
       |GROUP BY 1,2""".stripMargin
+
+  /** Chunk occurrences with corpus-wide chunk doc frequency (the q55
+    * list_slice chunking convention) — shared by the q162 per-source and
+    * q174 per-doc duplication rollups (mirrors Dedup.chunkOccWithDf).
+    */
+  private val chunkOccDfSql =
+    """WITH e AS (SELECT doc_id, source, w,
+      |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
+      |  FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents)),
+      |occ AS (SELECT doc_id, source,
+      |   md5(array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS h,
+      |   CAST(len(list_slice(w, i*8+1, i*8+8)) AS BIGINT) AS l FROM e),
+      |df AS (SELECT h, count(*) AS nd
+      |  FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY 1)
+      |SELECT occ.doc_id, occ.source, occ.h, occ.l, df.nd
+      |FROM occ JOIN df USING (h)""".stripMargin
 
   /** First-order transition counts over per-user event streams — the
     * shared stage of the q140 matrix and the q172 stationary-distribution
@@ -2619,19 +2641,55 @@ private object CorpusOracles {
     // q162: occurrences keep every chunk (mass), doc frequency counts
     // DISTINCT (doc, chunk); the q55 list_slice chunking convention
     "q162_duplication_mass" ->
-      """WITH e AS (SELECT doc_id, source, w,
-        |   unnest(range(0, CAST(ceil(CAST(len(w) AS DOUBLE)/8) AS INTEGER))) AS i
-        |  FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents)),
-        |occ AS (SELECT doc_id, source,
-        |   md5(array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS h,
-        |   CAST(len(list_slice(w, i*8+1, i*8+8)) AS BIGINT) AS l FROM e),
-        |df AS (SELECT h, count(*) AS nd
-        |  FROM (SELECT DISTINCT doc_id, h FROM occ) GROUP BY 1)
-        |SELECT source, CAST(sum(l) AS BIGINT) AS total_tokens,
-        | CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS BIGINT) AS dup_tokens,
-        | round(CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS DOUBLE)
-        |   / CAST(sum(l) AS DOUBLE), 6) AS dup_mass_rate
-        |FROM occ JOIN df USING (h) GROUP BY 1""".stripMargin,
+      s"""SELECT source, CAST(sum(l) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS BIGINT) AS dup_tokens,
+         | round(CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS DOUBLE)
+         |   / CAST(sum(l) AS DOUBLE), 6) AS dup_mass_rate
+         |FROM ($chunkOccDfSql) GROUP BY 1""".stripMargin,
+    // q174: q162's stream rolled up at doc grain; the template flag is
+    // integer arithmetic (2·dup >= total) on both sides
+    "q174_template_scores" ->
+      s"""SELECT doc_id, source, CAST(sum(l) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS BIGINT) AS dup_tokens,
+         | round(CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) AS DOUBLE)
+         |   / CAST(sum(l) AS DOUBLE), 6) AS template_score,
+         | CAST(sum(CASE WHEN nd >= 2 THEN l ELSE 0 END) * 2 >= sum(l)
+         |   AS INTEGER) AS is_template
+         |FROM ($chunkOccDfSql) GROUP BY 1, 2""".stripMargin,
+    // q173: DuckDB-native ASOF (the q42 contract) feeding the pinned
+    // window sweep; gap -1 (never viewed) matches no window
+    "q173_attribution_windows" ->
+      """WITH g AS (SELECT CAST(CASE WHEN v.ts IS NOT NULL
+        |   THEN floor(epoch(CAST(p.ts AS TIMESTAMP)))
+        |     - floor(epoch(CAST(v.ts AS TIMESTAMP)))
+        |   ELSE -1 END AS BIGINT) AS gap_s
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |   ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |w AS (SELECT CAST(unnest([60, 600, 3600, 86400]) AS BIGINT) AS window_s)
+        |SELECT window_s, CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(CASE WHEN gap_s >= 0 AND gap_s <= window_s
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        | round(CAST(sum(CASE WHEN gap_s >= 0 AND gap_s <= window_s
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS attribution_rate
+        |FROM g CROSS JOIN w GROUP BY 1""".stripMargin,
+    // q175: right-censored denominator — eligible(N) = users whose first
+    // day sits >= N days before the corpus max day
+    "q175_retention_curve" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |act AS (SELECT CAST(date_diff('day', first_day, day) AS BIGINT)
+        |   AS offset_days, count(DISTINCT u.user_id) AS n_active
+        |  FROM ud u JOIN f USING (user_id) GROUP BY 1),
+        |mo AS (SELECT CAST(date_diff('day', first_day, max_day) AS BIGINT)
+        |   AS max_offset FROM f CROSS JOIN mx),
+        |den AS (SELECT a.offset_days, CAST(count(*) AS BIGINT) AS n_eligible
+        |  FROM (SELECT DISTINCT offset_days FROM act) a
+        |  JOIN mo ON mo.max_offset >= a.offset_days GROUP BY 1)
+        |SELECT act.offset_days, act.n_active, den.n_eligible,
+        | round(CAST(act.n_active AS DOUBLE) / den.n_eligible, 6) AS retention
+        |FROM act JOIN den USING (offset_days)""".stripMargin,
     // q163: the q38 percentile<->quantile_cont contract; integer lengths
     // make every median/MAD .0/.5-exact, so the 3*MAD fence is exact
     "q163_length_outliers" ->

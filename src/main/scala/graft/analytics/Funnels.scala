@@ -491,6 +491,52 @@ object Funnels {
           .cast("int").as("is_anomaly"))
   }
 
+  /** Day-N retention curve: for each day offset N, the share of users
+    * active exactly N days after their OWN first day — the flattened
+    * all-cohorts read of [[cohortRetention]]'s weekly triangle, with the
+    * right-censoring handled honestly: the denominator at offset N is
+    * only the users whose first day is ≥ N days before the corpus's last
+    * day (a user who joined yesterday cannot count against day-7
+    * retention).
+    *
+    * Scale shape: one user-day distinct, one user-keyed min + join (the
+    * q166 shape), then everything runs on the OFFSET grid: the
+    * numerator is an offset-keyed aggregate, the denominator a
+    * suffix-count window over the bounded max-offset histogram (active
+    * offsets enter the grid with mass 0 so the step function is defined
+    * everywhere it is read — the q165 grid trick), and the final join is
+    * offset-keyed over #days rows.
+    */
+  def retentionCurve(spark: SparkSession, sfDir: String): DataFrame =
+    retentionCurveOf(Tables.events(spark, sfDir))
+
+  /** [[retentionCurve]] over an arbitrary events frame. */
+  def retentionCurveOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val active = ud.join(first, "user_id")
+      .groupBy(datediff(col("day"), col("first_day")).cast("long")
+        .as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val maxDay = ud.agg(max(col("day")).as("max_day"))
+    val moHist = first.crossJoin(broadcast(maxDay))
+      .groupBy(datediff(col("max_day"), col("first_day")).cast("long")
+        .as("max_offset"))
+      .agg(count(lit(1)).as("m"))
+    val grid = moHist
+      .unionByName(active.select(col("offset_days").as("max_offset"),
+        lit(0L).as("m")))
+      .groupBy(col("max_offset")).agg(sum(col("m")).as("m"))
+    val wd = Window.orderBy(col("max_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val denom = grid.withColumn("n_eligible", sum(col("m")).over(wd))
+      .select(col("max_offset").as("offset_days"), col("n_eligible"))
+    active.join(denom, "offset_days")
+      .select(col("offset_days"), col("n_active"), col("n_eligible"),
+        round(col("n_active").cast("double") / col("n_eligible"), 6)
+          .as("retention"))
+  }
+
   /** First-order transition counts over per-user event streams — the
     * shared distributed stage of [[transitionMatrix]] and
     * [[stationaryDistribution]]: one user-keyed lead window, one

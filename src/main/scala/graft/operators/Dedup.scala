@@ -860,7 +860,22 @@ object Dedup {
     duplicationMassOf(Tables.documents(spark, sfDir), chunkWords)
 
   /** [[duplicationMass]] over an arbitrary (doc_id, source, text) frame. */
-  def duplicationMassOf(docs: DataFrame, chunkWords: Int = 8): DataFrame = {
+  def duplicationMassOf(docs: DataFrame, chunkWords: Int = 8): DataFrame =
+    chunkOccWithDf(docs, chunkWords)
+      .groupBy(col("source"))
+      .agg(sum(col("l")).as("total_tokens"),
+        sum(when(col("nd") >= 2, col("l")).otherwise(lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double")
+          / col("total_tokens").cast("double"), 6).as("dup_mass_rate"))
+
+  /** Chunk-occurrence stream annotated with corpus-wide chunk doc
+    * frequency — the shared stage of [[duplicationMassOf]] (per-source
+    * rollup) and [[templateScoresOf]] (per-doc rollup): every chunk
+    * occurrence with its token length `l` and the number of DISTINCT
+    * documents `nd` the chunk appears in.
+    */
+  private def chunkOccWithDf(docs: DataFrame, chunkWords: Int): DataFrame = {
     val w = Text.tokens(col("text"))
     val nChunks = ceil(size(w).cast("double") / chunkWords).cast("int")
     val chunks = when(size(w) > 0,
@@ -877,13 +892,35 @@ object Dedup {
     val df = occ.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
     occ.join(df, "h")
-      .groupBy(col("source"))
+  }
+
+  /** Per-document template score: the fraction of a doc's token mass
+    * sitting in corpus-shared chunks (df ≥ 2) — [[duplicationMass]]'s
+    * rate read at DOC grain, so the mirror/boilerplate culprits are
+    * named instead of aggregated away. `is_template` flags docs whose
+    * shared mass reaches one half, decided in INTEGER arithmetic
+    * (2·dup ≥ total) so the flag cannot drift across engines.
+    *
+    * Scale shape: identical to [[duplicationMass]] (one hash-keyed df
+    * aggregate, equality-keyed occurrence–frequency join) with the
+    * rollup keyed on (doc, source) instead of source.
+    */
+  def templateScores(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8): DataFrame =
+    templateScoresOf(Tables.documents(spark, sfDir), chunkWords)
+
+  /** [[templateScores]] over an arbitrary (doc_id, source, text) frame. */
+  def templateScoresOf(docs: DataFrame, chunkWords: Int = 8): DataFrame =
+    chunkOccWithDf(docs, chunkWords)
+      .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("l")).as("total_tokens"),
         sum(when(col("nd") >= 2, col("l")).otherwise(lit(0L))).as("dup_tokens"))
-      .select(col("source"), col("total_tokens"), col("dup_tokens"),
+      .select(col("doc_id"), col("source"), col("total_tokens"),
+        col("dup_tokens"),
         round(col("dup_tokens").cast("double")
-          / col("total_tokens").cast("double"), 6).as("dup_mass_rate"))
-  }
+          / col("total_tokens").cast("double"), 6).as("template_score"),
+        (col("dup_tokens") * 2 >= col("total_tokens")).cast("int")
+          .as("is_template"))
 
   /** Cross-source leakage matrix: for every source pair, how many distinct
     * chunks appear in BOTH sources — the monitoring aggregate that catches

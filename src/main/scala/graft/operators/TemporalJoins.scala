@@ -25,8 +25,11 @@ object TemporalJoins {
     * "attribution" query). Plan: tag views and purchases, union, one window
     * pass ordered by (ts, tag) with views first on ties, keep purchases.
     */
-  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    purchaseAttributionOf(Tables.events(spark, sfDir))
+
+  /** [[purchaseAttribution]] over an arbitrary events frame. */
+  def purchaseAttributionOf(ev: DataFrame): DataFrame = {
     val tagged = ev.where(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
         col("event_type"),
@@ -48,6 +51,37 @@ object TemporalJoins {
           (unix_timestamp(col("ts")) - unix_timestamp(col("last_view_ts"))))
           .otherwise(lit(-1L)).as("seconds_since_view"))
   }
+
+  /** Attribution-window sensitivity sweep: for each pinned lookback window,
+    * how many purchases have a same-user view within that many seconds
+    * before them — the curve that tells a marketing team what an
+    * attribution-window choice actually costs (the q126
+    * threshold-sweep discipline applied to [[purchaseAttribution]]).
+    * Unattributed purchases (no prior view ever) never match any window.
+    *
+    * Scale shape: the as-of stage is [[purchaseAttribution]]'s one
+    * user-keyed window; the sweep explodes each purchase gap into
+    * |windows| rows (a pinned constant factor, map-side combinable into
+    * the |windows|-row output).
+    */
+  def attributionWindows(spark: SparkSession, sfDir: String,
+      windows: Seq[Long] = Seq(60L, 600L, 3600L, 86400L)): DataFrame =
+    attributionWindowsOf(Tables.events(spark, sfDir), windows)
+
+  /** [[attributionWindows]] over an arbitrary events frame. */
+  def attributionWindowsOf(ev: DataFrame,
+      windows: Seq[Long] = Seq(60L, 600L, 3600L, 86400L)): DataFrame =
+    purchaseAttributionOf(ev)
+      .select(col("seconds_since_view"),
+        explode(typedlit(windows)).as("window_s"))
+      .groupBy(col("window_s"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("seconds_since_view") >= 0
+          && col("seconds_since_view") <= col("window_s"), 1L).otherwise(0L))
+          .as("n_attributed"))
+      .select(col("window_s"), col("n_purchases"), col("n_attributed"),
+        round(col("n_attributed").cast("double") / col("n_purchases"), 6)
+          .as("attribution_rate"))
 
   /** Generic bucketed range join: rows of `left` matched to rows of `right`
     * whose [lo, hi) interval contains leftTs. Buckets of `bucketSeconds`
