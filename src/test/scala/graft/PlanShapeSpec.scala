@@ -261,4 +261,57 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q165 stickiness: no range join; user-day windows keyed, grid window single") {
+    val p = planOf("q165_stickiness")
+    // the WAU side must NOT be a day-range join over user-days
+    assert(!p.contains("NestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-user lag window is keyed on user_id; the only unkeyed
+    // window is the date-grid running sum
+    assert(p.contains("windowspecdefinition(user_id"), p)
+    val unkeyed = p.split("\n").count(_.contains("SinglePartition"))
+    assert(unkeyed >= 1, p)
+  }
+
+  test("q168 hubness: cell-blocked equality join and group-limit pruning") {
+    val p = planOf("q168_knn_hubness")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair stage joins on cell equality (hashed), never all-pairs;
+    // the only nested loops are broadcast crosses (zero-row arithmetic
+    // and the pinned 8-row codebook)
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses, s"non-cross nested loop present:\n$p")
+    // per-anchor top-k prunes before the in-degree aggregate
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q170 skyline: no O(n^2) dominance join — aggregate, bounded window, broadcast back") {
+    val p = planOf("q170_skyline_docs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+    // the skyline-length table joins back by broadcast hash
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q171 isotropy: componentwise sums partial-aggregate before any exchange") {
+    val p = planOf("q171_isotropy")
+    // no joins except one-row broadcast crosses
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses, s"non-cross nested loop present:\n$p")
+    // the per-component aggregate map-side combines the exploded stream
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("posexplode"), p)
+  }
+
+  test("q174 template scores: occurrence-frequency join equality-keyed on the chunk hash") {
+    val p = planOf("q174_template_scores")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+    // df meets occurrences by shuffled hash join on h (corpus-sized both
+    // sides — correctly NOT broadcast)
+    assert(p.contains("hashpartitioning(h"), p)
+  }
 }
