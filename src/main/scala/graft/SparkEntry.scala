@@ -319,6 +319,12 @@ object SparkEntry {
     "q174_template_scores" -> ((s: SparkSession, d: String) => Dedup.templateScores(s, d)),
     // day-N retention with right-censored denominators (offset-grid plan)
     "q175_retention_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.retentionCurve(s, d)),
+    // per-dimension embedding mean/variance (dead-dim audit, exact moments)
+    "q176_dim_variance" -> ((s: SparkSession, d: String) => Similarity.dimVariance(s, d)),
+    // cohort LTV triangle: cumulative revenue per cohort user by offset
+    "q177_cohort_ltv" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.cohortLtv(s, d)),
+    // Simpson lexical diversity (1 - sum p^2) per source, integer-exact
+    "q178_simpson_diversity" -> ((s: SparkSession, d: String) => TextAnalytics.simpsonDiversity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2843,6 +2849,54 @@ private object CorpusOracles {
          | round(CAST(p AS BIGINT) / 1e12, 6) AS stationary_p
          |FROM p20""".stripMargin
     },
+    // q176: ×10⁹ fixed-point coordinates, HUGEINT moments, exact
+    // variance numerator; posexplode is 0-based → i − 1
+    "q176_dim_variance" ->
+      """WITH c AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT i, CAST(round(v[i] * 1e9) AS BIGINT) AS r
+        |  FROM c, UNNEST(range(1, 65)) AS t(i)),
+        |s AS (SELECT i, count(*) AS n, sum(CAST(r AS HUGEINT)) AS s1,
+        |   sum(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)) AS s2
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(n AS BIGINT) AS n_vecs,
+        | round(CAST(s1 AS DOUBLE) / n / 1e9, 6) AS mean_val,
+        | round(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+        |   / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / 1e18, 6) AS variance
+        |FROM s""".stripMargin,
+    // q177: the q48 cohort anchor; cells round at 2 dp before the
+    // cumulative window re-sums them in pinned offset order
+    "q177_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        | FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM cohort GROUP BY 1),
+        |weekly AS (SELECT cohort_week,
+        |   CAST(floor(date_diff('day', cohort_week, week) / 7) AS BIGINT)
+        |     AS week_offset,
+        |   CAST(count(*) AS BIGINT) AS n_purchases,
+        |   round(sum(value), 2) AS revenue
+        |  FROM ev JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT w.cohort_week, w.week_offset, w.n_purchases, w.revenue,
+        | round(sum(w.revenue) OVER cw, 2) AS cum_revenue,
+        | s.n_users,
+        | round(round(sum(w.revenue) OVER cw, 2) / s.n_users, 6) AS ltv_per_user
+        |FROM weekly w JOIN sizes s USING (cohort_week)
+        |WINDOW cw AS (PARTITION BY w.cohort_week ORDER BY w.week_offset
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // q178: Σn² as HUGEINT; one division per source row
+    "q178_simpson_diversity" ->
+      """WITH wc AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT source, word, count(*) AS n FROM wc GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(1.0 - CAST(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS DOUBLE)
+        |   / CAST(sum(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |   AS simpson_diversity
+        |FROM f GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

@@ -491,6 +491,49 @@ object Funnels {
           .cast("int").as("is_anomaly"))
   }
 
+  /** Cohort LTV triangle: per (first-activity-week cohort, week offset),
+    * purchase count, revenue, cumulative revenue, and cumulative revenue
+    * per cohort user — the lifetime-value read laid over
+    * [[cohortRetention]]'s activity triangle (retention says who is
+    * still here; this says what they have been worth so far).
+    *
+    * Determinism: revenue sums are raw-double money sums on the 0.01
+    * grid (the determinism-audit carve-out — the true sum sits ~0.005
+    * from any rounding boundary), rounded at 2 dp per cell before the
+    * cumulative window re-sums the already-rounded cells in pinned
+    * week-offset order.
+    *
+    * Scale shape: the q48 anchor aggregate, one (cohort, offset)-keyed
+    * rollup, a window over the bounded offset grid WITHIN each cohort
+    * (≤ weeks-of-history rows per cohort — bins, never purchases), and
+    * a metadata-sized cohort-size broadcast.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame =
+    cohortLtvOf(Tables.events(spark, sfDir))
+
+  /** [[cohortLtv]] over an arbitrary events frame. */
+  def cohortLtvOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_users"))
+    val weekly = ev.where(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_purchases"),
+        col("revenue"), col("cum_revenue"), col("n_users"),
+        round(col("cum_revenue") / col("n_users"), 6).as("ltv_per_user"))
+  }
+
   /** Day-N retention curve: for each day offset N, the share of users
     * active exactly N days after their OWN first day — the flattened
     * all-cohorts read of [[cohortRetention]]'s weekly triangle, with the

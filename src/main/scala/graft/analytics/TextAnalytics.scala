@@ -958,6 +958,37 @@ object TextAnalytics {
             / col("n_words"))
           - lit(15.8), 6))
 
+  /** Simpson lexical diversity per source: 1 − Σp² over the source's word
+    * distribution — the "probability two random tokens differ"
+    * concentration reading beside [[entropyRate]]'s corpus-level bits
+    * (Simpson punishes a dominant token much harder than entropy does,
+    * so a template-flooded source drops here first).
+    *
+    * Determinism: Σn² accumulates as decimal(38,0) (a hot word's count
+    * squares past a long at corpus scale); the single division runs once
+    * per source row, rounded at 6 dp — nothing cross-row is ever summed
+    * as a double.
+    *
+    * Scale shape: one (source, word)-keyed aggregate, one source-keyed
+    * rollup — both map-side combinable; no joins, no windows.
+    */
+  def simpsonDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    simpsonDiversityOf(Tables.documents(spark, sfDir))
+
+  /** [[simpsonDiversity]] over an arbitrary documents frame. */
+  def simpsonDiversityOf(docs: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(dec(col("n")) * dec(col("n"))).as("s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        round(lit(1.0) - col("s2").cast("double")
+          / col("n_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("simpson_diversity"))
+  }
+
   /** Skyline (Pareto frontier) over (n_tokens ↓, model_score ↑): the
     * documents no other document beats on BOTH brevity and quality — for
     * every token budget, the best attainable score (the shortlist a

@@ -878,6 +878,40 @@ object Similarity {
           / lit(1e18), 6).as("mean_pairwise_cos"))
   }
 
+  /** Per-dimension embedding moments: mean and variance of every
+    * coordinate across the corpus — the dead-dimension audit (a
+    * near-zero-variance coordinate carries no information but still
+    * costs memory, distance flops, and quantization budget in every
+    * q29/q92 plan downstream; a large-mean one signals an uncentered
+    * space, the common cause of q171's anisotropy).
+    *
+    * Determinism: coordinates are fixed-pointed once at ×10⁹; Σr and
+    * Σr² accumulate as decimal(38,0) (HUGEINT in the oracle — the
+    * square sum passes a long at ~10⁴ vectors already); mean and the
+    * exact-numerator variance divide once per output row, rounded at
+    * 6 dp.
+    *
+    * Scale shape: one posexplode pass collapsed by a
+    * map-side-combinable per-dimension aggregate — dim rows out,
+    * nothing else.
+    */
+  def dimVariance(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    corpus(spark, sfDir)
+      .select(posexplode(transform(col("v"),
+        x => round(x * lit(1e9)).cast("long"))).as(Seq("dim", "r")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("r"))).as("s1"),
+        sum(dec(col("r")) * dec(col("r"))).as("s2"))
+      .select(col("dim"), col("n_vecs"),
+        round(col("s1").cast("double") / col("n_vecs") / lit(1e9), 6)
+          .as("mean_val"),
+        round((dec(col("n_vecs")) * col("s2") - col("s1") * col("s1"))
+          .cast("double") / col("n_vecs").cast("double")
+          / col("n_vecs").cast("double") / lit(1e18), 6).as("variance"))
+  }
+
   /** kNN hubness audit: the in-degree histogram of the directed
     * cell-blocked kNN graph — for each vector, how many OTHER vectors
     * list it among their top-`k` in-cell neighbors, bucketed into
