@@ -325,7 +325,29 @@ object SparkEntry {
     "q177_cohort_ltv" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.cohortLtv(s, d)),
     // Simpson lexical diversity (1 - sum p^2) per source, integer-exact
     "q178_simpson_diversity" -> ((s: SparkSession, d: String) => TextAnalytics.simpsonDiversity(s, d)),
+    // per-cell majority label, share, and entropy (index-quality audit)
+    "q179_cell_purity" -> ((s: SparkSession, d: String) => Similarity.cellPurity(s, d)),
+    // near-dup component size histogram (mirror power-law read)
+    "q180_component_sizes" -> ((s: SparkSession, d: String) => graft.operators.Curation.componentSizeHistogram(s, d)),
+    // 30-min-gap session depth histogram with shares
+    "q181_session_sizes" -> ((s: SparkSession, d: String) => Sessions.sessionSizeHistogram(s, d)),
   )
+
+  /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
+    * shared stage of the q18 per-session rollup and the q181 size
+    * histogram (mirrors Sessions.sessionGap's session_window).
+    */
+  private val gapSessionsSql =
+    """WITH s AS (
+      | SELECT user_id, ts, event_id, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |    OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+      |   THEN 1 ELSE 0 END AS new_s
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, ts, value, sum(new_s) OVER (
+      |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |FROM s""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -463,22 +485,23 @@ object SparkEntry {
         | round(round(sum(value),2) / count(*), 4) AS avg_value
         |FROM events GROUP BY 1,2""".stripMargin,
     "q18_session_gap" ->
-      """WITH s AS (
-        | SELECT user_id, ts, event_id, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |    OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
-        |   THEN 1 ELSE 0 END AS new_s
-        | FROM events
-        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |g AS (SELECT *, sum(new_s) OVER (
-        |  PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        | FROM s)
-        |SELECT user_id,
-        | min(CAST(ts AS TIMESTAMP)) AS session_start_time,
-        | max(CAST(ts AS TIMESTAMP)) AS session_end_time,
-        | count(*) AS number_of_events,
-        | round(sum(value),2) AS session_value
-        |FROM g GROUP BY user_id, sid""".stripMargin,
+      s"""WITH g AS ($gapSessionsSql)
+         |SELECT user_id,
+         | min(CAST(ts AS TIMESTAMP)) AS session_start_time,
+         | max(CAST(ts AS TIMESTAMP)) AS session_end_time,
+         | count(*) AS number_of_events,
+         | round(sum(value),2) AS session_value
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // q181: q18's sessions rolled into a size histogram with shares
+    "q181_session_sizes" ->
+      s"""WITH g AS ($gapSessionsSql),
+         |sess AS (SELECT user_id, sid, count(*) AS number_of_events
+         |  FROM g GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS n_total FROM sess)
+         |SELECT number_of_events,
+         | CAST(count(*) AS BIGINT) AS n_sessions,
+         | round(CAST(count(*) AS DOUBLE) / min(tot.n_total), 6) AS share
+         |FROM sess CROSS JOIN tot GROUP BY 1""".stripMargin,
     "q19_session_first_last" ->
       """SELECT user_id, time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS session_start,
         | arg_min(event_type, event_id) AS first_event_type,
@@ -2897,6 +2920,37 @@ private object CorpusOracles {
         |   / CAST(sum(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
         |   AS simpson_diversity
         |FROM f GROUP BY 1""".stripMargin,
+    // q179: the q146 entropy recipe per trained cell; majority via
+    // row_number (n DESC, label) = the engine's max_by tiebreak
+    "q179_cell_purity" ->
+      s"""WITH a AS (SELECT vec_id, cell FROM ($trainedAssignSql)),
+         |cl AS (SELECT cell, label, count(*) AS n
+         |  FROM a JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT cell, sum(n) AS n_vecs FROM cl GROUP BY 1),
+         |t AS (SELECT cl.cell, cl.label, cl.n, tot.n_vecs,
+         |   round(-(CAST(n AS DOUBLE) / n_vecs)
+         |     * ln(CAST(n AS DOUBLE) / n_vecs), 6) AS term
+         |  FROM cl JOIN tot USING (cell)),
+         |m AS (SELECT cell, label AS majority_label, n AS n_majority FROM (
+         |   SELECT cell, label, n, row_number() OVER (
+         |     PARTITION BY cell ORDER BY n DESC, label) AS rn FROM t)
+         |  WHERE rn = 1),
+         |h AS (SELECT cell, CAST(min(n_vecs) AS BIGINT) AS n_vecs,
+         |   round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+         |     / 1000000, 6) AS label_entropy
+         |  FROM t GROUP BY 1)
+         |SELECT h.cell, h.n_vecs, m.majority_label,
+         | round(CAST(m.n_majority AS DOUBLE) / h.n_vecs, 6) AS majority_share,
+         | h.label_entropy
+         |FROM h JOIN m USING (cell)""".stripMargin,
+    // q180: two count rollups over the q50 component fixpoint
+    "q180_component_sizes" ->
+      s"""WITH comp AS ($componentsSql),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |  FROM comp GROUP BY 1)
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+         | CAST(size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1""".stripMargin,
     // q100: margin-gated pairs — est >= 0.875 accepted unverified
     // (verified=0), est in [0.5, 0.875) exact-verified at 0.7, rest
     // rejected; mirrors Dedup.minhashPairsFast's defaults

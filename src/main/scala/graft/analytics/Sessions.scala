@@ -156,6 +156,26 @@ object Sessions {
         round(sum(col("value")), 2).as("session_value"))
       .drop("session_window")
 
+  /** Session-size histogram: how many 30-min-gap sessions contain exactly
+    * k events, with each size's share — the session-depth distribution
+    * behind [[sessionGap]]'s per-session rows (single-event bounce
+    * sessions vs long engaged tails in one glance).
+    *
+    * Scale shape: the sessionization is [[sessionGap]]'s one user-keyed
+    * pass; then a size-keyed count rollup (bounded by the longest
+    * session — bins, never events) and a one-row total broadcast.
+    */
+  def sessionSizeHistogram(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val sizes = sessionGap(spark, sfDir, gap).select(col("number_of_events"))
+    val tot = sizes.agg(count(lit(1)).as("n_total"))
+    sizes.groupBy(col("number_of_events"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .crossJoin(broadcast(tot))
+      .select(col("number_of_events"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("n_total"), 6).as("share"))
+  }
+
   /** First/last event per session — reference A2/ST5 session shaping
     * (first_product_id/last_product_id, DDL spark_stream.py:116-131), done
     * deterministically with min_by/max_by on the event sequence number.

@@ -1008,6 +1008,25 @@ object Curation {
         .select(col("doc1"), col("doc2")),
       trianglesTable(spark, sfDir, threshold))
 
+  /** Near-dup component SIZE histogram: how many components have exactly
+    * k members, with the doc mass each size class holds — the power-law
+    * read on [[dedupComponents]] that q105's per-component rows
+    * aggregate away (one glance answers "is duplication a long tail of
+    * pairs or a few mega-mirrors", which decides whether q84-style
+    * broadcast hedges are live risks).
+    *
+    * Scale shape: two hash-keyed count rollups over the memoized
+    * component table; output bounded by the largest component size —
+    * bins, never docs.
+    */
+  def componentSizeHistogram(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    dedupComponents(spark, sfDir, threshold)
+      .groupBy(col("component")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+      .select(col("size"), col("n_components"),
+        (col("size") * col("n_components")).as("n_docs"))
+
   /** [[clusteringCoefficient]] over an arbitrary canonical (doc1 < doc2)
     * pair list — the fixture-testable core.
     */

@@ -878,6 +878,44 @@ object Similarity {
           / lit(1e18), 6).as("mean_pairwise_cos"))
   }
 
+  /** IVF cell label purity: per trained cell, the majority class, its
+    * share, and the label entropy — the clustering-quality audit read
+    * against the codebook (a low-purity cell means the index routes
+    * mixed neighborhoods, degrading q37/q125 recall at a given nprobe;
+    * q158 measures the centroids' geometry, this measures what actually
+    * landed in them).
+    *
+    * Determinism: the q146 entropy recipe — per-label terms rounded once
+    * at 6 dp then ×10⁶ fixed-point summed; the majority argmax breaks
+    * ties toward the smaller label.
+    *
+    * Scale shape: the assignment join is the memoized trained-cell
+    * stage; then one (cell, label) aggregate (≤ cells × labels rows —
+    * metadata-sized) and bounded rollups with a broadcast total.
+    */
+  def cellPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("label"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    val cl = av.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+    val tot = cl.groupBy(col("cell")).agg(sum(col("n")).as("n_vecs"))
+    val p = col("n").cast("double") / col("n_vecs")
+    cl.join(broadcast(tot), "cell")
+      .select(col("cell"), col("label"), col("n"), col("n_vecs"),
+        round(-p * log(p), 6).as("term"))
+      .groupBy(col("cell"))
+      .agg(min(col("n_vecs")).as("n_vecs"),
+        max_by(col("label"), struct(col("n"), -col("label")))
+          .as("majority_label"),
+        max(col("n")).as("n_majority"),
+        round(sum(round(col("term") * 1e6).cast("long")).cast("double") / 1e6, 6)
+          .as("label_entropy"))
+      .select(col("cell"), col("n_vecs"), col("majority_label"),
+        round(col("n_majority").cast("double") / col("n_vecs"), 6)
+          .as("majority_share"),
+        col("label_entropy"))
+  }
+
   /** Per-dimension embedding moments: mean and variance of every
     * coordinate across the corpus — the dead-dimension audit (a
     * near-zero-variance coordinate carries no information but still
