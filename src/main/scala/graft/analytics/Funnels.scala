@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.Num.dec
 
 /** Sequential funnel and cohort-retention analytics — the real versions of
   * the reference's commented-out funnel report (spark_batch_job.py:102-119
@@ -240,7 +241,6 @@ object Funnels {
     * core.
     */
   def burstinessOf(ev: DataFrame, minGaps: Long = 5L): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gaps = ev
       .select(col("user_id"), col("ts"), col("event_id"))
@@ -291,7 +291,6 @@ object Funnels {
     * fixture-testable core.
     */
   def giniOfCounts(cnt: DataFrame): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val h = cnt.groupBy(col("c")).agg(count(lit(1)).as("m"))
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -366,6 +365,17 @@ object Funnels {
       .agg(countDistinct(col("user_id")).as("n_resurrected"))
   }
 
+  /** Distinct (user_id, day) activity table — the shared first stage of
+    * [[stickinessOf]], [[newVsReturningOf]] and [[retentionCurveOf]]; one
+    * definition so the user-day convention cannot drift between them.
+    */
+  private def userDays(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
+  /** Per-user first active day over a [[userDays]] table. */
+  private def firstDays(ud: DataFrame): DataFrame =
+    ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+
   /** DAU/WAU stickiness: per active day, the distinct users active that
     * day (DAU), the distinct users active in the trailing `windowDays`
     * days (WAU), and their ratio — the engagement-frequency number
@@ -394,7 +404,7 @@ object Funnels {
     * core.
     */
   def stickinessOf(ev: DataFrame, windowDays: Int = 7): DataFrame = {
-    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = userDays(ev)
     val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val iv = days
       .withColumn("next_day", lead(col("day"), 1).over(wu))
@@ -436,8 +446,8 @@ object Funnels {
 
   /** [[newVsReturning]] over an arbitrary events frame. */
   def newVsReturningOf(ev: DataFrame): DataFrame = {
-    val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val ud = userDays(ev)
+    val first = firstDays(ud)
     ud.join(first, "user_id")
       .groupBy(col("day"))
       .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
@@ -472,7 +482,6 @@ object Funnels {
 
   /** [[dailyAnomalies]] over an arbitrary events frame. */
   def dailyAnomaliesOf(ev: DataFrame, zThresh: Double = 2.0): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
     val stats = daily.groupBy(col("event_type"))
@@ -555,8 +564,8 @@ object Funnels {
 
   /** [[retentionCurve]] over an arbitrary events frame. */
   def retentionCurveOf(ev: DataFrame): DataFrame = {
-    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val ud = userDays(ev)
+    val first = firstDays(ud)
     val active = ud.join(first, "user_id")
       .groupBy(datediff(col("day"), col("first_day")).cast("long")
         .as("offset_days"))

@@ -167,11 +167,14 @@ object Sessions {
     */
   def sessionSizeHistogram(spark: SparkSession, sfDir: String,
       gap: String = "30 minutes"): DataFrame = {
-    val sizes = sessionGap(spark, sfDir, gap).select(col("number_of_events"))
-    val tot = sizes.agg(count(lit(1)).as("n_total"))
-    sizes.groupBy(col("number_of_events"))
+    // the total comes from a whole-frame window over the BOUNDED histogram
+    // (bins, never sessions) — one sessionization pass, not two
+    val hist = sessionGap(spark, sfDir, gap)
+      .groupBy(col("number_of_events"))
       .agg(count(lit(1)).as("n_sessions"))
-      .crossJoin(broadcast(tot))
+    hist
+      .withColumn("n_total",
+        sum(col("n_sessions")).over(Window.partitionBy()))
       .select(col("number_of_events"), col("n_sessions"),
         round(col("n_sessions").cast("double") / col("n_total"), 6).as("share"))
   }

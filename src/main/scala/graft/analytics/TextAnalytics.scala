@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Hashing, Text}
+import graft.functions.Num.dec
 
 /** Document-corpus text analysis queries: quality scoring, language ID,
   * token counting, fingerprinting. All narrow map-side projections over the
@@ -852,7 +853,6 @@ object TextAnalytics {
     val pairs = for {
       i <- feats.indices; j <- i + 1 until feats.size
     } yield (feats(i), feats(j))
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val aggs =
       feats.flatMap(f => Seq(
         sum(dec(col(f))).as(s"s_$f"),
@@ -977,7 +977,6 @@ object TextAnalytics {
 
   /** [[simpsonDiversity]] over an arbitrary documents frame. */
   def simpsonDiversityOf(docs: DataFrame): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
       .groupBy(col("source"))

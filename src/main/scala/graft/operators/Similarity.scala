@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.Vectors
+import graft.functions.Num.dec
 
 /** Approximate-nearest-neighbor search over the embeddings table.
   *
@@ -857,7 +858,6 @@ object Similarity {
     * the square mass, one count — no joins except one-row broadcasts.
     */
   def isotropy(spark: SparkSession, sfDir: String): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val norm2 = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
       lit(0.0), (a, e) => a + e)
     val unit = corpus(spark, sfDir)
@@ -934,7 +934,6 @@ object Similarity {
     * nothing else.
     */
   def dimVariance(spark: SparkSession, sfDir: String): DataFrame = {
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     corpus(spark, sfDir)
       .select(posexplode(transform(col("v"),
         x => round(x * lit(1e9)).cast("long"))).as(Seq("dim", "r")))
@@ -979,11 +978,15 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor"))
     val edges = pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-    val indeg = edges.groupBy(col("neighbor"))
-      .agg(count(lit(1)).as("in_degree"))
+    // memoized: the histogram AND the covered-count read it, and without
+    // the memo each branch would re-run the cell-blocked kNN stage
+    val indeg = SessionMemo(spark, s"knnHubnessIndeg|$sfDir|$k") {
+      edges.groupBy(col("neighbor")).agg(count(lit(1)).as("in_degree"))
+    }
     val hist = indeg.groupBy(col("in_degree"))
       .agg(count(lit(1)).as("n_vecs"))
-    val total = av.agg(count(lit(1)).as("n_total"))
+    // total needs no join — every vector is assigned exactly one cell
+    val total = corpus(spark, sfDir).agg(count(lit(1)).as("n_total"))
     val covered = indeg.agg(count(lit(1)).as("n_covered"))
     val zero = broadcast(total).crossJoin(broadcast(covered))
       .select(lit(0L).as("in_degree"),
