@@ -331,6 +331,12 @@ object SparkEntry {
     "q180_component_sizes" -> ((s: SparkSession, d: String) => graft.operators.Curation.componentSizeHistogram(s, d)),
     // 30-min-gap session depth histogram with shares
     "q181_session_sizes" -> ((s: SparkSession, d: String) => Sessions.sessionSizeHistogram(s, d)),
+    // Levenshtein verify over the LSH band candidates (char-level route)
+    "q182_edit_distance" -> ((s: SparkSession, d: String) => Dedup.editDistancePairs(s, d)),
+    // endpoint-degree Pearson over the near-dup edge list (integer ratio)
+    "q183_assortativity" -> ((s: SparkSession, d: String) => graft.operators.Curation.degreeAssortativity(s, d)),
+    // leading-digit distribution of order totals vs Benford expectation
+    "q184_benford" -> ((s: SparkSession, d: String) => Relational.benfordOrders(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -848,16 +854,22 @@ private object CorpusOracles {
       |FROM t LEFT JOIN b ON t.gram_h = b.gram_h
       |GROUP BY 1""".stripMargin
 
-  private val minhashPairsSql =
+  /** LSH band-bucket candidate pairs (doc1 < doc2) — the shared candidate
+    * stage of the q25 Jaccard verify and the q182 Levenshtein verify.
+    */
+  private val minhashCandSql =
     s"""WITH sig AS (
        |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
        |  FROM ($baseHashes)),
        |banded AS (SELECT doc_id, b AS band,
        |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
-       |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-       |  FROM banded a JOIN banded b
-       |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |  FROM sig, UNNEST([0,1,2,3]) AS t(b))
+       |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |FROM banded a JOIN banded b
+       | ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  private val minhashPairsSql =
+    s"""WITH cand AS ($minhashCandSql),
        |sh AS ($shingleRows),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT doc1, doc2, count(*) AS cnt
@@ -2985,5 +2997,54 @@ private object CorpusOracles {
          |UNION ALL
          |SELECT m.doc1, m.doc2, m.est_jaccard, 1 AS verified
          |FROM mid m JOIN ver v ON m.doc1 = v.doc1 AND m.doc2 = v.doc2""".stripMargin,
+    // q182: Levenshtein over the shared q25 candidate stage; integer
+    // distance, 6-dp length-normalized similarity, flag at 0.8
+    "q182_edit_distance" ->
+      s"""WITH cand AS ($minhashCandSql)
+         |SELECT c.doc1, c.doc2,
+         | CAST(levenshtein(d1.text, d2.text) AS INTEGER) AS edit_distance,
+         | CAST(length(d1.text) AS INTEGER) AS len1,
+         | CAST(length(d2.text) AS INTEGER) AS len2,
+         | round(1.0 - levenshtein(d1.text, d2.text)
+         |   / CAST(greatest(length(d1.text), length(d2.text)) AS DOUBLE), 6)
+         |   AS edit_similarity,
+         | CAST(CASE WHEN round(1.0 - levenshtein(d1.text, d2.text)
+         |     / CAST(greatest(length(d1.text), length(d2.text)) AS DOUBLE), 6)
+         |    >= 0.8 THEN 1 ELSE 0 END AS INTEGER) AS is_neardup
+         |FROM cand c
+         |JOIN documents d1 ON c.doc1 = d1.doc_id
+         |JOIN documents d2 ON c.doc2 = d2.doc_id""".stripMargin,
+    // q183: symmetric-marginal Pearson as a pure HUGEINT ratio; NULL on
+    // zero degree variance (regular graph)
+    "q183_assortativity" ->
+      s"""WITH pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY 1),
+         |j AS (SELECT CAST(dx.deg AS HUGEINT) AS dx,
+         |   CAST(dy.deg AS HUGEINT) AS dy
+         |  FROM edges e
+         |  JOIN deg dx ON e.src = dx.doc_id
+         |  JOIN deg dy ON e.dst = dy.doc_id),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(dx) AS sx,
+         |   sum(dx*dx) AS sxx, sum(dx*dy) AS sxy FROM j)
+         |SELECT CAST(n AS BIGINT) AS n_edges,
+         | CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+         |  ELSE round(CAST(n*sxy - sx*sx AS DOUBLE)
+         |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS assortativity
+         |FROM s""".stripMargin,
+    // q184: leading digit via the integer route (floor → BIGINT →
+    // VARCHAR), never float log10/pow; ln-only transcendentals
+    "q184_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n_orders,
+        | round(CAST(n AS DOUBLE) / total, 6) AS share,
+        | round(ln((digit + 1.0) / digit) / ln(10), 6) AS benford_share,
+        | round(abs(round(CAST(n AS DOUBLE) / total, 6)
+        |   - round(ln((digit + 1.0) / digit) / ln(10), 6)), 6) AS abs_dev
+        |FROM c, t""".stripMargin,
   )
 }

@@ -314,4 +314,39 @@ object Relational {
         split(col("p_name"), " ").getItem(0).as("main_category"),
         split(col("p_name"), " ").getItem(1).as("sub_category"),
         element_at(split(col("p_name"), " "), -1).as("last_category"))
+
+  /** Benford leading-digit audit of order totals — the classic
+    * fabricated-data screen: naturally-grown multiplicative amounts put
+    * ~30.1% of leading digits at 1 (share of d = log10(1+1/d)); uniform
+    * or synthetic generators sit near 1/9 each. Output per digit: count,
+    * observed share, the Benford expectation, and |obs − exp| — the
+    * per-digit deviation a pipeline alarms on before trusting an
+    * upstream feed.
+    *
+    * Determinism: the leading digit is extracted through the INTEGER
+    * route (floor → long → first character of its decimal rendering) —
+    * never float log10/pow, whose cross-engine rounding is untrusted.
+    * Shares are exact integer ratios; the only transcendental is ln on
+    * identical doubles, which both engines agree on at the 6-dp gate;
+    * the deviation is a difference of two already-6-dp-rounded values.
+    *
+    * Scale shape: one map-side-combinable count into ≤ 9 digit rows,
+    * then a broadcast cross join of the one-row total — the A11 shape;
+    * nothing leaves the scan unaggregated.
+    */
+  def benfordOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.orders(spark, sfDir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val total = counts.agg(sum(col("n_orders")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        round(col("n_orders").cast("double") / col("total"), 6))
+      .withColumn("benford_share",
+        round(log((col("digit") + lit(1)).cast("double") / col("digit"))
+          / log(lit(10.0)), 6))
+      .select(col("digit"), col("n_orders"), col("share"), col("benford_share"),
+        round(abs(col("share") - col("benford_share")), 6).as("abs_dev"))
+  }
 }

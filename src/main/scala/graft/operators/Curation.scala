@@ -1033,6 +1033,58 @@ object Curation {
   def clusteringCoefficientOf(pairs: DataFrame): DataFrame =
     lccTail(pairs, trianglesOf(pairs))
 
+  /** Degree assortativity of the near-dup graph (Newman, PRL 2002): the
+    * Pearson correlation of endpoint degrees over the directed edge list.
+    * r > 0 means high-degree docs link to high-degree docs — duplication
+    * concentrated in dense mirror families that component resolution
+    * collapses cheaply; r < 0 means hubs link to leaves — star-shaped
+    * template graphs whose hubs are the q143 chain-link risk. One number
+    * that says which failure mode this corpus's duplication has.
+    *
+    * Determinism: over the symmetrized edge list the x- and y-marginals
+    * are IDENTICAL (each undirected edge contributes its endpoints to
+    * both sides), so with Sx = Σdx = Σdy and Sxx = Σdx² = Σdy² Pearson
+    * reduces to the pure integer
+    * ratio (n·Σdxdy − Sx·Sx)/(n·Sxx − Sx·Sx); every sum accumulates as
+    * decimal(38,0) (degree products overflow longs on mirror-heavy
+    * graphs), and only the final division is floating point, rounded at
+    * 6 dp. Degenerate regular graphs (all degrees equal, e.g. a corpus
+    * whose components are all pairs) have zero variance → NULL.
+    *
+    * Scale shape: degrees are one map-side-combinable count over the
+    * memoized pair list; the two degree lookups are equality joins on
+    * doc_id; the final aggregate is a single partial-aggregated row.
+    */
+  def degreeAssortativity(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"))
+    degreeAssortativityOf(pairs)
+  }
+
+  /** [[degreeAssortativity]] over an arbitrary canonical pair list. */
+  def degreeAssortativityOf(pairs: DataFrame): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    val sums = edges
+      .join(deg.select(col("doc_id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("doc_id").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(dec(col("dx"))).as("sx"),
+        sum(dec(col("dx")) * col("dx")).as("sxx"),
+        sum(dec(col("dx")) * col("dy")).as("sxy"))
+    val num = dec(col("n_edges")) * col("sxy") - col("sx") * col("sx")
+    val den = dec(col("n_edges")) * col("sxx") - col("sx") * col("sx")
+    sums.select(col("n_edges"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("assortativity"))
+  }
+
   private def lccTail(pairs: DataFrame, triangles: DataFrame): DataFrame = {
     val deg = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id")))

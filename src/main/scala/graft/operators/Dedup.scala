@@ -623,6 +623,38 @@ object Dedup {
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
   }
 
+  /** Character-level fuzzy dedup: exact Levenshtein distance over the LSH
+    * band candidates — the edit-distance verify route beside the
+    * shingle-Jaccard one ([[minhashPairs]]). Token-level Jaccard is blind
+    * to within-word edits (OCR noise, typo farms, single-character
+    * mutations); the edit metric catches exactly those, so the two
+    * verifies disagree on instructive pairs and a curation stack wants
+    * both. Output: every candidate pair with its raw edit distance,
+    * lengths, the length-normalized similarity 1 − d/max(len), and a
+    * near-dup flag at `flagAt` on the 6-dp-rounded similarity.
+    *
+    * Scale shape: candidate generation is the same banded equality join
+    * as [[minhashPairs]] (signatures memoized, nothing all-pairs); the
+    * O(len·len) Levenshtein runs once per CANDIDATE, not per pair of
+    * documents, so the expensive kernel is collision-bounded. The two
+    * text lookups are equality joins on doc_id.
+    */
+  def editDistancePairs(spark: SparkSession, sfDir: String,
+      flagAt: Double = 0.8, k: Int = 16, bands: Int = 4): DataFrame = {
+    val docs = materialized(minhashSignatures(spark, sfDir, k))
+    val texts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    bandCandidates(docs, k, bands)
+      .join(texts.withColumnRenamed("doc_id", "doc1").withColumnRenamed("text", "t1"), Seq("doc1"))
+      .join(texts.withColumnRenamed("doc_id", "doc2").withColumnRenamed("text", "t2"), Seq("doc2"))
+      .select(col("doc1"), col("doc2"),
+        levenshtein(col("t1"), col("t2")).as("edit_distance"),
+        length(col("t1")).as("len1"), length(col("t2")).as("len2"))
+      .withColumn("edit_similarity",
+        round(lit(1.0) - col("edit_distance").cast("double") /
+          greatest(col("len1"), col("len2")).cast("double"), 6))
+      .withColumn("is_neardup", (col("edit_similarity") >= flagAt).cast("int"))
+  }
+
   /** MinHash estimator audit: for every verified near-dup pair (q25), the
     * SIGNATURE-estimated Jaccard (fraction of agreeing minhash components)
     * against the exact shingle Jaccard — the measured-quality gate for the
