@@ -337,6 +337,12 @@ object SparkEntry {
     "q183_assortativity" -> ((s: SparkSession, d: String) => graft.operators.Curation.degreeAssortativity(s, d)),
     // leading-digit distribution of order totals vs Benford expectation
     "q184_benford" -> ((s: SparkSession, d: String) => Relational.benfordOrders(s, d)),
+    // per-shard min/max zone maps under two layouts + predicate skippability
+    "q185_zone_map" -> ((s: SparkSession, d: String) => Relational.zoneMapAudit(s, d)),
+    // bounded 2-core peeling of the near-dup graph (8 rounds + converged flag)
+    "q186_kcore" -> ((s: SparkSession, d: String) => graft.operators.Curation.kCore(s, d)),
+    // dyadic-decay EWMA of daily revenue in exact integer arithmetic
+    "q187_ewma_revenue" -> ((s: SparkSession, d: String) => Relational.ewmaRevenue(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3046,5 +3052,66 @@ private object CorpusOracles {
         | round(abs(round(CAST(n AS DOUBLE) / total, 6)
         |   - round(ln((digit + 1.0) / digit) / ln(10), 6)), 6) AS abs_dev
         |FROM c, t""".stripMargin,
+    // q185: shard keys via pure integer arithmetic (modulo / month-index
+    // linear bin with integer //); min/max/count exact
+    "q185_zone_map" ->
+      """WITH base AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS ship,
+        |   year(l_shipdate) * 12 + month(l_shipdate) AS mi FROM lineitem),
+        |z1 AS (SELECT 'by_orderkey' AS layout,
+        |   CAST(l_orderkey % 32 AS INTEGER) AS shard, count(*) AS n_rows,
+        |   min(ship) AS min_ship, max(ship) AS max_ship
+        |  FROM base GROUP BY 2),
+        |z2 AS (SELECT 'by_shipmonth' AS layout,
+        |   CAST(least(31, greatest(0, ((mi - 23905) * 32) // 84))
+        |     AS INTEGER) AS shard, count(*) AS n_rows,
+        |   min(ship) AS min_ship, max(ship) AS max_ship
+        |  FROM base GROUP BY 2)
+        |SELECT layout, shard, CAST(n_rows AS BIGINT) AS n_rows,
+        | min_ship, max_ship,
+        | CAST(CASE WHEN max_ship < DATE '1995-03-01'
+        |   OR min_ship > DATE '1995-05-31' THEN 1 ELSE 0 END AS INTEGER)
+        |   AS skippable
+        |FROM (SELECT * FROM z1 UNION ALL SELECT * FROM z2)""".stripMargin,
+    // q186: 8 unrolled peel rounds over the q25 edge list; peeling is
+    // monotone so the unrolled CTEs reproduce the Spark loop exactly.
+    // MATERIALIZED is load-bearing: each round references the previous in
+    // three places, so default CTE inlining would re-expand the minhash
+    // pipeline 3^8 times (observed as an fd-exhaustion failure)
+    "q186_kcore" -> {
+      val peel = (0 until 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM e$i GROUP BY 1),
+           |a$i AS MATERIALIZED (SELECT src FROM d$i WHERE deg >= 2),
+           |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+           |  JOIN a$i s ON e.src = s.src
+           |  JOIN a$i t ON e.dst = t.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |e0 AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |       UNION ALL SELECT doc2, doc1 FROM pairs),
+         |$peel,
+         |d8 AS (SELECT src, count(*) AS deg FROM e8 GROUP BY 1),
+         |conv AS (SELECT CAST(CASE WHEN count(*) FILTER (WHERE deg < 2) = 0
+         |   THEN 1 ELSE 0 END AS INTEGER) AS converged FROM d8)
+         |SELECT src AS doc_id, CAST(deg AS BIGINT) AS core_deg, converged
+         |FROM d8, conv""".stripMargin
+    },
+    // q187: dyadic weights are exact in double (2^k, k ≤ 30) and cast to
+    // HUGEINT loss-free; the weighted sum is exact integer arithmetic
+    // matching Spark's Decimal(38,0); only the final dollars ratio is a
+    // double, rounded at 2 dp
+    "q187_ewma_revenue" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0 FROM daily),
+        |c AS (SELECT d.day AS day,
+        |   sum(CAST(power(2, 30 - (d.day - r.day)) AS HUGEINT) * r.rev_cents)
+        |     AS ewma_fp
+        |  FROM daily d JOIN daily r ON r.day BETWEEN d.day - 30 AND d.day
+        |  GROUP BY 1)
+        |SELECT d.day, d.rev_cents, c.ewma_fp,
+        | round(CAST(c.ewma_fp AS DOUBLE) / 214748364700.0, 2) AS ewma_dollars
+        |FROM daily d JOIN c ON d.day = c.day, b
+        |WHERE d.day >= b.d0 + 30""".stripMargin,
   )
 }

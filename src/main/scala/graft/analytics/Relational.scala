@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 
 /** Relational coverage queries over the TPC-H-ish testdata star schema.
@@ -348,5 +349,100 @@ object Relational {
           / log(lit(10.0)), 6))
       .select(col("digit"), col("n_orders"), col("share"), col("benford_share"),
         round(abs(col("share") - col("benford_share")), 6).as("abs_dev"))
+  }
+
+  /** Zone-map skipping audit — per-shard min/max ranges of `l_shipdate`
+    * under two physical layouts, and whether a pinned quarter predicate
+    * (`1995-03-01 .. 1995-05-31`) could SKIP each shard entirely. This is
+    * the data-layout decision that dominates 100 TB scan cost: parquet
+    * row-group / file pruning only fires when the min/max range of a file
+    * excludes the predicate, which depends on how rows were clustered at
+    * write time. The audit quantifies it for the two canonical layouts:
+    * hash-by-key (`l_orderkey % 32` — write-parallel, ranges span the full
+    * calendar, nothing skips) vs cluster-by-month (ship-month binned into
+    * 32 contiguous shards — a 3-month predicate overlaps ~2 shards and
+    * skips ~30). The delta between the two `skippable` counts is the scan
+    * I/O a re-clustering job would save.
+    *
+    * Determinism: shard assignment is pure integer arithmetic (modulo, and
+    * a month-index linear bin with integer `div`), identical cross-engine;
+    * min/max/count are exact.
+    *
+    * Scale shape: one pass over the scan computing both shard keys, two
+    * map-side-combinable aggregates into ≤ 32 rows each — zone-map
+    * construction is exactly the partial-agg shape that never shuffles raw
+    * rows.
+    */
+  def zoneMapAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    // TPC-H ship calendar: 1992-01 (month index 23905) spans 84 months
+    val mi0 = 1992 * 12 + 1
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .withColumn("mi", year(col("ship")) * 12 + month(col("ship")))
+      .withColumn("shard_key", pmod(col("l_orderkey"), lit(32)).cast("int"))
+      .withColumn("shard_month",
+        least(lit(31), greatest(lit(0), expr(s"((mi - $mi0) * 32) div 84")))
+          .cast("int"))
+    val lo = to_date(lit("1995-03-01"))
+    val hi = to_date(lit("1995-05-31"))
+    def zones(keyCol: String, layout: String): DataFrame = base
+      .groupBy(col(keyCol).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ship")).as("min_ship"), max(col("ship")).as("max_ship"))
+      .select(lit(layout).as("layout"), col("shard"), col("n_rows"),
+        col("min_ship"), col("max_ship"),
+        (col("max_ship") < lo || col("min_ship") > hi).cast("int")
+          .as("skippable"))
+    zones("shard_key", "by_orderkey")
+      .unionByName(zones("shard_month", "by_shipmonth"))
+  }
+
+  /** Exponentially-weighted moving average of daily order revenue with a
+    * DYADIC decay (weight of a day at calendar lag L is 2^(30−L) over a
+    * 31-day window) — the trend line a revenue-anomaly monitor compares
+    * each day against. The dyadic base is the point: 2^k is exactly
+    * representable, so cents × 2^(30−L) is exact INTEGER arithmetic and
+    * the weighted sum is a Decimal(38,0)/HUGEINT that both engines agree
+    * on bit-for-bit — no float accumulation order anywhere. Only the final
+    * convenience division (by the full-window weight mass 2^31−1, and by
+    * 100 to dollars) touches doubles, rounded at 2 dp.
+    *
+    * Emitted for days with a full 31-day calendar history (`day ≥ first
+    * order day + 30`); days without orders contribute zero implicitly via
+    * the calendar-lag formulation.
+    *
+    * Scale shape: raw orders collapse to day grain first (map-side
+    * combine); the 31-day window is then an explode of the TINY day-grain
+    * table (31 rows per day) re-aggregated by target day — equality-keyed
+    * end to end, no range join, no window over raw rows.
+    */
+  def ewmaRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    ewmaRevenueOf(Tables.orders(spark, sfDir))
+
+  /** [[ewmaRevenue]] over an arbitrary orders frame — the fixture-testable
+    * core. `horizon` = window length − 1 (calendar lags 0..horizon).
+    */
+  def ewmaRevenueOf(orders: DataFrame, horizon: Int = 30): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("rev_cents"))
+    val bounds = daily.agg(min(col("day")).as("d0"))
+    // each revenue day contributes to the 31 target days it decays into;
+    // pow(2, k) for k ≤ 30 is exact in double, cast to decimal loss-free
+    val contrib = daily
+      .withColumn("lag", explode(sequence(lit(0), lit(horizon))))
+      .groupBy(date_add(col("day"), col("lag")).as("day"))
+      .agg(sum(pow(lit(2.0), lit(horizon) - col("lag")).cast(dec)
+        * col("rev_cents")).as("ewma_fp"))
+    // full-window weight mass = 2^(horizon+1) − 1; cents → dollars via 100
+    val mass = (math.pow(2.0, horizon + 1.0) - 1.0) * 100.0
+    daily.join(contrib, Seq("day"))
+      .crossJoin(broadcast(bounds))
+      .where(col("day") >= date_add(col("d0"), horizon))
+      .select(col("day"), col("rev_cents"),
+        col("ewma_fp").cast(dec).as("ewma_fp"),
+        round(col("ewma_fp").cast("double") / mass, 2).as("ewma_dollars"))
   }
 }

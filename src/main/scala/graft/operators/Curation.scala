@@ -1085,6 +1085,59 @@ object Curation {
         .as("assortativity"))
   }
 
+  /** Bounded k-core of the near-dup graph by iterative peeling: repeatedly
+    * delete vertices of degree < k (with their incident edges) for a FIXED
+    * number of rounds. The 2-core is the subgraph carrying every cycle —
+    * the standard pruning stage before dense-subgraph mining (Batagelj &
+    * Zaveršnik's peeling, distributed one-round-per-pass form): tree-like
+    * fringe documents leave, and what remains are the mutually-reinforced
+    * duplicate clusters worth a resolver's attention.
+    *
+    * Output: survivors after `rounds` peels with their in-core degree, and
+    * a `converged` flag (1 ⇔ the final degree table has no vertex below k,
+    * i.e. the result IS the true k-core, not a bounded approximation —
+    * the same bounded-iteration honesty contract as q91's pagerank).
+    *
+    * Scale shape per round: one map-side-combinable degree aggregate and
+    * two left-semi equality joins filtering the edge list — the same
+    * edge-touched iteration as [[connectedComponents]]; `localCheckpoint`
+    * truncates lineage so the plan stays constant-size. Peeling is
+    * monotone (alive sets only shrink), so the fixpoint is unique and
+    * order-independent — the DuckDB unrolled-CTE oracle reproduces it
+    * exactly.
+    */
+  def kCore(spark: SparkSession, sfDir: String, k: Int = 2,
+      rounds: Int = 8): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2"))
+    kCoreOf(pairs, k, rounds)
+  }
+
+  /** [[kCore]] over an arbitrary canonical pair list — the fixture-testable
+    * core.
+    */
+  def kCoreOf(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    var edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("v"))
+      edges = edges
+        .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    val deg = edges.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("core_deg"))
+    val conv = deg.agg(
+      when(sum(when(col("core_deg") < k, 1).otherwise(0)) === 0, 1)
+        .otherwise(0).cast("int").as("converged"))
+    deg.crossJoin(broadcast(conv))
+      .select(col("doc_id"), col("core_deg"), col("converged"))
+  }
+
   private def lccTail(pairs: DataFrame, triangles: DataFrame): DataFrame = {
     val deg = pairs.select(col("doc1").as("doc_id"))
       .union(pairs.select(col("doc2").as("doc_id")))
