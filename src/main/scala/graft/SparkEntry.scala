@@ -1660,7 +1660,7 @@ private object CorpusOracles {
          |mx AS (SELECT count(*) AS n_nodes FROM deg),
          |r0 AS (SELECT doc_id, $scale // mx.n_nodes AS r FROM deg CROSS JOIN mx),
          |$rounds
-         |SELECT doc_id, r AS pagerank_fp,
+         |SELECT doc_id, CAST(r AS BIGINT) AS pagerank_fp,
          | round(CAST(r AS DOUBLE) / $scale, 6) AS pagerank
          |FROM r10""".stripMargin
     },
@@ -2083,7 +2083,7 @@ private object CorpusOracles {
          | FROM documents JOIN keep USING (doc_id))
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         | sum(h) AS content_checksum
+         | CAST(sum(h) AS VARCHAR) AS content_checksum
          |FROM d GROUP BY 1""".stripMargin,
     // q125: IVF probe (cosine cells, rn<=4) prunes candidates; ADC codes
     // + LUT score them; fixed-point rollup, top-5 per query
@@ -3109,7 +3109,7 @@ private object CorpusOracles {
         |     AS ewma_fp
         |  FROM daily d JOIN daily r ON r.day BETWEEN d.day - 30 AND d.day
         |  GROUP BY 1)
-        |SELECT d.day, d.rev_cents, c.ewma_fp,
+        |SELECT d.day, d.rev_cents, CAST(c.ewma_fp AS VARCHAR) AS ewma_fp,
         | round(CAST(c.ewma_fp AS DOUBLE) / 214748364700.0, 2) AS ewma_dollars
         |FROM daily d JOIN c ON d.day = c.day, b
         |WHERE d.day >= b.d0 + 30""".stripMargin,

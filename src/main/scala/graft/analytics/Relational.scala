@@ -442,7 +442,9 @@ object Relational {
       .crossJoin(broadcast(bounds))
       .where(col("day") >= date_add(col("d0"), horizon))
       .select(col("day"), col("rev_cents"),
-        col("ewma_fp").cast(dec).as("ewma_fp"),
+        // decimal → digit string: >64-bit fixed-point value, no common
+        // numeric type across engines for the type-sensitive value gate
+        col("ewma_fp").cast(dec).cast("string").as("ewma_fp"),
         round(col("ewma_fp").cast("double") / mass, 2).as("ewma_dollars"))
   }
 }

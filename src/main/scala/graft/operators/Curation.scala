@@ -1226,7 +1226,9 @@ object Curation {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        sum(col("h")).as("content_checksum"))
+        // decimal → digit string: the gate compares values type-sensitively,
+        // and a >64-bit checksum has no common numeric type across engines
+        sum(col("h")).cast("string").as("content_checksum"))
   }
 
   /** Benchmark decontamination scan: flag training documents sharing any

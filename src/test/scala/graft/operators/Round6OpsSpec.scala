@@ -348,7 +348,7 @@ class Round6OpsSpec extends SparkTestBase {
   test("shard checksums: commutative hash sums replay against the manifest") {
     val sums = Curation.shardChecksums(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toBigInteger)).toMap
+        new java.math.BigInteger(r.getString(3)))).toMap
     val manifest = Curation.shardManifest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(4)))
     assert(sums.values.map(_._1).sum === manifest.length.toLong)
