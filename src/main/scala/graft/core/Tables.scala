@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated testdata star schema (TESTDATA.md).
   *
@@ -16,8 +16,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ under
+    * Spark 4's NTZ inference. The engine's session runs pinned to UTC
+    * ([[GraftSession]]), so the NTZ local datetimes ARE the UTC instants;
+    * cast them back to TimestampType so every downstream instant function
+    * (`unix_micros`, watermarks, tz-aware windows) keeps working regardless
+    * of which flavor the generator wrote.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    raw.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
