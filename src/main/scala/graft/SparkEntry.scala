@@ -343,6 +343,26 @@ object SparkEntry {
     "q186_kcore" -> ((s: SparkSession, d: String) => graft.operators.Curation.kCore(s, d)),
     // dyadic-decay EWMA of daily revenue in exact integer arithmetic
     "q187_ewma_revenue" -> ((s: SparkSession, d: String) => Relational.ewmaRevenue(s, d)),
+    // PIVOT with a pinned value list → one static 7-column aggregate
+    "q188_dow_pivot" -> ((s: SparkSession, d: String) => Relational.dowRevenuePivot(s, d)),
+    // GROUPING SETS ((region,nation),(region),()) + grouping_id in one pass
+    "q189_grouping_sets" -> ((s: SparkSession, d: String) => Relational.revenueGroupingSets(s, d)),
+    // entry/exit/bounce rates per event_type over 30-min-gap sessions
+    "q190_bounce_exit" -> ((s: SparkSession, d: String) => Sessions.bounceExitRates(s, d)),
+    // calendar-lag autocorrelation of daily revenue, exact integer Pearson sums
+    "q191_revenue_acf" -> ((s: SparkSession, d: String) => Relational.revenueAutocorrelation(s, d)),
+    // per-type mean/sd/skew/kurtosis from exact integer power sums
+    "q192_value_moments" -> ((s: SparkSession, d: String) => Relational.valueMoments(s, d)),
+    // Adamic-Adar link prediction over the near-dup graph (hub-capped wedges)
+    "q193_adamic_adar" -> ((s: SparkSession, d: String) => graft.operators.Curation.adamicAdar(s, d)),
+    // 3-hop harmonic centrality: frontier sweeps + exact 1/d fixed point
+    "q194_harmonic_centrality" -> ((s: SparkSession, d: String) => graft.operators.Curation.harmonicCentrality(s, d)),
+    // in-row type-token ratio + hapax share (zero-shuffle map pass)
+    "q195_lexical_richness" -> ((s: SparkSession, d: String) => TextAnalytics.lexicalRichness(s, d)),
+    // windowed co-occurrence PMI top-k (offset-exploded equality join)
+    "q196_pmi_pairs" -> ((s: SparkSession, d: String) => TextAnalytics.pmiPairs(s, d)),
+    // MMR diversified re-ranking of per-query cosine candidates
+    "q197_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3113,5 +3133,257 @@ private object CorpusOracles {
         | round(CAST(c.ewma_fp AS DOUBLE) / 214748364700.0, 2) AS ewma_dollars
         |FROM daily d JOIN c ON d.day = c.day, b
         |WHERE d.day >= b.d0 + 30""".stripMargin,
+    // q188: pinned-value pivot = 7 conditional sums; isodow(ts) in DuckDB
+    // equals Spark weekday(ts)+1 (both Monday=1)
+    "q188_dow_pivot" -> {
+      val cells = (1 to 7).map(d =>
+        s"CAST(coalesce(sum(CASE WHEN isodow(ts) = $d THEN cents END), 0) AS BIGINT) AS wd$d")
+        .mkString(",\n ")
+      s"""SELECT event_type,
+         | $cells
+         |FROM (SELECT event_type, ts,
+         |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events)
+         |GROUP BY 1""".stripMargin
+    },
+    // q189: GROUPING(r,n) bit order (left arg = MSB) matches Spark's
+    // grouping_id over the same column order
+    "q189_grouping_sets" ->
+      """WITH j AS (SELECT r_name, n_name,
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT coalesce(r_name, 'ALL') AS region,
+        | coalesce(n_name, 'ALL') AS nation,
+        | CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        | CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM j GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""".stripMargin,
+    // q190: the same >1800s gap sessionization contract as q18/q181;
+    // first/last via row_number over (ts, event_id) = Spark's min_by/max_by
+    // struct order
+    "q190_bounce_exit" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, event_id, event_type, sum(new_s) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+        |r AS (SELECT user_id, sid, event_type,
+        |   row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS ra,
+        |   row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rd,
+        |   count(*) OVER (PARTITION BY user_id, sid) AS ne
+        |  FROM g),
+        |ses AS (SELECT user_id, sid,
+        |   max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+        |   max(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+        |   max(ne) AS n_events
+        |  FROM r GROUP BY 1, 2),
+        |ent AS (SELECT entry_type AS event_type, count(*) AS entry_sessions,
+        |   sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS bounce_sessions
+        |  FROM ses GROUP BY 1),
+        |ex AS (SELECT exit_type AS event_type, count(*) AS exit_sessions
+        |  FROM ses GROUP BY 1),
+        |f AS (SELECT coalesce(ent.event_type, ex.event_type) AS event_type,
+        |   CAST(coalesce(entry_sessions, 0) AS BIGINT) AS entry_sessions,
+        |   CAST(coalesce(exit_sessions, 0) AS BIGINT) AS exit_sessions,
+        |   CAST(coalesce(bounce_sessions, 0) AS BIGINT) AS bounce_sessions
+        |  FROM ent FULL OUTER JOIN ex ON ent.event_type = ex.event_type),
+        |t AS (SELECT sum(entry_sessions) AS n_total FROM f)
+        |SELECT event_type, entry_sessions, exit_sessions, bounce_sessions,
+        | CASE WHEN entry_sessions = 0 THEN NULL
+        |  ELSE round(CAST(bounce_sessions AS DOUBLE) / entry_sessions, 6)
+        | END AS bounce_rate,
+        | round(CAST(entry_sessions AS DOUBLE) / n_total, 6) AS entry_share
+        |FROM f, t""".stripMargin,
+    // q191: Pearson r per calendar lag from five exact HUGEINT sums over
+    // the zero-filled day spine; doubles only in the final ratio
+    "q191_revenue_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT cal.day, coalesce(daily.cents, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)),
+        |l AS (SELECT k FROM range(1, 15) t(k)),
+        |p AS (SELECT l.k AS lag, a.x AS x, y.x AS y
+        |  FROM x a JOIN l ON true
+        |  JOIN x y ON y.day = a.day + CAST(l.k AS INTEGER)),
+        |s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(x AS HUGEINT)) AS s1, sum(CAST(y AS HUGEINT)) AS s2,
+        |   sum(CAST(x AS HUGEINT) * x) AS s11,
+        |   sum(CAST(y AS HUGEINT) * y) AS s22,
+        |   sum(CAST(x AS HUGEINT) * y) AS s12
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        | round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+        |  / (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+        |    * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6) AS acf
+        |FROM s""".stripMargin,
+    // q192: raw power sums in HUGEINT (cents^4 overflows int64), central
+    // moments in identically-shaped double algebra; m2^1.5 as m2*sqrt(m2)
+    // because sqrt is correctly rounded in both engines and pow is not
+    "q192_value_moments" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100, 0) AS HUGEINT) AS c FROM events),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   sum(c) AS p1, sum(c * c) AS p2, sum(c * c * c) AS p3,
+        |   sum(c * c * c * c) AS p4
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |   CAST(p1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+        |   CAST(p2 AS DOUBLE) / CAST(n AS DOUBLE) AS ep2,
+        |   CAST(p3 AS DOUBLE) / CAST(n AS DOUBLE) AS ep3,
+        |   CAST(p4 AS DOUBLE) / CAST(n AS DOUBLE) AS ep4
+        |  FROM s),
+        |mm AS (SELECT event_type, n, m,
+        |   ep2 - m * m AS m2,
+        |   ep3 - 3.0 * m * ep2 + 2.0 * m * m * m AS m3,
+        |   ep4 - 4.0 * m * ep3 + 6.0 * m * m * ep2 - 3.0 * m * m * m * m AS m4
+        |  FROM d)
+        |SELECT event_type, n AS n_events,
+        | round(m / 100.0, 6) AS mean_value,
+        | round(sqrt(m2) / 100.0, 6) AS sd_value,
+        | round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        | round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+        |FROM mm""".stripMargin,
+    // q193: wedges through centers with 2 <= deg <= 64; per-center
+    // fixed-point round(1e6/ln deg) summed exactly; is_edge separates
+    // closed wedges (cohesion) from open ones (link predictions)
+    "q193_adamic_adar" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |      UNION ALL SELECT doc2, doc1 FROM mp),
+         |c AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
+         |cen AS (SELECT v, CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE)), 0)
+         |    AS BIGINT) AS w_fp
+         |  FROM c WHERE deg BETWEEN 2 AND 64),
+         |w AS (SELECT a.dst AS u, b.dst AS wn, cen.w_fp
+         |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+         |  JOIN cen ON cen.v = a.src),
+         |nw AS (SELECT u, wn, count(*) AS n_common, sum(w_fp) AS aa_fp
+         |  FROM w GROUP BY 1, 2)
+         |SELECT u AS doc1, wn AS doc2, CAST(n_common AS BIGINT) AS n_common,
+         | CAST(aa_fp AS BIGINT) AS aa_fp,
+         | round(CAST(aa_fp AS DOUBLE) / 1000000.0, 6) AS aa_score,
+         | CAST(CASE WHEN EXISTS (SELECT 1 FROM mp
+         |    WHERE mp.doc1 = nw.u AND mp.doc2 = nw.wn)
+         |   THEN 1 ELSE 0 END AS INTEGER) AS is_edge
+         |FROM nw""".stripMargin,
+    // q194: exact-distance frontier sets via joins + EXCEPT; the score is
+    // the exact fixed point 6/d summed per reachable vertex
+    "q194_harmonic_centrality" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |      UNION ALL SELECT doc2, doc1 FROM mp),
+         |d1 AS (SELECT DISTINCT src AS o, dst AS v FROM e),
+         |d2 AS (SELECT DISTINCT d1.o AS o, e.dst AS v
+         |    FROM d1 JOIN e ON e.src = d1.v WHERE d1.o <> e.dst
+         |   EXCEPT SELECT o, v FROM d1),
+         |d3 AS (SELECT DISTINCT d2.o AS o, e.dst AS v
+         |    FROM d2 JOIN e ON e.src = d2.v WHERE d2.o <> e.dst
+         |   EXCEPT SELECT o, v FROM d1
+         |   EXCEPT SELECT o, v FROM d2),
+         |n1 AS (SELECT o, count(*) AS n1 FROM d1 GROUP BY 1),
+         |n2 AS (SELECT o, count(*) AS n2 FROM d2 GROUP BY 1),
+         |n3 AS (SELECT o, count(*) AS n3 FROM d3 GROUP BY 1),
+         |f AS (SELECT n1.o, CAST(n1.n1 AS BIGINT) AS n1,
+         |   CAST(coalesce(n2.n2, 0) AS BIGINT) AS n2,
+         |   CAST(coalesce(n3.n3, 0) AS BIGINT) AS n3
+         |  FROM n1 LEFT JOIN n2 ON n1.o = n2.o LEFT JOIN n3 ON n1.o = n3.o)
+         |SELECT o AS doc_id, n1, n2, n3,
+         | 6 * n1 + 3 * n2 + 2 * n3 AS harmonic_fp,
+         | round(CAST(6 * n1 + 3 * n2 + 2 * n3 AS DOUBLE) / 6.0, 6) AS harmonic
+         |FROM f""".stripMargin,
+    // q195: in-row list arithmetic mirrors Spark's HOF plan; the low_ttr
+    // flag compares the ROUNDED ttr like the engine does
+    "q195_lexical_richness" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |   CAST(len(w) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+        |   CAST(len(list_filter(w,
+        |     x -> len(list_filter(w, y -> y = x)) = 1)) AS BIGINT) AS n_hapax
+        |  FROM t),
+        |r AS (SELECT doc_id, source, n_tokens, n_types, n_hapax,
+        |   round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        |   round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS hapax_share
+        |  FROM m)
+        |SELECT *, CAST(CASE WHEN ttr < 0.5 THEN 1 ELSE 0 END AS INTEGER)
+        |  AS low_ttr
+        |FROM r""".stripMargin,
+    // q196: co-occurrence events from a positional self-join (1-based list
+    // index vs Spark's 0-based posexplode — only distances matter); PMI's
+    // single ln runs on an identically-shaped exact-count ratio
+    "q196_pmi_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM t, unnest(range(1, len(w) + 1)) r(i)),
+        |p AS (SELECT least(a.word, b.word) AS w1, greatest(a.word, b.word) AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+        |   AND b.pos > a.pos AND b.pos <= a.pos + 4),
+        |pc AS (SELECT w1, w2, count(*) AS c_xy FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 25),
+        |tot AS (SELECT count(*) AS n_pairs FROM p),
+        |uni AS (SELECT word, count(*) AS c FROM (
+        |   SELECT w1 AS word FROM p UNION ALL SELECT w2 FROM p)
+        |  GROUP BY 1)
+        |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+        | CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+        | round(ln(CAST(n_pairs AS DOUBLE) * c_xy
+        |   / (CAST(ux.c AS DOUBLE) * uy.c)), 6) AS pmi
+        |FROM pc JOIN uni ux ON ux.word = w1 JOIN uni uy ON uy.word = w2, tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+    // q197: greedy MMR unrolled to k=5 steps; lambda constants interpolated
+    // from the same Scala doubles the engine combines with (q90 precedent)
+    "q197_mmr_rerank" -> {
+      val lambda = 0.7
+      val (l, oneMinusL) = (lambda.toString, (1.0 - lambda).toString)
+      val steps = (2 to 5).map { t =>
+        s"""p$t AS (SELECT c.query_id, c.cid, c.rel, max(s.sim) AS ms
+           |  FROM cand c JOIN sims s ON s.query_id = c.query_id AND s.cid = c.cid
+           |  JOIN sel${t - 1} x ON x.query_id = s.query_id AND x.cid = s.other
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+           |    WHERE z.query_id = c.query_id AND z.cid = c.cid)
+           |  GROUP BY 1, 2, 3),
+           |s$t AS (SELECT query_id, cid, rel, ms AS max_sim_sel,
+           |   $l * rel - $oneMinusL * ms AS mmr, $t AS step
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |     ORDER BY $l * rel - $oneMinusL * ms DESC, cid) AS rn FROM p$t)
+           |  WHERE rn = 1),
+           |sel$t AS (SELECT query_id, cid FROM sel${t - 1}
+           |  UNION ALL SELECT query_id, cid FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |   CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+         |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (SELECT query_id, vec_id AS cid, v, ${cosExpr("qv", "v")} AS rel
+         |  FROM c0 JOIN q ON vec_id <> query_id),
+         |cand AS (SELECT query_id, cid, v, rel FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rel DESC, cid) AS rn FROM sc) WHERE rn <= 20),
+         |sims AS (SELECT a.query_id AS query_id, a.cid AS cid, b.cid AS other,
+         |   ${cosExpr("a.v", "b.v")} AS sim
+         |  FROM cand a JOIN cand b
+         |   ON a.query_id = b.query_id AND a.cid <> b.cid),
+         |s1 AS (SELECT query_id, cid, rel, CAST(NULL AS DOUBLE) AS max_sim_sel,
+         |   rel AS mmr, 1 AS step
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY rel DESC, cid) AS rn FROM cand) WHERE rn = 1),
+         |sel1 AS (SELECT query_id, cid FROM s1),
+         |$steps,
+         |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |  UNION ALL SELECT * FROM s5)
+         |SELECT query_id, CAST(step AS INTEGER) AS step, cid AS vec_id, rel,
+         | max_sim_sel, round(mmr, 6) AS mmr
+         |FROM u""".stripMargin
+    },
   )
 }

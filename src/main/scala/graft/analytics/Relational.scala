@@ -447,4 +447,150 @@ object Relational {
         col("ewma_fp").cast(dec).cast("string").as("ewma_fp"),
         round(col("ewma_fp").cast("double") / mass, 2).as("ewma_dollars"))
   }
+
+  /** Event value pivoted to a day-of-week grid — one row per event_type,
+    * one column per ISO weekday (wd1=Monday … wd7=Sunday) holding the
+    * summed value in cents — the wide-format weekly heat grid a BI layer
+    * reads without a client-side crosstab. Exercises the PIVOT relational
+    * operator with an EXPLICIT value list: pivot on an open value set
+    * needs a driver-side distinct pass first (Spark warns and collects);
+    * pinning the seven weekdays keeps the plan a single static aggregate.
+    *
+    * Scale shape: pivot with pinned values compiles to one groupBy with
+    * 7 conditional aggregates — map-side combinable, one shuffle on
+    * event_type (bounded cardinality), no second pass, no driver collect.
+    */
+  def dowRevenuePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wd = (weekday(col("ts")) + lit(1)).as("iso_dow")
+    val cents = round(col("value") * 100, 0).cast("long").as("cents")
+    val wide = Tables.events(spark, sfDir)
+      .select(col("event_type"), wd, cents)
+      .groupBy(col("event_type"))
+      .pivot("iso_dow", (1 to 7).map(Integer.valueOf))
+      .agg(sum(col("cents")))
+    (1 to 7).foldLeft(wide)((df, d) =>
+      df.withColumn(s"wd$d", coalesce(col(d.toString), lit(0L)))
+        .drop(d.toString))
+  }
+
+  /** Order revenue under GROUPING SETS ((region, nation), (region), ()) —
+    * the one rollup pass that serves the nation drill-down, the region
+    * summary, and the grand total without three scans. `grouping_id`
+    * disambiguates a real NULL from an aggregated-away level (gid bit set
+    * = that column is rolled up); rolled-up labels render as 'ALL'.
+    *
+    * Scale shape: Spark expands grouping sets into a single Expand +
+    * hash aggregate — one shuffle keyed on (gid, region, nation), all
+    * partial-aggregated map-side. The dimension chain customer→nation→
+    * region is broadcast; only the orders→customer join shuffles on the
+    * high-cardinality key.
+    */
+  def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = broadcast(Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name")))
+    Tables.orders(spark, sfDir)
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .select(col("r_name"), col("n_name"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(grouping_id().as("gid"), sum(col("cents")).as("rev_cents"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("gid").cast("long").as("gid"), col("rev_cents"))
+  }
+
+  /** Autocorrelation of daily order revenue at calendar lags 1..`maxLag` —
+    * the seasonality screen behind every forecasting model choice (a
+    * weekly cycle shows as a lag-7 spike). Days without orders count as
+    * zero revenue via a zero-filled calendar spine, so lags are CALENDAR
+    * lags, not business-day lags.
+    *
+    * Determinism: Pearson r at each lag is computed from five exact
+    * integer sums (Σx, Σy, Σx², Σy², Σxy over cents, Decimal(38,0) /
+    * HUGEINT); doubles appear only in the final ratio, evaluated with the
+    * identical expression shape on both engines and rounded at 6 dp.
+    *
+    * Scale shape: raw orders collapse to day grain first (map-side
+    * combine); everything after runs on the TINY calendar spine (one row
+    * per day × maxLag lag copies) — an equality join on the shifted day
+    * key, then a lag-keyed rollup into ≤ maxLag rows. Nothing unbounded
+    * ever shuffles.
+    */
+  def revenueAutocorrelation(spark: SparkSession, sfDir: String,
+      maxLag: Int = 14): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    val pairs = cal
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .join(cal.select(col("day").as("yday"), col("x").as("y")),
+        expr("yday = date_add(day, lag)"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum(col("y").cast(dec)).as("s2"),
+        sum((col("x") * col("x")).cast(dec)).as("s11"),
+        sum((col("y") * col("y")).cast(dec)).as("s22"),
+        sum((col("x") * col("y")).cast(dec)).as("s12"))
+      .select(col("lag"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+          / (sqrt((col("n") * col("s11") - col("s1") * col("s1")).cast("double"))
+            * sqrt((col("n") * col("s22") - col("s2") * col("s2")).cast("double"))),
+          6).as("acf"))
+  }
+
+  /** Higher-moment distribution profile of event value per event_type:
+    * mean, population standard deviation, skewness, and excess kurtosis —
+    * the four numbers a drift monitor tracks per metric (kurtosis
+    * explosions flag heavy-tail pollution long before the mean moves).
+    *
+    * Determinism: the four raw power sums Σx..Σx⁴ are EXACT integer
+    * arithmetic in cents (Decimal(38,0) / HUGEINT — cents⁴ overflows
+    * int64, which is why the decimal carrier is not optional); the
+    * central-moment formulas then run in doubles with the identical
+    * expression shape on both engines, rounded at 6 dp. Skewness and
+    * kurtosis are scale-invariant, so the cents scaling cancels exactly.
+    *
+    * Scale shape: one map-side-combinable aggregate into ≤ |event_type|
+    * rows; the moment algebra is per-row arithmetic on the bounded result.
+    */
+  def valueMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = col("c")
+    val sums = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100, 0).cast(dec).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(c).as("p1"),
+        sum(c * c).as("p2"), sum(c * c * c).as("p3"),
+        sum(c * c * c * c).as("p4"))
+    val nd = col("n").cast("double")
+    val m = (col("p1").cast("double") / nd).as("m")
+    val ex = Seq("p2", "p3", "p4").map(p => (col(p).cast("double") / nd).as(s"e$p"))
+    val proj = sums.select(col("event_type") +: col("n") +: m +: ex: _*)
+    val (mm, e2, e3, e4) = (col("m"), col("ep2"), col("ep3"), col("ep4"))
+    val m2 = (e2 - mm * mm).as("m2")
+    val m3 = (e3 - lit(3.0) * mm * e2 + lit(2.0) * mm * mm * mm).as("m3")
+    val m4 = (e4 - lit(4.0) * mm * e3 + lit(6.0) * mm * mm * e2
+      - lit(3.0) * mm * mm * mm * mm).as("m4")
+    proj.select(col("event_type"), col("n"), col("m"), m2, m3, m4)
+      .select(col("event_type"), col("n").as("n_events"),
+        round(col("m") / 100.0, 6).as("mean_value"),
+        round(sqrt(col("m2")) / 100.0, 6).as("sd_value"),
+        // m2^1.5 as m2·√m2: sqrt is correctly-rounded IEEE in both engines,
+        // pow's libm implementations are not guaranteed to agree
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          .as("excess_kurtosis"))
+  }
 }

@@ -325,4 +325,50 @@ object Sessions {
         when(col("value") < 50, "low")
           .when(col("value") < 200, "mid")
           .otherwise("high").as("value_bucket"))
+
+  /** Entry/exit/bounce rates per event_type over 30-min-gap sessions —
+    * the landing-page report translated to the event stream: for each
+    * type, how many sessions START with it (entry), END with it (exit),
+    * and consist of it ALONE (bounce), plus bounce rate among its entries
+    * and its share of all session entries. First/last are deterministic
+    * under the (ts, event_id) total order (min_by/max_by on the struct —
+    * ties on ts break by event_id, the same order the oracle's
+    * row_number uses).
+    *
+    * Scale shape: one user-keyed session_window pass collapses events to
+    * one row per session carrying only its entry/exit types; the rollup
+    * is then keyed on the BOUNDED event_type domain, and the entry total
+    * is a window over that bounded table — sessions never shuffle twice.
+    */
+  def bounceExitRates(spark: SparkSession, sfDir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val perSession = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("entry_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("exit_type"),
+        count(lit(1)).as("n_events"))
+    val entries = perSession.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("entry_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L))
+          .as("bounce_sessions"))
+    val exits = perSession.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("exit_sessions"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("entry_sessions"), lit(0L)).as("entry_sessions"),
+        coalesce(col("exit_sessions"), lit(0L)).as("exit_sessions"),
+        coalesce(col("bounce_sessions"), lit(0L)).as("bounce_sessions"))
+      .withColumn("n_total",
+        sum(col("entry_sessions")).over(Window.partitionBy()))
+      .select(col("event_type"), col("entry_sessions"), col("exit_sessions"),
+        col("bounce_sessions"),
+        when(col("entry_sessions") === 0, lit(null).cast("double"))
+          .otherwise(round(col("bounce_sessions").cast("double")
+            / col("entry_sessions"), 6)).as("bounce_rate"),
+        round(col("entry_sessions").cast("double") / col("n_total"), 6)
+          .as("entry_share"))
+  }
 }

@@ -1148,4 +1148,102 @@ object TextAnalytics {
         round(round(sum(col("q")), 4) / count(lit(1)), 4).as("mean_quality"),
         countDistinct(col("fp")).as("distinct_fingerprints"))
   }
+
+  /** Intra-document lexical richness: type–token ratio and hapax share
+    * per document — the repetition screen that runs BEFORE any cross-doc
+    * dedup (a crawler loop or template expander shows as near-zero TTR
+    * inside a single document, invisible to corpus-level n-gram stats).
+    * `n_types` is the distinct-word count, `n_hapax` the words occurring
+    * exactly once in the doc; low-TTR docs are flagged at `ttrFlag`.
+    *
+    * Scale shape: the entire computation is IN-ROW higher-order-function
+    * arithmetic on the split array (distinct via array_distinct, hapax
+    * via a per-word frequency probe — O(words²) with words bounded by
+    * doc length) — ZERO shuffles, a pure map over the corpus scan. The
+    * alternative explode → (doc, word) groupBy pays a corpus-sized
+    * shuffle for the same integers.
+    */
+  def lexicalRichness(spark: SparkSession, sfDir: String,
+      ttrFlag: Double = 0.5): DataFrame =
+    lexicalRichnessOf(Tables.documents(spark, sfDir), ttrFlag)
+
+  /** [[lexicalRichness]] over an arbitrary documents frame. */
+  def lexicalRichnessOf(docs: DataFrame, ttrFlag: Double = 0.5): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_types"),
+        size(expr(
+          "filter(w, x -> size(filter(w, y -> y = x)) = 1)"))
+          .cast("long").as("n_hapax"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_tokens"), 6)
+          .as("hapax_share"))
+      .withColumn("low_ttr", (col("ttr") < ttrFlag).cast("int"))
+
+  /** Windowed word co-occurrence with pointwise mutual information: for
+    * word pairs co-occurring within `window` positions (ordered pairs
+    * folded to canonical w1 < w2), PMI = ln(N·c(x,y) / (c(x)·c(y))) over
+    * the co-occurrence event space (Church & Hanks, "Word association
+    * norms, mutual information, and lexicography", CL 1990). The top of
+    * the list is the collocation table (multi-word expressions, fused
+    * entities) a tokenizer or phrase-miner ingests; `minCount` suppresses
+    * the classic PMI low-frequency explosion.
+    *
+    * Determinism: all counts are exact integers; the single ln runs on
+    * an exact integer ratio rendered identically by both engines and is
+    * rounded at 6 dp.
+    *
+    * Scale shape: co-occurrence rows come from a positional self-join on
+    * the doc key (each token meets ≤ `window` successors — linear in
+    * corpus size, never quadratic); pair counting is one equality-keyed
+    * aggregate; unigram totals join back BROADCAST (vocabulary-bounded).
+    * Top-k is a TakeOrderedAndProject, never a global sort.
+    */
+  def pmiPairs(spark: SparkSession, sfDir: String, window: Int = 4,
+      minCount: Int = 25, topK: Int = 100): DataFrame =
+    pmiPairsOf(Tables.documents(spark, sfDir), window, minCount, topK)
+
+  /** [[pmiPairs]] over an arbitrary documents frame — the fixture-testable
+    * core.
+    */
+  def pmiPairsOf(docs: DataFrame, window: Int = 4,
+      minCount: Int = 25, topK: Int = 100): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    // each token meets its `window` successors through an EXACT equality
+    // key (doc, pos+off) — the offset explode keeps the join linear in
+    // corpus size where a (doc-key + pos-range) join would re-pair every
+    // token with every token of its document
+    val pairs = toks
+      .withColumn("off", explode(sequence(lit(1), lit(window))))
+      .as("a")
+      .join(toks.as("b"), col("b.doc_id") === col("a.doc_id")
+        && col("b.pos") === col("a.pos") + col("off"))
+      .select(least(col("a.word"), col("b.word")).as("w1"),
+        greatest(col("a.word"), col("b.word")).as("w2"))
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    val uni = pairs.select(col("w1").as("word"))
+      .union(pairs.select(col("w2").as("word")))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    pairCounts
+      .join(broadcast(uni.select(col("word").as("w1"), col("c").as("c_x"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("word").as("w2"), col("c").as("c_y"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        round(log(col("n_pairs").cast("double") * col("c_xy")
+          / (col("c_x").cast("double") * col("c_y"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -1718,4 +1718,121 @@ object Curation {
           .as("removed_frac"),
         col("clean_text"))
   }
+
+  /** Adamic–Adar wedge scores over the near-dup graph: for every pair
+    * (u, w) sharing at least one neighbor, the classic score
+    * Σ_v 1/ln(deg v) over common neighbors v (Adamic & Adar, "Friends
+    * and neighbors on the Web", Social Networks 2003), with an `is_edge`
+    * flag separating CLOSED wedges (the pair is already an LSH edge —
+    * these measure cluster cohesion) from OPEN ones (the link
+    * predictions). On a dedup graph a high-scoring open pair is a pair
+    * LSH *should* have produced — two documents whose duplicate
+    * neighborhoods overlap heavily — so the open slice ranked by score
+    * is the recall-repair worklist (re-verify these pairs exactly) after
+    * any banding-parameter change.
+    *
+    * Hub cap: wedge enumeration through a center v costs deg(v)², so
+    * centers above `maxDeg` are skipped — the standard truncation (a
+    * near-clique hub's members are already each other's neighbors; its
+    * wedges predict edges inside an already-resolved cluster). The cap is
+    * part of the operator contract and the oracle applies it identically.
+    *
+    * Determinism: each center contributes the FIXED-POINT
+    * round(10⁶/ln deg) (ln of identical small integers — both engines
+    * agree at the round); scores are then exact integer sums.
+    *
+    * Scale shape: degree is one map-side-combinable aggregate; wedges are
+    * one equality self-join on the center key, bounded by the cap; the
+    * existing-edge subtraction is a left-anti equality join on the pair
+    * key. Nothing all-pairs, nothing driver-side.
+    */
+  def adamicAdar(spark: SparkSession, sfDir: String,
+      maxDeg: Int = 64): DataFrame =
+    adamicAdarOf(Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2")), maxDeg)
+
+  /** [[adamicAdar]] over an arbitrary canonical (doc1 < doc2) pair list —
+    * the fixture-testable core.
+    */
+  def adamicAdarOf(pairs: DataFrame, maxDeg: Int = 64): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+    val centers = edges.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("deg"))
+      // deg 1 cannot anchor a wedge anyway; the lower bound keeps ln(deg)
+      // away from ln(1)=0 so w_fp never evaluates a division by zero
+      .where(col("deg") >= 2 && col("deg") <= maxDeg)
+      .select(col("v"),
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0)
+          .cast("long").as("w_fp"))
+    val wedges = edges.select(col("src").as("v"), col("dst").as("u"))
+      .join(edges.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .where(col("u") < col("w"))
+      .join(centers, Seq("v"))
+    wedges
+      .groupBy(col("u").as("doc1"), col("w").as("doc2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+      .join(pairs.select(col("doc1"), col("doc2"), lit(1).as("is_edge")),
+        Seq("doc1", "doc2"), "left")
+      .select(col("doc1"), col("doc2"), col("n_common"), col("aa_fp"),
+        round(col("aa_fp").cast("double") / 1e6, 6).as("aa_score"),
+        coalesce(col("is_edge"), lit(0)).as("is_edge"))
+  }
+
+  /** Bounded-hop harmonic centrality over the near-dup graph: for each
+    * vertex, Σ 1/d(u,v) over vertices within `hops` hops (here counts n1,
+    * n2, n3 of vertices at exact distance 1, 2, 3). Harmonic centrality
+    * (Boldi & Vigna, "Axioms for centrality", Internet Math 2014) is the
+    * distance-based importance measure that stays defined on DISCONNECTED
+    * graphs — which a dedup graph always is — and the bounded-hop form is
+    * the only one that scales: full closeness needs all-pairs distances,
+    * while a k-hop frontier sweep is k equality joins. A high-centrality
+    * document sits in the middle of a large duplicate neighborhood — the
+    * natural canonical-representative pick for its cluster.
+    *
+    * Determinism: exact-distance counts are integers; the score is the
+    * exact fixed point 6·n1 + 3·n2 + 2·n3 (= 6·Σ1/d), divided out to a
+    * double only at the end.
+    *
+    * Scale shape: each hop is one equality join of the current frontier
+    * against the edge list followed by a distinct and two left-anti joins
+    * (subtract closer hops) — all equality-keyed on vertex ids; frontiers
+    * only ever hold (origin, vertex) pairs of the visited k-ball, never
+    * paths. The same sweep at 100 TB is k rounds of hash joins.
+    */
+  def harmonicCentrality(spark: SparkSession, sfDir: String): DataFrame =
+    harmonicCentralityOf(Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2")))
+
+  /** [[harmonicCentrality]] over an arbitrary canonical pair list — the
+    * fixture-testable core (3 hops, fixed).
+    */
+  def harmonicCentralityOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    val d1 = edges.select(col("src").as("o"), col("dst").as("v")).distinct()
+      .localCheckpoint()
+    def hop(frontier: DataFrame, closer: Seq[DataFrame]): DataFrame =
+      closer.foldLeft(
+        frontier.join(edges, frontier("v") === edges("src"))
+          .select(col("o"), col("dst").as("v")).distinct()
+          .where(col("o") =!= col("v")))(
+        (f, c) => f.join(c, Seq("o", "v"), "left_anti"))
+        .localCheckpoint()
+    val d2 = hop(d1, Seq(d1))
+    val d3 = hop(d2, Seq(d1, d2))
+    def cnt(d: DataFrame, name: String): DataFrame =
+      d.groupBy(col("o")).agg(count(lit(1)).as(name))
+    cnt(d1, "n1")
+      .join(cnt(d2, "n2"), Seq("o"), "left")
+      .join(cnt(d3, "n3"), Seq("o"), "left")
+      .select(col("o").as("doc_id"), col("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+      .withColumn("harmonic_fp",
+        lit(6L) * col("n1") + lit(3L) * col("n2") + lit(2L) * col("n3"))
+      .withColumn("harmonic",
+        round(col("harmonic_fp").cast("double") / 6.0, 6))
+  }
 }

@@ -1021,4 +1021,82 @@ object Similarity {
         round((contrib(col("rank_lex")) + contrib(col("rank_sem")))
           .cast("double") / 1e6, 6).as("rrf"))
   }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results from each query's top-`nCand`
+    * cosine candidates maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    * the diversity-aware final stage of a retrieval pipeline, which keeps
+    * a near-duplicate-rich corpus from filling all k slots with copies of
+    * one document. Output: the selection order per query with each pick's
+    * relevance, its similarity to the already-picked set, and its MMR
+    * score at selection time.
+    *
+    * Determinism: relevance and pairwise sims are the 4-dp-rounded cosine
+    * (the q29 contract); the MMR combination runs in doubles with the
+    * identical expression shape on both engines and ties break by vec_id.
+    *
+    * Scale shape: the SCALABLE stage is candidate generation (per-query
+    * k-heap over the corpus — here brute-force cosine, in production any
+    * ANN route: q30/q37/q125 drop in unchanged); the greedy loop then
+    * touches only the k·nCand candidate grid per query — re-rank cost is
+    * independent of corpus size, which is the whole point of MMR-over-
+    * candidates. The k−1 iterations are k−1 joins of bounded frames, no
+    * driver-side loop over data.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String, k: Int = 5,
+      nCand: Int = 20, nQueries: Int = 3, lambda: Double = 0.7): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("cid"))
+    val cands = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"), col("v"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("rel"))
+      .withColumn("crank", row_number().over(candW))
+      .where(col("crank") <= nCand)
+      .drop("crank")
+      .localCheckpoint()
+    // candidate-grid pairwise sims: nCand² rows per query, corpus-free
+    val sims = cands.as("a")
+      .join(cands.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"), col("a.cid").as("cid"),
+        col("b.cid").as("other"),
+        round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .localCheckpoint()
+    val slim = cands.select(col("query_id"), col("cid"), col("rel"))
+    val pickW = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("cid"))
+    // step 1: no selected set yet — MMR is pure relevance
+    var sel = slim
+      .select(col("query_id"), col("cid"), col("rel"),
+        lit(null).cast("double").as("max_sim_sel"), col("rel").as("mmr"))
+      .withColumn("rn", row_number().over(pickW))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("cid"), col("rel"), col("max_sim_sel"),
+        col("mmr"), lit(1).as("step"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val rem = slim.join(sel.select(col("query_id"), col("cid")),
+        Seq("query_id", "cid"), "left_anti")
+      val pen = rem
+        .join(sims, Seq("query_id", "cid"))
+        .join(sel.select(col("query_id"), col("cid").as("other")),
+          Seq("query_id", "other"))
+        .groupBy(col("query_id"), col("cid"))
+        .agg(max(col("sim")).as("max_sim_sel"))
+      val pick = rem.join(pen, Seq("query_id", "cid"))
+        .select(col("query_id"), col("cid"), col("rel"), col("max_sim_sel"),
+          (lit(lambda) * col("rel")
+            - lit(1.0 - lambda) * col("max_sim_sel")).as("mmr"))
+        .withColumn("rn", row_number().over(pickW))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("cid"), col("rel"), col("max_sim_sel"),
+          col("mmr"), lit(t).as("step"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("step"), col("cid").as("vec_id"),
+      col("rel"), col("max_sim_sel"), round(col("mmr"), 6).as("mmr"))
+  }
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.{Relational, Sessions, TextAnalytics}
+import org.apache.spark.sql.functions.{col, unix_micros}
+
+/** Semantics of the round-7 operators: pivot/grouping-sets relational
+  * coverage, bounce/exit session rates, exact-sum time-series stats
+  * (autocorrelation, higher moments), Adamic-Adar wedges, bounded-hop
+  * harmonic centrality, lexical richness, PMI collocations, and MMR
+  * re-ranking. Crafted fixtures where the expectation is computable by
+  * hand; the DuckDB oracle covers exact corpus values at sf0.01.
+  */
+class Round7OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def roundAt(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("dow pivot: cells replay the per-type/per-isodow cent sums") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // epoch day 0 (1970-01-01) was a Thursday = isodow 4
+    def isodow(micros: Long): Int =
+      (((micros / 86400000000L) + 3) % 7 + 1).toInt
+    val expect = events
+      .groupBy(e => (e._1, isodow(e._2)))
+      .view.mapValues(_.map(e => math.round(e._3 * 100)).sum).toMap
+    val got = Relational.dowRevenuePivot(spark, sf).collect()
+    assert(got.length === events.map(_._1).distinct.length)
+    got.foreach { r =>
+      val t = r.getString(0)
+      (1 to 7).foreach { d =>
+        assert(r.getLong(d) === expect.getOrElse((t, d), 0L),
+          s"cell ($t, wd$d)")
+      }
+    }
+  }
+
+  test("grouping sets: nation rows roll up to region rows to the total") {
+    val rows = Relational.revenueGroupingSets(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nation = rows.filter(_._3 == 0L)
+    val region = rows.filter(_._3 == 1L)
+    val total = rows.filter(_._3 == 3L)
+    assert(total.length === 1)
+    assert(region.map(_._4).sum === total.head._4)
+    region.foreach { case (rName, all, _, cents) =>
+      assert(all === "ALL")
+      assert(nation.filter(_._1 == rName).map(_._4).sum === cents,
+        s"region $rName")
+    }
+    assert(nation.map(_._4).sum === total.head._4)
+  }
+
+  test("bounce/exit: totals reconcile and bounces never exceed entries") {
+    val rows = Sessions.bounceExitRates(spark, sf).collect()
+    val entries = rows.map(_.getLong(1)).sum
+    val exits = rows.map(_.getLong(2)).sum
+    // every session has exactly one entry and one exit
+    assert(entries === exits)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"${r.getString(0)} bounces")
+      if (r.getLong(1) > 0)
+        assert(r.getDouble(4) ===
+          roundAt(r.getLong(3).toDouble / r.getLong(1), 6))
+      assert(r.getDouble(5) ===
+        roundAt(r.getLong(1).toDouble / entries, 6))
+    }
+  }
+
+  test("revenue acf: pair counts walk the zero-filled calendar; |r| <= 1") {
+    val rows = Relational.revenueAutocorrelation(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 14))
+    // zero-filled spine: lag k has exactly (n_days - k) pairs
+    val nDays = rows.head._2 + 1
+    rows.foreach { case (k, n, r) =>
+      assert(n === nDays - k, s"lag $k pair count")
+      assert(math.abs(r) <= 1.0 + 1e-9, s"lag $k acf $r")
+    }
+  }
+
+  test("value moments: replay one event_type's moments driver-side") {
+    val vals = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("value")).collect().map(r => math.round(r.getDouble(0) * 100))
+    val n = vals.length.toDouble
+    val m = vals.map(BigInt(_)).sum.toDouble / n
+    val e2 = vals.map(v => BigInt(v) * v).sum.toDouble / n
+    val e3 = vals.map(v => BigInt(v) * v * v).sum.toDouble / n
+    val e4 = vals.map(v => BigInt(v) * v * v * v).sum.toDouble / n
+    val m2 = e2 - m * m
+    val m3 = e3 - 3.0 * m * e2 + 2.0 * m * m * m
+    val m4 = e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
+    val row = Relational.valueMoments(spark, sf)
+      .where(col("event_type") === "purchase").collect().head
+    assert(row.getLong(1) === vals.length.toLong)
+    assert(row.getDouble(2) === roundAt(m / 100.0, 6))
+    assert(row.getDouble(3) === roundAt(math.sqrt(m2) / 100.0, 6))
+    assert(row.getDouble(4) === roundAt(m3 / (m2 * math.sqrt(m2)), 6))
+    assert(row.getDouble(5) === roundAt(m4 / (m2 * m2) - 3.0, 6))
+  }
+
+  test("adamic-adar: open path wedge scores 1/ln2; triangle closes") {
+    val s = spark
+    import s.implicits._
+    // path a-b-c: wedge (a,c) through b (deg 2), no direct edge;
+    // triangle d-e-f: every wedge is closed
+    val pairs = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc1", "doc2")
+    val got = Curation.adamicAdarOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(5))).toMap
+    val w2 = math.round(1e6 / math.log(2.0))
+    assert(got((1L, 3L)) === ((1L, w2, 0)))
+    assert(got((10L, 11L)) === ((1L, w2, 1)))
+    assert(got((10L, 12L)) === ((1L, w2, 1)))
+    assert(got((11L, 12L)) === ((1L, w2, 1)))
+    assert(got.size === 4)
+  }
+
+  test("adamic-adar: hub cap drops wedges through high-degree centers") {
+    val s = spark
+    import s.implicits._
+    val star = (1L to 5L).map(i => (100L, 100L + i))
+    val got = Curation.adamicAdarOf(star.toDF("doc1", "doc2"), maxDeg = 4)
+      .collect()
+    assert(got.isEmpty)
+  }
+
+  test("harmonic centrality: 4-node path counts exact distances") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc1", "doc2")
+    val got = Curation.harmonicCentralityOf(pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 6L + 3L + 2L)))
+    assert(got(2L) === ((2L, 1L, 0L, 12L + 3L)))
+    assert(got(3L) === ((2L, 1L, 0L, 15L)))
+    assert(got(4L) === ((1L, 1L, 1L, 11L)))
+  }
+
+  test("lexical richness: hand fixtures for ttr and hapax share") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "s0", "a a b"), (2L, "s0", "a a a a"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalytics.lexicalRichnessOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7))).toMap
+    assert(got(1L) === ((3L, 2L, 1L, roundAt(2.0 / 3, 6),
+      roundAt(1.0 / 3, 6), 0)))
+    assert(got(2L) === ((4L, 1L, 0L, 0.25, 0.0, 1)))
+  }
+
+  test("pmi: counts and the ln replay by hand on a two-word corpus") {
+    val s = spark
+    import s.implicits._
+    // "x y" repeated: within window 4 the pairs per doc of len 4 are
+    // (0,1)(0,2)(0,3)(1,2)(1,3)(2,3) -> xy,xx,xy,xy,yy,xy
+    val docs = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val got = TextAnalytics.pmiPairsOf(docs, minCount = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // 6 pair events; unigram stream counts both slots
+    assert(got(("x", "y"))._1 === 4L)
+    assert(got(("x", "x"))._1 === 1L)
+    assert(got(("y", "y"))._1 === 1L)
+    val (cxy, cx, cy, pmi) = got(("x", "y")) // c_x = c("x") over pair slots
+    assert(cx === 6L && cy === 6L)
+    assert(pmi === roundAt(math.log(6.0 * cxy / (cx.toDouble * cy)), 6))
+  }
+
+  test("mmr: five distinct picks per query; penalty algebra holds") {
+    val rows = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getDouble(5)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.size === 3)
+    byQuery.foreach { case (q, picks) =>
+      assert(picks.map(_._2).sorted.toSeq === (1 to 5), s"query $q steps")
+      assert(picks.map(_._3).distinct.length === 5, s"query $q distinct")
+      picks.foreach { case (_, step, _, rel, maxSim, mmr) =>
+        if (step == 1) {
+          assert(maxSim.isEmpty)
+          assert(mmr === roundAt(rel, 6))
+        } else {
+          assert(maxSim.nonEmpty)
+          assert(mmr === roundAt(0.7 * rel - (1.0 - 0.7) * maxSim.get, 6))
+        }
+      }
+    }
+  }
+}
