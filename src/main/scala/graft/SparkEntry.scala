@@ -363,6 +363,12 @@ object SparkEntry {
     "q196_pmi_pairs" -> ((s: SparkSession, d: String) => TextAnalytics.pmiPairs(s, d)),
     // MMR diversified re-ranking of per-query cosine candidates
     "q197_mmr_rerank" -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    // earliest-anchor greedy funnel with a 7-day completion window
+    "q198_window_funnel" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.windowFunnel(s, d)),
+    // power iteration on the exact integer scatter matrix (∞-norm steps)
+    "q199_dominant_component" -> ((s: SparkSession, d: String) => Similarity.dominantComponent(s, d)),
+    // Markov removal-effect channel attribution in integer fixed point
+    "q200_removal_attribution" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.removalAttribution(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3384,6 +3390,127 @@ private object CorpusOracles {
          |SELECT query_id, CAST(step AS INTEGER) AS step, cid AS vec_id, rel,
          | max_sim_sel, round(mmr, 6) AS mmr
          |FROM u""".stripMargin
+    },
+    // q198: earliest-anchor greedy chain; stage k counts iff t_k - t1 fits
+    // the 7-day window in exact microseconds (epoch_us = Spark unix_micros)
+    "q198_window_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2, min(u1.t1) AS t1
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3, min(u2.t1) AS t1
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM u1) AS n1,
+        |   (SELECT coalesce(sum(CASE WHEN epoch_us(t2) - epoch_us(t1)
+        |      <= 604800000000 THEN 1 ELSE 0 END), 0) FROM u2) AS n2,
+        |   (SELECT coalesce(sum(CASE WHEN epoch_us(t3) - epoch_us(t1)
+        |      <= 604800000000 THEN 1 ELSE 0 END), 0) FROM u3) AS n3),
+        |st AS (SELECT 1 AS step, 'view' AS stage, n1 AS nu, n1 AS np, n1 FROM c
+        | UNION ALL SELECT 2, 'click', n2, n1, n1 FROM c
+        | UNION ALL SELECT 3, 'purchase', n3, n2, n1 FROM c)
+        |SELECT CAST(step AS INTEGER) AS step, stage,
+        | CAST(nu AS BIGINT) AS n_users,
+        | CASE WHEN n1 = 0 THEN NULL
+        |  ELSE round(CAST(nu AS DOUBLE) / n1, 6) END AS conv_from_first,
+        | CASE WHEN np = 0 THEN NULL
+        |  ELSE round(CAST(nu AS DOUBLE) / np, 6) END AS conv_from_prev
+        |FROM st""".stripMargin,
+    // q199: exact integer scatter matrix + 8 power-iteration rounds with
+    // ∞-norm truncating-integer normalization (// == Spark's (a-a%b)/b on
+    // non-negative quotients)
+    "q199_dominant_component" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""w$k AS (SELECT m.i, sum(m.m * v${k - 1}.v) AS w
+           |  FROM m JOIN v${k - 1} ON v${k - 1}.j = m.j GROUP BY 1),
+           |x$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+           |v$k AS (SELECT w$k.i AS j,
+           |   (w$k.w * 1000000 - (w$k.w * 1000000) % x$k.mx) // x$k.mx AS v
+           |  FROM w$k, x$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, i,
+         |   CAST(round(emb[i + 1] * 1000000, 0) AS HUGEINT) AS x
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |    FROM embeddings), unnest(range(0, 64)) r(i)),
+         |n AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM e),
+         |sx AS (SELECT i, sum(x) AS sx FROM e GROUP BY 1),
+         |sxy AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+         |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |m AS (SELECT sxy.i, sxy.j, n.n * sxy.sxy - sa.sx * sb.sx AS m
+         |  FROM sxy JOIN sx sa ON sa.i = sxy.i
+         |  JOIN sx sb ON sb.i = sxy.j CROSS JOIN n),
+         |v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM sx),
+         |$rounds
+         |SELECT CAST(j AS INTEGER) AS dim, CAST(v AS BIGINT) AS loading_fp,
+         | round(CAST(v AS DOUBLE) / 1000000.0, 6) AS loading
+         |FROM v8""".stripMargin
+    },
+    // q200: channel journeys -> absorbing-chain value iteration, 12 rounds
+    // x 5 scenarios in x10^12 truncating fixed point; removal redirects a
+    // channel's inbound transitions to drop
+    "q200_removal_attribution" -> {
+      val scale = "CAST(1000000000000 AS HUGEINT)"
+      val scenarios = Seq("base" -> None, "fb" -> Some("facebook"),
+        "gg" -> Some("google"), "tk" -> Some("tiktok_ads"),
+        "og" -> Some("organic"))
+      val perScenario = scenarios.map { case (sc, removed) =>
+        val redirect = removed match {
+          case Some(c) => s"CASE WHEN dst = '$c' THEN 'drop' ELSE dst END"
+          case None => "dst"
+        }
+        val rounds = (1 to 12).map { k =>
+          s"""v$sc$k AS (SELECT t.src AS s,
+             |   sum(t.n * (CASE WHEN t.dst = 'conv' THEN $scale
+             |     ELSE coalesce(pv.v, CAST(0 AS HUGEINT)) END)) // tot.tot AS v
+             |  FROM tr$sc t JOIN tot ON tot.src = t.src
+             |  LEFT JOIN v$sc${k - 1} pv ON pv.s = t.dst
+             |  GROUP BY t.src, tot.tot)""".stripMargin
+        }.mkString(",\n")
+        s"""tr$sc AS MATERIALIZED (SELECT src, $redirect AS dst, n FROM tr),
+           |v${sc}0 AS (SELECT src AS s, CAST(0 AS HUGEINT) AS v FROM tot),
+           |$rounds""".stripMargin
+      }.mkString(",\n")
+      val resRows = scenarios.collect { case (sc, Some(c)) =>
+        s"""SELECT '$c' AS channel,
+           | (SELECT v FROM vbase12 WHERE s = 'start') AS pb,
+           | (SELECT v FROM v${sc}12 WHERE s = 'start') AS pr"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH ch AS (SELECT user_id, ts, event_id,
+         |   (['facebook','google','tiktok_ads','organic'])
+         |     [(CAST(props->>'k' AS INTEGER) % 4) + 1] AS ch,
+         |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+         |  FROM events),
+         |s AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+         |    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |   THEN 1 ELSE 0 END AS new_s
+         |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+         |c2 AS (SELECT *, max(is_p) OVER (PARTITION BY user_id, sid) AS conv,
+         |   lag(ch) OVER ws AS prev_ch
+         |  FROM g WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+         |cl AS (SELECT * FROM c2 WHERE prev_ch IS NULL OR prev_ch <> ch),
+         |cl2 AS (SELECT *, lead(ch) OVER (PARTITION BY user_id, sid
+         |   ORDER BY ts, event_id) AS next_ch FROM cl),
+         |tr AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM (
+         |   SELECT 'start' AS src, ch AS dst FROM cl2 WHERE prev_ch IS NULL
+         |   UNION ALL SELECT ch, next_ch FROM cl2 WHERE next_ch IS NOT NULL
+         |   UNION ALL SELECT ch, CASE WHEN conv = 1 THEN 'conv' ELSE 'drop' END
+         |    FROM cl2 WHERE next_ch IS NULL)
+         |  GROUP BY 1, 2),
+         |tot AS MATERIALIZED (SELECT src, sum(n) AS tot FROM tr GROUP BY 1),
+         |$perScenario,
+         |res AS ($resRows),
+         |sre AS (SELECT sum(pb - pr) AS sre FROM res)
+         |SELECT channel, CAST(pb AS BIGINT) AS p_base_fp,
+         | CAST(pr AS BIGINT) AS p_removed_fp,
+         | CAST(pb - pr AS BIGINT) AS removal_effect_fp,
+         | round(CAST(pb - pr AS DOUBLE) / 1000000000000.0, 6) AS removal_effect,
+         | CASE WHEN sre.sre = 0 THEN NULL
+         |  ELSE round(CAST(pb - pr AS DOUBLE) / CAST(sre.sre AS DOUBLE), 6)
+         | END AS attribution
+         |FROM res, sre""".stripMargin
     },
   )
 }

@@ -658,4 +658,156 @@ object Funnels {
       .select(col("state"), col("p_fp"),
         round(col("p_fp").cast("double") / lit(1e12), 6).as("stationary_p"))
   }
+
+  /** Time-constrained ordered funnel (the windowFunnel of event
+    * analytics): per user, the EARLIEST-ANCHOR greedy chain — t₁ = first
+    * `stages(0)`, t₂ = first `stages(1)` after t₁, … — counted as reaching
+    * stage k iff tₖ − t₁ ≤ `horizonSec`. One row per stage with the user
+    * count and the conversion ratios against the first and previous
+    * stages. Greedy-from-earliest is the deterministic contract (a
+    * backtracking chain search is exponential and rarely what a funnel
+    * dashboard means).
+    *
+    * Scale shape: each stage is one filtered scan aggregated per user
+    * (map-side combine) joined to the previous stage's per-user row on
+    * the user key — `stages.length − 1` equality shuffles on user_id,
+    * nothing quadratic; the final rollup collapses to one row before the
+    * stage rows are stacked.
+    */
+  def windowFunnel(spark: SparkSession, sfDir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      horizonSec: Long = 604800L): DataFrame = {
+    require(stages.length == 3, "windowFunnel: exactly 3 stages")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val u1 = ev.where(col("event_type") === stages(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val u2 = ev.where(col("event_type") === stages(1))
+      .join(u1, Seq("user_id")).where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val u3 = ev.where(col("event_type") === stages(2))
+      .join(u2, Seq("user_id")).where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    def inWin(t: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column) =
+      unix_micros(t) - unix_micros(t1) <= horizonSec * 1000000L
+    val one = u1.agg(count(lit(1)).as("n1"))
+      .crossJoin(u2.agg(sum(when(inWin(col("t2"), col("t1")), 1L)
+        .otherwise(0L)).as("n2")))
+      .crossJoin(u3.agg(sum(when(inWin(col("t3"), col("t1")), 1L)
+        .otherwise(0L)).as("n3")))
+      .select(col("n1"), coalesce(col("n2"), lit(0L)).as("n2"),
+        coalesce(col("n3"), lit(0L)).as("n3"))
+    val stacked = one.selectExpr(
+      "stack(3, " +
+        s"1, '${stages(0)}', n1, n1, " +
+        s"2, '${stages(1)}', n2, n1, " +
+        s"3, '${stages(2)}', n3, n2) " +
+        "AS (step, stage, n_users, n_prev)")
+      .crossJoin(broadcast(one.select(col("n1").as("n_first"))))
+    stacked.select(col("step"), col("stage"), col("n_users"),
+      when(col("n_first") === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_users").cast("double") / col("n_first"), 6))
+        .as("conv_from_first"),
+      when(col("n_prev") === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_users").cast("double") / col("n_prev"), 6))
+        .as("conv_from_prev"))
+  }
+
+  /** Markov removal-effect attribution over acquisition channels (the
+    * utm_source derivation of q17): sessions become channel journeys
+    * (consecutive duplicates collapsed) with absorbing `conv` (session
+    * contains a purchase) / `drop` ends plus a `start` state; the
+    * first-order chain's start→conv probability is solved by `iters`
+    * value-iteration rounds, then re-solved with each channel's inbound
+    * transitions redirected to `drop` — the removal effect (Anderl et al.,
+    * "Mapping the customer journey", IJRM 2016). A channel's attribution
+    * share is its normalized conversion drop — the budget-allocation
+    * number last-touch attribution gets structurally wrong.
+    *
+    * Determinism: the chain solve runs in ×10¹² truncating-integer fixed
+    * point (the q91/q172 recipe) on exact transition counts, so every
+    * emitted `*_fp` is bit-exact in both engines; doubles appear only in
+    * final 6-dp-rounded ratios.
+    *
+    * Scale shape: the corpus-scale work — sessionizing the event stream
+    * and counting channel transitions — is one user-keyed window pass and
+    * one (src, dst)-keyed rollup. The chain solve runs on the driver over
+    * the collected counts: |channels + 3|² cells, METADATA-sized by
+    * construction (the [[stationaryDistribution]] discipline), and the
+    * 1 + |channels| scenarios re-use the same collected table.
+    */
+  def removalAttribution(spark: SparkSession, sfDir: String,
+      iters: Int = 12): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val channel: org.apache.spark.sql.Column = element_at(
+      array(lit("facebook"), lit("google"), lit("tiktok_ads"), lit("organic")),
+      (get_json_object(col("props"), "$.k").cast("int") % 4) + 1)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        channel.as("ch"),
+        (col("event_type") === "purchase").cast("int").as("is_p"))
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wUser).isNull
+          || unix_micros(col("ts"))
+            - unix_micros(lag(col("ts"), 1).over(wUser)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val wSessAll = Window.partitionBy(col("user_id"), col("sid"))
+    val collapsed = ev
+      .withColumn("conv", max(col("is_p")).over(wSessAll))
+      .withColumn("prev_ch", lag(col("ch"), 1).over(wSess))
+      .where(col("prev_ch").isNull || col("prev_ch") =!= col("ch"))
+      .withColumn("next_ch", lead(col("ch"), 1).over(wSess))
+    val transitions = collapsed
+      .where(col("prev_ch").isNull)
+      .select(lit("start").as("src"), col("ch").as("dst"))
+      .union(collapsed.where(col("next_ch").isNotNull)
+        .select(col("ch").as("src"), col("next_ch").as("dst")))
+      .union(collapsed.where(col("next_ch").isNull)
+        .select(col("ch").as("src"),
+          when(col("conv") === 1, "conv").otherwise("drop").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val edges = transitions.collect()
+      .map(r => (r.getString(0), r.getString(1), BigInt(r.getLong(2))))
+    val totals = edges.groupBy(_._1).map { case (f, es) => f -> es.map(_._3).sum }
+    val scale = BigInt("1000000000000")
+    def solve(removed: Option[String]): BigInt = {
+      val redirected = edges.map { case (f, t, n) =>
+        (f, if (removed.contains(t)) "drop" else t, n)
+      }
+      var v: Map[String, BigInt] =
+        totals.keys.map(_ -> BigInt(0)).toMap + ("conv" -> scale, "drop" -> BigInt(0))
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map.empty[String, BigInt]
+          .withDefaultValue(BigInt(0))
+        for ((f, t, n) <- redirected) next(f) += n * v.getOrElse(t, BigInt(0))
+        v = totals.map { case (f, tot) => f -> next(f) / tot } +
+          ("conv" -> scale, "drop" -> BigInt(0))
+      }
+      v("start")
+    }
+    val pBase = solve(None)
+    val channels = edges.collect { case ("start", c, _) => c }.distinct.sorted
+    val rows = channels.map { c =>
+      val pc = solve(Some(c))
+      (c, pc, pBase - pc)
+    }
+    val sumRe = rows.map(_._3).sum
+    val s = spark
+    import s.implicits._
+    rows.toSeq.map { case (c, pc, re) =>
+      (c, pBase.toLong, pc.toLong, re.toLong)
+    }.toDF("channel", "p_base_fp", "p_removed_fp", "removal_effect_fp")
+      .select(col("channel"), col("p_base_fp"), col("p_removed_fp"),
+        col("removal_effect_fp"),
+        round(col("removal_effect_fp").cast("double") / lit(1e12), 6)
+          .as("removal_effect"),
+        if (sumRe == 0) lit(null).cast("double").as("attribution")
+        else round(col("removal_effect_fp").cast("double") / lit(sumRe.toDouble), 6)
+          .as("attribution"))
+  }
 }

@@ -1099,4 +1099,64 @@ object Similarity {
     sel.select(col("query_id"), col("step"), col("cid").as("vec_id"),
       col("rel"), col("max_sim_sel"), round(col("mmr"), 6).as("mmr"))
   }
+
+  /** Dominant principal direction of the embedding cloud by power
+    * iteration on the EXACT scatter matrix M = n·Σxxᵀ − (Σx)(Σx)ᵀ (n²
+    * times the covariance — the n·Σ−ΣΣ trick keeps mean-centering in
+    * integer arithmetic): `iters` rounds of w = M·v with ∞-NORM
+    * normalization (divide by max|wᵢ|, an order-independent exact
+    * integer, where an L2 norm would need an order-sensitive float sum).
+    * The dominant direction is the anisotropy axis — the "rogue
+    * dimension" diagnosis that tells an embedding user whether cosine
+    * scores are being eaten by one direction (cf. the q171 isotropy
+    * gate, which measures the symptom; this names the axis).
+    *
+    * Determinism: coordinates quantize to ×10⁶ fixed point at the scan;
+    * scatter entries and every matrix-vector product are exact integer
+    * sums (Decimal(38,0)/HUGEINT); normalization is truncating integer
+    * division (both engines truncate toward zero); the only doubles are
+    * final 6-dp-rounded loadings.
+    *
+    * Scale shape: the corpus-scale stage is the scatter accumulation —
+    * one (i,j)-keyed partial aggregate over per-vector outer products
+    * (d² = 4096 cells, map-side combined; the d² blowup is per ROW, the
+    * aggregate output is dimension-bounded). The iteration then runs on
+    * the d²-cell M against a d-row broadcast vector — corpus-free.
+    */
+  def dominantComponent(spark: SparkSession, sfDir: String,
+      iters: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col") * 1e6, 0).cast("long").as("x"))
+      .localCheckpoint()
+    val n = e.groupBy().agg(dec((count(lit(1)) / 64).cast("long")).as("n"))
+    val sx = e.groupBy(col("i")).agg(sum(dec(col("x"))).as("sx"))
+    val sxy = e.as("a").join(e.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(dec(col("a.x")) * col("b.x")).as("sxy"))
+    val m = sxy
+      .join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("m"))
+      .localCheckpoint()
+    var v = sx.select(col("i").as("j"), dec(lit(1000000L)).as("v"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val w = m.join(broadcast(v), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("m") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      // truncating integer division (a − a mod b)/b — both engines'
+      // % truncates toward zero, so the quotient matches bit-for-bit
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          dec((col("w") * 1000000L - (col("w") * 1000000L) % col("mx"))
+            / col("mx")).as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("j").as("dim"), col("v").cast("long").as("loading_fp"),
+      round(col("v").cast("double") / 1e6, 6).as("loading"))
+  }
 }

@@ -175,6 +175,70 @@ class Round7OpsSpec extends SparkTestBase {
     assert(pmi === roundAt(math.log(6.0 * cxy / (cx.toDouble * cy)), 6))
   }
 
+  test("window funnel: greedy chain replays driver-side") {
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = events.groupBy(_._1)
+    val horizon = 604800000000L
+    def chain(u: Array[(Long, Long, String)]): (Boolean, Boolean, Boolean) = {
+      val t1 = u.filter(_._3 == "view").map(_._2).sorted.headOption
+      val t2 = t1.flatMap(a =>
+        u.filter(e => e._3 == "click" && e._2 > a).map(_._2).sorted.headOption)
+      val t3 = t2.flatMap(b =>
+        u.filter(e => e._3 == "purchase" && e._2 > b).map(_._2).sorted.headOption)
+      (t1.isDefined,
+        t2.exists(_ - t1.get <= horizon),
+        t3.exists(_ - t1.get <= horizon))
+    }
+    val states = byUser.values.map(u => chain(u.toArray))
+    val (n1, n2, n3) = (states.count(_._1).toLong,
+      states.count(_._2).toLong, states.count(_._3).toLong)
+    val got = graft.analytics.Funnels.windowFunnel(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> n1, 2 -> n2, 3 -> n3))
+  }
+
+  test("dominant component: infinity-norm fixes the peak; exact replay") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](1).map(x =>
+        BigInt(math.round(x * 1e6))).toArray)
+    val d = 64
+    val n = BigInt(vecs.length)
+    val sx = Array.tabulate(d)(i => vecs.map(_(i)).sum)
+    val m = Array.tabulate(d, d)((i, j) =>
+      n * vecs.map(v => v(i) * v(j)).sum - sx(i) * sx(j))
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 0 until 8) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(x => x * 1000000 / mx)
+    }
+    val got = Similarity.dominantComponent(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.size === d)
+    (0 until d).foreach(i => assert(got(i) === v(i).toLong, s"dim $i"))
+    assert(got.values.map(math.abs).max === 1000000L)
+  }
+
+  test("removal attribution: removals only hurt; effects reconcile") {
+    val rows = graft.analytics.Funnels.removalAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 4)
+    assert(rows.map(_._2).distinct.length === 1) // one shared p_base
+    val sumRe = rows.map(_._4).sum
+    rows.foreach { case (c, pb, pr, re, reD, attr) =>
+      assert(pr <= pb, s"channel $c removal increased conversion")
+      assert(re === pb - pr)
+      assert(reD === roundAt(re.toDouble / 1e12, 6))
+      assert(attr === roundAt(re.toDouble / sumRe.toDouble, 6))
+    }
+  }
+
   test("mmr: five distinct picks per query; penalty algebra holds") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
