@@ -369,6 +369,8 @@ object SparkEntry {
     "q199_dominant_component" -> ((s: SparkSession, d: String) => Similarity.dominantComponent(s, d)),
     // Markov removal-effect channel attribution in integer fixed point
     "q200_removal_attribution" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.removalAttribution(s, d)),
+    // BPE merge-rule learning: 6 count-argmax-merge rounds on the vocab
+    "q201_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeLoop(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3511,6 +3513,32 @@ private object CorpusOracles {
          |  ELSE round(CAST(pb - pr AS DOUBLE) / CAST(sre.sre AS DOUBLE), 6)
          | END AS attribution
          |FROM res, sre""".stripMargin
+    },
+    // q201: 6 unrolled BPE rounds; segmentations are leading-space strings
+    // so the merge is a plain left-to-right replace in both engines
+    "q201_bpe_merges" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""p$r AS (SELECT a, b, sum(freq) AS cnt FROM (
+           |   SELECT freq, arr[i] AS a, arr[i + 1] AS b FROM (
+           |     SELECT freq, string_split(ltrim(seg, ' '), ' ') AS arr
+           |     FROM w${r - 1}) t, unnest(range(1, len(arr))) u(i)
+           |   WHERE len(arr) >= 2)
+           |  GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (SELECT freq, replace(seg, ' ' || b$r.a || ' ' || b$r.b,
+           |    ' ' || b$r.a || b$r.b) AS seg FROM w${r - 1}, b$r)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS merge_rank, a AS sym_left,
+           | b AS sym_right, a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+           |FROM b$r""".stripMargin).mkString("\nUNION ALL ")
+      s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |w0 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS seg
+         |  FROM wf),
+         |$rounds
+         |$out""".stripMargin
     },
   )
 }

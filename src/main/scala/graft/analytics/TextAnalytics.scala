@@ -1246,4 +1246,68 @@ object TextAnalytics {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** BPE merge-rule LEARNING (Sennrich et al., "Neural machine translation
+    * of rare words with subword units", ACL 2016): `rounds` iterations of
+    * count-all-adjacent-symbol-pairs → adopt the most frequent pair as a
+    * merge — the actual training loop of every BPE/WordPiece-family
+    * tokenizer, of which q112 is the one-round inner aggregate. Output:
+    * one row per learned merge (rank, the pair, the merged symbol, its
+    * occurrence-weighted count at adoption time).
+    *
+    * Segmentations ride as LEADING-SPACE-ENCODED strings (' c a t'):
+    * applying a merge is replace(' a b' → ' ab'), whose left-to-right
+    * non-overlapping scan is EXACTLY BPE's in-word merge order and is
+    * bit-identical across engines — no per-symbol fold machinery, and a
+    * symbol can never false-match inside another because every symbol
+    * carries its own leading space and symbols are space-free.
+    *
+    * Scale shape: the corpus touches the plan ONCE (the word-frequency
+    * aggregate — map-side combined, vocabulary-bounded output); every
+    * merge round then runs on the vocabulary table: in-row pair
+    * explosion, one (a,b)-keyed aggregate, a 1-row TakeOrdered argmax
+    * broadcast back into the replace. That is precisely how production
+    * BPE trainers scale (count words distributed once, learn merges on
+    * the count table).
+    */
+  def bpeMergeLoop(spark: SparkSession, sfDir: String,
+      rounds: Int = 6): DataFrame =
+    bpeMergeLoopOf(Tables.documents(spark, sfDir), rounds)
+
+  /** [[bpeMergeLoop]] over an arbitrary documents frame — the
+    * fixture-testable core.
+    */
+  def bpeMergeLoopOf(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val words = docs
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("freq"),
+      regexp_replace(col("w"), "(.)", " $1").as("seg"))
+      .localCheckpoint()
+    var learned: Seq[DataFrame] = Nil
+    for (r <- 1 to rounds) {
+      val arr = split(ltrim(col("seg")), " ")
+      val pairs = seg.select(col("freq"), arr.as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(1), size(col("arr")) - 1)).as("k"),
+          col("arr"))
+        .select(col("freq"), element_at(col("arr"), col("k")).as("a"),
+          element_at(col("arr"), col("k") + 1).as("b"))
+      val best = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint()
+      learned = learned :+ best.select(lit(r).as("merge_rank"),
+        col("a").as("sym_left"), col("b").as("sym_right"),
+        concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_count"))
+      seg = seg.crossJoin(broadcast(best))
+        .select(col("freq"),
+          expr("replace(seg, ' ' || a || ' ' || b, ' ' || a || b)").as("seg"))
+        .localCheckpoint()
+    }
+    learned.reduce(_ union _)
+  }
 }

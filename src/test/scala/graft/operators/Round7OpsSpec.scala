@@ -239,6 +239,22 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("bpe merges: textbook corpus learns merges in frequency order") {
+    val s = spark
+    import s.implicits._
+    // word freqs: "lolo" x2, "lox" x1 -> round 1 best pair (l,o) cnt 2+2+1=5
+    // round 2: segs ' lo lo' (2), ' lo x' (1) -> best (lo,lo) cnt 2
+    // round 3: ' lolo' (2), ' lo x' (1) -> best (lo,x) cnt 1; round 4 dry
+    val docs = Seq((1L, "lolo lox lolo")).toDF("doc_id", "text")
+    val got = TextAnalytics.bpeMergeLoopOf(docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.toSeq.sortBy(_._1) === Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "lo", "lolo", 2L),
+      (3, "lo", "x", "lox", 1L)))
+  }
+
   test("mmr: five distinct picks per query; penalty algebra holds") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
