@@ -314,4 +314,49 @@ class PlanShapeSpec extends SparkTestBase {
     // sides — correctly NOT broadcast)
     assert(p.contains("hashpartitioning(h"), p)
   }
+
+  test("q188 pivot: pinned values compile to one static pivot aggregate, no second scan") {
+    val p = planOf("q188_dow_pivot")
+    // an open value set would need a driver-side distinct pass first;
+    // pinned values plan as pivotfirst over one scan
+    assert(p.contains("pivotfirst"), p)
+    assert(p.split("\n").count(_.matches("\\(\\d+\\) Scan parquet\\s*")) === 1, p)
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q191 revenue acf: day-grain collapse first, every join broadcast-hash on the day key") {
+    val p = planOf("q191_revenue_acf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q192 value moments: one map-side-combined aggregate, nothing else") {
+    val p = planOf("q192_value_moments")
+    val exchanges = p.split("\n").count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges === 1, s"expected the single event_type exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q193 adamic-adar: wedge and edge-flag joins all equality-keyed") {
+    val p = planOf("q193_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("NestedLoopJoin"), p)
+  }
+
+  test("q195 lexical richness: in-row HOFs, zero exchanges") {
+    val p = planOf("q195_lexical_richness")
+    val exchanges = p.split("\n").count(_.matches("\\(\\d+\\) Exchange\\s*"))
+    assert(exchanges === 0, s"expected a pure map plan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q196 pmi: positional join equality-keyed; only the one-row total crosses") {
+    val p = planOf("q196_pmi_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses && bnlj <= 1, s"non-cross nested loop present:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
