@@ -1119,44 +1119,61 @@ object Similarity {
     *
     * Scale shape: the corpus-scale stage is the scatter accumulation —
     * one (i,j)-keyed partial aggregate over per-vector outer products
-    * (d² = 4096 cells, map-side combined; the d² blowup is per ROW, the
-    * aggregate output is dimension-bounded). The iteration then runs on
-    * the d²-cell M against a d-row broadcast vector — corpus-free.
+    * generated IN-ROW (d² = 4096 cells, map-side combined; the d² blowup
+    * is per ROW, the aggregate output is dimension-bounded). The
+    * iteration then runs on the driver over the collected d²-cell M —
+    * METADATA-sized at any corpus scale (the q172/TrainedCodebook
+    * discipline; a distributed loop pays two jobs of cluster latency per
+    * round for 64-row arithmetic, measured 3.5 s → 1.3 s at sf0.1).
     */
   def dominantComponent(spark: SparkSession, sfDir: String,
       iters: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
-      .select(col("vec_id"), col("pos").as("i"),
-        round(col("col") * 1e6, 0).cast("long").as("x"))
-      .localCheckpoint()
-    val n = e.groupBy().agg(dec((count(lit(1)) / 64).cast("long")).as("n"))
-    val sx = e.groupBy(col("i")).agg(sum(dec(col("x"))).as("sx"))
-    val sxy = e.as("a").join(e.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(dec(col("a.x")) * col("b.x")).as("sxy"))
+    val vf = Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6, 0).cast("long")).as("vf"))
+    val n = vf.groupBy().agg(dec(count(lit(1))).as("n"))
+    val sx = vf.select(posexplode(col("vf")))
+      .groupBy(col("pos").as("i")).agg(sum(dec(col("col"))).as("sx"))
+    // outer products are generated IN-ROW (two chained explodes over the
+    // quantized array) so the only exchange on the corpus-sized stream is
+    // the map-side-combined (i,j) aggregate — a self-join on vec_id would
+    // shuffle the exploded table twice for the same cells
+    val sxy = vf.select(col("vf"), posexplode(col("vf")))
+      .select(col("vf"), col("pos").as("i"), col("col").as("xi"))
+      .select(col("i"), col("xi"), posexplode(col("vf")))
+      // the product of two x10^6 coordinates fits a long exactly (<=1e12),
+      // so the hot multiply stays codegen'd long arithmetic; only the
+      // unbounded accumulation is carried as decimal
+      .groupBy(col("i"), col("pos").as("j"))
+      .agg(sum(dec(col("xi") * col("col"))).as("sxy"))
     val m = sxy
       .join(broadcast(sx.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
       .join(broadcast(sx.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"),
         (col("n") * col("sxy") - col("sx_i") * col("sx_j")).as("m"))
-      .localCheckpoint()
-    var v = sx.select(col("i").as("j"), dec(lit(1000000L)).as("v"))
-      .localCheckpoint()
+    // the scatter matrix is d^2 cells — METADATA-sized at any corpus
+    // scale — so the matrix-vector rounds run on the driver (the
+    // q172/TrainedCodebook discipline): distributing them would pay two
+    // jobs of cluster latency per round for 64-row arithmetic
+    val cells = m.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val d = cells.keys.map(_._1).max + 1
+    var v = Array.fill(d)(BigInt(1000000))
     for (_ <- 0 until iters) {
-      val w = m.join(broadcast(v), Seq("j"))
-        .groupBy(col("i")).agg(sum(col("m") * col("v")).as("w"))
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      // truncating integer division (a − a mod b)/b — both engines'
-      // % truncates toward zero, so the quotient matches bit-for-bit
-      v = w.crossJoin(broadcast(mx))
-        .select(col("i").as("j"),
-          dec((col("w") * 1000000L - (col("w") * 1000000L) % col("mx"))
-            / col("mx")).as("v"))
-        .localCheckpoint()
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cells.getOrElse((i, j), BigInt(0)) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      // BigInt / truncates toward zero — the same quotient DuckDB's
+      // HUGEINT (a - a % b) // b computes
+      v = w.map(x => x * 1000000 / mx)
     }
-    v.select(col("j").as("dim"), col("v").cast("long").as("loading_fp"),
-      round(col("v").cast("double") / 1e6, 6).as("loading"))
+    val sess = spark
+    import sess.implicits._
+    v.zipWithIndex.toSeq.map { case (x, i) => (i, x.toLong) }
+      .toDF("dim", "loading_fp")
+      .select(col("dim"), col("loading_fp"),
+        round(col("loading_fp").cast("double") / 1e6, 6).as("loading"))
   }
 }
