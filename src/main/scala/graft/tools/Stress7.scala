@@ -64,8 +64,13 @@ object Stress7 {
         lit(0L).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    time(s"lexical richness ($nDocs docs)")(
-      graft.analytics.TextAnalytics.lexicalRichness(spark, dir).count())
+    // noop sink, not count(): the plan is map-only, so count() would prune
+    // the HOF columns away and time an empty projection
+    time(s"lexical richness ($nDocs docs)") {
+      val df = graft.analytics.TextAnalytics.lexicalRichness(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      nDocs
+    }
     time(s"pmi pairs ($nDocs docs)")(
       graft.analytics.TextAnalytics.pmiPairs(spark, dir).count())
     time(s"bpe merge loop ($nDocs docs)")(
