@@ -1231,8 +1231,9 @@ object TextAnalytics {
     // vocabulary²-bounded count table, and the total and unigram slot
     // counts are derived from THAT (a (w,w) pair feeds both unions, which
     // is exactly its two slots) — reading the pair stream three times
-    // would re-run the generate+join per consumer (measured 13.7 → 4.4 s
-    // at the 100k-doc stress)
+    // would re-run the generate+join per consumer (measured 13.7 → 9.3 s
+    // at the 100k-doc stress; the remainder is the one checkpoint write
+    // of the 12M-cell count table)
     val pc0 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
