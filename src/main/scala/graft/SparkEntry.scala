@@ -371,6 +371,12 @@ object SparkEntry {
     "q200_removal_attribution" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.removalAttribution(s, d)),
     // BPE merge-rule learning: 6 count-argmax-merge rounds on the vocab
     "q201_bpe_merges" -> ((s: SparkSession, d: String) => TextAnalytics.bpeMergeLoop(s, d)),
+    // 31-day rolling OLS slope: exact integer numerator, pinned denominator
+    "q202_rolling_trend" -> ((s: SparkSession, d: String) => Relational.rollingTrend(s, d)),
+    // one-step-ahead EWMA backtest with fixed-point absolute errors
+    "q203_forecast_backtest" -> ((s: SparkSession, d: String) => Relational.forecastBacktest(s, d)),
+    // majority-vote kNN label eval over the q29 neighbor contract
+    "q204_knn_eval" -> ((s: SparkSession, d: String) => Similarity.knnLabelEval(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3540,5 +3546,76 @@ private object CorpusOracles {
          |$rounds
          |$out""".stripMargin
     },
+    // q202: OLS slope with the lag index as regressor — the denominator
+    // 31*9455 - 465^2 = 76880 is a constant, the numerator exact HUGEINT
+    "q202_rolling_trend" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |s AS (SELECT d0, day + CAST(k AS INTEGER) AS day,
+        |   sum(CAST(x AS HUGEINT)) AS sy,
+        |   sum(CAST(x * (30 - k) AS HUGEINT)) AS sxy
+        |  FROM x, range(0, 31) t(k)
+        |  GROUP BY 1, 2)
+        |SELECT s.day, x.x AS rev_cents,
+        | CAST(31 * s.sxy - 465 * s.sy AS BIGINT) AS slope_fp,
+        | round(CAST(31 * s.sxy - 465 * s.sy AS DOUBLE) / 76880.0, 6)
+        |  AS slope_cents_per_day
+        |FROM s JOIN x ON x.day = s.day
+        |WHERE s.day >= s.d0 + 30""".stripMargin,
+    // q203: ewma through yesterday vs today's actual; the error is exact
+    // fixed point |actual*(2^31-1) - ewma_fp| before any dollars division
+    "q203_forecast_backtest" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |e AS (SELECT day + CAST(lag AS INTEGER) AS day,
+        |   sum(CAST(power(2, 30 - lag) AS HUGEINT) * x) AS ewma_fp
+        |  FROM x, range(0, 31) t(lag)
+        |  GROUP BY 1),
+        |f AS (SELECT e.day + 1 AS day, e.ewma_fp FROM e)
+        |SELECT x.day, x.x AS actual_cents,
+        | round(CAST(f.ewma_fp AS DOUBLE) / 214748364700.0, 2)
+        |  AS forecast_dollars,
+        | CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp) AS VARCHAR)
+        |  AS abs_err_fp,
+        | round(CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp)
+        |   AS DOUBLE) / 214748364700.0, 2) AS abs_err_dollars
+        |FROM x JOIN f ON x.day = f.day
+        |WHERE x.day >= x.d0 + 31""".stripMargin,
+    // q204: the q29 neighbor contract + majority vote, ties to the
+    // smallest label
+    "q204_knn_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+         |   CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 100),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT query_id, true_label, vec_id AS neighbor_id,
+         |   label, ${cosExpr("qv", "v")} AS cosine
+         |  FROM c JOIN q ON vec_id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored),
+         |votes AS (SELECT query_id, true_label, label,
+         |   CAST(count(*) AS BIGINT) AS votes
+         |  FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3),
+         |top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY votes DESC, label) AS vr FROM votes)
+         |SELECT query_id, true_label, label AS predicted_label, votes,
+         | CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
+         |  AS correct
+         |FROM top WHERE vr = 1""".stripMargin,
   )
 }

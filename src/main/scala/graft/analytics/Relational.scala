@@ -550,6 +550,91 @@ object Relational {
           6).as("acf"))
   }
 
+  /** Per-day 31-day rolling OLS trend of daily order revenue: for every
+    * day with a full window, the least-squares slope (cents/day) of the
+    * window's zero-filled revenue series — the trend detector a revenue
+    * monitor pairs with [[ewmaRevenue]]'s level line. With the lag index
+    * as the regressor, the OLS denominator is the CONSTANT
+    * 31·ΣL² − (ΣL)² = 76880, so the slope is an exact integer numerator
+    * over a pinned denominator: `slope_fp` = 31·ΣL·y − 465·Σy is
+    * bit-exact in both engines and `slope_cents_per_day` divides it out
+    * at 6 dp.
+    *
+    * Scale shape: the q187/q191 recipe — collapse to day grain, explode
+    * each day into the 31 target days it regresses into, aggregate on
+    * the target-day key. Everything after the first aggregate runs on
+    * the tiny calendar spine.
+    */
+  def rollingTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    // day s enters target t = s + k with lag index L = 30 - k
+    val sums = spine
+      .withColumn("k", explode(sequence(lit(0), lit(30))))
+      .groupBy(col("d0"), expr("date_add(day, k)").as("day"))
+      .agg(sum(col("x").cast(dec)).as("sy"),
+        sum((col("x") * (lit(30) - col("k"))).cast(dec)).as("sxy"))
+    sums
+      .where(col("day") >= date_add(col("d0"), 30))
+      .join(spine.select(col("day"), col("x").as("rev_cents")), Seq("day"))
+      .select(col("day"), col("rev_cents"),
+        (lit(31) * col("sxy") - lit(465) * col("sy")).cast("long")
+          .as("slope_fp"))
+      .withColumn("slope_cents_per_day",
+        round(col("slope_fp").cast("double") / 76880.0, 6))
+  }
+
+  /** One-step-ahead backtest of the dyadic-EWMA revenue forecast: for
+    * every day with a full history, the forecast is [[ewmaRevenue]]'s
+    * weighted mean through YESTERDAY and the row reports the absolute
+    * error against the day's actual revenue — the honest evaluation loop
+    * every forecasting monitor needs (a trend line nobody backtests is
+    * decoration). All on the zero-filled calendar spine, so quiet days
+    * count as zero actuals, not gaps.
+    *
+    * Determinism: the error is computed in fixed point FIRST —
+    * |actual·(2³¹−1) − ewma_fp| is exact integer arithmetic — and only
+    * the two reporting columns divide out to dollars at 2 dp.
+    *
+    * Scale shape: identical to [[ewmaRevenue]] — day-grain collapse,
+    * 31-way explode, target-day aggregate, one tiny self-join to shift
+    * the forecast one day forward.
+    */
+  def forecastBacktest(spark: SparkSession, sfDir: String,
+      horizon: Int = 30): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    val ewma = spine
+      .withColumn("lag", explode(sequence(lit(0), lit(horizon))))
+      .groupBy(date_add(col("day"), col("lag")).as("day"))
+      .agg(sum(pow(lit(2.0), lit(horizon) - col("lag")).cast(dec)
+        * col("x")).as("ewma_fp"))
+    val mass = math.pow(2.0, horizon + 1.0) - 1.0
+    spine
+      .join(ewma.select(expr("date_add(day, 1)").as("day"),
+        col("ewma_fp")), Seq("day"))
+      .where(col("day") >= date_add(col("d0"), horizon + 1))
+      .select(col("day"), col("x").as("actual_cents"),
+        round(col("ewma_fp").cast("double") / (mass * 100.0), 2)
+          .as("forecast_dollars"),
+        abs(col("x").cast(dec) * lit(mass).cast(dec) - col("ewma_fp"))
+          .cast("string").as("abs_err_fp"),
+        round(abs(col("x").cast(dec) * lit(mass).cast(dec) - col("ewma_fp"))
+          .cast("double") / (mass * 100.0), 2).as("abs_err_dollars"))
+  }
+
   /** Higher-moment distribution profile of event value per event_type:
     * mean, population standard deviation, skewness, and excess kurtosis —
     * the four numbers a drift monitor tracks per metric (kurtosis

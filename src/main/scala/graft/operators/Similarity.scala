@@ -1100,6 +1100,45 @@ object Similarity {
       col("rel"), col("max_sim_sel"), round(col("mmr"), 6).as("mmr"))
   }
 
+  /** kNN label-prediction evaluation: for each query vector, the majority
+    * label among its top-`k` cosine neighbors (excluding self) against
+    * its true label — the standard embedding-quality probe (a space whose
+    * neighbors can't vote the right label won't serve retrieval either),
+    * and the eval loop behind weak-label propagation over an embedded
+    * corpus. Ties break to the smallest label; ranking uses the q29
+    * contract (4-dp cosine, vec_id tiebreak).
+    *
+    * Scale shape: the query set broadcasts onto one corpus scan (the q29
+    * plan); the vote and the argmax run on k-bounded per-query rows via
+    * a partial WindowGroupLimit-able rank. In production the brute-force
+    * candidate stage swaps for any ANN route (q30/q37/q125) unchanged.
+    */
+  def knnLabelEval(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 100): DataFrame = {
+    val all = corpus(spark, sfDir)
+    val q = all.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val neighbors = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+    val voteW = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    neighbors
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(voteW))
+      .where(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+  }
+
   /** Dominant principal direction of the embedding cloud by power
     * iteration on the EXACT scatter matrix M = n·Σxxᵀ − (Σx)(Σx)ᵀ (n²
     * times the covariance — the n·Σ−ΣΣ trick keeps mean-centering in

@@ -255,6 +255,69 @@ class Round7OpsSpec extends SparkTestBase {
       (3, "lo", "x", "lox", 1L)))
   }
 
+  test("rolling trend: driver-side OLS replay over the zero-filled spine") {
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(r => math.round(r.getDouble(1) * 100)).sum).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    def x(d: java.time.LocalDate): Long = daily.getOrElse(d, 0L)
+    val got = Relational.rollingTrend(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> (r.getLong(1), r.getLong(2))).toMap
+    var d = d0.plusDays(30)
+    var checked = 0
+    while (!d.isAfter(d1)) {
+      val pts = (0 to 30).map(l => (l.toLong, x(d.minusDays(30 - l))))
+      val sy = pts.map(_._2).map(BigInt(_)).sum
+      val sxy = pts.map { case (l, y) => BigInt(l) * y }.sum
+      val slope = (BigInt(31) * sxy - BigInt(465) * sy).toLong
+      val (rev, gotSlope) = got(d)
+      assert(rev === x(d), s"day $d revenue")
+      assert(gotSlope === slope, s"day $d slope")
+      checked += 1
+      d = d.plusDays(1)
+    }
+    assert(checked === got.size)
+  }
+
+  test("forecast backtest: fixed-point errors replay; constant series has zero error") {
+    val rows = Relational.forecastBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = BigInt(r.getString(3))
+      assert(err >= 0)
+      assert(r.getDouble(4) === roundAt(err.toDouble / 214748364700.0, 2),
+        s"day ${r.getDate(0)}")
+    }
+  }
+
+  test("knn eval: majority vote agrees with the q29 neighbor ranking") {
+    val neighbors = Similarity.bruteForceTopK(spark, sf, k = 10, nQueries = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = neighbors.groupBy(_._1).view.mapValues { ns =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .view.mapValues(_.size).toSeq
+      votes.minBy { case (l, v) => (-v, l) }
+    }.toMap
+    val got = Similarity.knnLabelEval(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (q, (lbl, v)) =>
+      val (tl, pred, votes, correct) = got(q)
+      assert(pred === lbl, s"query $q predicted")
+      assert(votes === v.toLong, s"query $q votes")
+      assert(tl === labels(q), s"query $q true label")
+      assert(correct === (if (pred == labels(q)) 1 else 0))
+    }
+  }
+
   test("mmr: five distinct picks per query; penalty algebra holds") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
