@@ -377,6 +377,10 @@ object SparkEntry {
     "q203_forecast_backtest" -> ((s: SparkSession, d: String) => Relational.forecastBacktest(s, d)),
     // majority-vote kNN label eval over the q29 neighbor contract
     "q204_knn_eval" -> ((s: SparkSession, d: String) => Similarity.knnLabelEval(s, d)),
+    // mod-hash vs rendezvous-hash movement on shard-count change, in-row
+    "q205_shard_rebalance" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardRebalance(s, d)),
+    // apply the learned q201 merges: per-doc subword counts, zero-shuffle
+    "q206_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalytics.bpeEncode(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -694,6 +698,29 @@ object SparkEntry {
   */
 private object CorpusOracles {
   import graft.functions.Hashing.{MinhashCoefs, MinhashPrime}
+
+  /** Shared BPE training CTE chain (wf/w0/p1..b6/w6) — the q201 gate and
+    * the q206 encoder both unroll the same 6 merge rounds.
+    */
+  private val bpeTrainCtes: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""p$r AS (SELECT a, b, sum(freq) AS cnt FROM (
+         |   SELECT freq, arr[i] AS a, arr[i + 1] AS b FROM (
+         |     SELECT freq, string_split(ltrim(seg, ' '), ' ') AS arr
+         |     FROM w${r - 1}) t, unnest(range(1, len(arr))) u(i)
+         |   WHERE len(arr) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS (SELECT freq, replace(seg, ' ' || b$r.a || ' ' || b$r.b,
+         |    ' ' || b$r.a || b$r.b) AS seg FROM w${r - 1}, b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS seg
+       |  FROM wf),
+       |$rounds""".stripMargin
+  }
 
   /** 32-bit md5-prefix base hash of a SQL string expression. */
   private def h32(x: String) = s"CAST(('0x'||substr(md5($x),1,8)) AS BIGINT)"
@@ -3523,27 +3550,11 @@ private object CorpusOracles {
     // q201: 6 unrolled BPE rounds; segmentations are leading-space strings
     // so the merge is a plain left-to-right replace in both engines
     "q201_bpe_merges" -> {
-      val rounds = (1 to 6).map { r =>
-        s"""p$r AS (SELECT a, b, sum(freq) AS cnt FROM (
-           |   SELECT freq, arr[i] AS a, arr[i + 1] AS b FROM (
-           |     SELECT freq, string_split(ltrim(seg, ' '), ' ') AS arr
-           |     FROM w${r - 1}) t, unnest(range(1, len(arr))) u(i)
-           |   WHERE len(arr) >= 2)
-           |  GROUP BY 1, 2),
-           |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$r AS (SELECT freq, replace(seg, ' ' || b$r.a || ' ' || b$r.b,
-           |    ' ' || b$r.a || b$r.b) AS seg FROM w${r - 1}, b$r)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 6).map(r =>
         s"""SELECT CAST($r AS INTEGER) AS merge_rank, a AS sym_left,
            | b AS sym_right, a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
            |FROM b$r""".stripMargin).mkString("\nUNION ALL ")
-      s"""WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-         |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY 1),
-         |w0 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS seg
-         |  FROM wf),
-         |$rounds
+      s"""WITH $bpeTrainCtes
          |$out""".stripMargin
     },
     // q202: OLS slope with the lag index as regressor — the denominator
@@ -3617,5 +3628,50 @@ private object CorpusOracles {
          | CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS INTEGER)
          |  AS correct
          |FROM top WHERE vr = 1""".stripMargin,
+    // q205: per-key HRW argmax replayed as a DESC,DESC rank (= Spark's
+    // lexicographic struct max with larger-shard tie-break)
+    "q205_shard_rebalance" ->
+      """WITH e AS (SELECT doc_id, s,
+        |   CAST(('0x' || substr(md5(doc_id || ':' || s), 1, 15)) AS BIGINT) AS h
+        |  FROM documents, range(0, 9) r(s)),
+        |o8 AS (SELECT doc_id, s AS hrw_old FROM (
+        |   SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY h DESC, s DESC) AS rn FROM e WHERE s < 8)
+        |  WHERE rn = 1),
+        |o9 AS (SELECT doc_id, s AS hrw_new FROM (
+        |   SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY h DESC, s DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |f AS (SELECT o8.doc_id,
+        |   CASE WHEN o8.doc_id % 8 <> o8.doc_id % 9 THEN 1 ELSE 0 END AS mod_mv,
+        |   CASE WHEN hrw_old <> hrw_new THEN 1 ELSE 0 END AS hrw_mv
+        |  FROM o8 JOIN o9 ON o8.doc_id = o9.doc_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(mod_mv) AS BIGINT) AS mod_moved,
+        |   CAST(sum(hrw_mv) AS BIGINT) AS hrw_moved FROM f),
+        |st AS (SELECT 'mod' AS method, n_docs, mod_moved AS n_moved FROM a
+        | UNION ALL SELECT 'hrw', n_docs, hrw_moved FROM a)
+        |SELECT method, n_docs, n_moved,
+        | round(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_share
+        |FROM st""".stripMargin,
+    // q206: the trained b1..b6 merges cross-joined in, applied per word
+    // inside a list lambda — same leading-space replace chain as training
+    "q206_bpe_encode" -> {
+      val applied = (1 to 6).foldLeft("regexp_replace(x, '(.)', ' \\1', 'g')") {
+        case (acc, r) =>
+          s"replace($acc, ' ' || b$r.a || ' ' || b$r.b, ' ' || b$r.a || b$r.b)"
+      }
+      s"""WITH $bpeTrainCtes,
+         |enc AS (SELECT doc_id, source,
+         |   CAST(list_sum(list_transform(string_split(text, ' '),
+         |     x -> len(x))) AS BIGINT) AS n_chars,
+         |   CAST(list_sum(list_transform(string_split(text, ' '),
+         |     x -> len(string_split(ltrim($applied), ' ')))) AS BIGINT)
+         |    AS n_tokens_bpe
+         |  FROM documents, b1, b2, b3, b4, b5, b6)
+         |SELECT doc_id, source, n_chars, n_tokens_bpe,
+         | round(CAST(n_chars AS DOUBLE) / n_tokens_bpe, 6) AS chars_per_token
+         |FROM enc""".stripMargin
+    },
   )
 }

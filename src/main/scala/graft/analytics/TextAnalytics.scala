@@ -1280,7 +1280,10 @@ object TextAnalytics {
     */
   def bpeMergeLoop(spark: SparkSession, sfDir: String,
       rounds: Int = 6): DataFrame =
-    bpeMergeLoopOf(Tables.documents(spark, sfDir), rounds)
+    // memoized: the q201 gate and the q206 encoder share one training run
+    graft.operators.SessionMemo(spark, s"bpeMergeLoop|$sfDir|$rounds") {
+      bpeMergeLoopOf(Tables.documents(spark, sfDir), rounds)
+    }
 
   /** [[bpeMergeLoop]] over an arbitrary documents frame — the
     * fixture-testable core.
@@ -1317,5 +1320,39 @@ object TextAnalytics {
         .localCheckpoint()
     }
     learned.reduce(_ union _)
+  }
+
+  /** BPE ENCODE — apply [[bpeMergeLoop]]'s learned merges to every
+    * document and report its subword token count and compression ratio
+    * (chars per token): the tokenizer-side cost model every
+    * token-budgeted curation decision (q104's budget, q52's packing)
+    * ultimately prices against. Train (q201) + encode (this) is the full
+    * tokenizer loop.
+    *
+    * Scale shape: the merge table is `rounds` rows — metadata — collected
+    * once (the TrainedCodebook discipline) and baked into the plan as
+    * literals; encoding is then a ZERO-SHUFFLE map pass: per word, the
+    * leading-space char expansion and the `rounds` chained replaces run
+    * inside one in-row transform, and the token count aggregates in-row.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+      rounds: Int = 6): DataFrame = {
+    val merges = bpeMergeLoop(spark, sfDir, rounds)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
+    val applied = merges.foldLeft("regexp_replace(w, '(.)', ' $1')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, ' ' || ${q(a)} || ' ' || ${q(b)}, ' ' || ${q(a)} || ${q(b)})"
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("n_chars"),
+        expr(s"""aggregate(ws, 0L, (acc, w) ->
+                | acc + size(split(ltrim($applied), ' ')))""".stripMargin)
+          .as("n_tokens_bpe"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6))
   }
 }

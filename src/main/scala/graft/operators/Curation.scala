@@ -1779,6 +1779,48 @@ object Curation {
         coalesce(col("is_edge"), lit(0)).as("is_edge"))
   }
 
+  /** Shard-rebalance audit: how many documents MOVE when the shard count
+    * changes from `nOld` to `nNew`, under mod-hash placement vs rendezvous
+    * (highest-random-weight) hashing (Thaler & Ravishankar, IEEE/ACM ToN
+    * 1998). HRW assigns each key to the shard maximizing a pinned
+    * key×shard hash, so growing the pool relocates only ~1/nNew of keys
+    * — the property that makes incremental shard growth affordable —
+    * while mod-hash relocates almost everything. The audit emits both
+    * methods' movement shares: the number a platform reads before
+    * choosing its placement function.
+    *
+    * Determinism: placements derive from the repo-pinned md5-prefix hash
+    * on "doc_id:shard" (ties — vanishingly rare — break to the larger
+    * shard id via the lexicographic struct max, mirrored in the oracle's
+    * DESC, DESC rank).
+    *
+    * Scale shape: ZERO shuffles on the corpus — both placements per key
+    * are in-row array_max over the shard-count-bounded score list, and
+    * the audit is one map-side-combinable global aggregate stacked into
+    * two rows.
+    */
+  def shardRebalance(spark: SparkSession, sfDir: String,
+      nOld: Int = 8, nNew: Int = 9): DataFrame = {
+    def hrwPick(n: Int) = expr(
+      s"""array_max(transform(sequence(0, ${n - 1}, 1),
+         | s -> struct(CAST(conv(substring(md5(concat(doc_id, ':', s)), 1, 15),
+         |   16, 10) AS BIGINT) AS h, s AS s))).s""".stripMargin)
+    val flags = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .select(
+        (pmod(col("doc_id"), lit(nOld.toLong))
+          =!= pmod(col("doc_id"), lit(nNew.toLong))).cast("long").as("mod_mv"),
+        (hrwPick(nOld) =!= hrwPick(nNew)).cast("long").as("hrw_mv"))
+    flags
+      .agg(count(lit(1)).as("n_docs"), sum(col("mod_mv")).as("mod_moved"),
+        sum(col("hrw_mv")).as("hrw_moved"))
+      .selectExpr(
+        "stack(2, 'mod', n_docs, mod_moved, 'hrw', n_docs, hrw_moved) " +
+          "AS (method, n_docs, n_moved)")
+      .select(col("method"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs"), 6)
+          .as("moved_share"))
+  }
+
   /** Bounded-hop harmonic centrality over the near-dup graph: for each
     * vertex, Σ 1/d(u,v) over vertices within `hops` hops (here counts n1,
     * n2, n3 of vertices at exact distance 1, 2, 3). Harmonic centrality

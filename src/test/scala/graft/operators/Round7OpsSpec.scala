@@ -318,6 +318,47 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("shard rebalance: driver-side md5 HRW replay; hrw moves far less than mod") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16)
+    val ids = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def hrw(id: Long, n: Int): Int =
+      (0 until n).maxBy(sh => (h60(s"$id:$sh"), sh))
+    val modMoved = ids.count(id => id % 8 != id % 9).toLong
+    val hrwMoved = ids.count(id => hrw(id, 8) != hrw(id, 9)).toLong
+    val got = Curation.shardRebalance(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("mod") === ((ids.length.toLong, modMoved)))
+    assert(got("hrw") === ((ids.length.toLong, hrwMoved)))
+    assert(hrwMoved < modMoved, "rendezvous hashing must move fewer keys")
+  }
+
+  test("bpe encode: java replace replays the merge chain per word") {
+    val merges = TextAnalytics.bpeMergeLoop(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def encode(word: String): Int = {
+      var seg = word.toCharArray.map(c => s" $c").mkString
+      for ((a, b) <- merges) seg = seg.replace(s" $a $b", s" $a$b")
+      seg.trim.split(" ").length
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalytics.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size === docs.size)
+    docs.foreach { case (id, text) =>
+      val words = text.split(" ")
+      val (nChars, nToks) = got(id)
+      assert(nChars === words.map(_.length.toLong).sum, s"doc $id chars")
+      assert(nToks === words.map(encode(_).toLong).sum, s"doc $id tokens")
+    }
+  }
+
   test("mmr: five distinct picks per query; penalty algebra holds") {
     val rows = Similarity.mmrRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
