@@ -3571,7 +3571,7 @@ private object CorpusOracles {
         |  FROM spine LEFT JOIN daily USING (day)),
         |s AS (SELECT d0, day + CAST(k AS INTEGER) AS day,
         |   sum(CAST(x AS HUGEINT)) AS sy,
-        |   sum(CAST(x * (30 - k) AS HUGEINT)) AS sxy
+        |   sum(CAST(x AS HUGEINT) * (30 - k)) AS sxy
         |  FROM x, range(0, 31) t(k)
         |  GROUP BY 1, 2)
         |SELECT s.day, x.x AS rev_cents,
@@ -3657,9 +3657,14 @@ private object CorpusOracles {
     // q206: the trained b1..b6 merges cross-joined in, applied per word
     // inside a list lambda — same leading-space replace chain as training
     "q206_bpe_encode" -> {
+      // coalesce to a chr(1) sentinel: an empty b-CTE (vocabulary
+      // exhausted before 6 merges) must no-op its replace, not null the
+      // segmentation or drop every document through the cross join
       val applied = (1 to 6).foldLeft("regexp_replace(x, '(.)', ' \\1', 'g')") {
         case (acc, r) =>
-          s"replace($acc, ' ' || b$r.a || ' ' || b$r.b, ' ' || b$r.a || b$r.b)"
+          s"replace($acc, ' ' || coalesce(b$r.a, chr(1)) || ' ' || " +
+            s"coalesce(b$r.b, chr(1)), ' ' || coalesce(b$r.a, chr(1)) || " +
+            s"coalesce(b$r.b, chr(1)))"
       }
       s"""WITH $bpeTrainCtes,
          |enc AS (SELECT doc_id, source,
@@ -3668,7 +3673,9 @@ private object CorpusOracles {
          |   CAST(list_sum(list_transform(string_split(text, ' '),
          |     x -> len(string_split(ltrim($applied), ' ')))) AS BIGINT)
          |    AS n_tokens_bpe
-         |  FROM documents, b1, b2, b3, b4, b5, b6)
+         |  FROM documents LEFT JOIN b1 ON true LEFT JOIN b2 ON true
+         |   LEFT JOIN b3 ON true LEFT JOIN b4 ON true
+         |   LEFT JOIN b5 ON true LEFT JOIN b6 ON true)
          |SELECT doc_id, source, n_chars, n_tokens_bpe,
          | round(CAST(n_chars AS DOUBLE) / n_tokens_bpe, 6) AS chars_per_token
          |FROM enc""".stripMargin

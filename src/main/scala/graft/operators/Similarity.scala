@@ -1115,25 +1115,24 @@ object Similarity {
     */
   def knnLabelEval(spark: SparkSession, sfDir: String, k: Int = 10,
       nQueries: Int = 100): DataFrame = {
-    val all = corpus(spark, sfDir)
-    val q = all.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
-        col("v").as("qv"))
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val neighbors = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("true_label"),
-        col("vec_id").as("neighbor_id"), col("label"),
-        round(Vectors.cosine(col("qv"), col("v")), 4).as("cosine"))
-      .withColumn("rank", row_number().over(rankW))
-      .where(col("rank") <= k)
+    // the neighbor ranking IS bruteForceTopK — one definition of the q29
+    // contract (4-dp cosine, vec_id tiebreak), so q204 cannot drift from
+    // q29/q30 if the rounding or tiebreak ever changes
+    val labels = corpus(spark, sfDir).select(col("vec_id"), col("label"))
+    val neighbors = bruteForceTopK(spark, sfDir, k, nQueries)
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
     val voteW = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label"))
     neighbors
-      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .groupBy(col("query_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(voteW))
       .where(col("vr") === 1)
+      .join(broadcast(labels
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
+        Seq("query_id"))
       .select(col("query_id"), col("true_label"),
         col("label").as("predicted_label"), col("votes"),
         (col("label") === col("true_label")).cast("int").as("correct"))
