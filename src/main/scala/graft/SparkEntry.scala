@@ -706,18 +706,22 @@ private object CorpusOracles {
     val rounds = (1 to 6).map { r =>
       s"""p$r AS (SELECT a, b, sum(freq) AS cnt FROM (
          |   SELECT freq, arr[i] AS a, arr[i + 1] AS b FROM (
-         |     SELECT freq, string_split(ltrim(seg, ' '), ' ') AS arr
+         |     SELECT freq, string_split(substring(seg, 2, len(seg) - 2),
+         |       chr(2) || chr(1)) AS arr
          |     FROM w${r - 1}) t, unnest(range(1, len(arr))) u(i)
          |   WHERE len(arr) >= 2)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |w$r AS (SELECT freq, replace(seg, ' ' || b$r.a || ' ' || b$r.b,
-         |    ' ' || b$r.a || b$r.b) AS seg FROM w${r - 1}, b$r)""".stripMargin
+         |w$r AS (SELECT freq, replace(seg,
+         |    chr(1) || b$r.a || chr(2) || chr(1) || b$r.b || chr(2),
+         |    chr(1) || b$r.a || b$r.b || chr(2)) AS seg
+         |  FROM w${r - 1}, b$r)""".stripMargin
     }.mkString(",\n")
     s"""wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY 1),
-       |w0 AS (SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') AS seg
+       |w0 AS (SELECT freq, regexp_replace(w, '(.)',
+       |   chr(1) || '\\1' || chr(2), 'g') AS seg
        |  FROM wf),
        |$rounds""".stripMargin
   }
@@ -3657,22 +3661,23 @@ private object CorpusOracles {
     // q206: the trained b1..b6 merges cross-joined in, applied per word
     // inside a list lambda — same leading-space replace chain as training
     "q206_bpe_encode" -> {
-      // coalesce to a chr(1) sentinel: an empty b-CTE (vocabulary
+      // coalesce to a chr(3) sentinel: an empty b-CTE (vocabulary
       // exhausted before 6 merges) must no-op its replace, not null the
       // segmentation or drop every document through the cross join
-      val applied = (1 to 6).foldLeft("regexp_replace(x, '(.)', ' \\1', 'g')") {
+      val applied = (1 to 6).foldLeft(
+        "regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
         case (acc, r) =>
-          s"replace($acc, ' ' || coalesce(b$r.a, chr(1)) || ' ' || " +
-            s"coalesce(b$r.b, chr(1)), ' ' || coalesce(b$r.a, chr(1)) || " +
-            s"coalesce(b$r.b, chr(1)))"
+          s"replace($acc, chr(1) || coalesce(b$r.a, chr(3)) || chr(2) || " +
+            s"chr(1) || coalesce(b$r.b, chr(3)) || chr(2), " +
+            s"chr(1) || coalesce(b$r.a, chr(3)) || coalesce(b$r.b, chr(3)) || chr(2))"
       }
       s"""WITH $bpeTrainCtes,
          |enc AS (SELECT doc_id, source,
          |   CAST(list_sum(list_transform(string_split(text, ' '),
          |     x -> len(x))) AS BIGINT) AS n_chars,
          |   CAST(list_sum(list_transform(string_split(text, ' '),
-         |     x -> len(string_split(ltrim($applied), ' ')))) AS BIGINT)
-         |    AS n_tokens_bpe
+         |     x -> len($applied) - len(replace($applied, chr(1), ''))))
+         |    AS BIGINT) AS n_tokens_bpe
          |  FROM documents LEFT JOIN b1 ON true LEFT JOIN b2 ON true
          |   LEFT JOIN b3 ON true LEFT JOIN b4 ON true
          |   LEFT JOIN b5 ON true LEFT JOIN b6 ON true)

@@ -1263,12 +1263,16 @@ object TextAnalytics {
     * one row per learned merge (rank, the pair, the merged symbol, its
     * occurrence-weighted count at adoption time).
     *
-    * Segmentations ride as LEADING-SPACE-ENCODED strings (' c a t'):
-    * applying a merge is replace(' a b' → ' ab'), whose left-to-right
-    * non-overlapping scan is EXACTLY BPE's in-word merge order and is
-    * bit-identical across engines — no per-symbol fold machinery, and a
-    * symbol can never false-match inside another because every symbol
-    * carries its own leading space and symbols are space-free.
+    * Segmentations ride as FULLY-DELIMITED strings — every symbol is
+    * wrapped \u0001sym\u0002 — so applying a merge is
+    * replace(\u0001a\u0002\u0001b\u0002 → \u0001ab\u0002), whose
+    * left-to-right non-overlapping scan is EXACTLY BPE's in-word merge
+    * order and is bit-identical across engines. Both delimiters matter:
+    * a single-sided encoding lets the pattern's open right edge match a
+    * symbol that merely STARTS with b (' a a' inside ' a ac' — caught by
+    * the Round7PropSpec symbol-list trainer), while the closed wrap can
+    * only match whole symbols yet still merges adjacent runs because
+    * neighboring matches share no delimiter characters.
     *
     * Scale shape: the corpus touches the plan ONCE (the word-frequency
     * aggregate — map-side combined, vocabulary-bounded output); every
@@ -1293,11 +1297,13 @@ object TextAnalytics {
       .select(explode(Text.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     var seg = words.select(col("freq"),
-      regexp_replace(col("w"), "(.)", " $1").as("seg"))
+      regexp_replace(col("w"), "(.)", "\u0001$1\u0002").as("seg"))
       .localCheckpoint()
     var learned: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
-      val arr = split(ltrim(col("seg")), " ")
+      // strip the outer delimiters, split on the inter-symbol boundary
+      val arr = split(expr("substring(seg, 2, length(seg) - 2)"),
+        "\u0002\u0001")
       val pairs = seg.select(col("freq"), arr.as("arr"))
         .where(size(col("arr")) >= 2)
         .select(col("freq"),
@@ -1316,7 +1322,8 @@ object TextAnalytics {
         col("cnt").as("pair_count"))
       seg = seg.crossJoin(broadcast(best))
         .select(col("freq"),
-          expr("replace(seg, ' ' || a || ' ' || b, ' ' || a || b)").as("seg"))
+          expr("replace(seg, '\u0001' || a || '\u0002\u0001' || b || '\u0002', " +
+            "'\u0001' || a || b || '\u0002')").as("seg"))
         .localCheckpoint()
     }
     learned.reduce(_ union _)
@@ -1341,16 +1348,18 @@ object TextAnalytics {
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))
     def q(s: String): String = "'" + s.replace("'", "''") + "'"
-    val applied = merges.foldLeft("regexp_replace(w, '(.)', ' $1')") {
+    val applied = merges.foldLeft("regexp_replace(w, '(.)', '\u0001$1\u0002')") {
       case (acc, (a, b)) =>
-        s"replace($acc, ' ' || ${q(a)} || ' ' || ${q(b)}, ' ' || ${q(a)} || ${q(b)})"
+        s"replace($acc, '\u0001' || ${q(a)} || '\u0002\u0001' || ${q(b)} || '\u0002', " +
+          s"'\u0001' || ${q(a)} || ${q(b)} || '\u0002')"
     }
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("source"),
         expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("n_chars"),
+        // one \u0001 per symbol: the token count is the delimiter count
         expr(s"""aggregate(ws, 0L, (acc, w) ->
-                | acc + size(split(ltrim($applied), ' ')))""".stripMargin)
+                | acc + length($applied) - length(replace($applied, '\u0001', '')))""".stripMargin)
           .as("n_tokens_bpe"))
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6))

@@ -341,9 +341,11 @@ class Round7OpsSpec extends SparkTestBase {
     val merges = TextAnalytics.bpeMergeLoop(spark, sf).collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
     def encode(word: String): Int = {
-      var seg = word.toCharArray.map(c => s" $c").mkString
-      for ((a, b) <- merges) seg = seg.replace(s" $a $b", s" $a$b")
-      seg.trim.split(" ").length
+      val (o, c) = (1.toChar, 2.toChar)
+      var seg = word.toCharArray.map(ch => s"$o$ch$c").mkString
+      for ((a, b) <- merges)
+        seg = seg.replace(s"$o$a$c$o$b$c", s"$o$a$b$c")
+      seg.count(_ == o)
     }
     val docs = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()
