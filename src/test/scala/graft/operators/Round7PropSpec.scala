@@ -129,6 +129,48 @@ class Round7PropSpec extends SparkTestBase {
     out.toSeq
   }
 
+  test("mmr re-ranking agrees with a naive greedy replay") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (0L until 3L).flatMap { q =>
+      val cands = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, rel) => (-rel, c) }.take(20)
+      var sel = List.empty[(Long, Double, Option[Double], Double, Int)]
+      for (step <- 1 to 5) {
+        val chosen = sel.map(_._1).toSet
+        val pick = cands.filter(c => !chosen.contains(c._1)).map { case (c, rel) =>
+          if (step == 1) (c, rel, None: Option[Double], rel)
+          else {
+            val ms = sel.map(s => cos(vecs(c), vecs(s._1))).max
+            (c, rel, Some(ms), 0.7 * rel - (1.0 - 0.7) * ms)
+          }
+        }.minBy { case (c, _, _, mmr) => (-mmr, c) }
+        sel = sel :+ ((pick._1, pick._2, pick._3, pick._4, step))
+      }
+      sel.map { case (c, rel, ms, mmr, step) => (q, step) ->
+        (c, rel, ms, BigDecimal(mmr).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toMap
+    val got = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getDouble(5))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, v) => assert(got(k) === v, s"pick $k") }
+  }
+
   test("bpe merge loop agrees with the symbol-list trainer") {
     val s = spark
     import s.implicits._
