@@ -381,6 +381,18 @@ object SparkEntry {
     "q205_shard_rebalance" -> ((s: SparkSession, d: String) => graft.operators.Curation.shardRebalance(s, d)),
     // apply the learned q201 merges: per-doc subword counts, zero-shuffle
     "q206_bpe_encode" -> ((s: SparkSession, d: String) => TextAnalytics.bpeEncode(s, d)),
+    // seed labels spread over the near-dup graph, 3 integer-vote rounds
+    "q207_label_propagation" -> ((s: SparkSession, d: String) => graft.operators.Curation.labelPropagation(s, d)),
+    // count-of-counts Good-Turing smoothing of the corpus vocabulary
+    "q208_good_turing" -> ((s: SparkSession, d: String) => TextAnalytics.goodTuring(s, d)),
+    // 4x1024 count-min sketch vs exact counts for the top-100 words
+    "q209_cms_audit" -> ((s: SparkSession, d: String) => TextAnalytics.cmsAudit(s, d)),
+    // per-source KMV (k=64) distinct-shingle estimate vs exact
+    "q210_kmv_distinct" -> ((s: SparkSession, d: String) => TextAnalytics.kmvDistinct(s, d)),
+    // nDCG@5 of LSH/IVF vs exact top-5, pinned integer discounts
+    "q211_ndcg_eval" -> ((s: SparkSession, d: String) => Similarity.ndcgAt5(s, d)),
+    // half-life-decayed engagement: exact power-of-two week weights
+    "q212_decay_engagement" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.decayEngagement(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3685,5 +3697,122 @@ private object CorpusOracles {
          | round(CAST(n_chars AS DOUBLE) / n_tokens_bpe, 6) AS chars_per_token
          |FROM enc""".stripMargin
     },
+    // q207: seeds clamped, 3 unrolled synchronous majority-vote rounds
+    // (ties -> smallest label, no labeled neighbor -> unlabeled)
+    "q207_label_propagation" -> {
+      val round = (i: Int) =>
+        s"""v$i AS (SELECT e.dst AS doc_id, l.label, count(*) AS votes
+           |  FROM edges e JOIN l${i - 1} l ON l.doc_id = e.src
+           |  LEFT JOIN seeds s ON s.doc_id = e.dst
+           |  WHERE s.doc_id IS NULL GROUP BY 1, 2),
+           |p$i AS (SELECT doc_id, label FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY doc_id ORDER BY votes DESC, label) AS rn FROM v$i)
+           |  WHERE rn = 1),
+           |l$i AS (SELECT * FROM seeds UNION ALL SELECT * FROM p$i)"""
+          .stripMargin
+      s"""WITH pairs AS ($minhashPairsSql),
+         |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |          UNION ALL SELECT doc2, doc1 FROM pairs),
+         |seeds AS (SELECT d.doc_id, e.label FROM documents d
+         |  JOIN embeddings e ON e.vec_id = d.doc_id WHERE d.doc_id % 5 = 0),
+         |l0 AS (SELECT * FROM seeds),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT l.doc_id, l.label,
+         | CAST(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         |  AS is_seed
+         |FROM l3 l LEFT JOIN seeds s ON s.doc_id = l.doc_id""".stripMargin
+    },
+    // q208: integer counts until the two final single divisions
+    "q208_good_turing" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM words GROUP BY 1),
+        |coc AS (SELECT c AS freq, count(*) AS n_types FROM wc GROUP BY 1),
+        |tot AS (SELECT sum(freq * n_types) AS n_tokens FROM coc)
+        |SELECT a.freq, a.n_types,
+        | coalesce(b.n_types, 0) AS next_n_types,
+        | round(CAST((a.freq + 1) * coalesce(b.n_types, 0) AS DOUBLE)
+        |   / a.n_types, 6) AS gt_freq,
+        | round(CAST((a.freq + 1) * coalesce(b.n_types, 0) AS DOUBLE)
+        |   / n_tokens, 6) AS gt_class_mass
+        |FROM coc a LEFT JOIN coc b ON b.freq = a.freq + 1
+        |CROSS JOIN tot""".stripMargin,
+    // q209: d=4 pinned md5 row hashes x width 1024; min over rows
+    "q209_cms_audit" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |h AS (SELECT w, c, j,
+        |   CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))
+        |     AS BIGINT) % 1024 AS bucket
+        |  FROM wc, range(0, 4) r(j)),
+        |cells AS (SELECT j, bucket, sum(c) AS cell FROM h GROUP BY 1, 2),
+        |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 100),
+        |est AS (SELECT h.w, min(cell) AS cms_est
+        |  FROM h JOIN top USING (w) JOIN cells USING (j, bucket)
+        |  GROUP BY 1)
+        |SELECT top.w AS word, top.c AS exact_cnt, cms_est,
+        | cms_est - top.c AS overestimate
+        |FROM top JOIN est ON est.w = top.w""".stripMargin,
+    // q210: k smallest 60-bit hashes per stratum; 63*2^60 is exact in
+    // double, one division, 4-dp estimate, 6-dp relative error
+    "q210_kmv_distinct" ->
+      s"""WITH sh AS ($shingleRows),
+         |g0 AS (SELECT d.source, sh.shingle FROM sh
+         |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |g AS (SELECT source, shingle FROM g0
+         |      UNION SELECT 'ALL' AS source, shingle FROM g0),
+         |ex AS (SELECT source, count(*) AS n_exact FROM g GROUP BY 1),
+         |h AS (SELECT source, shingle,
+         |   CAST(('0x' || substr(md5('kmv:' || shingle), 1, 15)) AS BIGINT)
+         |    AS h FROM g),
+         |r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+         |   ORDER BY h, shingle) AS rn FROM h),
+         |kth AS (SELECT source, h AS kth_hash FROM r WHERE rn = 64),
+         |est AS (SELECT ex.source, ex.n_exact, kth.kth_hash,
+         |   CASE WHEN kth.kth_hash IS NULL THEN CAST(n_exact AS DOUBLE)
+         |    ELSE round(63.0 * 1152921504606846976 / kth_hash, 4) END
+         |    AS kmv_est
+         |  FROM ex LEFT JOIN kth USING (source))
+         |SELECT source, n_exact, kth_hash, kmv_est,
+         | round((kmv_est - n_exact) / n_exact, 6) AS rel_err
+         |FROM est""".stripMargin,
+    // q211: binary relevance vs the exact top-5; discounts are the same
+    // x1e12 literals the Scala side pins; ideal DCG = their sum
+    "q211_ndcg_eval" -> {
+      val disc = "[1000000000000, 630929753571, 500000000000, " +
+        "430676558073, 386852807235]"
+      val dcg = s"""sum(CASE WHEN e.neighbor_id IS NULL THEN 0
+         | ELSE ($disc)[a."rank"] END)""".stripMargin
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annBfSql)),
+         |l AS (SELECT query_id, neighbor_id, "rank" FROM ($annLshSql)),
+         |i AS (SELECT query_id, neighbor_id, "rank" FROM ($annIvfSql)),
+         |approx AS (
+         |  SELECT 'lsh' AS method, query_id, neighbor_id, "rank" FROM l
+         |  UNION ALL
+         |  SELECT 'ivf', query_id, neighbor_id, "rank" FROM i)
+         |SELECT a.method, a.query_id,
+         | CAST($dcg AS BIGINT) AS dcg_fp,
+         | round(CAST($dcg AS DOUBLE) / 2948459118879, 6) AS ndcg
+         |FROM approx a LEFT JOIN exact e
+         | ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // q212: week-bucketed ages keep decay weights exact powers of two;
+    // the contribution sum is pure integer arithmetic
+    "q212_decay_engagement" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |a AS (SELECT max(day) AS d1 FROM ev),
+        |k AS (SELECT user_id, cents,
+        |   least(CAST(floor(date_diff('day', day, d1) / 7) AS INTEGER), 8)
+        |    AS k
+        |  FROM ev CROSS JOIN a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents * ([256,128,64,32,16,8,4,2,1])[k+1]) AS BIGINT)
+        |  AS decayed_fp,
+        | round(CAST(sum(cents * ([256,128,64,32,16,8,4,2,1])[k+1])
+        |   AS DOUBLE) / 25600.0, 6) AS decayed_value
+        |FROM k GROUP BY 1""".stripMargin,
   )
 }

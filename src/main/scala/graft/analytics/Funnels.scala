@@ -817,4 +817,35 @@ object Funnels {
         else round(col("removal_effect_fp").cast("double") / lit(sumRe.toDouble), 6)
           .as("attribution"))
   }
+
+  /** Half-life-decayed engagement score per user: each event's cent value
+    * weighted by 2^−⌊age/7d⌋ relative to the newest event day — the
+    * recency-weighted LTV/engagement rank that a winback list (q164) or
+    * churn model wants instead of the flat lifetime sum (q12). Week
+    * granularity keeps the weights EXACT powers of two: contributions are
+    * cents·2^(8−k) integer longs (k clamped at 8 — ≥8-week-old activity
+    * saturates at weight 1/256), summed exactly; the only float ops are
+    * one division by 25600 (2⁸·100) and the 6-dp round.
+    *
+    * Scale shape: the anchor day is a broadcast one-row aggregate (the
+    * A11/q12 recipe — no driver collect); scoring is then one map pass
+    * over events and one user-keyed map-side-combinable sum.
+    */
+  def decayEngagement(spark: SparkSession, sfDir: String,
+      maxK: Int = 8): DataFrame = {
+    val weights = array((0 to maxK).map(k => lit(1L << (maxK - k))): _*)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    ev.crossJoin(broadcast(ev.agg(max(col("day")).as("d1"))))
+      .withColumn("k",
+        least(floor(datediff(col("d1"), col("day")) / 7), lit(maxK))
+          .cast("int"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents") * element_at(weights, col("k") + 1))
+          .as("decayed_fp"))
+      .withColumn("decayed_value",
+        round(col("decayed_fp").cast("double") / (100.0 * (1L << maxK)), 6))
+  }
 }

@@ -1364,4 +1364,129 @@ object TextAnalytics {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6))
   }
+
+  /** Good–Turing frequency smoothing over the corpus vocabulary (Gale &
+    * Sampson 1995's simple GT, the count-of-counts core): for every
+    * observed occurrence count r, the number of word types N_r seen exactly
+    * r times, the GT-adjusted count r* = (r+1)·N_{r+1}/N_r, and the total
+    * smoothed probability mass of the class, (r+1)·N_{r+1}/N. The r*=0 rows
+    * (no class above) mark where a production smoother switches to the raw
+    * MLE — and N_1/N at r=1 IS the unseen-mass estimate a coverage audit
+    * (q155) wants.
+    *
+    * Determinism: everything is integer counts until the two final
+    * divisions (single ops, correctly rounded, then 6-dp rounded).
+    *
+    * Scale shape: corpus → word counts is the one big map-side-combinable
+    * aggregate; counts-of-counts runs on the VOCAB-sized table and its
+    * output is bounded by the number of distinct frequencies (≤ O(√tokens)
+    * — Zipf makes high counts sparse). The self-join for N_{r+1} and the
+    * one-row total both operate on that tiny table.
+    */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val coc = counts.groupBy(col("c").as("freq"))
+      .agg(count(lit(1)).as("n_types"))
+    val total = coc.agg(sum(col("freq") * col("n_types")).as("n_tokens"))
+    coc
+      .join(coc.select((col("freq") - 1).as("freq"),
+        col("n_types").as("next_n_types")), Seq("freq"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("freq"), col("n_types"),
+        coalesce(col("next_n_types"), lit(0L)).as("next_n_types"),
+        round(((col("freq") + 1) * coalesce(col("next_n_types"), lit(0L)))
+          .cast("double") / col("n_types"), 6).as("gt_freq"),
+        round(((col("freq") + 1) * coalesce(col("next_n_types"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("gt_class_mass"))
+  }
+
+  /** Count-min-sketch accuracy audit (Cormode & Muthukrishnan 2005): build
+    * a d=4 × w=1024 CMS of corpus word frequencies with pinned md5 row
+    * hashes, then compare the sketch's point estimate against the exact
+    * count for the top-`k` words — the overestimate column is the number a
+    * heavy-hitter pipeline needs before trusting the sketch at a given
+    * width (CMS never underestimates; `overestimate` ≥ 0 always, and the
+    * audit proves the bound ε·N empirically).
+    *
+    * Scale shape: the corpus collapses once to word counts (map-side
+    * combine); the sketch build is a vocab×d-row aggregate into 4096
+    * cells; the probe side is top-k (TakeOrderedAndProject) joined back to
+    * the broadcast-sized cell table. Nothing after the first aggregate is
+    * corpus-scale.
+    */
+  def cmsAudit(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val d = 4
+    val width = 1024
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val hashed = counts
+      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket",
+        pmod(Hashing.stableHash32(concat(col("j"), lit(":"), col("w"))),
+          lit(width)))
+    val cells = hashed.groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("cell"))
+    val top = counts
+      .orderBy(col("c").desc, col("w")).limit(k)
+    val est = top.select(col("w"))
+      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket",
+        pmod(Hashing.stableHash32(concat(col("j"), lit(":"), col("w"))),
+          lit(width)))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .groupBy(col("w")).agg(min(col("cell")).as("cms_est"))
+    top.join(broadcast(est), Seq("w"))
+      .select(col("w").as("word"), col("c").as("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("c")).as("overestimate"))
+  }
+
+  /** K-minimum-values distinct-count sketch audit (Bar-Yossef et al. 2002;
+    * the Θ-sketch core): per source (plus the ALL rollup), the exact
+    * distinct 3-shingle count next to the KMV estimate
+    * (k−1)·2⁶⁰ / h₍ₖ₎ from the k smallest pinned 60-bit md5 hashes — the
+    * mergeable cardinality sketch a federated corpus census uses when the
+    * exact distinct would shuffle the full shingle universe. Strata with
+    * fewer than k distinct values fall back to the exact count (the sketch
+    * IS exact below k — kth_hash is null there).
+    *
+    * Determinism: hashes are integers; the estimate is one exact double
+    * product (63·2⁶⁰ — both factors and the product exactly representable)
+    * and one correctly-rounded division, then a 6-dp relative error off
+    * the 4-dp-rounded estimate.
+    *
+    * Scale shape: the distinct collapse is the one corpus-scale aggregate
+    * (map-side combine on (source, shingle)); the per-source k-smallest is
+    * a WindowGroupLimit (per-partition k-heap), never a full sort; the ALL
+    * row reuses the same distinct stream. At 100 TB the real win is that
+    * per-partition KMV sketches MERGE (union the hash sets, re-truncate to
+    * k) — this audit measures the error of exactly that sketch.
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
+    val grp = base.select(col("source"), col("s"))
+      .unionByName(base.select(lit("ALL").as("source"), col("s")))
+      .distinct()
+      .localCheckpoint()
+    val exact = grp.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("s"))
+    val kth = grp
+      .withColumn("h", Hashing.stableHash60(concat(lit("kmv:"), col("s"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === k)
+      .select(col("source"), col("h").as("kth_hash"))
+    exact.join(kth, Seq("source"), "left")
+      .withColumn("kmv_est",
+        when(col("kth_hash").isNull, col("n_exact").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+              / col("kth_hash").cast("double"), 4)))
+      .withColumn("rel_err",
+        round((col("kmv_est") - col("n_exact")) / col("n_exact"), 6))
+  }
 }

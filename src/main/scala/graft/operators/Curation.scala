@@ -1877,4 +1877,69 @@ object Curation {
       .withColumn("harmonic",
         round(col("harmonic_fp").cast("double") / 6.0, 6))
   }
+
+  /** Semi-supervised label propagation over the near-dup graph (q25's pair
+    * list, undirected): documents with a trusted label (here: every 5th
+    * doc_id, labeled by its embedding-table class — the aligned
+    * vec_id↔doc_id contract q161 established) spread those labels to
+    * unlabeled near-duplicates. The production use: a human-audited quality
+    * or topic label on a few corpus members extends to their duplicate
+    * families for free — the cheap first rung of weak supervision
+    * (Zhu & Ghahramani 2002's LP, restricted to hard labels).
+    *
+    * Synchronous rounds, fully deterministic: seeds are clamped; every
+    * round each non-seed node independently takes the MAJORITY label of
+    * its currently-labeled neighbors (ties → smallest label; no labeled
+    * neighbor → unlabeled this round). Integer votes only — no float
+    * weights, so the fixpoint is engine-exact and the oracle unrolls the
+    * same rounds as CTEs.
+    *
+    * Scale shape: each round is one equality join (edges × labels, both
+    * doc_id-keyed) plus a map-side-combinable vote count and a per-node
+    * top-1 (WindowGroupLimit, not a full sort); `localCheckpoint`
+    * truncates lineage per round. Labels live only on edge-touched nodes +
+    * seeds, never the full corpus.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+      rounds: Int = 3, threshold: Double = 0.7): DataFrame =
+    SessionMemo(spark, s"labelPropagation|$sfDir|$rounds|$threshold") {
+      labelPropagationOf(
+        Dedup.minhashPairs(spark, sfDir, threshold)
+          .select(col("doc1"), col("doc2")),
+        Tables.documents(spark, sfDir).select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(5)) === 0)
+          .join(Tables.embeddings(spark, sfDir)
+            .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id")),
+        rounds)
+    }
+
+  /** [[labelPropagation]] over arbitrary (doc1, doc2) pairs and
+    * (doc_id, label) seeds.
+    */
+  def labelPropagationOf(pairs: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    val clamped = seeds.select(col("doc_id"), col("label")).localCheckpoint()
+    var labels = clamped
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("votes").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val spread = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .join(clamped.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("label"))
+      labels = clamped.unionByName(spread).localCheckpoint()
+    }
+    labels
+      .join(clamped.select(col("doc_id"), lit(1).as("is_seed")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
+  }
 }

@@ -399,6 +399,43 @@ object Similarity {
           .cast("double") / k, 4).as("recall_at_5"))
   }
 
+  /** Rank-aware retrieval quality: nDCG@5 of each ANN method (LSH, IVF)
+    * against the exact brute-force top-5 — the metric that punishes an
+    * index for burying a true neighbor at rank 5 where recall@5 (q67)
+    * would call it a hit. Binary relevance (returned neighbor ∈ exact
+    * top-5); discounts 1/log₂(i+1) are PINNED ×10¹² integer literals
+    * (identical in the oracle), so the DCG is an exact integer sum and
+    * the only float op is the final division by the constant ideal DCG.
+    *
+    * Scale shape: both ANN paths and the exact pass are the established
+    * q29/q30/q37 plans; the join to the exact set is broadcast-sized
+    * (nQueries·k rows) and the rollup is per (method, query).
+    */
+  def ndcgAt5(spark: SparkSession, sfDir: String): DataFrame = {
+    // round(1e12 / log2(i+1)) for i = 1..5; sum = ideal DCG for 5 hits
+    val disc = Seq(1000000000000L, 630929753571L, 500000000000L,
+      430676558073L, 386852807235L)
+    val idcg = disc.sum
+    val discArr = array(disc.map(lit): _*)
+    val exact = bruteForceTopK(spark, sfDir, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx =
+      lshTopK(spark, sfDir, 5)
+        .select(lit("lsh").as("method"), col("query_id"),
+          col("neighbor_id"), col("rank"))
+      .unionByName(ivfTopK(spark, sfDir, 5)
+        .select(lit("ivf").as("method"), col("query_id"),
+          col("neighbor_id"), col("rank")))
+    approx.alias("a")
+      .join(broadcast(exact).alias("e"),
+        col("a.query_id") === col("e.query_id") &&
+          col("a.neighbor_id") === col("e.neighbor_id"), "left")
+      .groupBy(col("method"), col("a.query_id").as("query_id"))
+      .agg(sum(when(col("e.neighbor_id").isNotNull,
+        element_at(discArr, col("rank"))).otherwise(0L)).as("dcg_fp"))
+      .withColumn("ndcg", round(col("dcg_fp").cast("double") / idcg, 6))
+  }
+
   /** Label-centroid geometry: pairwise cosine between the
     * [[labelCentroids]] vectors — the class-separability audit a labeled
     * embedding corpus gets before anyone trusts the labels as blocking
