@@ -393,6 +393,14 @@ object SparkEntry {
     "q211_ndcg_eval" -> ((s: SparkSession, d: String) => Similarity.ndcgAt5(s, d)),
     // half-life-decayed engagement: exact power-of-two week weights
     "q212_decay_engagement" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.decayEngagement(s, d)),
+    // argmax-transition model trained on days 1-20, scored on the rest
+    "q213_next_event_backtest" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.nextEventBacktest(s, d)),
+    // ISO-weekday revenue seasonal factors on the zero-filled spine
+    "q214_seasonal_index" -> ((s: SparkSession, d: String) => Relational.seasonalIndex(s, d)),
+    // m=256 HLL registers vs exact distinct shingles, integer denominator
+    "q215_hll_audit" -> ((s: SparkSession, d: String) => TextAnalytics.hllAudit(s, d)),
+    // two-sample KS statistic of doc length, each source vs the rest
+    "q216_ks_drift" -> ((s: SparkSession, d: String) => TextAnalytics.ksDrift(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3814,5 +3822,110 @@ private object CorpusOracles {
         | round(CAST(sum(cents * ([256,128,64,32,16,8,4,2,1])[k+1])
         |   AS DOUBLE) / 25600.0, 6) AS decayed_value
         |FROM k GROUP BY 1""".stripMargin,
+    // q213: train on the first 20 calendar days (next-event day decides
+    // the split), argmax ties to the smallest next type
+    "q213_next_event_backtest" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS next_type,
+        |   lead(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS next_day
+        |  FROM events),
+        |d AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |t AS (SELECT from_type, next_type, next_day > d0 + 19 AS is_test
+        |  FROM p CROSS JOIN d WHERE next_type IS NOT NULL),
+        |tc AS (SELECT from_type, next_type, count(*) AS c FROM t
+        |  WHERE NOT is_test GROUP BY 1, 2),
+        |m AS (SELECT from_type, next_type AS predicted_type FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY from_type
+        |     ORDER BY c DESC, next_type) AS rn FROM tc) WHERE rn = 1)
+        |SELECT t.from_type, m.predicted_type,
+        | CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(CASE WHEN t.next_type = m.predicted_type
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        | round(CAST(sum(CASE WHEN t.next_type = m.predicted_type
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM t JOIN m USING (from_type) WHERE is_test
+        |GROUP BY 1, 2""".stripMargin,
+    // q214: isodow grouping over the q202 zero-filled spine; the index is
+    // one division of two exact integer cross-products
+    "q214_seasonal_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |dow AS (SELECT isodow(day) AS iso_dow,
+        |   CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(x) AS BIGINT) AS rev_cents FROM x GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS n_all,
+        |   CAST(sum(rev_cents) AS BIGINT) AS rev_all FROM dow)
+        |SELECT CAST(iso_dow AS INTEGER) AS iso_dow, n_days, rev_cents,
+        | round(CAST(rev_cents AS DOUBLE)
+        |   / CAST(n_days * 100 AS DOUBLE), 6) AS avg_rev,
+        | round(CAST(CAST(rev_cents AS HUGEINT) * n_all AS DOUBLE)
+        |   / CAST(CAST(n_days AS HUGEINT) * rev_all AS DOUBLE), 6)
+        |  AS seasonal_index
+        |FROM dow CROSS JOIN tot""".stripMargin,
+    // q215: register index = top 8 hash bits, rank = 53 - bitlen of the
+    // low 52; the harmonic denominator stays integer (2^(53-M) terms)
+    "q215_hll_audit" ->
+      s"""WITH sh AS ($shingleRows),
+         |g0 AS (SELECT d.source, sh.shingle FROM sh
+         |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |g AS (SELECT source, shingle FROM g0
+         |      UNION SELECT 'ALL' AS source, shingle FROM g0),
+         |ex AS (SELECT source, count(*) AS n_exact FROM g GROUP BY 1),
+         |h AS (SELECT source,
+         |   CAST(('0x' || substr(md5('hll:' || shingle), 1, 15)) AS BIGINT)
+         |    AS h FROM g),
+         |r AS (SELECT source, h // 4503599627370496 AS idx,
+         |   h % 4503599627370496 AS w FROM h),
+         |rk AS (SELECT source, idx,
+         |   CASE WHEN w = 0 THEN 53 ELSE 53 - len(bin(w)) END AS rnk
+         |  FROM r),
+         |regs AS (SELECT source, idx, max(rnk) AS m FROM rk GROUP BY 1, 2),
+         |z AS (SELECT source, count(*) AS n_filled,
+         |   CAST(sum(CAST(power(2, 53 - m) AS BIGINT)) AS BIGINT)
+         |    AS z_filled
+         |  FROM regs GROUP BY 1)
+         |SELECT ex.source, ex.n_exact,
+         | CAST(256 - n_filled AS BIGINT) AS n_zero_registers,
+         | CAST(z_filled + (256 - n_filled) * 9007199254740992 AS BIGINT)
+         |  AS z_fp,
+         | round(4.707271267120224e4 * 9.007199254740992e15
+         |   / CAST(z_filled + (256 - n_filled) * 9007199254740992
+         |     AS DOUBLE), 4) AS hll_est,
+         | round((round(4.707271267120224e4 * 9.007199254740992e15
+         |     / CAST(z_filled + (256 - n_filled) * 9007199254740992
+         |       AS DOUBLE), 4) - n_exact) / n_exact, 6) AS rel_err
+         |FROM ex JOIN z USING (source)""".stripMargin,
+    // q216: exact integer KS numerator max|c1*N2 - c2*N1| on the
+    // (source, length) grain; ties-safe because the grain is distinct
+    "q216_ks_drift" ->
+      """WITH srcs AS (SELECT DISTINCT source AS s FROM documents),
+        |grain AS (SELECT s, n_chars,
+        |   sum(CASE WHEN d.source = s THEN 1 ELSE 0 END) AS a,
+        |   sum(CASE WHEN d.source <> s THEN 1 ELSE 0 END) AS b
+        |  FROM documents d CROSS JOIN srcs GROUP BY 1, 2),
+        |c AS (SELECT s, a, b,
+        |   sum(a) OVER (PARTITION BY s ORDER BY n_chars) AS ca,
+        |   sum(b) OVER (PARTITION BY s ORDER BY n_chars) AS cb,
+        |   sum(a) OVER (PARTITION BY s) AS n1,
+        |   sum(b) OVER (PARTITION BY s) AS n2
+        |  FROM grain)
+        |SELECT s AS source, CAST(max(n1) AS BIGINT) AS n_source,
+        | CAST(max(n2) AS BIGINT) AS n_rest,
+        | CAST(max(abs(CAST(ca AS HUGEINT) * n2
+        |   - CAST(cb AS HUGEINT) * n1)) AS BIGINT) AS ks_fp,
+        | round(CAST(max(abs(CAST(ca AS HUGEINT) * n2
+        |     - CAST(cb AS HUGEINT) * n1)) AS DOUBLE)
+        |   / CAST(CAST(max(n1) AS HUGEINT) * max(n2) AS DOUBLE), 6)
+        |  AS ks_stat
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

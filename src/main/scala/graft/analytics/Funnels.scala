@@ -848,4 +848,56 @@ object Funnels {
       .withColumn("decayed_value",
         round(col("decayed_fp").cast("double") / (100.0 * (1L << maxK)), 6))
   }
+
+  /** Backtest of the q140 Markov next-event predictor: train the
+    * argmax-transition model on the first `trainDays` days of the stream,
+    * then score it on every later transition — per prior event type, the
+    * prediction, test-transition count, hits, and accuracy. This closes
+    * the transition-matrix loop the way q203 closes q187's: a model table
+    * is only trustworthy once its out-of-sample hit rate is a measured
+    * number (the sequence-model sanity check behind session-based
+    * recommenders and bot detectors).
+    *
+    * Deterministic: integer counts; argmax ties break to the
+    * lexicographically smallest next type; one final division.
+    *
+    * Scale shape: one window pass over user-partitioned events builds all
+    * transitions (the q140 stage); the train/test split is a map-side flag
+    * off a broadcast one-row min-day aggregate; the model is
+    * |event types|² rows, broadcast into the test-side rollup. Prior
+    * types unseen in training are excluded by the inner join (no model
+    * row to score).
+    */
+  def nextEventBacktest(spark: SparkSession, sfDir: String,
+      trainDays: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_day", lead(to_date(col("ts")), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .withColumnRenamed("event_type", "from_type")
+    val d0 = Tables.events(spark, sfDir)
+      .agg(min(to_date(col("ts"))).as("d0"))
+    val tagged = pairs.crossJoin(broadcast(d0))
+      .withColumn("is_test",
+        col("next_day") > date_add(col("d0"), trainDays - 1))
+      .select(col("from_type"), col("next_type"), col("is_test"))
+    val mw = Window.partitionBy(col("from_type"))
+      .orderBy(col("c").desc, col("next_type"))
+    val model = tagged.where(!col("is_test"))
+      .groupBy(col("from_type"), col("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(mw))
+      .where(col("rn") === 1)
+      .select(col("from_type"), col("next_type").as("predicted_type"))
+    tagged.where(col("is_test"))
+      .join(broadcast(model), Seq("from_type"))
+      .groupBy(col("from_type"), col("predicted_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next_type") === col("predicted_type"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_test"), 6))
+  }
 }

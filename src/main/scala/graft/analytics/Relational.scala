@@ -598,6 +598,39 @@ object Relational {
         round(col("slope_fp").cast("double") / 76880.0, 6))
   }
 
+  /** Day-of-week seasonal indices of order revenue on the zero-filled
+    * calendar spine: per ISO weekday, mean daily revenue relative to the
+    * overall daily mean — the classical ratio-to-overall-average seasonal
+    * factor that deseasonalizes the q187/q202 trend lines (an index of
+    * 1.15 on Fridays means a flat forecast must be scaled up 15% there).
+    * Computed on the spine, not raw order days, so zero-revenue weekdays
+    * drag their index down honestly.
+    *
+    * Determinism: the index is one division of two exact integer products
+    * — (Σcents_dow · n_days_all) / (n_days_dow · Σcents_all) in
+    * Decimal(38,0) — and the average divides cents by 100·n in one op.
+    *
+    * Scale shape: the q191 recipe — orders collapse to day grain once;
+    * everything downstream (7-row rollup, one-row total, broadcast) is
+    * calendar-sized.
+    */
+  def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val byDow = dailyCentsSpine(spark, sfDir)
+      .groupBy((weekday(col("day")) + lit(1)).as("iso_dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("rev_cents"))
+    byDow
+      .crossJoin(broadcast(byDow.agg(sum(col("n_days")).as("n_all"),
+        sum(col("rev_cents")).as("rev_all"))))
+      .select(col("iso_dow").cast("int").as("iso_dow"), col("n_days"),
+        col("rev_cents"),
+        round(col("rev_cents").cast("double")
+          / (col("n_days") * 100L).cast("double"), 6).as("avg_rev"),
+        round((col("rev_cents").cast(dec) * col("n_all")).cast("double")
+          / (col("n_days").cast(dec) * col("rev_all")).cast("double"), 6)
+          .as("seasonal_index"))
+  }
+
   /** One-step-ahead backtest of the dyadic-EWMA revenue forecast: for
     * every day with a full history, the forecast is [[ewmaRevenue]]'s
     * weighted mean through YESTERDAY and the row reports the absolute

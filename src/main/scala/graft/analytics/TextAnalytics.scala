@@ -1489,4 +1489,103 @@ object TextAnalytics {
       .withColumn("rel_err",
         round((col("kmv_est") - col("n_exact")) / col("n_exact"), 6))
   }
+
+  /** HyperLogLog distinct-count audit (Flajolet et al. 2007), m = 256
+    * registers over the same per-source distinct-shingle universe as
+    * [[kmvDistinct]] — the OTHER mergeable cardinality sketch (per-split
+    * registers combine by element-wise max), audited against the exact
+    * count. Register index = top 8 bits of the pinned 60-bit md5 hash;
+    * rank = leading-zero count of the remaining 52 bits + 1 (bit-length
+    * arithmetic — both engines' `bin()` render minimal binary strings).
+    *
+    * Determinism: the harmonic-mean denominator is summed in INTEGER form
+    * — Σ 2^(53−M_j) — because the float sum of 2^−M terms spans > 53
+    * binary orders and would be order-sensitive; the estimate is then the
+    * pinned α·m² literal times 2^53 over that exact integer (two float
+    * ops, identical on both engines). Raw estimate only, no small-range
+    * correction — the `n_zero_registers` column is published so a
+    * consumer can apply linear counting themselves.
+    *
+    * Scale shape: identical to [[kmvDistinct]] — one distinct collapse,
+    * then a 256·|sources|-row register table; max and sum are both
+    * map-side combinable, so the sketch build is exactly the merge that
+    * would run per-partition on a real cluster.
+    */
+  def hllAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val two52 = 4503599627370496L
+    val two53 = 9007199254740992L
+    val alphaM2 = 47072.71267120224 // 0.7213/(1 + 1.079/256) * 256^2
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
+    val grp = base.select(col("source"), col("s"))
+      .unionByName(base.select(lit("ALL").as("source"), col("s")))
+      .distinct()
+      .localCheckpoint()
+    val exact = grp.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val regs = grp
+      .withColumn("h", Hashing.stableHash60(concat(lit("hll:"), col("s"))))
+      .withColumn("idx", expr(s"h DIV ${two52}L"))
+      .withColumn("w", pmod(col("h"), lit(two52)))
+      .withColumn("rnk",
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy(col("source"), col("idx"))
+      .agg(max(col("rnk")).as("m"))
+    val z = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_filled"),
+        sum(pow(lit(2.0), lit(53) - col("m")).cast("long")).as("z_filled"))
+    exact.join(z, Seq("source"))
+      .withColumn("n_zero_registers", (lit(256) - col("n_filled")).cast("long"))
+      .withColumn("z_fp",
+        col("z_filled") + col("n_zero_registers") * lit(two53))
+      .withColumn("hll_est",
+        round(lit(alphaM2) * lit(two53.toDouble) / col("z_fp").cast("double"),
+          4))
+      .withColumn("rel_err",
+        round((col("hll_est") - col("n_exact")) / col("n_exact"), 6))
+      .drop("n_filled", "z_filled")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic of the document-length
+    * (n_chars) distribution, each source vs the REST of the corpus — the
+    * distribution-free companion to the binned PSI audit (q141): PSI needs
+    * bin choices, KS does not, and a KS spike on a new crawl snapshot is
+    * the earliest "this source changed shape" alarm. ks_fp is the exact
+    * integer numerator max|c₁(x)·N₂ − c₂(x)·N₁| (the statistic before the
+    * 1/(N₁N₂) normalization), so the gate is integer-exact; ks_stat
+    * divides it out once at 6 dp.
+    *
+    * Scale shape: lengths collapse to (source, value) grain first
+    * (map-side combine bounded by |sources|·|distinct lengths|); the
+    * cumulative CDF walk is a window over that compact grain, partitioned
+    * per source — never over raw documents. Products run in Decimal(38,0)
+    * so corpus-scale counts cannot wrap.
+    */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(spark, sfDir).select(col("source"), col("n_chars"))
+    val sources = docs.select(col("source").as("s")).distinct()
+    val grain = docs.crossJoin(broadcast(sources))
+      .groupBy(col("s"), col("n_chars"))
+      .agg(sum(when(col("source") === col("s"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") =!= col("s"), 1L).otherwise(0L)).as("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    grain
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("n1", sum(col("a")).over(tw))
+      .withColumn("n2", sum(col("b")).over(tw))
+      .groupBy(col("s").as("source"))
+      .agg(max(col("n1")).as("n_source"), max(col("n2")).as("n_rest"),
+        max(abs(col("ca").cast(dec) * col("n2")
+          - col("cb").cast(dec) * col("n1"))).as("num"))
+      .select(col("source"), col("n_source"), col("n_rest"),
+        col("num").cast("long").as("ks_fp"),
+        round(col("num").cast("double")
+          / (col("n_source").cast(dec) * col("n_rest")).cast("double"), 6)
+          .as("ks_stat"))
+  }
 }

@@ -146,4 +146,85 @@ class Round7bOpsSpec extends SparkTestBase {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }
+
+  test("next-event backtest: hand replay of train/test split and argmax") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val days = graft.core.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"),
+        col("event_id"))
+      .collect().map(r => r.getLong(1) -> r.getDate(0).toLocalDate).toMap
+    val d0 = days.values.minBy(_.toEpochDay)
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2, e._3)).sliding(2).collect {
+        case Array(a, b) => (a._4, b._4, days(b._3))
+      }
+    }.toSeq
+    val (test, train) = pairs.partition(_._3.toEpochDay > d0.toEpochDay + 19)
+    val model = train.groupBy(_._1).view.mapValues { ps =>
+      ps.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (t, c) => (-c, t) }.head._1
+    }.toMap
+    val expect = test.filter(p => model.contains(p._1)).groupBy(_._1)
+      .map { case (f, ps) =>
+        f -> ((model(f), ps.size.toLong,
+          ps.count(_._2 == model(f)).toLong))
+      }
+    val got = graft.analytics.Funnels.nextEventBacktest(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect)
+  }
+
+  test("seasonal index: weighted mean of indices is 1, avg replays") {
+    val rows = graft.analytics.Relational.seasonalIndex(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to 7))
+    val nAll = rows.map(_.getLong(1)).sum
+    val revAll = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (n, cents) = (r.getLong(1), r.getLong(2))
+      assert(r.getDouble(3) ===
+        BigDecimal(cents.toDouble / (n * 100))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val idx = (BigInt(cents) * nAll).toDouble /
+        (BigInt(n) * revAll).toDouble
+      assert(math.abs(r.getDouble(4) - idx) < 1e-6, s"dow ${r.getInt(0)}")
+    }
+    // day-weighted mean of the indices telescopes to exactly 1
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(4)).sum / nAll
+    assert(math.abs(weighted - 1.0) < 1e-4)
+  }
+
+  test("hll audit: registers account for all 256 slots, error in band") {
+    val rows = TextAnalytics.hllAudit(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, zeros, zfp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(zeros >= 0 && zeros <= 256)
+      // every register contributes: filled ones >= 2^0, zeros exactly 2^53
+      assert(zfp >= zeros * 9007199254740992L + (256 - zeros))
+      assert(r.getDouble(4) > 0)
+      // raw HLL std error 1.04/sqrt(256) = 6.5%; generous 5-sigma band
+      // once the stratum is big enough for the asymptotics
+      if (n >= 1000)
+        assert(math.abs(r.getDouble(5)) < 0.325, s"${r.getString(0)}")
+    }
+  }
+
+  test("ks drift: stats in [0,1], totals constant, fp consistent") {
+    val rows = TextAnalytics.ksDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(1) + rows.head.getLong(2)
+    rows.foreach { r =>
+      val (n1, n2, fp, stat) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n1 + n2 === total)
+      assert(stat >= 0.0 && stat <= 1.0)
+      assert(math.abs(stat - fp.toDouble / (n1.toDouble * n2)) < 1e-6)
+      // with >= 2 sources of random lengths the CDFs must differ somewhere
+      assert(fp > 0)
+    }
+  }
 }
