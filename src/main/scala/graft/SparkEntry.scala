@@ -401,6 +401,12 @@ object SparkEntry {
     "q215_hll_audit" -> ((s: SparkSession, d: String) => TextAnalytics.hllAudit(s, d)),
     // two-sample KS statistic of doc length, each source vs the rest
     "q216_ks_drift" -> ((s: SparkSession, d: String) => TextAnalytics.ksDrift(s, d)),
+    // reciprocal-top-1 pairs over the trained IVF cells
+    "q217_mutual_nn" -> ((s: SparkSession, d: String) => Similarity.mutualNearestNeighbors(s, d)),
+    // exact Mann-Whitney U of model score, keep vs drop (midrank ties)
+    "q218_mannwhitney_quality" -> ((s: SparkSession, d: String) => graft.operators.Curation.mannWhitneyQuality(s, d)),
+    // Kaplan-Meier weekly retention with right-censoring, x1e12 fixed point
+    "q219_survival_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.survivalCurve(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3927,5 +3933,79 @@ private object CorpusOracles {
         |   / CAST(CAST(max(n1) AS HUGEINT) * max(n2) AS DOUBLE), 6)
         |  AS ks_stat
         |FROM c GROUP BY 1""".stripMargin,
+    // q217: per-vector argmax over the unthresholded cell pairs, then
+    // the reciprocity self-join on the reversed key
+    "q217_mutual_nn" ->
+      s"""WITH assigned AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |p AS (SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+         |    ${cosExpr("a.v", "b.v")} AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dd AS (SELECT vec1 AS src, vec2 AS dst, cosine FROM p
+         |       UNION ALL SELECT vec2, vec1, cosine FROM p),
+         |best AS (SELECT src, dst, cosine FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY src
+         |     ORDER BY cosine DESC, dst) AS rn FROM dd) WHERE rn = 1)
+         |SELECT x.src AS vec1, x.dst AS vec2, x.cosine
+         |FROM best x JOIN best y
+         | ON x.dst = y.src AND x.src = y.dst AND x.src < x.dst"""
+        .stripMargin,
+    // q218: doubled midranks keep U integer under ties; HUGEINT rank
+    // sums; the two effect sizes divide exact integers once
+    "q218_mannwhitney_quality" ->
+      s"""WITH dcn AS (SELECT doc_id, keep FROM ($curationSql)),
+         |sc AS (SELECT doc_id, model_score FROM ($modelScoreSql)),
+         |j AS (SELECT keep, model_score AS v FROM dcn
+         |  JOIN sc USING (doc_id)),
+         |grain AS (SELECT v, CAST(sum(keep) AS HUGEINT) AS k,
+         |   CAST(sum(1 - keep) AS HUGEINT) AS d FROM j GROUP BY 1),
+         |c AS (SELECT k, d,
+         |   coalesce(sum(k + d) OVER (ORDER BY v
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS before
+         |  FROM grain),
+         |a AS (SELECT sum(k) AS n1, sum(d) AS n2,
+         |   sum(k * (before * 2 + k + d + 1)) AS rsum FROM c)
+         |SELECT CAST(n1 AS BIGINT) AS n_keep, CAST(n2 AS BIGINT) AS n_drop,
+         | CAST(rsum - n1 * (n1 + 1) AS BIGINT) AS u_keep_x2,
+         | round(CAST(rsum - n1 * (n1 + 1) AS DOUBLE)
+         |   / CAST(n1 * n2 * 2 AS DOUBLE), 6) AS auc,
+         | round(CAST(rsum - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+         |   / CAST(n1 * n2 AS DOUBLE), 6) AS rank_biserial
+         |FROM a""".stripMargin,
+    // q219: the recursive CTE replays the driver-side x1e12 truncating
+    // product step for step (at-risk counts via a reverse running sum)
+    "q219_survival_curve" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |lf AS (SELECT user_id, min(day) AS f, max(day) AS l FROM ev
+        |  GROUP BY 1),
+        |g AS (SELECT max(day) AS dmax FROM ev),
+        |t AS (SELECT CAST(floor(date_diff('day', f, l) / 7) AS INTEGER)
+        |    AS wk,
+        |   CASE WHEN date_diff('day', l, dmax) < 7 THEN 1 ELSE 0 END
+        |    AS cen
+        |  FROM lf CROSS JOIN g),
+        |bw AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_end,
+        |   CAST(sum(cen) AS BIGINT) AS n_cens FROM t GROUP BY 1),
+        |ar AS (SELECT wk, n_end, n_cens,
+        |   CAST(sum(n_end) OVER (ORDER BY wk DESC) AS BIGINT) AS at_risk,
+        |   CAST(row_number() OVER (ORDER BY wk) AS INTEGER) AS rn
+        |  FROM bw),
+        |km(rn, wk, at_risk, churn, cens, s) AS (
+        |  SELECT rn, wk, at_risk, n_end - n_cens, n_cens,
+        |     (at_risk - (n_end - n_cens)) * 1000000000000 // at_risk
+        |   FROM ar WHERE rn = 1
+        |  UNION ALL
+        |  SELECT ar.rn, ar.wk, ar.at_risk, ar.n_end - ar.n_cens,
+        |     ar.n_cens,
+        |     km.s * (ar.at_risk - (ar.n_end - ar.n_cens)) // ar.at_risk
+        |   FROM km JOIN ar ON ar.rn = km.rn + 1)
+        |SELECT wk, at_risk AS n_at_risk, churn AS n_churned,
+        | cens AS n_censored,
+        | churn * 1000000000000 // at_risk AS hazard_fp,
+        | s AS survival_fp,
+        | round(CAST(s AS DOUBLE) / 1e12, 6) AS survival
+        |FROM km""".stripMargin,
   )
 }

@@ -900,4 +900,61 @@ object Funnels {
       .withColumn("accuracy",
         round(col("n_correct").cast("double") / col("n_test"), 6))
   }
+
+  /** Kaplan–Meier retention survival curve at week grain: per lifetime
+    * week k, the users still at risk, the churn events (users whose
+    * observed lifetime ended at week k AND whose last activity predates
+    * the final corpus week), the right-censored users (lifetime k but
+    * still active in the last 7 days — we have NOT seen them churn), the
+    * discrete hazard d/r, and the KM survival estimate Π_{j≤k}(1−h_j).
+    * Right-censoring is the whole point: a naive "1 − CDF of lifetimes"
+    * counts every currently-active user as churned at today's age and
+    * systematically underestimates retention.
+    *
+    * Determinism: hazards and the survival product are ×10¹² truncating
+    * integer fixed point (the q91/q172 recipe) — the product loop is
+    * SEQUENTIAL in k, so it runs on the driver over the collected
+    * week table (|weeks| rows — metadata-sized at any corpus scale),
+    * matching the oracle's recursive CTE step for step.
+    *
+    * Scale shape: the corpus-scale work is one user-keyed min/max
+    * aggregate (map-side combinable); everything after lives on the
+    * week-grain table.
+    */
+  def survivalCurve(spark: SparkSession, sfDir: String): DataFrame =
+    survivalCurveOf(spark, Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")))
+
+  /** [[survivalCurve]] over an arbitrary (user_id, day) activity frame. */
+  def survivalCurveOf(spark: SparkSession, ev: DataFrame): DataFrame = {
+    val life = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+    val byWeek = life
+      .crossJoin(broadcast(ev.agg(max(col("day")).as("dmax"))))
+      .select(floor(datediff(col("l"), col("f")) / 7).cast("int").as("wk"),
+        (datediff(col("dmax"), col("l")) < 7).cast("int").as("censored"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_end"), sum(col("censored")).as("n_cens"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val scale = BigInt("1000000000000")
+    var atRisk = byWeek.map(_._2).sum
+    var surv = scale
+    val rows = byWeek.map { case (wk, nEnd, nCens) =>
+      val churn = nEnd - nCens
+      val hazardFp = (BigInt(churn) * scale / atRisk).toLong
+      surv = surv * (atRisk - churn) / atRisk
+      val row = (wk, atRisk, churn, nCens, hazardFp, surv.toLong)
+      atRisk -= nEnd
+      row
+    }
+    val s = spark
+    import s.implicits._
+    rows.toSeq
+      .toDF("wk", "n_at_risk", "n_churned", "n_censored", "hazard_fp",
+        "survival_fp")
+      .withColumn("survival",
+        round(col("survival_fp").cast("double") / lit(1e12), 6))
+  }
 }

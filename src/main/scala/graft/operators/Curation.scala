@@ -1942,4 +1942,59 @@ object Curation {
       .select(col("doc_id"), col("label"),
         coalesce(col("is_seed"), lit(0)).as("is_seed"))
   }
+
+  /** Mann–Whitney U audit of the curation verdict: does the q69 pinned
+    * model score actually separate q61's keep set from its drop set? The
+    * exact U statistic (with midrank tie handling) and its two effect
+    * sizes — AUC = P(random kept doc outscores a random dropped one, ties
+    * half) and the rank-biserial correlation — make "the filter agrees
+    * with the score" a measured number instead of a belief. AUC ≈ 0.5
+    * means the keep/drop rule is orthogonal to model quality; ≈ 1 means
+    * it is redundant with it.
+    *
+    * Everything is integer-exact: ranks are DOUBLED midranks
+    * (2·rank_min + tiecount − 1 — always an integer), U is doubled
+    * alongside (u_keep_x2), and the two effect sizes each divide exact
+    * integers once. Decimal(38,0) carries the rank sums so corpus-scale
+    * N² cannot wrap.
+    *
+    * Scale shape: scores collapse to the distinct-value grain first
+    * (map-side combine); the cumulative rank walk is a window over that
+    * compact grain (score cardinality, not corpus size — model scores are
+    * 6-dp-rounded); the output is one row.
+    */
+  def mannWhitneyQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val dc = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = curationDecisions(spark, sfDir).select(col("doc_id"), col("keep"))
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.functions.Text.modelScore(col("text")).as("score")),
+        Seq("doc_id"))
+    val grain = scored.groupBy(col("score"))
+      .agg(sum(col("keep")).cast(dc).as("k"),
+        sum(lit(1) - col("keep")).cast(dc).as("d"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // doubled midrank of a tie block starting after `before` rows with
+    // `cnt` members: 2*before + cnt + 1
+    val agg = grain
+      .withColumn("before",
+        coalesce(sum(col("k") + col("d")).over(w), lit(0).cast(dc)))
+      .select(col("k"), col("d"),
+        (col("k") * (col("before") * 2 + col("k") + col("d") + 1))
+          .as("r1x2"))
+      .agg(sum(col("k")).as("n_keep"), sum(col("d")).as("n_drop"),
+        sum(col("r1x2")).as("rsum"))
+    agg.select(
+        col("n_keep").cast("long").as("n_keep"),
+        col("n_drop").cast("long").as("n_drop"),
+        (col("rsum") - col("n_keep") * (col("n_keep") + 1)).as("ux2"),
+        (col("n_keep") * col("n_drop")).as("n1n2"))
+      .select(col("n_keep"), col("n_drop"),
+        col("ux2").cast("long").as("u_keep_x2"),
+        round(col("ux2").cast("double")
+          / (col("n1n2") * 2).cast("double"), 6).as("auc"),
+        round((col("ux2") - col("n1n2")).cast("double")
+          / col("n1n2").cast("double"), 6).as("rank_biserial"))
+  }
 }

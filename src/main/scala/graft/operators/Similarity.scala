@@ -436,6 +436,44 @@ object Similarity {
       .withColumn("ndcg", round(col("dcg_fp").cast("double") / idcg, 6))
   }
 
+  /** Mutual nearest neighbors over the trained-cell candidate graph: pairs
+    * (a, b) where b is a's best cell-mate by cosine AND a is b's — the
+    * reciprocal-top-1 criterion bitext mining and cross-corpus alignment
+    * use to promote "similar" to "the same item seen twice" (one-sided
+    * top-1 is noisy near hubs; mutuality kills hub matches). Candidates
+    * come from the q66 trained IVF cells, so the pair space is blocked
+    * exactly like q68's semantic near-dups — no threshold, the argmax
+    * decides (ties → smaller vec_id).
+    *
+    * Scale shape: one equality self-join on the trained cell key, a
+    * per-vector top-1 (WindowGroupLimit), then the mutuality check is a
+    * self-join of the TINY best-edge table (≤ one row per vector) on the
+    * reversed key.
+    */
+  def mutualNearestNeighbors(spark: SparkSession, sfDir: String): DataFrame = {
+    val av = corpus(spark, sfDir).select(col("vec_id"), col("v"))
+      .join(ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec1"), col("b.vec_id").as("vec2"),
+        round(Vectors.cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+    val directed = pairs
+      .select(col("vec1").as("src"), col("vec2").as("dst"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec2").as("src"), col("vec1").as("dst"), col("cosine")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cosine").desc, col("dst"))
+    val best = directed.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("src"), col("dst"), col("cosine"))
+    best.as("x").join(best.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") === col("y.dst") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("vec1"), col("x.dst").as("vec2"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Label-centroid geometry: pairwise cosine between the
     * [[labelCentroids]] vectors — the class-separability audit a labeled
     * embedding corpus gets before anyone trusts the labels as blocking

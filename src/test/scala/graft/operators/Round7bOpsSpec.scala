@@ -227,4 +227,56 @@ class Round7bOpsSpec extends SparkTestBase {
       assert(fp > 0)
     }
   }
+
+  test("mutual nn: pairs are disjoint, ordered, and reciprocal by construction") {
+    val rows = Similarity.mutualNearestNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // a vector has one argmax, so it can appear in at most one mutual pair
+    val members = rows.flatMap(r => Seq(r._1, r._2))
+    assert(members.distinct.length === members.length)
+    rows.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("mann-whitney: U bounds, auc/biserial consistency, full coverage") {
+    val r = Curation.mannWhitneyQuality(spark, sf).collect().head
+    val (n1, n2, ux2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(n1 + n2 === total)
+    assert(ux2 >= 0 && ux2 <= 2 * n1 * n2)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // rank-biserial = 2*auc - 1 (identical integers divided, 6-dp rounds)
+    assert(math.abs(r.getDouble(4) - (2 * r.getDouble(3) - 1)) < 3e-6)
+  }
+
+  test("survival curve: hand-computed KM with churn and censoring") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // corpus end 2024-03-01. Lifetimes (weeks): u1 churned wk0 (one day),
+    // u2 churned wk1 (8 days), u3 censored wk0 (active at the end),
+    // u4 churned wk0, u5 censored wk5 (40-day lifetime, active at the end)
+    val ev = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"),
+      (2L, "2024-01-01"), (2L, "2024-01-09"),
+      (3L, "2024-02-27"), (3L, "2024-03-01"),
+      (4L, "2024-01-10"), (4L, "2024-01-12"),
+      (5L, "2024-01-20"), (5L, "2024-02-29")
+    ).map { case (u, s) => (u, d(s)) }.toDF("user_id", "day")
+    val got = graft.analytics.Funnels.survivalCurveOf(spark, ev).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // wk0: at risk 5, churned {u1,u4}=2, censored {u3}=1 -> h=2/5,
+    //   s = 3/5 -> 600000000000
+    assert(got(0) === ((5L, 2L, 1L, 400000000000L, 600000000000L)))
+    // wk1: at risk 2 (u2,u5), churned {u2}, h=1/2, s=3/5*1/2=3/10
+    assert(got(1) === ((2L, 1L, 0L, 500000000000L, 300000000000L)))
+    // wk5: u5 alone, censored -> churn 0, s unchanged
+    assert(got(5) === ((1L, 0L, 1L, 0L, 300000000000L)))
+    assert(got.size === 3)
+  }
 }
