@@ -1465,21 +1465,39 @@ object TextAnalytics {
     * per-partition KMV sketches MERGE (union the hash sets, re-truncate to
     * k) — this audit measures the error of exactly that sketch.
     */
+  /** Distinct (source, shingle) rows plus the 'ALL' rollup copy — the
+    * shared universe of the q210 KMV and q215 HLL cardinality audits
+    * (one distinct shuffle, memoized for the session).
+    */
+  private def sourceShingleUniverse(spark: SparkSession,
+      sfDir: String): DataFrame =
+    graft.operators.SessionMemo(spark, s"sourceShingleUniverse|$sfDir") {
+      val base = Tables.documents(spark, sfDir)
+        .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
+      base.select(col("source"), col("s"))
+        .unionByName(base.select(lit("ALL").as("source"), col("s")))
+        .distinct()
+    }
+
   def kmvDistinct(spark: SparkSession, sfDir: String, k: Int = 64): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
-    val grp = base.select(col("source"), col("s"))
-      .unionByName(base.select(lit("ALL").as("source"), col("s")))
-      .distinct()
-      .localCheckpoint()
+    val grp = sourceShingleUniverse(spark, sfDir)
     val exact = grp.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("s"))
+    // rn <= k (not rn = k) so Spark plans a WindowGroupLimit: every input
+    // partition pre-filters to its k smallest per source with a heap, and
+    // the final per-source sort sees <= k*P rows instead of the full
+    // universe (the 'ALL' partition would otherwise single-thread-sort
+    // the whole corpus). kth smallest = max of the k smallest; strata
+    // with fewer than k rows fall back to the exact count via the guard.
     val kth = grp
       .withColumn("h", Hashing.stableHash60(concat(lit("kmv:"), col("s"))))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === k)
-      .select(col("source"), col("h").as("kth_hash"))
+      .where(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(max(col("h")).as("mx"), count(lit(1)).as("cnt"))
+      .select(col("source"),
+        when(col("cnt") === k, col("mx")).as("kth_hash"))
     exact.join(kth, Seq("source"), "left")
       .withColumn("kmv_est",
         when(col("kth_hash").isNull, col("n_exact").cast("double"))
@@ -1515,12 +1533,7 @@ object TextAnalytics {
     val two52 = 4503599627370496L
     val two53 = 9007199254740992L
     val alphaM2 = 47072.71267120224 // 0.7213/(1 + 1.079/256) * 256^2
-    val base = Tables.documents(spark, sfDir)
-      .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
-    val grp = base.select(col("source"), col("s"))
-      .unionByName(base.select(lit("ALL").as("source"), col("s")))
-      .distinct()
-      .localCheckpoint()
+    val grp = sourceShingleUniverse(spark, sfDir)
     val exact = grp.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     val regs = grp
       .withColumn("h", Hashing.stableHash60(concat(lit("hll:"), col("s"))))

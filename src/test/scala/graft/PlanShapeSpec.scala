@@ -359,4 +359,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(bnlj === crosses && bnlj <= 1, s"non-cross nested loop present:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q210 kmv: the k-smallest filter plans as a WindowGroupLimit") {
+    // rn <= k (not rn = k) so each input partition heaps down to k rows
+    // per source before the window sort — the 'ALL' stratum would
+    // otherwise single-thread-sort the whole distinct-shingle universe
+    val p = planOf("q210_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q217 mutual nn: cell-blocked equality joins only, top-1 group-limited") {
+    val p = planOf("q217_mutual_nn")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the broadcast centroid-literal
+    // crosses of the trained-cell assignment (16-row build side)
+    val bnlj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastNestedLoopJoin.*"))
+    val crosses = p.split("Join type: Cross").length - 1
+    assert(bnlj === crosses, s"non-cross nested loop present:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q209 cms: sketch cells and estimates arrive by broadcast") {
+    val p = planOf("q209_cms_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k probe side
+  }
 }
