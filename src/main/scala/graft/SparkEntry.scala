@@ -407,6 +407,12 @@ object SparkEntry {
     "q218_mannwhitney_quality" -> ((s: SparkSession, d: String) => graft.operators.Curation.mannWhitneyQuality(s, d)),
     // Kaplan-Meier weekly retention with right-censoring, x1e12 fixed point
     "q219_survival_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.survivalCurve(s, d)),
+    // session->purchase conversion per weekday with Wilson 95% bounds
+    "q220_conversion_wilson" -> ((s: SparkSession, d: String) => Sessions.conversionWilson(s, d)),
+    // deterministic Poisson bootstrap SE of mean model score per source
+    "q221_bootstrap_se" -> ((s: SparkSession, d: String) => TextAnalytics.bootstrapSe(s, d)),
+    // vocabulary-growth (Heaps) curve at doc-id decile checkpoints
+    "q222_heaps_curve" -> ((s: SparkSession, d: String) => TextAnalytics.heapsCurve(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4007,5 +4013,108 @@ private object CorpusOracles {
         | s AS survival_fp,
         | round(CAST(s AS DOUBLE) / 1e12, 6) AS survival
         |FROM km""".stripMargin,
+    // q220: the q18 gap sessionization carrying event_type; the Wilson
+    // bounds are the identical explicit IEEE expression tree (z=1.96,
+    // z^2=3.8416 pinned as separate literals)
+    "q220_conversion_wilson" -> {
+      val lo = "(x / n + 3.8416 / (n * 2)) / (1.0 + 3.8416 / n) - 1.96 * " +
+        "sqrt(x / n * (1.0 - x / n) / n + 3.8416 / (n * n * 4)) / " +
+        "(1.0 + 3.8416 / n)"
+      val hi = "(x / n + 3.8416 / (n * 2)) / (1.0 + 3.8416 / n) + 1.96 * " +
+        "sqrt(x / n * (1.0 - x / n) / n + 3.8416 / (n * n * 4)) / " +
+        "(1.0 + 3.8416 / n)"
+      s"""WITH s AS (
+         | SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN lag(ts) OVER w IS NULL
+         |    OR epoch(CAST(ts AS TIMESTAMP))
+         |       - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+         |   THEN 1 ELSE 0 END AS new_s
+         | FROM events
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sid AS (SELECT user_id, ts, event_type, sum(new_s) OVER (
+         |  PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS UNBOUNDED PRECEDING) AS sid FROM s),
+         |sess AS (SELECT user_id, sid, min(ts) AS start,
+         |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS conv
+         |  FROM sid GROUP BY 1, 2),
+         |g AS (SELECT isodow(CAST(start AS DATE)) AS iso_dow,
+         |   CAST(count(*) AS BIGINT) AS n_sessions,
+         |   CAST(sum(conv) AS BIGINT) AS n_converted FROM sess GROUP BY 1),
+         |calc AS (SELECT *, CAST(n_sessions AS DOUBLE) AS n,
+         |   CAST(n_converted AS DOUBLE) AS x FROM g)
+         |SELECT CAST(iso_dow AS INTEGER) AS iso_dow, n_sessions,
+         | n_converted,
+         | round(x / n, 6) AS p_hat,
+         | round($lo, 6) AS wilson_lo,
+         | round($hi, 6) AS wilson_hi
+         |FROM calc""".stripMargin
+    },
+    // q221: Poisson(1) weights via pinned x2^60 integer thresholds; each
+    // replicate mean is a x1e12 truncating division of positive-shifted
+    // integers; the SE variance numerator is exact HUGEINT
+    "q221_bootstrap_se" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |   CAST(round(model_score * 1e6, 0) AS BIGINT) + 10000000
+         |    AS score_fp
+         |  FROM ($modelScoreSql)),
+         |pt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(score_fp) AS BIGINT) AS ssum FROM sc GROUP BY 1),
+         |point AS (SELECT source, n_docs,
+         |   round(CAST(ssum - n_docs * 10000000 AS DOUBLE)
+         |     / CAST(n_docs * 1000000 AS DOUBLE), 6) AS mean_score
+         |  FROM pt),
+         |h AS (SELECT source, bb, score_fp,
+         |   CAST(('0x' || substr(md5('boot:' || CAST(bb AS VARCHAR) || ':'
+         |     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM sc, range(0, 32) r(bb)),
+         |wgt AS (SELECT source, bb, score_fp,
+         |   CASE WHEN h < 424136118829305329 THEN 0
+         |        WHEN h < 848272237658610659 THEN 1
+         |        WHEN h < 1060340297073263324 THEN 2
+         |        WHEN h < 1131029650211480879 THEN 3
+         |        WHEN h < 1148701988496035267 THEN 4
+         |        WHEN h < 1152236456152946145 THEN 5
+         |        WHEN h < 1152825534095764625 THEN 6
+         |        ELSE 7 END AS w FROM h),
+         |reps AS (SELECT source, bb,
+         |   CAST(sum(w * score_fp) AS BIGINT) AS num,
+         |   CAST(sum(w) AS BIGINT) AS den FROM wgt GROUP BY 1, 2),
+         |m AS (SELECT source, CASE WHEN den = 0 THEN 0
+         |   ELSE (num * 1000000) // den END AS m FROM reps),
+         |se AS (SELECT source,
+         |   round(sqrt(CAST(CAST(count(*) AS HUGEINT)
+         |       * sum(CAST(m AS HUGEINT) * m)
+         |       - sum(CAST(m AS HUGEINT)) * sum(CAST(m AS HUGEINT))
+         |      AS DOUBLE)
+         |     / CAST(CAST(count(*) AS HUGEINT) * (count(*) - 1)
+         |      AS DOUBLE)) / 1e12, 6) AS bootstrap_se
+         |  FROM m GROUP BY 1)
+         |SELECT point.source, n_docs, mean_score, bootstrap_se
+         |FROM point JOIN se USING (source)""".stripMargin,
+    // q222: decile = floor(id*10/(max+1)) is a map-side assignment; the
+    // first-decile-per-word min makes new-type counting one vocab pass
+    "q222_heaps_curve" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |d AS (SELECT CAST(doc_id * 10 // n AS INTEGER) AS decile, text
+        |  FROM documents CROSS JOIN n),
+        |tp AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |ft AS (SELECT w, min(decile) AS decile FROM (
+        |   SELECT decile, unnest(string_split(text, ' ')) AS w FROM d)
+        |  GROUP BY 1),
+        |ty AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM ft GROUP BY 1),
+        |c AS (SELECT tp.decile, tp.n_docs, tp.n_tokens,
+        |   coalesce(ty.n_new_types, 0) AS nn
+        |  FROM tp LEFT JOIN ty USING (decile))
+        |SELECT decile, n_docs,
+        | CAST(sum(n_tokens) OVER win AS BIGINT) AS n_tokens_cum,
+        | CAST(sum(nn) OVER win AS BIGINT) AS n_types_cum,
+        | round(CAST(sum(nn) OVER win AS DOUBLE)
+        |   / sum(n_tokens) OVER win, 6) AS ttr
+        |FROM c WINDOW win AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)"""
+        .stripMargin,
   )
 }

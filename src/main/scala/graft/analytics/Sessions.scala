@@ -371,4 +371,44 @@ object Sessions {
         round(col("entry_sessions").cast("double") / col("n_total"), 6)
           .as("entry_share"))
   }
+
+  /** Session→purchase conversion per ISO weekday with Wilson 95% score
+    * intervals: the uncertainty-aware version of a conversion report —
+    * a weekday with 30 sessions and one with 30,000 both print a rate,
+    * but only the interval says whether "Friday converts worse" is signal
+    * (Wilson 1927; the interval of choice for small/skewed counts, never
+    * outside [0,1] unlike the Wald interval).
+    *
+    * Determinism: inputs are exact integer counts; the bound formula is
+    * an identical explicit expression tree on both engines built from
+    * correctly-rounded IEEE ops (+,−,×,÷,√ — the q192 precedent), with
+    * z pinned at 1.96 and z² at 3.8416 as separate literals.
+    *
+    * Scale shape: one session_window pass (the q18 shape), then a 7-row
+    * weekday rollup — nothing after the sessionization is event-scale.
+    */
+  def conversionWilson(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("start"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+    val byDow = sessions
+      .groupBy((weekday(col("start")) + lit(1)).as("iso_dow"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("conv")).cast("long").as("n_converted"))
+    val n = col("n_sessions").cast("double")
+    val x = col("n_converted").cast("double")
+    val p = x / n
+    val z = lit(1.96)
+    val z2 = lit(3.8416)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (n * 2)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n + z2 / (n * n * 4)) / denom
+    byDow.select(col("iso_dow").cast("int").as("iso_dow"),
+      col("n_sessions"), col("n_converted"),
+      round(p, 6).as("p_hat"),
+      round(center - half, 6).as("wilson_lo"),
+      round(center + half, 6).as("wilson_hi"))
+  }
 }

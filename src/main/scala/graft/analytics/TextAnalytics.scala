@@ -1601,4 +1601,122 @@ object TextAnalytics {
           / (col("n_source").cast(dec) * col("n_rest")).cast("double"), 6)
           .as("ks_stat"))
   }
+
+  /** Poisson(1) inverse-CDF thresholds ×2⁶⁰ for the deterministic
+    * bootstrap: a 60-bit hash below `PoissonThresholds(k)` draws weight
+    * ≤ k. Pinned integer literals (shared verbatim with the oracle), so
+    * the draw is an exact integer comparison — no float CDF at runtime.
+    */
+  val PoissonThresholds: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L)
+
+  /** Deterministic Poisson bootstrap of the mean model score per source
+    * (Efron's bootstrap in its streaming Poisson(1)-weight form — the
+    * variant that needs no global resample): B=32 replicates, each doc's
+    * replicate weight drawn by PINNED md5 hash through the integer
+    * thresholds above, so the "resampling" is exactly reproducible on any
+    * engine. bootstrap_se is the number a curation dashboard needs next
+    * to every per-source mean-quality delta: a 0.01 drop on a source
+    * with SE 0.02 is noise, not drift.
+    *
+    * Determinism: scores ride as ×10⁶ integers (they are 6-dp-rounded
+    * already, so the lift is exact); each replicate mean is a ×10¹²
+    * truncating integer fixed point; the SE is one √ of an exact integer
+    * variance numerator and one division.
+    *
+    * Scale shape: one corpus pass fans each doc into B weighted rows
+    * (map-side, no shuffle until the (source, b) rollup — B·|sources|
+    * output rows); the SE rollup runs on that tiny table.
+    */
+  def bootstrapSe(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+    val dc = org.apache.spark.sql.types.DecimalType(38, 0)
+    // scores ride POSITIVE-shifted (+10.0, i.e. +10^7 at the x10^6 lift)
+    // so every fixed-point division below is of nonnegative integers —
+    // truncation = floor on both engines, no negative-division ambiguity.
+    // A constant shift changes neither the SE nor the (unshifted) mean.
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        (round(Text.modelScore(col("text")) * 1e6, 0).cast("long")
+          + 10000000L).as("score_fp"))
+    val point = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_fp")).as("ssum"))
+      .select(col("source"), col("n_docs"),
+        round((col("ssum") - col("n_docs") * 10000000L).cast("double")
+          / (col("n_docs") * 1000000L).cast("double"), 6).as("mean_score"))
+    val wExpr = PoissonThresholds.zipWithIndex
+      .foldRight(lit(PoissonThresholds.size): org.apache.spark.sql.Column) {
+        case ((t, k), rest) =>
+        when(col("h") < t, k).otherwise(rest)
+      }
+    val reps = scored
+      .withColumn("bb", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("h", Hashing.stableHash60(
+        concat(lit("boot:"), col("bb"), lit(":"), col("doc_id"))))
+      .withColumn("w", wExpr.cast("long"))
+      .groupBy(col("source"), col("bb"))
+      .agg(sum(col("w") * col("score_fp")).as("num"),
+        sum(col("w")).as("den"))
+      // a replicate that drew total weight 0 contributes mean 0 — with
+      // n >= ~20 docs per source P(all-zero) < 1e-9; the guard only
+      // keeps the division total. x10^12 truncating fixed point.
+      .select(col("source"), col("bb"),
+        when(col("den") === 0, lit(0L))
+          .otherwise(expr("(num * 1000000) DIV den")).as("m"))
+    val se = reps.groupBy(col("source"))
+      .agg(count(lit(1)).cast(dc).as("nb"),
+        sum(col("m").cast(dc)).as("sm"),
+        sum(col("m").cast(dc) * col("m")).as("sm2"))
+      .select(col("source"),
+        round(sqrt((col("nb") * col("sm2") - col("sm") * col("sm"))
+          .cast("double")
+          / (col("nb") * (col("nb") - 1)).cast("double")) / 1e12, 6)
+          .as("bootstrap_se"))
+    point.join(se, Seq("source"))
+  }
+
+  /** Empirical Heaps-law curve: cumulative vocabulary size vs cumulative
+    * token count at ten corpus checkpoints — the vocabulary-growth audit
+    * that says whether a corpus keeps contributing new types (healthy
+    * sublinear growth) or has gone flat (more of the same — more data
+    * won't buy a tokenizer or LM anything new). Checkpoints are doc_id
+    * DECILE RANGES (floor(id·10/(max+1))) — a pure map-side assignment,
+    * deliberately NOT a global row-order sort: the curve is over the
+    * corpus's natural id order, and the decile rule stays deterministic
+    * whether or not ids are dense.
+    *
+    * Scale shape: tokens-per-decile is one map-side-combinable aggregate;
+    * each word's FIRST decile is a vocab-sized min-aggregate; the
+    * cumulative walk runs on the 10-row decile table. No global sort
+    * anywhere.
+    */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxId = Tables.documents(spark, sfDir)
+      .agg((max(col("doc_id")) + 1).as("n"))
+    val docs = Tables.documents(spark, sfDir)
+      .crossJoin(broadcast(maxId))
+      .select(expr("CAST(doc_id * 10 DIV n AS INT)").as("decile"),
+        col("doc_id"), col("text"))
+    val tokensPer = docs
+      .select(col("decile"), size(Text.tokens(col("text"))).cast("long")
+        .as("nt"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val typesPer = docs
+      .select(col("decile"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tokensPer.join(typesPer, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("n_types_cum", sum(col("n_new_types")).over(w))
+      .withColumn("ttr",
+        round(col("n_types_cum").cast("double") / col("n_tokens_cum"), 6))
+      .select(col("decile"), col("n_docs"), col("n_tokens_cum"),
+        col("n_types_cum"), col("ttr"))
+  }
 }

@@ -279,4 +279,61 @@ class Round7bOpsSpec extends SparkTestBase {
     assert(got(5) === ((1L, 0L, 1L, 0L, 300000000000L)))
     assert(got.size === 3)
   }
+
+  test("wilson ci: brackets p-hat, stays in [0,1], formula replays") {
+    val rows = graft.analytics.Sessions.conversionWilson(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 7).toSet))
+    rows.foreach { r =>
+      val (ns, nc) = (r.getLong(1), r.getLong(2))
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nc <= ns)
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p + 1e-9 && p <= hi + 1e-9)
+      val (n, x) = (ns.toDouble, nc.toDouble)
+      val denom = 1.0 + 3.8416 / n
+      val center = (x / n + 3.8416 / (n * 2)) / denom
+      val half = 1.96 * math.sqrt(
+        x / n * (1.0 - x / n) / n + 3.8416 / (n * n * 4)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-6, s"dow ${r.getInt(0)}")
+      assert(math.abs(hi - (center + half)) < 1e-6)
+    }
+  }
+
+  test("bootstrap se: mean replays the direct mean, se positive and sane") {
+    val rows = TextAnalytics.bootstrapSe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct: Map[String, (Long, Long)] = graft.core.Tables
+      .documents(spark, sf)
+      .select(col("source"),
+        graft.functions.Text.modelScore(col("text")).as("s"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> ((xs.length.toLong, xs.map(x => math.round(x._2 * 1e6)).sum))
+      }
+    rows.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      val (dn, dsumFp) = direct(src)
+      assert(n === dn)
+      assert(math.abs(r.getDouble(2) - dsumFp.toDouble / (n * 1e6)) < 1e-6)
+      // a 6-dp-grid score in roughly [-0.5, 2] with n >= ~15 docs:
+      // SE must be positive and far below the score range
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 0.5, s"$src")
+    }
+  }
+
+  test("heaps curve: cumulative counts reconcile with corpus totals") {
+    val rows = TextAnalytics.heapsCurve(spark, sf).collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 9))
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val totalTokens = docs.map(_.split(" ", -1).length.toLong).sum
+    val vocab = docs.flatMap(_.split(" ", -1)).distinct.length.toLong
+    assert(rows.last.getLong(2) === totalTokens)
+    assert(rows.last.getLong(3) === vocab)
+    // monotone growth, diminishing type-token ratio (Heaps' law shape)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) > a.getLong(2))
+      assert(b.getLong(3) >= a.getLong(3))
+      assert(b.getDouble(4) <= a.getDouble(4) + 1e-9)
+    }
+  }
 }
