@@ -413,6 +413,14 @@ object SparkEntry {
     "q221_bootstrap_se" -> ((s: SparkSession, d: String) => TextAnalytics.bootstrapSe(s, d)),
     // vocabulary-growth (Heaps) curve at doc-id decile checkpoints
     "q222_heaps_curve" -> ((s: SparkSession, d: String) => TextAnalytics.heapsCurve(s, d)),
+    // recall/precision of four LSH band configs vs exact-Jaccard truth
+    "q223_band_tuning" -> ((s: SparkSession, d: String) => graft.operators.Dedup.bandTuningSweep(s, d)),
+    // per-source c-TF-IDF keywords (source as pseudo-document)
+    "q224_class_tfidf" -> ((s: SparkSession, d: String) => TextAnalytics.classTfidf(s, d)),
+    // near-dup clustering at 0.7/0.8/0.9 cuts of the one verified pair list
+    "q225_dedup_dendrogram" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupDendrogram(s, d)),
+    // Ljung-Box white-noise Q over the q191 ACF, x1e18 integer terms
+    "q226_ljung_box" -> ((s: SparkSession, d: String) => Relational.ljungBox(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4116,5 +4124,139 @@ private object CorpusOracles {
         |   / sum(n_tokens) OVER win, 6) AS ttr
         |FROM c WINDOW win AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)"""
         .stripMargin,
+    // q223: the q24 signature table banded four ways; truth = the exact
+    // Jaccard >= 0.7 pairs (q73's shingle equality join, no caps)
+    "q223_band_tuning" -> {
+      val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+      val perConfig = configs.map { case (b, r) =>
+        val list = (0 until b).mkString(",")
+        s"""bd$b AS (SELECT doc_id, bnd,
+           |   md5(array_to_string(sig[bnd*$r+1 : bnd*$r+$r], ',')) AS bkey
+           |  FROM sig, UNNEST([$list]) AS t$b(bnd)),
+           |cd$b AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           |  FROM bd$b a JOIN bd$b b ON a.bnd = b.bnd AND a.bkey = b.bkey
+           |   AND a.doc_id < b.doc_id),
+           |st$b AS (SELECT CAST($b AS INTEGER) AS bands,
+           |   CAST($r AS INTEGER) AS rows_per_band,
+           |   (SELECT CAST(count(*) AS BIGINT) FROM cd$b) AS n_candidates,
+           |   (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           |   (SELECT CAST(count(*) AS BIGINT) FROM cd$b
+           |     JOIN truth USING (doc1, doc2)) AS n_hit)""".stripMargin
+      }.mkString(",\n")
+      val unions = configs.map { case (b, _) => s"SELECT * FROM st$b" }
+        .mkString("\nUNION ALL ")
+      s"""WITH sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |   count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc1, doc2 FROM ($jaccardTail)
+         |  WHERE jaccard >= 0.7),
+         |sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}]
+         |   AS sig
+         |  FROM ($baseHashes)),
+         |$perConfig
+         |SELECT bands, rows_per_band, n_candidates, n_truth, n_hit,
+         | round(CAST(n_hit AS DOUBLE) / n_truth, 6) AS recall,
+         | CASE WHEN n_candidates = 0 THEN NULL
+         |  ELSE round(CAST(n_hit AS DOUBLE) / n_candidates, 6) END
+         |  AS "precision"
+         |FROM ($unions)""".stripMargin
+    },
+    // q224: source-as-pseudo-document c-TF-IDF; ln is the one float (the
+    // q90 precedent), counts exact
+    "q224_class_tfidf" ->
+      """WITH words AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM words GROUP BY 1, 2),
+        |fw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS f_w FROM tf
+        |  GROUP BY 1),
+        |aa AS (SELECT CAST(sum(tf) AS DOUBLE)
+        |   / CAST(count(DISTINCT source) AS DOUBLE) AS a_avg FROM tf),
+        |sc AS (SELECT tf.source, tf.w, tf.tf,
+        |   CAST(tf.tf AS DOUBLE)
+        |    * ln(1.0 + a_avg / CAST(f_w AS DOUBLE)) AS score
+        |  FROM tf JOIN fw USING (w) CROSS JOIN aa),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY score DESC, w) AS INTEGER) AS rnk FROM sc)
+        |SELECT source, w AS word, tf, round(score, 6) AS ctfidf, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    // q225: one verified pair list, three monotone cuts, three recursive
+    // min-label closures (the q50 oracle shape per threshold)
+    "q225_dedup_dendrogram" -> {
+      val cuts = Seq("0.7" -> "07", "0.8" -> "08", "0.9" -> "09")
+      val blocks = cuts.map { case (t, tag) =>
+        s"""pairs$tag AS (SELECT doc1, doc2 FROM mp WHERE jaccard >= $t),
+           |edges$tag AS (SELECT doc1 AS src, doc2 AS dst FROM pairs$tag
+           |          UNION ALL SELECT doc2, doc1 FROM pairs$tag),
+           |reach$tag(doc_id, component) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.component FROM reach$tag r
+           |   JOIN edges$tag e ON e.src = r.doc_id),
+           |comp$tag AS (SELECT doc_id, min(component) AS component
+           |  FROM reach$tag GROUP BY doc_id),
+           |sz$tag AS (SELECT component, count(*) AS sz FROM comp$tag
+           |  GROUP BY 1 HAVING count(*) >= 2),
+           |st$tag AS (SELECT CAST($t AS DOUBLE) AS threshold,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs$tag) AS n_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM sz$tag) AS n_clusters,
+           |  (SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) FROM sz$tag)
+           |   AS n_clustered_docs,
+           |  (SELECT CAST(coalesce(max(sz), 0) AS BIGINT) FROM sz$tag)
+           |   AS max_cluster)""".stripMargin
+      }.mkString(",\n")
+      val unions = cuts.map { case (_, tag) => s"SELECT * FROM st$tag" }
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE mp AS (SELECT * FROM ($minhashPairsSql)),
+         |$blocks
+         |$unions""".stripMargin
+    },
+    // q226: r_k re-enters on its 6-dp grid; terms are x1e18 truncating
+    // integer divisions; the reject flag compares the rounded Q
+    "q226_ljung_box" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT cal.day, coalesce(daily.cents, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM x),
+        |l AS (SELECT k FROM range(1, 15) t(k)),
+        |p AS (SELECT l.k AS lag, a.x AS x, y.x AS y
+        |  FROM x a JOIN l ON true
+        |  JOIN x y ON y.day = a.day + CAST(l.k AS INTEGER)),
+        |s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(x AS HUGEINT)) AS s1, sum(CAST(y AS HUGEINT)) AS s2,
+        |   sum(CAST(x AS HUGEINT) * x) AS s11,
+        |   sum(CAST(y AS HUGEINT) * y) AS s22,
+        |   sum(CAST(x AS HUGEINT) * y) AS s12
+        |  FROM p GROUP BY 1),
+        |acf AS (SELECT lag,
+        |   round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+        |    / (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+        |      * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6) AS acf
+        |  FROM s),
+        |terms AS (SELECT n_days,
+        |   (CAST(round(acf * 1e6, 0) AS BIGINT)
+        |     * CAST(round(acf * 1e6, 0) AS BIGINT) * 1000000)
+        |    // (n_days - lag) AS term_fp
+        |  FROM acf CROSS JOIN nd),
+        |agg AS (SELECT n_days, CAST(sum(term_fp) AS HUGEINT) AS s
+        |  FROM terms GROUP BY 1)
+        |SELECT CAST(14 AS INTEGER) AS max_lag, n_days,
+        | round(CAST(CAST(n_days AS HUGEINT) * (n_days + 2) * s AS DOUBLE)
+        |   / 1e18, 6) AS lb_q,
+        | CAST(CASE WHEN round(CAST(CAST(n_days AS HUGEINT) * (n_days + 2)
+        |     * s AS DOUBLE) / 1e18, 6) > 23.685 THEN 1 ELSE 0 END
+        |  AS INTEGER) AS reject_5pct
+        |FROM agg""".stripMargin,
   )
 }

@@ -614,6 +614,41 @@ object Relational {
     * everything downstream (7-row rollup, one-row total, broadcast) is
     * calendar-sized.
     */
+  /** Ljung–Box portmanteau white-noise test over the q191 daily-revenue
+    * ACF: Q = n(n+2)·Σ_{k≤h} r_k²/(n−k), with the 5% decision against the
+    * pinned χ²(14) critical value 23.685 — the one-number answer to "is
+    * there ANY autocorrelation structure worth modeling" that a
+    * forecasting pipeline checks before reaching for the q187/q202/q203
+    * machinery (fail to reject ⇒ the flat EWMA is already optimal).
+    *
+    * Determinism: r_k enters on its published 6-dp grid (×10⁶ integers);
+    * each term is a ×10¹⁸ truncating integer division by (n−k); the sum
+    * is exact, and Q materializes with one Decimal product and one final
+    * division. The reject flag compares the ROUNDED statistic.
+    *
+    * Scale shape: everything reuses the q191 lag rollup (≤ h rows) plus
+    * a one-row day count — nothing here is corpus-scale.
+    */
+  def ljungBox(spark: SparkSession, sfDir: String,
+      maxLag: Int = 14): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val acf = revenueAutocorrelation(spark, sfDir, maxLag)
+    val nDays = dailyCentsSpine(spark, sfDir)
+      .agg(count(lit(1)).as("n_days"))
+    acf.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("lag"),
+        round(col("acf") * 1e6, 0).cast("long").as("r6"))
+      .select(col("n_days"),
+        expr("(r6 * r6 * 1000000) DIV (n_days - lag)").as("term_fp"))
+      .groupBy(col("n_days"))
+      .agg(sum(col("term_fp")).cast(dec).as("s"))
+      .select(lit(maxLag).as("max_lag"), col("n_days"),
+        round((col("n_days").cast(dec) * (col("n_days") + 2) * col("s"))
+          .cast("double") / 1e18, 6).as("lb_q"))
+      .withColumn("reject_5pct",
+        (col("lb_q") > lit(23.685)).cast("int"))
+  }
+
   def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val byDow = dailyCentsSpine(spark, sfDir)

@@ -1691,6 +1691,42 @@ object TextAnalytics {
     * cumulative walk runs on the 10-row decile table. No global sort
     * anywhere.
     */
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF form, Grootendorst 2022):
+    * treat each SOURCE as one pseudo-document and score every word by
+    * tf_{w,s} · ln(1 + A/f_w), where f_w is the word's corpus frequency
+    * and A the average per-source token count — the "what words make this
+    * source distinctive" keyword extractor a corpus triage report leads
+    * with (per-doc tf-idf q59 answers a different question). Top-`k`
+    * words per source, score-desc / word-asc.
+    *
+    * Determinism: counts are exact integers; ln is the one float (the q90
+    * BM25 precedent — both engines' libm agree far beyond the 6-dp gate,
+    * and rank flips would need two distinct (tf, f_w) pairs within an
+    * ulp). Scale shape: corpus → (source, word) counts is one map-side-
+    * combinable aggregate; f_w and A are vocab-/source-sized side tables
+    * arriving by broadcast; top-k per source is a WindowGroupLimit.
+    */
+  def classTfidf(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+    val tf = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val fw = tf.groupBy(col("w")).agg(sum(col("tf")).as("f_w"))
+    val a = tf.agg((sum(col("tf")).cast("double")
+      / countDistinct(col("source")).cast("double")).as("a_avg"))
+    val scored = tf.join(broadcast(fw), Seq("w"))
+      .crossJoin(broadcast(a))
+      .withColumn("score",
+        col("tf").cast("double")
+          * log(lit(1.0) + col("a_avg") / col("f_w").cast("double")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(win))
+      .where(col("rnk") <= k)
+      .select(col("source"), col("w").as("word"), col("tf"),
+        round(col("score"), 6).as("ctfidf"), col("rnk").as("rnk"))
+  }
+
   def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
     val maxId = Tables.documents(spark, sfDir)
       .agg((max(col("doc_id")) + 1).as("n"))

@@ -1997,4 +1997,40 @@ object Curation {
         round((col("ux2") - col("n1n2")).cast("double")
           / col("n1n2").cast("double"), 6).as("rank_biserial"))
   }
+
+  /** Dedup dendrogram slice: the near-dup clustering resolved at three
+    * Jaccard thresholds (0.7 / 0.8 / 0.9) in one table — pair count,
+    * cluster count, clustered-doc mass, and the largest family at each
+    * cut. This is the "how aggressive should dedup be" decision surface:
+    * the threshold where max_cluster collapses from a mega-family to
+    * small groups is where near-dup stops being boilerplate removal and
+    * starts deleting genuine variants (the single-threshold q50/q105
+    * views are one slice each of this curve).
+    *
+    * Scale shape: the expensive stage — the verified q25 pair list —
+    * computes ONCE (memoized) at the loosest threshold; tighter cuts are
+    * map-side filters of it (jaccard is monotone in the cut), and each
+    * filtered edge set resolves through the same min-label iteration as
+    * q50 on edge-touched nodes only. The per-threshold stats are
+    * cluster-grain rollups.
+    */
+  def dedupDendrogram(spark: SparkSession, sfDir: String): DataFrame =
+    SessionMemo(spark, s"dedupDendrogram|$sfDir") {
+      val base = Dedup.minhashPairs(spark, sfDir, 0.7).localCheckpoint()
+      val allDocs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      Seq(0.7, 0.8, 0.9).map { t =>
+        val pairs = base.where(col("jaccard") >= t)
+          .select(col("doc1"), col("doc2"))
+        val sizes = connectedComponents(pairs, allDocs)
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .where(col("sz") >= 2)
+        pairs.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(sizes.agg(
+            coalesce(count(lit(1)), lit(0L)).as("n_clusters"),
+            coalesce(sum(col("sz")), lit(0L)).as("n_clustered_docs"),
+            coalesce(max(col("sz")), lit(0L)).as("max_cluster")))
+          .select(lit(t).as("threshold"), col("n_pairs"),
+            col("n_clusters"), col("n_clustered_docs"), col("max_cluster"))
+      }.reduce(_ unionByName _)
+    }
 }

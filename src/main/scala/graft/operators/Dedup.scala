@@ -976,4 +976,42 @@ object Dedup {
       .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
       .agg(count(lit(1)).as("n_shared_chunks"))
   }
+
+  /** LSH banding S-curve characterization: for each way of splitting the
+    * 16-permutation signature into (bands × rows) — (16×1), (8×2),
+    * (4×4), (2×8) — the candidate-pair volume and its recall/precision
+    * against the EXACT Jaccard-≥-threshold truth (the q73 PPJoin pairs).
+    * This is the tuning table behind every LSH deployment: more bands =
+    * higher recall and more candidates to verify (the S-curve
+    * 1−(1−s^r)^b steepens leftward), and the measured trade-off on YOUR
+    * corpus — not the textbook curve — is what picks the config. The
+    * production (4×4) choice of q25 becomes a defended number.
+    *
+    * Scale shape: signatures and the truth set are the memoized q24/q73
+    * stages; each config is one band-key equality self-join (the q25
+    * shape) plus broadcast-sized one-row aggregates; configs union as
+    * four independent branches.
+    */
+  def bandTuningSweep(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame =
+    SessionMemo(spark, s"bandTuningSweep|$sfDir|$threshold") {
+      val sig = minhashSignatures(spark, sfDir, 16)
+      val truth = jaccardPairsPrefix(spark, sfDir, threshold)
+        .select(col("doc1"), col("doc2")).localCheckpoint()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      Seq((16, 1), (8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        val cand = bandCandidates(sig, 16, b).localCheckpoint()
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(cand.join(truth, Seq("doc1", "doc2"))
+            .agg(count(lit(1)).as("n_hit")))
+          .crossJoin(nTruth)
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6)
+              .as("recall"),
+            when(col("n_candidates") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_hit").cast("double")
+                / col("n_candidates"), 6)).as("precision"))
+      }.reduce(_ unionByName _)
+    }
 }

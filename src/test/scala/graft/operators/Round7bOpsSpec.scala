@@ -336,4 +336,75 @@ class Round7bOpsSpec extends SparkTestBase {
       assert(b.getDouble(4) <= a.getDouble(4) + 1e-9)
     }
   }
+
+  test("band tuning: candidate sets nest, so volume and recall are monotone") {
+    val rows = Dedup.bandTuningSweep(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(-_._1) // 16, 8, 4, 2 bands
+    assert(rows.map(_._1).toSeq === Seq(16, 8, 4, 2))
+    // an r-row band match implies both r/2-row halves match, so fewer
+    // bands can only lose candidates and hits
+    rows.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi._2 >= lo._2, s"candidates ${hi._1}b vs ${lo._1}b")
+      assert(hi._4 >= lo._4, s"hits ${hi._1}b vs ${lo._1}b")
+    }
+    rows.foreach { case (b, cand, truth, hit) =>
+      assert(hit <= truth && hit <= cand, s"$b bands")
+    }
+  }
+
+  test("class tfidf: five ranked keywords per source, score replay") {
+    val rows = TextAnalytics.classTfidf(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.values.foreach { rs =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getInt(4)).sorted.toSeq === (1 to 5))
+      val ordered = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      ordered.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    }
+    // replay one score: tf * ln(1 + A/f_w) from raw counts
+    val words = graft.core.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map((r.getString(0), _)))
+    val fw = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val a = words.length.toDouble / words.map(_._1).distinct.length
+    val r0 = rows.head
+    val tf0 = words.count(w => w._1 == r0.getString(0) && w._2 == r0.getString(1))
+    assert(r0.getLong(2) === tf0.toLong)
+    val expect = tf0 * math.log(1.0 + a / fw(r0.getString(1)))
+    assert(math.abs(r0.getDouble(3) - expect) < 1e-6)
+  }
+
+  test("dendrogram: tighter cuts only shrink pairs, mass and max cluster") {
+    val rows = Curation.dedupDendrogram(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2, "pairs")
+      assert(lo._4 >= hi._4, "clustered docs")
+      assert(lo._5 >= hi._5, "max cluster")
+    }
+    rows.foreach { case (t, _, nc, mass, mx) =>
+      if (nc > 0) {
+        assert(mass >= 2 * nc, s"t=$t: clusters need >= 2 members")
+        assert(mx >= 2 && mx <= mass)
+      } else assert(mass === 0 && mx === 0)
+    }
+  }
+
+  test("ljung-box: integer replay from the published ACF grid") {
+    val r = graft.analytics.Relational.ljungBox(spark, sf).collect().head
+    val n = r.getLong(1)
+    val acf = graft.analytics.Relational.revenueAutocorrelation(spark, sf)
+      .collect().map(x => x.getInt(0) -> x.getDouble(2))
+    assert(acf.length === 14)
+    val s = acf.map { case (k, a) =>
+      val r6 = math.round(a * 1e6)
+      r6 * r6 * 1000000L / (n - k)
+    }.sum
+    val q = (BigInt(n) * (n + 2) * s).toDouble / 1e18
+    assert(math.abs(r.getDouble(2) - q) < 1e-5)
+    assert(r.getInt(3) === (if (r.getDouble(2) > 23.685) 1 else 0))
+  }
 }
