@@ -421,13 +421,21 @@ object SparkEntry {
     "q225_dedup_dendrogram" -> ((s: SparkSession, d: String) => graft.operators.Curation.dedupDendrogram(s, d)),
     // Ljung-Box white-noise Q over the q191 ACF, x1e18 integer terms
     "q226_ljung_box" -> ((s: SparkSession, d: String) => Relational.ljungBox(s, d)),
+    // CUSUM argmax |N*S_t - t*S_N| on the day spine, exact integers
+    "q227_cusum_changepoint" -> ((s: SparkSession, d: String) => Relational.cusumChangepoint(s, d)),
+    // two-proportion z-test, arms by user-id parity, pooled variance
+    "q228_ab_ztest" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.abConversionZtest(s, d)),
+    // ceil-division oversampling factors to level the label classes
+    "q229_class_balance" -> ((s: SparkSession, d: String) => Similarity.classBalancePlan(s, d)),
+    // cross-user session overlaps via hour-bucketed interval self-join
+    "q230_concurrent_sessions" -> ((s: SparkSession, d: String) => Sessions.concurrentSessions(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
     * shared stage of the q18 per-session rollup and the q181 size
     * histogram (mirrors Sessions.sessionGap's session_window).
     */
-  private val gapSessionsSql =
+  private[graft] val gapSessionsSql =
     """WITH s AS (
       | SELECT user_id, ts, event_id, value,
       |  CASE WHEN lag(ts) OVER w IS NULL
@@ -4258,5 +4266,98 @@ private object CorpusOracles {
         |     * s AS DOUBLE) / 1e18, 6) > 23.685 THEN 1 ELSE 0 END
         |  AS INTEGER) AS reject_5pct
         |FROM agg""".stripMargin,
+    // q227: centered cumulative deviation in HUGEINT; argmax by
+    // (dev DESC, day) — the tie rule is part of the contract
+    "q227_cusum_changepoint" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT cal.day, coalesce(daily.cents, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)),
+        |c AS (SELECT day, x,
+        |   row_number() OVER (ORDER BY day) AS t,
+        |   sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM x),
+        |tt AS (SELECT max(t) AS n_days, max(cum) AS total FROM c),
+        |d AS (SELECT day, n_days,
+        |   abs(CAST(n_days AS HUGEINT) * cum - CAST(t AS HUGEINT) * total)
+        |    AS dev,
+        |   CAST(n_days AS HUGEINT) * total AS denom
+        |  FROM c CROSS JOIN tt)
+        |SELECT day AS cp_day, CAST(n_days AS BIGINT) AS n_days,
+        | CAST(dev AS BIGINT) AS dev_fp,
+        | round(CAST(dev AS DOUBLE) / CAST(denom AS DOUBLE), 6)
+        |  AS dev_share
+        |FROM d ORDER BY dev DESC, day LIMIT 1""".stripMargin,
+    // q228: the q220 determinism contract — exact counts, one explicit
+    // IEEE tree, flag on the rounded statistic
+    "q228_ab_ztest" -> {
+      val z = "CASE WHEN pool * (1.0 - pool) * (1.0 / na + 1.0 / nb) > 0 " +
+        "THEN (pa - pb) / sqrt(pool * (1.0 - pool) " +
+        "* (1.0 / na + 1.0 / nb)) END"
+      s"""WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS conv
+         |  FROM events GROUP BY 1, 2),
+         |arms AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         |   CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+         |  FROM u GROUP BY 1),
+         |wide AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+         |   max(CASE WHEN arm = 0 THEN x END) AS conv_a,
+         |   max(CASE WHEN arm = 1 THEN n END) AS n_b,
+         |   max(CASE WHEN arm = 1 THEN x END) AS conv_b FROM arms),
+         |calc AS (SELECT *, CAST(n_a AS DOUBLE) AS na,
+         |   CAST(n_b AS DOUBLE) AS nb,
+         |   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |   CAST(conv_a + conv_b AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+         |  FROM wide)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         | round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+         | round($z, 6) AS z_stat,
+         | CAST(CASE WHEN abs(round($z, 6)) > 1.96 THEN 1 ELSE 0 END
+         |  AS INTEGER) AS significant_5pct
+         |FROM calc""".stripMargin
+    },
+    // q229: ceiling division as (max + cnt - 1) // cnt, all integer
+    "q229_class_balance" ->
+      """WITH c AS (SELECT label, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |   CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+        |p AS (SELECT label, cnt, n_total,
+        |   (max_cnt + cnt - 1) // cnt AS factor,
+        |   ((max_cnt + cnt - 1) // cnt) * cnt AS upsampled
+        |  FROM c CROSS JOIN t),
+        |t2 AS (SELECT CAST(sum(upsampled) AS BIGINT) AS n_after FROM p)
+        |SELECT label, cnt, factor, upsampled,
+        | round(CAST(cnt AS DOUBLE) / n_total, 6) AS share_before,
+        | round(CAST(upsampled AS DOUBLE) / n_after, 6) AS share_after
+        |FROM p CROSS JOIN t2""".stripMargin,
+    // q230: the q18 gap sessions, hour-bucket blocking, exact interval
+    // test, session-identity dedup, day-of-overlap-start rollup
+    "q230_concurrent_sessions" ->
+      s"""WITH gs AS (SELECT * FROM (${SparkEntry.gapSessionsSql})),
+         |sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+         |  FROM gs GROUP BY 1, 2),
+         |h AS (SELECT user_id, st, en,
+         |   unnest(generate_series(
+         |     date_trunc('hour', CAST(st AS TIMESTAMP)),
+         |     date_trunc('hour', CAST(en AS TIMESTAMP)),
+         |     INTERVAL 1 HOUR)) AS hb
+         |  FROM sess),
+         |p AS (SELECT DISTINCT a.user_id AS u1, a.st AS st1,
+         |   b.user_id AS u2, b.st AS st2,
+         |   greatest(a.st, b.st) AS ov
+         |  FROM h a JOIN h b ON a.hb = b.hb AND a.user_id < b.user_id
+         |   AND a.st <= b.en AND b.st <= a.en)
+         |SELECT CAST(ov AS DATE) AS day,
+         | CAST(count(*) AS BIGINT) AS n_overlapping_pairs
+         |FROM p GROUP BY 1""".stripMargin,
   )
 }

@@ -901,6 +901,52 @@ object Funnels {
         round(col("n_correct").cast("double") / col("n_test"), 6))
   }
 
+  /** Two-proportion z-test scaffold for an A/B readout: users split into
+    * arms by id parity (the stand-in for an assignment column), metric =
+    * "did the user ever purchase", and the pooled two-proportion z
+    * statistic with the ±1.96 significance verdict — the minimal
+    * experimentation primitive every event pipeline ends up needing, with
+    * the same determinism contract as the q220 Wilson bounds (exact
+    * integer counts into one explicitly-shaped IEEE expression tree; the
+    * flag compares the ROUNDED statistic).
+    *
+    * Scale shape: one user-keyed conversion rollup (map-side combinable),
+    * then a two-row arm aggregate pivoted into one row.
+    */
+  def abConversionZtest(spark: SparkSession, sfDir: String): DataFrame = {
+    // unit = user-DAY (a day with >= 1 purchase converts): granular
+    // enough that neither arm degenerates to all-converted even on small
+    // fixtures, which would zero the pooled variance
+    val userDays = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val arms = userDays.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("x"))
+    val wide = arms.groupBy()
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 0, col("x"))).as("conv_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 1, col("x"))).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val varTerm =
+      pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb)
+    // zero pooled variance (all or none converted in both arms) has no
+    // defined z — publish NULL rather than an engine-specific 0/0
+    val z = when(varTerm > 0, (pa - pb) / sqrt(varTerm))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+        round(z, 6).as("z_stat"))
+      .withColumn("significant_5pct",
+        when(col("z_stat").isNull, lit(0))
+          .otherwise((abs(col("z_stat")) > lit(1.96)).cast("int")))
+  }
+
   /** Kaplan–Meier retention survival curve at week grain: per lifetime
     * week k, the users still at risk, the churn events (users whose
     * observed lifetime ended at week k AND whose last activity predates

@@ -649,6 +649,44 @@ object Relational {
         (col("lb_q") > lit(23.685)).cast("int"))
   }
 
+  /** CUSUM changepoint localization on daily order revenue: the day t
+    * maximizing |N·S_t − t·S_N| over the zero-filled spine (S = cumulative
+    * cents) — the standard "where did the level shift" estimator that
+    * complements q167's per-day anomaly ALARMS with a single most-likely
+    * break location (argmax of the centered cumulative-sum deviation;
+    * ties → earliest day). dev_share normalizes by N·S_N so thresholds
+    * transfer across scales.
+    *
+    * Determinism: the deviation is EXACT integer arithmetic end to end
+    * (Decimal(38,0) products); the only float is the final share
+    * division. The argmax is a min_by on the exact (deviation DESC, day)
+    * order — no float ranking.
+    *
+    * Scale shape: one day-grain collapse, then a calendar-sized cumsum
+    * window (the q187 precedent — the spine is metadata-sized at any
+    * corpus scale) and a one-row argmax via TakeOrdered.
+    */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val spine = dailyCentsSpine(spark, sfDir).select(col("day"), col("x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = spine
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("cum", sum(col("x")).over(w))
+    val tot = cum.agg(max(col("t")).as("n_days"), max(col("cum")).as("total"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("day"), col("n_days"), col("total"),
+        abs(col("n_days").cast(dec) * col("cum")
+          - col("t").cast(dec) * col("total")).as("dev"))
+      .orderBy(col("dev").desc, col("day")).limit(1)
+      .select(col("day").as("cp_day"), col("n_days"),
+        col("dev").cast("long").as("dev_fp"),
+        round(col("dev").cast("double")
+          / (col("n_days").cast(dec) * col("total")).cast("double"), 6)
+          .as("dev_share"))
+  }
+
   def seasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val byDow = dailyCentsSpine(spark, sfDir)

@@ -411,4 +411,39 @@ object Sessions {
       round(center - half, 6).as("wilson_lo"),
       round(center + half, 6).as("wilson_hi"))
   }
+
+  /** Concurrent-session load: per day, how many PAIRS of different users
+    * had overlapping 30-min-gap sessions — the contention/parallelism
+    * signal behind capacity planning and fraud screens (bot farms show as
+    * a concurrency burst no per-user view catches). An overlap is
+    * attributed to the day it begins (greatest of the two session
+    * starts); the pair space is blocked by shared calendar HOUR before
+    * the exact interval test — the q43 bucketed-range-join discipline,
+    * never an unbounded interval self-join.
+    *
+    * Scale shape: sessionization is the one event-scale pass; each
+    * session then explodes into its covered hours (bounded by session
+    * length), pairs form on hour-bucket equality, dedup on the session
+    * identity pair, and the rollup is day-grain.
+    */
+  def concurrentSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .select(col("user_id"), col("st"), col("en"))
+    val hours = sessions.select(col("user_id"), col("st"), col("en"),
+      explode(sequence(date_trunc("hour", col("st")),
+        date_trunc("hour", col("en")),
+        expr("INTERVAL 1 HOUR"))).as("hb"))
+    val pairs = hours.as("a").join(hours.as("b"),
+        col("a.hb") === col("b.hb")
+          && col("a.user_id") < col("b.user_id")
+          && col("a.st") <= col("b.en") && col("b.st") <= col("a.en"))
+      .select(col("a.user_id").as("u1"), col("a.st").as("st1"),
+        col("b.user_id").as("u2"), col("b.st").as("st2"),
+        greatest(col("a.st"), col("b.st")).as("ov_start"))
+      .distinct()
+    pairs.groupBy(to_date(col("ov_start")).as("day"))
+      .agg(count(lit(1)).as("n_overlapping_pairs"))
+  }
 }

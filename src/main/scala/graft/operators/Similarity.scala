@@ -474,6 +474,35 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Class-balance resampling plan over the embedding labels: per label,
+    * the integer oversampling factor ⌈max_count/count⌉ that levels the
+    * class distribution, with before/after shares — the deterministic
+    * upsampling TABLE a training-data pipeline materializes before any
+    * balanced epoch (actual row replication is then a hash-free
+    * `explode(sequence(1, factor))`). Exact integer arithmetic via
+    * ceiling division (max + cnt − 1) DIV cnt.
+    *
+    * Scale shape: one label-keyed count (map-side combinable), a one-row
+    * max broadcast, label-sized output.
+    */
+  def classBalancePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(max(col("cnt")).as("max_cnt"),
+      sum(col("cnt")).as("n_total"))
+    val plan = counts.crossJoin(broadcast(tot))
+      .select(col("label"), col("cnt"), col("n_total"),
+        expr("(max_cnt + cnt - 1) DIV cnt").as("factor"))
+      .withColumn("upsampled", col("factor") * col("cnt"))
+    plan
+      .crossJoin(broadcast(plan.agg(sum(col("upsampled")).as("n_after"))))
+      .select(col("label"), col("cnt"), col("factor"), col("upsampled"),
+        round(col("cnt").cast("double") / col("n_total"), 6)
+          .as("share_before"),
+        round(col("upsampled").cast("double") / col("n_after"), 6)
+          .as("share_after"))
+  }
+
   /** Label-centroid geometry: pairwise cosine between the
     * [[labelCentroids]] vectors — the class-separability audit a labeled
     * embedding corpus gets before anyone trusts the labels as blocking

@@ -407,4 +407,93 @@ class Round7bOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - q) < 1e-5)
     assert(r.getInt(3) === (if (r.getDouble(2) > 23.685) 1 else 0))
   }
+
+  test("cusum: BigInt replay of the argmax deviation") {
+    val r = graft.analytics.Relational.cusumChangepoint(spark, sf)
+      .collect().head
+    val daily = graft.core.Tables.orders(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("o_orderdate"))
+        .as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100, 0)
+          .cast("long")).as("c"))
+      .collect().map(x => x.getDate(0).toLocalDate -> x.getLong(1)).toMap
+    val d0 = daily.keys.minBy(_.toEpochDay)
+    val d1 = daily.keys.maxBy(_.toEpochDay)
+    val xs = (d0.toEpochDay to d1.toEpochDay)
+      .map(d => java.time.LocalDate.ofEpochDay(d))
+      .map(d => d -> daily.getOrElse(d, 0L))
+    val n = xs.length
+    val total = xs.map(x => BigInt(x._2)).sum
+    var cum = BigInt(0)
+    val devs = xs.zipWithIndex.map { case ((d, x), i) =>
+      cum += x
+      (d, (BigInt(n) * cum - BigInt(i + 1) * total).abs)
+    }
+    val best = devs.maxBy(v => (v._2, -v._1.toEpochDay))
+    assert(r.getDate(0).toLocalDate === best._1)
+    assert(r.getLong(1) === n.toLong)
+    assert(BigInt(r.getLong(2)) === best._2)
+  }
+
+  test("ab ztest: user-day replay of counts and the pooled z") {
+    val r = graft.analytics.Funnels.abConversionZtest(spark, sf)
+      .collect().head
+    val ud = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.to_date(col("ts")).as("d"),
+        col("event_type"))
+      .collect().map(x => ((x.getLong(0), x.getDate(1).toLocalDate),
+        x.getString(2) == "purchase"))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.exists(_._2) }
+    val a = ud.filter(_._1._1 % 2 == 0)
+    val b = ud.filter(_._1._1 % 2 == 1)
+    assert(r.getLong(0) === a.size.toLong)
+    assert(r.getLong(1) === a.count(_._2).toLong)
+    assert(r.getLong(2) === b.size.toLong)
+    assert(r.getLong(3) === b.count(_._2).toLong)
+    val (na, nb) = (a.size.toDouble, b.size.toDouble)
+    val (pa, pb) = (a.count(_._2) / na, b.count(_._2) / nb)
+    val pool = (a.count(_._2) + b.count(_._2)) / (na + nb)
+    val z = (pa - pb) /
+      math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-6)
+    assert(r.getInt(7) === (if (math.abs(r.getDouble(6)) > 1.96) 1 else 0))
+  }
+
+  test("class balance: factors are exact ceilings and level the classes") {
+    val rows = Similarity.classBalancePlan(spark, sf).collect()
+    val maxCnt = rows.map(_.getLong(1)).max
+    val after = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val (cnt, f, up) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(f === (maxCnt + cnt - 1) / cnt)
+      assert(up === f * cnt)
+      assert(up >= maxCnt && up < maxCnt + cnt)
+      assert(math.abs(r.getDouble(5) - up.toDouble / after) < 1e-6)
+    }
+    // balancing tightens the spread: worst share_after within factor-1
+    // rounding of uniform
+    val shares = rows.map(_.getDouble(5))
+    assert(shares.max / shares.min < 2.0)
+  }
+
+  test("concurrent sessions: brute-force replay over the session list") {
+    val sess = graft.analytics.Sessions.sessionGap(spark, sf)
+      .select(col("user_id"), col("session_start_time"),
+        col("session_end_time"))
+      .collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime,
+        x.getTimestamp(2).getTime))
+    val expect = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield java.time.Instant.ofEpochMilli(math.max(a._2, b._2))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.analytics.Sessions.concurrentSessions(spark, sf)
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
 }
