@@ -1507,7 +1507,7 @@ private object CorpusOracles {
     "q57_domain_mix" ->
       s"""WITH tgt(source, target_share) AS (VALUES
         |  ${graft.operators.Curation.DomainTargets.map { case (s, w) =>
-             s"('$s', CAST($w AS DOUBLE))" }.mkString(",\n|  ")}),
+             s"('$s', CAST('$w' AS DOUBLE))" }.mkString(",\n|  ")}),
         |cnt AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
         |tot AS (SELECT count(*) AS n_total FROM documents),
         |rates AS (SELECT source,
@@ -2384,7 +2384,7 @@ private object CorpusOracles {
     "q133_epoch_plan" ->
       s"""WITH tgt(source, target_share) AS (VALUES
          |  ${graft.operators.Curation.DomainTargets.map { case (s, w) =>
-              s"('$s', CAST($w AS DOUBLE))" }.mkString(",\n|  ")}),
+              s"('$s', CAST('$w' AS DOUBLE))" }.mkString(",\n|  ")}),
          |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
          | FROM documents GROUP BY 1),
