@@ -429,6 +429,16 @@ object SparkEntry {
     "q229_class_balance" -> ((s: SparkSession, d: String) => Similarity.classBalancePlan(s, d)),
     // cross-user session overlaps via hour-bucketed interval self-join
     "q230_concurrent_sessions" -> ((s: SparkSession, d: String) => Sessions.concurrentSessions(s, d)),
+    // Pearson chi-square independence of event_type x ISO weekday
+    "q231_chi_square" -> ((s: SparkSession, d: String) => Relational.chiSquareDowType(s, d)),
+    // Spearman rank correlation of per-user activity metrics (midranks)
+    "q232_spearman" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.spearmanActivity(s, d)),
+    // Theil-Sen robust slope: median of pairwise day-spine slopes
+    "q233_theil_sen" -> ((s: SparkSession, d: String) => Relational.theilSenTrend(s, d)),
+    // Cohen's kappa of metadata lang vs the q32 stopword language-ID
+    "q234_lang_kappa" -> ((s: SparkSession, d: String) => TextAnalytics.langKappa(s, d)),
+    // log-loss/Brier/accuracy of a pinned logistic conversion model
+    "q235_model_eval" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.logisticEval(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4359,5 +4369,159 @@ private object CorpusOracles {
          |SELECT CAST(ov AS DATE) AS day,
          | CAST(count(*) AS BIGINT) AS n_overlapping_pairs
          |FROM p GROUP BY 1""".stripMargin,
+    // q231: zero cells come from the margin cross product; contributions
+    // cross on the x1e6 grid so the statistic is an exact integer sum;
+    // the pinned critical value covers only the 24-dof full grid
+    "q231_chi_square" ->
+      """WITH cells AS (SELECT event_type, CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |   CAST(count(*) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(observed) AS row_tot FROM cells GROUP BY 1),
+        |ct AS (SELECT iso_dow, sum(observed) AS col_tot FROM cells GROUP BY 1),
+        |t AS (SELECT sum(observed) AS n FROM cells),
+        |grid AS (SELECT rt.event_type, ct.iso_dow, rt.row_tot, ct.col_tot,
+        |   coalesce(cells.observed, 0) AS observed
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (event_type, iso_dow)),
+        |x AS (SELECT event_type, iso_dow, observed,
+        |   CAST(CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE) / CAST(n AS DOUBLE)
+        |     AS expected
+        |  FROM grid CROSS JOIN t),
+        |sc AS (SELECT *, CAST(round(((CAST(observed AS DOUBLE) - expected)
+        |    * (CAST(observed AS DOUBLE) - expected) / expected) * 1000000)
+        |   AS BIGINT) AS contrib_fp
+        |  FROM x),
+        |st AS (SELECT sum(contrib_fp) AS chi2_fp,
+        |   (count(DISTINCT event_type) - 1) * (count(DISTINCT iso_dow) - 1) AS dof
+        |  FROM sc)
+        |SELECT event_type, iso_dow, observed,
+        | round(expected, 6) AS expected,
+        | round(CAST(contrib_fp AS DOUBLE) / 1000000, 6) AS contrib,
+        | round(CAST(chi2_fp AS DOUBLE) / 1000000, 6) AS chi2_stat,
+        | CAST(dof AS BIGINT) AS dof,
+        | CASE WHEN dof = 24
+        |  THEN CAST(round(CAST(chi2_fp AS DOUBLE) / 1000000, 6) > 36.415 AS INTEGER)
+        | END AS reject_5pct
+        |FROM sc CROSS JOIN st""".stripMargin,
+    // q232: doubled midranks (2*min_rank + ties - 1) keep every rank
+    // moment an exact integer; the q191 Pearson tree finishes it
+    "q232_spearman" -> {
+      def pair(x: String, y: String, name: String) =
+        s"""SELECT '$name' AS metric_pair, CAST(n AS BIGINT) AS n_users,
+           | round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+           |  / (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+           |    * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6) AS spearman_rho
+           |FROM (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |  sum(CAST(rx AS HUGEINT)) AS s1, sum(CAST(ry AS HUGEINT)) AS s2,
+           |  sum(CAST(rx AS HUGEINT) * rx) AS s11,
+           |  sum(CAST(ry AS HUGEINT) * ry) AS s22,
+           |  sum(CAST(rx AS HUGEINT) * ry) AS s12
+           | FROM (SELECT mx.r2 AS rx, my.r2 AS ry
+           |  FROM u JOIN (SELECT v, 2 * (cum - c + 1) + c - 1 AS r2 FROM (
+           |    SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM (
+           |     SELECT $x AS v, count(*) AS c FROM u GROUP BY 1))) mx
+           |   ON u.$x = mx.v
+           |  JOIN (SELECT v, 2 * (cum - c + 1) + c - 1 AS r2 FROM (
+           |    SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM (
+           |     SELECT $y AS v, count(*) AS c FROM u GROUP BY 1))) my
+           |   ON u.$y = my.v))""".stripMargin
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_purchases
+         | FROM events GROUP BY 1)
+         |${pair("n_events", "n_days", "events_vs_days")}
+         |UNION ALL
+         |${pair("n_events", "n_purchases", "events_vs_purchases")}""".stripMargin
+    },
+    // q233: slopes are x1e6 truncating divisions with a 2^40*days shift
+    // so both engines divide positive integers; median = exact integer
+    // rank selection over the slope-value distribution
+    "q233_theil_sen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT cal.day, coalesce(daily.cents, 0) AS x
+        |  FROM cal LEFT JOIN daily USING (day)),
+        |p AS (SELECT ((bb.x - aa.x) * 1000000
+        |    + 1099511627776 * (bb.day - aa.day)) // (bb.day - aa.day)
+        |    - 1099511627776 AS slope_fp
+        |  FROM x aa JOIN x bb ON bb.day > aa.day),
+        |d AS (SELECT slope_fp, count(*) AS c FROM p GROUP BY 1),
+        |cum AS (SELECT slope_fp, c, sum(c) OVER (ORDER BY slope_fp) AS cum FROM d),
+        |t AS (SELECT sum(c) AS n_pairs FROM d),
+        |nd AS (SELECT count(*) AS n_days FROM x),
+        |m AS (SELECT n_pairs,
+        |   min(CASE WHEN cum >= (n_pairs + 1) // 2 THEN slope_fp END)
+        |     AS slope_lo_fp,
+        |   min(CASE WHEN cum >= n_pairs // 2 + 1 THEN slope_fp END)
+        |     AS slope_hi_fp
+        |  FROM cum CROSS JOIN t GROUP BY 1)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        | CAST(n_pairs AS BIGINT) AS n_pairs,
+        | CAST(slope_lo_fp AS BIGINT) AS slope_lo_fp,
+        | CAST(slope_hi_fp AS BIGINT) AS slope_hi_fp,
+        | round(CAST(slope_lo_fp + slope_hi_fp AS DOUBLE) / 2000000.0, 6)
+        |  AS slope_cents_per_day
+        |FROM m CROSS JOIN nd""".stripMargin,
+    // q234: the q144 confusion rolled into po/pe/kappa — margin products
+    // summed as HUGEINT, kappa in one pinned IEEE tree
+    "q234_lang_kappa" ->
+      s"""WITH pr AS (SELECT lang AS actual_lang, $langPredicted AS predicted_lang
+         |  FROM (SELECT lang, string_split(text,' ') AS w FROM documents)),
+         |c AS (SELECT actual_lang, predicted_lang, count(*) AS n
+         | FROM pr GROUP BY 1, 2),
+         |rt AS (SELECT actual_lang AS l, sum(n) AS row_tot FROM c GROUP BY 1),
+         |ct AS (SELECT predicted_lang AS l, sum(n) AS col_tot FROM c GROUP BY 1),
+         |pe AS (SELECT sum(CAST(coalesce(row_tot, 0) AS HUGEINT)
+         |    * coalesce(col_tot, 0)) AS pe_num
+         |  FROM rt FULL JOIN ct USING (l)),
+         |dg AS (SELECT sum(n) AS n_docs,
+         |   sum(CASE WHEN actual_lang = predicted_lang THEN n ELSE 0 END)
+         |     AS n_agree
+         |  FROM c)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_agree AS BIGINT) AS n_agree,
+         | round(CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  AS p_observed,
+         | round(CAST(pe_num AS DOUBLE)
+         |  / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+         |  AS p_expected,
+         | round((CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |   - CAST(pe_num AS DOUBLE)
+         |     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+         |  / (1.0 - CAST(pe_num AS DOUBLE)
+         |     / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))), 6)
+         |  AS kappa
+         |FROM dg CROSS JOIN pe""".stripMargin,
+    // q235: pinned logistic weights; ln/exp are the q90/q137-precedent
+    // transcendentals; per-unit losses cross on the x1e6 grid
+    "q235_model_eval" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |   sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS n_feat,
+        |   count(DISTINCT CASE WHEN event_type <> 'purchase' THEN event_type END)
+        |     AS k_types,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT y,
+        |   1.0 / (1.0 + exp(-(CAST(-3.0 AS DOUBLE)
+        |     + CAST(0.45 AS DOUBLE) * ln(1.0 + n_feat)
+        |     + CAST(0.35 AS DOUBLE) * k_types))) AS p
+        |  FROM u),
+        |f AS (SELECT y, p,
+        |   CAST(round(-(y * ln(p) + (1 - y) * ln(1.0 - p)) * 1000000)
+        |     AS BIGINT) AS ll_fp,
+        |   CAST(round((p - y) * (p - y) * 1000000) AS BIGINT) AS br_fp,
+        |   CASE WHEN CAST(p >= 0.5 AS INTEGER) = y THEN 1 ELSE 0 END AS hit
+        |  FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_units,
+        | CAST(sum(y) AS BIGINT) AS n_converted,
+        | round(CAST(sum(ll_fp) AS DOUBLE) / 1000000 / count(*), 6) AS log_loss,
+        | round(CAST(sum(br_fp) AS DOUBLE) / 1000000 / count(*), 6) AS brier,
+        | round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS accuracy
+        |FROM f""".stripMargin,
   )
 }

@@ -1003,4 +1003,120 @@ object Funnels {
       .withColumn("survival",
         round(col("survival_fp").cast("double") / lit(1e12), 6))
   }
+
+  /** Spearman rank correlation between per-user activity metrics — the
+    * robust (monotone-invariant) answer to "do heavier users show up on
+    * more days / buy more", immune to the heavy-tailed count
+    * distributions that wreck a raw Pearson (q132 correlates FEATURES;
+    * this ranks USERS). Ties take midranks, the textbook treatment.
+    *
+    * Determinism: midranks are held as DOUBLED integers (2·midrank =
+    * 2·min_rank + tie_count − 1, always integral), so every rank moment
+    * is an exact Decimal(38,0) sum and ρ materializes through the q191
+    * Pearson tree — scale-invariance of ρ absorbs the doubling.
+    *
+    * Scale shape: ranking never sorts users globally — each metric
+    * collapses to its VALUE DISTRIBUTION (events-per-user and
+    * days-per-user are bounded domains: one is capped by per-user volume
+    * quotas, the other by the calendar), ranks come from a cumulative
+    * count over that distribution table, and users join their rank by
+    * value key. The only corpus-scale stages are the user rollup and two
+    * bounded-domain equality joins.
+    */
+  def spearmanActivity(spark: SparkSession, sfDir: String): DataFrame =
+    spearmanActivityOf(Tables.events(spark, sfDir))
+
+  /** [[spearmanActivity]] over an arbitrary events frame — the
+    * fixture-testable core.
+    */
+  def spearmanActivityOf(ev: DataFrame): DataFrame = {
+    val users = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(to_date(col("ts"))).as("n_days"),
+        sum((col("event_type") === "purchase").cast("long"))
+          .as("n_purchases"))
+    def ranked(metric: String): DataFrame = {
+      val d = users.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn("cum", sum(col("c")).over(w))
+        .select(col("v").as(metric),
+          // 2·midrank = 2·(cum − c + 1) + (c − 1)
+          (lit(2) * (col("cum") - col("c") + 1) + col("c") - 1)
+            .as(s"r2_$metric"))
+    }
+    def rho(x: String, y: String, name: String): DataFrame = {
+      val rx = col(s"r2_$x")
+      val ry = col(s"r2_$y")
+      val s = users
+        .join(broadcast(ranked(x)), Seq(x))
+        .join(broadcast(ranked(y)), Seq(y))
+        .agg(dec(count(lit(1))).as("n"),
+          sum(dec(rx)).as("s1"), sum(dec(ry)).as("s2"),
+          sum(dec(rx) * rx).as("s11"), sum(dec(ry) * ry).as("s22"),
+          sum(dec(rx) * ry).as("s12"))
+      s.select(lit(name).as("metric_pair"), col("n").cast("long").as("n_users"),
+        round((col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+          / (sqrt((col("n") * col("s11") - col("s1") * col("s1")).cast("double"))
+            * sqrt((col("n") * col("s22") - col("s2") * col("s2"))
+              .cast("double"))), 6).as("spearman_rho"))
+    }
+    rho("n_events", "n_days", "events_vs_days")
+      .unionAll(rho("n_events", "n_purchases", "events_vs_purchases"))
+  }
+
+  /** Scoreboard for a pinned-weight logistic conversion model: per
+    * user-day, p(purchase) from non-purchase activity (event count and
+    * type breadth — the label's own events are excluded from the
+    * features), then log-loss, Brier score and accuracy@0.5 against the
+    * observed purchase label — the q87-style calibration story turned
+    * into the three standard proper-scoring numbers a model gate reads.
+    *
+    * Determinism: the feature→probability map is one pinned IEEE tree
+    * (ln/exp are the q90/q137-precedent transcendentals); each unit's
+    * loss terms are rounded once to the 6-dp grid and summed as exact
+    * integers (q103 recipe), so the corpus means are order-independent.
+    *
+    * Scale shape: one map-side-combinable (user, day) rollup, then a
+    * zero-shuffle scoring projection and one global fixed-point
+    * aggregate — nothing downstream exceeds one row.
+    */
+  def logisticEval(spark: SparkSession, sfDir: String): DataFrame =
+    logisticEvalOf(Tables.events(spark, sfDir))
+
+  /** [[logisticEval]] over an arbitrary events frame — the
+    * fixture-testable core.
+    */
+  def logisticEvalOf(ev: DataFrame): DataFrame = {
+    val units = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum((col("event_type") =!= "purchase").cast("long")).as("n_feat"),
+        count_distinct(when(col("event_type") =!= "purchase",
+          col("event_type"))).as("k_types"),
+        max((col("event_type") === "purchase").cast("int")).as("y"))
+    val z = lit(-3.0) + lit(0.45) * log(lit(1.0) + col("n_feat")) +
+      lit(0.35) * col("k_types")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val scored = units.withColumn("p", p)
+      .withColumn("ll_fp", round(
+        -(col("y") * log(col("p")) +
+          (lit(1) - col("y")) * log(lit(1.0) - col("p"))) * 1e6, 0)
+        .cast("long"))
+      .withColumn("br_fp", round(
+        (col("p") - col("y")) * (col("p") - col("y")) * 1e6, 0).cast("long"))
+      .withColumn("hit",
+        ((col("p") >= 0.5).cast("int") === col("y")).cast("long"))
+    scored.agg(count(lit(1)).as("n_units"), sum(col("y")).as("n_converted"),
+        sum(col("ll_fp")).as("ll"), sum(col("br_fp")).as("br"),
+        sum(col("hit")).as("h"))
+      .select(col("n_units"), col("n_converted"),
+        round(col("ll").cast("double") / 1e6 / col("n_units"), 6)
+          .as("log_loss"),
+        round(col("br").cast("double") / 1e6 / col("n_units"), 6)
+          .as("brier"),
+        round(col("h").cast("double") / col("n_units"), 6).as("accuracy"))
+  }
 }

@@ -529,8 +529,11 @@ object Relational {
     * (d0, day, x) — the shared first stage of the ACF/trend/backtest
     * family (one definition so a spine fix lands everywhere at once).
     */
-  private def dailyCentsSpine(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.orders(spark, sfDir)
+  private def dailyCentsSpine(spark: SparkSession, sfDir: String): DataFrame =
+    dailyCentsSpineOf(Tables.orders(spark, sfDir))
+
+  private[analytics] def dailyCentsSpineOf(orders: DataFrame): DataFrame = {
+    val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
     daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -785,5 +788,121 @@ object Relational {
         round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
         round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
           .as("excess_kurtosis"))
+  }
+
+  /** Pearson χ² independence test of event_type × ISO weekday — "does the
+    * event mix depend on the day of week", the categorical companion to
+    * q216's continuous KS drift. Emits the full contingency grid (zero
+    * cells materialized from the row×column margin cross product, which a
+    * cells-only rollup would silently drop) with each cell's expected
+    * count and χ² contribution, plus the grid-constant statistic, degrees
+    * of freedom and the 5% decision.
+    *
+    * Determinism: margins and their products are exact integers
+    * (Decimal(38,0) before the multiply — two corpus-scale margins can
+    * overflow a long product); expected and the contribution evaluate in
+    * one pinned IEEE tree; contributions cross engines on the 6-dp grid
+    * (×10⁶ integers) so the statistic is an exact integer sum — the q103
+    * recipe. The decision compares the ROUNDED statistic against the
+    * pinned χ²₀.₀₅ critical value for the observed dof (published only
+    * for the 24-dof full grid; other shapes emit NULL rather than an
+    * interpolated quantile).
+    *
+    * Scale shape: one map-side-combinable (type, dow) count into a
+    * |types|×7 grid; margins, grid and statistic are all metadata-sized.
+    */
+  def chiSquareDowType(spark: SparkSession, sfDir: String): DataFrame =
+    chiSquareDowTypeOf(Tables.events(spark, sfDir))
+
+  /** [[chiSquareDowType]] over an arbitrary (event_type, ts) frame — the
+    * fixture-testable core.
+    */
+  def chiSquareDowTypeOf(ev: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = ev
+      .groupBy(col("event_type"),
+        (weekday(col("ts")) + lit(1)).cast("int").as("iso_dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col("event_type"))
+      .agg(sum(col("observed")).as("row_tot"))
+    val colT = cells.groupBy(col("iso_dow"))
+      .agg(sum(col("observed")).as("col_tot"))
+    val tot = cells.agg(sum(col("observed")).as("n"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("event_type", "iso_dow"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val expected = (col("row_tot").cast(dec) * col("col_tot")).cast("double") /
+      col("n").cast("double")
+    val d = col("observed").cast("double") - col("expected")
+    val scored = grid.withColumn("expected", expected)
+      .withColumn("contrib_fp",
+        round((d * d / col("expected")) * 1e6, 0).cast("long"))
+    val stat = scored.agg(
+      sum(col("contrib_fp")).as("chi2_fp"),
+      ((count_distinct(col("event_type")) - 1) *
+        (count_distinct(col("iso_dow")) - 1)).as("dof"))
+    scored.crossJoin(broadcast(stat))
+      .select(col("event_type"), col("iso_dow"), col("observed"),
+        round(col("expected"), 6).as("expected"),
+        round(col("contrib_fp").cast("double") / 1e6, 6).as("contrib"),
+        round(col("chi2_fp").cast("double") / 1e6, 6).as("chi2_stat"),
+        col("dof"))
+      .withColumn("reject_5pct",
+        when(col("dof") === 24, (col("chi2_stat") > lit(36.415)).cast("int")))
+  }
+
+  /** Theil–Sen robust trend of daily order revenue: the median of all
+    * pairwise day-to-day slopes over the zero-filled calendar spine — the
+    * estimator that shrugs off the outlier days that drag q202's OLS
+    * slope around (breakdown point 29% vs OLS's single-point fragility).
+    *
+    * Determinism: each slope is a ×10⁶ truncating integer division of
+    * exact cent differences — numerators are shifted by 2⁴⁰·Δdays before
+    * the divide so both engines divide POSITIVE integers (Spark's DIV
+    * truncates toward zero, DuckDB's // floors; they agree only on
+    * non-negative operands), then un-shifted. The median picks the two
+    * middle order statistics by exact integer rank and averages them in
+    * one pinned expression.
+    *
+    * Scale shape: the pair space is |days|² — bounded by the TIME RANGE,
+    * not the corpus (the q191 spine contract), so the nested-loop pair
+    * build and the distribution-table median (cumulative counts over
+    * DISTINCT slope values, never a global row sort) stay calendar-sized
+    * at any corpus scale. Corpus-scale work is the one day-grain collapse.
+    */
+  def theilSenTrend(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenTrendOf(Tables.orders(spark, sfDir))
+
+  /** [[theilSenTrend]] over an arbitrary orders frame — the
+    * fixture-testable core.
+    */
+  def theilSenTrendOf(orders: DataFrame): DataFrame = {
+    val spine = dailyCentsSpineOf(orders).select(col("day"), col("x"))
+    val shift = 1L << 40
+    val pairs = spine.select(col("day").as("da"), col("x").as("xa"))
+      .join(spine.select(col("day").as("db"), col("x").as("xb")),
+        expr("db > da"))
+      .select(expr(
+        s"((xb - xa) * 1000000L + ${shift}L * datediff(db, da)) " +
+          s"DIV datediff(db, da) - ${shift}L").as("slope_fp"))
+    val dist = pairs.groupBy(col("slope_fp")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("slope_fp"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = dist.withColumn("cum", sum(col("c")).over(w))
+    val tot = dist.agg(sum(col("c")).as("n_pairs"))
+    val days = spine.agg(count(lit(1)).as("n_days"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_pairs"))
+      .agg(
+        min(when(col("cum") >= expr("(n_pairs + 1) DIV 2"), col("slope_fp")))
+          .as("slope_lo_fp"),
+        min(when(col("cum") >= expr("n_pairs DIV 2 + 1"), col("slope_fp")))
+          .as("slope_hi_fp"))
+      .crossJoin(broadcast(days))
+      .select(col("n_days"), col("n_pairs"),
+        col("slope_lo_fp"), col("slope_hi_fp"),
+        round((col("slope_lo_fp") + col("slope_hi_fp")).cast("double")
+          / 2000000.0, 6).as("slope_cents_per_day"))
   }
 }

@@ -1755,4 +1755,47 @@ object TextAnalytics {
       .select(col("decile"), col("n_docs"), col("n_tokens_cum"),
         col("n_types_cum"), col("ttr"))
   }
+  /** Cohen's κ chance-corrected agreement between the corpus metadata
+    * language and the q32 stopword language-ID — the one-number summary
+    * of the q144 confusion matrix that discounts the agreement a
+    * majority-class guesser gets for free (raw accuracy on a 90%-English
+    * corpus flatters any predictor; κ does not).
+    *
+    * Determinism: observed and expected agreement are ratios of exact
+    * integers — the expected-agreement numerator Σ_k row_k·col_k is
+    * summed as Decimal(38,0) (two corpus-scale margins overflow a long
+    * product) — and κ evaluates in one pinned IEEE tree.
+    *
+    * Scale shape: one map-side-combinable (actual, predicted) count into
+    * a |langs|² table; margins, the diagonal and κ are metadata-sized.
+    */
+  def langKappa(spark: SparkSession, sfDir: String): DataFrame =
+    langKappaOf(langPredictions(spark, sfDir))
+
+  /** [[langKappa]] over an arbitrary (actual_lang, predicted_lang) frame —
+    * the fixture-testable core.
+    */
+  def langKappaOf(pred: DataFrame): DataFrame = {
+    val c = pred
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = c.groupBy(col("actual_lang").as("l"))
+      .agg(sum(col("n")).as("row_tot"))
+    val colT = c.groupBy(col("predicted_lang").as("l"))
+      .agg(sum(col("n")).as("col_tot"))
+    val cross = rowT.join(colT, Seq("l"), "full")
+      .agg(sum(dec(coalesce(col("row_tot"), lit(0L)))
+        * coalesce(col("col_tot"), lit(0L))).as("pe_num"))
+    val diag = c.agg(sum(col("n")).as("n_docs"),
+      sum(when(col("actual_lang") === col("predicted_lang"), col("n"))
+        .otherwise(0L)).as("n_agree"))
+    val nd = col("n_docs").cast("double")
+    val po = col("n_agree").cast("double") / nd
+    val pe = col("pe_num").cast("double") / (nd * nd)
+    diag.crossJoin(broadcast(cross))
+      .select(col("n_docs"), col("n_agree"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
 }
