@@ -1764,27 +1764,30 @@ private object CorpusOracles {
     // IEEE value); per-term scores rounded once, fixed-point doc sums
     "q90_bm25" -> bm25Sql,
     // q91: truncated-integer PageRank, 10 unrolled power iterations over
-    // the q25 pair graph — every op is 64-bit integer arithmetic, so the
-    // unrolled CTE chain reproduces the engine bit-for-bit
+    // the q25 pair graph — every op is 64-bit integer arithmetic and every
+    // CTE's rank column is explicitly re-cast to BIGINT (no HUGEINT
+    // propagation, no derived double), so the unrolled chain reproduces
+    // the engine bit-for-bit on any DuckDB build
     "q91_dedup_pagerank" -> {
       val scale = 1000000000000L
       val base = scale * 15 / 100
       val rounds = (1 to 10).map { k =>
         s"""r$k AS (SELECT e.dst AS doc_id,
-           |   $base // mx.n_nodes + (sum(r${k - 1}.r // deg.deg) * 85) // 100 AS r
+           |   CAST($base // (SELECT n_nodes FROM mx)
+           |     + (sum(r${k - 1}.r // deg.deg) * 85) // 100 AS BIGINT) AS r
            |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.doc_id
-           |  JOIN deg ON e.src = deg.doc_id CROSS JOIN mx
-           |  GROUP BY 1, mx.n_nodes)""".stripMargin
+           |  JOIN deg ON e.src = deg.doc_id
+           |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH mp AS ($minhashPairsSql),
          |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
          |      UNION ALL SELECT doc2 AS src, doc1 AS dst FROM mp),
          |deg AS (SELECT src AS doc_id, count(*) AS deg FROM e GROUP BY 1),
          |mx AS (SELECT count(*) AS n_nodes FROM deg),
-         |r0 AS (SELECT doc_id, $scale // mx.n_nodes AS r FROM deg CROSS JOIN mx),
+         |r0 AS (SELECT doc_id,
+         |   CAST($scale // (SELECT n_nodes FROM mx) AS BIGINT) AS r FROM deg),
          |$rounds
-         |SELECT doc_id, CAST(r AS BIGINT) AS pagerank_fp,
-         | round(CAST(r AS DOUBLE) / $scale, 6) AS pagerank
+         |SELECT doc_id, CAST(r AS BIGINT) AS pagerank_fp
          |FROM r10""".stripMargin
     },
     "q92_pq_encode" ->
@@ -2196,17 +2199,18 @@ private object CorpusOracles {
         | round(CAST(sum(is_replayed) AS DOUBLE) / count(*), 6) AS replay_frac
         |FROM j GROUP BY 1""".stripMargin,
     // q124: q99's keep-set rolled into per-shard counts + the commutative
-    // 60-bit-hash-sum checksum (HUGEINT, matching Spark's DECIMAL(38,0))
+    // 60-bit-hash-sum checksum, reduced mod 10^12 so the shipped value is
+    // a plain BIGINT (no >64-bit digit string for a reader to coerce)
     "q124_shard_checksums" ->
       s"""WITH keep AS (SELECT doc_id FROM ($curationSql) c WHERE keep = 1),
          |d AS (SELECT doc_id,
          |  CAST(doc_id % 8 AS INTEGER) AS shard,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS HUGEINT) AS h
+         |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS h
          | FROM documents JOIN keep USING (doc_id))
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         | CAST(sum(h) AS VARCHAR) AS content_checksum
+         | CAST(sum(h) % 1000000000000 AS BIGINT) AS content_checksum
          |FROM d GROUP BY 1""".stripMargin,
     // q125: IVF probe (cosine cells, rn<=4) prunes candidates; ADC codes
     // + LUT score them; fixed-point rollup, top-5 per query
@@ -3218,22 +3222,22 @@ private object CorpusOracles {
          |SELECT src AS doc_id, CAST(deg AS BIGINT) AS core_deg, converged
          |FROM d8, conv""".stripMargin
     },
-    // q187: dyadic weights are exact in double (2^k, k ≤ 30) and cast to
-    // HUGEINT loss-free; the weighted sum is exact integer arithmetic
-    // matching Spark's Decimal(38,0); only the final dollars ratio is a
-    // double, rounded at 2 dp
+    // q187: dyadic weights are exact int64 bit shifts (no libm power, no
+    // double cast); the weighted sum is exact integer arithmetic matching
+    // Spark's Decimal(38,0), shipped as two int64 columns (fp div/mod 1e9)
     "q187_ewma_revenue" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
         |  FROM orders GROUP BY 1),
         |b AS (SELECT min(day) AS d0 FROM daily),
         |c AS (SELECT d.day AS day,
-        |   sum(CAST(power(2, 30 - (d.day - r.day)) AS HUGEINT) * r.rev_cents)
-        |     AS ewma_fp
+        |   sum(CAST((CAST(1 AS BIGINT) << (30 - (d.day - r.day))) AS HUGEINT)
+        |       * r.rev_cents) AS ewma_fp
         |  FROM daily d JOIN daily r ON r.day BETWEEN d.day - 30 AND d.day
         |  GROUP BY 1)
-        |SELECT d.day, d.rev_cents, CAST(c.ewma_fp AS VARCHAR) AS ewma_fp,
-        | round(CAST(c.ewma_fp AS DOUBLE) / 214748364700.0, 2) AS ewma_dollars
+        |SELECT d.day, d.rev_cents,
+        | CAST(c.ewma_fp // 1000000000 AS BIGINT) AS ewma_hi,
+        | CAST(c.ewma_fp % 1000000000 AS BIGINT) AS ewma_lo
         |FROM daily d JOIN c ON d.day = c.day, b
         |WHERE d.day >= b.d0 + 30""".stripMargin,
     // q188: pinned-value pivot = 7 conditional sums; isodow(ts) in DuckDB
@@ -3655,17 +3659,15 @@ private object CorpusOracles {
         |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
         |  FROM spine LEFT JOIN daily USING (day)),
         |e AS (SELECT day + CAST(lag AS INTEGER) AS day,
-        |   sum(CAST(power(2, 30 - lag) AS HUGEINT) * x) AS ewma_fp
+        |   sum(CAST((CAST(1 AS BIGINT) << (30 - CAST(lag AS INTEGER)))
+        |       AS HUGEINT) * x) AS ewma_fp
         |  FROM x, range(0, 31) t(lag)
         |  GROUP BY 1),
         |f AS (SELECT e.day + 1 AS day, e.ewma_fp FROM e)
         |SELECT x.day, x.x AS actual_cents,
-        | round(CAST(f.ewma_fp AS DOUBLE) / 214748364700.0, 2)
-        |  AS forecast_dollars,
-        | CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp) AS VARCHAR)
-        |  AS abs_err_fp,
-        | round(CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp)
-        |   AS DOUBLE) / 214748364700.0, 2) AS abs_err_dollars
+        | CAST(f.ewma_fp // 2147483647 AS BIGINT) AS forecast_cents,
+        | CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp)
+        |   // 2147483647 AS BIGINT) AS abs_err_cents
         |FROM x JOIN f ON x.day = f.day
         |WHERE x.day >= x.d0 + 31""".stripMargin,
     // q204: the q29 neighbor contract + majority vote, ties to the
@@ -3928,7 +3930,7 @@ private object CorpusOracles {
          |  FROM r),
          |regs AS (SELECT source, idx, max(rnk) AS m FROM rk GROUP BY 1, 2),
          |z AS (SELECT source, count(*) AS n_filled,
-         |   CAST(sum(CAST(power(2, 53 - m) AS BIGINT)) AS BIGINT)
+         |   CAST(sum(CAST(1 AS BIGINT) << (53 - CAST(m AS INTEGER))) AS BIGINT)
          |    AS z_filled
          |  FROM regs GROUP BY 1)
          |SELECT ex.source, ex.n_exact,

@@ -400,12 +400,15 @@ object Relational {
   /** Exponentially-weighted moving average of daily order revenue with a
     * DYADIC decay (weight of a day at calendar lag L is 2^(30−L) over a
     * 31-day window) — the trend line a revenue-anomaly monitor compares
-    * each day against. The dyadic base is the point: 2^k is exactly
-    * representable, so cents × 2^(30−L) is exact INTEGER arithmetic and
-    * the weighted sum is a Decimal(38,0)/HUGEINT that both engines agree
-    * on bit-for-bit — no float accumulation order anywhere. Only the final
-    * convenience division (by the full-window weight mass 2^31−1, and by
-    * 100 to dollars) touches doubles, rounded at 2 dp.
+    * each day against. The dyadic base is the point: 2^k is an exact
+    * integer by construction (bit shift, not a libm pow call), so
+    * cents × 2^(30−L) is exact INTEGER arithmetic and the weighted sum is
+    * a Decimal(38,0)/HUGEINT that both engines agree on bit-for-bit — no
+    * float accumulation order anywhere. The >64-bit fixed-point value
+    * ships as two int64 columns (`ewma_hi` = fp div 10⁹, `ewma_lo` =
+    * fp mod 10⁹) — plain integers survive every engine, file format, and
+    * type-coercing reader, where a 20-digit string or a double would not.
+    * Dollars at display time: (hi·10⁹ + lo) / ((2³¹−1)·100).
     *
     * Emitted for days with a full 31-day calendar history (`day ≥ first
     * order day + 30`); days without orders contribute zero implicitly via
@@ -430,22 +433,19 @@ object Relational {
         .as("rev_cents"))
     val bounds = daily.agg(min(col("day")).as("d0"))
     // each revenue day contributes to the 31 target days it decays into;
-    // pow(2, k) for k ≤ 30 is exact in double, cast to decimal loss-free
+    // the weight 2^(horizon−lag) is an exact int64 via shiftleft
     val contrib = daily
       .withColumn("lag", explode(sequence(lit(0), lit(horizon))))
       .groupBy(date_add(col("day"), col("lag")).as("day"))
-      .agg(sum(pow(lit(2.0), lit(horizon) - col("lag")).cast(dec)
-        * col("rev_cents")).as("ewma_fp"))
-    // full-window weight mass = 2^(horizon+1) − 1; cents → dollars via 100
-    val mass = (math.pow(2.0, horizon + 1.0) - 1.0) * 100.0
+      .agg(sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $horizon - lag)"
+        + " AS DECIMAL(38,0))") * col("rev_cents")).as("ewma_fp"))
+    val split = lit(1000000000L).cast(dec)
     daily.join(contrib, Seq("day"))
       .crossJoin(broadcast(bounds))
       .where(col("day") >= date_add(col("d0"), horizon))
       .select(col("day"), col("rev_cents"),
-        // decimal → digit string: >64-bit fixed-point value, no common
-        // numeric type across engines for the type-sensitive value gate
-        col("ewma_fp").cast(dec).cast("string").as("ewma_fp"),
-        round(col("ewma_fp").cast("double") / mass, 2).as("ewma_dollars"))
+        floor(col("ewma_fp") / split).cast("long").as("ewma_hi"),
+        (col("ewma_fp") % split).cast("long").as("ewma_lo"))
   }
 
   /** Event value pivoted to a day-of-week grid — one row per event_type,
@@ -716,8 +716,10 @@ object Relational {
     * count as zero actuals, not gaps.
     *
     * Determinism: the error is computed in fixed point FIRST —
-    * |actual·(2³¹−1) − ewma_fp| is exact integer arithmetic — and only
-    * the two reporting columns divide out to dollars at 2 dp.
+    * |actual·(2³¹−1) − ewma_fp| is exact integer arithmetic — and the
+    * reporting columns divide the exact fixed-point values by the weight
+    * mass (2³¹−1) with INTEGRAL division, so everything shipped is a
+    * plain int64 cent value (dollars at display time = cents / 100).
     *
     * Scale shape: identical to [[ewmaRevenue]] — day-grain collapse,
     * 31-way explode, target-day aggregate, one tiny self-join to shift
@@ -730,20 +732,18 @@ object Relational {
     val ewma = spine
       .withColumn("lag", explode(sequence(lit(0), lit(horizon))))
       .groupBy(date_add(col("day"), col("lag")).as("day"))
-      .agg(sum(pow(lit(2.0), lit(horizon) - col("lag")).cast(dec)
-        * col("x")).as("ewma_fp"))
-    val mass = math.pow(2.0, horizon + 1.0) - 1.0
+      .agg(sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $horizon - lag)"
+        + " AS DECIMAL(38,0))") * col("x")).as("ewma_fp"))
+    // full-window weight mass = 2^(horizon+1) − 1, exact in int64
+    val mass = (1L << (horizon + 1)) - 1L
     spine
       .join(ewma.select(expr("date_add(day, 1)").as("day"),
         col("ewma_fp")), Seq("day"))
       .where(col("day") >= date_add(col("d0"), horizon + 1))
       .select(col("day"), col("x").as("actual_cents"),
-        round(col("ewma_fp").cast("double") / (mass * 100.0), 2)
-          .as("forecast_dollars"),
-        abs(col("x").cast(dec) * lit(mass).cast(dec) - col("ewma_fp"))
-          .cast("string").as("abs_err_fp"),
-        round(abs(col("x").cast(dec) * lit(mass).cast(dec) - col("ewma_fp"))
-          .cast("double") / (mass * 100.0), 2).as("abs_err_dollars"))
+        expr(s"CAST(ewma_fp div ${mass}L AS BIGINT)").as("forecast_cents"),
+        expr(s"CAST(abs(CAST(x AS DECIMAL(38,0)) * ${mass}L - ewma_fp)"
+          + s" div ${mass}L AS BIGINT)").as("abs_err_cents"))
   }
 
   /** Higher-moment distribution profile of event value per event_type:

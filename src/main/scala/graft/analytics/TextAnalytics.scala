@@ -1546,7 +1546,9 @@ object TextAnalytics {
       .agg(max(col("rnk")).as("m"))
     val z = regs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_filled"),
-        sum(pow(lit(2.0), lit(53) - col("m")).cast("long")).as("z_filled"))
+        // 2^(53-m) as an exact int64 bit shift — no libm pow in the gate
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - CAST(m AS INT))"))
+          .as("z_filled"))
     exact.join(z, Seq("source"))
       .withColumn("n_zero_registers", (lit(256) - col("n_filled")).cast("long"))
       .withColumn("z_fp",

