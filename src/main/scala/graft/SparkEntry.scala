@@ -439,6 +439,16 @@ object SparkEntry {
     "q234_lang_kappa" -> ((s: SparkSession, d: String) => TextAnalytics.langKappa(s, d)),
     // log-loss/Brier/accuracy of a pinned logistic conversion model
     "q235_model_eval" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.logisticEval(s, d)),
+    // per-language BPE fertility (subword tokens per word)
+    "q236_bpe_fertility" -> ((s: SparkSession, d: String) => TextAnalytics.bpeFertility(s, d)),
+    // bin-boundary straddle audit over the packed shard manifest
+    "q237_packing_straddle" -> ((s: SparkSession, d: String) => graft.operators.Curation.packingStraddleAudit(s, d)),
+    // Hill tail-index of the document-length distribution
+    "q238_hill_tail" -> ((s: SparkSession, d: String) => TextAnalytics.hillTailIndex(s, d)),
+    // exact-integer Haar wavelet pyramid of daily revenue
+    "q239_haar_revenue" -> ((s: SparkSession, d: String) => Relational.haarRevenue(s, d)),
+    // pairwise source vocabulary-overlap (3-gram Jaccard) matrix
+    "q240_vocab_overlap" -> ((s: SparkSession, d: String) => TextAnalytics.vocabOverlap(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4525,5 +4535,103 @@ private object CorpusOracles {
         | round(CAST(sum(br_fp) AS DOUBLE) / 1000000 / count(*), 6) AS brier,
         | round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS accuracy
         |FROM f""".stripMargin,
+    // q236: the q206 encode chained per language; integer counts, two
+    // single rounded divisions
+    "q236_bpe_fertility" -> {
+      val applied = (1 to 6).foldLeft(
+        "regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
+        case (acc, r) =>
+          s"replace($acc, chr(1) || coalesce(b$r.a, chr(3)) || chr(2) || " +
+            s"chr(1) || coalesce(b$r.b, chr(3)) || chr(2), " +
+            s"chr(1) || coalesce(b$r.a, chr(3)) || coalesce(b$r.b, chr(3)) || chr(2))"
+      }
+      s"""WITH $bpeTrainCtes,
+         |enc AS (SELECT doc_id,
+         |   CAST(list_sum(list_transform(string_split(text, ' '),
+         |     x -> len(x))) AS BIGINT) AS n_chars,
+         |   CAST(list_sum(list_transform(string_split(text, ' '),
+         |     x -> len($applied) - len(replace($applied, chr(1), ''))))
+         |    AS BIGINT) AS n_tokens_bpe
+         |  FROM documents LEFT JOIN b1 ON true LEFT JOIN b2 ON true
+         |   LEFT JOIN b3 ON true LEFT JOIN b4 ON true
+         |   LEFT JOIN b5 ON true LEFT JOIN b6 ON true),
+         |j AS (SELECT d.lang, enc.n_chars, enc.n_tokens_bpe,
+         |   CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+         |  FROM enc JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_words) AS BIGINT) AS n_words,
+         | CAST(sum(n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+         | round(CAST(sum(n_tokens_bpe) AS DOUBLE) / sum(n_words), 6)
+         |  AS fertility,
+         | round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens_bpe), 6)
+         |  AS chars_per_token
+         |FROM j GROUP BY 1""".stripMargin
+    },
+    // q237: pure integer audit over the q99 manifest
+    "q237_packing_straddle" ->
+      s"""WITH m AS ($shardManifestSql)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN start_offset + n_tokens > (bin_id + 1) * 2048
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+         | CAST(sum(CASE WHEN start_offset + n_tokens > (bin_id + 1) * 2048
+         |   THEN start_offset + n_tokens - (bin_id + 1) * 2048
+         |   ELSE 0 END) AS BIGINT) AS tokens_cut,
+         | round(CAST(sum(CASE WHEN start_offset + n_tokens
+         |     > (bin_id + 1) * 2048 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / count(*), 6) AS straddle_frac
+         |FROM m GROUP BY 1""".stripMargin,
+    // q238: top-(k+1) pinned by (n_chars desc, doc_id); each ln rounded
+    // once on the x1e6 grid, summed as integers (the q90 recipe)
+    "q238_hill_tail" ->
+      """WITH top AS (SELECT n_chars FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 201),
+        |a AS (SELECT min(n_chars) AS x_ref,
+        |   sum(CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000000, 0)
+        |     AS BIGINT)) AS lnsum_fp
+        |  FROM top)
+        |SELECT CAST(200 AS INTEGER) AS k, x_ref,
+        | round(CAST(lnsum_fp - 201 * CAST(round(ln(CAST(x_ref AS DOUBLE))
+        |     * 1000000, 0) AS BIGINT) AS DOUBLE) / 200000000.0, 6)
+        |  AS inv_alpha,
+        | round(200000000.0 / CAST(lnsum_fp
+        |   - 201 * CAST(round(ln(CAST(x_ref AS DOUBLE)) * 1000000, 0)
+        |     AS BIGINT) AS DOUBLE), 6) AS alpha
+        |FROM a""".stripMargin,
+    // q239: exact-integer Haar pyramid; block indices via bit shifts
+    "q239_haar_revenue" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0 FROM daily),
+        |x AS (SELECT CAST(day - b.d0 AS BIGINT) AS idx, cents
+        |  FROM daily, b),
+        |e AS (SELECT CAST(lvl AS INTEGER) AS level, idx, cents
+        |  FROM x, range(1, 6) t(lvl))
+        |SELECT level,
+        | CAST(idx // (CAST(1 AS BIGINT) << level) AS BIGINT) AS block,
+        | CAST(sum(cents) AS BIGINT) AS approx,
+        | CAST(sum(CASE WHEN (idx // (CAST(1 AS BIGINT) << (level - 1))) % 2 = 0
+        |   THEN cents ELSE -cents END) AS BIGINT) AS detail
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    // q240: distinct (source, 3-gram) sets; the sf-scale oracle can afford
+    // the gram self-join the engine's per-gram pair expansion avoids
+    "q240_vocab_overlap" ->
+      """WITH g AS (SELECT DISTINCT source, s FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents))),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |inter AS (SELECT a.source AS source1, b.source AS source2,
+        |   count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source1, source2,
+        | CAST(x.n AS BIGINT) AS n1, CAST(y.n AS BIGINT) AS n2,
+        | CAST(n_shared AS BIGINT) AS n_shared,
+        | round(CAST(n_shared AS DOUBLE) / (x.n + y.n - n_shared), 6)
+        |  AS vocab_jaccard
+        |FROM inter JOIN sz x ON x.source = inter.source1
+        |JOIN sz y ON y.source = inter.source2""".stripMargin,
   )
 }

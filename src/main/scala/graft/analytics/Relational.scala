@@ -746,6 +746,45 @@ object Relational {
           + s" div ${mass}L AS BIGINT)").as("abs_err_cents"))
   }
 
+  /** Unnormalized Haar wavelet decomposition of the daily revenue series:
+    * for dyadic levels 1..`levels`, block b at level l covers calendar
+    * days [b·2^l, (b+1)·2^l) from the first order day and reports the
+    * block's total cents (`approx`) and its left-half-minus-right-half
+    * difference (`detail`). The detail pyramid localizes WHEN a revenue
+    * shift happened and at WHAT timescale (a one-day spike lights level 1;
+    * a regime change lights every level above it) — the multi-resolution
+    * companion to the single-scale CUSUM (q227) and EWMA (q187) monitors.
+    * Unnormalized Haar (sums and differences, no √2) keeps every
+    * coefficient an exact integer — the transform is exactly invertible
+    * from (approx, detail) level by level.
+    *
+    * Determinism: integer sums of cents only; days without orders
+    * contribute zero implicitly (absent rows, not NULLs).
+    *
+    * Scale shape: the corpus pass is the day-grain collapse (map-side
+    * combine); the pyramid is a `levels`-way explode of the day-grain
+    * table re-aggregated on (level, block) — equality-keyed, bounded by
+    * days·levels rows.
+    */
+  def haarRevenue(spark: SparkSession, sfDir: String,
+      levels: Int = 5): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .as("cents"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).cast("long").as("idx"),
+        col("cents"))
+      .withColumn("level", explode(sequence(lit(1), lit(levels))))
+      .groupBy(col("level"),
+        expr("idx DIV shiftleft(CAST(1 AS BIGINT), level)").as("block"))
+      .agg(sum(col("cents")).as("approx"),
+        // left half of the block (even child at level-1) minus right half
+        sum(when(expr("(idx DIV shiftleft(CAST(1 AS BIGINT), level - 1)) % 2")
+          === 0, col("cents")).otherwise(-col("cents"))).as("detail"))
+  }
+
   /** Higher-moment distribution profile of event value per event_type:
     * mean, population standard deviation, skewness, and excess kurtosis —
     * the four numbers a drift monitor tracks per metric (kurtosis

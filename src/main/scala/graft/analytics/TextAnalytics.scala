@@ -1800,4 +1800,117 @@ object TextAnalytics {
         round(pe, 6).as("p_expected"),
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
+
+  /** Tokenizer FERTILITY per language: subword tokens per whitespace word
+    * under the learned BPE merges ([[bpeMergeLoop]] → [[bpeEncode]]) —
+    * the number multilingual data leads watch, because a tokenizer
+    * trained on one language's distribution fragments the others (high
+    * fertility = more sequence positions per sentence = that language
+    * pays more compute per unit of meaning and fits less context). Also
+    * reports chars-per-token, the compression view of the same skew.
+    *
+    * Determinism: token counts are exact integers; the two ratios are
+    * single correctly-rounded divisions, rounded at 6 dp.
+    *
+    * Scale shape: one encode pass over the corpus (the q206 zero-shuffle
+    * map with merges baked in as literals) aggregated per language —
+    * map-side combinable into |langs| rows. At production scale this
+    * derives from q206's already-materialized per-doc table instead of
+    * re-encoding.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String,
+      rounds: Int = 6): DataFrame = {
+    val enc = bpeEncode(spark, sfDir, rounds)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens_bpe"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    enc.join(docs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens_bpe")).as("n_tokens_bpe"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6)
+          .as("chars_per_token"))
+  }
+
+  /** Hill estimator of the document-length tail index (Hill 1975): over
+    * the `k` largest `n_chars` values, 1/α̂ = (1/k)·Σ ln(x_i / x_(k+1)) —
+    * the standard heavy-tail exponent measurement. A corpus whose length
+    * tail is Pareto with small α is dominated by a few mega-documents
+    * (concatenated dumps, logs), which decides chunking policy and
+    * per-document caps before those documents skew packing and training.
+    *
+    * Determinism: the top-(k+1) set is pinned by the (n_chars desc,
+    * doc_id) total order; each ln is rounded once to 6 dp and summed in
+    * fixed point (the BM25 recipe), so accumulation order cannot flip the
+    * gate; the reference row contributes exactly zero to its own sum.
+    *
+    * Scale shape: a global top-(k+1) is TakeOrderedAndProject (per-
+    * partition heaps, no full sort); everything after runs on k+1 rows.
+    */
+  def hillTailIndex(spark: SparkSession, sfDir: String,
+      k: Int = 200): DataFrame = {
+    val top = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(k + 1)
+    // Σ ln(x_i/xref) over all k+1 rows equals the Hill sum over the top k
+    // (the reference row's own term is ln(1) = 0)
+    top
+      .agg(min(col("n_chars")).as("x_ref"),
+        sum(round(log(col("n_chars").cast("double")) * 1e6, 0).cast("long"))
+          .as("lnsum_fp"))
+      .select(lit(k).as("k"), col("x_ref"),
+        ((col("lnsum_fp")
+          - lit(k + 1) * round(log(col("x_ref").cast("double")) * 1e6, 0)
+            .cast("long")).cast("double") / (lit(k) * lit(1e6)))
+          .as("inv_alpha_raw"))
+      .select(col("k"), col("x_ref"),
+        round(col("inv_alpha_raw"), 6).as("inv_alpha"),
+        round(lit(1.0) / col("inv_alpha_raw"), 6).as("alpha"))
+  }
+
+  /** Pairwise source VOCABULARY overlap: Jaccard similarity of the
+    * distinct 3-gram shingle sets of every source pair — the corpus-map
+    * companion to the document-level q135 mirror matrix: two sources can
+    * share vocabulary (same domain, same language register) without
+    * sharing documents, and a mixture designer reads this matrix to know
+    * which sources are redundant IN DISTRIBUTION before weighting them.
+    *
+    * Determinism: intersection and union sizes are exact integers from
+    * distinct sets; one rounded division per pair.
+    *
+    * Scale shape: reuses the memoized (source, shingle) distinct universe
+    * (one corpus aggregate, shared with the q210/q215 sketch audits); the
+    * pair expansion happens per GRAM over its ≤|sources| holder list
+    * (never a gram-keyed self-join, whose hot boilerplate grams would
+    * square); output and every post-universe stage are |sources|²-bounded.
+    */
+  def vocabOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val grp = sourceShingleUniverse(spark, sfDir)
+      .where(col("source") =!= "ALL")
+    val sizes = grp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grp
+      .groupBy(col("s")).agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          | transform(slice(srcs, i + 2, size(srcs) - i - 1),
+          |   y -> struct(x AS source1, y AS source2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.source1").as("source1"), col("p.source2").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("source").as("source1"), col("n").as("n1")), "source1")
+      .join(sizes.select(col("source").as("source2"), col("n").as("n2")), "source2")
+      .select(col("source1"), col("source2"), col("n1"), col("n2"),
+        col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("n1") + col("n2") - col("n_shared")), 6).as("vocab_jaccard"))
+  }
 }

@@ -1236,6 +1236,37 @@ object Curation {
           .as("content_checksum"))
   }
 
+  /** Bin-boundary STRADDLE audit over the packed [[shardManifest]]: per
+    * shard, how many kept documents start in one training bin and spill
+    * into the next (`start_offset + n_tokens` past the bin edge), and how
+    * many tokens sit past the first crossed boundary. Gapless sequential
+    * packing wastes zero capacity by construction — its real cost is
+    * exactly this: a straddling document is CHOPPED across training
+    * sequences, so the model sees its tail with a truncated context. The
+    * straddle fraction and cut-token mass are the numbers that decide
+    * between gapless packing and pad-to-boundary (waste tokens) or
+    * best-fit binning (lose sequential locality).
+    *
+    * Determinism: pure integer arithmetic on the manifest.
+    *
+    * Scale shape: one map-side pass over the memoized manifest into
+    * |shards| rows.
+    */
+  def packingStraddleAudit(spark: SparkSession, sfDir: String,
+      capacity: Int = 2048, nShards: Int = 8): DataFrame = {
+    val binEnd = (col("bin_id") + 1) * capacity
+    val endOff = col("start_offset") + col("n_tokens")
+    shardManifest(spark, sfDir, capacity, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(endOff > binEnd, 1L).otherwise(0L)).as("n_straddling"),
+        sum(when(endOff > binEnd, endOff - binEnd).otherwise(0L))
+          .as("tokens_cut"))
+      .withColumn("straddle_frac",
+        round(col("n_straddling").cast("double") / col("n_docs"), 6))
+  }
+
   /** Benchmark decontamination scan: flag training documents sharing any
     * word `n`-gram with the held-out benchmark slice (docs whose id is
     * divisible by `benchMod` stand in for an eval set). Output per training
