@@ -384,4 +384,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p) // top-k probe side
   }
+
+  test("q238 hill tail: global top-(k+1) is a heap, never a full sort") {
+    val p = planOf("q238_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("q240 vocab overlap: per-gram pair expansion, no gram-keyed self-join") {
+    val p = planOf("q240_vocab_overlap")
+    // the pair space must come from exploding each gram's holder list —
+    // a join keyed on the shingle value would square on hot boilerplate
+    assert(!p.toLowerCase.contains("sortmergejoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only the two |sources|-sized size lookups join, and by hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p) // the holder-list pair explode
+  }
+
+  test("q239 haar: one day-grain aggregate feeds the pyramid; bounds broadcast") {
+    val p = planOf("q239_haar_revenue")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // no window, no sort: the pyramid is pure (level, block) aggregation
+    assert(!p.matches("(?s).*\\)\\s+Window\\s.*"), p)
+  }
 }
