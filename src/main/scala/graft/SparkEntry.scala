@@ -449,6 +449,16 @@ object SparkEntry {
     "q239_haar_revenue" -> ((s: SparkSession, d: String) => Relational.haarRevenue(s, d)),
     // pairwise source vocabulary-overlap (3-gram Jaccard) matrix
     "q240_vocab_overlap" -> ((s: SparkSession, d: String) => TextAnalytics.vocabOverlap(s, d)),
+    // per-hamming precision + cumulative recall of simhash vs Jaccard truth
+    "q241_simhash_sweep" -> ((s: SparkSession, d: String) => graft.operators.Dedup.simhashThresholdSweep(s, d)),
+    // longest-common-prefix profile of the near-dup candidate pairs
+    "q242_neardup_lcp" -> ((s: SparkSession, d: String) => graft.operators.Dedup.neardupLcp(s, d)),
+    // train-split n-gram coverage of the test split, n = 1..4
+    "q243_split_coverage" -> ((s: SparkSession, d: String) => graft.operators.Curation.splitCoverageCurve(s, d)),
+    // k-anonymity risk mass of the (nation, segment) quasi-identifier
+    "q244_k_anonymity" -> ((s: SparkSession, d: String) => Relational.kAnonymityAudit(s, d)),
+    // fraction of docs near-duplicating an earlier doc, per ingest decile
+    "q245_recrawl_redundancy" -> ((s: SparkSession, d: String) => graft.operators.Dedup.recrawlRedundancy(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4633,5 +4643,115 @@ private object CorpusOracles {
         |  AS vocab_jaccard
         |FROM inter JOIN sz x ON x.source = inter.source1
         |JOIN sz y ON y.source = inter.source2""".stripMargin,
+    // q241: the oracle affords the O(n^2) simhash pair scan (q27's shape);
+    // the engine's pigeonhole join finds the identical <=3 candidate set
+    "q241_simhash_sweep" ->
+      s"""WITH sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |   count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc1, doc2 FROM ($jaccardTail)
+         |  WHERE jaccard >= 0.7),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |s AS ($simhashDoc),
+         |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |j AS (SELECT p.hamming,
+         |   CASE WHEN t.doc1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM pairs p LEFT JOIN truth t
+         |   ON p.doc1 = t.doc1 AND p.doc2 = t.doc2),
+         |g AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+         |   CAST(sum(hit) AS BIGINT) AS n_true FROM j GROUP BY 1)
+         |SELECT hamming, n_pairs, n_true,
+         | round(CAST(n_true AS DOUBLE) / n_pairs, 6) AS "precision",
+         | round(CAST(sum(n_true) OVER (ORDER BY hamming
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_truth, 6)
+         |  AS cum_recall
+         |FROM g, nt""".stripMargin,
+    // q242: first-mismatch as a null-skipping MIN over mismatch positions
+    // (find-first primitives have version-varying not-found sentinels)
+    "q242_neardup_lcp" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |j AS (SELECT mp.doc1, mp.doc2, a.w AS w1, b.w AS w2,
+         |   CAST(len(a.w) AS BIGINT) AS len1, CAST(len(b.w) AS BIGINT) AS len2
+         |  FROM mp JOIN t a ON a.doc_id = mp.doc1
+         |  JOIN t b ON b.doc_id = mp.doc2),
+         |l AS (SELECT doc1, doc2, len1, len2,
+         |   coalesce(list_min(list_transform(
+         |     range(1, CAST(least(len1, len2) AS BIGINT) + 1),
+         |     i -> CASE WHEN w1[i] = w2[i] THEN NULL ELSE i - 1 END)),
+         |    least(len1, len2)) AS lcp
+         |  FROM j)
+         |SELECT doc1, doc2, len1, len2,
+         | CAST(lcp AS BIGINT) AS lcp_tokens,
+         | round(CAST(lcp AS DOUBLE) / least(len1, len2), 6) AS lcp_frac
+         |FROM l""".stripMargin,
+    // q243: per n one gram-keyed flag aggregate — the q89 shuffle, no join
+    "q243_split_coverage" -> {
+      val per = (1 to 4).map { n =>
+        val gram = (0 until n).map(j => s"w[i+$j]").mkString("||' '||")
+        s"""c$n AS (SELECT gram_h,
+           |   max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+           |   max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+           |  FROM (SELECT sp.split,
+           |     CAST(('0x'||substr(md5(g),1,15)) AS BIGINT) AS gram_h
+           |    FROM d JOIN sp USING (doc_id),
+           |     UNNEST(list_transform(range(1, len(w) - ${n - 2}),
+           |       i -> $gram)) AS u$n(g)
+           |    WHERE sp.split IN ('train', 'test')) GROUP BY 1),
+           |s$n AS (SELECT CAST($n AS INTEGER) AS n,
+           |   CAST(count(*) AS BIGINT) AS n_test_grams,
+           |   CAST(sum(in_train) AS BIGINT) AS n_covered,
+           |   round(CAST(sum(in_train) AS DOUBLE) / count(*), 6) AS coverage
+           |  FROM c$n WHERE in_test = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 4).map(n => s"SELECT * FROM s$n")
+        .mkString("\nUNION ALL ")
+      s"""WITH sp AS (SELECT doc_id,
+         |  CASE WHEN d < 900 THEN 'train' WHEN d < 950 THEN 'val'
+         |   ELSE 'test' END AS split
+         | FROM (SELECT doc_id,
+         |   CAST(('0x'||substr(md5('split:'||source||':'
+         |     ||CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000 AS d
+         |  FROM documents)),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |$per
+         |$unions""".stripMargin
+    },
+    // q244: integer counts over the metadata-sized identifier-group table
+    "q244_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS n_customers FROM g)
+        |SELECT CAST(k AS INTEGER) AS k,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_risky_groups,
+        | CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |  AS n_risky_customers,
+        | round(CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE)
+        |   / n_customers, 6) AS risk_frac
+        |FROM g, UNNEST([2, 5, 10, 20]) AS t(k), tot
+        |GROUP BY 1, n_customers""".stripMargin,
+    // q245: doc2 of the oriented pair list = "has an earlier near-dup"
+    "q245_recrawl_redundancy" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |dup AS (SELECT DISTINCT doc2 AS doc_id FROM mp),
+         |mx AS (SELECT max(doc_id) AS max_id FROM documents)
+         |SELECT CAST(least(9, (d.doc_id * 10) // (max_id + 1)) AS INTEGER)
+         |  AS decile,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_dup_of_earlier,
+         | round(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / count(*), 6) AS dup_frac
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id, mx
+         |GROUP BY 1""".stripMargin,
   )
 }

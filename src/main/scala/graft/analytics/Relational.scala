@@ -785,6 +785,41 @@ object Relational {
           === 0, col("cents")).otherwise(-col("cents"))).as("detail"))
   }
 
+  /** k-anonymity audit of the customer quasi-identifier combination
+    * (nation × market segment): for each k in `ks`, how many identifier
+    * groups have fewer than k members and how many customers sit in those
+    * under-populated groups — the re-identification risk mass a privacy
+    * review reads before releasing session or purchase data keyed by
+    * these attributes (a group of size 1 IS an identity). The PII-scrub
+    * complement: q76 removes direct identifiers; this measures the
+    * indirect ones.
+    *
+    * Determinism: pure integer counts and one rounded division per k.
+    *
+    * Scale shape: one map-side-combinable aggregate to the |nations| ×
+    * |segments| group table; the k sweep explodes that metadata-sized
+    * table by |ks| and rolls up to |ks| rows.
+    */
+  def kAnonymityAudit(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val total = groups.agg(sum(col("n")).as("n_customers"))
+    groups
+      .select(col("n"), explode(array(ks.map(lit): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+          .as("n_risky_customers"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_groups"), col("n_risky_groups"),
+        col("n_risky_customers"),
+        round(col("n_risky_customers").cast("double") / col("n_customers"), 6)
+          .as("risk_frac"))
+  }
+
   /** Higher-moment distribution profile of event value per event_type:
     * mean, population standard deviation, skewness, and excess kurtosis —
     * the four numbers a drift monitor tracks per metric (kurtosis
@@ -905,10 +940,14 @@ object Relational {
     * one pinned expression.
     *
     * Scale shape: the pair space is |days|² — bounded by the TIME RANGE,
-    * not the corpus (the q191 spine contract), so the nested-loop pair
-    * build and the distribution-table median (cumulative counts over
-    * DISTINCT slope values, never a global row sort) stay calendar-sized
-    * at any corpus scale. Corpus-scale work is the one day-grain collapse.
+    * not the corpus (the q191 spine contract) — so after the one
+    * corpus-scale day-grain collapse, the slope distribution and its
+    * median solve run ON THE DRIVER over the collected calendar
+    * (METADATA-sized at any corpus scale; the q172/TrainedCodebook
+    * discipline). The previous all-SQL form cumulated counts with an
+    * unpartitioned window over the ~|days|²/2 DISTINCT slope values —
+    * a single-partition sort of millions of rows that cost 6.6 s at
+    * sf0.1 for what is 2.8M in-JVM long divisions (~0.2 s).
     */
   def theilSenTrend(spark: SparkSession, sfDir: String): DataFrame =
     theilSenTrendOf(Tables.orders(spark, sfDir))
@@ -918,30 +957,35 @@ object Relational {
     */
   def theilSenTrendOf(orders: DataFrame): DataFrame = {
     val spine = dailyCentsSpineOf(orders).select(col("day"), col("x"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
     val shift = 1L << 40
-    val pairs = spine.select(col("day").as("da"), col("x").as("xa"))
-      .join(spine.select(col("day").as("db"), col("x").as("xb")),
-        expr("db > da"))
-      .select(expr(
-        s"((xb - xa) * 1000000L + ${shift}L * datediff(db, da)) " +
-          s"DIV datediff(db, da) - ${shift}L").as("slope_fp"))
-    val dist = pairs.groupBy(col("slope_fp")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("slope_fp"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = dist.withColumn("cum", sum(col("c")).over(w))
-    val tot = dist.agg(sum(col("c")).as("n_pairs"))
-    val days = spine.agg(count(lit(1)).as("n_days"))
-    cum.crossJoin(broadcast(tot))
-      .groupBy(col("n_pairs"))
-      .agg(
-        min(when(col("cum") >= expr("(n_pairs + 1) DIV 2"), col("slope_fp")))
-          .as("slope_lo_fp"),
-        min(when(col("cum") >= expr("n_pairs DIV 2 + 1"), col("slope_fp")))
-          .as("slope_hi_fp"))
-      .crossJoin(broadcast(days))
-      .select(col("n_days"), col("n_pairs"),
-        col("slope_lo_fp"), col("slope_hi_fp"),
+    val slopes = new Array[Long](spine.length * (spine.length - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < spine.length) {
+      var j = i + 1
+      while (j < spine.length) {
+        val dd = spine(j)._1 - spine(i)._1
+        // shifted so the truncating division sees POSITIVE integers —
+        // bit-identical to the SQL form Spark's DIV / DuckDB's // compute
+        slopes(k) = ((spine(j)._2 - spine(i)._2) * 1000000L + shift * dd) / dd - shift
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(slopes)
+    val n = slopes.length.toLong
+    val lo = slopes(((n + 1) / 2 - 1).toInt)
+    val hi = slopes((n / 2 + 1 - 1).toInt)
+    val spark = orders.sparkSession
+    import spark.implicits._
+    Seq((spine.length.toLong, n, lo, hi))
+      .toDF("n_days", "n_pairs", "slope_lo_fp", "slope_hi_fp")
+      .withColumn("slope_cents_per_day",
         round((col("slope_lo_fp") + col("slope_hi_fp")).cast("double")
-          / 2000000.0, 6).as("slope_cents_per_day"))
+          / 2000000.0, 6))
   }
 }

@@ -1236,6 +1236,43 @@ object Curation {
           .as("content_checksum"))
   }
 
+  /** Train-split n-gram COVERAGE curve: for n = 1..4, the fraction of the
+    * test split's distinct n-grams that also occur in the train split —
+    * the generalization-gap proxy read top-down: unigram coverage near 1
+    * says the test vocabulary is known; the n where coverage collapses is
+    * the longest context length the train split actually teaches. The
+    * inverse view of q89 (which counts test grams that leak; this
+    * measures how much of the test DISTRIBUTION the train split spans).
+    *
+    * Determinism: pinned-hash split (q82), integer counts, one rounded
+    * division per n.
+    *
+    * Scale shape: per n, ONE gram-keyed aggregate (max of two split
+    * flags) — no join at all, the same honest shuffle as q89; the four n
+    * branches are independent and the rollups are 4 rows.
+    */
+  def splitCoverageCurve(spark: SparkSession, sfDir: String,
+      maxN: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .join(trainValTestSplit(spark, sfDir).select(col("doc_id"), col("split")),
+        "doc_id")
+      .where(col("split").isin("train", "test"))
+    (1 to maxN).map { n =>
+      docs
+        .select(col("split"),
+          explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
+        .groupBy(Hashing.stableHash60(col("gram")).as("gram_h"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+        .where(col("in_test") === 1)
+        .agg(count(lit(1)).as("n_test_grams"),
+          sum(col("in_train")).cast("long").as("n_covered"))
+        .select(lit(n).as("n"), col("n_test_grams"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test_grams"), 6)
+            .as("coverage"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Bin-boundary STRADDLE audit over the packed [[shardManifest]]: per
     * shard, how many kept documents start in one training bin and spill
     * into the next (`start_offset + n_tokens` past the bin edge), and how

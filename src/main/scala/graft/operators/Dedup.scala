@@ -205,7 +205,12 @@ object Dedup {
     */
   def jaccardPairsPrefix(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
-    jaccardPairsPrefixOf(Tables.documents(spark, sfDir), threshold)
+    // memoized: the verified pair list is near-dup-sized and serves as the
+    // exact-Jaccard TRUTH SET for the q223 band sweep and the q241 simhash
+    // sweep as well as the q73 gate — one session computes it once
+    SessionMemo(spark, s"jaccardPairsPrefix|$sfDir|$threshold") {
+      jaccardPairsPrefixOf(Tables.documents(spark, sfDir), threshold)
+    }
 
   /** [[jaccardPairsPrefix]] over an arbitrary (doc_id, text) frame. */
   def jaccardPairsPrefixOf(docs: DataFrame, threshold: Double): DataFrame = {
@@ -992,6 +997,110 @@ object Dedup {
     * shape) plus broadcast-sized one-row aggregates; configs union as
     * four independent branches.
     */
+  /** SimHash threshold sweep — the q223 tuning audit for the SIMHASH
+    * route: for every hamming distance d ≤ 3 over the pigeonhole
+    * candidates, how many pairs sit at that distance, how many are true
+    * near-dups under the exact shingle-Jaccard truth set, the per-distance
+    * precision, and the cumulative recall of accepting everything up to d.
+    * This is the evidence for choosing the hamming cutoff: token-level
+    * simhash and shingle-level Jaccard measure different things, and the
+    * distance where precision collapses is where the 32-bit sketch stops
+    * being a Jaccard proxy.
+    *
+    * Scale shape: candidates come from the chunk equality join (q27's
+    * shape, never all-pairs); the truth join is pair-keyed; the rollup is
+    * 4 rows, and the cumulative window runs over those 4 rows only.
+    */
+  def simhashThresholdSweep(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = simhashPairs(spark, sfDir, maxHamming = 3)
+    val truth = jaccardPairsPrefix(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"), lit(1L).as("hit"))
+      .localCheckpoint()
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val byD = pairs.join(truth, Seq("doc1", "doc2"), "left")
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_true"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hamming"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byD.crossJoin(broadcast(nTruth))
+      .withColumn("cum_true", sum(col("n_true")).over(w))
+      .select(col("hamming"), col("n_pairs"), col("n_true"),
+        round(col("n_true").cast("double") / col("n_pairs"), 6)
+          .as("precision"),
+        round(col("cum_true").cast("double") / col("n_truth"), 6)
+          .as("cum_recall"))
+  }
+
+  /** Longest-common-PREFIX profile of the near-dup candidate pairs: how
+    * many leading tokens each pair shares, and what fraction of the
+    * shorter member that is. Near-dup families split into regimes a
+    * Jaccard score alone cannot distinguish: templated pages share a long
+    * header then diverge (high lcp_frac), while shuffled/re-ordered
+    * mirrors share vocabulary but diverge immediately (lcp ≈ 0) — the
+    * signal that picks between span-level excision and whole-doc dedup
+    * as the remediation.
+    *
+    * Determinism: the first-mismatch scan is exact integer arithmetic
+    * over the token arrays; one rounded division.
+    *
+    * Scale shape: two doc-keyed equality joins decorate the (LSH-bounded)
+    * pair list with token arrays; the LCP scan is in-row (codegen'd
+    * higher-order functions, no explode).
+    */
+  def neardupLcp(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+    minhashPairs(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"))
+      .join(toks.select(col("doc_id").as("doc1"), col("w").as("w1")), "doc1")
+      .join(toks.select(col("doc_id").as("doc2"), col("w").as("w2")), "doc2")
+      .withColumn("len1", size(col("w1")).cast("long"))
+      .withColumn("len2", size(col("w2")).cast("long"))
+      // first mismatch as MIN over mismatch positions (null-skipping min
+      // is version-stable everywhere; find-first primitives differ in
+      // their not-found sentinel across engines and versions)
+      .withColumn("mis", expr(
+        """array_min(transform(sequence(1, int(least(len1, len2))),
+          |  i -> CASE WHEN element_at(w1, i) = element_at(w2, i)
+          |    THEN NULL ELSE i - 1 END))""".stripMargin))
+      .select(col("doc1"), col("doc2"), col("len1"), col("len2"),
+        coalesce(col("mis").cast("long"), least(col("len1"), col("len2")))
+          .as("lcp_tokens"))
+      .withColumn("lcp_frac",
+        round(col("lcp_tokens").cast("double")
+          / least(col("len1"), col("len2")), 6))
+  }
+
+  /** Re-crawl redundancy curve: per doc_id decile (ingest order at crawl
+    * time), the fraction of documents that near-duplicate an EARLIER
+    * document — the number that tells a crawl operator how fast marginal
+    * novelty decays as the crawl ages (and when to stop or re-prioritize).
+    * The pair list's `doc1 < doc2` orientation makes "has an earlier
+    * near-dup" exactly "appears as doc2".
+    *
+    * Scale shape: distinct doc2 over the memoized pair list (pair-sized),
+    * one broadcast max-id, one doc-keyed aggregate to 10 rows.
+    */
+  def recrawlRedundancy(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val dupOfEarlier = minhashPairs(spark, sfDir, threshold)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("dup_earlier", lit(1L))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val mx = docs.agg(max(col("doc_id")).as("max_id"))
+    docs.join(dupOfEarlier, Seq("doc_id"), "left")
+      .crossJoin(broadcast(mx))
+      .groupBy(expr("CAST(least(9, (doc_id * 10) DIV (max_id + 1)) AS INT)")
+        .as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup_earlier"), lit(0L))).as("n_dup_of_earlier"))
+      .withColumn("dup_frac",
+        round(col("n_dup_of_earlier").cast("double") / col("n_docs"), 6))
+  }
+
   def bandTuningSweep(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
     SessionMemo(spark, s"bandTuningSweep|$sfDir|$threshold") {
