@@ -970,16 +970,23 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("v"), x => round(x / col("nrm") * lit(1e9)).cast("long"))
           .as("r"))
+    // ONE pass over the exploded stream: per component j, the coordinate
+    // sum (for Q = Σ sj²), the square sum (T = Σ_j Σ_i rij² — same total,
+    // grouped by j first: Decimal sums are exact so regrouping cannot
+    // move the hash), and the row count (= n_vecs for every j, since a
+    // unit vector emits all 64 positions). The previous form aggregated
+    // the same exploded stream twice and re-normalized for the count.
     val ex = unit.select(posexplode(col("r")).as(Seq("j", "rij")))
-    val q = ex.groupBy(col("j")).agg(sum(dec(col("rij"))).as("sj"))
-      .agg(sum(col("sj") * col("sj")).as("q"))
-    val t = ex.agg(sum(dec(col("rij")) * dec(col("rij"))).as("t"))
-    val n = unit.agg(count(lit(1)).as("n_vecs"))
-    broadcast(n).crossJoin(broadcast(q)).crossJoin(broadcast(t))
-      .select(col("n_vecs"),
-        round((col("q") - col("t")).cast("double")
-          / (col("n_vecs") * (col("n_vecs") - lit(1L))).cast("double")
-          / lit(1e18), 6).as("mean_pairwise_cos"))
+    val per = ex.groupBy(col("j"))
+      .agg(sum(dec(col("rij"))).as("sj"),
+        sum(dec(col("rij")) * dec(col("rij"))).as("tj"),
+        count(lit(1)).as("cj"))
+    val qt = per.agg(sum(col("sj") * col("sj")).as("q"),
+      sum(col("tj")).as("t"), max(col("cj")).as("n_vecs"))
+    qt.select(col("n_vecs"),
+      round((col("q") - col("t")).cast("double")
+        / (col("n_vecs") * (col("n_vecs") - lit(1L))).cast("double")
+        / lit(1e18), 6).as("mean_pairwise_cos"))
   }
 
   /** IVF cell label purity: per trained cell, the majority class, its
