@@ -459,6 +459,16 @@ object SparkEntry {
     "q244_k_anonymity" -> ((s: SparkSession, d: String) => Relational.kAnonymityAudit(s, d)),
     // fraction of docs near-duplicating an earlier doc, per ingest decile
     "q245_recrawl_redundancy" -> ((s: SparkSession, d: String) => graft.operators.Dedup.recrawlRedundancy(s, d)),
+    // added/removed/changed/unchanged per source between corpus versions
+    "q246_snapshot_diff" -> ((s: SparkSession, d: String) => graft.operators.Curation.snapshotDiff(s, d)),
+    // median/MAD robust daily revenue anomalies, pure integer flags
+    "q247_mad_anomalies" -> ((s: SparkSession, d: String) => Relational.madAnomalies(s, d)),
+    // Monroe log-odds (informative Dirichlet prior) keywords per source
+    "q248_log_odds_keywords" -> ((s: SparkSession, d: String) => TextAnalytics.logOddsKeywords(s, d)),
+    // per-brand log-log OLS price elasticity of demand
+    "q249_price_elasticity" -> ((s: SparkSession, d: String) => Relational.priceElasticity(s, d)),
+    // one-row dataset card: counts, near-dup rate, keep rate, mean score
+    "q250_dataset_card" -> ((s: SparkSession, d: String) => graft.operators.Curation.datasetCard(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4753,5 +4763,132 @@ private object CorpusOracles {
          |   AS DOUBLE) / count(*), 6) AS dup_frac
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id, mx
          |GROUP BY 1""".stripMargin,
+    // q246: both sides project to (doc_id, source, md5) before one full
+    // outer join; the status CASE mirrors the engine verbatim
+    "q246_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 7 <> 1),
+        |v2 AS (SELECT doc_id, source,
+        |   md5(CASE WHEN doc_id % 11 = 3 THEN text || ' [rev]'
+        |     ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 2),
+        |j AS (SELECT coalesce(v1.source, v2.source) AS source,
+        |   CASE WHEN v1.h IS NULL THEN 'added'
+        |    WHEN v2.h IS NULL THEN 'removed'
+        |    WHEN v1.h <> v2.h THEN 'changed'
+        |    ELSE 'unchanged' END AS st
+        |  FROM v1 FULL JOIN v2 USING (doc_id))
+        |SELECT source,
+        | CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_added,
+        | CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_removed,
+        | CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_changed,
+        | CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_unchanged
+        |FROM j GROUP BY 1""".stripMargin,
+    // q247: two-middle-order-statistics medians at x2/x4 integer scale;
+    // the flag is pure integer comparison (no division, no doubles)
+    "q247_mad_anomalies" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |t AS (SELECT count(*) AS n FROM x),
+        |o AS (SELECT x, row_number() OVER (ORDER BY x, day) AS rn FROM x),
+        |m AS (SELECT
+        |   (SELECT o.x FROM o, t WHERE rn = (n + 1) // 2)
+        |   + (SELECT o.x FROM o, t WHERE rn = n // 2 + 1) AS med2),
+        |d AS (SELECT x.day, x.x, abs(2 * x.x - med2) AS dev2 FROM x, m),
+        |o2 AS (SELECT dev2, row_number() OVER (ORDER BY dev2, day) AS rn
+        |  FROM d),
+        |m2 AS (SELECT
+        |   (SELECT dev2 FROM o2, t WHERE rn = (n + 1) // 2)
+        |   + (SELECT dev2 FROM o2, t WHERE rn = n // 2 + 1) AS mad4)
+        |SELECT d.day, CAST(d.x AS BIGINT) AS cents,
+        | CAST(med2 AS BIGINT) AS med_x2, CAST(mad4 AS BIGINT) AS mad_x4,
+        | CAST(dev2 AS BIGINT) AS dev_x2,
+        | CAST(CASE WHEN 2 * dev2 > 5 * mad4 THEN 1 ELSE 0 END AS INTEGER)
+        |  AS is_anomaly
+        |FROM d, m, m2""".stripMargin,
+    // q248: Monroe log-odds — counts exact, prior/delta/variance/z in one
+    // pinned IEEE tree per row (the q224 ln precedent), ranked per source
+    "q248_log_odds_keywords" ->
+      """WITH words AS (SELECT source,
+        |   unnest(string_split(text, ' ')) AS w FROM documents),
+        |ysw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS y_sw
+        |  FROM words GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(y_sw) AS n_s FROM ysw GROUP BY 1),
+        |yw AS (SELECT w, sum(y_sw) AS y_w FROM ysw GROUP BY 1),
+        |tot AS (SELECT sum(y_w) AS n_total FROM yw),
+        |sc AS (SELECT ysw.source, ysw.w, y_sw, y_w,
+        |   ln((y_sw + 1000.0 * y_w / n_total)
+        |      / (n_s + 1000.0 - y_sw - 1000.0 * y_w / n_total))
+        |   - ln(((y_w - y_sw) + 1000.0 * y_w / n_total)
+        |      / ((n_total - n_s) + 1000.0 - (y_w - y_sw)
+        |         - 1000.0 * y_w / n_total)) AS delta,
+        |   1000.0 * y_w / n_total AS aw,
+        |   y_w - y_sw AS y_rest
+        |  FROM ysw JOIN ns USING (source) JOIN yw USING (w) CROSS JOIN tot),
+        |z AS (SELECT source, w, y_sw, y_w, delta,
+        |   delta / sqrt(1.0 / (y_sw + aw) + 1.0 / (y_rest + aw)) AS z
+        |  FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY z DESC, w) AS rnk FROM z)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, w AS word, y_sw,
+        | CAST(y_w AS BIGINT) AS y_w,
+        | round(delta, 6) AS log_odds, round(z, 6) AS z_score
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    // q249: each ln rounded once onto the x1e6 grid; the five OLS sums
+    // are exact HUGEINT/Decimal(38,0); one double division at the end
+    "q249_price_elasticity" ->
+      """WITH li AS (SELECT p_brand,
+        |   CAST(round(ln(l_extendedprice / l_quantity * 100.0) * 1000000, 0)
+        |     AS BIGINT) AS xf,
+        |   CAST(round(ln(l_quantity) * 1000000, 0) AS BIGINT) AS yf
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(xf AS HUGEINT)) AS sx, sum(CAST(yf AS HUGEINT)) AS sy,
+        |   sum(CAST(xf AS HUGEINT) * xf) AS sxx,
+        |   sum(CAST(xf AS HUGEINT) * yf) AS sxy
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+        |FROM a""".stripMargin,
+    // q250: the one-row datasheet — counts exact, mean score via x1e6
+    // fixed-point sum of the already-6dp-rounded q69 scores
+    "q250_dataset_card" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |nd AS (SELECT count(*) AS n_neardup_docs FROM (
+         |  SELECT DISTINCT doc_id FROM (
+         |   SELECT doc1 AS doc_id FROM mp
+         |   UNION ALL SELECT doc2 AS doc_id FROM mp))),
+         |kp AS (SELECT sum(keep) AS n_kept FROM ($curationSql)),
+         |base AS (SELECT count(*) AS n_docs,
+         |   sum(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS n_tokens,
+         |   count(DISTINCT d.source) AS n_sources,
+         |   count(DISTINCT d.lang) AS n_langs,
+         |   sum(CAST(round(m.model_score * 1000000, 0) AS BIGINT))
+         |    AS score_fp
+         |  FROM documents d JOIN ($modelScoreSql) m USING (doc_id))
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(n_sources AS BIGINT) AS n_sources,
+         | CAST(n_langs AS BIGINT) AS n_langs,
+         | CAST(n_neardup_docs AS BIGINT) AS n_neardup_docs,
+         | CAST(n_kept AS BIGINT) AS n_kept,
+         | round(CAST(n_neardup_docs AS DOUBLE) / n_docs, 6)
+         |  AS neardup_frac,
+         | round(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_frac,
+         | round(CAST(score_fp AS DOUBLE) / 1000000 / n_docs, 6)
+         |  AS mean_model_score
+         |FROM base, nd, kp""".stripMargin,
   )
 }

@@ -785,6 +785,78 @@ object Relational {
           === 0, col("cents")).otherwise(-col("cents"))).as("detail"))
   }
 
+  /** Robust daily revenue anomalies via median/MAD (the q167 mean/σ
+    * alarm's breakdown-resistant twin: one Black-Friday spike inflates a
+    * standard deviation enough to hide the next three anomalies; the MAD
+    * ignores it). A calendar day is flagged when |x − median| > k·MAD
+    * over the zero-filled day spine — quiet days count as zero revenue
+    * and can themselves flag.
+    *
+    * Determinism: medians are the exact two-middle-order-statistics
+    * convention carried at ×2 (median) and ×4 (MAD) integer scale, so the
+    * flag comparison 2·dev_x2 > k·mad_x4 is pure integer arithmetic —
+    * no division, no doubles anywhere.
+    *
+    * Scale shape: the corpus pass is the day-grain collapse; the spine
+    * is CALENDAR-sized, so the two median solves run on the driver over
+    * the collected spine (the q233/q172 discipline) and the flag pass is
+    * a spine-sized map.
+    */
+  def madAnomalies(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val spine = dailyCentsSpine(spark, sfDir).select(col("day"), col("x"))
+      .collect().map(r => (r.getDate(0), r.getLong(1))).sortBy(_._1.getTime)
+    def med2Of(xs: Array[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      s(((n + 1) / 2) - 1) + s(n / 2)
+    }
+    val med2 = med2Of(spine.map(_._2))
+    val dev2 = spine.map { case (_, x) => math.abs(2 * x - med2) }
+    val mad4 = med2Of(dev2)
+    val rows = spine.zip(dev2).map { case ((day, x), d2) =>
+      (day, x, med2, mad4, d2, if (2 * d2 > k.toLong * mad4) 1 else 0)
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("day", "cents", "med_x2", "mad_x4", "dev_x2", "is_anomaly")
+  }
+
+  /** Per-brand price elasticity of demand: the OLS slope of ln(quantity)
+    * on ln(unit price) over that brand's line items — the classic log-log
+    * elasticity read (slope ≈ −1.2 means a 1% price rise costs 1.2% of
+    * volume). The pricing-analytics companion to the q01 revenue rollups.
+    *
+    * Determinism: each ln is rounded once onto the ×10⁶ grid; all five
+    * OLS sums are exact Decimal(38,0) integer sums (squares of 10⁷-scale
+    * terms times corpus counts overflow int64); numerator and denominator
+    * assemble exactly in Decimal and meet in ONE double division.
+    *
+    * Scale shape: one partkey equality join decorates line items with the
+    * brand; one map-side-combinable aggregate to |brands| rows; the slope
+    * algebra runs on that bounded table.
+    */
+  def priceElasticity(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(Tables.part(spark, sfDir).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), "l_partkey")
+      .select(col("p_brand"),
+        round(log(col("l_extendedprice") / col("l_quantity") * 100.0) * 1e6, 0)
+          .cast("long").cast(dec).as("xf"),
+        round(log(col("l_quantity")) * 1e6, 0).cast("long").cast(dec).as("yf"))
+    li.groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("xf")).as("sx"), sum(col("yf")).as("sy"),
+        sum(col("xf") * col("xf")).as("sxx"),
+        sum(col("xf") * col("yf")).as("sxy"))
+      .select(col("p_brand"), col("n").cast("long").as("n_items"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("elasticity"))
+  }
+
   /** k-anonymity audit of the customer quasi-identifier combination
     * (nation × market segment): for each k in `ks`, how many identifier
     * groups have fewer than k members and how many customers sit in those

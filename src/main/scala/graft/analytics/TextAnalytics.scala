@@ -1875,6 +1875,58 @@ object TextAnalytics {
         round(lit(1.0) / col("inv_alpha_raw"), 6).as("alpha"))
   }
 
+  /** Per-source characteristic keywords by weighted LOG-ODDS with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008, "words
+    * that matter") — the statistically-honest alternative to the q224
+    * c-TF-IDF: the corpus-wide prior damps rare-word noise, and the
+    * z-score (log-odds over its estimated standard deviation) ranks terms
+    * by EVIDENCE of source association, not just frequency contrast. Top
+    * `k` terms per source by z.
+    *
+    * Determinism: counts are exact integers; the prior, the two log-odds
+    * terms, the variance and z evaluate in ONE pinned IEEE expression
+    * tree per (source, word) row (the q224 ln precedent), rounded at
+    * 6 dp; the per-source rank breaks ties by word.
+    *
+    * Scale shape: one (source, word) map-side-combinable count aggregate;
+    * global word margins are a vocab-sized aggregate broadcast back; the
+    * top-k is a WindowGroupLimit per source, never a global sort.
+    */
+  def logOddsKeywords(spark: SparkSession, sfDir: String,
+      k: Int = 5, a0: Double = 1000.0): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+    val ysw = words.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("y_sw"))
+    val ns = ysw.groupBy(col("source")).agg(sum(col("y_sw")).as("n_s"))
+    val yw = ysw.groupBy(col("w")).agg(sum(col("y_sw")).as("y_w"))
+    val tot = yw.agg(sum(col("y_w")).as("n_total"))
+    val scored = ysw
+      .join(broadcast(ns), "source")
+      .join(yw, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("aw", lit(a0) * col("y_w") / col("n_total"))
+      .withColumn("y_rest", col("y_w") - col("y_sw"))
+      .withColumn("n_rest", col("n_total") - col("n_s"))
+      .withColumn("delta",
+        log((col("y_sw") + col("aw"))
+          / (col("n_s") + lit(a0) - col("y_sw") - col("aw")))
+          - log((col("y_rest") + col("aw"))
+            / (col("n_rest") + lit(a0) - col("y_rest") - col("aw"))))
+      .withColumn("z", col("delta")
+        / sqrt(lit(1.0) / (col("y_sw") + col("aw"))
+          + lit(1.0) / (col("y_rest") + col("aw"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("z").desc, col("w"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("w").as("word"),
+        col("y_sw"), col("y_w"),
+        round(col("delta"), 6).as("log_odds"),
+        round(col("z"), 6).as("z_score"))
+  }
+
   /** Pairwise source VOCABULARY overlap: Jaccard similarity of the
     * distinct 3-gram shingle sets of every source pair — the corpus-map
     * companion to the document-level q135 mirror matrix: two sources can

@@ -1236,6 +1236,88 @@ object Curation {
           .as("content_checksum"))
   }
 
+  /** Dataset-release SNAPSHOT DIFF: per source, how many documents were
+    * added, removed, changed (same id, different content hash), or
+    * untouched between two corpus versions — the release-notes table a
+    * data lead signs before a new crawl snapshot ships, and the input to
+    * "retrain or patch" decisions. The mock carves v1/v2 out of the
+    * corpus by modulus and revises a slice of v2's texts; production
+    * calls [[snapshotDiffAgainst]] with its real versioned frames.
+    *
+    * Scale shape: both sides project to (doc_id, source, md5) before the
+    * one full-outer equality join on doc_id — at warehouse scale the two
+    * versions land hash-bucketed on doc_id, making that join co-located
+    * (zero shuffle); the rollup is |sources|-keyed.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    snapshotDiffAgainst(
+      docs.where(col("doc_id") % 7 =!= 1),
+      docs.where(col("doc_id") % 5 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 3, concat(col("text"), lit(" [rev]")))
+            .otherwise(col("text"))))
+  }
+
+  /** [[snapshotDiff]] against explicit (doc_id, source, text) frames. */
+  def snapshotDiffAgainst(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def proj(d: DataFrame, tag: String) = d.select(col("doc_id"),
+      col("source").as(s"source_$tag"), md5(col("text")).as(s"h_$tag"))
+    proj(v1, "a").join(proj(v2, "b"), Seq("doc_id"), "full")
+      .select(coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("st"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("st") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+
+  /** One-row DATASET CARD: the headline numbers of a corpus release —
+    * document/token/source/language counts, the fraction of documents in
+    * a near-dup relation, the keep rate of the composed q61 verdict, and
+    * the corpus mean of the pinned q69 model score — the datasheet
+    * summary every downstream consumer reads first. Rolls up the
+    * memoized pair list and verdict, so in a session that already ran
+    * q25/q61 this costs one corpus scan for the count row.
+    *
+    * Determinism: counts are exact; the mean model score sums ×10⁶
+    * fixed-point longs (each score is already rounded at 6 dp by
+    * construction) and divides once.
+    *
+    * Scale shape: one map-side-combinable corpus aggregate, pair-sized
+    * and doc-sized rollups of memoized tables, one-row broadcasts.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(round(graft.functions.Text.modelScore(col("text")) * 1e6, 0)
+        .cast("long")).as("score_fp"))
+    val mp = Dedup.minhashPairs(spark, sfDir, threshold)
+    val nd = mp.select(col("doc1").as("doc_id"))
+      .unionByName(mp.select(col("doc2").as("doc_id")))
+      .distinct().agg(count(lit(1)).as("n_neardup_docs"))
+    val kept = curationDecisions(spark, sfDir)
+      .agg(sum(col("keep").cast("long")).as("n_kept"))
+    base.crossJoin(broadcast(nd)).crossJoin(broadcast(kept))
+      .select(col("n_docs"), col("n_tokens"), col("n_sources"),
+        col("n_langs"), col("n_neardup_docs"), col("n_kept"),
+        round(col("n_neardup_docs").cast("double") / col("n_docs"), 6)
+          .as("neardup_frac"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6)
+          .as("keep_frac"),
+        round(col("score_fp").cast("double") / 1e6 / col("n_docs"), 6)
+          .as("mean_model_score"))
+  }
+
   /** Train-split n-gram COVERAGE curve: for n = 1..4, the fraction of the
     * test split's distinct n-grams that also occur in the train split —
     * the generalization-gap proxy read top-down: unigram coverage near 1
