@@ -469,6 +469,16 @@ object SparkEntry {
     "q249_price_elasticity" -> ((s: SparkSession, d: String) => Relational.priceElasticity(s, d)),
     // one-row dataset card: counts, near-dup rate, keep rate, mean score
     "q250_dataset_card" -> ((s: SparkSession, d: String) => graft.operators.Curation.datasetCard(s, d)),
+    // STL-lite trend/weekly-seasonal/residual split of daily revenue
+    "q251_seasonal_decompose" -> ((s: SparkSession, d: String) => Relational.seasonalDecompose(s, d)),
+    // session counts/depth at 15/30/60-min inactivity gaps
+    "q252_gap_sweep" -> ((s: SparkSession, d: String) => Sessions.sessionGapSweep(s, d)),
+    // unigram KL of each doc-id decile vs the corpus (drift over ingest)
+    "q253_ingest_drift" -> ((s: SparkSession, d: String) => TextAnalytics.ingestVocabDrift(s, d)),
+    // minimum detectable effect at 80% power for the q228 A/B arms
+    "q254_ab_power" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.abPowerMde(s, d)),
+    // per-user mean transition surprisal under the corpus Markov model
+    "q255_user_perplexity" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userPerplexity(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -4890,5 +4900,127 @@ private object CorpusOracles {
          | round(CAST(score_fp AS DOUBLE) / 1000000 / n_docs, 6)
          |  AS mean_model_score
          |FROM base, nd, kp""".stripMargin,
+    // q251: all-integer gate — trend at x31, seasonal as num/den, the
+    // residual numerator over the common 31*den denominator (a 6dp double
+    // at 1e7 magnitude sits on a 0.002-wide cross-engine rounding band)
+    "q251_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |c AS (SELECT day + CAST(k AS INTEGER) AS day,
+        |   sum(x) AS trend_fp, count(*) AS nw
+        |  FROM x, range(-15, 16) t(k)
+        |  GROUP BY 1),
+        |f AS (SELECT x.day, x.x,
+        |   CAST(isodow(x.day) AS INTEGER) AS iso_dow,
+        |   CAST(c.trend_fp AS BIGINT) AS trend_fp,
+        |   31 * x.x - CAST(c.trend_fp AS BIGINT) AS det_fp
+        |  FROM x JOIN c ON x.day = c.day WHERE c.nw = 31),
+        |s AS (SELECT iso_dow, CAST(sum(det_fp) AS BIGINT) AS seas_num,
+        |   CAST(count(*) AS BIGINT) AS seas_den
+        |  FROM f GROUP BY 1)
+        |SELECT f.day, f.x AS cents, f.iso_dow, f.trend_fp,
+        | s.seas_num, s.seas_den,
+        | CAST(f.det_fp * s.seas_den - s.seas_num AS BIGINT) AS resid_num
+        |FROM f JOIN s USING (iso_dow)""".stripMargin,
+    // q252: one lag pass; per gap the session id is a cumulative
+    // new-session flag sum and the rollup is (user, sid)-keyed
+    "q252_gap_sweep" -> {
+      val per = Seq(900, 1800, 3600).map { g =>
+        s"""st$g AS (SELECT CAST($g AS INTEGER) AS gap_sec,
+           |   CAST(count(*) AS BIGINT) AS n_sessions,
+           |   CAST(sum(sz) AS BIGINT) AS n_events,
+           |   CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_singletons,
+           |   round(CAST(sum(sz) AS DOUBLE) / count(*), 6) AS mean_events
+           |  FROM (SELECT user_id, sid, count(*) AS sz FROM (
+           |    SELECT user_id, sum(CASE WHEN gap_us IS NULL
+           |       OR gap_us > CAST($g AS BIGINT) * 1000000 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |       ROWS UNBOUNDED PRECEDING) AS sid
+           |    FROM lagged) GROUP BY 1, 2))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH lagged AS (SELECT user_id, ts, event_id,
+         |   epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM events),
+         |$per
+         |SELECT * FROM st900
+         |UNION ALL SELECT * FROM st1800
+         |UNION ALL SELECT * FROM st3600""".stripMargin
+    },
+    // q253: the q103 KL recipe with the ingest decile as the source
+    "q253_ingest_drift" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |dd AS (SELECT 'd' || CAST(least(9, (doc_id * 10) // (max_id + 1))
+        |    AS VARCHAR) AS source, text FROM documents, mx),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |  FROM dd),
+        |sw AS (SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT word, count(*) AS c_w FROM tok GROUP BY 1),
+        |st AS (SELECT source, count(*) AS n_s FROM tok GROUP BY 1),
+        |tt AS (SELECT count(*) AS n_c FROM tok),
+        |terms AS (SELECT sw.source, st.n_s,
+        |   round((CAST(c_sw AS DOUBLE) / n_s)
+        |     * ln((CAST(c_sw AS DOUBLE) / n_s)
+        |       / (CAST(c_w AS DOUBLE) / n_c)), 6) AS term
+        |  FROM sw JOIN cw USING (word) JOIN st ON sw.source = st.source
+        |  CROSS JOIN tt)
+        |SELECT source AS decile, CAST(min(n_s) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000, 6) AS kl_divergence
+        |FROM terms GROUP BY 1""".stripMargin,
+    // q254: q228's arm rollup into the pinned-quantile MDE formula
+    "q254_ab_power" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS conv
+        |  FROM events GROUP BY 1, 2),
+        |arms AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+        |   CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+        |  FROM u GROUP BY 1),
+        |wide AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |   max(CASE WHEN arm = 0 THEN x END) AS conv_a,
+        |   max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |   max(CASE WHEN arm = 1 THEN x END) AS conv_b FROM arms),
+        |c AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)
+        |   / CAST(n_a + n_b AS DOUBLE) AS pool FROM wide)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        | round(pool, 6) AS p_pooled,
+        | round(2.801585 * sqrt(pool * (1.0 - pool)
+        |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |  AS mde_abs,
+        | round(2.801585 * sqrt(pool * (1.0 - pool)
+        |   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  / pool, 6) AS mde_rel
+        |FROM c""".stripMargin,
+    // q255: surprisals rounded once on the x1e6 grid, fixed-point user
+    // sums (the q71 recipe); the model is the q140 count ratio
+    "q255_user_perplexity" ->
+      """WITH e AS (SELECT user_id, event_type, lead(event_type, 1) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |tr AS (SELECT user_id, event_type AS from_type,
+        |   next_type AS to_type FROM e WHERE next_type IS NOT NULL),
+        |counts AS (SELECT from_type, to_type, count(*) AS n_ft
+        |  FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n_ft) AS n_from FROM counts
+        |  GROUP BY 1),
+        |model AS (SELECT counts.from_type, counts.to_type,
+        |   CAST(round(-ln(CAST(n_ft AS DOUBLE) / n_from) * 1000000, 0)
+        |     AS BIGINT) AS s_fp
+        |  FROM counts JOIN tot USING (from_type))
+        |SELECT tr.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+        | round(CAST(sum(s_fp) AS DOUBLE) / 1000000 / count(*), 6)
+        |  AS mean_surprisal
+        |FROM tr JOIN model USING (from_type, to_type)
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -947,6 +947,88 @@ object Funnels {
           .otherwise((abs(col("z_stat")) > lit(1.96)).cast("int")))
   }
 
+  /** A/B POWER companion to [[abConversionZtest]]: with the observed arm
+    * sizes and pooled conversion rate, the minimum detectable effect at
+    * α = 5% (two-sided) and 80% power — MDE = (z_{α/2} + z_β)·
+    * √(2p̄(1−p̄)/n̄) with the normal quantiles pinned as literals
+    * (1.959964, 0.841621). The number an experiment reviewer checks
+    * BEFORE reading q228's verdict: a non-significant z with an MDE
+    * above the effect anyone cares about is an underpowered test, not a
+    * negative result.
+    *
+    * Determinism: exact integer counts into one pinned IEEE tree.
+    *
+    * Scale shape: the q228 unit rollup (map-side combinable), a two-row
+    * arm aggregate, one output row.
+    */
+  def abPowerMde(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDays = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+    val arms = userDays.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).cast("long").as("x"))
+    val wide = arms.groupBy()
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_a"),
+        max(when(col("arm") === 0, col("x"))).as("conv_a"),
+        max(when(col("arm") === 1, col("n"))).as("n_b"),
+        max(when(col("arm") === 1, col("x"))).as("conv_b"))
+    val pool = ((col("conv_a") + col("conv_b")).cast("double")
+      / (col("n_a") + col("n_b")).cast("double"))
+    // z_{α/2} + z_β pre-summed as ONE literal: both engines parse the
+    // same decimal string to the same double, where a computed sum of
+    // two parsed doubles could differ by an ulp
+    val mde = lit(2.801585) *
+      sqrt(pool * (lit(1.0) - pool)
+        * (lit(1.0) / col("n_a").cast("double")
+          + lit(1.0) / col("n_b").cast("double")))
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pool, 6).as("p_pooled"),
+      round(mde, 6).as("mde_abs"),
+      round(mde / pool, 6).as("mde_rel"))
+  }
+
+  /** Per-user Markov PERPLEXITY under the corpus transition model: the
+    * mean surprisal −ln p(next|current) of a user's consecutive event
+    * transitions, scored against [[transitionMatrix]]'s global
+    * first-order chain. The cross-user companion to q146's entropy: that
+    * measures how mixed a user's OWN behavior is; this measures how
+    * UNLIKE EVERYONE ELSE it is — replay bots and scripted crawlers sit
+    * at the extremes (too predictable or impossibly erratic), which is
+    * why behavioral-curation passes score it.
+    *
+    * Determinism: transition probabilities are ratios of exact counts;
+    * each surprisal is rounded once onto the ×10⁶ grid and summed in
+    * fixed point per user (the q71 recipe); one final division.
+    *
+    * Scale shape: one user-keyed lead window over the event stream, the
+    * |types|²-bounded model broadcast onto it, one user-keyed rollup.
+    */
+  def userPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+    val counts = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_ft"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_ft")).as("n_from"))
+    val model = counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"),
+        round(-log(col("n_ft").cast("double") / col("n_from")) * 1e6, 0)
+          .cast("long").as("s_fp"))
+    trans.join(broadcast(model), Seq("from_type", "to_type"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("s_fp")).as("sum_fp"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("sum_fp").cast("double") / 1e6 / col("n_transitions"), 6)
+          .as("mean_surprisal"))
+  }
+
   /** Kaplan–Meier retention survival curve at week grain: per lifetime
     * week k, the users still at risk, the churn events (users whose
     * observed lifetime ended at week k AND whose last activity predates

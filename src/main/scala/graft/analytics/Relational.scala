@@ -785,6 +785,53 @@ object Relational {
           === 0, col("cents")).otherwise(-col("cents"))).as("detail"))
   }
 
+  /** Additive SEASONAL DECOMPOSITION of daily revenue (STL-lite on the
+    * dyadic-free calendar): trend = 31-day centered moving total (kept at
+    * ×31 integer scale), weekly seasonal = per-ISO-weekday mean of the
+    * ×31 detrended series (kept as an exact numerator/denominator pair),
+    * residual = the remainder — the three-way split a revenue monitor
+    * reads so a weekend dip isn't flagged as an anomaly and a drift isn't
+    * hidden by weekly rhythm. Emitted for days with a FULL 31-day
+    * centered window.
+    *
+    * Determinism: EVERYTHING ships as exact integers — trend at ×31
+    * scale, the weekly seasonal as a num/den pair, and the residual as a
+    * numerator over the common 31·seas_den denominator. A 6-dp-rounded
+    * display double at the 10⁷-cent magnitudes involved sits on a
+    * 0.002-wide cross-engine rounding band (multiply-based rounding vs
+    * exact-decimal rounding diverge there ≈ 0.4% of rows) — measured,
+    * not theoretical, which is why no double crosses the gate; display
+    * values are one division away: trend/31, seas/(31·den),
+    * resid/(31·den).
+    *
+    * Scale shape: the corpus pass is the day-grain collapse; the centered
+    * total is a 31-way explode of the calendar-sized spine re-aggregated
+    * by target day (equality-keyed, the q187 shape); the seasonal table
+    * is 7 rows broadcast back.
+    */
+  def seasonalDecompose(spark: SparkSession, sfDir: String,
+      half: Int = 15): DataFrame = {
+    val win = 2 * half + 1
+    val spine = dailyCentsSpine(spark, sfDir).select(col("day"), col("x"))
+    val contrib = spine
+      .withColumn("k", explode(sequence(lit(-half), lit(half))))
+      .groupBy(date_add(col("day"), col("k")).as("day"))
+      .agg(sum(col("x")).as("trend_fp"), count(lit(1)).as("nw"))
+      .where(col("nw") === win)
+      .drop("nw")
+    val det = spine.join(contrib, "day")
+      .withColumn("iso_dow", (weekday(col("day")) + lit(1)).cast("int"))
+      .withColumn("det_fp", lit(win.toLong) * col("x") - col("trend_fp"))
+    val seas = det.groupBy(col("iso_dow"))
+      .agg(sum(col("det_fp")).as("seas_num"), count(lit(1)).as("seas_den"))
+    det.join(broadcast(seas), "iso_dow")
+      .select(col("day"), col("x").as("cents"), col("iso_dow"),
+        col("trend_fp"), col("seas_num"), col("seas_den"),
+        // residual over the common 31·seas_den denominator, exact int64
+        (col("det_fp") * col("seas_den") - col("seas_num"))
+          .as("resid_num"))
+  }
+
   /** Robust daily revenue anomalies via median/MAD (the q167 mean/σ
     * alarm's breakdown-resistant twin: one Black-Friday spike inflates a
     * standard deviation enough to hide the next three anomalies; the MAD

@@ -156,6 +156,48 @@ object Sessions {
         round(sum(col("value")), 2).as("session_value"))
       .drop("session_window")
 
+  /** Session GAP-parameter sweep: for each candidate inactivity gap, the
+    * session count, total event mass, singleton-session count and mean
+    * session depth — the sensitivity table that justifies (or indicts)
+    * the 30-minute default before every downstream session metric
+    * inherits it. Read for the knee: where halving the gap stops
+    * multiplying sessions, the data's natural rhythm sits.
+    *
+    * Determinism: integer counts; one rounded division per gap.
+    *
+    * Scale shape: ONE user-keyed window pass computes the inter-event
+    * gap; each candidate's session ids are cumulative sums over that
+    * SAME window (Spark plans one Window operator for all of them); per
+    * gap one (user, sid) rollup — |gaps| equality-keyed aggregates, no
+    * re-scan of the raw stream.
+    */
+  def sessionGapSweep(spark: SparkSession, sfDir: String,
+      gapsSec: Seq[Int] = Seq(900, 1800, 3600)): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = gapsSec.foldLeft(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))) {
+      case (df, g) => df.withColumn(s"sid_$g",
+        sum(when(col("gap_us").isNull
+          || col("gap_us") > g * 1000000L, 1L).otherwise(0L)).over(run))
+    }.localCheckpoint()
+    gapsSec.map { g =>
+      flagged.groupBy(col("user_id"), col(s"sid_$g"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("sz")).as("n_events"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .select(lit(g).as("gap_sec"), col("n_sessions"), col("n_events"),
+          col("n_singletons"),
+          round(col("n_events").cast("double") / col("n_sessions"), 6)
+            .as("mean_events"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Session-size histogram: how many 30-min-gap sessions contain exactly
     * k events, with each size's share — the session-depth distribution
     * behind [[sessionGap]]'s per-session rows (single-event bounce

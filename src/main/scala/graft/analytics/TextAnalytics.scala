@@ -1875,6 +1875,27 @@ object TextAnalytics {
         round(lit(1.0) / col("inv_alpha_raw"), 6).as("alpha"))
   }
 
+  /** Vocabulary drift over INGEST TIME: unigram KL divergence of each
+    * doc-id decile (crawl order) from the whole corpus —
+    * [[sourceKlDriftOf]] with the decile standing in for the source, the
+    * same trick as q127's split audit. A young crawl whose late deciles
+    * drift is changing register (new seeds, new spam mix) even when every
+    * SOURCE's own distribution is stable; this is the alarm that fires
+    * between two q103 runs.
+    *
+    * Scale shape: the decile label is a map-side expression off a one-row
+    * max-id broadcast; everything after is q103's aggregate shapes.
+    */
+  def ingestVocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val mx = Tables.documents(spark, sfDir).agg(max(col("doc_id")).as("max_id"))
+    sourceKlDriftOf(Tables.documents(spark, sfDir)
+      .crossJoin(broadcast(mx))
+      .select(concat(lit("d"),
+        expr("CAST(least(9, (doc_id * 10) DIV (max_id + 1)) AS INT)"))
+        .as("source"), col("text")))
+      .withColumnRenamed("source", "decile")
+  }
+
   /** Per-source characteristic keywords by weighted LOG-ODDS with an
     * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008, "words
     * that matter") — the statistically-honest alternative to the q224
