@@ -479,6 +479,16 @@ object SparkEntry {
     "q254_ab_power" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.abPowerMde(s, d)),
     // per-user mean transition surprisal under the corpus Markov model
     "q255_user_perplexity" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userPerplexity(s, d)),
+    // exact per-type value deciles over the bounded cents grain
+    "q256_value_deciles" -> ((s: SparkSession, d: String) => Relational.valueDeciles(s, d)),
+    // mutual information + marginal entropies of event_type x weekday
+    "q257_dow_mutual_info" -> ((s: SparkSession, d: String) => Relational.dowTypeMutualInfo(s, d)),
+    // strict local maxima of the 31-day revenue trend line
+    "q258_trend_peaks" -> ((s: SparkSession, d: String) => Relational.trendPeaks(s, d)),
+    // ship-lag histogram with share and cumulative SLA curve
+    "q259_ship_lag" -> ((s: SparkSession, d: String) => Relational.shipLagHistogram(s, d)),
+    // token entropy per relative-position decile (boilerplate localizer)
+    "q260_positional_entropy" -> ((s: SparkSession, d: String) => TextAnalytics.positionalEntropy(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5021,6 +5031,99 @@ private object CorpusOracles {
         | round(CAST(sum(s_fp) AS DOUBLE) / 1000000 / count(*), 6)
         |  AS mean_surprisal
         |FROM tr JOIN model USING (from_type, to_type)
+        |GROUP BY 1""".stripMargin,
+    // q256: decile k = smallest cents with 10*cum >= k*n — all integers
+    "q256_value_deciles" -> {
+      val decs = (1 to 9).map(k =>
+        s"CAST(min(CASE WHEN cum * 10 >= n * $k THEN cents END) AS BIGINT) AS p${k * 10}")
+        .mkString(",\n ")
+      s"""WITH grain AS (SELECT event_type,
+         |   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         |   count(*) AS c FROM events GROUP BY 1, 2),
+         |cum AS (SELECT event_type, cents,
+         |   sum(c) OVER (PARTITION BY event_type ORDER BY cents
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |   sum(c) OVER (PARTITION BY event_type) AS n FROM grain)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+         | $decs
+         |FROM cum GROUP BY 1""".stripMargin
+    },
+    // q257: the q103 fixed-point term recipe for MI and both entropies
+    "q257_dow_mutual_info" ->
+      """WITH cells AS (SELECT event_type, isodow(ts) AS iso_dow,
+        |   count(*) AS nxy FROM events GROUP BY 1, 2),
+        |mx AS (SELECT event_type, sum(nxy) AS nx FROM cells GROUP BY 1),
+        |my AS (SELECT iso_dow, sum(nxy) AS ny FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(nxy) AS n FROM cells),
+        |mi AS (SELECT round(CAST(sum(CAST(round(
+        |    (nxy / CAST(n AS DOUBLE))
+        |    * ln(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE))
+        |   * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS mi_nats
+        |  FROM cells JOIN mx USING (event_type) JOIN my USING (iso_dow)
+        |  CROSS JOIN tot),
+        |hx AS (SELECT round(CAST(sum(CAST(round(
+        |    (nx / CAST(n AS DOUBLE)) * -ln(nx / CAST(n AS DOUBLE))
+        |   * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS h_type
+        |  FROM mx CROSS JOIN tot),
+        |hy AS (SELECT round(CAST(sum(CAST(round(
+        |    (ny / CAST(n AS DOUBLE)) * -ln(ny / CAST(n AS DOUBLE))
+        |   * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS h_dow
+        |  FROM my CROSS JOIN tot)
+        |SELECT CAST(n AS BIGINT) AS n_events, mi_nats, h_type, h_dow
+        |FROM tot, mi, hx, hy""".stripMargin,
+    // q258: integer comparisons on the x31 trend; neighbors by date join
+    "q258_trend_peaks" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |c AS (SELECT day + CAST(k AS INTEGER) AS day,
+        |   CAST(sum(x) AS BIGINT) AS t, count(*) AS nw
+        |  FROM x, range(-15, 16) t(k) GROUP BY 1),
+        |tr AS (SELECT day, t FROM c WHERE nw = 31)
+        |SELECT cur.day, cur.t AS trend_fp,
+        | p.t AS prev_fp, nx.t AS next_fp
+        |FROM tr cur
+        |JOIN tr p ON p.day = cur.day - 1
+        |JOIN tr nx ON nx.day = cur.day + 1
+        |WHERE cur.t > p.t AND cur.t > nx.t""".stripMargin,
+    // q259: calendar-bounded lag grain; cumulative share over that grain
+    "q259_ship_lag" ->
+      """WITH lags AS (SELECT
+        |   CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+        |     AS BIGINT) AS lag_days,
+        |   count(*) AS n_lines
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |c AS (SELECT lag_days, n_lines,
+        |   sum(n_lines) OVER (ORDER BY lag_days
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(n_lines) OVER () AS n FROM lags)
+        |SELECT lag_days, CAST(n_lines AS BIGINT) AS n_lines,
+        | round(CAST(n_lines AS DOUBLE) / n, 6) AS share,
+        | round(CAST(cum AS DOUBLE) / n, 6) AS cum_share
+        |FROM c""".stripMargin,
+    // q260: 0-based position deciles (w[i] is 1-based, so i-1), the
+    // q103 fixed-point entropy recipe per bucket
+    "q260_positional_entropy" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT CAST(s.b AS INTEGER) AS bucket, s.wd AS word
+        |  FROM d, UNNEST(list_transform(range(1, len(w) + 1),
+        |    i -> {'b': least(9, ((i - 1) * 10) // len(w)),
+        |          'wd': w[i]})) AS u(s)),
+        |bw AS (SELECT bucket, word, count(*) AS c FROM t GROUP BY 1, 2),
+        |bt AS (SELECT bucket, sum(c) AS n_b FROM bw GROUP BY 1)
+        |SELECT bw.bucket, CAST(min(n_b) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | round(CAST(sum(CAST(round(
+        |    (c / CAST(n_b AS DOUBLE)) * -ln(c / CAST(n_b AS DOUBLE))
+        |   * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS entropy
+        |FROM bw JOIN bt USING (bucket)
         |GROUP BY 1""".stripMargin,
   )
 }

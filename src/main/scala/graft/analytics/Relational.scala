@@ -832,6 +832,41 @@ object Relational {
           .as("resid_num"))
   }
 
+  /** Exact per-event-type value DECILES (p10..p90 in cents): the
+    * distribution card a metric owner reads next to q192's moments —
+    * medians and tails without the normality assumption moments smuggle
+    * in. Exact, not sketched: the value domain is cents-bounded, so the
+    * distribution table is GRAIN-bounded (|types| × |distinct cents|)
+    * and an exact cumulative walk is affordable at any corpus size —
+    * where q38's doc-grain percentile would not be.
+    *
+    * Determinism: decile k = the smallest cents value whose cumulative
+    * count reaches ⌈k·n/10⌉ — pure integer arithmetic.
+    *
+    * Scale shape: one map-side-combinable (type, cents) count collapse;
+    * the cumulative window runs per type over the bounded grain, never
+    * over events; output is |types| rows.
+    */
+  def valueDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val grain = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy(col("event_type"))
+    val cum = grain
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tw))
+    // decile k = smallest cents with 10·cum ≥ k·n (i.e. cum ≥ ⌈k·n/10⌉)
+    val decs = (1 to 9).map(k =>
+      min(when(col("cum") * 10 >= col("n") * k, col("cents")))
+        .as(s"p${k * 10}"))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), decs: _*)
+  }
+
   /** Robust daily revenue anomalies via median/MAD (the q167 mean/σ
     * alarm's breakdown-resistant twin: one Black-Friday spike inflates a
     * standard deviation enough to hide the next three anomalies; the MAD
@@ -1043,6 +1078,109 @@ object Relational {
         col("dof"))
       .withColumn("reject_5pct",
         when(col("dof") === 24, (col("chi2_stat") > lit(36.415)).cast("int")))
+  }
+
+  /** Mutual information of event_type × ISO weekday (plus both marginal
+    * entropies): the effect-SIZE companion to q231's chi-square — the
+    * test says whether weekday and event mix are dependent; MI (and the
+    * normalized MI / min(H) ratio a reader derives) says how MUCH
+    * structure there is to exploit before anyone builds per-weekday
+    * models.
+    *
+    * Determinism: the q103 recipe — each p·ln(...) term rounded once at
+    * 6 dp, ×10⁶ fixed-point sums (order-independent), counts exact.
+    *
+    * Scale shape: one map-side-combinable (type, dow) count collapse to
+    * ≤ |types|·7 cells; margins and all three entropy sums run on that
+    * metadata-sized table.
+    */
+  def dowTypeMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), (weekday(col("ts")) + lit(1)).as("iso_dow"))
+      .groupBy(col("event_type"), col("iso_dow"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = cells.groupBy(col("event_type")).agg(sum(col("nxy")).as("nx"))
+    val my = cells.groupBy(col("iso_dow")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    def fpSum(term: org.apache.spark.sql.Column) =
+      round(sum(round(term * 1e6, 0).cast("long")).cast("double") / 1e6, 6)
+    val nD = col("n").cast("double")
+    val joint = cells.join(broadcast(mx), "event_type")
+      .join(broadcast(my), "iso_dow").crossJoin(broadcast(tot))
+    val mi = joint
+      .select(round((col("nxy") / nD)
+        * log((col("nxy") * col("n")).cast("double")
+          / (col("nx") * col("ny")).cast("double")), 6).as("term"))
+      .agg(fpSum(col("term")).as("mi_nats"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .select(round((col("nx") / nD) * -log(col("nx") / nD), 6).as("term"))
+      .agg(fpSum(col("term")).as("h_type"))
+    val hy = my.crossJoin(broadcast(tot))
+      .select(round((col("ny") / nD) * -log(col("ny") / nD), 6).as("term"))
+      .agg(fpSum(col("term")).as("h_dow"))
+    tot.select(col("n").as("n_events"))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
+  }
+
+  /** Local PEAKS of the 31-day revenue trend: days whose centered moving
+    * total strictly exceeds both calendar neighbors' — the promotion/
+    * season-spike localizer read on the SMOOTHED line (raw daily peaks
+    * are weekday noise; q251's trend is where campaign effects surface).
+    * Pure integer comparisons on the ×31-scale trend.
+    *
+    * Scale shape: the trend table is calendar-sized; neighbors arrive by
+    * two day-shifted self-joins (equality on the date key).
+    */
+  def trendPeaks(spark: SparkSession, sfDir: String,
+      half: Int = 15): DataFrame = {
+    val win = 2 * half + 1
+    val spine = dailyCentsSpine(spark, sfDir).select(col("day"), col("x"))
+    val trend = spine
+      .withColumn("k", explode(sequence(lit(-half), lit(half))))
+      .groupBy(date_add(col("day"), col("k")).as("day"))
+      .agg(sum(col("x")).as("t"), count(lit(1)).as("nw"))
+      .where(col("nw") === win)
+      .select(col("day"), col("t"))
+    trend.as("c")
+      .join(trend.select(date_add(col("day"), 1).as("day"),
+        col("t").as("t_prev")), "day")
+      .join(trend.select(date_add(col("day"), -1).as("day"),
+        col("t").as("t_next")), "day")
+      .where(col("t") > col("t_prev") && col("t") > col("t_next"))
+      .select(col("day"), col("t").as("trend_fp"),
+        col("t_prev").as("prev_fp"), col("t_next").as("next_fp"))
+  }
+
+  /** Fulfillment SHIP-LAG histogram: line items by (l_shipdate −
+    * o_orderdate) days, with each lag's share and the cumulative share —
+    * the operational SLA curve ("x% of lines ship within k days") that
+    * the TPC-H-ish schema supports exactly. Lags are calendar-bounded,
+    * so the histogram grain is bounded no matter the line-item count.
+    *
+    * Determinism: integer counts; shares are single rounded divisions.
+    *
+    * Scale shape: one orderkey equality join (the q02 shape), one
+    * map-side-combinable lag collapse, a cumulative window over the
+    * bounded lag grain.
+    */
+  def shipLagHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val lags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate")), "o_orderkey")
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("lag_days"))
+      .groupBy(col("lag_days")).agg(count(lit(1)).as("n_lines"))
+    val w = Window.orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(lit(1))
+    lags
+      .withColumn("cum", sum(col("n_lines")).over(w))
+      .withColumn("n", sum(col("n_lines")).over(tot))
+      .select(col("lag_days"), col("n_lines"),
+        round(col("n_lines").cast("double") / col("n"), 6).as("share"),
+        round(col("cum").cast("double") / col("n"), 6).as("cum_share"))
   }
 
   /** Theil–Sen robust trend of daily order revenue: the median of all

@@ -1875,6 +1875,41 @@ object TextAnalytics {
         round(lit(1.0) / col("inv_alpha_raw"), 6).as("alpha"))
   }
 
+  /** POSITIONAL token entropy: Shannon entropy of the word distribution
+    * in each relative-position decile of the document (bucket 0 = first
+    * 10% of tokens … bucket 9 = last 10%) — the structural signature of
+    * templated corpora: boilerplate headers/footers pin the opening and
+    * closing buckets to low entropy while body buckets stay high, which
+    * localizes WHERE in documents the q84/q85 boilerplate lives before
+    * any chunk-level pass runs.
+    *
+    * Determinism: counts exact; each −p·ln p term rounded once at 6 dp
+    * and ×10⁶ fixed-point summed per bucket (the q103/q146 recipe).
+    *
+    * Scale shape: one posexplode pass collapsed by a map-side-combinable
+    * (bucket, word) aggregate — vocabulary×10 grain — then 10-row
+    * rollups with a broadcast bucket total.
+    */
+  def positionalEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")),
+        size(Text.tokens(col("text"))).as("len"))
+      .select(expr("CAST(least(9, (pos * 10) DIV len) AS INT)").as("bucket"),
+        col("word"))
+    val bw = toks.groupBy(col("bucket"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val bt = bw.groupBy(col("bucket")).agg(sum(col("c")).as("n_b"))
+    bw.join(broadcast(bt), "bucket")
+      .select(col("bucket"), col("n_b"),
+        round((col("c").cast("double") / col("n_b"))
+          * -log(col("c").cast("double") / col("n_b")), 6).as("term"))
+      .groupBy(col("bucket"))
+      .agg(min(col("n_b")).as("n_tokens"),
+        count(lit(1)).as("n_words"),
+        round(sum(round(col("term") * 1e6, 0).cast("long")).cast("double")
+          / 1e6, 6).as("entropy"))
+  }
+
   /** Vocabulary drift over INGEST TIME: unigram KL divergence of each
     * doc-id decile (crawl order) from the whole corpus —
     * [[sourceKlDriftOf]] with the decile standing in for the source, the
