@@ -489,6 +489,8 @@ object SparkEntry {
     "q259_ship_lag" -> ((s: SparkSession, d: String) => Relational.shipLagHistogram(s, d)),
     // token entropy per relative-position decile (boilerplate localizer)
     "q260_positional_entropy" -> ((s: SparkSession, d: String) => TextAnalytics.positionalEntropy(s, d)),
+    // hamming theta-join planned as a pigeonhole equality join by the rule
+    "q261_hamming_join_rewrite" -> ((s: SparkSession, d: String) => graft.operators.Dedup.simhashPairsPlanned(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5125,5 +5127,16 @@ private object CorpusOracles {
         |   * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6) AS entropy
         |FROM bw JOIN bt USING (bucket)
         |GROUP BY 1""".stripMargin,
+    // q261: declared as a theta join, planned by HammingJoinRewrite;
+    // the sketch is masked to 31 bits (Spark's bit_count sign-extends a
+    // negative INT xor) and the oracle replays the all-pairs scan on the
+    // same masked sketch
+    "q261_hamming_join_rewrite" ->
+      s"""WITH s0 AS ($simhashDoc),
+         |s AS (SELECT doc_id, simhash & 2147483647 AS h FROM s0)
+         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         | CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
   )
 }

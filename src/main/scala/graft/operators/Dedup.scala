@@ -290,6 +290,40 @@ object Dedup {
         round(Text.jaccardSim(col("sh1"), col("sh2")), 6).as("jaccard"))
   }
 
+  /** SimHash pairs DECLARED as a naive theta self-join —
+    * `a JOIN b ON bit_count(h1 ^ h2) <= d AND doc1 < doc2` — and PLANNED
+    * as the pigeonhole chunk equality join by
+    * [[graft.plans.HammingJoinRewrite]] (explode d+1 chunk indices → join
+    * on (index, chunk value) → least-agreeing-index meet-once → exact
+    * popcount re-check). Same rows as the hand-written [[simhashPairs]],
+    * demonstrating the planner-rule form of the hamming join: the query
+    * says WHAT (a distance threshold), the rule picks the scale-safe HOW.
+    * The rule reads its conf at optimization time, so the entry pins it
+    * on a fresh session (inherits extensions, isolated runtime conf),
+    * exactly like the range-join and similarity-join entries.
+    */
+  def simhashPairsPlanned(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.hammingJoinRewrite", "true")
+    // ship the sketch as a 31-bit INT: INT so the rule chunks the real
+    // sketch width (on a zero-stuffed LONG the always-zero high chunks
+    // would agree for every pair — correct, but all-pairs), and MASKED
+    // to 31 bits because Spark's bit_count SIGN-EXTENDS integral inputs
+    // (bit_count of an INT xor with the top bit set counts 32 extra sign
+    // bits — 35, not 3); masking keeps every xor non-negative, so the
+    // popcount is the true sketch distance
+    val docs = simhashDocs(s, sfDir)
+      .select(col("doc_id"),
+        col("simhash").bitwiseAND(lit(0x7FFFFFFFL)).cast("int").as("h"))
+    val a = docs.select(col("doc_id").as("doc1"), col("h").as("h1"))
+    val b = docs.select(col("doc_id").as("doc2"), col("h").as("h2"))
+    a.join(b, col("doc1") < col("doc2")
+        && bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select(col("doc1"), col("doc2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
+  }
+
   /** Near-dup pairs via WINNOWING fingerprint collisions — the MOSS-style
     * alternative to MinHash-LSH banding: candidates are document pairs
     * sharing at least one winnowed fingerprint

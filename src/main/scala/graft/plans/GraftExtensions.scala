@@ -31,6 +31,12 @@ import graft.functions.CosineSimilarity
   *     composition) into an exploded-element equality join + meet-once
   *     filter + exact re-check. Also semantics-preserving (exact, not
   *     LSH), hence safe as a rule.
+  *  5. [[HammingJoinRewrite]] — optional optimizer rule
+  *     (`spark.graft.hammingJoinRewrite=true`) that turns an inner theta
+  *     join on `bit_count(a ^ b) <= d` into the pigeonhole chunk
+  *     equality join + meet-once filter + exact re-check — the q27
+  *     simhash candidate join, found by the planner. Semantics-
+  *     preserving, hence safe as a rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -39,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
     e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectOptimizerRule(_ => SimilarityJoinRewrite)
+    e.injectOptimizerRule(_ => HammingJoinRewrite)
   }
 }
 

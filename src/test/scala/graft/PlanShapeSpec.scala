@@ -402,6 +402,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Generate"), p) // the holder-list pair explode
   }
 
+  test("q261: the hamming rule plans the pigeonhole equality join, not a nested loop") {
+    val p = planOf("q261_hamming_join_rewrite")
+    assert(p.contains("__graft_ham_idx"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q239 haar: one day-grain aggregate feeds the pyramid; bounds broadcast") {
     val p = planOf("q239_haar_revenue")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
