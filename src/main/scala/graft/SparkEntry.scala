@@ -491,6 +491,14 @@ object SparkEntry {
     "q260_positional_entropy" -> ((s: SparkSession, d: String) => TextAnalytics.positionalEntropy(s, d)),
     // hamming theta-join planned as a pigeonhole equality join by the rule
     "q261_hamming_join_rewrite" -> ((s: SparkSession, d: String) => graft.operators.Dedup.simhashPairsPlanned(s, d)),
+    // RFM segment flow between the window's first and second half
+    "q262_rfm_migration" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.rfmMigration(s, d)),
+    // per-source shared-opening/-closing (header/footer) document rates
+    "q263_head_tail_boilerplate" -> ((s: SparkSession, d: String) => graft.operators.Dedup.headTailBoilerplate(s, d)),
+    // hour x weekday activity heatmap with week and day shares
+    "q264_activity_heatmap" -> ((s: SparkSession, d: String) => Relational.activityHeatmap(s, d)),
+    // hours-between-sessions return-gap histogram with SLA-style curve
+    "q265_session_return_gaps" -> ((s: SparkSession, d: String) => Sessions.sessionReturnGaps(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5138,5 +5146,102 @@ private object CorpusOracles {
          | CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    // q262: the q147 band/segment CASE chains run once per half, each
+    // half anchoring on its own max date; calendar midpoint split
+    "q262_rfm_migration" -> {
+      def segOf(src: String, alias: String) =
+        s"""${alias}b AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_date,
+           |  CAST(count(*) AS BIGINT) AS frequency,
+           |  round(sum(CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+           |    THEN value ELSE 0.0 END), 2) AS monetary
+           | FROM $src GROUP BY 1),
+           |${alias}a AS (SELECT max(last_date) AS anchor_date FROM ${alias}b),
+           |$alias AS (SELECT user_id,
+           |  CASE WHEN (CASE WHEN date_diff('day', last_date, anchor_date) <= 7 THEN 3
+           |        WHEN date_diff('day', last_date, anchor_date) <= 30 THEN 2 ELSE 1 END) = 3
+           |    AND (CASE WHEN frequency >= 50 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END) = 3
+           |    AND (CASE WHEN monetary >= 500.0 THEN 3 WHEN monetary >= 50.0 THEN 2 ELSE 1 END) = 3
+           |   THEN 'champion'
+           |   WHEN (CASE WHEN date_diff('day', last_date, anchor_date) <= 7 THEN 3
+           |        WHEN date_diff('day', last_date, anchor_date) <= 30 THEN 2 ELSE 1 END) >= 2
+           |    AND (CASE WHEN frequency >= 50 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END) >= 2
+           |   THEN 'loyal'
+           |   WHEN (CASE WHEN date_diff('day', last_date, anchor_date) <= 7 THEN 3
+           |        WHEN date_diff('day', last_date, anchor_date) <= 30 THEN 2 ELSE 1 END) = 1
+           |    AND (CASE WHEN frequency >= 50 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END) >= 2
+           |   THEN 'at_risk'
+           |   WHEN (CASE WHEN date_diff('day', last_date, anchor_date) <= 7 THEN 3
+           |        WHEN date_diff('day', last_date, anchor_date) <= 30 THEN 2 ELSE 1 END) >= 2
+           |    AND (CASE WHEN frequency >= 50 THEN 3 WHEN frequency >= 10 THEN 2 ELSE 1 END) = 1
+           |   THEN 'new'
+           |   ELSE 'hibernating' END AS segment
+           | FROM ${alias}b CROSS JOIN ${alias}a)""".stripMargin
+      s"""WITH bnd AS (SELECT min(CAST(ts AS DATE)) AS d0,
+         |   max(CAST(ts AS DATE)) AS d1 FROM events),
+         |m AS (SELECT d0 + CAST((d1 - d0) // 2 AS INTEGER) AS mid FROM bnd),
+         |e1 AS (SELECT * FROM events, m WHERE CAST(ts AS DATE) < mid),
+         |e2 AS (SELECT * FROM events, m WHERE CAST(ts AS DATE) >= mid),
+         |${segOf("e1", "s1")},
+         |${segOf("e2", "s2")}
+         |SELECT coalesce(s1.segment, 'absent') AS seg_from,
+         | coalesce(s2.segment, 'absent') AS seg_to,
+         | CAST(count(*) AS BIGINT) AS n_users
+         |FROM s1 FULL JOIN s2 USING (user_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+    // q263: positional chunk hashes; shared = hash count >= 2
+    "q263_head_tail_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |   md5(array_to_string(w[1:8], ' ')) AS head_h,
+        |   md5(array_to_string(w[greatest(len(w) - 7, 1):len(w)], ' '))
+        |    AS tail_h
+        |  FROM d),
+        |hs AS (SELECT head_h FROM h GROUP BY 1 HAVING count(*) >= 2),
+        |ts AS (SELECT tail_h FROM h GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN hs.head_h IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_shared_head,
+        | CAST(sum(CASE WHEN ts.tail_h IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_shared_tail,
+        | round(CAST(sum(CASE WHEN hs.head_h IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS head_frac,
+        | round(CAST(sum(CASE WHEN ts.tail_h IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS tail_frac
+        |FROM h LEFT JOIN hs USING (head_h) LEFT JOIN ts USING (tail_h)
+        |GROUP BY 1""".stripMargin,
+    // q264: <= 168 cells; shares are single rounded divisions
+    "q264_activity_heatmap" ->
+      """WITH c AS (SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        |   CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(n_events) AS n_all FROM c),
+        |d AS (SELECT iso_dow, sum(n_events) AS n_day FROM c GROUP BY 1)
+        |SELECT c.iso_dow, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
+        | round(CAST(c.n_events AS DOUBLE) / n_all, 6) AS share_of_week,
+        | round(CAST(c.n_events AS DOUBLE) / n_day, 6) AS share_of_day
+        |FROM c JOIN d USING (iso_dow) CROSS JOIN t""".stripMargin,
+    // q265: the shared 30-min sessionization; integer hour floors
+    "q265_session_return_gaps" -> {
+      s"""WITH s AS (${SparkEntry.gapSessionsSql}),
+         |b AS (SELECT user_id, sid, min(epoch_us(ts)) AS start_us,
+         |   max(epoch_us(ts)) AS end_us
+         |  FROM s GROUP BY 1, 2),
+         |g AS (SELECT (lead(start_us, 1) OVER (PARTITION BY user_id
+         |     ORDER BY start_us) - end_us) // 3600000000 AS gap_hours
+         |  FROM b),
+         |hg AS (SELECT gap_hours, count(*) AS n_gaps FROM g
+         |  WHERE gap_hours IS NOT NULL GROUP BY 1),
+         |c AS (SELECT gap_hours, n_gaps,
+         |   sum(n_gaps) OVER (ORDER BY gap_hours
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |   sum(n_gaps) OVER () AS n FROM hg)
+         |SELECT CAST(gap_hours AS BIGINT) AS gap_hours,
+         | CAST(n_gaps AS BIGINT) AS n_gaps,
+         | round(CAST(n_gaps AS DOUBLE) / n, 6) AS share,
+         | round(CAST(cum AS DOUBLE) / n, 6) AS cum_share
+         |FROM c""".stripMargin
+    },
   )
 }

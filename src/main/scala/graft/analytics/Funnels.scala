@@ -91,8 +91,14 @@ object Funnels {
     * broadcast (the q12 pattern — no driver collect); band scoring is
     * map-side arithmetic.
     */
-  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame =
+    rfmSegmentsOf(Tables.events(spark, sfDir))
+
+  /** [[rfmSegments]] over an arbitrary events frame — the core the
+    * half-period [[rfmMigration]] runs once per half (each half anchors
+    * on its OWN max date).
+    */
+  def rfmSegmentsOf(ev: DataFrame): DataFrame = {
     val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_date"))
     val base = ev.groupBy(col("user_id"))
       .agg(max(to_date(col("ts"))).as("last_date"),
@@ -116,6 +122,37 @@ object Funnels {
           .when(col("r_score") === 1 && col("f_score") >= 2, "at_risk")
           .when(col("r_score") >= 2 && col("f_score") === 1, "new")
           .otherwise("hibernating"))
+  }
+
+  /** RFM segment MIGRATION between the first and second half of the
+    * observation window: users counted by (segment-then, segment-now)
+    * cell, with `absent` standing in for users active in only one half —
+    * the customer-base flow report behind every "are champions churning"
+    * review, built from two [[rfmSegmentsOf]] runs that each anchor on
+    * their own half's end. The calendar midpoint (d0 + ⌊span/2⌋) splits
+    * the halves deterministically.
+    *
+    * Scale shape: two half-filtered user rollups (map-side combinable)
+    * full-outer-joined on user_id, collapsed to a ≤ 6×6 matrix.
+    */
+  def rfmMigration(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val mid = ev.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) DIV 2 AS INT))")
+        .as("mid"))
+    val tagged = ev.crossJoin(broadcast(mid))
+    def half(pred: org.apache.spark.sql.Column) =
+      rfmSegmentsOf(tagged.where(pred).drop("mid"))
+        .select(col("user_id"), col("segment"))
+    half(to_date(col("ts")) < col("mid"))
+      .withColumnRenamed("segment", "seg_from")
+      .join(half(to_date(col("ts")) >= col("mid"))
+        .withColumnRenamed("segment", "seg_to"), Seq("user_id"), "full")
+      .select(coalesce(col("seg_from"), lit("absent")).as("seg_from"),
+        coalesce(col("seg_to"), lit("absent")).as("seg_to"))
+      .groupBy(col("seg_from"), col("seg_to"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Per-user purchase cadence: gap statistics (days) between consecutive

@@ -1080,6 +1080,33 @@ object Relational {
         when(col("dof") === 24, (col("chi2_stat") > lit(36.415)).cast("int")))
   }
 
+  /** Hour × ISO-weekday activity heatmap: event counts per (iso_dow,
+    * hour) cell with each cell's share of the week and of its day — the
+    * load-shape grid behind capacity planning and send-time decisions,
+    * the counts-grain companion to q188's value pivot.
+    *
+    * Determinism: integer counts; shares are single rounded divisions.
+    *
+    * Scale shape: one map-side-combinable aggregate into ≤ 168 cells;
+    * day totals ride a window over those cells.
+    */
+  def activityHeatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .groupBy((weekday(col("ts")) + lit(1)).cast("int").as("iso_dow"),
+        hour(col("ts")).cast("int").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val dw = Window.partitionBy(col("iso_dow"))
+    val tw = Window.partitionBy(lit(1))
+    cells
+      .withColumn("n_day", sum(col("n_events")).over(dw))
+      .withColumn("n_all", sum(col("n_events")).over(tw))
+      .select(col("iso_dow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_all"), 6)
+          .as("share_of_week"),
+        round(col("n_events").cast("double") / col("n_day"), 6)
+          .as("share_of_day"))
+  }
+
   /** Mutual information of event_type × ISO weekday (plus both marginal
     * entropies): the effect-SIZE companion to q231's chi-square — the
     * test says whether weekday and event mix are dependent; MI (and the

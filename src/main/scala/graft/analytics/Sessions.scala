@@ -198,6 +198,51 @@ object Sessions {
     }.reduce(_ unionByName _)
   }
 
+  /** Session RETURN-GAP histogram: hours between a 30-min-gap session's
+    * END and the same user's next session START, binned at hour grain
+    * with share and cumulative share — the "when do they come back"
+    * distribution that separates habitual daily users from episodic
+    * ones, session-grain beside q149's purchase cadence.
+    *
+    * Determinism: integer hour floors and counts; shares are single
+    * rounded divisions.
+    *
+    * Scale shape: one user-keyed sessionization window, a (user, sid)
+    * rollup, a user-keyed lead, then a bounded hour-grain histogram
+    * (gaps are capped by the observation window, not the corpus).
+    */
+  def sessionReturnGaps(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("sid",
+        sum(when(col("gap_us").isNull
+          || col("gap_us") > gapSec * 1000000L, 1L).otherwise(0L)).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val sw = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val gaps = sess
+      .withColumn("next_start", lead(col("start_us"), 1).over(sw))
+      .where(col("next_start").isNotNull)
+      .select(expr("(next_start - end_us) DIV 3600000000L").as("gap_hours"))
+      .groupBy(col("gap_hours")).agg(count(lit(1)).as("n_gaps"))
+    val cw = Window.orderBy(col("gap_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(lit(1))
+    gaps
+      .withColumn("cum", sum(col("n_gaps")).over(cw))
+      .withColumn("n", sum(col("n_gaps")).over(tot))
+      .select(col("gap_hours"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("n"), 6).as("share"),
+        round(col("cum").cast("double") / col("n"), 6).as("cum_share"))
+  }
+
   /** Session-size histogram: how many 30-min-gap sessions contain exactly
     * k events, with each size's share — the session-depth distribution
     * behind [[sessionGap]]'s per-session rows (single-event bounce

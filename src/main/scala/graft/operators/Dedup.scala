@@ -324,6 +324,49 @@ object Dedup {
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
   }
 
+  /** HEAD/TAIL boilerplate rate per source: the fraction of documents
+    * whose FIRST `chunkWords` words (and, separately, LAST) also open
+    * (close) at least one other document — the positional companion to
+    * [[chunkShared]]'s any-position view and the aggregate confirmation
+    * of q260's positional-entropy dip: shared openings are navigation/
+    * license headers, shared closings are footers, and both are what a
+    * template-scrub targets first.
+    *
+    * Determinism: pure integer counts over md5 chunk hashes.
+    *
+    * Scale shape: head/tail chunks are built in-row (slice, no explode);
+    * each side is one hash-keyed count aggregate joined back map-side
+    * (hash-bucket equality), then a |sources| rollup.
+    */
+  def headTailBoilerplate(spark: SparkSession, sfDir: String,
+      chunkWords: Int = 8): DataFrame = {
+    val w = Text.tokens(col("text"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", slice(w, 1, chunkWords))).as("head_h"),
+        md5(concat_ws(" ",
+          when(size(w) >= chunkWords, slice(w, -chunkWords, chunkWords))
+            .otherwise(w))).as("tail_h"))
+      .localCheckpoint()
+    def shared(c: String) = docs.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select(col(c), lit(1).as(s"${c}_shared"))
+    docs
+      .join(shared("head_h"), Seq("head_h"), "left")
+      .join(shared("tail_h"), Seq("tail_h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("head_h_shared"), lit(0))).cast("long")
+          .as("n_shared_head"),
+        sum(coalesce(col("tail_h_shared"), lit(0))).cast("long")
+          .as("n_shared_tail"))
+      .select(col("source"), col("n_docs"), col("n_shared_head"),
+        col("n_shared_tail"),
+        round(col("n_shared_head").cast("double") / col("n_docs"), 6)
+          .as("head_frac"),
+        round(col("n_shared_tail").cast("double") / col("n_docs"), 6)
+          .as("tail_frac"))
+  }
+
   /** Near-dup pairs via WINNOWING fingerprint collisions — the MOSS-style
     * alternative to MinHash-LSH banding: candidates are document pairs
     * sharing at least one winnowed fingerprint
