@@ -499,6 +499,14 @@ object SparkEntry {
     "q264_activity_heatmap" -> ((s: SparkSession, d: String) => Relational.activityHeatmap(s, d)),
     // hours-between-sessions return-gap histogram with SLA-style curve
     "q265_session_return_gaps" -> ((s: SparkSession, d: String) => Sessions.sessionReturnGaps(s, d)),
+    // Hyndman seasonal/trend strength of the q251 decomposition
+    "q266_seasonal_strength" -> ((s: SparkSession, d: String) => Relational.seasonalStrength(s, d)),
+    // per-user keep/drop verdict: entropy + perplexity + replay screens
+    "q267_user_curation" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.userCurationDecisions(s, d)),
+    // discount-band volume/quantity/revenue-share effectiveness table
+    "q268_discount_bands" -> ((s: SparkSession, d: String) => Relational.discountBands(s, d)),
+    // Heaps-law log-log fit and 10x vocabulary projection
+    "q269_heaps_projection" -> ((s: SparkSession, d: String) => TextAnalytics.heapsProjection(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5243,5 +5251,174 @@ private object CorpusOracles {
          | round(CAST(cum AS DOUBLE) / n, 6) AS cum_share
          |FROM c""".stripMargin
     },
+    // q266: each component value in one pinned tree from q251's exact
+    // integers, rounded onto the x100 grid; variance sums in HUGEINT
+    "q266_seasonal_strength" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |c AS (SELECT day + CAST(k AS INTEGER) AS day,
+        |   sum(x) AS trend_fp, count(*) AS nw
+        |  FROM x, range(-15, 16) t(k) GROUP BY 1),
+        |f AS (SELECT x.day, x.x,
+        |   CAST(isodow(x.day) AS INTEGER) AS iso_dow,
+        |   CAST(c.trend_fp AS BIGINT) AS trend_fp,
+        |   31 * x.x - CAST(c.trend_fp AS BIGINT) AS det_fp
+        |  FROM x JOIN c ON x.day = c.day WHERE c.nw = 31),
+        |s AS (SELECT iso_dow, CAST(sum(det_fp) AS BIGINT) AS seas_num,
+        |   CAST(count(*) AS BIGINT) AS seas_den
+        |  FROM f GROUP BY 1),
+        |v AS (SELECT
+        |   CAST(round(CAST(f.det_fp AS DOUBLE) / 31.0 * 100, 0)
+        |     AS BIGINT) AS dfp,
+        |   CAST(round(CAST(f.det_fp * s.seas_den - s.seas_num AS DOUBLE)
+        |     / (31.0 * s.seas_den) * 100, 0) AS BIGINT) AS rfp,
+        |   CAST(round((f.x - CAST(s.seas_num AS DOUBLE)
+        |     / (31.0 * s.seas_den)) * 100, 0) AS BIGINT) AS tfp
+        |  FROM f JOIN s USING (iso_dow)),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(dfp AS HUGEINT)) AS sd,
+        |   sum(CAST(dfp AS HUGEINT) * dfp) AS sdd,
+        |   sum(CAST(rfp AS HUGEINT)) AS sr,
+        |   sum(CAST(rfp AS HUGEINT) * rfp) AS srr,
+        |   sum(CAST(tfp AS HUGEINT)) AS ss,
+        |   sum(CAST(tfp AS HUGEINT) * tfp) AS sss
+        |  FROM v)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        | round(greatest(0.0, 1.0
+        |   - (CAST(srr AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |     / (CAST(sdd AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+        |  AS seasonal_strength,
+        | round(greatest(0.0, 1.0
+        |   - (CAST(srr AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |     / (CAST(sss AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))), 6)
+        |  AS trend_strength
+        |FROM a""".stripMargin,
+    // q267: the q146 entropy, q255 perplexity and q123 replay screens
+    // composed into one verdict; pinned thresholds, missing signals
+    // don't flag
+    "q267_user_curation" ->
+      s"""WITH ut AS (SELECT user_id, event_type, count(*) AS c
+         | FROM events GROUP BY 1, 2),
+         |tot AS (SELECT user_id, sum(c) AS n_events FROM ut GROUP BY 1),
+         |t AS (SELECT ut.user_id, tot.n_events,
+         |  round(-(CAST(c AS DOUBLE) / n_events)
+         |    * ln(CAST(c AS DOUBLE) / n_events), 6) AS term
+         | FROM ut JOIN tot USING (user_id)),
+         |h AS (SELECT user_id, CAST(min(n_events) AS BIGINT) AS n_events,
+         |  round(CAST(sum(CAST(round(term * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / 1000000, 6) AS entropy
+         | FROM t GROUP BY 1),
+         |e AS (SELECT user_id, event_type, lead(event_type, 1) OVER (
+         |   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |tr AS (SELECT user_id, event_type AS from_type,
+         |   next_type AS to_type FROM e WHERE next_type IS NOT NULL),
+         |counts AS (SELECT from_type, to_type, count(*) AS n_ft
+         |  FROM tr GROUP BY 1, 2),
+         |totm AS (SELECT from_type, sum(n_ft) AS n_from FROM counts
+         |  GROUP BY 1),
+         |model AS (SELECT counts.from_type, counts.to_type,
+         |   CAST(round(-ln(CAST(n_ft AS DOUBLE) / n_from) * 1000000, 0)
+         |     AS BIGINT) AS s_fp
+         |  FROM counts JOIN totm USING (from_type)),
+         |p AS (SELECT tr.user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         |  round(CAST(sum(s_fp) AS DOUBLE) / 1000000 / count(*), 6)
+         |   AS mean_surprisal
+         | FROM tr JOIN model USING (from_type, to_type) GROUP BY 1),
+         |sq AS (SELECT user_id,
+         |   time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS w,
+         |   md5(array_to_string(list_slice(list(event_type ORDER BY event_id), 1, 100), ',')) AS seq_hash
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT seq_hash, count(*) AS ns FROM sq GROUP BY 1),
+         |r AS (SELECT sq.user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |   round(CAST(sum(CASE WHEN g.ns > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |     / count(*), 6) AS replay_frac
+         |  FROM sq JOIN g USING (seq_hash) GROUP BY 1)
+         |SELECT h.user_id, h.n_events, h.entropy,
+         | p.mean_surprisal, r.replay_frac,
+         | CAST(h.n_events >= 20 AND h.entropy < 0.5 AS INTEGER)
+         |  AS flag_entropy,
+         | coalesce(CAST((p.n_transitions >= 20 AND p.mean_surprisal < 1.0)
+         |   OR p.mean_surprisal > 2.5 AS INTEGER), 0) AS flag_perplexity,
+         | coalesce(CAST(r.n_sessions >= 5 AND r.replay_frac >= 0.5
+         |  AS INTEGER), 0) AS flag_replay,
+         | 1 - greatest(
+         |   CAST(h.n_events >= 20 AND h.entropy < 0.5 AS INTEGER),
+         |   coalesce(CAST((p.n_transitions >= 20 AND p.mean_surprisal < 1.0)
+         |     OR p.mean_surprisal > 2.5 AS INTEGER), 0),
+         |   coalesce(CAST(r.n_sessions >= 5 AND r.replay_frac >= 0.5
+         |    AS INTEGER), 0)) AS keep
+         |FROM h LEFT JOIN p USING (user_id) LEFT JOIN r USING (user_id)""".stripMargin,
+    // q268: <= 11 bands; quantity sums exact, revenue the 2-dp money
+    // class, the share divides the two ROUNDED revenues once
+    "q268_discount_bands" ->
+      """WITH b AS (SELECT CAST(round(l_discount * 100, 0) AS INTEGER)
+        |   AS discount_pct,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT round(sum(revenue), 2) AS rev_all FROM b)
+        |SELECT discount_pct, n_lines,
+        | round(CAST(qty AS DOUBLE) / n_lines, 6) AS avg_qty,
+        | revenue,
+        | round(revenue / rev_all, 6) AS rev_share
+        |FROM b, t""".stripMargin,
+    // q269: q222's checkpoints through the q249 fixed-point OLS recipe
+    "q269_heaps_projection" ->
+      """WITH n AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        |d AS (SELECT CAST(doc_id * 10 // n AS INTEGER) AS decile, text
+        |  FROM documents CROSS JOIN n),
+        |tp AS (SELECT decile,
+        |   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |ft AS (SELECT w, min(decile) AS decile FROM (
+        |   SELECT decile, unnest(string_split(text, ' ')) AS w FROM d)
+        |  GROUP BY 1),
+        |ty AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new_types
+        |  FROM ft GROUP BY 1),
+        |c AS (SELECT tp.decile,
+        |   CAST(sum(tp.n_tokens) OVER win AS BIGINT) AS n_tokens_cum,
+        |   CAST(sum(coalesce(ty.n_new_types, 0)) OVER win AS BIGINT)
+        |    AS n_types_cum
+        |  FROM tp LEFT JOIN ty USING (decile)
+        |  WINDOW win AS (ORDER BY tp.decile ROWS UNBOUNDED PRECEDING)),
+        |pts AS (SELECT
+        |   CAST(round(ln(CAST(n_tokens_cum AS DOUBLE)) * 1000000, 0)
+        |     AS BIGINT) AS xf,
+        |   CAST(round(ln(CAST(n_types_cum AS DOUBLE)) * 1000000, 0)
+        |     AS BIGINT) AS yf,
+        |   n_tokens_cum FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(xf) AS BIGINT) AS sx, CAST(sum(yf) AS BIGINT) AS sy,
+        |   CAST(sum(xf * xf) AS BIGINT) AS sxx,
+        |   CAST(sum(xf * yf) AS BIGINT) AS sxy,
+        |   max(n_tokens_cum) AS n_tokens FROM pts)
+        |SELECT CAST(n AS INTEGER) AS n_checkpoints,
+        | CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS beta,
+        | round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE) / 1000000.0, 6) AS ln_k,
+        | round(exp((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE) / 1000000.0
+        |  + CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * ln(10.0 * CAST(n_tokens AS DOUBLE))), 2)
+        |  AS projected_vocab_10x
+        |FROM a""".stripMargin,
   )
 }

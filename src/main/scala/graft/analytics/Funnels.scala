@@ -1066,6 +1066,47 @@ object Funnels {
           .as("mean_surprisal"))
   }
 
+  /** Per-USER curation verdict — the behavioral q61: compose the
+    * low-entropy/high-volume screen ([[userEntropy]]), the Markov
+    * perplexity bands ([[userPerplexity]]: too predictable under the
+    * corpus chain with real volume, or impossibly erratic), and the
+    * session replay score ([[graft.analytics.Sessions.userReplayScore]])
+    * into one keep/drop row per user — the filter a clickstream corpus
+    * runs before its events become training data, exactly as q61 gates
+    * documents. Thresholds are pinned constants (reproducible,
+    * sketch-free), and a user missing a signal (no transitions, no
+    * sessions) simply doesn't flag on it.
+    *
+    * Scale shape: three user-keyed rollups (each one shuffle on user_id,
+    * shapes documented at their sources) meet in two user-keyed joins;
+    * flags and the verdict are map-side.
+    */
+  def userCurationDecisions(spark: SparkSession, sfDir: String,
+      surprisalLow: Double = 1.0, surprisalHigh: Double = 2.5,
+      replayMin: Double = 0.5): DataFrame = {
+    val ent = userEntropy(spark, sfDir)
+      .select(col("user_id"), col("n_events"), col("entropy"),
+        col("bot_like").as("flag_entropy"))
+    val per = userPerplexity(spark, sfDir)
+      .select(col("user_id"), col("n_transitions"), col("mean_surprisal"))
+    val rep = graft.analytics.Sessions.userReplayScore(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"), col("replay_frac"))
+    ent
+      .join(per, Seq("user_id"), "left")
+      .join(rep, Seq("user_id"), "left")
+      .withColumn("flag_perplexity", coalesce(
+        ((col("n_transitions") >= 20 && col("mean_surprisal") < surprisalLow)
+          || col("mean_surprisal") > surprisalHigh).cast("int"), lit(0)))
+      .withColumn("flag_replay", coalesce(
+        (col("n_sessions") >= 5 && col("replay_frac") >= replayMin)
+          .cast("int"), lit(0)))
+      .select(col("user_id"), col("n_events"), col("entropy"),
+        col("mean_surprisal"), col("replay_frac"),
+        col("flag_entropy"), col("flag_perplexity"), col("flag_replay"),
+        (lit(1) - greatest(col("flag_entropy"), col("flag_perplexity"),
+          col("flag_replay"))).as("keep"))
+  }
+
   /** Kaplan–Meier retention survival curve at week grain: per lifetime
     * week k, the users still at risk, the churn events (users whose
     * observed lifetime ended at week k AND whose last activity predates

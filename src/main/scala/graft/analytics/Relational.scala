@@ -1107,6 +1107,83 @@ object Relational {
           .as("share_of_day"))
   }
 
+  /** Seasonal and trend STRENGTH of the q251 decomposition (Hyndman's
+    * F-measures): 1 − Var(residual)/Var(detrended) says how much of the
+    * de-trended motion the weekly cycle explains, and
+    * 1 − Var(residual)/Var(de-seasonalized) how much of the rest is
+    * trend — the two numbers that decide whether q251's components are
+    * worth monitoring separately at all (strengths near 0 mean the
+    * "seasonal" line is noise being dignified).
+    *
+    * Determinism: each per-day component value evaluates in one pinned
+    * IEEE tree from q251's exact integers, is rounded once onto a ×100
+    * grid, and the variance sums run in Decimal(38,0) fixed point; the
+    * final ratios are single double operations rounded at 6 dp.
+    *
+    * Scale shape: everything after q251's calendar-sized output is a
+    * one-row aggregate.
+    */
+  def seasonalStrength(spark: SparkSession, sfDir: String,
+      half: Int = 15): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val win = (2 * half + 1).toDouble
+    val d = seasonalDecompose(spark, sfDir, half)
+      .select(
+        ((lit(2 * half + 1) * col("cents") - col("trend_fp"))
+          .cast("double") / win).as("det"),
+        (col("resid_num").cast("double")
+          / (lit(win) * col("seas_den"))).as("resid"),
+        (col("cents")
+          - col("seas_num").cast("double") / (lit(win) * col("seas_den")))
+          .as("deseas"))
+    def fp(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+    val sums = d.agg(count(lit(1)).cast(dec).as("n"),
+      sum(fp(col("det")).cast(dec)).as("sd"),
+      sum((fp(col("det")).cast(dec) * fp(col("det"))).cast(dec)).as("sdd"),
+      sum(fp(col("resid")).cast(dec)).as("sr"),
+      sum((fp(col("resid")).cast(dec) * fp(col("resid"))).cast(dec)).as("srr"),
+      sum(fp(col("deseas")).cast(dec)).as("ss"),
+      sum((fp(col("deseas")).cast(dec) * fp(col("deseas"))).cast(dec)).as("sss"))
+    def varOf(s2: String, s1: String) =
+      (col(s2).cast("double") * col("n").cast("double")
+        - col(s1).cast("double") * col(s1).cast("double"))
+    sums.select(col("n").cast("long").as("n_days"),
+      round(greatest(lit(0.0),
+        lit(1.0) - varOf("srr", "sr") / varOf("sdd", "sd")), 6)
+        .as("seasonal_strength"),
+      round(greatest(lit(0.0),
+        lit(1.0) - varOf("srr", "sr") / varOf("sss", "ss")), 6)
+        .as("trend_strength"))
+  }
+
+  /** Discount-band effectiveness: line items grouped by the discount
+    * percentage, with volume, exact average quantity, 2-dp revenue and
+    * each band's revenue share — the "does discounting move units"
+    * table, TPC-H's q19 spirit as a reusable report.
+    *
+    * Determinism: counts and quantity sums are exact; revenue is the
+    * 2-dp-grid money-sum class (summands on a 10⁻⁴ grid); the share
+    * divides the two ROUNDED revenue numbers once.
+    *
+    * Scale shape: one map-side-combinable aggregate into ≤ 11 bands; the
+    * total rides a broadcast one-row aggregate.
+    */
+  def discountBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = Tables.lineitem(spark, sfDir)
+      .groupBy(round(col("l_discount") * 100, 0).cast("int")
+        .as("discount_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    val tot = bands.agg(round(sum(col("revenue")), 2).as("rev_all"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("discount_pct"), col("n_lines"),
+        round(col("qty").cast("double") / col("n_lines"), 6).as("avg_qty"),
+        col("revenue"),
+        round(col("revenue") / col("rev_all"), 6).as("rev_share"))
+  }
+
   /** Mutual information of event_type × ISO weekday (plus both marginal
     * entropies): the effect-SIZE companion to q231's chi-square — the
     * test says whether weekday and event mix are dependent; MI (and the

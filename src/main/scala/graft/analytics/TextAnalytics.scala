@@ -1875,6 +1875,43 @@ object TextAnalytics {
         round(lit(1.0) / col("inv_alpha_raw"), 6).as("alpha"))
   }
 
+  /** Heaps'-law FIT and growth projection: log-log OLS of the q222
+    * vocabulary-growth checkpoints (V = K·N^β) and the projected
+    * vocabulary at 10× the current token count — the capacity number a
+    * tokenizer owner reads before freezing a vocab size against the next
+    * crawl (β far from the 0.4-0.6 web band also flags a synthetic or
+    * template-saturated corpus).
+    *
+    * Determinism: each ln is rounded once onto the ×10⁶ grid; the OLS
+    * sums over the 10 checkpoints are exact int64; slope, intercept and
+    * the one exp evaluate in pinned trees rounded at 6/2 dp.
+    *
+    * Scale shape: everything after q222's curve is a 10-row aggregate.
+    */
+  def heapsProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = heapsCurve(spark, sfDir)
+      .select(round(log(col("n_tokens_cum").cast("double")) * 1e6, 0)
+        .cast("long").as("xf"),
+        round(log(col("n_types_cum").cast("double")) * 1e6, 0)
+          .cast("long").as("yf"),
+        col("n_tokens_cum"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum(col("xf")).as("sx"), sum(col("yf")).as("sy"),
+      sum(col("xf") * col("xf")).as("sxx"),
+      sum(col("xf") * col("yf")).as("sxy"),
+      max(col("n_tokens_cum")).as("n_tokens"))
+    val beta = ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val lnK = ((col("sy").cast("double")
+      - beta * col("sx").cast("double")) / col("n").cast("double") / 1e6)
+    s.select(col("n").cast("int").as("n_checkpoints"),
+      col("n_tokens"),
+      round(beta, 6).as("beta"),
+      round(lnK, 6).as("ln_k"),
+      round(exp(lnK + beta * log(lit(10.0) * col("n_tokens").cast("double"))), 2)
+        .as("projected_vocab_10x"))
+  }
+
   /** POSITIONAL token entropy: Shannon entropy of the word distribution
     * in each relative-position decile of the document (bucket 0 = first
     * 10% of tokens … bucket 9 = last 10%) — the structural signature of
