@@ -507,6 +507,14 @@ object SparkEntry {
     "q268_discount_bands" -> ((s: SparkSession, d: String) => Relational.discountBands(s, d)),
     // Heaps-law log-log fit and 10x vocabulary projection
     "q269_heaps_projection" -> ((s: SparkSession, d: String) => TextAnalytics.heapsProjection(s, d)),
+    // customer revenue concentration by power-of-two spend band
+    "q270_revenue_concentration" -> ((s: SparkSession, d: String) => Relational.revenueConcentration(s, d)),
+    // Rand / adjusted-Rand agreement of the 0.7 vs 0.8 dedup clusterings
+    "q271_clustering_agreement" -> ((s: SparkSession, d: String) => graft.operators.Curation.clusteringAgreement(s, d)),
+    // LSH candidate precision as a function of document length band
+    "q272_lsh_precision_by_length" -> ((s: SparkSession, d: String) => graft.operators.Dedup.lshPrecisionByLength(s, d)),
+    // per-session peak events-per-minute histogram (burst screen)
+    "q273_session_peak_rate" -> ((s: SparkSession, d: String) => Sessions.sessionPeakRate(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5420,5 +5428,128 @@ private object CorpusOracles {
         |    * ln(10.0 * CAST(n_tokens AS DOUBLE))), 2)
         |  AS projected_vocab_10x
         |FROM a""".stripMargin,
+    // q270: floor-log2 via binary-string length (integer-exact, no libm)
+    "q270_revenue_concentration" ->
+      """WITH cust AS (SELECT o_custkey,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT CAST(length(bin(cents)) - 1 AS INTEGER) AS band,
+        |   CAST(count(*) AS BIGINT) AS n_customers,
+        |   CAST(sum(cents) AS BIGINT) AS band_cents
+        |  FROM cust GROUP BY 1),
+        |c AS (SELECT *, sum(band_cents) OVER (ORDER BY band DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+        |   sum(band_cents) OVER () AS all_cents,
+        |   sum(n_customers) OVER () AS all_cust FROM b)
+        |SELECT band, n_customers, band_cents,
+        | round(CAST(n_customers AS DOUBLE) / all_cust, 6)
+        |  AS customer_share,
+        | round(CAST(band_cents AS DOUBLE) / all_cents, 6)
+        |  AS revenue_share,
+        | round(CAST(cum_cents AS DOUBLE) / all_cents, 6)
+        |  AS cum_revenue_share_from_top
+        |FROM c""".stripMargin,
+    // q271: both clusterings from the ONE verified pair list (the 0.8
+    // world is the 0.7 candidates re-thresholded — the same rows the
+    // engine's minhashPairs(0.8) verifies); exact C(n,2) sums in HUGEINT
+    "q271_clustering_agreement" ->
+      s"""WITH RECURSIVE
+         |mp AS ($minhashPairsSql),
+         |ea AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |       UNION ALL SELECT doc2, doc1 FROM mp),
+         |ra(doc_id, component) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.component FROM ra r JOIN ea e ON e.src = r.doc_id),
+         |ca AS (SELECT doc_id, min(component) AS comp_a FROM ra GROUP BY 1),
+         |pb AS (SELECT doc1, doc2 FROM mp WHERE jaccard >= 0.8),
+         |eb AS (SELECT doc1 AS src, doc2 AS dst FROM pb
+         |       UNION ALL SELECT doc2, doc1 FROM pb),
+         |rb(doc_id, component) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.component FROM rb r JOIN eb e ON e.src = r.doc_id),
+         |cb AS (SELECT doc_id, min(component) AS comp_b FROM rb GROUP BY 1),
+         |j AS (SELECT ca.doc_id, comp_a, comp_b FROM ca JOIN cb USING (doc_id)),
+         |cells AS (SELECT comp_a, comp_b, count(*) AS n FROM j GROUP BY 1, 2),
+         |sboth AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS s_both
+         |  FROM cells),
+         |saa AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS s_a FROM (
+         |  SELECT comp_a, count(*) AS n FROM j GROUP BY 1)),
+         |sbb AS (SELECT sum(CAST(n AS HUGEINT) * (n - 1) // 2) AS s_b FROM (
+         |  SELECT comp_b, count(*) AS n FROM j GROUP BY 1)),
+         |nn AS (SELECT count(*) AS n_docs,
+         |   CAST(count(*) AS HUGEINT) * (count(*) - 1) // 2 AS total FROM j)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         | CAST(s_both AS BIGINT) AS pairs_both,
+         | CAST(s_a - s_both AS BIGINT) AS pairs_a_only,
+         | CAST(s_b - s_both AS BIGINT) AS pairs_b_only,
+         | round(CAST(s_both + (total - s_a - s_b + s_both) AS DOUBLE)
+         |   / CAST(total AS DOUBLE), 6) AS rand_index,
+         | round((CAST(s_both AS DOUBLE)
+         |   - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+         |     / CAST(total AS DOUBLE))
+         |  / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+         |   - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+         |     / CAST(total AS DOUBLE)), 6) AS adjusted_rand
+         |FROM nn, sboth, saa, sbb""".stripMargin,
+    // q272: the q126 candidate+exact chain joined to token lengths
+    "q272_lsh_precision_by_length" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, [${(0 until 16).map(mhExpr).mkString(", ")}] AS sig
+         |  FROM ($baseHashes)),
+         |banded AS (SELECT doc_id, b AS band,
+         |   md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bkey
+         |  FROM sig, UNNEST([0,1,2,3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT doc1, doc2, count(*) AS cnt
+         |  FROM cand
+         |  JOIN sh s1 ON s1.doc_id = doc1
+         |  JOIN sh s2 ON s2.doc_id = doc2 AND s1.shingle = s2.shingle
+         |  GROUP BY 1,2),
+         |ex AS (SELECT inter.doc1, inter.doc2,
+         |   round(cnt*1.0/(x.n + y.n - cnt), 6) AS j
+         |  FROM inter JOIN sizes x ON inter.doc1 = x.doc_id
+         |  JOIN sizes y ON inter.doc2 = y.doc_id),
+         |e AS (SELECT cand.doc1, cand.doc2,
+         |   coalesce(ex.j, CAST(0.0 AS DOUBLE)) AS jaccard
+         |  FROM cand LEFT JOIN ex
+         |    ON cand.doc1 = ex.doc1 AND cand.doc2 = ex.doc2),
+         |lens AS (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+         |  FROM documents),
+         |g AS (SELECT
+         |   CAST(least(9, least(l1.len, l2.len) // 50) AS INTEGER)
+         |    AS len_band,
+         |   e.jaccard
+         |  FROM e JOIN lens l1 ON l1.doc_id = e.doc1
+         |  JOIN lens l2 ON l2.doc_id = e.doc2)
+         |SELECT len_band, CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_true,
+         | round(CAST(sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / count(*), 6) AS "precision"
+         |FROM g GROUP BY 1""".stripMargin,
+    // q273: the shared 30-min sessionizer; minute buckets, per-session max
+    "q273_session_peak_rate" -> {
+      s"""WITH s AS (${SparkEntry.gapSessionsSql}),
+         |m AS (SELECT user_id, sid,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute,
+         |   count(*) AS c
+         |  FROM s GROUP BY 1, 2, 3),
+         |p AS (SELECT user_id, sid, max(c) AS peak_per_min FROM m
+         |  GROUP BY 1, 2),
+         |h AS (SELECT peak_per_min, count(*) AS n_sessions FROM p
+         |  GROUP BY 1),
+         |t AS (SELECT sum(n_sessions) AS n FROM h)
+         |SELECT CAST(peak_per_min AS BIGINT) AS peak_per_min,
+         | CAST(n_sessions AS BIGINT) AS n_sessions,
+         | round(CAST(n_sessions AS DOUBLE) / n, 6) AS share
+         |FROM h, t""".stripMargin
+    },
   )
 }

@@ -1156,6 +1156,44 @@ object Relational {
         .as("trend_strength"))
   }
 
+  /** Customer revenue CONCENTRATION by power-of-two spend band: customers
+    * bucketed by ⌊log₂(lifetime cents)⌋, each band's customer count,
+    * revenue mass, share and top-down cumulative share — the Lorenz/
+    * whale-curve read ("the top band is 2% of customers and 40% of
+    * revenue") at a GRAIN that needs no global rank: an exact "top k%"
+    * cut would rank every customer (a distributed sort of the rollup);
+    * the ≤ ~40 log bands give the same concentration story from one
+    * bounded aggregate — the same trade q147 makes with pinned RFM bands.
+    *
+    * Determinism: ⌊log₂⌋ via binary-string length (integer-exact, no
+    * libm); counts and cent sums exact; shares single rounded divisions.
+    *
+    * Scale shape: one customer rollup (map-side combinable), one
+    * ≤ 40-row band aggregate, a window over those bands only.
+    */
+  def revenueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val bands = cust
+      .groupBy((length(bin(col("cents"))) - 1).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("band_cents"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(lit(1))
+    bands
+      .withColumn("cum_cents", sum(col("band_cents")).over(w))
+      .withColumn("all_cents", sum(col("band_cents")).over(tot))
+      .withColumn("all_cust", sum(col("n_customers")).over(tot))
+      .select(col("band"), col("n_customers"), col("band_cents"),
+        round(col("n_customers").cast("double") / col("all_cust"), 6)
+          .as("customer_share"),
+        round(col("band_cents").cast("double") / col("all_cents"), 6)
+          .as("revenue_share"),
+        round(col("cum_cents").cast("double") / col("all_cents"), 6)
+          .as("cum_revenue_share_from_top"))
+  }
+
   /** Discount-band effectiveness: line items grouped by the discount
     * percentage, with volume, exact average quantity, 2-dp revenue and
     * each band's revenue share — the "does discounting move units"

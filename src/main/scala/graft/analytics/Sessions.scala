@@ -243,6 +243,44 @@ object Sessions {
         round(col("cum").cast("double") / col("n"), 6).as("cum_share"))
   }
 
+  /** Session PEAK-RATE histogram: each 30-min-gap session's maximum
+    * events within any single minute, histogrammed — the burst-intensity
+    * screen that separates human click cadence (peaks of 1-3/min) from
+    * scripted replay (dozens per minute), the within-session companion
+    * to q154's inter-event burstiness and a direct input to the q267
+    * behavioral verdict family.
+    *
+    * Determinism: integer minute buckets and counts; one rounded share.
+    *
+    * Scale shape: the sessionization window, a (user, sid, minute)
+    * collapse (map-side combinable), a (user, sid) max, and a bounded
+    * peak-grain histogram.
+    */
+  def sessionPeakRate(spark: SparkSession, sfDir: String,
+      gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("sid",
+        sum(when(col("gap_us").isNull
+          || col("gap_us") > gapSec * 1000000L, 1L).otherwise(0L)).over(run))
+      .groupBy(col("user_id"), col("sid"),
+        expr("unix_micros(ts) DIV 60000000").as("minute"))
+      .agg(count(lit(1)).as("in_minute"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(col("in_minute")).as("peak_per_min"))
+    val tot = Window.partitionBy(lit(1))
+    peaks.groupBy(col("peak_per_min"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .withColumn("n", sum(col("n_sessions")).over(tot))
+      .select(col("peak_per_min"), col("n_sessions"),
+        round(col("n_sessions").cast("double") / col("n"), 6).as("share"))
+  }
+
   /** Session-size histogram: how many 30-min-gap sessions contain exactly
     * k events, with each size's share — the session-depth distribution
     * behind [[sessionGap]]'s per-session rows (single-event bounce

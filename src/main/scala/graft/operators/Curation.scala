@@ -197,6 +197,56 @@ object Curation {
         Tables.documents(spark, sfDir).select(col("doc_id")))
     }
 
+  /** Rand index and ADJUSTED Rand index between the near-dup clusterings
+    * at two thresholds — the quantitative answer to "how different are
+    * the 0.7 and 0.8 dedup worlds" that q225's dendrogram shows
+    * qualitatively: pair-counting agreement over every document pair
+    * (together in both / in one / in neither), with ARI correcting for
+    * chance so a near-1 score means the threshold choice barely matters.
+    *
+    * Determinism: all pair counts are exact C(n,2) integer sums in
+    * Decimal(38,0) (corpus-squared magnitudes overflow int64); the two
+    * indices evaluate in pinned trees rounded at 6 dp.
+    *
+    * Scale shape: the contingency cells are a (comp_a, comp_b)-keyed
+    * aggregate of the doc-sized join — bounded by cluster count — and
+    * every subsequent sum is over cells or clusters, never pairs.
+    */
+  def clusteringAgreement(spark: SparkSession, sfDir: String,
+      thresholdA: Double = 0.7, thresholdB: Double = 0.8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def pairsOf(c: org.apache.spark.sql.Column) =
+      (c.cast(dec) * (c.cast(dec) - 1) / 2).cast(dec)
+    val a = dedupComponents(spark, sfDir, thresholdA)
+      .select(col("doc_id"), col("component").as("ca"))
+    val b = dedupComponents(spark, sfDir, thresholdB)
+      .select(col("doc_id"), col("component").as("cb"))
+    val j = a.join(b, "doc_id").localCheckpoint()
+    val sBoth = j.groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("n"))
+      .agg(sum(pairsOf(col("n"))).as("s_both"))
+    val sA = j.groupBy(col("ca")).agg(count(lit(1)).as("n"))
+      .agg(sum(pairsOf(col("n"))).as("s_a"))
+    val sB = j.groupBy(col("cb")).agg(count(lit(1)).as("n"))
+      .agg(sum(pairsOf(col("n"))).as("s_b"))
+    val n = j.agg(count(lit(1)).as("n_docs"))
+    n.crossJoin(broadcast(sBoth)).crossJoin(broadcast(sA))
+      .crossJoin(broadcast(sB))
+      .withColumn("total", pairsOf(col("n_docs")))
+      .select(col("n_docs"),
+        col("s_both").cast("long").as("pairs_both"),
+        (col("s_a") - col("s_both")).cast("long").as("pairs_a_only"),
+        (col("s_b") - col("s_both")).cast("long").as("pairs_b_only"),
+        round((col("s_both") + (col("total") - col("s_a") - col("s_b")
+          + col("s_both"))).cast("double") / col("total").cast("double"), 6)
+          .as("rand_index"),
+        round((col("s_both").cast("double")
+          - col("s_a").cast("double") * col("s_b").cast("double")
+            / col("total").cast("double"))
+          / ((col("s_a").cast("double") + col("s_b").cast("double")) / 2.0
+            - col("s_a").cast("double") * col("s_b").cast("double")
+              / col("total").cast("double")), 6).as("adjusted_rand"))
+  }
+
   /** Integer fixed-point PageRank over the near-dup graph (q25's pair
     * list, undirected): ranks duplicate-cluster members by how central
     * they are to their cluster's link structure — the graph-importance

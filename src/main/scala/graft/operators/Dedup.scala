@@ -705,6 +705,32 @@ object Dedup {
       .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
   }
 
+  /** LSH candidate PRECISION by document-length band: over the
+    * [[minhashCandidateAudit]] pairs, how often a band collision is a
+    * true near-dup (exact Jaccard ≥ t) as a function of the SHORTER
+    * member's token length — the known MinHash failure mode made
+    * measurable: short documents have few shingles, their 16-element
+    * signatures collide easily, and precision collapses in the bottom
+    * bands. The evidence for a minimum-length gate in front of LSH.
+    *
+    * Scale shape: the audit table is candidate-bounded and memoized; two
+    * doc-keyed joins decorate it with lengths; one ≤ 10-row band rollup.
+    */
+  def lshPrecisionByLength(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7, bandTokens: Int = 50): DataFrame = {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("len"))
+    minhashCandidateAudit(spark, sfDir)
+      .join(lens.select(col("doc_id").as("doc1"), col("len").as("len1")), "doc1")
+      .join(lens.select(col("doc_id").as("doc2"), col("len").as("len2")), "doc2")
+      .groupBy(expr(s"CAST(least(9, least(len1, len2) DIV $bandTokens) AS INT)")
+        .as("len_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("precision",
+        round(col("n_true").cast("double") / col("n_candidates"), 6))
+  }
+
   /** Character-level fuzzy dedup: exact Levenshtein distance over the LSH
     * band candidates — the edit-distance verify route beside the
     * shingle-Jaccard one ([[minhashPairs]]). Token-level Jaccard is blind
