@@ -1,3 +1,11 @@
+#!/usr/bin/env python3
+"""STRICT bit-exact variant of tools/check.py: floats normalized via
+hex() (no rounding), timestamps to UTC-naive — catches 1-ulp
+cross-engine divergences the 6-dp compare hides.
+
+Usage: python3 tools/exact_check.py <sfDir> <verifyOutDir> [query ...]
+Dev tool only — NOT part of the Scala library.
+"""
 import sys, json, glob, math, datetime
 import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
