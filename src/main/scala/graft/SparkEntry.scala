@@ -515,6 +515,14 @@ object SparkEntry {
     "q272_lsh_precision_by_length" -> ((s: SparkSession, d: String) => graft.operators.Dedup.lshPrecisionByLength(s, d)),
     // per-session peak events-per-minute histogram (burst screen)
     "q273_session_peak_rate" -> ((s: SparkSession, d: String) => Sessions.sessionPeakRate(s, d)),
+    // TPC-H Q5-shape local supplier volume (six-table star join)
+    "q274_local_supplier_volume" -> ((s: SparkSession, d: String) => Relational.localSupplierVolume(s, d)),
+    // per-nation supplier revenue HHI + top supplier share
+    "q275_supplier_hhi" -> ((s: SparkSession, d: String) => Relational.supplierHhi(s, d)),
+    // near-dup graph degree histogram
+    "q276_dedup_degrees" -> ((s: SparkSession, d: String) => graft.operators.Dedup.dedupDegreeHistogram(s, d)),
+    // embedding norm-band histogram per label
+    "q277_norm_bands" -> ((s: SparkSession, d: String) => Similarity.normBands(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5551,5 +5559,59 @@ private object CorpusOracles {
          | round(CAST(n_sessions AS DOUBLE) / n, 6) AS share
          |FROM h, t""".stripMargin
     },
+    // q274: the six-table star; revenue is the 2-dp money-sum class
+    "q274_local_supplier_volume" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_lines,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    // q275: HHI numerator/denominator in exact HUGEINT; one division each
+    "q275_supplier_hhi" ->
+      """WITH bs AS (SELECT l_suppkey,
+        |   sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |     AS BIGINT)) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name, cents FROM bs
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(CAST(cents AS HUGEINT)) AS BIGINT) AS total_cents,
+        | round(CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+        |   / (CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+        |      * CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)), 6) AS hhi,
+        | round(CAST(max(cents) AS DOUBLE)
+        |   / CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE), 6)
+        |  AS top_supplier_share
+        |FROM j GROUP BY 1""".stripMargin,
+    // q276: degrees from the doubled pair stream; bounded degree grain
+    "q276_dedup_degrees" ->
+      s"""WITH mp AS ($minhashPairsSql),
+         |deg AS (SELECT doc_id, count(*) AS degree FROM (
+         |  SELECT doc1 AS doc_id FROM mp
+         |  UNION ALL SELECT doc2 AS doc_id FROM mp) GROUP BY 1),
+         |h AS (SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1),
+         |t AS (SELECT sum(n_docs) AS n FROM h)
+         |SELECT CAST(degree AS BIGINT) AS degree,
+         | CAST(n_docs AS BIGINT) AS n_docs,
+         | round(CAST(n_docs AS DOUBLE) / n, 6) AS share
+         |FROM h, t""".stripMargin,
+    // q277: in-row array-order norm fold (the q29 precedent); 0.25 bands
+    "q277_norm_bands" ->
+      """WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |b AS (SELECT label,
+        |   CAST(floor(sqrt(list_sum(list_transform(v, x -> x * x)))
+        |     / 0.25) AS INTEGER) AS norm_band FROM c),
+        |g AS (SELECT label, norm_band, count(*) AS n_vecs FROM b
+        |  GROUP BY 1, 2),
+        |t AS (SELECT label, sum(n_vecs) AS n_label FROM g GROUP BY 1)
+        |SELECT g.label, g.norm_band, CAST(n_vecs AS BIGINT) AS n_vecs,
+        | round(CAST(n_vecs AS DOUBLE) / n_label, 6) AS share_of_label
+        |FROM g JOIN t USING (label)""".stripMargin,
   )
 }

@@ -1156,6 +1156,86 @@ object Relational {
         .as("trend_strength"))
   }
 
+  /** LOCAL supplier volume (the TPC-H Q5 shape): revenue from line items
+    * where the ordering customer and the supplier share a nation, rolled
+    * up per nation with its region — the six-table star join (two fact
+    * hops, four dimension hops) every warehouse benchmark uses to test
+    * join planning, kept here as a gated query so the engine's multi-join
+    * path stays exercised end to end.
+    *
+    * Determinism: the 2-dp money-sum class (summands on a 10⁻⁴ grid).
+    *
+    * Scale shape: nation/region/supplier-key dimensions broadcast; the
+    * only big-side shuffles are lineitem⨝orders (orderkey) and the
+    * customer decoration (custkey) — fact-key equality joins throughout;
+    * the local-supplier condition is a map-side filter after the
+    * broadcast supplier-nation lookup.
+    */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("supp_nationkey"))
+    val nat = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    li.join(ord, "o_orderkey")
+      .join(cust, "c_custkey")
+      .join(broadcast(supp), "l_suppkey")
+      .where(col("c_nationkey") === col("supp_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), "n_regionkey")
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("rev")), 2).as("revenue"))
+  }
+
+  /** Supplier revenue CONCENTRATION per nation — the Herfindahl–
+    * Hirschman index Σ share² plus the top supplier's share: the
+    * supply-risk number a sourcing review reads (HHI → 1 means one
+    * supplier owns the nation's volume; antitrust's 0.25 threshold is a
+    * useful alarm line here too).
+    *
+    * Determinism: HHI's numerator Σ cents² and denominator (Σ cents)²
+    * are exact Decimal(38,0) integer arithmetic; one double division
+    * each, rounded at 6 dp.
+    *
+    * Scale shape: one (nation, supplier) rollup (map-side combinable),
+    * then a |nations|-keyed aggregate carrying exact decimal sums.
+    */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val bySupp = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("cents"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+    bySupp.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents").cast(dec)).as("tot"),
+        sum(col("cents").cast(dec) * col("cents")).as("sq"),
+        max(col("cents")).as("top_cents"))
+      .select(col("n_name"), col("n_suppliers"),
+        col("tot").cast("long").as("total_cents"),
+        round(col("sq").cast("double")
+          / (col("tot").cast("double") * col("tot").cast("double")), 6)
+          .as("hhi"),
+        round(col("top_cents").cast("double") / col("tot").cast("double"), 6)
+          .as("top_supplier_share"))
+  }
+
   /** Customer revenue CONCENTRATION by power-of-two spend band: customers
     * bucketed by ⌊log₂(lifetime cents)⌋, each band's customer count,
     * revenue mass, share and top-down cumulative share — the Lorenz/

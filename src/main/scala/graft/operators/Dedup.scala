@@ -324,6 +324,28 @@ object Dedup {
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("hamming"))
   }
 
+  /** Near-dup graph DEGREE histogram: how many documents have exactly k
+    * verified near-dup partners, with each degree's share — the
+    * shape-of-duplication read that complements q180's component sizes
+    * (a heavy tail here means mirror FARMS, not isolated copy pairs, and
+    * predicts how hard q91's rank-based canonical selection has to work).
+    *
+    * Scale shape: degrees from the memoized pair list (one doc-keyed
+    * aggregate of the doubled edge stream), then a degree-grain rollup.
+    */
+  def dedupDegreeHistogram(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val mp = minhashPairs(spark, sfDir, threshold)
+    val deg = mp.select(col("doc1").as("doc_id"))
+      .unionByName(mp.select(col("doc2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n", sum(col("n_docs")).over(tot))
+      .select(col("degree"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n"), 6).as("share"))
+  }
+
   /** HEAD/TAIL boilerplate rate per source: the fraction of documents
     * whose FIRST `chunkWords` words (and, separately, LAST) also open
     * (close) at least one other document — the positional companion to

@@ -989,6 +989,33 @@ object Similarity {
         / lit(1e18), 6).as("mean_pairwise_cos"))
   }
 
+  /** Embedding NORM-band histogram per label: vectors bucketed by
+    * ⌊‖v‖ / 0.25⌋ — the norm-distribution audit run before cosine-only
+    * pipelines assume away magnitude (a label whose norms cluster
+    * differently is a scaling artifact of its encoder batch, and dot-
+    * product retrieval would rank it systematically differently than
+    * cosine).
+    *
+    * Determinism: the squared norm is an in-row left fold in array order
+    * (identical on both engines — the q29 precedent); sqrt is correctly
+    * rounded; banding a continuous value has measure-zero edge risk.
+    *
+    * Scale shape: one map-side pass into a (label × ≤ ~40 band) rollup.
+    */
+  def normBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val n2 = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (a, e) => a + e)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    corpus(spark, sfDir)
+      .select(col("label"), floor(sqrt(n2) / 0.25).cast("int").as("norm_band"))
+      .groupBy(col("label"), col("norm_band"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_label", sum(col("n_vecs")).over(tot))
+      .select(col("label"), col("norm_band"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_label"), 6)
+          .as("share_of_label"))
+  }
+
   /** IVF cell label purity: per trained cell, the majority class, its
     * share, and the label entropy — the clustering-quality audit read
     * against the codebook (a low-purity cell means the index routes
