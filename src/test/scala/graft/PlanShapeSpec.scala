@@ -409,6 +409,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q274 local supplier volume: dims broadcast, facts hash-join, no nested loop") {
+    val p = planOf("q274_local_supplier_volume")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // supplier/nation/region (and usually customer at this scale) ship
+    // as broadcasts; at least the three declared hints must hold
+    val bhj = p.split("\n").count(_.matches("\\(\\d+\\) BroadcastHashJoin.*"))
+    assert(bhj >= 3, s"expected >= 3 broadcast joins:\n$p")
+  }
+
+  test("q243 split coverage: gram-keyed flag aggregates, no pair join") {
+    val p = planOf("q243_split_coverage")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-n stages aggregate (max of two flags); the only joins are
+    // the doc_id split decorations
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q239 haar: one day-grain aggregate feeds the pyramid; bounds broadcast") {
     val p = planOf("q239_haar_revenue")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
