@@ -523,6 +523,10 @@ object SparkEntry {
     "q276_dedup_degrees" -> ((s: SparkSession, d: String) => graft.operators.Dedup.dedupDegreeHistogram(s, d)),
     // embedding norm-band histogram per label
     "q277_norm_bands" -> ((s: SparkSession, d: String) => Similarity.normBands(s, d)),
+    // order priority x status composition with shares
+    "q278_order_priority_mix" -> ((s: SparkSession, d: String) => Relational.orderPriorityMix(s, d)),
+    // customer vs supplier account-balance deciles (exact, cents grain)
+    "q279_acctbal_deciles" -> ((s: SparkSession, d: String) => Relational.acctbalDeciles(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5613,5 +5617,35 @@ private object CorpusOracles {
         |SELECT g.label, g.norm_band, CAST(n_vecs AS BIGINT) AS n_vecs,
         | round(CAST(n_vecs AS DOUBLE) / n_label, 6) AS share_of_label
         |FROM g JOIN t USING (label)""".stripMargin,
+    // q278: <= 15 cells; revenue the 2-dp money class
+    "q278_order_priority_mix" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT sum(n_orders) AS n FROM c)
+        |SELECT o_orderpriority, o_orderstatus, n_orders, revenue,
+        | round(CAST(n_orders AS DOUBLE) / n, 6) AS order_share
+        |FROM c, t""".stripMargin,
+    // q279: the q256 exact-decile recipe over the bounded cents grain
+    "q279_acctbal_deciles" -> {
+      val decs = (1 to 9).map(k =>
+        s"CAST(min(CASE WHEN cum * 10 >= n * $k THEN cents END) AS BIGINT) AS p${k * 10}")
+        .mkString(",\n ")
+      s"""WITH u AS (
+         |  SELECT 'customer' AS entity,
+         |   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer
+         |  UNION ALL
+         |  SELECT 'supplier' AS entity,
+         |   CAST(round(s_acctbal * 100, 0) AS BIGINT) AS cents FROM supplier),
+         |grain AS (SELECT entity, cents, count(*) AS c FROM u GROUP BY 1, 2),
+         |cum AS (SELECT entity, cents,
+         |   sum(c) OVER (PARTITION BY entity ORDER BY cents
+         |    ROWS UNBOUNDED PRECEDING) AS cum,
+         |   sum(c) OVER (PARTITION BY entity) AS n FROM grain)
+         |SELECT entity, CAST(max(n) AS BIGINT) AS n_accounts,
+         | $decs
+         |FROM cum GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -1156,6 +1156,63 @@ object Relational {
         .as("trend_strength"))
   }
 
+  /** Order PRIORITY × STATUS mix: order counts and revenue per
+    * (o_orderpriority, o_orderstatus) cell with row shares — the order-
+    * book composition read (is urgent volume growing, are open orders
+    * piling up in one priority class), covering the two order columns no
+    * other gate touches.
+    *
+    * Determinism: counts exact; revenue the 2-dp money class; shares
+    * single rounded divisions.
+    *
+    * Scale shape: one map-side-combinable aggregate into a ≤ 5×3 cell
+    * grid; the total rides a window over those cells.
+    */
+  def orderPriorityMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val tot = Window.partitionBy(lit(1))
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("n", sum(col("n_orders")).over(tot))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n_orders"),
+        col("revenue"),
+        round(col("n_orders").cast("double") / col("n"), 6).as("order_share"))
+  }
+
+  /** Account-balance DECILES for customers and suppliers side by side
+    * (p10..p90 in cents, the q256 exact-decile recipe over the bounded
+    * cents grain) — the financial-health distribution card, and a
+    * same-shape comparison of the two populations the schema prices.
+    *
+    * Determinism: decile k = smallest cents with 10·cum ≥ k·n — pure
+    * integers over the value grain.
+    *
+    * Scale shape: two entity rollups to (entity, cents) grain; the
+    * cumulative window runs per entity over the bounded grain.
+    */
+  def acctbalDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(lit("customer").as("entity"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(lit("supplier").as("entity"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("cents"))
+    val grain = cust.unionByName(supp)
+      .groupBy(col("entity"), col("cents")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tw = Window.partitionBy(col("entity"))
+    val cum = grain
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(tw))
+    val decs = (1 to 9).map(k =>
+      min(when(col("cum") * 10 >= col("n") * k, col("cents")))
+        .as(s"p${k * 10}"))
+    cum.groupBy(col("entity"))
+      .agg(max(col("n")).as("n_accounts"), decs: _*)
+  }
+
   /** LOCAL supplier volume (the TPC-H Q5 shape): revenue from line items
     * where the ordering customer and the supplier share a nation, rolled
     * up per nation with its region — the six-table star join (two fact

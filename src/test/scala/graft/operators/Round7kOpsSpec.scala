@@ -71,4 +71,30 @@ class Round7kOpsSpec extends SparkTestBase {
     }
     rows.foreach(r => assert(r.getInt(1) >= 0))
   }
+
+  test("order priority mix: cells partition orders; shares normalize") {
+    val rows = Relational.orderPriorityMix(spark, sf).collect()
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-3)
+  }
+
+  test("acctbal deciles: order statistics replay for both entities") {
+    def balances(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(org.apache.spark.sql.functions.round(col(c) * 100, 0)
+        .cast("long")).collect().map(_.getLong(0)).sorted
+    val expect = Map(
+      "customer" -> balances(graft.core.Tables.customer(spark, sf), "c_acctbal"),
+      "supplier" -> balances(graft.core.Tables.supplier(spark, sf), "s_acctbal"))
+    val got = Relational.acctbalDeciles(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet === expect.keySet)
+    got.foreach { r =>
+      val s = expect(r.getString(0))
+      assert(r.getLong(1) === s.length.toLong)
+      (1 to 9).foreach { k =>
+        val rank = (k * s.length + 9) / 10
+        assert(r.getLong(1 + k) === s(rank - 1), s"${r.getString(0)} p${k * 10}")
+      }
+    }
+  }
 }
