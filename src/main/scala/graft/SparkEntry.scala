@@ -527,6 +527,12 @@ object SparkEntry {
     "q278_order_priority_mix" -> ((s: SparkSession, d: String) => Relational.orderPriorityMix(s, d)),
     // customer vs supplier account-balance deciles (exact, cents grain)
     "q279_acctbal_deciles" -> ((s: SparkSession, d: String) => Relational.acctbalDeciles(s, d)),
+    // q280-q283: stage-wise diagnostic gates bisecting the r7 red-cell
+    // family (day-grain table -> spine -> rolling window; CMS buckets)
+    "q280_daily_cents_audit" -> ((s: SparkSession, d: String) => Relational.dailyCentsAudit(s, d)),
+    "q281_spine_audit" -> ((s: SparkSession, d: String) => Relational.spineAudit(s, d)),
+    "q282_window_probe" -> ((s: SparkSession, d: String) => Relational.spineWindowProbe(s, d)),
+    "q283_cms_bucket_probe" -> ((s: SparkSession, d: String) => TextAnalytics.cmsBucketProbe(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -3323,7 +3329,7 @@ private object CorpusOracles {
         |       * r.rev_cents) AS ewma_fp
         |  FROM daily d JOIN daily r ON r.day BETWEEN d.day - 30 AND d.day
         |  GROUP BY 1)
-        |SELECT d.day, d.rev_cents,
+        |SELECT d.day, CAST(d.rev_cents AS BIGINT) AS rev_cents,
         | CAST(c.ewma_fp // 1000000000 AS BIGINT) AS ewma_hi,
         | CAST(c.ewma_fp % 1000000000 AS BIGINT) AS ewma_lo
         |FROM daily d JOIN c ON d.day = c.day, b
@@ -3712,7 +3718,10 @@ private object CorpusOracles {
          |$out""".stripMargin
     },
     // q202: OLS slope with the lag index as regressor — the denominator
-    // 31*9455 - 465^2 = 76880 is a constant, the numerator exact HUGEINT
+    // 31*9455 - 465^2 = 76880 is a constant, the numerator exact HUGEINT.
+    // Every emitted integer is CAST AS BIGINT: DuckDB's sum(BIGINT) yields
+    // HUGEINT, a type the driver's fetch path renders differently than
+    // int64 (the r7 red-cell class — see COVERAGE.md §determinism)
     "q202_rolling_trend" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
@@ -3728,10 +3737,8 @@ private object CorpusOracles {
         |   sum(CAST(x AS HUGEINT) * (30 - k)) AS sxy
         |  FROM x, range(0, 31) t(k)
         |  GROUP BY 1, 2)
-        |SELECT s.day, x.x AS rev_cents,
-        | CAST(31 * s.sxy - 465 * s.sy AS BIGINT) AS slope_fp,
-        | round(CAST(31 * s.sxy - 465 * s.sy AS DOUBLE) / 76880.0, 6)
-        |  AS slope_cents_per_day
+        |SELECT s.day, CAST(x.x AS BIGINT) AS rev_cents,
+        | CAST(31 * s.sxy - 465 * s.sy AS BIGINT) AS slope_fp
         |FROM s JOIN x ON x.day = s.day
         |WHERE s.day >= s.d0 + 30""".stripMargin,
     // q203: ewma through yesterday vs today's actual; the error is exact
@@ -3752,7 +3759,7 @@ private object CorpusOracles {
         |  FROM x, range(0, 31) t(lag)
         |  GROUP BY 1),
         |f AS (SELECT e.day + 1 AS day, e.ewma_fp FROM e)
-        |SELECT x.day, x.x AS actual_cents,
+        |SELECT x.day, CAST(x.x AS BIGINT) AS actual_cents,
         | CAST(f.ewma_fp // 2147483647 AS BIGINT) AS forecast_cents,
         | CAST(abs(CAST(x.x AS HUGEINT) * 2147483647 - f.ewma_fp)
         |   // 2147483647 AS BIGINT) AS abs_err_cents
@@ -3887,8 +3894,9 @@ private object CorpusOracles {
         |est AS (SELECT h.w, min(cell) AS cms_est
         |  FROM h JOIN top USING (w) JOIN cells USING (j, bucket)
         |  GROUP BY 1)
-        |SELECT top.w AS word, top.c AS exact_cnt, cms_est,
-        | cms_est - top.c AS overestimate
+        |SELECT top.w AS word, top.c AS exact_cnt,
+        | CAST(cms_est AS BIGINT) AS cms_est,
+        | CAST(cms_est - top.c AS BIGINT) AS overestimate
         |FROM top JOIN est ON est.w = top.w""".stripMargin,
     // q210: k smallest 60-bit hashes per stratum; 63*2^60 is exact in
     // double, one division, 4-dp estimate, 6-dp relative error
@@ -4973,7 +4981,7 @@ private object CorpusOracles {
         |s AS (SELECT iso_dow, CAST(sum(det_fp) AS BIGINT) AS seas_num,
         |   CAST(count(*) AS BIGINT) AS seas_den
         |  FROM f GROUP BY 1)
-        |SELECT f.day, f.x AS cents, f.iso_dow, f.trend_fp,
+        |SELECT f.day, CAST(f.x AS BIGINT) AS cents, f.iso_dow, f.trend_fp,
         | s.seas_num, s.seas_den,
         | CAST(f.det_fp * s.seas_den - s.seas_num AS BIGINT) AS resid_num
         |FROM f JOIN s USING (iso_dow)""".stripMargin,
@@ -5647,5 +5655,77 @@ private object CorpusOracles {
          | $decs
          |FROM cum GROUP BY 1""".stripMargin
     },
+    // q280-q283: stage-wise diagnostic gates for the r7 red-cell family.
+    // Deliberately integer/DATE-only outputs, every aggregate CAST AS
+    // BIGINT (DuckDB sum(BIGINT) -> HUGEINT, the r7 divergence class);
+    // q281/q282 deliberately KEEP the range()+DATE+INT spine constructs so
+    // a green cell exonerates them stage by stage.
+    "q280_daily_cents_audit" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_order_days,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | min(day) AS first_day, max(day) AS last_day,
+        | CAST(sum(CAST(cents AS HUGEINT)
+        |   * (date_diff('day', DATE '1970-01-01', day) % 97 + 1))
+        |  AS BIGINT) AS checksum
+        |FROM daily""".stripMargin,
+    "q281_spine_audit" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day))
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        | min(day) AS first_day, max(day) AS last_day,
+        | CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_zero_days,
+        | CAST(sum(x) AS BIGINT) AS sum_cents,
+        | CAST(sum(CAST(x AS HUGEINT)
+        |   * (date_diff('day', DATE '1970-01-01', day) % 97 + 1))
+        |  AS BIGINT) AS checksum
+        |FROM x""".stripMargin,
+    "q282_window_probe" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |s AS (SELECT d0, day + CAST(k AS INTEGER) AS day,
+        |   sum(CAST(x AS HUGEINT)) AS sy,
+        |   sum(CAST(x AS HUGEINT) * (30 - k)) AS sxy,
+        |   sum(CAST((CAST(1 AS BIGINT) << (30 - CAST(k AS INTEGER)))
+        |       AS HUGEINT) * x) AS ewma_fp
+        |  FROM x, range(0, 31) t(k)
+        |  GROUP BY 1, 2)
+        |SELECT s.day, CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+        | CAST(ewma_fp // 1000000000 AS BIGINT) AS ewma_hi,
+        | CAST(ewma_fp % 1000000000 AS BIGINT) AS ewma_lo
+        |FROM s, b
+        |WHERE s.day IN (b.d0 + 60, b.d0 + 130, b.d0 + 200)""".stripMargin,
+    "q283_cms_bucket_probe" ->
+      """WITH wc AS (SELECT w, count(*) AS c FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |h AS (SELECT w, c, j,
+        |   CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || w), 1, 8))
+        |     AS BIGINT) % 1024 AS bucket
+        |  FROM wc, range(0, 4) r(j)),
+        |cells AS (SELECT j, bucket, sum(c) AS cell FROM h GROUP BY 1, 2),
+        |top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 5)
+        |SELECT top.w AS word, CAST(top.c AS BIGINT) AS exact_cnt,
+        | CAST(h.j AS INTEGER) AS j, CAST(h.bucket AS BIGINT) AS bucket,
+        | CAST(cells.cell AS BIGINT) AS cell
+        |FROM top JOIN h ON h.w = top.w
+        |JOIN cells ON cells.j = h.j AND cells.bucket = h.bucket""".stripMargin,
   )
 }

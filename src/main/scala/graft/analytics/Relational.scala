@@ -542,6 +542,76 @@ object Relational {
       .select(col("d0"), col("day"), coalesce(col("cents"), lit(0L)).as("x"))
   }
 
+  /** Stage-1 diagnostic gate of the daily-cents family (q280): a one-row
+    * integer-only audit of the PRE-spine day-grain table — day count, total
+    * cents, calendar bounds, and a position-sensitive checksum
+    * Σ cents·(epoch_day mod 97 + 1) that moves if any single day's value
+    * or date shifts. Every column is an exact integer or a DATE; together
+    * with [[spineAudit]] and [[spineWindowProbe]] it bisects any
+    * cross-engine divergence in the q187/q202/q203/q251 family to a single
+    * pipeline stage (the r7 red-cell postmortem, COVERAGE.md).
+    */
+  def dailyCentsAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    daily.agg(
+      count(lit(1)).as("n_order_days"),
+      sum(col("cents")).cast("long").as("sum_cents"),
+      min(col("day")).as("first_day"),
+      max(col("day")).as("last_day"),
+      sum(col("cents").cast(dec)
+        * (datediff(col("day"), lit("1970-01-01")) % 97 + 1))
+        .cast("long").as("checksum"))
+  }
+
+  /** Stage-2 diagnostic gate (q281): the zero-filled calendar spine itself
+    * — day count, bounds, zero-day count, and the same mod-97 positional
+    * checksum over the spine rows. A divergence here but not in
+    * [[dailyCentsAudit]] isolates the spine construction (sequence/range
+    * expansion + left join); integer/DATE columns only.
+    */
+  def spineAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    dailyCentsSpine(spark, sfDir).agg(
+      count(lit(1)).as("n_days"),
+      min(col("day")).as("first_day"),
+      max(col("day")).as("last_day"),
+      sum(when(col("x") === 0, 1L).otherwise(0L)).as("n_zero_days"),
+      sum(col("x")).cast("long").as("sum_cents"),
+      sum(col("x").cast(dec)
+        * (datediff(col("day"), lit("1970-01-01")) % 97 + 1))
+        .cast("long").as("checksum"))
+  }
+
+  /** Stage-3 diagnostic gate (q282): the 31-day rolling-window aggregates
+    * at three PINNED dates (d0+60, d0+130, d0+200) — the plain window sum
+    * `sy`, the lag-weighted OLS numerator input `sxy`, and the dyadic EWMA
+    * fixed point as the ewma_hi/ewma_lo int64 split. Three rows, exact
+    * integers; a divergence here but not in [[spineAudit]] isolates the
+    * explode→date_add→re-aggregate window step shared by q187/q202/q203.
+    */
+  def spineWindowProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val spine = dailyCentsSpine(spark, sfDir)
+    val split = lit(1000000000L).cast(dec)
+    spine
+      .withColumn("k", explode(sequence(lit(0), lit(30))))
+      .groupBy(col("d0"), expr("date_add(day, k)").as("day"))
+      .agg(sum(col("x").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * (lit(30) - col("k"))).as("sxy"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 30 - k)"
+          + " AS DECIMAL(38,0))") * col("x")).as("ewma_fp"))
+      .where(col("day") === date_add(col("d0"), 60)
+        || col("day") === date_add(col("d0"), 130)
+        || col("day") === date_add(col("d0"), 200))
+      .select(col("day"), col("sy").cast("long").as("sy"),
+        col("sxy").cast("long").as("sxy"),
+        floor(col("ewma_fp") / split).cast("long").as("ewma_hi"),
+        (col("ewma_fp") % split).cast("long").as("ewma_lo"))
+  }
+
   def revenueAutocorrelation(spark: SparkSession, sfDir: String,
       maxLag: Int = 14): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -573,8 +643,10 @@ object Relational {
     * as the regressor, the OLS denominator is the CONSTANT
     * 31·ΣL² − (ΣL)² = 76880, so the slope is an exact integer numerator
     * over a pinned denominator: `slope_fp` = 31·ΣL·y − 465·Σy is
-    * bit-exact in both engines and `slope_cents_per_day` divides it out
-    * at 6 dp.
+    * bit-exact in both engines; cents/day at display time is
+    * slope_fp / 76880 (NOT emitted — a 6-dp-rounded double at 10⁷
+    * magnitude sits on a cross-engine rounding band, per the COVERAGE.md
+    * determinism audit).
     *
     * Scale shape: the q187/q191 recipe — collapse to day grain, explode
     * each day into the 31 target days it regresses into, aggregate on
@@ -597,8 +669,6 @@ object Relational {
       .select(col("day"), col("rev_cents"),
         (lit(31) * col("sxy") - lit(465) * col("sy")).cast("long")
           .as("slope_fp"))
-      .withColumn("slope_cents_per_day",
-        round(col("slope_fp").cast("double") / 76880.0, 6))
   }
 
   /** Day-of-week seasonal indices of order revenue on the zero-filled

@@ -1444,6 +1444,33 @@ object TextAnalytics {
         (col("cms_est") - col("c")).as("overestimate"))
   }
 
+  /** Diagnostic gate for the q209 CMS audit (q283): the raw per-(word, j)
+    * hash buckets and cell sums for the top-5 words by (count desc, word)
+    * — 20 integer-only rows exposing each stage the q209 estimate folds
+    * together (row hash → bucket → cell sum), so a cross-engine divergence
+    * in q209 localizes to hashing vs bucketing vs cell aggregation in one
+    * read (the r7 red-cell postmortem, COVERAGE.md).
+    */
+  def cmsBucketProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 4
+    val width = 1024
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("j", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("bucket",
+        pmod(Hashing.stableHash32(concat(col("j"), lit(":"), col("w"))),
+          lit(width)))
+    val cells = bucketed(counts).groupBy(col("j"), col("bucket"))
+      .agg(sum(col("c")).as("cell"))
+    bucketed(counts.orderBy(col("c").desc, col("w")).limit(5))
+      .join(broadcast(cells), Seq("j", "bucket"))
+      .select(col("w").as("word"), col("c").as("exact_cnt"),
+        col("j").cast("int").as("j"), col("bucket"), col("cell"))
+  }
+
   /** K-minimum-values distinct-count sketch audit (Bar-Yossef et al. 2002;
     * the Θ-sketch core): per source (plus the ALL rollup), the exact
     * distinct 3-shingle count next to the KMV estimate

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.{Relational, TextAnalytics}
+import org.apache.spark.sql.functions.{col, to_date, round => sround, sum => ssum}
+
+/** Semantics of the round-8 diagnostic gates (q280-q283) — the stage-wise
+  * bisection probes of the r7 red-cell family — plus the q202 gate-shape
+  * regression (no large-magnitude rounded double ships). Driver-side
+  * replays on sf0.001.
+  */
+class Round8OpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dailyCents(): Map[java.time.LocalDate, Long] =
+    graft.core.Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"),
+        sround(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+
+  test("daily cents audit: one row replaying count/sum/bounds/checksum") {
+    val daily = dailyCents()
+    val r = Relational.dailyCentsAudit(spark, sf).collect() match {
+      case Array(only) => only
+    }
+    assert(r.getLong(0) === daily.size.toLong)
+    assert(r.getLong(1) === daily.values.sum)
+    assert(r.getDate(2).toLocalDate === daily.keys.min)
+    assert(r.getDate(3).toLocalDate === daily.keys.max)
+    val expectChecksum = daily.map { case (d, c) =>
+      BigInt(c) * (d.toEpochDay % 97 + 1)
+    }.sum
+    assert(BigInt(r.getLong(4)) === expectChecksum)
+  }
+
+  test("spine audit: zero-filled calendar replay incl. zero-day count") {
+    val daily = dailyCents()
+    val (d0, d1) = (daily.keys.min, daily.keys.max)
+    val nDays = d1.toEpochDay - d0.toEpochDay + 1
+    val r = Relational.spineAudit(spark, sf).collect() match {
+      case Array(only) => only
+    }
+    assert(r.getLong(0) === nDays)
+    assert(r.getDate(1).toLocalDate === d0)
+    assert(r.getDate(2).toLocalDate === d1)
+    assert(r.getLong(3) === nDays - daily.count(_._2 != 0L))
+    assert(r.getLong(4) === daily.values.sum)
+    val expectChecksum = (0L until nDays).map { i =>
+      val d = d0.plusDays(i)
+      BigInt(daily.getOrElse(d, 0L)) * (d.toEpochDay % 97 + 1)
+    }.sum
+    assert(BigInt(r.getLong(5)) === expectChecksum)
+  }
+
+  test("window probe: pinned-date rolling sums match a direct replay") {
+    val daily = dailyCents()
+    val d0 = daily.keys.min
+    def x(d: java.time.LocalDate): Long = daily.getOrElse(d, 0L)
+    val got = Relational.spineWindowProbe(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(60, 130, 200).map(o => d0.plusDays(o.toLong)))
+    got.foreach { case (d, (sy, sxy, hi, lo)) =>
+      // window = lags L=0..30 ending at d; source day for lag L is d-(30-L)
+      val pts = (0 to 30).map(l => (l, x(d.minusDays((30 - l).toLong))))
+      assert(sy === pts.map(_._2).sum, s"$d sy")
+      assert(sxy === pts.map { case (l, y) => l.toLong * y }.sum, s"$d sxy")
+      val fp = pts.map { case (l, y) => (BigInt(1) << l) * y }.sum
+      assert(BigInt(hi) * BigInt(1000000000L) + lo === fp, s"$d ewma_fp")
+      assert(lo >= 0L && lo < 1000000000L)
+    }
+  }
+
+  test("cms bucket probe: cells re-aggregate to q209's min estimate") {
+    val probe = TextAnalytics.cmsBucketProbe(spark, sf).collect()
+    assert(probe.length === 20) // 5 words x 4 rows
+    val byWord = probe.groupBy(_.getString(0))
+    assert(byWord.size === 5)
+    byWord.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted === Seq(0, 1, 2, 3))
+      rows.foreach { r =>
+        val (bucket, cell, exact) = (r.getLong(3), r.getLong(4), r.getLong(1))
+        assert(bucket >= 0L && bucket < 1024L)
+        // a CMS cell can never undercount the word it contains
+        assert(cell >= exact)
+      }
+    }
+    // the probe's min cell per word IS q209's estimate for that word
+    val audit = TextAnalytics.cmsAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    byWord.foreach { case (w, rows) =>
+      assert(rows.map(_.getLong(4)).min === audit(w), s"word $w")
+    }
+  }
+
+  test("rolling trend gate ships exact integers only (no rounded double)") {
+    val df = Relational.rollingTrend(spark, sf)
+    assert(df.columns.toSeq === Seq("day", "rev_cents", "slope_fp"))
+    assert(!df.schema.fields.exists(_.dataType ==
+      org.apache.spark.sql.types.DoubleType))
+  }
+}

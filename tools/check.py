@@ -42,10 +42,21 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+# The oracle-output type contract (COVERAGE.md determinism rules): every
+# gated column must be one of these DuckDB types. Anything else — above
+# all HUGEINT, which DuckDB's sum(BIGINT) returns and which different
+# fetch paths render as int vs float vs Decimal — is the exact r7
+# red-cell class (5/5 driver-only hash mismatches were uncast HUGEINTs).
+SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "DATE", "VARCHAR",
+              "TIMESTAMP", "BOOLEAN"}
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    print(f"duckdb {duckdb.__version__} / "
+          + con.execute("SELECT version()").fetchone()[0])
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -71,6 +82,13 @@ def main():
             orows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        exotic = [(c, t) for c, t, *_ in con.execute(f"DESCRIBE {sql}")
+                  .fetchall() if t not in SAFE_TYPES]
+        if exotic:
+            print(f"FAIL {name}: exotic oracle output types {exotic} "
+                  "(cast to BIGINT/DOUBLE — see SAFE_TYPES)")
             n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):

@@ -12,9 +12,15 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem","ev
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
+print(f"duckdb {duckdb.__version__} / "
+      + con.execute("SELECT version()").fetchone()[0])
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# type-contract guard (see tools/check.py SAFE_TYPES): uncast HUGEINT
+# etc. in a gated output is the r7 driver-only red-cell class
+SAFE_TYPES = {"BIGINT", "INTEGER", "DOUBLE", "DATE", "VARCHAR",
+              "TIMESTAMP", "BOOLEAN"}
 def norm(v):
     if isinstance(v, float):
         return v.hex() if not math.isnan(v) else "NaN"
@@ -27,6 +33,14 @@ def norm(v):
 for name in (sorted(only) if only else sorted(oracle)):
     sql = oracle[name]
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(name, "SKIP (no spark output in out_dir)")
+        continue
+    exotic = [(c, t) for c, t, *_ in con.execute(f"DESCRIBE {sql}")
+              .fetchall() if t not in SAFE_TYPES]
+    if exotic:
+        print(name, f"EXACT-FAIL exotic oracle output types {exotic}")
+        continue
     sq = f"SELECT * FROM read_parquet({files!r})"
     scols = [d[0] for d in con.execute(sq).description]
     srows = con.execute(sq).fetchall()
