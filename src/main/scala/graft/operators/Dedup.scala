@@ -267,6 +267,16 @@ object Dedup {
     * input window (`doc_id < maxDocId`, a no-op at the sf0.01 gate scale)
     * the way a nested-loop-replacement user would, rather than posing as
     * the unbounded-dedup operator it deliberately is not.
+    *
+    * Payload discipline: the shingle sets enter the join as 60-bit
+    * md5-prefix LONGS ([[graft.functions.Hashing.stableHash60]]), not the
+    * ~30-byte shingle strings — Jaccard over the hashed sets equals
+    * Jaccard over the string sets unless two distinct shingles of the
+    * same pair collide in 60 bits (≈10⁻¹³ per pair at these set sizes,
+    * and engine-mirrored anyway since the oracle hashes identically), and
+    * the arrays the rewrite's candidate stage must carry through the
+    * shuffle shrink ~4×. The same trade every minhash/winnow operator in
+    * this module already makes.
     */
   def jaccardPairsRewrite(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8, maxDocId: Long = 1000L): DataFrame = {
@@ -281,7 +291,9 @@ object Dedup {
     s.conf.set("spark.sql.legacy.sizeOfNull", "false")
     val docs = Tables.documents(s, sfDir)
       .where(col("doc_id") < maxDocId)
-      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"),
+        transform(Text.shingles(col("text"), 3),
+          sh => Hashing.stableHash60(sh)).as("sh"))
     val a = docs.select(col("doc_id").as("doc1"), col("sh").as("sh1"))
     val b = docs.select(col("doc_id").as("doc2"), col("sh").as("sh2"))
     a.join(b, col("doc1") < col("doc2")

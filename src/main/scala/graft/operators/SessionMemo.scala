@@ -76,7 +76,21 @@ private[graft] object SessionMemo {
         // CacheManager holds exactly one registration per key
         try df.unpersist(blocking = false) catch { case _: Throwable => () }
         prev
-      } else df
+      } else {
+        // materialize NOW and log the build cost: the cache fills with the
+        // full plan output either way (InMemoryRelation doesn't prune per
+        // consumer), and an attributed "[memo] built <key>" line is what
+        // lets a cold-pass regression be traced to the memo that grew
+        // instead of to whichever query happened to touch it first
+        // (PERF.md memo-build table). Nested builds log their own lines.
+        val t0 = System.nanoTime()
+        try {
+          val n = df.count()
+          System.err.println(f"[memo] built $key: $n rows in " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } catch { case _: Throwable => () } // consumer's action will re-throw
+        df
+      }
     }
   }
 
