@@ -533,6 +533,12 @@ object SparkEntry {
     "q281_spine_audit" -> ((s: SparkSession, d: String) => Relational.spineAudit(s, d)),
     "q282_window_probe" -> ((s: SparkSession, d: String) => Relational.spineWindowProbe(s, d)),
     "q283_cms_bucket_probe" -> ((s: SparkSession, d: String) => TextAnalytics.cmsBucketProbe(s, d)),
+    // q284-q286: the multimodal pipeline beyond q34's decode — frame
+    // sampling, feature extraction, resize planning (stub codec, real
+    // partition-wise plumbing)
+    "q284_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
+    "q285_media_features" -> ((s: SparkSession, d: String) => Multimodal.byteHistogramFeatures(s, d)),
+    "q286_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5732,5 +5738,62 @@ private object CorpusOracles {
         | CAST(cells.cell AS BIGINT) AS cell
         |FROM top JOIN h ON h.w = top.w
         |JOIN cells ON cells.j = h.j AND cells.bucket = h.bucket""".stripMargin,
+    // q284-q286: the multimodal family mirrors q34's fake-decode math
+    // (n = byte length; nf = 1 + n%7; w/h = 64 + n%577 / 64 + 31n%417).
+    // Text is pure ASCII in the synthetic corpus, so ascii(char) = the
+    // payload byte and strlen = octet length; the byte table is a
+    // constant-bounded range + WHERE (the spine pattern), not a lateral.
+    "q284_frame_sample" ->
+      """WITH m AS (SELECT doc_id, 'image/fake-'||source AS media_type,
+        |   text, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT m.*, CAST(1 + n % 7 AS BIGINT) AS nf FROM m),
+        |fr AS (SELECT doc_id, media_type, text, n, nf,
+        |   CAST(i AS INTEGER) AS frame_idx,
+        |   (i * n) // nf AS fo, ((i + 1) * n) // nf AS fu
+        |  FROM f, range(0, 7) r(i) WHERE i < nf AND i % 2 = 0),
+        |bytes AS (SELECT doc_id, p,
+        |   ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) AS bv
+        |  FROM m, range(0, 4096) q(p) WHERE p < n),
+        |ck AS (SELECT fr.doc_id, fr.media_type, fr.frame_idx, fr.fo,
+        |   fr.fu - fr.fo AS fl, coalesce(sum(b.bv), 0) AS cksum
+        |  FROM fr LEFT JOIN bytes b
+        |   ON b.doc_id = fr.doc_id AND b.p >= fr.fo AND b.p < fr.fu
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, media_type, frame_idx,
+        | CAST(fo AS BIGINT) AS frame_offset,
+        | CAST(fl AS BIGINT) AS frame_len,
+        | CAST(cksum AS BIGINT) AS frame_checksum
+        |FROM ck""".stripMargin,
+    "q285_media_features" ->
+      """WITH m AS (SELECT doc_id, text,
+        |   CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |bytes AS (SELECT doc_id,
+        |   ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) % 8 AS dim
+        |  FROM m, range(0, 4096) r(p) WHERE p < n),
+        |cnts AS (SELECT doc_id, dim, count(*) AS cnt
+        |  FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT m.doc_id, m.n, CAST(i AS INTEGER) AS dim
+        |  FROM m, range(0, 8) g(i))
+        |SELECT grid.doc_id, grid.dim,
+        | CAST(coalesce(cnt, 0) AS BIGINT) AS cnt,
+        | CAST((coalesce(cnt, 0) * 1000000) // greatest(grid.n, 1)
+        |  AS BIGINT) AS freq_fp
+        |FROM grid LEFT JOIN cnts
+        | ON grid.doc_id = cnts.doc_id AND grid.dim = cnts.dim""".stripMargin,
+    "q286_resize_plan" ->
+      """WITH m AS (SELECT doc_id, 'image/fake-'||source AS media_type,
+        |   CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |d AS (SELECT doc_id, media_type,
+        |   CAST(64 + n % 577 AS INTEGER) AS width,
+        |   CAST(64 + (n * 31) % 417 AS INTEGER) AS height FROM m),
+        |g AS (SELECT *, greatest(width, height) AS longest FROM d)
+        |SELECT doc_id, media_type, width, height,
+        | CAST(CASE WHEN longest <= 224 THEN width
+        |   ELSE (width * 224) // longest END AS INTEGER) AS new_width,
+        | CAST(CASE WHEN longest <= 224 THEN height
+        |   ELSE (height * 224) // longest END AS INTEGER) AS new_height,
+        | CAST(CASE WHEN longest > 224 THEN 1 ELSE 0 END AS INTEGER)
+        |  AS scaled
+        |FROM g""".stripMargin,
   )
 }

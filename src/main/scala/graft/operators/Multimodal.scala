@@ -70,4 +70,97 @@ object Multimodal {
         max(col("width")).as("max_width"),
         max(col("height")).as("max_height"),
         sum(col("n_frames").cast("long")).as("total_frames"))
+
+  case class FrameRow(doc_id: Long, media_type: String, frame_idx: Int,
+      frame_offset: Long, frame_len: Long, frame_checksum: Long)
+
+  /** Frame sampling (q284): treat each payload as `n_frames` equal byte
+    * spans (frame i = bytes [i·n/nf, (i+1)·n/nf), integral division — a
+    * stand-in for a container's frame index) and emit every `stride`-th
+    * frame as its own row with offset, length, and an unsigned-byte-sum
+    * checksum over the span. This is the video path's shape: one input row
+    * fans out to a bounded per-record frame set inside a single narrow
+    * mapPartitions stage — no shuffle, no driver involvement, payload
+    * bytes touched exactly once per record. A real decoder replaces the
+    * equal-span slicing with codec frame boundaries; every column and the
+    * fan-out plumbing stay as they are.
+    *
+    * Scale shape: output rows ≤ ⌈max_frames/stride⌉ per record (≤ 4 at the
+    * fake decoder's 7-frame cap) — linear in the corpus, emitted streaming
+    * from the partition iterator (no per-partition buffering).
+    */
+  def frameSample(spark: SparkSession, sfDir: String,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val n = r.payload.length.toLong
+        val nf = fakeDecode(r.doc_id, r.media_type, r.payload).n_frames
+        (0 until nf by stride).iterator.map { i =>
+          val from = i * n / nf
+          val until = (i + 1) * n / nf
+          var sum = 0L
+          var j = from
+          while (j < until) { sum += (r.payload(j.toInt) & 0xFF); j += 1 }
+          FrameRow(r.doc_id, r.media_type, i, from, until - from, sum)
+        }
+      }).toDF()
+  }
+
+  case class FeatureRow(doc_id: Long, dim: Int, cnt: Long, freq_fp: Long)
+
+  /** Feature extraction (q285): per payload, a `d`-bin unsigned-byte
+    * histogram (bin = byte mod d) emitted as flat (doc_id, dim, count,
+    * ×10⁶ truncated frequency) rows — the deterministic stand-in for an
+    * embedding/feature extractor (a real one returns a float vector from
+    * the decoded pixels; the byte histogram keeps the gate exact-integer).
+    * All `d` bins materialize, zero counts included, so downstream
+    * matrix-shaped consumers (the q53/q92 quantizers, cosine ranking) get
+    * a dense fixed-dimension layout.
+    *
+    * Scale shape: one narrow mapPartitions pass, d-row fan-out per record,
+    * no shuffle; the histogram accumulates in a fixed d-slot array per
+    * record (O(d) memory, byte loop fused per partition).
+    */
+  def byteHistogramFeatures(spark: SparkSession, sfDir: String,
+      d: Int = 8): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, sfDir).as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        val counts = new Array[Long](d)
+        var j = 0
+        while (j < r.payload.length) {
+          counts((r.payload(j) & 0xFF) % d) += 1L; j += 1
+        }
+        val n = math.max(r.payload.length.toLong, 1L)
+        (0 until d).iterator.map(i =>
+          FeatureRow(r.doc_id, i, counts(i), counts(i) * 1000000L / n))
+      }).toDF()
+  }
+
+  /** Resize planning (q286): fit each decoded image inside a
+    * `maxSide`-pixel box preserving aspect ratio — new dims are exact
+    * integral divisions (w·maxSide DIV longest, never rounded through a
+    * float), unscaled images pass through untouched. This is the
+    * metadata-only half of a resize stage: it reads the DECODED dims
+    * table, not the payloads, so a catalog query planning a resize sweep
+    * scans a few long columns (column pruning drops `payload` entirely —
+    * the scan-shape note on [[withPayload]]).
+    *
+    * Scale shape: pure projection over the metadata stream — no shuffle,
+    * no bytes, codegen-friendly integer arithmetic.
+    */
+  def resizePlan(spark: SparkSession, sfDir: String,
+      maxSide: Int = 224): DataFrame =
+    decodeMeta(spark, sfDir).toDF()
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        greatest(col("width"), col("height")).as("longest"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        when(col("longest") <= maxSide, col("width"))
+          .otherwise(expr(s"CAST(width * $maxSide AS BIGINT) DIV longest")
+            .cast("int")).as("new_width"),
+        when(col("longest") <= maxSide, col("height"))
+          .otherwise(expr(s"CAST(height * $maxSide AS BIGINT) DIV longest")
+            .cast("int")).as("new_height"),
+        (col("longest") > maxSide).cast("int").as("scaled"))
 }

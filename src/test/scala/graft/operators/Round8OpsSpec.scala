@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import graft.analytics.{Relational, TextAnalytics}
+import graft.operators.Multimodal
 import org.apache.spark.sql.functions.{col, to_date, round => sround, sum => ssum}
 
 /** Semantics of the round-8 diagnostic gates (q280-q283) — the stage-wise
@@ -93,6 +94,62 @@ class Round8OpsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     byWord.foreach { case (w, rows) =>
       assert(rows.map(_.getLong(4)).min === audit(w), s"word $w")
+    }
+  }
+
+  test("frame sample: spans tile the payload; checksums replay per byte") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet === texts.keySet) // every doc has >= 1 sampled frame
+    rows.foreach { r =>
+      val (id, idx, off, len, ck) =
+        (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val bytes = texts(id).getBytes("UTF-8")
+      val n = bytes.length.toLong
+      val nf = 1 + (n % 7).toInt
+      assert(idx % 2 === 0 && idx < nf)
+      assert(off === idx * n / nf)
+      assert(len === (idx + 1) * n / nf - idx * n / nf)
+      val expect = (off until off + len).map(j => (bytes(j.toInt) & 0xFF).toLong).sum
+      assert(ck === expect, s"doc $id frame $idx")
+    }
+  }
+
+  test("media features: all 8 dims dense; counts sum to byte length") {
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Multimodal.byteHistogramFeatures(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size === texts.size)
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(1)).sorted === (0 until 8))
+      val n = texts(id).getBytes("UTF-8").length.toLong
+      assert(rs.map(_.getLong(2)).sum === n, s"doc $id histogram mass")
+      rs.foreach { r =>
+        assert(r.getLong(3) === r.getLong(2) * 1000000L / math.max(n, 1L))
+      }
+    }
+  }
+
+  test("resize plan: aspect preserved within integral truncation; caps hold") {
+    val rows = Multimodal.resizePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, nw, nh, scaled) = (r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6))
+      val longest = math.max(w, h)
+      if (scaled == 0) {
+        assert(longest <= 224 && nw === w && nh === h)
+      } else {
+        assert(longest > 224)
+        assert(nw === w * 224 / longest && nh === h * 224 / longest)
+        assert(math.max(nw, nh) <= 224 && math.min(nw, nh) >= 1)
+      }
     }
   }
 
