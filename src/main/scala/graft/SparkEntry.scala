@@ -539,6 +539,10 @@ object SparkEntry {
     "q284_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.frameSample(s, d)),
     "q285_media_features" -> ((s: SparkSession, d: String) => Multimodal.byteHistogramFeatures(s, d)),
     "q286_resize_plan" -> ((s: SparkSession, d: String) => Multimodal.resizePlan(s, d)),
+    // q287-q288: the media pipeline's dedup and retrieve stages over the
+    // q284/q285 frame and feature rows
+    "q287_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
+    "q288_media_feature_ann" -> ((s: SparkSession, d: String) => Multimodal.mediaFeatureAnn(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5795,5 +5799,63 @@ private object CorpusOracles {
         | CAST(CASE WHEN longest > 224 THEN 1 ELSE 0 END AS INTEGER)
         |  AS scaled
         |FROM g""".stripMargin,
+    // q287: the q284 frame rows grouped on (len, checksum); >= 2 docs
+    "q287_frame_dedup" ->
+      """WITH m AS (SELECT doc_id, text,
+        |   CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT m.*, CAST(1 + n % 7 AS BIGINT) AS nf FROM m),
+        |fr AS (SELECT doc_id, n, nf,
+        |   (i * n) // nf AS fo, ((i + 1) * n) // nf AS fu
+        |  FROM f, range(0, 7) r(i) WHERE i < nf AND i % 2 = 0),
+        |bytes AS (SELECT doc_id, p,
+        |   ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) AS bv
+        |  FROM m, range(0, 4096) q(p) WHERE p < n),
+        |ck AS (SELECT fr.doc_id, fr.fu - fr.fo AS fl,
+        |   coalesce(sum(b.bv), 0) AS cksum
+        |  FROM fr LEFT JOIN bytes b
+        |   ON b.doc_id = fr.doc_id AND b.p >= fr.fo AND b.p < fr.fu
+        |  GROUP BY fr.doc_id, fr.fo, fl)
+        |SELECT CAST(fl AS BIGINT) AS frame_len,
+        | CAST(cksum AS BIGINT) AS frame_checksum,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc,
+        | CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM ck GROUP BY 1, 2
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // q288: q29's ANN contract over the q285 features — exact integer
+    // dot/norms, one 6-dp cosine from identical expression shapes
+    "q288_media_feature_ann" ->
+      """WITH m AS (SELECT doc_id, text,
+        |   CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |bytes AS (SELECT doc_id,
+        |   ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) % 8 AS dim
+        |  FROM m, range(0, 4096) r(p) WHERE p < n),
+        |cnts AS (SELECT doc_id, dim, count(*) AS cnt
+        |  FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT m.doc_id, CAST(i AS INTEGER) AS dim
+        |  FROM m, range(0, 8) g(i)),
+        |feats AS (SELECT grid.doc_id, grid.dim,
+        |   coalesce(cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN cnts
+        |   ON grid.doc_id = cnts.doc_id AND grid.dim = cnts.dim),
+        |q AS (SELECT doc_id AS query_id, dim, cnt AS qc
+        |  FROM feats WHERE doc_id < 50),
+        |p AS (SELECT query_id, f.doc_id AS neighbor_id,
+        |   CAST(sum(CAST(qc AS HUGEINT) * cnt) AS BIGINT) AS dot,
+        |   CAST(sum(CAST(qc AS HUGEINT) * qc) AS BIGINT) AS qq,
+        |   CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS BIGINT) AS nn
+        |  FROM feats f JOIN q USING (dim) WHERE f.doc_id <> query_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, dot,
+        |   round(CAST(dot AS DOUBLE)
+        |     / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE))), 6)
+        |    AS cosine
+        |  FROM p),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM r)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS "rank",
+        | dot, cosine
+        |FROM t WHERE rnk <= 3""".stripMargin,
   )
 }

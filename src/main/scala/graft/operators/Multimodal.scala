@@ -138,6 +138,72 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Frame-level dedup (q287): repeated media segments across documents,
+    * found by grouping sampled frames on (frame_len, frame_checksum) — the
+    * byte-sum checksum standing in for a perceptual hash (pHash/aHash)
+    * exactly as the decoder is stubbed; a real pipeline swaps the checksum
+    * expression and keeps the equality-join shape. Only groups spanning
+    * ≥ 2 distinct documents emit — the candidate list a video-dedup pass
+    * verifies, the media analogue of the q22 exact-dedup contract.
+    *
+    * Scale shape: the LSH discipline of the text stack — candidates come
+    * from an equality-keyed aggregate over an 8-byte-ish key (no pairwise
+    * anything); output scales with duplicated segments, not the corpus.
+    */
+  def frameDedup(spark: SparkSession, sfDir: String,
+      stride: Int = 2): DataFrame =
+    frameSample(spark, sfDir, stride)
+      .groupBy(col("frame_len"), col("frame_checksum"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") >= 2)
+
+  /** Media-feature ANN (q288): brute-force cosine top-`k` over the q285
+    * byte-histogram features for the first `nQueries` documents — the
+    * retrieve stage that closes the media pipeline (decode → sample →
+    * extract → dedup → retrieve), in the q29 contract: exact integer dot
+    * products and squared norms, one 6-dp rounded cosine, deterministic
+    * (cosine DESC, neighbor_id) ranking. The 8-dim histogram stands in
+    * for a real embedding; the plan is the embedding path's plan.
+    *
+    * Scale shape: q29's — the query side is broadcast (bounded by
+    * construction), candidates stream map-side, per-query top-k is a
+    * WindowGroupLimit (k-heap, no global sort). The production scale path
+    * for wide corpora is the IVF/PQ stack (q37/q93) fed by the same
+    * feature rows.
+    */
+  def mediaFeatureAnn(spark: SparkSession, sfDir: String, k: Int = 3,
+      nQueries: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val feats = byteHistogramFeatures(spark, sfDir)
+      .select(col("doc_id"), col("dim"), col("cnt"))
+    val q = feats.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("dim"),
+        col("cnt").as("qc"))
+    val joined = feats
+      .select(col("doc_id").as("neighbor_id"), col("dim"), col("cnt"))
+      .join(broadcast(q), Seq("dim"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qc").cast(dec) * col("cnt")).cast("long").as("dot"),
+        sum(col("qc").cast(dec) * col("qc")).cast("long").as("qq"),
+        sum(col("cnt").cast(dec) * col("cnt")).cast("long").as("nn"))
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id")))
+    joined
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        round(col("dot").cast("double")
+          / (sqrt(col("qq").cast("double")) * sqrt(col("nn").cast("double"))),
+          6).as("cosine"))
+      .withColumn("rank", rn)
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("dot"), col("cosine"))
+  }
+
   /** Resize planning (q286): fit each decoded image inside a
     * `maxSide`-pixel box preserving aspect ratio — new dims are exact
     * integral divisions (w·maxSide DIV longest, never rounded through a

@@ -153,6 +153,41 @@ class Round8OpsSpec extends SparkTestBase {
     }
   }
 
+  test("frame dedup: groups replay the frame rows; only cross-doc emit") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(0))) // len, ck, doc
+    val expect = frames.groupBy(f => (f._1, f._2))
+      .filter(_._2.map(_._3).distinct.size >= 2)
+      .map { case (k, fs) =>
+        k -> (fs.size.toLong, fs.map(_._3).distinct.size.toLong,
+          fs.map(_._3).min, fs.map(_._3).max)
+      }
+    val got = Multimodal.frameDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expect)
+  }
+
+  test("media ann: one query's top-3 replays the exact cosine ranking") {
+    val feats = Multimodal.byteHistogramFeatures(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.sortBy(_.getInt(1)).map(_.getLong(2))).toMap
+    val qid = 0L
+    val qv = feats(qid)
+    val ranked = feats.toSeq.filter(_._1 != qid).map { case (id, v) =>
+      val dot = qv.zip(v).map { case (a, b) => a * b }.sum
+      val cos = BigDecimal(dot.toDouble /
+        (math.sqrt(qv.map(x => x * x).sum.toDouble)
+          * math.sqrt(v.map(x => x * x).sum.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, dot, cos)
+    }.sortBy { case (id, _, cos) => (-cos, id) }.take(3)
+    val got = Multimodal.mediaFeatureAnn(spark, sf).collect()
+      .filter(_.getLong(0) == qid).sortBy(_.getInt(2))
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === ranked.map(t => (t._1, t._2, t._3)))
+  }
+
   test("rolling trend gate ships exact integers only (no rounded double)") {
     val df = Relational.rollingTrend(spark, sf)
     assert(df.columns.toSeq === Seq("day", "rev_cents", "slope_fp"))
