@@ -435,4 +435,25 @@ class PlanShapeSpec extends SparkTestBase {
     // no window, no sort: the pyramid is pure (level, block) aggregation
     assert(!p.matches("(?s).*\\)\\s+Window\\s.*"), p)
   }
+
+  test("q288 media ann: bounded query side broadcast, top-k group-limited") {
+    val p = planOf("q288_media_feature_ann")
+    // the q29 contract on the media features: the by-construction-bounded
+    // query side is the broadcast build, candidates stream map-side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // per-query top-k is a k-heap with the partial pass below the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
+  test("q287 frame dedup: one equality-keyed aggregate, no join, no window") {
+    val p = planOf("q287_frame_dedup")
+    // candidates come from the (len, checksum) group key alone — the LSH
+    // discipline: nothing pairwise, nothing sorted, no join of any kind
+    assert(!p.contains("Join"), p)
+    assert(!p.matches("(?s).*\\)\\s+Window\\s.*"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
