@@ -47,13 +47,22 @@ object Multimodal {
       ok = n > 0)
   }
 
-  /** Distributed decode: partition-wise iteration (the Scala analogue of
-    * mapInPandas batch processing) producing a typed metadata Dataset.
+  /** Distributed decode over ANY record source — batch table or
+    * readStream: the typed mapPartitions is a stateless narrow projection,
+    * so the same definition serves the batch catalog build and the
+    * streaming ingest path (media arriving on a queue decode micro-batch
+    * by micro-batch with identical results — StreamMediaSpec pins the
+    * batch/stream equality). The Scala analogue of mapInPandas batch
+    * processing.
     */
+  def decodeMetaOf(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(r => fakeDecode(r.doc_id, r.media_type, r.payload)))
+  }
+
   def decodeMeta(spark: SparkSession, sfDir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    withPayload(spark, sfDir).as[MediaRecord]
-      .mapPartitions(_.map(r => fakeDecode(r.doc_id, r.media_type, r.payload)))
+    decodeMetaOf(withPayload(spark, sfDir).as[MediaRecord])
   }
 
   /** Metadata summary per media_type over the decoded stream. NOTE: this
