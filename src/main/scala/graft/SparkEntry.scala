@@ -543,6 +543,8 @@ object SparkEntry {
     // q284/q285 frame and feature rows
     "q287_frame_dedup" -> ((s: SparkSession, d: String) => Multimodal.frameDedup(s, d)),
     "q288_media_feature_ann" -> ((s: SparkSession, d: String) => Multimodal.mediaFeatureAnn(s, d)),
+    // q289: the exact-digest verify verdict over q287's candidate groups
+    "q289_frame_dedup_verify" -> ((s: SparkSession, d: String) => Multimodal.frameDedupVerify(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5857,5 +5859,33 @@ private object CorpusOracles {
         |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS "rank",
         | dot, cosine
         |FROM t WHERE rnk <= 3""".stripMargin,
+    // q289: md5 of the frame SUBSTRING — ASCII corpus, so string md5 =
+    // payload-slice md5; every q287 candidate group gets an exact verdict
+    "q289_frame_dedup_verify" ->
+      """WITH m AS (SELECT doc_id, text,
+        |   CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |f AS (SELECT m.*, CAST(1 + n % 7 AS BIGINT) AS nf FROM m),
+        |fr AS (SELECT doc_id, text, n, nf,
+        |   (i * n) // nf AS fo, ((i + 1) * n) // nf AS fu
+        |  FROM f, range(0, 7) r(i) WHERE i < nf AND i % 2 = 0),
+        |bytes AS (SELECT doc_id, p,
+        |   ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) AS bv
+        |  FROM m, range(0, 4096) q(p) WHERE p < n),
+        |dg AS (SELECT fr.doc_id, fr.fo, fr.fu - fr.fo AS frame_len,
+        |   md5(substr(fr.text, CAST(fr.fo + 1 AS INTEGER),
+        |     CAST(fr.fu - fr.fo AS INTEGER))) AS frame_md5,
+        |   coalesce(sum(b.bv), 0) AS cksum
+        |  FROM fr LEFT JOIN bytes b
+        |   ON b.doc_id = fr.doc_id AND b.p >= fr.fo AND b.p < fr.fu
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(frame_len AS BIGINT) AS frame_len,
+        | CAST(cksum AS BIGINT) AS frame_checksum,
+        | CAST(count(*) AS BIGINT) AS n_frames,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT frame_md5) AS BIGINT) AS n_distinct_md5,
+        | CAST(CASE WHEN count(DISTINCT frame_md5) = 1 THEN 1 ELSE 0 END
+        |  AS INTEGER) AS verified
+        |FROM dg GROUP BY 1, 2
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
   )
 }

@@ -169,6 +169,56 @@ object Multimodal {
         max(col("doc_id")).as("max_doc"))
       .where(col("n_docs") >= 2)
 
+  case class FrameDigest(doc_id: Long, frame_idx: Int, frame_len: Long,
+      frame_checksum: Long, frame_md5: String)
+
+  /** Frame-dedup verification (q289): the VERIFY stage behind
+    * [[frameDedup]]'s candidates — every (length, byte-sum) candidate
+    * group gets an exact verdict from the md5 of each member span
+    * (`verified` = all members byte-identical), the candidates → verify
+    * discipline of the text dedup stack. On a natural random-word corpus
+    * every candidate group is a checksum COLLISION (verified = 0
+    * throughout) — exactly the measurement that justifies the digest key
+    * over the cheap sum before anyone trusts q287's groups as duplicates.
+    *
+    * Scale shape: one narrow digest pass (checksum and md5 computed
+    * together inside the partition iterator), one equality-keyed
+    * aggregate; output scales with candidate groups, not the corpus. At
+    * 100 TB the digest doubles as the content address a media lake
+    * dedups storage on.
+    */
+  def frameDedupVerify(spark: SparkSession, sfDir: String,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, sfDir).as[MediaRecord]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val n = r.payload.length.toLong
+          val nf = fakeDecode(r.doc_id, r.media_type, r.payload).n_frames
+          (0 until nf by stride).iterator.map { i =>
+            val from = (i * n / nf).toInt
+            val until = ((i + 1) * n / nf).toInt
+            var sum = 0L
+            var j = from
+            while (j < until) { sum += (r.payload(j) & 0xFF); j += 1 }
+            md.reset()
+            md.update(r.payload, from, until - from)
+            val hex = md.digest().map("%02x".format(_)).mkString
+            FrameDigest(r.doc_id, i, (until - from).toLong, sum, hex)
+          }
+        }
+      }
+      .groupBy(col("frame_len"), col("frame_checksum"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("frame_md5")).as("n_distinct_md5"))
+      .where(col("n_docs") >= 2)
+      .select(col("frame_len"), col("frame_checksum"), col("n_frames"),
+        col("n_docs"), col("n_distinct_md5"),
+        (col("n_distinct_md5") === 1).cast("int").as("verified"))
+  }
+
   /** Media-feature ANN (q288): brute-force cosine top-`k` over the q285
     * byte-histogram features for the first `nQueries` documents — the
     * retrieve stage that closes the media pipeline (decode → sample →

@@ -54,8 +54,37 @@ object Stress8 {
     val expectDups = nDocs / docsPerDup
     time(s"frame dedup ($nDocs payloads, ~$expectDups planted dup docs)")(
       graft.operators.Multimodal.frameDedup(spark, dir).count())
+    // with planted byte-identical payloads the verify pass must confirm
+    // real duplicate groups (verified=1), not only checksum collisions
+    time(s"frame dedup verify ($nDocs payloads)") {
+      val v = graft.operators.Multimodal.frameDedupVerify(spark, dir)
+        .agg(sum(when(col("verified") === 1, 1L).otherwise(0L)).as("nv"),
+          count(lit(1)).as("n")).collect()(0)
+      println(s"[stress8]   verified dup groups: ${v.getLong(0)} of ${v.getLong(1)}")
+      v.getLong(1)
+    }
     time(s"feature ann ($nDocs candidates, 50 queries)")(
       graft.operators.Multimodal.mediaFeatureAnn(spark, dir).count())
+    // the production dedup key: the digest itself. Every planted
+    // (anchor, copy) pair shares all sampled frames byte-for-byte, so the
+    // digest-keyed group count must track the planted duplicates — and
+    // unlike the byte-sum key it cannot be contaminated by collisions
+    time(s"digest-keyed dedup ($nDocs payloads)") {
+      import spark.implicits._
+      val groups = graft.operators.Multimodal
+        .withPayload(spark, dir).as[graft.operators.Multimodal.MediaRecord]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { r =>
+            md.reset(); md.update(r.payload)
+            (r.doc_id, md.digest().map("%02x".format(_)).mkString)
+          }
+        }.toDF("doc_id", "payload_md5")
+        .groupBy("payload_md5").count().where(col("count") >= 2).count()
+      println(s"[stress8]   whole-payload digest dup groups: $groups" +
+        s" (planted: ${nDocs / docsPerDup})")
+      groups
+    }
     spark.stop()
   }
 }

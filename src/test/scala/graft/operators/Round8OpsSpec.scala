@@ -168,6 +168,35 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("frame dedup verify: same groups as q287, md5 verdicts replay") {
+    val cand = Multimodal.frameDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val ver = Multimodal.frameDedupVerify(spark, sf).collect()
+    // the verify pass covers exactly the candidate groups
+    assert(ver.map(r => (r.getLong(0), r.getLong(1))).toSet === cand.keySet)
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // replay each group's distinct-slice count from the raw payloads
+    val slices = Multimodal.frameSample(spark, sf).collect().map { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      val off = r.getLong(3).toInt
+      val len = r.getLong(4).toInt
+      ((r.getLong(4), r.getLong(5)),
+        new String(bytes, off, len, "UTF-8"))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    ver.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert((r.getLong(2), r.getLong(3)) === cand(k), s"group $k shape")
+      assert(r.getLong(4) === slices(k).toLong, s"group $k distinct slices")
+      assert(r.getInt(5) === (if (slices(k) == 1) 1 else 0))
+    }
+    // the natural random-word corpus has no byte-identical frames: every
+    // candidate is a collision, which is the measurement q289 exists for
+    assert(ver.forall(_.getInt(5) === 0))
+  }
+
   test("media ann: one query's top-3 replays the exact cosine ranking") {
     val feats = Multimodal.byteHistogramFeatures(spark, sf).collect()
       .groupBy(_.getLong(0))
