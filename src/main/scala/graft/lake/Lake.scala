@@ -52,4 +52,33 @@ object Lake {
   def readPartitionByPath(spark: SparkSession, root: String,
       partitionCol: String, value: String): DataFrame =
     spark.read.parquet(s"$root/$partitionCol=$value")
+
+  // — ORC: the second columnar lake format (beyond reference). Spark's
+  // native ORC source ships in the distribution, so interop with
+  // ORC-producing warehouses costs nothing; the same partition layout,
+  // partition pruning, and predicate pushdown contracts as the parquet
+  // side (LakeOrcSpec pins PartitionFilters + PushedFilters on the scan,
+  // exactly as LakeSpec does for parquet). —
+
+  /** Batch ORC write, same partition layout as [[writePartitioned]]. */
+  def writePartitionedOrc(df: DataFrame, path: String,
+      partitionCol: String = "extracted_date"): Unit =
+    df.write.mode("append").partitionBy(partitionCol).orc(path)
+
+  /** Pruned ORC partition read — the [[readPartition]] contract. */
+  def readPartitionOrc(spark: SparkSession, root: String,
+      partitionCol: String, value: String): DataFrame =
+    spark.read.orc(root).where(col(partitionCol) === value)
+
+  /** K2 in ORC: append-mode partitioned ORC streaming sink (the file-sink
+    * transaction log is format-agnostic, so exactly-once holds here too).
+    */
+  def streamingSinkOrc(df: DataFrame, path: String, checkpoint: String,
+      partitionCol: String = "extracted_date"): DataStreamWriter[Row] =
+    df.writeStream
+      .format("orc")
+      .outputMode(OutputMode.Append())
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCol)
 }
