@@ -820,13 +820,14 @@ object Funnels {
         (f, if (removed.contains(t)) "drop" else t, n)
       }
       var v: Map[String, BigInt] =
-        totals.keys.map(_ -> BigInt(0)).toMap + ("conv" -> scale, "drop" -> BigInt(0))
+        totals.keys.map(_ -> BigInt(0)).toMap ++
+          Seq("conv" -> scale, "drop" -> BigInt(0))
       for (_ <- 1 to iters) {
         val next = scala.collection.mutable.Map.empty[String, BigInt]
           .withDefaultValue(BigInt(0))
         for ((f, t, n) <- redirected) next(f) += n * v.getOrElse(t, BigInt(0))
-        v = totals.map { case (f, tot) => f -> next(f) / tot } +
-          ("conv" -> scale, "drop" -> BigInt(0))
+        v = totals.map { case (f, tot) => f -> next(f) / tot } ++
+          Seq("conv" -> scale, "drop" -> BigInt(0))
       }
       v("start")
     }

@@ -27,7 +27,8 @@ object DataGen {
 
   /** Serialize rows to the Kafka-value JSON shape (K1's json.dumps). */
   def toKafkaPayload(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).cast("binary").as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+      .cast("binary").as("value"))
 
   /** K1: Kafka producer sink builder (batch). Untestable without a broker;
     * the payload shaping above is the testable part.

@@ -669,7 +669,7 @@ object Dedup {
     pairs
       .join(side("a", "doc1"), "doc1")
       .join(side("b", "doc2"), "doc2")
-      .select(pairs.columns.map(col) :+
+      .select(pairs.columns.toIndexedSeq.map(col) :+
         round(eq.cast("double") / k, 6).as("est_jaccard"): _*)
   }
 

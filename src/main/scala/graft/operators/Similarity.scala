@@ -144,7 +144,7 @@ object Similarity {
     corpus(spark, sfDir).crossJoin(broadcast(cents))
       .select(col("vec_id"), sqDist(col("v"), col("cv")).as("d2"))
       .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
-      .agg(sum(col("md"))).head.getDouble(0)
+      .agg(sum(col("md"))).head().getDouble(0)
 
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells
     * around a fixed-size deterministic codebook ([[ivfCentroids]]), then

@@ -76,7 +76,7 @@ object TwsSessionize {
       val cur = Option(session.get())
       // only close if no newer activity re-armed a later timer
       cur match {
-        case Some(s) if s.lastTs + gapMs <= timer.getExpiryTimeInMs =>
+        case Some(s) if s.lastTs + gapMs <= timer.getExpiryTimeInMs() =>
           session.clear()
           Iterator.single(emit(user, s, "timeout"))
         case _ => Iterator.empty
