@@ -263,21 +263,17 @@ object Multimodal {
         col("dot"), col("cosine"))
   }
 
-  /** Resize planning (q286): fit each decoded image inside a
-    * `maxSide`-pixel box preserving aspect ratio — new dims are exact
-    * integral divisions (w·maxSide DIV longest, never rounded through a
-    * float), unscaled images pass through untouched. This is the
-    * metadata-only half of a resize stage: it reads the DECODED dims
-    * table, not the payloads, so a catalog query planning a resize sweep
-    * scans a few long columns (column pruning drops `payload` entirely —
-    * the scan-shape note on [[withPayload]]).
-    *
-    * Scale shape: pure projection over the metadata stream — no shuffle,
-    * no bytes, codegen-friendly integer arithmetic.
+  /** Resize planning over a decoded-metadata table (the production form):
+    * fit each image inside a `maxSide`-pixel box preserving aspect ratio —
+    * new dims are exact integral divisions (w·maxSide DIV longest, never
+    * rounded through a float), unscaled images pass through untouched.
+    * Takes the PERSISTED metadata table a pipeline builds once with
+    * [[decodeMetaOf]] (see the note on [[metaSummary]]) — against that
+    * table this is a pure projection over a few int columns, no payloads,
+    * no shuffle, codegen-friendly integer arithmetic.
     */
-  def resizePlan(spark: SparkSession, sfDir: String,
-      maxSide: Int = 224): DataFrame =
-    decodeMeta(spark, sfDir).toDF()
+  def resizePlanOf(meta: DataFrame, maxSide: Int = 224): DataFrame =
+    meta
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         greatest(col("width"), col("height")).as("longest"))
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
@@ -288,4 +284,14 @@ object Multimodal {
           .otherwise(expr(s"CAST(height * $maxSide AS BIGINT) DIV longest")
             .cast("int")).as("new_height"),
         (col("longest") > maxSide).cast("int").as("scaled"))
+
+  /** Resize planning (q286) — the gated composition: decodes inline and
+    * plans from the result. NOTE this form DOES read the payloads (the
+    * decode is inside it, and a typed mapPartitions deserializes the full
+    * record); the payload-free plan is [[resizePlanOf]] over a persisted
+    * metadata table, which is how a production catalog sweep runs it.
+    */
+  def resizePlan(spark: SparkSession, sfDir: String,
+      maxSide: Int = 224): DataFrame =
+    resizePlanOf(decodeMeta(spark, sfDir).toDF(), maxSide)
 }

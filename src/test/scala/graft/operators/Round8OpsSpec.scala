@@ -217,6 +217,23 @@ class Round8OpsSpec extends SparkTestBase {
     assert(got.toSeq === ranked.map(t => (t._1, t._2, t._3)))
   }
 
+  test("resize plan over a persisted metadata table is payload-free") {
+    val s = spark
+    import s.implicits._
+    // a standalone metadata table — no payload column anywhere
+    val meta = Seq((1L, "image/x", 640, 480), (2L, "image/x", 100, 200),
+      (3L, "image/x", 2240, 224)).toDF("doc_id", "media_type", "width", "height")
+    val plan = Multimodal.resizePlanOf(meta)
+    val rows = plan.collect().map(r =>
+      r.getLong(0) -> (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(rows(1L) === ((224, 168, 1)))   // 640x480 -> fit 224 wide
+    assert(rows(2L) === ((100, 200, 0)))   // inside the box: untouched
+    assert(rows(3L) === ((224, 22, 1)))    // extreme aspect survives
+    // pure projection: no decode stage, no shuffle in the physical plan
+    val p = plan.queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions") && !p.contains("Exchange"), p)
+  }
+
   test("rolling trend gate ships exact integers only (no rounded double)") {
     val df = Relational.rollingTrend(spark, sf)
     assert(df.columns.toSeq === Seq("day", "rev_cents", "slope_fp"))
