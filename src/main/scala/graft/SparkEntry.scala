@@ -545,6 +545,13 @@ object SparkEntry {
     "q288_media_feature_ann" -> ((s: SparkSession, d: String) => Multimodal.mediaFeatureAnn(s, d)),
     // q289: the exact-digest verify verdict over q287's candidate groups
     "q289_frame_dedup_verify" -> ((s: SparkSession, d: String) => Multimodal.frameDedupVerify(s, d)),
+    // q290-q294: round-8 continuation batch — data-quality, lead-lag,
+    // rank-test, rank-correlation and IR-index-sizing operators
+    "q290_fk_integrity" -> ((s: SparkSession, d: String) => Relational.fkIntegrity(s, d)),
+    "q291_revenue_count_ccf" -> ((s: SparkSession, d: String) => Relational.revenueCountCcf(s, d)),
+    "q292_kruskal_wallis" -> ((s: SparkSession, d: String) => Relational.kruskalWallisPriority(s, d)),
+    "q293_kendall_tau" -> ((s: SparkSession, d: String) => Relational.kendallTauDaily(s, d)),
+    "q294_postings_audit" -> ((s: SparkSession, d: String) => TextAnalytics.postingsAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -5887,5 +5894,161 @@ private object CorpusOracles {
         |  AS INTEGER) AS verified
         |FROM dg GROUP BY 1, 2
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // q290: one block per declared FK relationship, scalar subqueries per
+    // metric; every count CAST AS BIGINT (the HUGEINT contract)
+    "q290_fk_integrity" -> {
+      def rel(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS relation,
+           | CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+           | CAST((SELECT count(*) FROM $child WHERE $fk IS NULL) AS BIGINT)
+           |  AS n_null_fk,
+           | CAST((SELECT count(DISTINCT $fk) FROM $child) AS BIGINT)
+           |  AS n_child_keys,
+           | CAST((SELECT count(*) FROM $child ch WHERE ch.$fk IS NOT NULL
+           |   AND NOT EXISTS (SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$fk))
+           |  AS BIGINT) AS n_orphan_rows,
+           | CAST((SELECT count(*) FROM $parent) AS BIGINT) AS n_parent,
+           | CAST((SELECT count(*) FROM $parent pa
+           |   WHERE EXISTS (SELECT 1 FROM $child ch WHERE ch.$fk = pa.$pk))
+           |  AS BIGINT) AS n_referenced_parent""".stripMargin
+      Seq(
+        rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        rel("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        rel("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey")
+      ).mkString("\nUNION ALL\n")
+    },
+    // q291: the q191 ACF recipe with two series (daily order count leading
+    // daily cents) and signed lags; co-moments in HUGEINT, one pinned IEEE
+    // expression for r
+    "q291_revenue_count_ccf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT cal.day, coalesce(daily.n, 0) AS cnt,
+        |   coalesce(daily.cents, 0) AS cents
+        |  FROM cal LEFT JOIN daily USING (day)),
+        |l AS (SELECT k FROM range(-7, 8) t(k)),
+        |p AS (SELECT l.k AS lag, a.cnt AS x, y.cents AS y
+        |  FROM x a JOIN l ON true
+        |  JOIN x y ON y.day = a.day + CAST(l.k AS INTEGER)),
+        |s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(x AS HUGEINT)) AS s1, sum(CAST(y AS HUGEINT)) AS s2,
+        |   sum(CAST(x AS HUGEINT) * x) AS s11,
+        |   sum(CAST(y AS HUGEINT) * y) AS s22,
+        |   sum(CAST(x AS HUGEINT) * y) AS s12
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        | round(CAST(n * s12 - s1 * s2 AS DOUBLE)
+        |  / (sqrt(CAST(n * s11 - s1 * s1 AS DOUBLE))
+        |    * sqrt(CAST(n * s22 - s2 * s2 AS DOUBLE))), 6) AS ccf
+        |FROM s""".stripMargin,
+    // q292: doubled tie-averaged ranks stay integral; Σ R²/n via HUGEINT
+    // floor division (// on positives = Spark's div); H and the tie factor
+    // are the same pinned IEEE trees as the Scala side
+    "q292_kruskal_wallis" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |grain AS (SELECT cents, count(*) AS c FROM g GROUP BY 1),
+        |ranked AS (SELECT cents, c,
+        |   2 * (sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c)
+        |    + c + 1 AS r2
+        |  FROM grain),
+        |pg AS (SELECT o_orderpriority, cents, count(*) AS n_pc
+        |  FROM g GROUP BY 1, 2),
+        |pgr AS (SELECT o_orderpriority,
+        |   CAST(sum(n_pc) AS BIGINT) AS n_orders,
+        |   sum(CAST(n_pc AS HUGEINT) * r2) AS rank_sum_x2
+        |  FROM pg JOIN ranked USING (cents) GROUP BY 1),
+        |ht AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total,
+        |   CAST(count(*) AS BIGINT) AS k_groups,
+        |   sum((rank_sum_x2 * rank_sum_x2)
+        |     // (4 * CAST(n_orders AS HUGEINT))) AS sum_r2n
+        |  FROM pgr),
+        |ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS tie_sum
+        |  FROM grain),
+        |gl AS (SELECT n_total, k_groups,
+        |   round(12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+        |     * CAST(sum_r2n AS DOUBLE)
+        |     - 3.0 * CAST(n_total + 1 AS DOUBLE), 6) AS h_stat,
+        |   round((12.0 / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+        |     * CAST(sum_r2n AS DOUBLE)
+        |     - 3.0 * CAST(n_total + 1 AS DOUBLE))
+        |    / (1.0 - CAST(tie_sum AS DOUBLE)
+        |      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))), 6)
+        |    AS h_tie_corrected
+        |  FROM ht CROSS JOIN ties)
+        |SELECT o_orderpriority, n_orders,
+        | CAST(rank_sum_x2 AS BIGINT) AS rank_sum_x2,
+        | round(CAST(rank_sum_x2 AS DOUBLE)
+        |  / (2.0 * CAST(n_orders AS DOUBLE)), 6) AS mean_rank,
+        | n_total, k_groups, h_stat, h_tie_corrected
+        |FROM pgr CROSS JOIN gl""".stripMargin,
+    // q293: exact pair census over the calendar-sized day grain; signum
+    // comparisons only, tau_b as one pinned IEEE expression
+    "q293_kendall_tau" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT sign(b.n - a.n) AS dx, sign(b.cents - a.cents) AS dy
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties_both,
+        |   CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties_x,
+        |   CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ties_y,
+        |   CAST(sum(CASE WHEN dx <> 0 AND dx = dy THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS concordant,
+        |   CAST(sum(CASE WHEN dx <> 0 AND dy <> 0 AND dx <> dy THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS discordant
+        |  FROM p),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_pairs, concordant, discordant, ties_x, ties_y,
+        | ties_both,
+        | round(CAST(concordant - discordant AS DOUBLE)
+        |  / sqrt(CAST(n_pairs - ties_x - ties_both AS DOUBLE)
+        |    * CAST(n_pairs - ties_y - ties_both AS DOUBLE)), 6) AS tau_b
+        |FROM s CROSS JOIN nd""".stripMargin,
+    // q294: postings from the q58 whitespace tokenizer; doc-sharded delta
+    // encoding, bit cost = length(bin(v)) (exact in both engines), varint
+    // bytes via integer division; all-BIGINT outputs
+    "q294_postings_audit" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |postings AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |enc AS (SELECT word, doc_id, tf, doc_id % 16 AS shard FROM postings),
+        |g AS (SELECT word, tf,
+        |   coalesce(doc_id - lag(doc_id)
+        |     OVER (PARTITION BY word, shard ORDER BY doc_id), doc_id + 1)
+        |    AS stored
+        |  FROM enc),
+        |b AS (SELECT word, tf, CAST(length(bin(stored)) AS BIGINT) AS bits
+        |  FROM g),
+        |byword AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |   CAST(sum(tf) AS BIGINT) AS tf_total,
+        |   CAST(sum(bits) AS BIGINT) AS gap_bits,
+        |   CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS df_bucket,
+        | CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(df) AS BIGINT) AS n_postings,
+        | CAST(sum(tf_total) AS BIGINT) AS total_tf,
+        | CAST(sum(gap_bits) AS BIGINT) AS sum_gap_bits,
+        | CAST(sum(varint_bytes) AS BIGINT) AS est_index_bytes
+        |FROM byword GROUP BY 1""".stripMargin,
   )
 }

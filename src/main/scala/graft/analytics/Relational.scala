@@ -1594,4 +1594,237 @@ object Relational {
         round((col("slope_lo_fp") + col("slope_hi_fp")).cast("double")
           / 2000000.0, 6))
   }
+
+  /** Referential-integrity audit of the star schema (q290): for every
+    * declared FK relationship, child-row and child-key cardinalities,
+    * NULL-FK count, orphan child rows (FK value with no parent), and
+    * parent-side coverage (parents referenced by at least one child). The
+    * Deequ-style constraint suite a warehouse runs after every load; all
+    * columns exact integers.
+    *
+    * Scale shape: per relation one anti-join (orphans) and one semi-join
+    * (referenced parents), each equality-keyed — Catalyst broadcasts the
+    * dimension side of the small relations (nation/region/customer at dim
+    * scale) and shuffles the fact-fact pairs (lineitem→orders) on the key;
+    * all counts are partial+final aggregates. The four 1-row per-relation
+    * aggregates combine via broadcast cross joins (the A11 recipe — no
+    * driver collect), and the 7-row union is metadata-sized.
+    */
+  def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val ck = child.select(col(fk).as("k"))
+      val pkeys = parent.select(col(pk).as("k"))
+      val childAgg = ck.agg(
+        count(lit(1)).as("n_child"),
+        count(when(col("k").isNull, 1)).as("n_null_fk"),
+        countDistinct(col("k")).as("n_child_keys"))
+      val orphanAgg = ck.where(col("k").isNotNull)
+        .join(pkeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"))
+      val parentAgg = pkeys.agg(count(lit(1)).as("n_parent"))
+      val refAgg = pkeys
+        .join(ck.where(col("k").isNotNull).distinct(), Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n_referenced_parent"))
+      childAgg.crossJoin(broadcast(orphanAgg))
+        .crossJoin(broadcast(parentAgg))
+        .crossJoin(broadcast(refAgg))
+        .select(lit(name).as("relation"), col("n_child"), col("n_null_fk"),
+          col("n_child_keys"), col("n_orphan_rows"), col("n_parent"),
+          col("n_referenced_parent"))
+    }
+    val customer = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val nationT = Tables.nation(spark, sfDir)
+    val supplier = Tables.supplier(spark, sfDir)
+    Seq(
+      rel("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+      rel("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      rel("lineitem.l_partkey->part", lineitem, "l_partkey", Tables.part(spark, sfDir), "p_partkey"),
+      rel("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      rel("customer.c_nationkey->nation", customer, "c_nationkey", nationT, "n_nationkey"),
+      rel("supplier.s_nationkey->nation", supplier, "s_nationkey", nationT, "n_nationkey"),
+      rel("nation.n_regionkey->region", nationT, "n_regionkey", Tables.region(spark, sfDir), "r_regionkey")
+    ).reduce(_.unionAll(_))
+  }
+
+  /** Lead-lag cross-correlation (q291) between daily ORDER COUNT and daily
+    * revenue cents on the zero-filled calendar spine: Pearson r of
+    * (count_t, cents_{t+lag}) for lag ∈ [−maxLag, +maxLag]. Positive lags
+    * ask "does today's volume predict future revenue", negative the
+    * reverse — the lead-lag diagnostic a demand-planning pipeline runs
+    * between any two daily series (the two-series generalization of
+    * [[revenueAutocorrelation]]).
+    *
+    * Determinism: all six co-moment sums are exact DECIMAL(38,0) over
+    * integer inputs (the q191 overflow contract — cents² at 10¹⁸ would
+    * wrap a long); the only float op is the final one-expression r, rounded
+    * to 6 dp at magnitude ≤ 1.
+    *
+    * Scale shape: identical to q191 — one day-grain aggregate over orders,
+    * then everything runs on the calendar-sized spine (explode ×lags,
+    * equality self-join on the shifted day key, partial+final aggregate on
+    * the lag key).
+    */
+  def revenueCountCcf(spark: SparkSession, sfDir: String,
+      maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("cnt"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val pairs = spine.select(col("day"), col("cnt"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .join(spine.select(col("day").as("yday"), col("cents").as("y")),
+        expr("yday = date_add(day, lag)"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("cnt").cast(dec)).as("s1"),
+        sum(col("y").cast(dec)).as("s2"),
+        sum(col("cnt").cast(dec) * col("cnt")).as("s11"),
+        sum(col("y").cast(dec) * col("y")).as("s22"),
+        sum(col("cnt").cast(dec) * col("y")).as("s12"))
+      .select(col("lag").cast("int").as("lag"),
+        col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+          / (sqrt((col("n") * col("s11") - col("s1") * col("s1")).cast("double"))
+            * sqrt((col("n") * col("s22") - col("s2") * col("s2")).cast("double"))),
+          6).as("ccf"))
+  }
+
+  /** Kruskal-Wallis H test (q292): do order values differ across the five
+    * o_orderpriority groups? Rank-based one-way ANOVA — the k-group
+    * generalization of the q218 Mann-Whitney test. Emits one row per group
+    * (n, tie-averaged rank sum ×2, mean rank) plus the global H and its
+    * tie-corrected form on every row.
+    *
+    * Determinism: tie-averaged ranks are kept as exact integers by working
+    * with DOUBLED ranks (2·rank is integral even for .5-tie averages:
+    * r2 = 2·cum_before + c + 1 on the value grain). Σ R_g²/n_g is made
+    * exact by integral division per group (rank_sum_x2² div (4·n_g) —
+    * IntegralDivide over DECIMAL(38,0), truncation identical to DuckDB's
+    * HUGEINT `//` on positives) so no float accumulates across groups; H
+    * and the tie factor are single pinned IEEE expressions over those
+    * exact integers (the q234 kappa recipe). The ≤1-per-group floor error
+    * is ~1e-16 relative — both engines floor the SAME quotient, so the
+    * doubles are identical.
+    *
+    * Scale shape: ranks come from the VALUE GRAIN (distinct cents values),
+    * not the row stream — one map-side-combinable grain aggregate, then a
+    * single prefix-sum window over the grain. The grain is bounded by the
+    * value domain (cents of a bounded price range), orders of magnitude
+    * smaller than the fact table; at true scale the prefix sum
+    * range-partitions (the q279 decile note). Per-group sums are
+    * equality-keyed partial aggregates; the grain→group join broadcasts
+    * the grain's rank map.
+    */
+  def kruskalWallisPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val grain = g.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grain
+      .withColumn("cum", sum(col("c")).over(w))
+      .select(col("cents"),
+        (lit(2) * (col("cum") - col("c")) + col("c") + lit(1)).as("r2"),
+        col("c"))
+    val perGroup = g.groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("n_pc"))
+      .join(broadcast(ranked.select(col("cents"), col("r2"))), Seq("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n_pc")).as("n_orders"),
+        sum(col("n_pc").cast(dec) * col("r2")).as("rank_sum_x2"))
+    // exact Σ R_g²/n_g: rank_sum_x2² div (4·n_g) per group (IntegralDivide
+    // — exact truncation, no decimal-scale rounding), summed as
+    // DECIMAL(38,0) — no cross-group float reduction
+    val hTerms = perGroup.agg(
+      sum(col("n_orders")).cast("long").as("n_total"),
+      count(lit(1)).as("k_groups"),
+      sum(expr("CAST((rank_sum_x2 * rank_sum_x2) div (4 * n_orders) AS DECIMAL(38,0))"))
+        .cast(dec).as("sum_r2n"))
+    val ties = grain.agg(
+      sum(col("c").cast(dec) * col("c") * col("c") - col("c")).as("tie_sum"))
+    val h = (lit(12.0) / (col("n_total").cast("double")
+        * (col("n_total") + lit(1)).cast("double"))
+        * col("sum_r2n").cast("double")) -
+      lit(3.0) * (col("n_total") + lit(1)).cast("double")
+    val tieFactor = lit(1.0) - (col("tie_sum").cast("double") /
+      (col("n_total").cast("double") * col("n_total").cast("double")
+        * col("n_total").cast("double") - col("n_total").cast("double")))
+    val globals = hTerms.crossJoin(broadcast(ties))
+      .withColumn("h_stat", round(h, 6))
+      .withColumn("h_tie_corrected", round(h / tieFactor, 6))
+      .select(col("n_total"), col("k_groups"), col("h_stat"),
+        col("h_tie_corrected"))
+    perGroup
+      .select(col("o_orderpriority"), col("n_orders").cast("long").as("n_orders"),
+        col("rank_sum_x2").cast("long").as("rank_sum_x2"),
+        round(col("rank_sum_x2").cast("double")
+          / (lit(2.0) * col("n_orders").cast("double")), 6).as("mean_rank"))
+      .crossJoin(broadcast(globals))
+  }
+
+  /** Kendall tau-b (q293) between daily order count and daily revenue
+    * cents over the order-day grain — the rank-correlation complement of
+    * q232's Spearman rho, exact over all C(n,2) day pairs with full
+    * tie accounting (concordant / discordant / tied-x / tied-y / tied-both;
+    * tau_b = (C−D)/√((n₀−Tx)(n₀−Ty))).
+    *
+    * Scale shape: the day grain is CALENDAR-sized (one map-side-combinable
+    * aggregate collapses the fact table to ≤ a few thousand rows), so the
+    * O(n²) pair walk runs as a documented METADATA-sized driver solve —
+    * the q233 Theil-Sen discipline. The fact-table pass is the only
+    * corpus-scale stage.
+    */
+  def kendallTauDaily(spark: SparkSession, sfDir: String): DataFrame =
+    kendallTauDailyOf(Tables.orders(spark, sfDir))
+
+  /** [[kendallTauDaily]] over an arbitrary orders frame — the
+    * fixture-testable core.
+    */
+  def kendallTauDailyOf(orders: DataFrame): DataFrame = {
+    val grain = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    var conc = 0L; var disc = 0L
+    var tieX = 0L; var tieY = 0L; var tieBoth = 0L
+    var i = 0
+    while (i < grain.length) {
+      var j = i + 1
+      while (j < grain.length) {
+        val dx = java.lang.Long.signum(grain(j)._1 - grain(i)._1)
+        val dy = java.lang.Long.signum(grain(j)._2 - grain(i)._2)
+        if (dx == 0 && dy == 0) tieBoth += 1
+        else if (dx == 0) tieX += 1
+        else if (dy == 0) tieY += 1
+        else if (dx == dy) conc += 1
+        else disc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val n = grain.length.toLong
+    val n0 = n * (n - 1) / 2
+    val spark = orders.sparkSession
+    import spark.implicits._
+    Seq((n, n0, conc, disc, tieX, tieY, tieBoth))
+      .toDF("n_days", "n_pairs", "concordant", "discordant",
+        "ties_x", "ties_y", "ties_both")
+      .withColumn("tau_b",
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt((col("n_pairs") - col("ties_x") - col("ties_both")).cast("double")
+            * (col("n_pairs") - col("ties_y") - col("ties_both")).cast("double")),
+          6))
+  }
 }

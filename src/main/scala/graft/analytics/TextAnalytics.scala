@@ -2085,4 +2085,55 @@ object TextAnalytics {
         round(col("n_shared").cast("double")
           / (col("n1") + col("n2") - col("n_shared")), 6).as("vocab_jaccard"))
   }
+
+  /** Inverted-index size audit (q294): build the postings table
+    * (word → sorted doc-id list with term frequencies), delta-encode the
+    * doc-id gaps, and report — per log₂(df) rarity bucket — vocabulary
+    * size, posting count, total tf, delta-gap bit mass, and the estimated
+    * varint-encoded index bytes. The sizing pass an IR/RAG pipeline runs
+    * before committing to an index layout: head buckets dominate bytes,
+    * tail buckets dominate vocabulary.
+    *
+    * Encoding model (pinned, engine-neutral): postings are doc-sharded
+    * (`shards` ways by doc_id mod) and each shard's list delta-encoded
+    * independently — the first entry stores doc_id+1, subsequent entries
+    * the positive gap. A value v costs bit_length(v) bits (length of its
+    * binary string — exact in both engines, no float log2) and
+    * ⌈bits/7⌉ varint bytes.
+    *
+    * Scale shape: tf is one map-side-combinable (word, doc) aggregate over
+    * the exploded token stream; gaps need a per-list sort, done with a
+    * window PARTITIONED BY (word, doc-shard) — the shard key is exactly
+    * what bounds a hot word (stopword with df ≈ corpus) to 1/shards of its
+    * postings per task, the q59 skew lesson applied to index building
+    * (real engines doc-shard their indexes for the same reason; `shards`
+    * scales with the cluster). Bucket rollup is a tiny final aggregate.
+    */
+  def postingsAudit(spark: SparkSession, sfDir: String,
+      shards: Int = 16): DataFrame = {
+    val postings = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("word"), col("shard")).orderBy(col("doc_id"))
+    val encoded = postings
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("stored",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + lit(1L)))
+      .withColumn("bits", length(bin(col("stored"))).cast("long"))
+    val byWord = encoded.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        sum(col("bits")).as("gap_bits"),
+        sum(expr("(bits + 6) div 7")).as("varint_bytes"))
+    byWord
+      .withColumn("df_bucket", (length(bin(col("df"))) - lit(1)).cast("int"))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("df")).cast("long").as("n_postings"),
+        sum(col("tf_total")).cast("long").as("total_tf"),
+        sum(col("gap_bits")).cast("long").as("sum_gap_bits"),
+        sum(col("varint_bytes")).cast("long").as("est_index_bytes"))
+  }
 }

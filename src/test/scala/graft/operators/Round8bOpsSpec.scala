@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.{Relational, TextAnalytics}
+import org.apache.spark.sql.functions.{col, countDistinct, explode, lit, split, count => scount}
+
+/** Semantics of the round-8 continuation batch (q290-q294): FK integrity,
+  * lead-lag CCF, Kruskal-Wallis, Kendall tau-b, postings audit. Each test
+  * replays the operator independently (hand fixture or driver-side
+  * recompute on sf0.001).
+  */
+class Round8bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("fk integrity: clean star schema yields zero orphans and full parent coverage on dims") {
+    val rows = Relational.fkIntegrity(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 7)
+    // the generated testdata is referentially clean: no orphans anywhere
+    rows.values.foreach { r => assert(r.getLong(4) === 0L, r.getString(0)) }
+    val li = rows("lineitem.l_orderkey->orders")
+    val liCount = graft.core.Tables.lineitem(spark, sf).count()
+    val ordCount = graft.core.Tables.orders(spark, sf).count()
+    assert(li.getLong(1) === liCount)   // n_child
+    assert(li.getLong(2) === 0L)        // n_null_fk
+    assert(li.getLong(5) === ordCount)  // n_parent
+    // orphan-free data: referenced parents = distinct child FK values
+    // (the synthetic orders table has a tail of lineitem-less orders)
+    val refOrders = graft.core.Tables.lineitem(spark, sf)
+      .select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    assert(li.getLong(6) === refOrders)  // n_referenced_parent
+    assert(li.getLong(3) === refOrders)  // n_child_keys
+    val oc = rows("orders.o_custkey->customer")
+    val refCust = graft.core.Tables.orders(spark, sf)
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(oc.getLong(3) === refCust)   // n_child_keys
+    assert(oc.getLong(6) === refCust)   // referenced parents = distinct FKs (no orphans)
+  }
+
+  test("revenue-count ccf: lag-0 matches a driver-side Pearson over the zero-filled spine") {
+    val daily = graft.core.Tables.orders(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(col("o_orderdate")).as("day"),
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100, 0)
+          .cast("long").as("cents"))
+      .collect().groupBy(_.getDate(0).toLocalDate)
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getLong(1)).sum)).toMap
+    val (d0, d1) = (daily.keys.min, daily.keys.max)
+    val series = (0L to (d1.toEpochDay - d0.toEpochDay)).map { i =>
+      daily.getOrElse(d0.plusDays(i), (0L, 0L))
+    }
+    val n = series.length
+    def pearson(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val m = xs.length
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      (BigInt(m) * sxy - sx * sy).toDouble /
+        (math.sqrt((BigInt(m) * sxx - sx * sx).toDouble)
+          * math.sqrt((BigInt(m) * syy - sy * sy).toDouble))
+    }
+    val got = Relational.revenueCountCcf(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size === 15)
+    val (n0, r0) = got(0)
+    assert(n0 === n.toLong)
+    assert(math.abs(r0 - round6(pearson(series.map(_._1), series.map(_._2)))) < 1e-9)
+    // lag +7: x_t vs y_{t+7} → n−7 pairs; replay the shifted correlation
+    val (n7, r7) = got(7)
+    assert(n7 === (n - 7).toLong)
+    val xs = series.dropRight(7).map(_._1)
+    val ys = series.drop(7).map(_._2)
+    assert(math.abs(r7 - round6(pearson(xs, ys))) < 1e-9)
+  }
+
+  test("kruskal-wallis: groups replay a driver-side rank computation") {
+    val vals = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100, 0)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // tie-averaged ranks over the full sample
+    val sorted = vals.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .view.mapValues(g => g.map(_._2 + 1L).sum.toDouble / g.length).toMap
+    val byG = vals.groupBy(_._1)
+    val n = vals.length.toDouble
+    val sumR2n = byG.values.map { g =>
+      val rs = g.map(v => rankOf(v._2)).sum
+      rs * rs / g.length
+    }.sum
+    val hExpect = 12.0 / (n * (n + 1)) * sumR2n - 3 * (n + 1)
+    val rows = Relational.kruskalWallisPriority(spark, sf).collect()
+    assert(rows.length === byG.size)
+    val h = rows.head.getDouble(rows.head.fieldIndex("h_stat"))
+    assert(math.abs(h - hExpect) < 1e-4, s"h=$h expected=$hExpect")
+    rows.foreach { r =>
+      val g = byG(r.getString(0))
+      assert(r.getLong(r.fieldIndex("n_orders")) === g.length.toLong)
+      val meanRank = r.getDouble(r.fieldIndex("mean_rank"))
+      val expectMean = g.map(v => rankOf(v._2)).sum / g.length
+      assert(math.abs(meanRank - expectMean) < 1e-4)
+    }
+  }
+
+  test("kendall tau-b: hand fixture with known concordance structure") {
+    import spark.implicits._
+    // 4 days: counts 1,2,2,3 / cents 10,20,15,30 (one x-tie pair)
+    // pairs (i<j): (1,2):C (1,3):C (1,4):C (2,3): dx=0,dy<0 → tie_x
+    // (2,4):C (3,4):C → C=5 D=0 Tx=1 n0=6
+    val orders = Seq(
+      ("1994-01-01", 10.0),
+      ("1994-01-02", 12.0), ("1994-01-02", 8.0),
+      ("1994-01-03", 7.5), ("1994-01-03", 7.5),
+      ("1994-01-04", 10.0), ("1994-01-04", 10.0), ("1994-01-04", 10.0)
+    ).toDF("o_orderdate", "o_totalprice")
+      .select(col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+    val r = Relational.kendallTauDailyOf(orders).head
+    assert(r.getLong(0) === 4L)  // n_days
+    assert(r.getLong(1) === 6L)  // n_pairs
+    assert(r.getLong(2) === 5L)  // concordant
+    assert(r.getLong(3) === 0L)  // discordant
+    assert(r.getLong(4) === 1L)  // ties_x
+    assert(r.getLong(5) === 0L && r.getLong(6) === 0L)
+    val tau = r.getDouble(7)
+    val expect = 5.0 / math.sqrt(5.0 * 6.0)
+    assert(math.abs(tau - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val nPostings = tok.select(col("word"), col("doc_id")).distinct().count()
+    val nTokens = tok.count()
+    val nWords = tok.select(countDistinct(col("word"))).head.getLong(0)
+    val rows = TextAnalytics.postingsAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === nWords)
+    assert(rows.map(_.getLong(2)).sum === nPostings)
+    assert(rows.map(_.getLong(3)).sum === nTokens)
+    rows.foreach { r =>
+      // varint bytes: at least 1 byte and at most ⌈bits/7⌉ ≤ bits per posting
+      assert(r.getLong(5) >= r.getLong(2))
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(4) >= r.getLong(2)) // ≥1 bit per posting
+    }
+  }
+}
