@@ -552,6 +552,11 @@ object SparkEntry {
     "q292_kruskal_wallis" -> ((s: SparkSession, d: String) => Relational.kruskalWallisPriority(s, d)),
     "q293_kendall_tau" -> ((s: SparkSession, d: String) => Relational.kendallTauDaily(s, d)),
     "q294_postings_audit" -> ((s: SparkSession, d: String) => TextAnalytics.postingsAudit(s, d)),
+    // q295-q297: phrase index-vs-scan audit, Welch t-test, exact 1-D
+    // Wasserstein drift
+    "q295_phrase_search" -> ((s: SparkSession, d: String) => TextAnalytics.phraseSearch(s, d)),
+    "q296_welch_ttest" -> ((s: SparkSession, d: String) => Relational.welchTtest(s, d)),
+    "q297_wasserstein_drift" -> ((s: SparkSession, d: String) => Relational.wassersteinDrift(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6050,5 +6055,100 @@ private object CorpusOracles {
         | CAST(sum(gap_bits) AS BIGINT) AS sum_gap_bits,
         | CAST(sum(varint_bytes) AS BIGINT) AS est_index_bytes
         |FROM byword GROUP BY 1""".stripMargin,
+    // q295: 1-based list indexing builds the adjacency stream; top-5 by
+    // (count desc, w1, w2); scan path via padded substring containment
+    "q295_phrase_search" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+        |   ws[CAST(i + 1 AS INTEGER)] AS w2
+        |  FROM d, range(1, 100000) r(i) WHERE i < len(ws)),
+        |top AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        |  ORDER BY c12 DESC, w1, w2 LIMIT 5),
+        |idx AS (SELECT bg.w1, bg.w2,
+        |   CAST(count(*) AS BIGINT) AS n_occurrences,
+        |   CAST(count(DISTINCT bg.doc_id) AS BIGINT) AS n_docs_index
+        |  FROM bg JOIN top USING (w1, w2) GROUP BY 1, 2),
+        |scan AS (SELECT top.w1, top.w2,
+        |   CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs_scan
+        |  FROM d JOIN top ON contains(' ' || d.text || ' ',
+        |    ' ' || top.w1 || ' ' || top.w2 || ' ')
+        |  GROUP BY 1, 2)
+        |SELECT idx.w1 || ' ' || idx.w2 AS phrase, n_occurrences,
+        | n_docs_index, CAST(coalesce(n_docs_scan, 0) AS BIGINT) AS n_docs_scan,
+        | CAST(CASE WHEN n_docs_index = coalesce(n_docs_scan, 0)
+        |  THEN 1 ELSE 0 END AS INTEGER) AS paths_agree
+        |FROM idx LEFT JOIN scan ON idx.w1 = scan.w1 AND idx.w2 = scan.w2""".stripMargin,
+    // q296: exact HUGEINT power sums, then each derived double is the
+    // SAME pinned expression step the Scala side projects
+    "q296_welch_ttest" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |agg AS (SELECT
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |   sum(CASE WHEN event_type = 'purchase' THEN CAST(c AS HUGEINT) END)
+        |    AS s_a,
+        |   sum(CASE WHEN event_type = 'click' THEN CAST(c AS HUGEINT) END)
+        |    AS s_b,
+        |   sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(c AS HUGEINT) * c END) AS q_a,
+        |   sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(c AS HUGEINT) * c END) AS q_b
+        |  FROM e),
+        |m AS (SELECT n_a, n_b,
+        |   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |   (CAST(n_a AS DOUBLE) * CAST(q_a AS DOUBLE)
+        |     - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+        |    / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) AS var_a,
+        |   (CAST(n_b AS DOUBLE) * CAST(q_b AS DOUBLE)
+        |     - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+        |    / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) AS var_b
+        |  FROM agg),
+        |se AS (SELECT m.*, var_a / CAST(n_a AS DOUBLE) AS sea,
+        |   var_b / CAST(n_b AS DOUBLE) AS seb FROM m)
+        |SELECT n_a, n_b,
+        | round(mean_a, 6) AS mean_cents_a, round(mean_b, 6) AS mean_cents_b,
+        | round(var_a, 6) AS var_cents_a, round(var_b, 6) AS var_cents_b,
+        | round((mean_a - mean_b) / sqrt(sea + seb), 6) AS t_stat,
+        | round((sea + seb) * (sea + seb)
+        |  / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df_welch,
+        | round((mean_a - mean_b)
+        |  / sqrt(((CAST(n_a AS DOUBLE) - 1.0) * var_a
+        |    + (CAST(n_b AS DOUBLE) - 1.0) * var_b)
+        |   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)), 6) AS cohen_d
+        |FROM se""".stripMargin,
+    // q297: exact integer EMD numerator over the shared cents grain;
+    // the single float op is the final normalize
+    "q297_wasserstein_drift" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |grain AS (SELECT cents,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c1,
+        |   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n_a,
+        |   CAST(sum(c2) AS BIGINT) AS n_b FROM grain),
+        |cum AS (SELECT cents,
+        |   sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+        |   sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2,
+        |   lead(cents) OVER (ORDER BY cents) - cents AS gap
+        |  FROM grain)
+        |SELECT n_a, n_b,
+        | CAST(count(*) + 1 AS BIGINT) AS grain_rows,
+        | CAST(sum(abs(CAST(cum1 AS HUGEINT) * n_b
+        |   - CAST(cum2 AS HUGEINT) * n_a) * gap) AS BIGINT) AS emd_fp,
+        | round(CAST(sum(abs(CAST(cum1 AS HUGEINT) * n_b
+        |   - CAST(cum2 AS HUGEINT) * n_a) * gap) AS DOUBLE)
+        |  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |  AS wasserstein_cents
+        |FROM cum CROSS JOIN t WHERE gap IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

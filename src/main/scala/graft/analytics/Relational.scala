@@ -1772,6 +1772,114 @@ object Relational {
       .crossJoin(broadcast(globals))
   }
 
+  /** Welch's unequal-variance t-test (q296) between the cents-valued
+    * distributions of two event types ('purchase' vs 'click'), with the
+    * Welch–Satterthwaite degrees of freedom and Cohen's d effect size —
+    * the standard two-sample location test a metrics pipeline runs when
+    * variances can't be pooled (complements q218's rank-based
+    * Mann-Whitney and q228's proportion z-test).
+    *
+    * Determinism: per-group n/Σx/Σx² are exact DECIMAL(38,0) (cents² sums
+    * wrap a long — the q192 contract); every derived double (mean,
+    * variance, se², t, df, d) is a separate pinned projection step over
+    * those exact integers, mirrored expression-for-expression in the
+    * oracle, so both engines evaluate the identical IEEE tree.
+    *
+    * Scale shape: one map-side-combinable two-group aggregate over the
+    * events scan (predicate pushed to the scan); everything after is a
+    * 2-row frame.
+    */
+  def welchTtest(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    def side(t: String, sfx: String) = Seq(
+      sum(when(col("event_type") === t, 1L)).cast("long").as(s"n_$sfx"),
+      sum(when(col("event_type") === t, col("cents").cast(dec))).as(s"s_$sfx"),
+      sum(when(col("event_type") === t, col("cents").cast(dec) * col("cents")))
+        .as(s"q_$sfx"))
+    val agg = e.agg((side(typeA, "a") ++ side(typeB, "b")).head,
+      (side(typeA, "a") ++ side(typeB, "b")).tail: _*)
+    agg
+      .withColumn("mean_a", col("s_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("var_a",
+        (col("n_a").cast("double") * col("q_a").cast("double")
+          - col("s_a").cast("double") * col("s_a").cast("double"))
+          / (col("n_a").cast("double") * (col("n_a").cast("double") - lit(1.0))))
+      .withColumn("var_b",
+        (col("n_b").cast("double") * col("q_b").cast("double")
+          - col("s_b").cast("double") * col("s_b").cast("double"))
+          / (col("n_b").cast("double") * (col("n_b").cast("double") - lit(1.0))))
+      .withColumn("sea", col("var_a") / col("n_a").cast("double"))
+      .withColumn("seb", col("var_b") / col("n_b").cast("double"))
+      .withColumn("t_stat",
+        round((col("mean_a") - col("mean_b")) / sqrt(col("sea") + col("seb")), 6))
+      .withColumn("df_welch",
+        round((col("sea") + col("seb")) * (col("sea") + col("seb"))
+          / (col("sea") * col("sea") / (col("n_a").cast("double") - lit(1.0))
+            + col("seb") * col("seb") / (col("n_b").cast("double") - lit(1.0))), 6))
+      .withColumn("cohen_d",
+        round((col("mean_a") - col("mean_b"))
+          / sqrt(((col("n_a").cast("double") - lit(1.0)) * col("var_a")
+            + (col("n_b").cast("double") - lit(1.0)) * col("var_b"))
+            / (col("n_a").cast("double") + col("n_b").cast("double") - lit(2.0))), 6))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_cents_a"),
+        round(col("mean_b"), 6).as("mean_cents_b"),
+        round(col("var_a"), 6).as("var_cents_a"),
+        round(col("var_b"), 6).as("var_cents_b"),
+        col("t_stat"), col("df_welch"), col("cohen_d"))
+  }
+
+  /** Exact 1-D Wasserstein-1 distance (q297) between the same two event
+    * value distributions — earth-mover distance over the cents grain:
+    * W₁ = ∫|F₁−F₂|, computed as Σ_gaps |cum₁·n₂ − cum₂·n₁|·gap / (n₁·n₂)
+    * with an EXACT integer numerator (emd_fp). The drift metric that sees
+    * mass displacement where q216's KS sees only the max gap and q141's
+    * PSI needs binning.
+    *
+    * Scale shape: the q292 grain discipline — collapse both streams to the
+    * shared value grain (map-side combinable), then one prefix-sum window
+    * and one lead() over the grain, which is value-domain-bounded (range-
+    * partition the prefix sum at true scale). Output is one row.
+    */
+  def wassersteinDrift(spark: SparkSession, sfDir: String,
+      typeA: String = "purchase", typeB: String = "click"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Tables.events(spark, sfDir)
+      .where(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val grain = e.groupBy(col("cents")).agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("c2"))
+    val totals = e.agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .cast("long").as("n_a"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+        .cast("long").as("n_b"))
+    val w = Window.orderBy(col("cents"))
+    val cum = grain
+      .withColumn("cum1", sum(col("c1")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum2", sum(col("c2")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("gap", lead(col("cents"), 1).over(w) - col("cents"))
+    cum.where(col("gap").isNotNull)
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg((count(lit(1)) + lit(1)).cast("long").as("grain_rows"),
+        sum(abs(col("cum1").cast(dec) * col("n_b")
+            - col("cum2").cast(dec) * col("n_a")) * col("gap"))
+          .cast("long").as("emd_fp"))
+      .select(col("n_a"), col("n_b"), col("grain_rows"), col("emd_fp"),
+        round(col("emd_fp").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("wasserstein_cents"))
+  }
+
   /** Kendall tau-b (q293) between daily order count and daily revenue
     * cents over the order-day grain — the rank-correlation complement of
     * q232's Spearman rho, exact over all C(n,2) day pairs with full

@@ -2109,6 +2109,53 @@ object TextAnalytics {
     * (real engines doc-shard their indexes for the same reason; `shards`
     * scales with the cluster). Bucket rollup is a tiny final aggregate.
     */
+  /** Positional phrase search with scan cross-check (q295): the top-k
+    * corpus bigrams (count desc, then (w1, w2) — a deterministic total
+    * order) looked up two ways: via the bigram "index" (the in-row
+    * adjacency stream) and via a direct substring scan
+    * (`' w1 w2 '` in `' text '`). Emits per phrase the occurrence count,
+    * the doc frequency from each path, and an agreement flag — the IR
+    * engine's index-vs-scan consistency audit (the two paths can only
+    * disagree on pathological whitespace, which the flag would surface).
+    *
+    * Scale shape: bigrams form IN-ROW (zip_with — no positional
+    * self-join); the top-k select is a TakeOrdered over the
+    * map-side-combined bigram counts; both lookup paths broadcast the
+    * k-row phrase table against the corpus (k is a constant), so the scan
+    * is one pass and the index path one partial aggregate.
+    */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bg = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val top = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+    val viaIndex = bg.join(broadcast(top.select(col("w1"), col("w2"))), Seq("w1", "w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs_index"))
+    val viaScan = docs.crossJoin(broadcast(top.select(col("w1"), col("w2"))))
+      .where(concat(lit(" "), col("text"), lit(" "))
+        .contains(concat(lit(" "), col("w1"), lit(" "), col("w2"), lit(" "))))
+      .groupBy(col("w1"), col("w2"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_scan"))
+    viaIndex.join(viaScan, Seq("w1", "w2"), "left")
+      .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("n_occurrences"), col("n_docs_index"),
+        coalesce(col("n_docs_scan"), lit(0L)).as("n_docs_scan"),
+        when(col("n_docs_index") === coalesce(col("n_docs_scan"), lit(0L)), 1)
+          .otherwise(0).cast("int").as("paths_agree"))
+  }
+
   def postingsAudit(spark: SparkSession, sfDir: String,
       shards: Int = 16): DataFrame = {
     val postings = Tables.documents(spark, sfDir)

@@ -131,6 +131,84 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(math.abs(tau - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("phrase search: index and scan paths agree; top phrase replays a driver count") {
+    val rows = TextAnalytics.phraseSearch(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getInt(4) === 1, s"paths disagree for ${r.getString(0)}")
+      assert(r.getLong(1) >= r.getLong(2)) // occurrences ≥ doc frequency
+      assert(r.getLong(2) === r.getLong(3))
+    }
+    // driver replay: recount the top phrase's occurrences from raw text
+    val texts = graft.core.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      var i = 0
+      while (i < ws.length - 1) {
+        counts((ws(i), ws(i + 1))) = counts.getOrElse((ws(i), ws(i + 1)), 0L) + 1
+        i += 1
+      }
+    }
+    val (bestPair, bestN) = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.head
+    val top = rows.maxBy(_.getLong(1))
+    assert(top.getString(0) === s"${bestPair._1} ${bestPair._2}")
+    assert(top.getLong(1) === bestN)
+  }
+
+  test("welch t-test: replays a driver-side computation from raw cents") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100, 0)
+          .cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    def stats(xs: Seq[Long]): (Long, Double, Double) = {
+      val n = xs.length
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val mean = s.toDouble / n
+      val v = (BigInt(n) * q - s * s).toDouble / (n.toDouble * (n - 1.0))
+      (n.toLong, mean, v)
+    }
+    val (na, ma, va) = stats(byType("purchase"))
+    val (nb, mb, vb) = stats(byType("click"))
+    val sea = va / na; val seb = vb / nb
+    val tExpect = (ma - mb) / math.sqrt(sea + seb)
+    val dfExpect = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))
+    val r = Relational.welchTtest(spark, sf).head
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(math.abs(r.getDouble(r.fieldIndex("t_stat")) - tExpect) < 1e-4)
+    assert(math.abs(r.getDouble(r.fieldIndex("df_welch")) - dfExpect) < 1e-2)
+    assert(math.abs(r.getDouble(r.fieldIndex("mean_cents_a")) - ma) < 1e-4)
+  }
+
+  test("wasserstein drift: replays a driver-side exact EMD") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100, 0)
+          .cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1))).toMap
+    val (xs, ys) = (byType("purchase"), byType("click"))
+    val (na, nb) = (xs.length.toLong, ys.length.toLong)
+    val grain = (xs ++ ys).distinct.sorted
+    var emd = BigInt(0)
+    var (cum1, cum2) = (0L, 0L)
+    grain.zip(grain.tail).foreach { case (v, next) =>
+      cum1 += xs.count(_ == v); cum2 += ys.count(_ == v)
+      emd += (BigInt(cum1) * nb - BigInt(cum2) * na).abs * (next - v)
+    }
+    val r = Relational.wassersteinDrift(spark, sf).head
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(r.getLong(2) === grain.length.toLong)
+    assert(BigInt(r.getLong(3)) === emd)
+    assert(math.abs(r.getDouble(4) - emd.toDouble / (na.toDouble * nb.toDouble)) < 1e-4)
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
