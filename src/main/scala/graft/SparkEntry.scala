@@ -557,6 +557,12 @@ object SparkEntry {
     "q295_phrase_search" -> ((s: SparkSession, d: String) => TextAnalytics.phraseSearch(s, d)),
     "q296_welch_ttest" -> ((s: SparkSession, d: String) => Relational.welchTtest(s, d)),
     "q297_wasserstein_drift" -> ((s: SparkSession, d: String) => Relational.wassersteinDrift(s, d)),
+    // q298-q301: capped sessionization, ranking-function kitchen,
+    // Brown-Forsythe variance test, Cramér's V effect size
+    "q298_capped_sessions" -> ((s: SparkSession, d: String) => Sessions.cappedSessionHistogram(s, d)),
+    "q299_rank_functions" -> ((s: SparkSession, d: String) => Relational.rankFunctionKitchen(s, d)),
+    "q300_levene_bf" -> ((s: SparkSession, d: String) => Relational.leveneBrownForsythe(s, d)),
+    "q301_cramers_v" -> ((s: SparkSession, d: String) => Relational.cramersVPriority(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6150,5 +6156,117 @@ private object CorpusOracles {
         |  AS wasserstein_cents
         |FROM cum CROSS JOIN t WHERE gap IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // q298: the gapSessionsSql construct with exact-µs gap compare
+    // (epoch_us — no double-seconds boundary) plus the rn-based cap split
+    "q298_capped_sessions" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_us(CAST(ts AS TIMESTAMP))
+        |      - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts, event_id, sum(new_s) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS gsid FROM s),
+        |r AS (SELECT user_id, gsid,
+        |  row_number() OVER (PARTITION BY user_id, gsid
+        |   ORDER BY ts, event_id) AS rn FROM g),
+        |sess AS (SELECT user_id, gsid, (rn - 1) // 2 AS sub,
+        |  count(*) AS sz FROM r GROUP BY 1, 2, 3)
+        |SELECT CAST(sz AS BIGINT) AS session_size,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN sub > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_from_splits
+        |FROM sess GROUP BY 1""".stripMargin,
+    // q299: total window order (cents desc, custkey) makes every ranking
+    // function single-valued; INTEGER casts pin the rank types
+    "q299_rank_functions" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+        |r AS (SELECT CAST(c_nationkey AS INTEGER) AS nation_key, c_custkey,
+        |   cents AS acctbal_cents,
+        |   CAST(rank() OVER w AS INTEGER) AS rnk,
+        |   CAST(dense_rank() OVER w AS INTEGER) AS dense_rnk,
+        |   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |   round(percent_rank() OVER w, 6) AS pct_rank,
+        |   round(cume_dist() OVER w, 6) AS cume
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |   ORDER BY cents DESC, c_custkey))
+        |SELECT * FROM r WHERE rnk <= 3""".stripMargin,
+    // q300: exact lower medians off the per-group grain prefix sum; the
+    // q292 HUGEINT floor-division keeps Σ S²/n identical in both engines
+    "q300_levene_bf" ->
+      """WITH g AS (SELECT event_type,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |grain AS (SELECT event_type, cents, count(*) AS c
+        |  FROM g GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |   sum(c) OVER (PARTITION BY event_type) AS n_g
+        |  FROM grain),
+        |med AS (SELECT event_type, min(cents) AS median_cents
+        |  FROM cum WHERE cum * 2 >= n_g GROUP BY 1),
+        |dev AS (SELECT grain.event_type, abs(cents - median_cents) AS z,
+        |   c, median_cents
+        |  FROM grain JOIN med USING (event_type)),
+        |pg AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_g,
+        |   max(median_cents) AS median_cents,
+        |   sum(CAST(z AS HUGEINT) * c) AS s_g,
+        |   sum(CAST(z AS HUGEINT) * z * c) AS q_g
+        |  FROM dev GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+        |   CAST(count(*) AS BIGINT) AS k_groups,
+        |   sum(s_g) AS s_all, sum(q_g) AS q_all,
+        |   sum((s_g * s_g) // CAST(n_g AS HUGEINT)) AS a_floor
+        |  FROM pg),
+        |gl AS (SELECT n_total, k_groups,
+        |   round(((CAST(n_total AS DOUBLE) - CAST(k_groups AS DOUBLE))
+        |     / (CAST(k_groups AS DOUBLE) - 1.0))
+        |    * ((CAST(a_floor AS DOUBLE)
+        |      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+        |        / CAST(n_total AS DOUBLE))
+        |     / CAST(q_all - a_floor AS DOUBLE)), 6) AS f_stat
+        |  FROM t)
+        |SELECT event_type, n_g AS n_events, median_cents,
+        | round(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS mean_abs_dev,
+        | n_total, k_groups, f_stat
+        |FROM pg CROSS JOIN gl""".stripMargin,
+    // q301: the q231 per-cell fixed-point χ² recipe on the orders
+    // (priority × isodow) grid, finished with V = sqrt(χ²/(N·min(r−1,c−1)))
+    "q301_cramers_v" ->
+      """WITH cells AS (SELECT o_orderpriority,
+        |   CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |   CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT o_orderpriority, sum(observed) AS row_tot
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT iso_dow, sum(observed) AS col_tot FROM cells GROUP BY 1),
+        |t AS (SELECT sum(observed) AS n FROM cells),
+        |grid AS (SELECT rt.o_orderpriority, ct.iso_dow, rt.row_tot,
+        |   ct.col_tot, coalesce(cells.observed, 0) AS observed
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells USING (o_orderpriority, iso_dow)),
+        |x AS (SELECT o_orderpriority, iso_dow, observed,
+        |   CAST(CAST(row_tot AS HUGEINT) * col_tot AS DOUBLE)
+        |     / CAST(n AS DOUBLE) AS expected
+        |  FROM grid CROSS JOIN t),
+        |sc AS (SELECT *, CAST(round(((CAST(observed AS DOUBLE) - expected)
+        |    * (CAST(observed AS DOUBLE) - expected) / expected) * 1000000)
+        |   AS BIGINT) AS contrib_fp
+        |  FROM x),
+        |st AS (SELECT CAST(max(nn.n) AS BIGINT) AS n_orders,
+        |   CAST(count(DISTINCT o_orderpriority) AS INTEGER) AS n_rows,
+        |   CAST(count(DISTINCT iso_dow) AS INTEGER) AS n_cols,
+        |   sum(contrib_fp) AS chi2_fp
+        |  FROM sc CROSS JOIN t nn)
+        |SELECT n_orders, n_rows, n_cols,
+        | round(CAST(chi2_fp AS DOUBLE) / 1000000, 6) AS chi2_stat,
+        | round(sqrt((CAST(chi2_fp AS DOUBLE) / 1000000)
+        |  / (CAST(n_orders AS DOUBLE)
+        |    * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM st""".stripMargin,
   )
 }

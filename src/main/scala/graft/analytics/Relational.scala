@@ -1880,6 +1880,144 @@ object Relational {
           .as("wasserstein_cents"))
   }
 
+  /** Ranking-function kitchen (q299): rank, dense_rank, ntile quartile,
+    * percent_rank and cume_dist over customer account balances within each
+    * nation, top-3 per nation — the remaining SQL window-ranking surface
+    * not yet exercised by q08/q13 (row_number) in one gated query.
+    *
+    * Determinism: the window order (cents desc, custkey) is a total order,
+    * so every ranking function is single-valued; percent_rank/cume_dist
+    * are one-division doubles over exact integers.
+    *
+    * Scale shape: one hash-partition window on the nation key with
+    * WindowGroupLimit-style early filter (rnk ≤ 3 prunes before the
+    * projection); no global sort.
+    */
+  def rankFunctionKitchen(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cents").desc, col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .withColumn("dense_rnk", dense_rank().over(w).cast("int"))
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .where(col("rnk") <= 3)
+      .select(col("c_nationkey").cast("int").as("nation_key"),
+        col("c_custkey"), col("cents").as("acctbal_cents"),
+        col("rnk"), col("dense_rnk"), col("quartile"),
+        col("pct_rank"), col("cume"))
+  }
+
+  /** Brown-Forsythe (median-based Levene) test (q300): are the value
+    * variances homogeneous across the five event types? One-way ANOVA on
+    * absolute deviations from each group's median — the robust
+    * variance-equality check that decides whether q296's Welch correction
+    * was needed. Emits one row per group (n, exact lower-median cents,
+    * mean absolute deviation) with the global F and its degrees of
+    * freedom on every row.
+    *
+    * Determinism: medians are exact integers off the per-group value-grain
+    * prefix sum (the q279 recipe); deviation sums and squared-deviation
+    * sums are exact DECIMAL(38,0); Σ S_g²/n_g uses the q292 IntegralDivide
+    * trick so numerator and denominator of F are built from identical
+    * exact integers in both engines, with one pinned IEEE expression each.
+    *
+    * Scale shape: grain aggregate → per-group prefix sum (value-domain
+    * bounded) → broadcast median map back onto the grain — the deviation
+    * pass never touches raw rows again; everything after is k rows.
+    */
+  def leveneBrownForsythe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grain = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = grain
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_g", sum(col("c")).over(wAll))
+      .where(col("cum") * 2 >= col("n_g"))
+      .groupBy(col("event_type"))
+      .agg(min(col("cents")).as("median_cents"))
+    val dev = grain.join(broadcast(med), Seq("event_type"))
+      .withColumn("z", abs(col("cents") - col("median_cents")))
+    val perGroup = dev.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_g"),
+        max(col("median_cents")).as("median_cents"),
+        sum(col("z").cast(dec) * col("c")).as("s_g"),
+        sum(col("z").cast(dec) * col("z") * col("c")).as("q_g"))
+    val terms = perGroup.agg(
+      sum(col("n_g")).cast("long").as("n_total"),
+      count(lit(1)).as("k_groups"),
+      sum(col("s_g")).cast(dec).as("s_all"),
+      sum(col("q_g")).cast(dec).as("q_all"),
+      sum(expr("CAST((s_g * s_g) div n_g AS DECIMAL(38,0))")).cast(dec).as("a_floor"))
+    val num = col("a_floor").cast("double") -
+      (col("s_all").cast("double") * col("s_all").cast("double")
+        / col("n_total").cast("double"))
+    val den = (col("q_all") - col("a_floor")).cast("double")
+    val f = ((col("n_total").cast("double") - col("k_groups").cast("double"))
+      / (col("k_groups").cast("double") - lit(1.0))) * (num / den)
+    val globals = terms
+      .withColumn("f_stat", round(f, 6))
+      .select(col("n_total"), col("k_groups"), col("f_stat"))
+    perGroup
+      .select(col("event_type"), col("n_g").cast("long").as("n_events"),
+        col("median_cents"),
+        round(col("s_g").cast("double") / col("n_g").cast("double"), 6)
+          .as("mean_abs_dev"))
+      .crossJoin(broadcast(globals))
+  }
+
+  /** Cramér's V (q301) for the (ISO weekday × order priority) contingency
+    * of orders — the [0, 1] effect size that makes q231's chi-square
+    * magnitude comparable across tables: V = √(χ²/(N·min(r−1, c−1))).
+    * One row: table shape, N, χ² (the q231 per-cell fixed-point recipe)
+    * and V.
+    *
+    * Scale shape: one map-side-combinable aggregate into ≤ 35 cells;
+    * everything after is cell-grid-sized.
+    */
+  def cramersVPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"),
+        (weekday(col("o_orderdate")) + lit(1)).cast("int").as("iso_dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("observed")).as("row_tot"))
+    val colT = cells.groupBy(col("iso_dow"))
+      .agg(sum(col("observed")).as("col_tot"))
+    val tot = cells.agg(sum(col("observed")).as("n"))
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("o_orderpriority", "iso_dow"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        (col("row_tot").cast(dec) * col("col_tot")).cast("double")
+          / col("n").cast("double"))
+    val d = col("observed").cast("double") - col("expected")
+    val scored = grid.withColumn("contrib_fp",
+      round((d * d / col("expected")) * 1e6, 0).cast("long"))
+    scored.agg(
+      max(col("n")).cast("long").as("n_orders"),
+      countDistinct(col("o_orderpriority")).cast("int").as("n_rows"),
+      countDistinct(col("iso_dow")).cast("int").as("n_cols"),
+      sum(col("contrib_fp")).as("chi2_fp"))
+      .select(col("n_orders"), col("n_rows"), col("n_cols"),
+        round(col("chi2_fp").cast("double") / 1e6, 6).as("chi2_stat"),
+        round(sqrt((col("chi2_fp").cast("double") / 1e6)
+          / (col("n_orders").cast("double")
+            * (least(col("n_rows"), col("n_cols")) - lit(1)).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
   /** Kendall tau-b (q293) between daily order count and daily revenue
     * cents over the order-day grain — the rank-correlation complement of
     * q232's Spearman rho, exact over all C(n,2) day pairs with full

@@ -171,6 +171,50 @@ object Sessions {
     * gap one (user, sid) rollup — |gaps| equality-keyed aggregates, no
     * re-scan of the raw stream.
     */
+  /** Capped gap-sessionization histogram (q298): 30-min-gap sessions are
+    * additionally SPLIT at `cap` events — the "max session length" rule
+    * every production sessionizer carries so a bot or instrumented replay
+    * can't produce unbounded sessions. Emits the capped-session size
+    * histogram with, per size, how many sessions are continuation
+    * fragments produced by the cap (sub-session index > 0) — the
+    * observability counter for how often the cap actually fires. (The
+    * gate default cap=2 is deliberately below the corpus's max natural
+    * session depth so the split path is live in the oracle compare;
+    * production would run 50-500.)
+    *
+    * Determinism: session assignment is a pure function of the
+    * (user_id, ts, event_id) total order; gap compare in exact
+    * microseconds (unix_micros vs the oracle's epoch_us — no double
+    * seconds near the boundary).
+    *
+    * Scale shape: two window passes over the SAME user-keyed sort (lag +
+    * running sum, then row_number within session — Spark plans them on
+    * one exchange) and one (user, session) rollup; the histogram is a
+    * size-keyed partial aggregate. Nothing global.
+    */
+  def cappedSessionHistogram(spark: SparkSession, sfDir: String,
+      gapSec: Int = 1800, cap: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapped = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gsid",
+        sum(when(col("gap_us").isNull
+          || col("gap_us") > gapSec * 1000000L, 1L).otherwise(0L)).over(run))
+    val rnW = Window.partitionBy(col("user_id"), col("gsid"))
+      .orderBy(col("ts"), col("event_id"))
+    gapped
+      .withColumn("rn", row_number().over(rnW))
+      .withColumn("sub", expr(s"(rn - 1) div $cap"))
+      .groupBy(col("user_id"), col("gsid"), col("sub"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("session_size"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("sub") > 0, 1L).otherwise(0L)).as("n_from_splits"))
+  }
+
   def sessionGapSweep(spark: SparkSession, sfDir: String,
       gapsSec: Seq[Int] = Seq(900, 1800, 3600)): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -209,6 +209,117 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(4) - emd.toDouble / (na.toDouble * nb.toDouble)) < 1e-4)
   }
 
+  test("capped sessions: histogram conserves events and splits replay the cap rule") {
+    import org.apache.spark.sql.functions.{unix_micros, lag => slag}
+    import org.apache.spark.sql.expressions.{Window => W}
+    val nEvents = graft.core.Tables.events(spark, sf).count()
+    val rows = graft.analytics.Sessions.cappedSessionHistogram(spark, sf).collect()
+    // cap=2 → no capped session exceeds 2 events
+    assert(rows.forall(_.getLong(0) <= 2L))
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nEvents)
+    // driver replay of the full assignment
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val sizes = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    var (prevUser, prevTs, gsid, rn) = (-1L, 0L, 0L, 0)
+    ev.foreach { case (u, ts, _) =>
+      if (u != prevUser) { gsid = 1; rn = 0 }
+      else if (ts - prevTs > 1800000000L) { gsid += 1; rn = 0 }
+      val sub = rn / 2
+      sizes((u, gsid, sub)) = sizes.getOrElse((u, gsid, sub), 0L) + 1
+      rn += 1; prevUser = u; prevTs = ts
+    }
+    val expectHist = sizes.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(expectHist(r.getLong(0)) === r.getLong(1), s"size ${r.getLong(0)}")
+    }
+    val expectSplits = sizes.keys.count(_._3 > 0).toLong
+    assert(rows.map(_.getLong(2)).sum === expectSplits)
+  }
+
+  test("rank functions: per-nation top-3 replay with exact percent_rank/cume_dist") {
+    val custs = graft.core.Tables.customer(spark, sf)
+      .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+        org.apache.spark.sql.functions.round(col("c_acctbal") * 100, 0)
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byNation = custs.groupBy(_._1)
+    val rows = graft.analytics.Relational.rankFunctionKitchen(spark, sf).collect()
+    assert(rows.length === byNation.size * 3)
+    rows.foreach { r =>
+      val nk = r.getInt(0).toLong
+      val sorted = byNation(nk).sortBy(t => (-t._3, t._2))
+      val n = sorted.length
+      val pos = sorted.indexWhere(_._2 == r.getLong(1))
+      assert(pos >= 0 && pos < 3)
+      val key = sorted(pos)._3
+      // standard definitions over the ordered partition (cents desc key)
+      assert(r.getInt(3) === sorted.count(_._3 > key) + 1)          // rank
+      assert(r.getInt(4) === sorted.map(_._3).distinct.count(_ > key) + 1) // dense
+      assert(math.abs(r.getDouble(6)
+        - round6((r.getInt(3) - 1).toDouble / (n - 1))) < 1e-9)     // pct_rank
+      assert(math.abs(r.getDouble(7)
+        - round6((sorted.lastIndexWhere(_._3 == key) + 1).toDouble / n)) < 1e-9) // cume
+    }
+  }
+
+  test("levene brown-forsythe: medians and F replay driver-side") {
+    val byType = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100, 0)
+          .cast("long").as("c"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    def lowerMedian(xs: Seq[Long]): Long = xs((xs.length - 1) / 2)
+    val rows = graft.analytics.Relational.leveneBrownForsythe(spark, sf).collect()
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val xs = byType(r.getString(0))
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === lowerMedian(xs))
+    }
+    // F via plain double ANOVA on |x − med|
+    val groups = byType.values.map { xs =>
+      val med = lowerMedian(xs)
+      xs.map(x => math.abs(x - med).toDouble)
+    }
+    val n = groups.map(_.length).sum.toDouble
+    val k = groups.size.toDouble
+    val grand = groups.flatten.sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val fExpect = ((n - k) / (k - 1)) * (ssb / ssw)
+    val f = rows.head.getDouble(rows.head.fieldIndex("f_stat"))
+    assert(math.abs(f - fExpect) < 1e-3, s"f=$f expected=$fExpect")
+  }
+
+  test("cramers v: replays a driver-side chi-square contingency") {
+    val cells = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (org.apache.spark.sql.functions.weekday(col("o_orderdate")) + lit(1))
+          .cast("int").as("dow"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val n = cells.length.toDouble
+    val rowT = cells.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val colT = cells.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val obs = cells.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    var chi2 = 0.0
+    for (p <- rowT.keys; d <- colT.keys) {
+      val e = rowT(p) * colT(d) / n
+      val o = obs.getOrElse((p, d), 0.0)
+      chi2 += (o - e) * (o - e) / e
+    }
+    val r = graft.analytics.Relational.cramersVPriority(spark, sf).head
+    assert(r.getLong(0) === cells.length.toLong)
+    assert(r.getInt(1) === rowT.size && r.getInt(2) === colT.size)
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-3)
+    val vExpect = math.sqrt(chi2 / (n * (math.min(rowT.size, colT.size) - 1)))
+    assert(math.abs(r.getDouble(4) - vExpect) < 1e-4)
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
