@@ -1889,9 +1889,12 @@ object Relational {
     * so every ranking function is single-valued; percent_rank/cume_dist
     * are one-division doubles over exact integers.
     *
-    * Scale shape: one hash-partition window on the nation key with
-    * WindowGroupLimit-style early filter (rnk ≤ 3 prunes before the
-    * projection); no global sort.
+    * Scale shape: ONE window pass on the nation-keyed exchange evaluates
+    * all five functions (ntile/percent_rank/cume_dist need the whole
+    * partition, so rank-only group-limit pruning is semantically
+    * unavailable — the rnk ≤ 3 filter prunes output, not work); no
+    * global sort, and partition width is bounded by the nation key's
+    * fan-out. Pinned in PlanShapeSpec.
     */
   def rankFunctionKitchen(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))

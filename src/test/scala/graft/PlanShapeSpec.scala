@@ -456,4 +456,55 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("MapPartitions"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q290 fk integrity: equality joins only, dims broadcast, no cartesian fact pairs") {
+    val p = planOf("q290_fk_integrity")
+    // per-relation orphan/coverage checks are anti/semi hash joins; the
+    // only nested-loop joins are the 1-row aggregate combines (A11 shape)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q294 postings audit: the gap window is sharded on (word, shard), never word alone") {
+    val p = planOf("q294_postings_audit")
+    // the q59 skew lesson: a hot word's postings must not funnel through
+    // one reducer — the sort/window key carries the doc-shard column
+    assert(p.contains("windowspecdefinition(word"), p)
+    assert(p.contains("shard"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q295 phrase search: in-row bigrams, phrase table broadcast on both paths") {
+    val p = planOf("q295_phrase_search")
+    // no positional self-join of the token stream: adjacency comes from
+    // zip_with inside the projection; the top-k phrase table broadcasts
+    assert(p.contains("zip_with") || p.contains("zipwith") || p.contains("ZipWith"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q298 capped sessions: both window passes share one user-keyed exchange") {
+    val p = planOf("q298_capped_sessions")
+    // lag + running-sum + row_number plan on the same hashpartitioning —
+    // exactly one exchange keyed on user_id (plus the histogram shuffle)
+    val userExchanges = p.split("\n")
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(userExchanges == 1, s"expected exactly one user-keyed exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q299 rank kitchen: ONE window pass computes all five functions on one exchange") {
+    val p = planOf("q299_rank_functions")
+    // ntile/percent_rank/cume_dist need the whole partition, so group-limit
+    // pruning is semantically impossible — the right plan is a single
+    // Window operator evaluating all five functions over one nation-keyed
+    // exchange + sort, then the rnk filter
+    val windowOps = p.split("\n").count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windowOps === 1, s"expected exactly one Window operator:\n$p")
+    val exchanges = p.split("\n").count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, s"expected one exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
