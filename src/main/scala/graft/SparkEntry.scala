@@ -563,6 +563,10 @@ object SparkEntry {
     "q299_rank_functions" -> ((s: SparkSession, d: String) => Relational.rankFunctionKitchen(s, d)),
     "q300_levene_bf" -> ((s: SparkSession, d: String) => Relational.leveneBrownForsythe(s, d)),
     "q301_cramers_v" -> ((s: SparkSession, d: String) => Relational.cramersVPriority(s, d)),
+    // q302-q304: embedding outlier scan, per-class lang-ID eval, exact AUC
+    "q302_mahalanobis_outliers" -> ((s: SparkSession, d: String) => graft.operators.Similarity.mahalanobisOutliers(s, d)),
+    "q303_lang_macro_f1" -> ((s: SparkSession, d: String) => TextAnalytics.langMacroF1(s, d)),
+    "q304_quality_auc" -> ((s: SparkSession, d: String) => TextAnalytics.qualityAuc(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6268,5 +6272,103 @@ private object CorpusOracles {
         |  / (CAST(n_orders AS DOUBLE)
         |    * CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6) AS cramers_v
         |FROM st""".stripMargin,
+    // q302: per-element ×10⁶ fixed-point components; per-dim term rounded
+    // to a ×10⁶ long BEFORE the cross-dim sum (integer addition — fold
+    // order immaterial); dims pinned at 64 (the testdata embedding width)
+    "q302_mahalanobis_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(CAST(embedding AS DOUBLE[]),
+        |     x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS xfp
+        |  FROM embeddings),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM e),
+        |flat AS (SELECT CAST(j AS INTEGER) AS j, xfp[CAST(j AS INTEGER)] AS x
+        |  FROM e, range(1, 65) r(j)),
+        |st AS (SELECT j, sum(CAST(x AS HUGEINT)) AS s,
+        |   sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM flat GROUP BY 1),
+        |packed AS (SELECT
+        |   list(CAST(s AS BIGINT) ORDER BY j) AS s_arr,
+        |   list(CAST(CAST(nv AS HUGEINT) * q - s * s AS DOUBLE) ORDER BY j)
+        |    AS d_arr
+        |  FROM st CROSS JOIN nv),
+        |scored AS (SELECT vec_id, label,
+        |   list_sum(list_transform(range(1, 65), j ->
+        |     CASE WHEN d_arr[j] <= 0.0 THEN 0
+        |     ELSE CAST(round(
+        |       (CAST(nv * xfp[j] - s_arr[j] AS DOUBLE)
+        |        * CAST(nv * xfp[j] - s_arr[j] AS DOUBLE)
+        |        / d_arr[j]) * 1000000, 0) AS BIGINT) END)) AS m2_fp
+        |  FROM e CROSS JOIN packed CROSS JOIN nv),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |   ORDER BY m2_fp DESC, vec_id) AS INTEGER) AS outlier_rank
+        |  FROM scored)
+        |SELECT vec_id, CAST(label AS INTEGER) AS label,
+        | CAST(m2_fp AS BIGINT) AS m2_fp,
+        | round(CAST(m2_fp AS DOUBLE) / 1000000, 6) AS m2, outlier_rank
+        |FROM r WHERE outlier_rank <= 20""".stripMargin,
+    // q303: tp/fp/fn integers off the confusion cells; F1 via the
+    // single-division harmonic identity; macro over ×10⁶ per-class F1s
+    "q303_lang_macro_f1" ->
+      s"""WITH pr AS (SELECT lang AS actual_lang, $langPredicted AS predicted_lang
+         |  FROM (SELECT lang, string_split(text,' ') AS w FROM documents)),
+         |cells AS (SELECT actual_lang, predicted_lang, count(*) AS n
+         |  FROM pr GROUP BY 1, 2),
+         |at AS (SELECT actual_lang AS lang, sum(n) AS n_actual
+         |  FROM cells GROUP BY 1),
+         |pt AS (SELECT predicted_lang AS lang, sum(n) AS n_predicted
+         |  FROM cells GROUP BY 1),
+         |dg AS (SELECT actual_lang AS lang, n AS tp FROM cells
+         |  WHERE actual_lang = predicted_lang),
+         |pc AS (SELECT at.lang,
+         |   CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         |   CAST(coalesce(n_predicted, 0) - coalesce(tp, 0) AS BIGINT) AS fp,
+         |   CAST(n_actual - coalesce(tp, 0) AS BIGINT) AS fn
+         |  FROM at LEFT JOIN pt USING (lang) LEFT JOIN dg USING (lang)),
+         |sc AS (SELECT lang, tp, fp, fn,
+         |   CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+         |    AS precision,
+         |   round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall,
+         |   CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |    ELSE round(CAST(2 * tp AS DOUBLE)
+         |      / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1
+         |  FROM pc),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS k_classes,
+         |   round(CAST(sum(CAST(round(f1 * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS macro_f1
+         |  FROM sc)
+         |SELECT sc.*, mc.* FROM sc CROSS JOIN mc""".stripMargin,
+    // q304: q54's bigram-repetition flag labels the positives, q69's
+    // model score ranks; doubled midranks over the ×10⁶ score grain,
+    // AUC = (Σr2⁺ − n₁(n₁+1)) / (2·n₁·n₀)
+    "q304_quality_auc" ->
+      s"""WITH ms AS ($modelScoreSql),
+         |rep AS (SELECT doc_id,
+         |   CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+         |   END AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]) AS bg
+         |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+         |lab AS (SELECT
+         |   CAST(round(model_score * 1000000) AS BIGINT) AS score_fp,
+         |   CASE WHEN dup_bigram_frac >= 0.1 THEN 1 ELSE 0 END AS is_rep
+         |  FROM ms JOIN rep USING (doc_id)),
+         |grain AS (SELECT score_fp, count(*) AS c,
+         |   sum(is_rep) AS c_pos FROM lab GROUP BY 1),
+         |rk AS (SELECT score_fp, c, c_pos,
+         |   2 * (sum(c) OVER (ORDER BY score_fp ROWS UNBOUNDED PRECEDING) - c)
+         |    + c + 1 AS r2
+         |  FROM grain),
+         |agg AS (SELECT CAST(sum(c_pos) AS BIGINT) AS n_pos,
+         |   CAST(sum(c - c_pos) AS BIGINT) AS n_neg,
+         |   CAST(sum(CAST(c_pos AS HUGEINT) * r2) AS BIGINT) AS r2_pos_sum
+         |  FROM rk)
+         |SELECT n_pos, n_neg,
+         | CAST(r2_pos_sum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+         | round(CAST(r2_pos_sum - n_pos * (n_pos + 1) AS DOUBLE)
+         |  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+         |  AS auc_rep_vs_score
+         |FROM agg""".stripMargin,
   )
 }

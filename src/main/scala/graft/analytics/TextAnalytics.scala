@@ -2109,6 +2109,106 @@ object TextAnalytics {
     * (real engines doc-shard their indexes for the same reason; `shards`
     * scales with the cluster). Bucket rollup is a tiny final aggregate.
     */
+  /** Per-class precision/recall/F1 + macro-F1 of the stopword language-ID
+    * (q303) — the per-class view that q144's confusion matrix and q234's
+    * kappa both aggregate away: which languages the heuristic actually
+    * serves, and the class-balanced headline number model cards quote.
+    *
+    * Determinism: tp/fp/fn are exact integers; precision, recall and F1
+    * are each ONE division (F1 via the harmonic identity
+    * 2tp/(2tp+fp+fn) — no p·r/(p+r) float chain); macro-F1 averages the
+    * per-class ×10⁶ fixed-point F1s as an integer sum.
+    *
+    * Scale shape: one (actual, predicted) cell aggregate (map-side
+    * combinable over the corpus scan), then everything is |langs|²-sized.
+    */
+  def langMacroF1(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langPredictions(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val actT = cells.groupBy(col("actual_lang").as("lang"))
+      .agg(sum(col("n")).as("n_actual"))
+    val predT = cells.groupBy(col("predicted_lang").as("lang"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val diag = cells.where(col("actual_lang") === col("predicted_lang"))
+      .select(col("actual_lang").as("lang"), col("n").as("tp"))
+    val perClass = actT.join(predT, Seq("lang"), "left")
+      .join(diag, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_predicted"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (col("n_actual") - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fp")).cast("double"), 6)))
+      .withColumn("recall",
+        round(col("tp").cast("double")
+          / (col("tp") + col("fn")).cast("double"), 6))
+      .withColumn("f1",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, 0.0)
+          .otherwise(round((lit(2) * col("tp")).cast("double")
+            / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 6)))
+    val macroRow = perClass.agg(
+      count(lit(1)).as("k_classes"),
+      sum(round(col("f1") * 1e6).cast("long")).as("f1_fp_sum"))
+      .select(col("k_classes"),
+        round(col("f1_fp_sum").cast("double")
+          / (col("k_classes").cast("double") * 1e6), 6).as("macro_f1"))
+    perClass.crossJoin(broadcast(macroRow))
+  }
+
+  /** AUC of the pinned quality model against repetitive-document
+    * membership (q304): does a LOW model score predict that a document is
+    * bigram-repetitive (the Gopher-style loop/boilerplate signal,
+    * dup_bigram_frac ≥ 0.1 — the q54 metric, which the linear model does
+    * NOT see directly)? AUC computed exactly as the Mann-Whitney statistic
+    * over doubled tie-averaged midranks (the q232/q292 discipline) on the
+    * rounded score grain — the threshold-free complement of q235's
+    * fixed-threshold log-loss/accuracy eval. A score that catches
+    * repetition would show AUC ≪ 0.5 (repetitive docs ranked lower); the
+    * observed ≈0.6 on the testdata is the eval DOING ITS JOB — the linear
+    * model is blind to repetition, which is why q61's curation verdict
+    * gates on the repetition signal separately.
+    *
+    * Determinism: scores and the label metric are already 6-dp-rounded
+    * per document (modelScore / repetitionMetrics), fixed-pointed to ×10⁶
+    * longs for the grain; doubled ranks and the U numerator are exact
+    * integers, AUC is one division.
+    *
+    * Scale shape: score and label are both map-side per-document
+    * projections of the same scan; ranks come from the score GRAIN prefix
+    * sum (score-domain bounded, range-partition at true scale);
+    * everything after is grain-sized.
+    */
+  def qualityAuc(spark: SparkSession, sfDir: String,
+      repThreshold: Double = 0.1): DataFrame = {
+    val rep = Text.repetitionMetrics(col("text")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
+        when(rep("dup_bigram_frac") >= repThreshold, 1).otherwise(0).as("is_rep"))
+    val grain = docs.groupBy(col("score_fp"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_rep") === 1, 1L).otherwise(0L)).as("c_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score_fp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = grain
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("r2", lit(2) * (col("cum") - col("c")) + col("c") + lit(1))
+    val agg = ranked.agg(
+      sum(col("c_pos")).cast("long").as("n_pos"),
+      sum(col("c") - col("c_pos")).cast("long").as("n_neg"),
+      sum(dec(col("c_pos")) * col("r2")).cast("long").as("r2_pos_sum"))
+    // AUC = (Σr_pos − n1(n1+1)/2)/(n1·n0) = (Σr2_pos − n1(n1+1))/(2·n1·n0)
+    agg.select(col("n_pos"), col("n_neg"),
+      (col("r2_pos_sum") - col("n_pos") * (col("n_pos") + lit(1))).as("u2"),
+      round((col("r2_pos_sum") - col("n_pos") * (col("n_pos") + lit(1))).cast("double")
+        / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+        6).as("auc_rep_vs_score"))
+  }
+
   /** Positional phrase search with scan cross-check (q295): the top-k
     * corpus bigrams (count desc, then (w1, w2) — a deterministic total
     * order) looked up two ways: via the bigram "index" (the in-row

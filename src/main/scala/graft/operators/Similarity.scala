@@ -1352,4 +1352,62 @@ object Similarity {
       .select(col("dim"), col("loading_fp"),
         round(col("loading_fp").cast("double") / 1e6, 6).as("loading"))
   }
+
+  /** Diagonal-covariance Mahalanobis outliers (q302): top-k vectors by
+    * Σ_j (x_j − μ_j)²/σ²_j — the per-dimension-standardized distance a
+    * curation pipeline uses to flag corrupt/degenerate embeddings before
+    * they poison ANN structures (complements q131's norm audit, which
+    * only sees magnitude, and q171's isotropy, which only sees the bulk).
+    *
+    * Determinism: components are fixed-pointed per element
+    * (round(x·10⁶) → long), so per-dim sums S_j, Q_j are exact integers;
+    * each dimension's term is evaluated with exact-integer numerators
+    * ((n·x_fp − S_j)² over the exact denominator n·Q_j − S_j²) and
+    * ROUNDED TO A ×10⁶ LONG PER DIMENSION — the cross-dimension sum is
+    * then integer addition, immune to fold order in either engine.
+    * Zero-variance dimensions contribute 0 by guard.
+    *
+    * Scale shape: one posexplode aggregate builds the d-row stats table
+    * (map-side combinable; d is a constant), packed into sorted arrays
+    * and broadcast; the scoring pass is a single in-row fold over the
+    * corpus scan; top-k via rank-filter (WindowGroupLimit — no global
+    * sort materializes).
+    */
+  def mahalanobisOutliers(spark: SparkSession, sfDir: String,
+      k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000, 0) AS BIGINT))")
+          .as("xfp"))
+    val stats = emb
+      .select(posexplode(col("xfp")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(col("x")).as("s"),
+        sum(dec(col("x")) * col("x")).as("q"))
+    val nRow = emb.agg(count(lit(1)).as("nv"))
+    val packed = stats.crossJoin(broadcast(nRow))
+      .select(col("j"), col("s"),
+        (dec(col("nv")) * col("q") - dec(col("s")) * col("s"))
+          .cast("double").as("d"))
+      .agg(sort_array(collect_list(struct(col("j"), col("s"), col("d"))))
+        .as("arr"))
+      .select(expr("transform(arr, t -> t.s)").as("s_arr"),
+        expr("transform(arr, t -> t.d)").as("d_arr"))
+    val scored = emb.crossJoin(broadcast(packed)).crossJoin(broadcast(nRow))
+      .withColumn("m2_fp", expr(
+        """aggregate(sequence(0, size(xfp) - 1), 0L, (acc, i) -> acc +
+          | CASE WHEN element_at(d_arr, i + 1) <= 0.0 THEN 0L
+          | ELSE CAST(round(
+          |   (CAST(nv * element_at(xfp, i + 1) - element_at(s_arr, i + 1) AS DOUBLE)
+          |    * CAST(nv * element_at(xfp, i + 1) - element_at(s_arr, i + 1) AS DOUBLE)
+          |    / element_at(d_arr, i + 1)) * 1000000, 0) AS BIGINT) END)""".stripMargin))
+    val w = Window.orderBy(col("m2_fp").desc, col("vec_id"))
+    scored
+      .withColumn("outlier_rank", row_number().over(w).cast("int"))
+      .where(col("outlier_rank") <= k)
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("m2_fp"),
+        round(col("m2_fp").cast("double") / 1e6, 6).as("m2"),
+        col("outlier_rank"))
+  }
 }

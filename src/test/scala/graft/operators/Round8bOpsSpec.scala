@@ -320,6 +320,87 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(4) - vExpect) < 1e-4)
   }
 
+  test("mahalanobis outliers: top-20 replays a driver-side standardized distance") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS xfp")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val n = vecs.length.toLong
+    val d = vecs.head._2.length
+    val s = Array.tabulate(d)(j => vecs.map(v => BigInt(v._2(j))).sum)
+    val q = Array.tabulate(d)(j => vecs.map(v => BigInt(v._2(j)) * v._2(j)).sum)
+    val den = Array.tabulate(d)(j => (BigInt(n) * q(j) - s(j) * s(j)).toDouble)
+    val scores = vecs.map { case (id, x) =>
+      val fp = (0 until d).map { j =>
+        if (den(j) <= 0.0) 0L
+        else {
+          val a = (BigInt(n) * x(j) - s(j)).toDouble
+          math.rint(a * a / den(j) * 1e6).toLong
+        }
+      }.sum
+      (id, fp)
+    }
+    val expectTop = scores.sortBy(t => (-t._2, t._1)).take(20)
+    val got = graft.operators.Similarity.mahalanobisOutliers(spark, sf).collect()
+      .sortBy(_.getInt(4))
+    assert(got.length === 20)
+    got.zip(expectTop).foreach { case (r, (id, fp)) =>
+      assert(r.getLong(0) === id)
+      assert(r.getLong(2) === fp, s"vec $id")
+    }
+  }
+
+  test("lang macro f1: per-class counts replay the confusion matrix") {
+    val preds = TextAnalytics.langPredictions(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val rows = TextAnalytics.langMacroF1(spark, sf).collect()
+    assert(rows.length === preds.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val tp = preds.count(p => p._1 == lang && p._2 == lang).toLong
+      val fp = preds.count(p => p._1 != lang && p._2 == lang).toLong
+      val fn = preds.count(p => p._1 == lang && p._2 != lang).toLong
+      assert(r.getLong(1) === tp && r.getLong(2) === fp && r.getLong(3) === fn, lang)
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else round6(2.0 * tp / (2 * tp + fp + fn))
+      assert(math.abs(r.getDouble(6) - f1) < 1e-9, lang)
+    }
+    // macro over the per-class rounded F1s
+    val macroExpect = rows.map(_.getDouble(6)).sum / rows.length
+    assert(math.abs(rows.head.getDouble(8) - macroExpect) < 1e-5)
+  }
+
+  test("quality auc: AUC matches a direct pairwise computation") {
+    // driver replay: recompute score + bigram-repetition label per doc,
+    // then AUC the O(n₁·n₀) way — positives must exist for the gate to
+    // be live
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(
+        org.apache.spark.sql.functions.round(
+          graft.functions.Text.modelScore(col("text")) * 1e6)
+          .cast("long").as("score"),
+        col("text"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val bgs = ws.dropRight(1).zip(ws.drop(1))
+        val frac = if (bgs.isEmpty) 0.0
+          else round6(1.0 - bgs.distinct.length.toDouble / bgs.length)
+        (r.getLong(0), frac >= 0.1)
+      }
+    val pos = docs.filter(_._2).map(_._1)
+    val neg = docs.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty, "label must be live at sf0.001")
+    // direct pairwise AUC: P(pos > neg) + 0.5·P(tie)
+    var num = 0.0
+    for (p <- pos; q <- neg)
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val aucExpect = num / (pos.length.toDouble * neg.length)
+    val r = TextAnalytics.qualityAuc(spark, sf).head
+    assert(r.getLong(0) === pos.length.toLong)
+    assert(r.getLong(1) === neg.length.toLong)
+    assert(math.abs(r.getDouble(3) - aucExpect) < 1e-6)
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
