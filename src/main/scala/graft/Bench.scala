@@ -45,7 +45,12 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // optional comma-separated name filter for local spot-checks
+    // (SPARK_GRAFT_BENCH_ONLY); the driver never sets it — full run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // noop sink: evaluates every row of every column (count() would let
     // Catalyst prune projections and under-report)
     def onePass(): Map[String, Double] = names.map { name =>
