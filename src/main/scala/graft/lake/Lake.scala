@@ -3,6 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
 
 /** Partitioned parquet lake — the reference's bronze→silver landing zone
@@ -81,4 +82,49 @@ object Lake {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy(partitionCol)
+
+  // — JSON-lines / CSV: ROW-format interop edges of the lake (beyond
+  // reference). These exist for exchange with systems that can't read
+  // columnar files, NOT as a performance path: a row format has no
+  // column statistics, so the reader parses every row and data
+  // predicates filter AFTER the decode (no PushedFilters). What DOES
+  // survive is directory-level partition pruning — the partition column
+  // lives in the path, so a pruned read never opens the other
+  // partitions' files, at any scale. Schemas are always EXPLICIT
+  // (inference would scan the data once just to guess, and guess
+  // non-deterministically across drops). —
+
+  /** Batch JSON-lines write, same partition layout as [[writePartitioned]]. */
+  def writePartitionedJson(df: DataFrame, path: String,
+      partitionCol: String = "extracted_date"): Unit =
+    df.write.mode("append").partitionBy(partitionCol).json(path)
+
+  /** Pruned JSON partition read — explicit schema, no inference pass. */
+  def readPartitionJson(spark: SparkSession, root: String, schema: StructType,
+      partitionCol: String, value: String): DataFrame =
+    spark.read.schema(schema).json(root).where(col(partitionCol) === value)
+
+  /** K2 in JSON-lines: append-mode partitioned streaming sink (the
+    * file-sink transaction log is format-agnostic — exactly-once holds).
+    */
+  def streamingSinkJson(df: DataFrame, path: String, checkpoint: String,
+      partitionCol: String = "extracted_date"): DataStreamWriter[Row] =
+    df.writeStream
+      .format("json")
+      .outputMode(OutputMode.Append())
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCol)
+
+  /** Batch CSV write with header, same partition layout. */
+  def writePartitionedCsv(df: DataFrame, path: String,
+      partitionCol: String = "extracted_date"): Unit =
+    df.write.mode("append").option("header", "true")
+      .partitionBy(partitionCol).csv(path)
+
+  /** Pruned CSV partition read — explicit schema + header, no inference. */
+  def readPartitionCsv(spark: SparkSession, root: String, schema: StructType,
+      partitionCol: String, value: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(root)
+      .where(col(partitionCol) === value)
 }
