@@ -567,6 +567,14 @@ object SparkEntry {
     "q302_mahalanobis_outliers" -> ((s: SparkSession, d: String) => graft.operators.Similarity.mahalanobisOutliers(s, d)),
     "q303_lang_macro_f1" -> ((s: SparkSession, d: String) => TextAnalytics.langMacroF1(s, d)),
     "q304_quality_auc" -> ((s: SparkSession, d: String) => TextAnalytics.qualityAuc(s, d)),
+    // q305-q310: the TPC-H classics pack (Q4/Q6/Q14/Q15/Q17/Q19 shapes
+    // adapted to this schema — see Relational scaladoc)
+    "q305_tpch_q4_late" -> ((s: SparkSession, d: String) => Relational.tpchQ4LateOrders(s, d)),
+    "q306_tpch_q6_forecast" -> ((s: SparkSession, d: String) => Relational.tpchQ6Forecast(s, d)),
+    "q307_tpch_q14_promo" -> ((s: SparkSession, d: String) => Relational.tpchQ14Promo(s, d)),
+    "q308_tpch_q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.tpchQ15TopSupplier(s, d)),
+    "q309_tpch_q17_small_qty" -> ((s: SparkSession, d: String) => Relational.tpchQ17SmallQty(s, d)),
+    "q310_tpch_q19_disjunctive" -> ((s: SparkSession, d: String) => Relational.tpchQ19Disjunctive(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6370,5 +6378,64 @@ private object CorpusOracles {
          |  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
          |  AS auc_rep_vs_score
          |FROM agg""".stripMargin,
+    // q305-q310: TPC-H classic shapes on this schema's columns
+    "q305_tpch_q4_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q306_tpch_q6_forecast" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+        | round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q307_tpch_q14_promo" ->
+      """WITH s AS (SELECT
+        |   round(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
+        |   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        | round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+        |FROM s""".stripMargin,
+    "q308_tpch_q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q309_tpch_q17_small_qty" ->
+      """WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey AS k, sum(l_quantity) / count(*) AS avg_qty
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+        | round(round(sum(l_extendedprice), 2) / 7.0, 4) AS avg_yearly_loss
+        |FROM l JOIN a ON k = l_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q310_tpch_q19_disjunctive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
   )
 }

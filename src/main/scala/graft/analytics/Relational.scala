@@ -2021,6 +2021,132 @@ object Relational {
           .as("cramers_v"))
   }
 
+  /** TPC-H classics pack (q305-q310): the recognizable decision-support
+    * query shapes adapted to this schema's columns (no
+    * l_commitdate/l_receiptdate/l_shipmode/partsupp, dates 1995-2001 —
+    * each adaptation noted per query). Money sums use the 2-dp-grid
+    * raw-double-sum contract (COVERAGE.md determinism audit); every
+    * filter is chosen live on the testdata.
+    */
+
+  /** Q4 analogue (q305): orders placed in 1996-Q1 with at least one LATE
+    * lineitem (shipped > 60 days after the order date — standing in for
+    * the missing commit/receipt pair), counted per priority. The EXISTS
+    * becomes a left-semi join with an equality key + range residual.
+    * Scale shape: semi join shuffles on the order key; the date filters
+    * push to both scans.
+    */
+  def tpchQ4LateOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** Q6 (q306): the forecast-revenue-change scan — one tight filter over
+    * lineitem, no join. The showcase for full predicate pushdown: date
+    * range, discount band and quantity cap all reach the parquet reader.
+    */
+  def tpchQ6Forecast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lineitems"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Q14 (q307): promo revenue share for one month — p_type = 'PROMO'
+    * (this schema's exact value, vs the classic's prefix). Part is the
+    * broadcast dim; both sums are 2-dp-rounded BEFORE the one share
+    * division (the dailyTrafficSource recipe).
+    */
+  def tpchQ14Promo(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    l.join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+          .as("promo_revenue"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"))
+  }
+
+  /** Q15 (q308): top supplier(s) by 1996-Q1 revenue — the classic's
+    * revenue view + scalar-subquery max, as a broadcast 1-row max joined
+    * back on the ROUNDED revenue (deterministic tie surface).
+    */
+  def tpchQ15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q17 (q309): small-quantity-order revenue for one brand — lineitems
+    * under half the part's average quantity, as the classic's correlated
+    * scalar subquery re-expressed: per-part averages aggregate once and
+    * broadcast back (quantities are integer-valued doubles, so the
+    * average is an exact-sum division — deterministic in any order).
+    */
+  def tpchQ17SmallQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .where(col("p_brand") === "Brand#13").select(col("p_partkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+    val avgQ = l.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    l.join(broadcast(avgQ), col("avg_partkey") === col("l_partkey"))
+      .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(round(sum(col("l_extendedprice")), 2) / 7.0, 4)
+          .as("avg_yearly_loss"))
+  }
+
+  /** Q19 (q310): the disjunctive brand/size/quantity predicate — three
+    * OR'd conjunction bands over the part-lineitem join (container terms
+    * dropped with the missing column). The pushdown showcase for
+    * OR-of-ANDs: Catalyst factors the common join key and ships the
+    * residual disjunction to the scans.
+    */
+  def tpchQ19Disjunctive(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    l.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .where(band("Brand#13", 15, 1, 11)
+        || band("Brand#23", 25, 10, 20)
+        || band("Brand#34", 35, 20, 30))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
   /** Kendall tau-b (q293) between daily order count and daily revenue
     * cents over the order-day grain — the rank-correlation complement of
     * q232's Spearman rho, exact over all C(n,2) day pairs with full

@@ -495,6 +495,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q306 tpch-q6: every predicate reaches the parquet reader, no join") {
+    val p = planOf("q306_tpch_q6_forecast")
+    assert(p.contains("PushedFilters"), p)
+    // the three residual predicates all push: date bound, discount band,
+    // quantity cap (IsNotNull + comparison forms)
+    assert(p.contains("l_shipdate"), p)
+    assert(p.contains("l_discount"), p)
+    assert(p.contains("l_quantity"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q310 tpch-q19: disjunctive predicate stays on a broadcast hash join") {
+    val p = planOf("q310_tpch_q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q299 rank kitchen: ONE window pass computes all five functions on one exchange") {
     val p = planOf("q299_rank_functions")
     // ntile/percent_rank/cume_dist need the whole partition, so group-limit

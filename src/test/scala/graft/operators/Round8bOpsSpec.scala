@@ -401,6 +401,44 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - aucExpect) < 1e-6)
   }
 
+  test("tpch pack: q6 scan and q4 late-order census replay driver-side") {
+    val lines = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_discount"),
+        col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val y1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val q6 = lines.filter { r =>
+      val sd = r.getTimestamp(1)
+      !sd.before(y0) && sd.before(y1) &&
+        r.getDouble(2) >= 0.05 && r.getDouble(2) <= 0.07 && r.getDouble(3) < 24
+    }
+    val got6 = graft.analytics.Relational.tpchQ6Forecast(spark, sf).head
+    assert(got6.getLong(0) === q6.length.toLong)
+    assert(math.abs(got6.getDouble(1)
+      - round6(q6.map(r => r.getDouble(4) * r.getDouble(2)).sum)) < 0.01)
+
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+    val q1End = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val lateKeys: Map[Long, Array[java.sql.Timestamp]] =
+      lines.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getTimestamp(1))).toMap
+    val expect = orders
+      .filter(o => !o._2.before(y0) && o._2.before(q1End))
+      .filter { o =>
+        val cutoff = new java.sql.Timestamp(
+          o._2.toInstant.plus(java.time.Duration.ofDays(60)).toEpochMilli)
+        lateKeys.getOrElse(o._1, Array.empty[java.sql.Timestamp]).exists(_.after(cutoff))
+      }
+      .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val got4 = graft.analytics.Relational.tpchQ4LateOrders(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got4 === expect)
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
