@@ -575,6 +575,10 @@ object SparkEntry {
     "q308_tpch_q15_top_supplier" -> ((s: SparkSession, d: String) => Relational.tpchQ15TopSupplier(s, d)),
     "q309_tpch_q17_small_qty" -> ((s: SparkSession, d: String) => Relational.tpchQ17SmallQty(s, d)),
     "q310_tpch_q19_disjunctive" -> ((s: SparkSession, d: String) => Relational.tpchQ19Disjunctive(s, d)),
+    // q311: exact 3-feature OLS in DECIMAL Cramer arithmetic
+    "q311_ols_normal_eq" -> ((s: SparkSession, d: String) => Relational.olsNormalEquations(s, d)),
+    // q312: forward as-of — next error after each purchase within horizon
+    "q312_asof_forward" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.purchaseNextError(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6437,5 +6441,71 @@ private object CorpusOracles {
         |    AND l_quantity BETWEEN 10 AND 20)
         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // q311: exact HUGEINT moment sums + fully-expanded 3×3 Cramer
+    // determinants; ×10⁴ fixed-point via `//` (truncation toward zero —
+    // verified identical to Spark's div for negatives in DuckDB 1.0)
+    "q311_ols_normal_eq" ->
+      """WITH l AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |   CAST(round(l_discount * 10000, 0) AS BIGINT) AS d,
+        |   CAST(round(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(q AS HUGEINT)) AS sq, sum(CAST(d AS HUGEINT)) AS sd,
+        |   sum(CAST(q AS HUGEINT) * q) AS sqq,
+        |   sum(CAST(d AS HUGEINT) * d) AS sdd,
+        |   sum(CAST(q AS HUGEINT) * d) AS sqd,
+        |   sum(CAST(y AS HUGEINT)) AS sy,
+        |   sum(CAST(q AS HUGEINT) * y) AS sqy,
+        |   sum(CAST(d AS HUGEINT) * y) AS sdy
+        |  FROM l),
+        |dets AS (SELECT n,
+        |   (n * (sqq * sdd - sqd * sqd)
+        |    - sq * (sq * sdd - sqd * sd)
+        |    + sd * (sq * sqd - sqq * sd)) AS det,
+        |   (sy * (sqq * sdd - sqd * sqd)
+        |    - sq * (sqy * sdd - sqd * sdy)
+        |    + sd * (sqy * sqd - sqq * sdy)) AS det0,
+        |   (n * (sqy * sdd - sqd * sdy)
+        |    - sy * (sq * sdd - sqd * sd)
+        |    + sd * (sq * sdy - sqy * sd)) AS det1,
+        |   (n * (sqq * sdy - sqy * sqd)
+        |    - sq * (sq * sdy - sqy * sd)
+        |    + sy * (sq * sqd - sqq * sd)) AS det2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_lines,
+        | CAST((det0 * 10000) // det AS BIGINT) AS intercept_fp,
+        | CAST((det1 * 10000) // det AS BIGINT) AS coef_qty_fp,
+        | CAST((det2 * 10000) // det AS BIGINT) AS coef_disc_fp,
+        | round(CAST((det0 * 10000) // det AS DOUBLE) / 10000, 4)
+        |  AS intercept_dollars,
+        | round(CAST((det1 * 10000) // det AS DOUBLE) / 10000, 4)
+        |  AS dollars_per_qty,
+        | round(CAST((det2 * 10000) // det AS DOUBLE) / 10000, 4)
+        |  AS dollars_per_disc_bp
+        |FROM dets""".stripMargin,
+    // q312: the q42 union-tag window, time-reversed; exact-seconds
+    // horizon via epoch_us // 1e6 (matches Spark's unix_timestamp floor)
+    "q312_asof_forward" ->
+      """WITH t AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |x AS (SELECT user_id, ts, event_id, tag,
+        |   first_value(CASE WHEN tag = 1 THEN ts END IGNORE NULLS)
+        |    OVER w AS next_err_ts,
+        |   first_value(CASE WHEN tag = 1 THEN event_id END IGNORE NULLS)
+        |    OVER w AS next_err_id
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |   next_err_ts, next_err_id,
+        |   epoch_us(CAST(next_err_ts AS TIMESTAMP)) // 1000000
+        |    - epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS diff_s
+        |  FROM x WHERE tag = 0)
+        |SELECT user_id, purchase_id, purchase_ts,
+        | CAST(CASE WHEN next_err_ts IS NOT NULL AND diff_s <= 3600
+        |  THEN diff_s ELSE -1 END AS BIGINT) AS seconds_to_error,
+        | CAST(CASE WHEN next_err_ts IS NOT NULL AND diff_s <= 3600
+        |  THEN next_err_id END AS BIGINT) AS error_id
+        |FROM p""".stripMargin,
   )
 }

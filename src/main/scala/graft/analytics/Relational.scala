@@ -2147,6 +2147,66 @@ object Relational {
           .as("revenue"))
   }
 
+  /** Exact distributed OLS via normal equations (q311): regress lineitem
+    * price (whole dollars) on (quantity, discount basis points) with
+    * intercept — the multi-feature generalization of q202's
+    * fixed-denominator slope. The corpus-scale pass is ONE
+    * map-side-combinable aggregate of the integer moment sums (n, Σq,
+    * Σd, Σq², Σd², Σqd, Σy, Σqy, Σdy); the 3×3 Cramer solve then runs
+    * entirely in exact DECIMAL(38,0) arithmetic, with coefficients
+    * emitted as ×10⁴ integral-division fixed-point (the q292
+    * IntegralDivide = `//` contract). No float exists anywhere except
+    * the display columns.
+    *
+    * Magnitude audit (why dollars and ×10⁴): the y-column Cramer
+    * determinants reach ~Σy·Σq²·Σd² ≈ 10³¹ at sf0.1 and scale linearly
+    * in n³ — dollars + 10⁴ keeps det·10⁴ ≤ ~10³⁶ through sf1 (inside
+    * both DECIMAL(38) and HUGEINT), where cents + 10⁶ would overflow at
+    * sf0.1. Past that, block-average the moments (divide each sum by a
+    * pinned block size) before the solve.
+    *
+    * 100 TB shape: the moment aggregate is the only data-scale stage —
+    * it shuffles 9 longs per partition; the solve is O(1).
+    */
+  def olsNormalEquations(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val l = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("long").as("q"),
+      round(col("l_discount") * 10000, 0).cast("long").as("d"),
+      round(col("l_extendedprice"), 0).cast("long").as("y"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast(dec)
+    val m = l.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(d38(col("q"))).as("sq"), sum(d38(col("d"))).as("sd"),
+      sum(d38(col("q")) * col("q")).as("sqq"),
+      sum(d38(col("d")) * col("d")).as("sdd"),
+      sum(d38(col("q")) * col("d")).as("sqd"),
+      sum(d38(col("y"))).as("sy"),
+      sum(d38(col("q")) * col("y")).as("sqy"),
+      sum(d38(col("d")) * col("y")).as("sdy"))
+    // X'X = [[n, sq, sd], [sq, sqq, sqd], [sd, sqd, sdd]]; X'y = [sy, sqy, sdy]
+    // 3×3 determinants, fully expanded so every term is an exact decimal
+    def det3(a1: String, a2: String, a3: String,
+        b1: String, b2: String, b3: String,
+        c1: String, c2: String, c3: String) =
+      (col(a1) * (col(b2) * col(c3) - col(b3) * col(c2))
+        - col(a2) * (col(b1) * col(c3) - col(b3) * col(c1))
+        + col(a3) * (col(b1) * col(c2) - col(b2) * col(c1)))
+    val solved = m
+      .withColumn("det", det3("n", "sq", "sd", "sq", "sqq", "sqd", "sd", "sqd", "sdd"))
+      .withColumn("det0", det3("sy", "sq", "sd", "sqy", "sqq", "sqd", "sdy", "sqd", "sdd"))
+      .withColumn("det1", det3("n", "sy", "sd", "sq", "sqy", "sqd", "sd", "sdy", "sdd"))
+      .withColumn("det2", det3("n", "sq", "sy", "sq", "sqq", "sqy", "sd", "sqd", "sdy"))
+    solved.select(
+      col("n").cast("long").as("n_lines"),
+      expr("CAST((det0 * 10000) div det AS BIGINT)").as("intercept_fp"),
+      expr("CAST((det1 * 10000) div det AS BIGINT)").as("coef_qty_fp"),
+      expr("CAST((det2 * 10000) div det AS BIGINT)").as("coef_disc_fp"))
+      .withColumn("intercept_dollars", round(col("intercept_fp").cast("double") / 1e4, 4))
+      .withColumn("dollars_per_qty", round(col("coef_qty_fp").cast("double") / 1e4, 4))
+      .withColumn("dollars_per_disc_bp", round(col("coef_disc_fp").cast("double") / 1e4, 4))
+  }
+
   /** Kendall tau-b (q293) between daily order count and daily revenue
     * cents over the order-day grain — the rank-correlation complement of
     * q232's Spearman rho, exact over all C(n,2) day pairs with full

@@ -162,4 +162,49 @@ object TemporalJoins {
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(col("__cnt")).as("shipments_1d"))
   }
+
+  /** FORWARD as-of join (q312): each purchase matched to the same user's
+    * NEXT error event strictly after it, bounded by a staleness horizon —
+    * the post-purchase failure diagnostic ("did checkout errors follow
+    * the sale?"), and the time-reversed twin of [[purchaseAttribution]]
+    * (which Spark also lacks natively in the forward direction). Events
+    * past the horizon report the −1 sentinel and are counted as clean.
+    *
+    * Plan: the same union-tag single-window recipe, mirrored — ordered
+    * (ts, tag) with errors AFTER purchases on ties (strictly-after
+    * semantics), frame (currentRow, unboundedFollowing), first_value
+    * ignoring nulls. One user-keyed window pass; the horizon is a
+    * post-window filter, not a second pass.
+    */
+  def purchaseNextError(spark: SparkSession, sfDir: String,
+      horizonSec: Long = 3600L): DataFrame =
+    purchaseNextErrorOf(Tables.events(spark, sfDir), horizonSec)
+
+  /** [[purchaseNextError]] over an arbitrary events frame. */
+  def purchaseNextErrorOf(ev: DataFrame, horizonSec: Long = 3600L): DataFrame = {
+    val tagged = ev.where(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        // purchases sort before errors at equal ts → strictly-after
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_err_ts",
+        first(when(col("tag") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("next_err_id",
+        first(when(col("tag") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .where(col("tag") === 0)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        when(col("next_err_ts").isNotNull
+            && unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts"))
+              <= horizonSec,
+          unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts")))
+          .otherwise(lit(-1L)).as("seconds_to_error"),
+        when(col("next_err_ts").isNotNull
+            && unix_timestamp(col("next_err_ts")) - unix_timestamp(col("ts"))
+              <= horizonSec, col("next_err_id"))
+          .otherwise(lit(null).cast("long")).as("error_id"))
+  }
 }

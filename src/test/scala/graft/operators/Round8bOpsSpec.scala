@@ -439,6 +439,67 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got4 === expect)
   }
 
+  test("ols normal equations: coefficients replay an exact BigInt Cramer solve") {
+    val rows = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        org.apache.spark.sql.functions.round(col("l_discount") * 10000, 0).cast("long"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice"), 0).cast("long"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val n = BigInt(rows.length)
+    val sq = rows.map(_._1).sum; val sd = rows.map(_._2).sum
+    val sqq = rows.map(t => t._1 * t._1).sum
+    val sdd = rows.map(t => t._2 * t._2).sum
+    val sqd = rows.map(t => t._1 * t._2).sum
+    val sy = rows.map(_._3).sum
+    val sqy = rows.map(t => t._1 * t._3).sum
+    val sdy = rows.map(t => t._2 * t._3).sum
+    def det3(a: Seq[BigInt], b: Seq[BigInt], c: Seq[BigInt]): BigInt =
+      a(0) * (b(1) * c(2) - b(2) * c(1)) -
+        a(1) * (b(0) * c(2) - b(2) * c(0)) +
+        a(2) * (b(0) * c(1) - b(1) * c(0))
+    val det = det3(Seq(n, sq, sd), Seq(sq, sqq, sqd), Seq(sd, sqd, sdd))
+    val det0 = det3(Seq(sy, sq, sd), Seq(sqy, sqq, sqd), Seq(sdy, sqd, sdd))
+    val det1 = det3(Seq(n, sy, sd), Seq(sq, sqy, sqd), Seq(sd, sdy, sdd))
+    val det2 = det3(Seq(n, sq, sy), Seq(sq, sqq, sqy), Seq(sd, sqd, sdy))
+    val r = Relational.olsNormalEquations(spark, sf).head
+    assert(r.getLong(0) === rows.length.toLong)
+    // BigInt / truncates toward zero = Spark div = DuckDB //
+    assert(BigInt(r.getLong(1)) === det0 * 10000 / det)
+    assert(BigInt(r.getLong(2)) === det1 * 10000 / det)
+    assert(BigInt(r.getLong(3)) === det2 * 10000 / det)
+    // (no sign sanity: the synthetic extendedprice is independent of
+    // quantity, so the coefficients are exact-but-noise — the equality
+    // asserts above are the test)
+  }
+
+  test("asof forward: hand fixture pins strict-after, ties, horizon, sentinel") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val ev = Seq(
+      // u1: purchase then error at +10s (matched)
+      (1L, ts(0), 10L, "purchase", 1.0),
+      (1L, ts(10), 11L, "error", 0.0),
+      // u2: error at the SAME ts as the purchase — purchases sort first,
+      // so it matches at 0 seconds
+      (2L, ts(0), 20L, "purchase", 1.0),
+      (2L, ts(0), 21L, "error", 0.0),
+      // u3: error beyond the 3600s horizon → sentinel
+      (3L, ts(0), 30L, "purchase", 1.0),
+      (3L, ts(4000), 31L, "error", 0.0),
+      // u4: no error at all → sentinel; earlier error must NOT match
+      (4L, ts(100), 40L, "error", 0.0),
+      (4L, ts(200), 41L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.operators.TemporalJoins.purchaseNextErrorOf(ev).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toMap
+    assert(got(10L) === ((10L, 11L)))
+    assert(got(20L) === ((0L, 21L)))
+    assert(got(30L) === ((-1L, -1L)))
+    assert(got(41L) === ((-1L, -1L)))
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
