@@ -1602,33 +1602,33 @@ object Relational {
     * Deequ-style constraint suite a warehouse runs after every load; all
     * columns exact integers.
     *
-    * Scale shape: per relation one anti-join (orphans) and one semi-join
-    * (referenced parents), each equality-keyed — Catalyst broadcasts the
-    * dimension side of the small relations (nation/region/customer at dim
-    * scale) and shuffles the fact-fact pairs (lineitem→orders) on the key;
-    * all counts are partial+final aggregates. The four 1-row per-relation
-    * aggregates combine via broadcast cross joins (the A11 recipe — no
-    * driver collect), and the 7-row union is metadata-sized.
+    * Scale shape: per relation ONE pass over the child — a left join onto
+    * the parent-key set (broadcast at dim scale, shuffled for fact-fact
+    * like lineitem→orders) feeding a single partial+final aggregate that
+    * derives ALL child-side metrics at once: row/null/distinct-key
+    * counts, orphans (fk present, parent absent) and referenced parents
+    * (distinct matched keys — equal to the semi-join count because
+    * parent keys are unique). Only the 1-row parent count needs a second
+    * (parent-only) scan. The per-relation rows combine via broadcast
+    * cross joins (the A11 recipe — no driver collect), and the 7-row
+    * union is metadata-sized.
     */
   def fkIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
     def rel(name: String, child: DataFrame, fk: String,
         parent: DataFrame, pk: String): DataFrame = {
-      val ck = child.select(col(fk).as("k"))
-      val pkeys = parent.select(col(pk).as("k"))
-      val childAgg = ck.agg(
+      val pkeys = parent.select(col(pk).as("k"), lit(1).as("__p"))
+      val joined = child.select(col(fk).as("k"))
+        .join(pkeys, Seq("k"), "left")
+      val childAgg = joined.agg(
         count(lit(1)).as("n_child"),
         count(when(col("k").isNull, 1)).as("n_null_fk"),
-        countDistinct(col("k")).as("n_child_keys"))
-      val orphanAgg = ck.where(col("k").isNotNull)
-        .join(pkeys, Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphan_rows"))
+        countDistinct(col("k")).as("n_child_keys"),
+        count(when(col("k").isNotNull && col("__p").isNull, 1))
+          .as("n_orphan_rows"),
+        countDistinct(when(col("__p").isNotNull, col("k")))
+          .as("n_referenced_parent"))
       val parentAgg = pkeys.agg(count(lit(1)).as("n_parent"))
-      val refAgg = pkeys
-        .join(ck.where(col("k").isNotNull).distinct(), Seq("k"), "left_semi")
-        .agg(count(lit(1)).as("n_referenced_parent"))
-      childAgg.crossJoin(broadcast(orphanAgg))
-        .crossJoin(broadcast(parentAgg))
-        .crossJoin(broadcast(refAgg))
+      childAgg.crossJoin(broadcast(parentAgg))
         .select(lit(name).as("relation"), col("n_child"), col("n_null_fk"),
           col("n_child_keys"), col("n_orphan_rows"), col("n_parent"),
           col("n_referenced_parent"))

@@ -457,14 +457,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q290 fk integrity: equality joins only, dims broadcast, no cartesian fact pairs") {
+  test("q290 fk integrity: one left join + one aggregate per relation, dims broadcast") {
     val p = planOf("q290_fk_integrity")
-    // per-relation orphan/coverage checks are anti/semi hash joins; the
-    // only nested-loop joins are the 1-row aggregate combines (A11 shape)
+    // all child-side metrics (incl. orphans and referenced parents) come
+    // from ONE LeftOuter join feeding one aggregate — no separate
+    // anti/semi passes re-scanning the fact table
     assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("LeftAnti"), p)
-    assert(p.contains("LeftSemi"), p)
   }
 
   test("q294 postings audit: the gap window is sharded on (word, shard), never word alone") {
