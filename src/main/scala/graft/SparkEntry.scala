@@ -579,6 +579,8 @@ object SparkEntry {
     "q311_ols_normal_eq" -> ((s: SparkSession, d: String) => Relational.olsNormalEquations(s, d)),
     // q312: forward as-of — next error after each purchase within horizon
     "q312_asof_forward" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.purchaseNextError(s, d)),
+    // q313: multi-touch linear attribution, exactly credit-conserving
+    "q313_linear_attribution" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.linearAttribution(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6507,5 +6509,31 @@ private object CorpusOracles {
         | CAST(CASE WHEN next_err_ts IS NOT NULL AND diff_s <= 3600
         |  THEN next_err_id END AS BIGINT) AS error_id
         |FROM p""".stripMargin,
+    // q313: the inequality join DuckDB plans directly (the Spark side
+    // buckets it — same rows); credit split via // with remainder to the
+    // most recent view, so credits conserve exactly
+    "q313_linear_attribution" ->
+      """WITH v AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS pts, event_id AS pid,
+        |   CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT p.pid, p.cents, v.vts, v.vid
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.vts >= p.pts - INTERVAL 3600 SECOND AND v.vts < p.pts),
+        |r AS (SELECT pid, cents, vts, vid,
+        |   count(*) OVER (PARTITION BY pid) AS k,
+        |   row_number() OVER (PARTITION BY pid
+        |    ORDER BY vts DESC, vid DESC) AS rn
+        |  FROM m),
+        |c AS (SELECT vts,
+        |   cents // k + CASE WHEN rn = 1 THEN cents % k ELSE 0 END
+        |    AS credit_cents, pid
+        |  FROM r)
+        |SELECT CAST(vts AS DATE) AS view_day,
+        | CAST(sum(credit_cents) AS BIGINT) AS credited_cents,
+        | CAST(count(*) AS BIGINT) AS n_credited_views,
+        | CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+        |FROM c GROUP BY 1""".stripMargin,
   )
 }

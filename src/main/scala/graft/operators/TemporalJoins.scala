@@ -163,6 +163,51 @@ object TemporalJoins {
       .agg(sum(col("__cnt")).as("shipments_1d"))
   }
 
+  /** Multi-touch LINEAR attribution (q313): each purchase's cents split
+    * equally across the same user's views in the hour before it (strictly
+    * earlier), rolled up to credited revenue per view-day — the
+    * multi-touch complement of [[purchaseAttribution]]'s last-touch
+    * answer. Credit is EXACTLY conserved: cents div k per view with the
+    * remainder assigned to the most recent view, so Σ credited equals Σ
+    * attributed purchase cents to the cent (specced).
+    *
+    * Scale shape: the q43 bucketed range join — views carry their hour
+    * bucket, purchases probe their two candidate buckets (a pinned ×2
+    * explode), the join is pure equality on (user, bucket) with the time
+    * window as a residual filter; per-purchase k and recency rank ride
+    * one (purchase)-keyed window over the matched pairs only; the daily
+    * rollup is map-side combinable.
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String,
+      windowSec: Long = 3600L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"),
+        floor(unix_micros(col("ts")) / (windowSec * 1000000L)).as("bucket"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        floor(unix_micros(col("ts")) / (windowSec * 1000000L)).as("pb"))
+      .withColumn("bucket", explode(array(col("pb") - 1, col("pb"))))
+    val matched = purchases.join(views, Seq("user_id", "bucket"))
+      .where(col("vts") >= col("pts") - expr(s"INTERVAL $windowSec SECONDS")
+        && col("vts") < col("pts"))
+    val wK = Window.partitionBy(col("pid"))
+    val wRank = Window.partitionBy(col("pid"))
+      .orderBy(col("vts").desc, col("vid").desc)
+    matched
+      .withColumn("k", count(lit(1)).over(wK))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("credit_cents",
+        expr("cents div k") + when(col("rn") === 1, expr("cents % k"))
+          .otherwise(lit(0L)))
+      .groupBy(to_date(col("vts")).as("view_day"))
+      .agg(sum(col("credit_cents")).cast("long").as("credited_cents"),
+        count(lit(1)).as("n_credited_views"),
+        countDistinct(col("pid")).as("n_purchases"))
+  }
+
   /** FORWARD as-of join (q312): each purchase matched to the same user's
     * NEXT error event strictly after it, bounded by a staleness horizon —
     * the post-purchase failure diagnostic ("did checkout errors follow

@@ -500,6 +500,34 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got(41L) === ((-1L, -1L)))
   }
 
+  test("linear attribution: credit conserves to the cent against a driver replay") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        org.apache.spark.sql.functions.round(col("value") * 100, 0)
+          .cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val views = ev.filter(_._4 == "view")
+    val purchases = ev.filter(_._4 == "purchase")
+    // attributed purchases: at least one same-user view in (pts−1h, pts)
+    var expectCredited = 0L
+    var expectPairs = 0L
+    val attributed = scala.collection.mutable.Set.empty[Long]
+    purchases.foreach { p =>
+      val w = views.filter(v => v._1 == p._1
+        && v._2 >= p._2 - 3600000L && v._2 < p._2)
+      if (w.nonEmpty) {
+        expectCredited += p._5; expectPairs += w.length; attributed += p._3
+      }
+    }
+    val rows = graft.operators.TemporalJoins.linearAttribution(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === expectCredited,
+      "credit must conserve exactly")
+    assert(rows.map(_.getLong(2)).sum === expectPairs)
+    assert(expectCredited > 0L, "label must be live at sf0.001")
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
