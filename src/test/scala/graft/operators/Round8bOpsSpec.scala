@@ -4,10 +4,14 @@ import graft.SparkTestBase
 import graft.analytics.{Relational, TextAnalytics}
 import org.apache.spark.sql.functions.{col, countDistinct, explode, lit, split, count => scount}
 
-/** Semantics of the round-8 continuation batch (q290-q294): FK integrity,
-  * lead-lag CCF, Kruskal-Wallis, Kendall tau-b, postings audit. Each test
-  * replays the operator independently (hand fixture or driver-side
-  * recompute on sf0.001).
+/** Semantics of the round-8 continuation batches (q290-q313): FK
+  * integrity, lead-lag CCF, rank tests (Kruskal-Wallis / Kendall /
+  * Levene / Cramér's V / Welch / Wasserstein / AUC), IR operators
+  * (postings audit, phrase search), capped sessions, rank-function
+  * kitchen, Mahalanobis outliers, lang macro-F1, the TPC-H classics
+  * pack, exact OLS, forward as-of, and credit-conserving linear
+  * attribution. Each test replays the operator independently (hand
+  * fixture or driver-side recompute on sf0.001).
   */
 class Round8bOpsSpec extends SparkTestBase {
 
