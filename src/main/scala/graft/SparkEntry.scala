@@ -581,6 +581,8 @@ object SparkEntry {
     "q312_asof_forward" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.purchaseNextError(s, d)),
     // q313: multi-touch linear attribution, exactly credit-conserving
     "q313_linear_attribution" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.linearAttribution(s, d)),
+    // q314: decile lift/gains for the q304 label — threshold-picking view
+    "q314_quality_lift" -> ((s: SparkSession, d: String) => TextAnalytics.qualityLiftDeciles(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6535,5 +6537,43 @@ private object CorpusOracles {
         | CAST(count(*) AS BIGINT) AS n_credited_views,
         | CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
         |FROM c GROUP BY 1""".stripMargin,
+    // q314: exact row-count decile cuts on the (score_fp, doc_id) total
+    // order; counts integer, rates/lift single divisions
+    "q314_quality_lift" ->
+      s"""WITH ms AS ($modelScoreSql),
+         |rep AS (SELECT doc_id,
+         |   CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+         |   END AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]) AS bg
+         |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+         |lab AS (SELECT ms.doc_id,
+         |   CAST(round(model_score * 1000000) AS BIGINT) AS score_fp,
+         |   CASE WHEN dup_bigram_frac >= 0.1 THEN 1 ELSE 0 END AS is_rep
+         |  FROM ms JOIN rep USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY score_fp, doc_id) AS rn,
+         |   count(*) OVER () AS n FROM lab),
+         |dd AS (SELECT CAST((10 * rn + n - 1) // n AS INTEGER) AS decile,
+         |   score_fp, is_rep FROM rk),
+         |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(is_rep) AS BIGINT) AS n_pos,
+         |   min(score_fp) AS min_score_fp, max(score_fp) AS max_score_fp
+         |  FROM dd GROUP BY 1),
+         |cum AS (SELECT *, sum(n_pos) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         |   sum(n_docs) OVER (ORDER BY decile
+         |    ROWS UNBOUNDED PRECEDING) AS cum_docs,
+         |   sum(n_pos) OVER () AS total_pos,
+         |   sum(n_docs) OVER () AS total_docs
+         |  FROM bd)
+         |SELECT decile, n_docs, n_pos, min_score_fp, max_score_fp,
+         | round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pos_rate,
+         | round(CAST(cum_pos AS DOUBLE) / CAST(total_pos AS DOUBLE), 6)
+         |  AS cum_gain,
+         | round((CAST(cum_pos AS DOUBLE) / CAST(cum_docs AS DOUBLE))
+         |  / (CAST(total_pos AS DOUBLE) / CAST(total_docs AS DOUBLE)), 6)
+         |  AS cum_lift
+         |FROM cum""".stripMargin,
   )
 }

@@ -2209,6 +2209,70 @@ object TextAnalytics {
         6).as("auc_rep_vs_score"))
   }
 
+  /** Decile lift/gains table (q314) for the pinned quality model against
+    * the bigram-repetition label — the operating-point view that q304's
+    * single AUC number summarizes away: per score decile (1 = lowest
+    * scores, where a repetition-catching model would concentrate the
+    * positives), the positive count/rate, cumulative gain share and
+    * cumulative lift vs the base rate. What a curation team reads to
+    * pick a filtering threshold.
+    *
+    * Determinism: decile boundaries are exact ROW-COUNT cuts on the
+    * total order (score_fp asc, doc_id asc — no quantile estimation);
+    * all counts integer; rates/lift are single divisions over exact
+    * integers.
+    *
+    * Scale shape: one window pass for the row-number decile assignment
+    * on the already-rounded ×10⁶ score (global total order — at true
+    * scale range-partition by score, the q279 note), then a 10-row
+    * rollup with a running-sum window over the deciles.
+    */
+  def qualityLiftDeciles(spark: SparkSession, sfDir: String,
+      repThreshold: Double = 0.1): DataFrame = {
+    val rep = Text.repetitionMetrics(col("text")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
+        when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
+          .as("is_rep"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val ranked = docs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      // decile d = ceil(10·rn / n): exact integer arithmetic
+      .withColumn("decile",
+        expr("CAST((10 * rn + n - 1) div n AS INT)"))
+    val byDecile = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_rep")).as("n_pos"),
+        min(col("score_fp")).as("min_score_fp"),
+        max(col("score_fp")).as("max_score_fp"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totals = byDecile.agg(sum(col("n_pos")).as("total_pos"),
+      sum(col("n_docs")).as("total_docs"))
+    byDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("min_score_fp"), col("max_score_fp"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("cum_pos").cast("double") / col("total_pos").cast("double"), 6)
+          .as("cum_gain"),
+        round((col("cum_pos").cast("double") / col("cum_docs").cast("double"))
+          / (col("total_pos").cast("double") / col("total_docs").cast("double")),
+          6).as("cum_lift"))
+  }
+
   /** Positional phrase search with scan cross-check (q295): the top-k
     * corpus bigrams (count desc, then (w1, w2) — a deterministic total
     * order) looked up two ways: via the bigram "index" (the in-row

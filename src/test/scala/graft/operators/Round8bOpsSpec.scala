@@ -532,6 +532,28 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(expectCredited > 0L, "label must be live at sf0.001")
   }
 
+  test("quality lift deciles: mass conserves and cumulative columns are monotone") {
+    val rows = TextAnalytics.qualityLiftDeciles(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    // decile sizes differ by at most 1 (exact row-count cuts)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    // positives conserve to the q304 census
+    val auc = TextAnalytics.qualityAuc(spark, sf).head
+    assert(rows.map(_.getLong(2)).sum === auc.getLong(0))
+    // cum_gain is nondecreasing and ends at 1; decile score ranges are
+    // ordered (max of d ≤ min of d+1 on the ascending-score order)
+    val gains = rows.map(_.getDouble(6))
+    assert(gains.zip(gains.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(math.abs(gains.last - 1.0) < 1e-9)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getLong(4) <= b.getLong(3))
+    }
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
