@@ -583,6 +583,8 @@ object SparkEntry {
     "q313_linear_attribution" -> ((s: SparkSession, d: String) => graft.operators.TemporalJoins.linearAttribution(s, d)),
     // q314: decile lift/gains for the q304 label — threshold-picking view
     "q314_quality_lift" -> ((s: SparkSession, d: String) => TextAnalytics.qualityLiftDeciles(s, d)),
+    // q315: bag-semantics set ops (q07 covers the DISTINCT half)
+    "q315_setops_all" -> ((s: SparkSession, d: String) => Relational.multisetSetOps(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6575,5 +6577,24 @@ private object CorpusOracles {
          |  / (CAST(total_pos AS DOUBLE) / CAST(total_docs AS DOUBLE)), 6)
          |  AS cum_lift
          |FROM cum""".stripMargin,
+    // q315: INTERSECT ALL / EXCEPT ALL multiplicity semantics, per-key rollup
+    "q315_setops_all" ->
+      """WITH a AS (SELECT o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |b AS (SELECT o_orderpriority FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+        |e1 AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |e2 AS (SELECT * FROM b EXCEPT ALL SELECT * FROM a)
+        |SELECT 'intersect_all' AS set_op, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_rows FROM ia GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all_96_minus_97', o_orderpriority,
+        | CAST(count(*) AS BIGINT) FROM e1 GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all_97_minus_96', o_orderpriority,
+        | CAST(count(*) AS BIGINT) FROM e2 GROUP BY 2""".stripMargin,
   )
 }

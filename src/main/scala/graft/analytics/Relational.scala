@@ -2207,6 +2207,38 @@ object Relational {
       .withColumn("dollars_per_disc_bp", round(col("coef_disc_fp").cast("double") / 1e4, 4))
   }
 
+  /** Multiset set operations (q315): INTERSECT ALL / EXCEPT ALL between
+    * the 1996 and 1997 order-priority multisets, rolled up per priority —
+    * the bag-semantics half of the set-op surface q07 covers with
+    * DISTINCT semantics. EXCEPT ALL's multiplicity arithmetic
+    * (max(c₁−c₂, 0) copies survive) is what reconciliation jobs actually
+    * need when comparing row feeds.
+    *
+    * Scale shape: Spark plans both operators as a count-aggregate plus
+    * replicate-generate on the value key — one shuffle each on the
+    * (value) key with partial aggregation, never a row-by-row
+    * subtraction; the final rollup collapses the replication again (the
+    * intermediate replication is the operator's contract, exercised
+    * deliberately).
+    */
+  def multisetSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def year(y: Int) = o
+      .where(col("o_orderdate") >= to_timestamp(lit(s"$y-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit(s"${y + 1}-01-01 00:00:00")))
+      .select(col("o_orderpriority"))
+    val a = year(1996)
+    val b = year(1997)
+    Seq(
+      ("intersect_all", a.intersectAll(b)),
+      ("except_all_96_minus_97", a.exceptAll(b)),
+      ("except_all_97_minus_96", b.exceptAll(a))
+    ).map { case (op, df) =>
+      df.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_rows"))
+        .select(lit(op).as("set_op"), col("o_orderpriority"), col("n_rows"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Kendall tau-b (q293) between daily order count and daily revenue
     * cents over the order-day grain — the rank-correlation complement of
     * q232's Spearman rho, exact over all C(n,2) day pairs with full

@@ -554,6 +554,27 @@ class Round8bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("multiset set ops: counts replay the bag-arithmetic identities") {
+    val counts = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        org.apache.spark.sql.functions.year(col("o_orderdate")).as("y"))
+      .where(col("y").isin(1996, 1997))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val prios = counts.keys.map(_._1).toSeq.distinct
+    val rows = graft.analytics.Relational.multisetSetOps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    prios.foreach { p =>
+      val c96 = counts.getOrElse((p, 1996), 0L)
+      val c97 = counts.getOrElse((p, 1997), 0L)
+      assert(rows.getOrElse(("intersect_all", p), 0L) === math.min(c96, c97), p)
+      assert(rows.getOrElse(("except_all_96_minus_97", p), 0L)
+        === math.max(c96 - c97, 0L), p)
+      assert(rows.getOrElse(("except_all_97_minus_96", p), 0L)
+        === math.max(c97 - c96, 0L), p)
+    }
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
