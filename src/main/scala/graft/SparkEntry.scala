@@ -585,6 +585,8 @@ object SparkEntry {
     "q314_quality_lift" -> ((s: SparkSession, d: String) => TextAnalytics.qualityLiftDeciles(s, d)),
     // q315: bag-semantics set ops (q07 covers the DISTINCT half)
     "q315_setops_all" -> ((s: SparkSession, d: String) => Relational.multisetSetOps(s, d)),
+    // q316: Fellegi-Sunter record-linkage parameter estimation
+    "q316_fellegi_sunter" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fellegiSunter(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6596,5 +6598,51 @@ private object CorpusOracles {
         |UNION ALL
         |SELECT 'except_all_97_minus_96', o_orderpriority,
         | CAST(count(*) AS BIGINT) FROM e2 GROUP BY 2""".stripMargin,
+    // q316: blocked pairs + integer-threshold Jaccard labels; Laplace-
+    // smoothed m/u; ln weights rounded once (the q71 contract)
+    "q316_fellegi_sunter" -> {
+      def branch(name: String, ma: String, ua: String): String =
+        s"""SELECT '$name' AS feature, n_pairs, n_match,
+           | $ma AS match_agree, $ua AS nonmatch_agree,
+           | round(($ma + 0.5) / (n_match + 1.0), 6) AS m_prob,
+           | round(($ua + 0.5) / (n_pairs - n_match + 1.0), 6) AS u_prob,
+           | round(ln((($ma + 0.5) / (n_match + 1.0))
+           |   / (($ua + 0.5) / (n_pairs - n_match + 1.0))), 6)
+           |  AS agree_weight_ln,
+           | round(ln((1.0 - ($ma + 0.5) / (n_match + 1.0))
+           |   / (1.0 - ($ua + 0.5) / (n_pairs - n_match + 1.0))), 6)
+           |  AS disagree_weight_ln
+           |FROM agg"""
+      s"""WITH sh AS ($docShingles),
+         |d AS (SELECT doc_id, lang, source, n_chars, n_chars // 64 AS blk,
+         |   list_distinct(shingles) AS shl
+         |  FROM documents JOIN sh USING (doc_id)),
+         |simh AS ($simhashDoc),
+         |dd AS (SELECT d.*, simh.simhash FROM d JOIN simh USING (doc_id)),
+         |p AS (SELECT len(list_intersect(a.shl, b.shl)) AS inter,
+         |   len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)) AS uni,
+         |   CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f_src,
+         |   CASE WHEN abs(a.n_chars - b.n_chars) <= 16 THEN 1 ELSE 0 END AS f_len,
+         |   CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 1 ELSE 0 END
+         |    AS f_sim
+         |  FROM dd a JOIN dd b ON a.lang = b.lang AND a.blk = b.blk
+         |   AND a.doc_id < b.doc_id),
+         |f AS (SELECT CASE WHEN inter * 10 >= uni * 7 AND uni > 0
+         |    THEN 1 ELSE 0 END AS is_match, f_src, f_len, f_sim FROM p),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |   CAST(sum(is_match) AS BIGINT) AS n_match,
+         |   CAST(sum(is_match * f_src) AS BIGINT) AS ma_src,
+         |   CAST(sum((1 - is_match) * f_src) AS BIGINT) AS ua_src,
+         |   CAST(sum(is_match * f_len) AS BIGINT) AS ma_len,
+         |   CAST(sum((1 - is_match) * f_len) AS BIGINT) AS ua_len,
+         |   CAST(sum(is_match * f_sim) AS BIGINT) AS ma_sim,
+         |   CAST(sum((1 - is_match) * f_sim) AS BIGINT) AS ua_sim
+         |  FROM f)
+         |${branch("same_source", "ma_src", "ua_src")}
+         |UNION ALL
+         |${branch("len_close", "ma_len", "ua_len")}
+         |UNION ALL
+         |${branch("simhash_near", "ma_sim", "ua_sim")}""".stripMargin
+    },
   )
 }

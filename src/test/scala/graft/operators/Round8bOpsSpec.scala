@@ -575,6 +575,49 @@ class Round8bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("fellegi-sunter: pair census and m/u replay a driver-side blocked compare") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    val sim = graft.operators.Dedup.simhashDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val enriched = docs.map { case (id, lang, src, len, text) =>
+      (id, lang, src, len, len / 64, shingleSet(text), sim(id))
+    }
+    var nPairs = 0L; var nMatch = 0L
+    var maSrc = 0L; var uaSrc = 0L
+    for {
+      a <- enriched; b <- enriched
+      if a._1 < b._1 && a._2 == b._2 && a._5 == b._5
+    } {
+      nPairs += 1
+      val inter = (a._6 & b._6).size
+      val uni = a._6.size + b._6.size - inter
+      val isMatch = uni > 0 && inter * 10 >= uni * 7
+      if (isMatch) nMatch += 1
+      val agree = a._3 == b._3
+      if (agree && isMatch) maSrc += 1
+      if (agree && !isMatch) uaSrc += 1
+    }
+    val rows = graft.operators.EntityResolution.fellegiSunter(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val srcRow = rows("same_source")
+    assert(srcRow.getLong(1) === nPairs)
+    assert(srcRow.getLong(2) === nMatch)
+    assert(srcRow.getLong(3) === maSrc)
+    assert(srcRow.getLong(4) === uaSrc)
+    assert(nMatch > 0L, "truth labels must be live at sf0.001")
+    val mExpect = (maSrc + 0.5) / (nMatch + 1.0)
+    assert(math.abs(srcRow.getDouble(5) - round6(mExpect)) < 1e-9)
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
