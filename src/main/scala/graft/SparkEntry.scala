@@ -587,6 +587,8 @@ object SparkEntry {
     "q315_setops_all" -> ((s: SparkSession, d: String) => Relational.multisetSetOps(s, d)),
     // q316: Fellegi-Sunter record-linkage parameter estimation
     "q316_fellegi_sunter" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fellegiSunter(s, d)),
+    // q317: blocking reduction-ratio + pair-completeness vs the truth set
+    "q317_blocking_audit" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.blockingAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6644,5 +6646,37 @@ private object CorpusOracles {
          |UNION ALL
          |${branch("simhash_near", "ma_sim", "ua_sim")}""".stripMargin
     },
+    // q317: truth = the q73 oracle's exact-Jaccard pairs at 0.7; blocked
+    // pair count from block sizes (s·(s−1)/2), never materialized
+    "q317_blocking_audit" ->
+      s"""WITH sh AS ($shingleRows),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |   count(*) AS cnt
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |   AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc1, doc2 FROM ($jaccardTail)
+         |  WHERE jaccard >= 0.7),
+         |d AS (SELECT doc_id, lang, n_chars // 64 AS blk FROM documents),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+         |bc AS (SELECT CAST(sum(s * (s - 1) // 2) AS BIGINT)
+         |    AS n_blocked_pairs
+         |  FROM (SELECT count(*) AS s FROM d GROUP BY lang, blk)),
+         |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |ib AS (SELECT CAST(count(*) AS BIGINT) AS n_truth_in_block
+         |  FROM truth
+         |  JOIN d a ON a.doc_id = truth.doc1
+         |  JOIN d b ON b.doc_id = truth.doc2
+         |  WHERE a.lang = b.lang AND a.blk = b.blk)
+         |SELECT n_docs,
+         | CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_total_pairs,
+         | n_blocked_pairs, n_truth, n_truth_in_block,
+         | round(1.0 - CAST(n_blocked_pairs AS DOUBLE)
+         |  / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE), 6)
+         |  AS reduction_ratio,
+         | round(CAST(n_truth_in_block AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         |  AS pair_completeness
+         |FROM nd CROSS JOIN bc CROSS JOIN tc CROSS JOIN ib""".stripMargin,
   )
 }

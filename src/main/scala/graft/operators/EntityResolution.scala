@@ -81,4 +81,51 @@ object EntityResolution {
       round(log(m / u), 6).as("agree_weight_ln"),
       round(log((lit(1.0) - m) / (lit(1.0) - u)), 6).as("disagree_weight_ln"))
   }
+
+  /** Blocking-quality audit (q317): reduction ratio (how much of the
+    * all-pairs space the (lang, length-bucket) key eliminates) and pair
+    * completeness (what fraction of TRUE near-dup pairs — the corpus-wide
+    * exact-Jaccard ≥ 0.7 truth set — survive inside blocks). The two
+    * numbers every ER design review asks for before trusting a blocking
+    * key; q316's probabilities are only as good as this recall.
+    *
+    * Scale shape: the truth set is the memoized q73-recipe prefix-filter
+    * join (equality-keyed, corpus-safe); blocked-pair counting is a
+    * per-block s·(s−1)/2 SUM over block sizes — computed from the
+    * block-size aggregate, NOT by materializing the pairs; only the
+    * truth∩block probe touches pair rows (truth-set-sized). All 1-row
+    * aggregates combine via broadcast cross joins.
+    */
+  def blockingAudit(spark: SparkSession, sfDir: String,
+      lenBucket: Int = 64, threshold: Double = 0.7): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr(s"n_chars div $lenBucket").as("blk"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val blockedCount = d.groupBy(col("lang"), col("blk"))
+      .agg(count(lit(1)).as("s"))
+      .agg(sum(col("s") * (col("s") - 1) / 2).cast("long")
+        .as("n_blocked_pairs"))
+    val truth = Dedup.jaccardPairsPrefix(spark, sfDir, threshold)
+      .select(col("doc1"), col("doc2"))
+    val truthCount = truth.agg(count(lit(1)).as("n_truth"))
+    val inBlock = truth
+      .join(d.select(col("doc_id").as("doc1"), col("lang"), col("blk")), "doc1")
+      .join(d.select(col("doc_id").as("doc2"), col("lang").as("l2"),
+        col("blk").as("b2")), "doc2")
+      .where(col("lang") === col("l2") && col("blk") === col("b2"))
+      .agg(count(lit(1)).as("n_truth_in_block"))
+    nDocs.crossJoin(broadcast(blockedCount))
+      .crossJoin(broadcast(truthCount))
+      .crossJoin(broadcast(inBlock))
+      .select(col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long")
+          .as("n_total_pairs"),
+        col("n_blocked_pairs"), col("n_truth"), col("n_truth_in_block"),
+        round(lit(1.0) - col("n_blocked_pairs").cast("double")
+          / (col("n_docs") * (col("n_docs") - 1) / 2).cast("double"), 6)
+          .as("reduction_ratio"),
+        round(col("n_truth_in_block").cast("double")
+          / col("n_truth").cast("double"), 6).as("pair_completeness"))
+  }
 }

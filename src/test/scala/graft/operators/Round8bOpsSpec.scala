@@ -618,6 +618,27 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(math.abs(srcRow.getDouble(5) - round6(mExpect)) < 1e-9)
   }
 
+  test("blocking audit: pair counts replay; completeness consistent with FS labels") {
+    val r = graft.operators.EntityResolution.blockingAudit(spark, sf).head
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("lang"),
+        org.apache.spark.sql.functions.expr("n_chars div 64").as("blk")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val n = docs.length.toLong
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === n * (n - 1) / 2)
+    val expectBlocked = docs.groupBy(identity).values
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(r.getLong(2) === expectBlocked)
+    // the truth-in-block count must equal q316's per-block match census
+    val fs = graft.operators.EntityResolution.fellegiSunter(spark, sf)
+      .head
+    assert(r.getLong(4) === fs.getLong(2),
+      "blocked true pairs must equal the FS match count")
+    assert(r.getLong(3) >= r.getLong(4))
+    assert(r.getDouble(5) > 0.9, "blocking must prune >90% of the pair space here")
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
