@@ -36,11 +36,17 @@ object EntityResolution {
   def fellegiSunter(spark: SparkSession, sfDir: String,
       lenBucket: Int = 64, lenTol: Int = 16, hammingTol: Int = 8,
       jaccardT: (Int, Int) = (7, 10)): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        expr(s"n_chars div $lenBucket").as("blk"),
-        array_distinct(Text.shingles(col("text"))).as("shl"))
-      .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
+    // memoized: the feature table feeds BOTH sides of the blocked self-
+    // join — un-materialized, the static planner replicates the whole
+    // shingle + 32-bit-simhash subtree per side (measured 9.1 s → the
+    // cached form at sf0.1)
+    val docs = SessionMemo(spark, s"erFeatures|$sfDir|$lenBucket") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr(s"n_chars div $lenBucket").as("blk"),
+          array_distinct(Text.shingles(col("text"))).as("shl"))
+        .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
+    }
     def side(t: String) = docs.select(
       col("doc_id").as(s"id_$t"), col("lang"), col("blk"),
       col("source").as(s"src_$t"), col("n_chars").as(s"len_$t"),
