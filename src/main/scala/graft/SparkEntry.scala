@@ -589,6 +589,8 @@ object SparkEntry {
     "q316_fellegi_sunter" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fellegiSunter(s, d)),
     // q317: blocking reduction-ratio + pair-completeness vs the truth set
     "q317_blocking_audit" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.blockingAudit(s, d)),
+    // q318: the 2³ FS agreement patterns with composite log-weight scores
+    "q318_fs_score_patterns" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fsScorePatterns(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6678,5 +6680,54 @@ private object CorpusOracles {
          | round(CAST(n_truth_in_block AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
          |  AS pair_completeness
          |FROM nd CROSS JOIN bc CROSS JOIN tc CROSS JOIN ib""".stripMargin,
+    // q318: the q316 pair pass grouped by agreement pattern; the six
+    // weight scalars cross-joined in; score = chained weight sum
+    "q318_fs_score_patterns" -> {
+      def w(ma: String, ua: String, sfx: String): String =
+        s"""round(ln((($ma + 0.5) / (n_match + 1.0))
+           |   / (($ua + 0.5) / (n_pairs - n_match + 1.0))), 6) AS aw_$sfx,
+           | round(ln((1.0 - ($ma + 0.5) / (n_match + 1.0))
+           |   / (1.0 - ($ua + 0.5) / (n_pairs - n_match + 1.0))), 6)
+           |  AS dw_$sfx"""
+      s"""WITH sh AS ($docShingles),
+         |d AS (SELECT doc_id, lang, source, n_chars, n_chars // 64 AS blk,
+         |   list_distinct(shingles) AS shl
+         |  FROM documents JOIN sh USING (doc_id)),
+         |simh AS ($simhashDoc),
+         |dd AS (SELECT d.*, simh.simhash FROM d JOIN simh USING (doc_id)),
+         |p AS (SELECT len(list_intersect(a.shl, b.shl)) AS inter,
+         |   len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)) AS uni,
+         |   CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS f_src,
+         |   CASE WHEN abs(a.n_chars - b.n_chars) <= 16 THEN 1 ELSE 0 END AS f_len,
+         |   CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 8 THEN 1 ELSE 0 END
+         |    AS f_sim
+         |  FROM dd a JOIN dd b ON a.lang = b.lang AND a.blk = b.blk
+         |   AND a.doc_id < b.doc_id),
+         |f AS (SELECT CASE WHEN inter * 10 >= uni * 7 AND uni > 0
+         |    THEN 1 ELSE 0 END AS is_match, f_src, f_len, f_sim FROM p),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |   CAST(sum(is_match) AS BIGINT) AS n_match,
+         |   CAST(sum(is_match * f_src) AS BIGINT) AS ma_src,
+         |   CAST(sum((1 - is_match) * f_src) AS BIGINT) AS ua_src,
+         |   CAST(sum(is_match * f_len) AS BIGINT) AS ma_len,
+         |   CAST(sum((1 - is_match) * f_len) AS BIGINT) AS ua_len,
+         |   CAST(sum(is_match * f_sim) AS BIGINT) AS ma_sim,
+         |   CAST(sum((1 - is_match) * f_sim) AS BIGINT) AS ua_sim
+         |  FROM f),
+         |wts AS (SELECT ${w("ma_src", "ua_src", "src")},
+         | ${w("ma_len", "ua_len", "len")},
+         | ${w("ma_sim", "ua_sim", "sim")}
+         |  FROM agg)
+         |SELECT CAST(f_src AS INTEGER) AS f_src,
+         | CAST(f_len AS INTEGER) AS f_len, CAST(f_sim AS INTEGER) AS f_sim,
+         | CAST(count(*) AS BIGINT) AS n_pairs,
+         | CAST(sum(is_match) AS BIGINT) AS n_match,
+         | max(round((CASE WHEN f_src = 1 THEN aw_src ELSE dw_src END
+         |   + CASE WHEN f_len = 1 THEN aw_len ELSE dw_len END
+         |   + CASE WHEN f_sim = 1 THEN aw_sim ELSE dw_sim END), 6)) AS score_ln,
+         | round(CAST(sum(is_match) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  AS match_rate
+         |FROM f CROSS JOIN wts GROUP BY 1, 2, 3""".stripMargin
+    },
   )
 }

@@ -88,6 +88,63 @@ object EntityResolution {
       round(log((lit(1.0) - m) / (lit(1.0) - u)), 6).as("disagree_weight_ln"))
   }
 
+  /** Fellegi-Sunter score patterns (q318): the 2³ feature-agreement
+    * patterns with their pair counts, observed match rates and composite
+    * log-weight score (Σ per-feature agree/disagree weights from
+    * [[fellegiSunter]]'s m/u estimates) — the match-weight table a
+    * Splink-style linker thresholds on, and the empirical check that
+    * score orders match rate. Shares the memoized feature table and the
+    * pair pass shape with q316.
+    */
+  def fsScorePatterns(spark: SparkSession, sfDir: String,
+      lenBucket: Int = 64, lenTol: Int = 16, hammingTol: Int = 8,
+      jaccardT: (Int, Int) = (7, 10)): DataFrame = {
+    val docs = SessionMemo(spark, s"erFeatures|$sfDir|$lenBucket") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr(s"n_chars div $lenBucket").as("blk"),
+          array_distinct(Text.shingles(col("text"))).as("shl"))
+        .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
+    }
+    def side(t: String) = docs.select(
+      col("doc_id").as(s"id_$t"), col("lang"), col("blk"),
+      col("source").as(s"src_$t"), col("n_chars").as(s"len_$t"),
+      col("shl").as(s"shl_$t"), col("simhash").as(s"sh_$t"))
+    val pairs = side("a").join(side("b"), Seq("lang", "blk"))
+      .where(col("id_a") < col("id_b"))
+    val inter = size(array_intersect(col("shl_a"), col("shl_b")))
+    val uni = size(col("shl_a")) + size(col("shl_b")) - inter
+    val (jNum, jDen) = jaccardT
+    val feat = pairs.select(
+      (inter * jDen >= uni * jNum && uni > 0).cast("int").as("is_match"),
+      (col("src_a") === col("src_b")).cast("int").as("f_src"),
+      (abs(col("len_a") - col("len_b")) <= lenTol).cast("int").as("f_len"),
+      (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= hammingTol)
+        .cast("int").as("f_sim"))
+    val params = fellegiSunter(spark, sfDir, lenBucket, lenTol, hammingTol,
+      jaccardT)
+      .select(col("feature"), col("agree_weight_ln"),
+        col("disagree_weight_ln"))
+    // correlated pick via broadcast pivot: 3 features → 6 scalar weights
+    def weightOf(name: String, flag: Column): Column =
+      when(flag === 1, col(s"aw_$name")).otherwise(col(s"dw_$name"))
+    val pivoted = params.groupBy()
+      .pivot(col("feature"), Seq("same_source", "len_close", "simhash_near"))
+      .agg(first(col("agree_weight_ln")).as("aw"),
+        first(col("disagree_weight_ln")).as("dw"))
+      .toDF("aw_src", "dw_src", "aw_len", "dw_len", "aw_sim", "dw_sim")
+    feat.crossJoin(broadcast(pivoted))
+      .withColumn("score_ln",
+        round(weightOf("src", col("f_src")) + weightOf("len", col("f_len"))
+          + weightOf("sim", col("f_sim")), 6))
+      .groupBy(col("f_src"), col("f_len"), col("f_sim"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_match")).cast("long").as("n_match"),
+        max(col("score_ln")).as("score_ln"))
+      .withColumn("match_rate",
+        round(col("n_match").cast("double") / col("n_pairs").cast("double"), 6))
+  }
+
   /** Blocking-quality audit (q317): reduction ratio (how much of the
     * all-pairs space the (lang, length-bucket) key eliminates) and pair
     * completeness (what fraction of TRUE near-dup pairs — the corpus-wide

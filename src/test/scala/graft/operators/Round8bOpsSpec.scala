@@ -639,6 +639,31 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(r.getDouble(5) > 0.9, "blocking must prune >90% of the pair space here")
   }
 
+  test("fs score patterns: 2^3 patterns conserve the pair census; score tracks theory") {
+    val rows = graft.operators.EntityResolution.fsScorePatterns(spark, sf)
+      .collect()
+    assert(rows.length === 8)
+    val fs = graft.operators.EntityResolution.fellegiSunter(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val total = fs("same_source").getLong(1)
+    assert(rows.map(_.getLong(3)).sum === total)
+    assert(rows.map(_.getLong(4)).sum === fs("same_source").getLong(2))
+    // composite score = sum of the three per-feature weights, re-rounded
+    rows.foreach { r =>
+      def pick(name: String, flag: Int): Double = {
+        val row = fs(name)
+        if (flag == 1) row.getDouble(7) else row.getDouble(8)
+      }
+      val expect = round6(pick("same_source", r.getInt(0))
+        + pick("len_close", r.getInt(1)) + pick("simhash_near", r.getInt(2)))
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9,
+        s"pattern ${(r.getInt(0), r.getInt(1), r.getInt(2))}")
+    }
+    // the all-agree pattern must carry the maximum score
+    val best = rows.maxBy(_.getDouble(5))
+    assert((best.getInt(0), best.getInt(1), best.getInt(2)) === ((1, 1, 1)))
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
