@@ -6619,7 +6619,8 @@ private object CorpusOracles {
            |FROM agg"""
       s"""WITH sh AS ($docShingles),
          |d AS (SELECT doc_id, lang, source, n_chars, n_chars // 64 AS blk,
-         |   list_distinct(shingles) AS shl
+         |   list_distinct(list_transform(shingles,
+         |     s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT))) AS shl
          |  FROM documents JOIN sh USING (doc_id)),
          |simh AS ($simhashDoc),
          |dd AS (SELECT d.*, simh.simhash FROM d JOIN simh USING (doc_id)),
@@ -6691,7 +6692,8 @@ private object CorpusOracles {
            |  AS dw_$sfx"""
       s"""WITH sh AS ($docShingles),
          |d AS (SELECT doc_id, lang, source, n_chars, n_chars // 64 AS blk,
-         |   list_distinct(shingles) AS shl
+         |   list_distinct(list_transform(shingles,
+         |     s -> CAST(('0x'||substr(md5(s),1,8)) AS BIGINT))) AS shl
          |  FROM documents JOIN sh USING (doc_id)),
          |simh AS ($simhashDoc),
          |dd AS (SELECT d.*, simh.simhash FROM d JOIN simh USING (doc_id)),

@@ -33,36 +33,49 @@ object EntityResolution {
   /** Per-feature Fellegi-Sunter parameter table (q316): pair census,
     * smoothed m/u, and agreement/disagreement log-weights.
     */
+  /** Memoized blocked-pair feature rows (is_match + the three agreement
+    * flags) shared by [[fellegiSunter]] and [[fsScorePatterns]] — ONE
+    * quadratic-per-block pair pass per session. Shingles travel as
+    * md5-prefix 32-bit longs (hash-set Jaccard, the minhash-family
+    * convention — 8-byte array elements instead of ~30-byte strings cut
+    * the intersect cost and the broadcast size; both engines hash
+    * identically so the label is bit-stable).
+    */
+  private def blockedPairFeatures(spark: SparkSession, sfDir: String,
+      lenBucket: Int, lenTol: Int, hammingTol: Int,
+      jaccardT: (Int, Int)): DataFrame =
+    SessionMemo(spark,
+      s"erPairs|$sfDir|$lenBucket|$lenTol|$hammingTol|$jaccardT") {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          expr(s"n_chars div $lenBucket").as("blk"),
+          array_distinct(transform(Text.shingles(col("text")),
+            s => graft.functions.Hashing.stableHash32(s))).as("shl"))
+        .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
+        .localCheckpoint()
+      def side(t: String) = docs.select(
+        col("doc_id").as(s"id_$t"), col("lang"), col("blk"),
+        col("source").as(s"src_$t"), col("n_chars").as(s"len_$t"),
+        col("shl").as(s"shl_$t"), col("simhash").as(s"sh_$t"))
+      val pairs = side("a").join(side("b"), Seq("lang", "blk"))
+        .where(col("id_a") < col("id_b"))
+      val inter = size(array_intersect(col("shl_a"), col("shl_b")))
+      val uni = size(col("shl_a")) + size(col("shl_b")) - inter
+      val (jNum, jDen) = jaccardT
+      pairs.select(
+        // exact-integer Jaccard threshold: inter/uni ≥ jNum/jDen
+        (inter * jDen >= uni * jNum && uni > 0).cast("int").as("is_match"),
+        (col("src_a") === col("src_b")).cast("int").as("f_same_source"),
+        (abs(col("len_a") - col("len_b")) <= lenTol).cast("int").as("f_len_close"),
+        (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= hammingTol)
+          .cast("int").as("f_simhash_near"))
+    }
+
   def fellegiSunter(spark: SparkSession, sfDir: String,
       lenBucket: Int = 64, lenTol: Int = 16, hammingTol: Int = 8,
       jaccardT: (Int, Int) = (7, 10)): DataFrame = {
-    // memoized: the feature table feeds BOTH sides of the blocked self-
-    // join — un-materialized, the static planner replicates the whole
-    // shingle + 32-bit-simhash subtree per side (measured 9.1 s → the
-    // cached form at sf0.1)
-    val docs = SessionMemo(spark, s"erFeatures|$sfDir|$lenBucket") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          expr(s"n_chars div $lenBucket").as("blk"),
-          array_distinct(Text.shingles(col("text"))).as("shl"))
-        .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
-    }
-    def side(t: String) = docs.select(
-      col("doc_id").as(s"id_$t"), col("lang"), col("blk"),
-      col("source").as(s"src_$t"), col("n_chars").as(s"len_$t"),
-      col("shl").as(s"shl_$t"), col("simhash").as(s"sh_$t"))
-    val pairs = side("a").join(side("b"), Seq("lang", "blk"))
-      .where(col("id_a") < col("id_b"))
-    val inter = size(array_intersect(col("shl_a"), col("shl_b")))
-    val uni = size(col("shl_a")) + size(col("shl_b")) - inter
-    val (jNum, jDen) = jaccardT
-    val feat = pairs.select(
-      // exact-integer Jaccard threshold: inter/uni ≥ jNum/jDen
-      (inter * jDen >= uni * jNum && uni > 0).cast("int").as("is_match"),
-      (col("src_a") === col("src_b")).cast("int").as("f_same_source"),
-      (abs(col("len_a") - col("len_b")) <= lenTol).cast("int").as("f_len_close"),
-      (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= hammingTol)
-        .cast("int").as("f_simhash_near"))
+    val feat = blockedPairFeatures(spark, sfDir, lenBucket, lenTol,
+      hammingTol, jaccardT)
     val stacked = feat.select(col("is_match"),
       expr("stack(3, 'same_source', f_same_source, 'len_close', f_len_close, " +
         "'simhash_near', f_simhash_near) AS (feature, agree)"))
@@ -99,28 +112,10 @@ object EntityResolution {
   def fsScorePatterns(spark: SparkSession, sfDir: String,
       lenBucket: Int = 64, lenTol: Int = 16, hammingTol: Int = 8,
       jaccardT: (Int, Int) = (7, 10)): DataFrame = {
-    val docs = SessionMemo(spark, s"erFeatures|$sfDir|$lenBucket") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          expr(s"n_chars div $lenBucket").as("blk"),
-          array_distinct(Text.shingles(col("text"))).as("shl"))
-        .join(Dedup.simhashDocs(spark, sfDir), "doc_id")
-    }
-    def side(t: String) = docs.select(
-      col("doc_id").as(s"id_$t"), col("lang"), col("blk"),
-      col("source").as(s"src_$t"), col("n_chars").as(s"len_$t"),
-      col("shl").as(s"shl_$t"), col("simhash").as(s"sh_$t"))
-    val pairs = side("a").join(side("b"), Seq("lang", "blk"))
-      .where(col("id_a") < col("id_b"))
-    val inter = size(array_intersect(col("shl_a"), col("shl_b")))
-    val uni = size(col("shl_a")) + size(col("shl_b")) - inter
-    val (jNum, jDen) = jaccardT
-    val feat = pairs.select(
-      (inter * jDen >= uni * jNum && uni > 0).cast("int").as("is_match"),
-      (col("src_a") === col("src_b")).cast("int").as("f_src"),
-      (abs(col("len_a") - col("len_b")) <= lenTol).cast("int").as("f_len"),
-      (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= hammingTol)
-        .cast("int").as("f_sim"))
+    val feat = blockedPairFeatures(spark, sfDir, lenBucket, lenTol,
+      hammingTol, jaccardT)
+      .select(col("is_match"), col("f_same_source").as("f_src"),
+        col("f_len_close").as("f_len"), col("f_simhash_near").as("f_sim"))
     val params = fellegiSunter(spark, sfDir, lenBucket, lenTol, hammingTol,
       jaccardT)
       .select(col("feature"), col("agree_weight_ln"),
