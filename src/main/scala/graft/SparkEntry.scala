@@ -591,6 +591,8 @@ object SparkEntry {
     "q317_blocking_audit" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.blockingAudit(s, d)),
     // q318: the 2³ FS agreement patterns with composite log-weight scores
     "q318_fs_score_patterns" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fsScorePatterns(s, d)),
+    // q319: header-vs-lines value reconciliation (q290's value-level twin)
+    "q319_order_reconciliation" -> ((s: SparkSession, d: String) => Relational.orderReconciliation(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6731,5 +6733,27 @@ private object CorpusOracles {
          |  AS match_rate
          |FROM f CROSS JOIN wts GROUP BY 1, 2, 3""".stripMargin
     },
+    // q319: per-line cents rounded once (pinned float product), exact
+    // integer sums and buckets after
+    "q319_order_reconciliation" ->
+      """WITH ls AS (SELECT l_orderkey,
+        |   sum(CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+        |     * 100, 0) AS BIGINT)) AS cents_calc
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderkey,
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents_header,
+        |   cents_calc
+        |  FROM orders LEFT JOIN ls ON l_orderkey = o_orderkey),
+        |b AS (SELECT
+        |   CASE WHEN cents_calc IS NULL THEN 'no_lineitems'
+        |    WHEN cents_header - cents_calc = 0 THEN 'exact'
+        |    WHEN abs(cents_header - cents_calc) <= 100 THEN 'near_1_dollar'
+        |    ELSE 'far' END AS bucket,
+        |   CASE WHEN cents_calc IS NULL THEN 0
+        |    ELSE abs(cents_header - cents_calc) END AS adiff
+        |  FROM j)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(adiff) AS BIGINT) AS sum_abs_diff_cents
+        |FROM b GROUP BY 1""".stripMargin,
   )
 }

@@ -2207,6 +2207,47 @@ object Relational {
       .withColumn("dollars_per_disc_bp", round(col("coef_disc_fp").cast("double") / 1e4, 4))
   }
 
+  /** Order↔lineitem value reconciliation (q319): does each order's header
+    * total equal the sum of its lines under the TPC-H pricing formula
+    * Σ extendedprice·(1+tax)·(1−discount)? The value-level integrity
+    * audit that pairs with q290's key-level FK audit — a warehouse runs
+    * both after every load. Orders bucket into exact match (to the
+    * cent), near (≤ $1), far, and no-lineitems; each bucket reports its
+    * order count and total absolute discrepancy. (On this synthetic data
+    * the headers are independent of the lines — the audit's job is to
+    * MEASURE that honestly, and the spec pins the discrepancy censor.)
+    *
+    * Determinism: per-line cents are rounded once (pinned float product,
+    * the 2-dp money class), then everything is exact integer sums.
+    *
+    * Scale shape: one map-side-combinable per-order line aggregate, one
+    * equality join to headers (shuffle on the order key), one bucket
+    * rollup.
+    */
+  def orderReconciliation(spark: SparkSession, sfDir: String): DataFrame = {
+    val lineSums = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) + col("l_tax"))
+          * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+        .as("cents_calc"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents_header"))
+      .join(lineSums, col("l_orderkey") === col("o_orderkey"), "left")
+      .withColumn("diff",
+        when(col("cents_calc").isNotNull,
+          col("cents_header") - col("cents_calc")))
+      .withColumn("bucket",
+        when(col("cents_calc").isNull, "no_lineitems")
+          .when(col("diff") === 0, "exact")
+          .when(abs(col("diff")) <= 100, "near_1_dollar")
+          .otherwise("far"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(coalesce(col("diff"), lit(0L)))).cast("long")
+          .as("sum_abs_diff_cents"))
+  }
+
   /** Multiset set operations (q315): INTERSECT ALL / EXCEPT ALL between
     * the 1996 and 1997 order-priority multisets, rolled up per priority —
     * the bag-semantics half of the set-op surface q07 covers with

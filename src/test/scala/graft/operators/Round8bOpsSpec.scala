@@ -664,6 +664,39 @@ class Round8bOpsSpec extends SparkTestBase {
     assert((best.getInt(0), best.getInt(1), best.getInt(2)) === ((1, 1, 1)))
   }
 
+  test("order reconciliation: buckets partition the orders; discrepancy replays") {
+    val lines = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        org.apache.spark.sql.functions.round(col("l_extendedprice")
+          * (lit(1) + col("l_tax")) * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("c"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        org.apache.spark.sql.functions.round(col("o_totalprice") * 100, 0)
+          .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = orders.groupBy { case (k, hdr) =>
+      lines.get(k) match {
+        case None => "no_lineitems"
+        case Some(c) if hdr == c => "exact"
+        case Some(c) if math.abs(hdr - c) <= 100 => "near_1_dollar"
+        case _ => "far"
+      }
+    }.view.mapValues { g =>
+      (g.length.toLong,
+        g.map { case (k, hdr) => lines.get(k).map(c => math.abs(hdr - c)).getOrElse(0L) }.sum)
+    }.toMap
+    val rows = Relational.orderReconciliation(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows === expect)
+    assert(rows.values.map(_._1).sum === orders.length.toLong)
+    // honest-audit pin: this synthetic data's headers are independent of
+    // lines — every order with lines lands in 'far' (none reconcile)
+    assert(!rows.contains("exact") && !rows.contains("near_1_dollar"))
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
