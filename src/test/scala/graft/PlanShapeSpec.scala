@@ -513,6 +513,33 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q311 OLS: one aggregate over the scan, no join, no window, no sort") {
+    val p = planOf("q311_ols_normal_eq")
+    // the whole regression is moment sums + O(1) Cramer projection —
+    // anything else in the plan means the normal-equations shape broke
+    assert(!p.contains("Join"), p)
+    assert(!p.matches("(?s).*\\)\\s+Window\\s.*"), p)
+    assert(!p.matches("(?s).*\\)\\s+Sort\\s.*"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q313 attribution: bucketed equality join, no time-range nested loop") {
+    val p = planOf("q313_linear_attribution")
+    // the (user, hour-bucket) key makes the range join an equality join;
+    // a BNLJ/cartesian here means the bucket residual-filter shape broke
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q316 FS: the memoized pair table feeds one aggregate — no live pair join") {
+    val p = planOf("q316_fellegi_sunter")
+    // after the shared SessionMemo, the steady-state plan reads the
+    // checkpointed pair rows; the quadratic blocked self-join must not
+    // replan per query
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q299 rank kitchen: ONE window pass computes all five functions on one exchange") {
     val p = planOf("q299_rank_functions")
     // ntile/percent_rank/cume_dist need the whole partition, so group-limit
