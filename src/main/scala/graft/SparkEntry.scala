@@ -593,6 +593,8 @@ object SparkEntry {
     "q318_fs_score_patterns" -> ((s: SparkSession, d: String) => graft.operators.EntityResolution.fsScorePatterns(s, d)),
     // q319: header-vs-lines value reconciliation (q290's value-level twin)
     "q319_order_reconciliation" -> ((s: SparkSession, d: String) => Relational.orderReconciliation(s, d)),
+    // q320: positional integrity — l_linenumber dense 1..k per order
+    "q320_linenumber_audit" -> ((s: SparkSession, d: String) => Relational.linenumberAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6755,5 +6757,20 @@ private object CorpusOracles {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
         | CAST(sum(adiff) AS BIGINT) AS sum_abs_diff_cents
         |FROM b GROUP BY 1""".stripMargin,
+    // q320: per-order min/max/count/distinct over line numbers, 4 counters
+    "q320_linenumber_audit" ->
+      """WITH g AS (SELECT l_orderkey, count(*) AS k,
+        |   count(DISTINCT l_linenumber) AS kd,
+        |   CAST(min(l_linenumber) AS BIGINT) AS mn,
+        |   CAST(max(l_linenumber) AS BIGINT) AS mx
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders_with_lines,
+        | CAST(sum(CASE WHEN kd = k AND mn = 1 AND mx = k THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_dense,
+        | CAST(sum(CASE WHEN kd = k AND (mn <> 1 OR mx <> k) THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_gapped,
+        | CAST(sum(CASE WHEN kd <> k THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_positions
+        |FROM g""".stripMargin,
   )
 }

@@ -2248,6 +2248,33 @@ object Relational {
           .as("sum_abs_diff_cents"))
   }
 
+  /** Line-number density audit (q320): is l_linenumber a dense 1..k
+    * sequence within every order? The POSITIONAL integrity check that
+    * completes the suite — q290 audits keys, q319 audits values, this
+    * audits ordering columns (a replayed CDC feed or a bad merge shows up
+    * here first as gaps or duplicate positions). One row: orders with
+    * lines, dense orders, gapped orders (distinct positions but max ≠
+    * count or min ≠ 1), and orders with duplicated positions.
+    *
+    * Scale shape: one map-side-combinable per-order aggregate (min/max/
+    * count/distinct over the line numbers), one 4-counter rollup.
+    */
+  def linenumberAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("l_linenumber")).as("kd"),
+        min(col("l_linenumber")).cast("long").as("mn"),
+        max(col("l_linenumber")).cast("long").as("mx"))
+      .agg(count(lit(1)).as("n_orders_with_lines"),
+        sum(when(col("kd") === col("k") && col("mn") === 1
+          && col("mx") === col("k"), 1L).otherwise(0L)).as("n_dense"),
+        sum(when(col("kd") === col("k")
+          && (col("mn") =!= 1 || col("mx") =!= col("k")), 1L).otherwise(0L))
+          .as("n_gapped"),
+        sum(when(col("kd") =!= col("k"), 1L).otherwise(0L))
+          .as("n_dup_positions"))
+
   /** Multiset set operations (q315): INTERSECT ALL / EXCEPT ALL between
     * the 1996 and 1997 order-priority multisets, rolled up per priority —
     * the bag-semantics half of the set-op surface q07 covers with

@@ -697,6 +697,24 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(!rows.contains("exact") && !rows.contains("near_1_dollar"))
   }
 
+  test("linenumber audit: the four buckets partition orders and replay driver-side") {
+    val byOrder = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var (dense, gapped, dup) = (0L, 0L, 0L)
+    byOrder.values.foreach { ls =>
+      val k = ls.length
+      if (ls.distinct.length != k) dup += 1
+      else if (ls.min == 1 && ls.max == k) dense += 1
+      else gapped += 1
+    }
+    val r = Relational.linenumberAudit(spark, sf).head
+    assert(r.getLong(0) === byOrder.size.toLong)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((dense, gapped, dup)))
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) === r.getLong(0))
+  }
+
   test("postings audit: buckets partition the vocabulary and conserve postings/tf mass") {
     val docs = graft.core.Tables.documents(spark, sf)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
