@@ -595,6 +595,23 @@ object SparkEntry {
     "q319_order_reconciliation" -> ((s: SparkSession, d: String) => Relational.orderReconciliation(s, d)),
     // q320: positional integrity — l_linenumber dense 1..k per order
     "q320_linenumber_audit" -> ((s: SparkSession, d: String) => Relational.linenumberAudit(s, d)),
+    // q321-q327: TPC-H classics pack 2 — the remaining shapes this schema
+    // can express (Q7/Q8/Q10/Q13/Q18/Q21/Q22; see Relational scaladoc)
+    "q321_tpch_q7_volume" -> ((s: SparkSession, d: String) => Relational.tpchQ7VolumeShipping(s, d)),
+    "q322_tpch_q8_mktshare" -> ((s: SparkSession, d: String) => Relational.tpchQ8MarketShare(s, d)),
+    "q323_tpch_q10_returns" -> ((s: SparkSession, d: String) => Relational.tpchQ10ReturnedItems(s, d)),
+    "q324_tpch_q13_orderdist" -> ((s: SparkSession, d: String) => Relational.tpchQ13OrderCounts(s, d)),
+    "q325_tpch_q18_bigorders" -> ((s: SparkSession, d: String) => Relational.tpchQ18LargeVolume(s, d)),
+    "q326_tpch_q21_waiting" -> ((s: SparkSession, d: String) => Relational.tpchQ21WaitingSuppliers(s, d)),
+    "q327_tpch_q22_dormant" -> ((s: SparkSession, d: String) => Relational.tpchQ22GlobalSales(s, d)),
+    // q328: partial autocorrelation lags 1-3, exact Yule-Walker/Cramer
+    "q328_pacf_revenue" -> ((s: SparkSession, d: String) => Relational.pacfDailyRevenue(s, d)),
+    // q329: Morton-code clustering audit — 2-D predicate file skipping
+    "q329_zorder_layout" -> ((s: SparkSession, d: String) => Relational.zorderLayoutAudit(s, d)),
+    // q330: confusion-matrix operating point + MCC + average precision
+    "q330_classifier_eval" -> ((s: SparkSession, d: String) => TextAnalytics.classifierEval(s, d)),
+    // q331: directed association rules (confidence/lift/conviction)
+    "q331_assoc_rules" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.associationRules(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -6772,5 +6789,282 @@ private object CorpusOracles {
         | CAST(sum(CASE WHEN kd <> k THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_dup_positions
         |FROM g""".stripMargin,
+    // q321-q327: TPC-H classics pack 2 on this schema's columns
+    "q321_tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((s_nationkey = 3 AND c_nationkey = 7)
+        |    OR (s_nationkey = 7 AND c_nationkey = 3))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q322_tpch_q8_mktshare" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+        |   l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'ECONOMY'),
+        |o AS (SELECT o_orderkey, o_custkey,
+        |   CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |j AS (SELECT o_year, s_nationkey, rev
+        |  FROM l JOIN o ON o_orderkey = l_orderkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |    JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 2)),
+        |g AS (SELECT o_year, CAST(count(*) AS BIGINT) AS n_lines,
+        |   coalesce(round(sum(CASE WHEN s_nationkey = 12 THEN rev END), 2),
+        |     0.0) AS nation_revenue,
+        |   round(sum(rev), 2) AS total_revenue
+        |  FROM j GROUP BY 1)
+        |SELECT o_year, n_lines, nation_revenue, total_revenue,
+        | round(nation_revenue / total_revenue, 6) AS mkt_share
+        |FROM g""".stripMargin,
+    "q323_tpch_q10_returns" ->
+      """WITH r AS (SELECT o_custkey,
+        |   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM r JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q324_tpch_q13_orderdist" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(cnt, 0) AS c_count,
+        | CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN pc ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q325_tpch_q18_bigorders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        | sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "q326_tpch_q21_waiting" ->
+      """WITH pos AS (SELECT l_orderkey, l_suppkey,
+        |   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |     THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |gate AS (SELECT l_orderkey FROM pos GROUP BY 1
+        |  HAVING count(*) >= 2 AND sum(late) = 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM pos JOIN gate USING (l_orderkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // q327: the threshold is exact integral cents (sum // count, the
+    // q311 `//` truncation contract) so the > gate never sits on a float
+    "q327_tpch_q22_dormant" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+        |   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents FROM customer),
+        |t AS (SELECT sum(cents) // count(*) AS thr_cents FROM c
+        |  WHERE cents > 0),
+        |k AS (SELECT c_custkey, c_nationkey, c_acctbal FROM c, t
+        |  WHERE cents > thr_cents
+        |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+        |     AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        | round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM k JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY 1""".stripMargin,
+    // q328: exact HUGEINT lag-covariance sums over the calendar spine;
+    // r_k as ×10⁶ `//` fixed point; Durbin-Levinson on the 10⁻⁶-grid
+    // doubles with the identical expression shape as the Spark side
+    "q328_pacf_revenue" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day,
+        |   CAST(i AS INTEGER) AS i
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.i, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |lag_agg AS (SELECT CAST(t.k AS INTEGER) AS k,
+        |   count(*) AS n_k,
+        |   sum(CAST(a.x AS HUGEINT) * bb.x) AS sxy,
+        |   sum(a.x) AS sh, sum(bb.x) AS st
+        |  FROM x a CROSS JOIN range(0, 4) t(k)
+        |  JOIN x bb ON bb.i = a.i + CAST(t.k AS INTEGER)
+        |  GROUP BY 1),
+        |g AS (SELECT n_k AS n, sxy AS sxx, sh AS s FROM lag_agg WHERE k = 0),
+        |per AS (SELECT k,
+        |   CAST(sxy AS HUGEINT) * (n * n)
+        |     - CAST(s AS HUGEINT) * n * (sh + st)
+        |     + CAST(s AS HUGEINT) * s * n_k AS num,
+        |   CAST(sxx AS HUGEINT) * (n * n)
+        |     - CAST(s AS HUGEINT) * s * n AS den
+        |  FROM lag_agg CROSS JOIN g),
+        |rr AS (SELECT k, CAST((num * 1000000) // den AS BIGINT) AS r_fp
+        |  FROM per),
+        |wide AS (SELECT CAST((SELECT n FROM g) AS BIGINT) AS n_days,
+        |   max(CASE WHEN k = 1 THEN r_fp END) AS acf1_fp,
+        |   max(CASE WHEN k = 2 THEN r_fp END) AS acf2_fp,
+        |   max(CASE WHEN k = 3 THEN r_fp END) AS acf3_fp
+        |  FROM rr),
+        |d1 AS (SELECT *,
+        |   CAST(acf1_fp AS DOUBLE) / 1000000.0 AS r1,
+        |   CAST(acf2_fp AS DOUBLE) / 1000000.0 AS r2,
+        |   CAST(acf3_fp AS DOUBLE) / 1000000.0 AS r3 FROM wide),
+        |d2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS a22 FROM d1),
+        |d3 AS (SELECT *, r1 * (1.0 - a22) AS a21 FROM d2)
+        |SELECT n_days, acf1_fp, acf2_fp, acf3_fp,
+        | round(r1, 6) AS pacf1, round(a22, 6) AS pacf2,
+        | round((r3 - a21 * r2 - a22 * r1)
+        |   / (1.0 - a21 * r1 - a22 * r2), 6) AS pacf3
+        |FROM d3""".stripMargin,
+    // q329: identical bucket/Morton integer arithmetic; three total-order
+    // window passes cut into 1000-row files
+    "q329_zorder_layout" -> {
+      val z = (0 until 8).map(i =>
+        s"(((db >> $i) & 1) << ${2 * i + 1}) + (((pb >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+         |   least(255, greatest(0, datediff('day', DATE '1995-01-01',
+         |     CAST(l_shipdate AS DATE)) // 10)) AS db,
+         |   least(255, CAST(floor(l_extendedprice / 400) AS INTEGER)) AS pb
+         |  FROM lineitem),
+         |coded AS (SELECT *, $z AS z,
+         |   CASE WHEN db BETWEEN 30 AND 60 AND pb BETWEEN 40 AND 90
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM base),
+         |f AS (
+         | SELECT 'natural' AS layout, (row_number() OVER (
+         |    ORDER BY l_orderkey, l_linenumber) - 1) // 1000 AS file_id,
+         |   db, pb, hit FROM coded
+         | UNION ALL
+         | SELECT 'lex_day_price', (row_number() OVER (
+         |    ORDER BY db, pb, l_orderkey, l_linenumber) - 1) // 1000,
+         |   db, pb, hit FROM coded
+         | UNION ALL
+         | SELECT 'zorder', (row_number() OVER (
+         |    ORDER BY z, l_orderkey, l_linenumber) - 1) // 1000,
+         |   db, pb, hit FROM coded),
+         |pf AS (SELECT layout, file_id,
+         |   CASE WHEN min(db) <= 60 AND max(db) >= 30
+         |     AND min(pb) <= 90 AND max(pb) >= 40 THEN 1 ELSE 0 END
+         |    AS ovl,
+         |   CASE WHEN sum(hit) > 0 THEN 1 ELSE 0 END AS has_hits,
+         |   sum(hit) AS hits
+         |  FROM f GROUP BY 1, 2)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         | CAST(sum(ovl) AS BIGINT) AS files_scanned,
+         | CAST(sum(has_hits) AS BIGINT) AS files_with_hits,
+         | CAST(sum(hits) AS BIGINT) AS n_rows_matched,
+         | round(1.0 - CAST(sum(ovl) AS DOUBLE) / count(*), 6)
+         |  AS skip_rate
+         |FROM pf GROUP BY 1""".stripMargin
+    },
+    // q330: exact row-count half cut on the (score_fp, doc_id) total
+    // order; AP terms ×10⁶-rounded per rank before the order-free sum
+    "q330_classifier_eval" ->
+      s"""WITH ms AS ($modelScoreSql),
+         |rep AS (SELECT doc_id,
+         |   CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE round(1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE), 6)
+         |   END AS dup_bigram_frac
+         |  FROM (SELECT doc_id,
+         |    list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1]) AS bg
+         |   FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))),
+         |lab AS (SELECT doc_id,
+         |   CAST(round(model_score * 1000000) AS BIGINT) AS score_fp,
+         |   CASE WHEN dup_bigram_frac >= 0.1 THEN 1 ELSE 0 END AS is_rep
+         |  FROM ms JOIN rep USING (doc_id)),
+         |rk AS (SELECT *,
+         |   row_number() OVER (ORDER BY score_fp, doc_id) AS rn,
+         |   count(*) OVER () AS n,
+         |   sum(is_rep) OVER (ORDER BY score_fp, doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS cum_pos
+         |  FROM lab),
+         |rk2 AS (SELECT *,
+         |   CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END AS pred,
+         |   CASE WHEN is_rep = 1 THEN CAST(round(
+         |     CAST(1000000 * CAST(cum_pos AS BIGINT) AS DOUBLE)
+         |      / CAST(rn AS DOUBLE)) AS BIGINT) END AS ap_term
+         |  FROM rk),
+         |cells AS (SELECT CAST(max(n) AS BIGINT) AS n_docs,
+         |   CAST(sum(is_rep) AS BIGINT) AS n_pos,
+         |   CAST(sum(CASE WHEN pred = 1 AND is_rep = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN pred = 1 AND is_rep = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN pred = 0 AND is_rep = 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tn,
+         |   CAST(sum(CASE WHEN pred = 0 AND is_rep = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS fn,
+         |   CAST(sum(ap_term) AS BIGINT) AS ap_fp
+         |  FROM rk2)
+         |SELECT n_docs, n_pos, tp, fp, tn, fn,
+         | CASE WHEN tp + fp = 0 THEN 0.0
+         |  ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END
+         |  AS precision_at_half,
+         | CASE WHEN tp + fn = 0 THEN 0.0
+         |  ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END
+         |  AS recall_at_half,
+         | CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |  ELSE round(CAST(2 * tp AS DOUBLE)
+         |    / CAST(2 * tp + fp + fn AS DOUBLE), 6) END AS f1_at_half,
+         | round((CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+         |   + CASE WHEN tn + fp = 0 THEN 0.0
+         |    ELSE CAST(tn AS DOUBLE) / (tn + fp) END) / 2.0, 6)
+         |  AS balanced_acc,
+         | CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0
+         |  THEN 0.0
+         |  ELSE round(CAST(tp * tn - fp * fn AS DOUBLE)
+         |    / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) END
+         |  AS mcc,
+         | CASE WHEN n_pos = 0 THEN 0.0
+         |  ELSE round(CAST(ap_fp AS DOUBLE)
+         |    / (1000000.0 * CAST(n_pos AS DOUBLE)), 6) END AS avg_precision
+         |FROM cells""".stripMargin,
+    // q331: the q148 basket grain; directed pairs, integer-ratio
+    // conviction, NULL for confidence-1 rules
+    "q331_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        |   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |tot AS (SELECT count(*) AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM items)),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM items GROUP BY 1),
+        |r AS (SELECT a.item AS antecedent, b.item AS consequent,
+        |   CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items a JOIN items b ON a.user_id = b.user_id
+        |   AND a.day = b.day AND a.item <> b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT antecedent, consequent, n_both,
+        | ia.n_item AS n_ant, ib.n_item AS n_cons,
+        | round(CAST(n_both AS DOUBLE) / n_baskets, 6) AS support,
+        | round(CAST(n_both AS DOUBLE) / ia.n_item, 6) AS confidence,
+        | round(CAST(n_both AS DOUBLE) * n_baskets
+        |   / (ia.n_item * ib.n_item), 6) AS lift,
+        | CASE WHEN ia.n_item = n_both THEN NULL
+        |  ELSE round(CAST((n_baskets - ib.n_item) * ia.n_item AS DOUBLE)
+        |    / CAST((ia.n_item - n_both) * n_baskets AS DOUBLE), 6) END
+        |  AS conviction
+        |FROM r JOIN ic ia ON ia.item = antecedent
+        |JOIN ic ib ON ib.item = consequent
+        |CROSS JOIN tot""".stripMargin,
   )
 }

@@ -1280,4 +1280,64 @@ object Funnels {
           .as("brier"),
         round(col("h").cast("double") / col("n_units"), 6).as("accuracy"))
   }
+
+  /** Directed association rules (q331) over the q148 basket grain
+    * ((user, day) sessions, `props.$.k` items): for every ordered item
+    * pair (antecedent → consequent) with joint support ≥ `minSupport`
+    * baskets, the four numbers a recommender or merchandising rule needs
+    * — support, confidence P(cons|ant), lift, and conviction
+    * (1−P(cons))/(1−conf), the "rule fails how much less often than
+    * chance" odds ratio. q148 stops at the undirected lift; rules are
+    * DIRECTED (confidence and conviction are asymmetric), which is what
+    * makes them actionable.
+    *
+    * Determinism: every count is an exact integer; each metric is one
+    * double expression over those integers rounded at 6 dp — conviction
+    * computed as the single integer-ratio form
+    * (n_baskets−n_cons)·n_ant / ((n_ant−n_both)·n_baskets), NULL for
+    * confidence-1 rules (infinite conviction).
+    *
+    * Scale shape: identical to q148 — the basket self-join explodes per
+    * basket (bounded by distinct items per (user, day); filter hub users
+    * upstream at true scale), marginals and the basket total broadcast;
+    * the minSupport gate runs map-side-combinably before the metric
+    * joins. Output ≤ |items|².
+    */
+  def associationRules(spark: SparkSession, sfDir: String,
+      minSupport: Long = 2L): DataFrame = {
+    val items = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .where(col("item").isNotNull)
+      .distinct()
+    val tot = items.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val rules = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day")
+          && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("antecedent"), col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    rules
+      .join(broadcast(ic.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant"))), "antecedent")
+      .join(broadcast(ic.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"),
+        col("n_both"), col("n_ant"), col("n_cons"),
+        round(col("n_both").cast("double") / col("n_baskets"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") / col("n_ant"), 6)
+          .as("confidence"),
+        round(col("n_both").cast("double") * col("n_baskets")
+          / (col("n_ant") * col("n_cons")), 6).as("lift"),
+        when(col("n_ant") === col("n_both"), lit(null).cast("double"))
+          .otherwise(round(
+            ((col("n_baskets") - col("n_cons")) * col("n_ant")).cast("double")
+              / ((col("n_ant") - col("n_both")) * col("n_baskets"))
+                .cast("double"), 6)).as("conviction"))
+  }
 }

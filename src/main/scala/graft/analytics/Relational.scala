@@ -2362,4 +2362,391 @@ object Relational {
             * (col("n_pairs") - col("ties_y") - col("ties_both")).cast("double")),
           6))
   }
+
+  // ───────────────────────────────────────────────────────────────────────
+  // TPC-H classics pack 2 (q321-q327): the remaining decision-support
+  // shapes expressible on this schema (no partsupp table, so Q2/Q9/Q11/
+  // Q16/Q20 are out of reach; Q3 is already q02). Same contracts as
+  // q305-q310: 2-dp money sums, live filters verified on the testdata,
+  // broadcast dims, fact-key equality shuffles only.
+  // ───────────────────────────────────────────────────────────────────────
+
+  /** Q7 analogue (q321): bilateral shipping volume between two nations
+    * (supplier side vs customer side, both directions) by ship year —
+    * the classic's nation-pair trade report. Nation keys 3 and 7, ship
+    * years 1996-1997 (live at both gate SFs).
+    *
+    * Scale shape: the `isin(3,7)` filters land on BOTH the (broadcast)
+    * supplier dim and the customer decoration BEFORE the fact joins, so
+    * non-participating rows never shuffle; the date filter pushes to the
+    * lineitem scan. Only two big shuffles remain (orderkey, custkey).
+    */
+  def tpchQ7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir)
+      .where(col("c_nationkey").isin(3, 7))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, sfDir)
+      .where(col("s_nationkey").isin(3, 7))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    l.join(broadcast(s), col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .where((col("s_nationkey") === 3 && col("c_nationkey") === 7)
+        || (col("s_nationkey") === 7 && col("c_nationkey") === 3))
+      .join(broadcast(nat.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))), "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name").as("cust_nation"))), "c_nationkey")
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("rev")), 2).as("revenue"))
+  }
+
+  /** Q8 analogue (q322): a supplier nation's market share of ECONOMY-part
+    * revenue sold to ASIA customers, by order year 1996-1997 — the
+    * classic's national-market-share report with nation 12 (an ASIA
+    * nation) as the focus. Both revenue sums round at 2 dp BEFORE the one
+    * share division (the q307 recipe); an all-zero focus year emits 0.0.
+    *
+    * Scale shape: part (type-filtered), nation and supplier broadcast;
+    * the order-date filter pushes to the orders scan; fact shuffles on
+    * orderkey then custkey only.
+    */
+  def tpchQ8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .where(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val asiaCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .where(col("n_regionkey") === 2).select(col("n_nationkey"))),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(asiaCust, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(round(sum(when(col("s_nationkey") === 12, col("rev"))), 2),
+          lit(0.0)).as("nation_revenue"),
+        round(sum(col("rev")), 2).as("total_revenue"))
+      .select(col("o_year"), col("n_lines"), col("nation_revenue"),
+        col("total_revenue"),
+        round(col("nation_revenue") / col("total_revenue"), 6).as("mkt_share"))
+  }
+
+  /** Q10 analogue (q323): the returned-item report — top 20 customers by
+    * revenue lost to returns (`l_returnflag = 'R'`) on orders placed in
+    * 1996-Q3, decorated with nation and account balance. Deterministic
+    * top-k: ordered by the 2-dp-rounded revenue desc then custkey — a
+    * total order, so LIMIT is engine-stable.
+    *
+    * Scale shape: both filters push to their scans; one orderkey shuffle,
+    * one custkey shuffle; nation broadcast; the global top-20 runs as
+    * TakeOrderedAndProject (per-partition heaps, no full sort).
+    */
+  def tpchQ10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    l.join(o, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q13 analogue (q324): the customer order-count distribution — how
+    * many customers placed k orders each, with the classic's
+    * "special-request" exclusion standing in as priority ≠ 1-URGENT
+    * (this schema has no comment column). Zero-order customers appear
+    * via the left join (the q04 contract).
+    *
+    * Scale shape: orders pre-aggregate to (custkey, count) before the
+    * join — the join input is customer-sized, not order-sized; the final
+    * distribution rollup is tiny.
+    */
+  def tpchQ13OrderCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q18 analogue (q325): large-volume orders — orders whose total line
+    * quantity exceeds 250 units (the top ~1% at both gate SFs), with the
+    * customer and header decoration. Quantities are integer-valued
+    * doubles, so the per-order sum is exact and ships as BIGINT.
+    *
+    * Scale shape: the quantity rollup is map-side combinable and the
+    * HAVING filter collapses the join input to the handful of qualifying
+    * orders before either decoration join.
+    */
+  def tpchQ18LargeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .where(col("sum_qty") > 250)
+    Tables.orders(spark, sfDir)
+      .join(big, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_name")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Q21 analogue (q326): suppliers who kept finished orders waiting —
+    * for each completed ('F') multi-supplier order where EXACTLY ONE
+    * supplier shipped late (> 60 days after the order date, the q305
+    * lateness proxy for the missing commit/receipt pair), charge that
+    * supplier one wait. The classic's EXISTS/NOT-EXISTS pair becomes a
+    * per-(order, supplier) late-flag rollup plus a per-order gate —
+    * equality-keyed end to end where the textbook plan re-scans lineitem
+    * twice with correlated subqueries.
+    *
+    * Scale shape: one orderkey shuffle for the flag rollup; the order
+    * gate and the wait count both run on the (order, supplier) grain,
+    * which is already orders-of-magnitude smaller than lineitem; the
+    * supplier name decoration is a broadcast.
+    */
+  def tpchQ21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val perOrderSupp = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+        .as("late"))
+    val gated = perOrderSupp
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("l_orderkey"))
+    perOrderSupp.where(col("late") === 1)
+      .join(gated, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  /** Q22 analogue (q327): the global-sales-opportunity report — customers
+    * with above-average positive account balances and no recent orders
+    * (none on/after 1999-01-01), counted per nation (standing in for the
+    * classic's phone country code, which this schema lacks).
+    *
+    * Determinism: the threshold is EXACT integer arithmetic — mean
+    * positive balance in cents via integral division (`div`, truncation
+    * identical cross-engine) — so the `>` gate never sits on a float
+    * ulp; the final balance sum is the 2-dp money class.
+    *
+    * Scale shape: the threshold is a 1-row broadcast; the no-recent-
+    * orders test is a left-anti join on the custkey shuffle; nation is
+    * broadcast.
+    */
+  def tpchQ22GlobalSales(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .withColumn("cents", round(col("c_acctbal") * 100, 0).cast("long"))
+    val thr = cust.where(col("cents") > 0)
+      .agg(expr("sum(cents) div count(1)").as("thr_cents"))
+    val recent = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr))
+      .where(col("cents") > col("thr_cents"))
+      .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+  }
+
+  /** Partial autocorrelation of daily revenue at lags 1-3 (q328) via
+    * exact Yule-Walker/Cramer arithmetic — the model-order diagnostic
+    * that separates "AR(1) decay" from "real lag-2/3 structure", read
+    * next to q191's raw ACF. Autocovariances over the zero-filled
+    * calendar spine come from EXACT integer sums: with S = Σx, n days
+    * and per-lag sums (Σx·x₊ₖ and the head/tail partials), the
+    * mean-centered covariance scales to n²·cₖ = n²Σxx₊ₖ − nS(Sₕ+Sₜ) +
+    * (n−k)S², all Decimal(38,0); each rₖ = cₖ/c₀ ships as ×10⁶
+    * integral-division fixed point (the q311 `div` contract). The
+    * Durbin-Levinson steps then run on those exact 10⁻⁶-grid doubles
+    * with the identical expression shape both engines:
+    * φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₃₃ from the order-2 coefficients.
+    *
+    * Scale shape: orders collapse to day grain first (map-side combine);
+    * the lag self-join and every aggregate after run on the TINY
+    * calendar spine (≤ a few thousand rows × 4 lag copies).
+    */
+  def pacfDailyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    pacfDailyRevenueOf(Tables.orders(spark, sfDir))
+
+  /** [[pacfDailyRevenue]] over an arbitrary orders frame — the
+    * fixture-testable core.
+    */
+  def pacfDailyRevenueOf(orders: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val spine = dailyCentsSpineOf(orders)
+      .select(datediff(col("day"), col("d0")).as("i"), col("x"))
+    val shifted = spine.select(col("i").as("j"), col("x").as("y"))
+    val lagAgg = spine
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .join(shifted, col("j") === col("i") + col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x")).as("sh"), sum(col("y")).as("st"))
+    val g = lagAgg.where(col("k") === 0)
+      .select(col("n_k").as("n"), col("sxy").as("sxx"), col("sh").as("s"))
+    val perLag = lagAgg.crossJoin(broadcast(g))
+      .withColumn("num", col("sxy") * (col("n") * col("n"))
+        - col("s").cast(dec) * col("n") * (col("sh") + col("st"))
+        + col("s").cast(dec) * col("s") * col("n_k"))
+      .withColumn("den", col("sxx") * (col("n") * col("n"))
+        - col("s").cast(dec) * col("s") * col("n"))
+      .withColumn("r_fp", expr("CAST((num * 1000000) div den AS BIGINT)"))
+    val wide = perLag.groupBy()
+      .agg(max(col("n")).cast("long").as("n_days"),
+        max(when(col("k") === 1, col("r_fp"))).as("acf1_fp"),
+        max(when(col("k") === 2, col("r_fp"))).as("acf2_fp"),
+        max(when(col("k") === 3, col("r_fp"))).as("acf3_fp"))
+    val r1 = col("acf1_fp").cast("double") / 1e6
+    val r2 = col("acf2_fp").cast("double") / 1e6
+    val r3 = col("acf3_fp").cast("double") / 1e6
+    val a22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val a21 = r1 * (lit(1.0) - a22)
+    val p3 = (r3 - a21 * r2 - a22 * r1) /
+      (lit(1.0) - a21 * r1 - a22 * r2)
+    wide.select(col("n_days"), col("acf1_fp"), col("acf2_fp"), col("acf3_fp"),
+      round(r1, 6).as("pacf1"), round(a22, 6).as("pacf2"),
+      round(p3, 6).as("pacf3"))
+  }
+
+  /** Multi-dimensional clustering audit (q329): does Z-ORDERING the data
+    * beat 1-D sorting for 2-D predicates? The question every 100 TB
+    * table layout decision answers before choosing cluster keys —
+    * q185's zone-map audit for ONE predicate column, generalized to two.
+    * Rows quantize to 8-bit (ship-decade-of-days, price-band) buckets;
+    * the 16-bit Morton code interleaves their bits. Three physical
+    * layouts are simulated by total-ordering rows three ways (natural
+    * key order, lexicographic (day, price), Z-value) and cutting into
+    * 1000-row "files"; per file the (min,max) bucket ranges decide
+    * whether a pinned 2-D predicate (day band × price band) could skip
+    * it. Lexicographic sort gives perfect pruning on the leading column
+    * and none on the second; the Z-order curve prunes on BOTH — the
+    * audit reports files-scanned under each so the saving is a number,
+    * not folklore.
+    *
+    * Determinism: bucket and Morton arithmetic are pure integer
+    * shift/mask ops; every layout's order is total (key tiebreakers);
+    * all outputs are exact counts but the 6-dp skip rate.
+    *
+    * Scale shape: NO global sort — each layout's global rank decomposes
+    * into a per-key row_number (a distributed window partitioned on the
+    * layout key) plus the cumulative count of smaller keys (a window
+    * over the key HISTOGRAM, which is ≤ 65k rows for the bucketed
+    * layouts and |orders|-sized for the natural one — metadata, not
+    * corpus). That is exactly how a distributed writer assigns file
+    * boundaries at 100 TB: range-partition by the cluster key, offset by
+    * the partition histogram. Per-file zone stats are a map-side-
+    * combinable rollup into |files| rows.
+    */
+  def zorderLayoutAudit(spark: SparkSession, sfDir: String,
+      rowsPerFile: Int = 1000): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        least(lit(255), greatest(lit(0),
+          expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
+          .cast("int").as("db"),
+        least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
+          .cast("int").as("pb"))
+    val zExpr = (0 until 8).map(i =>
+      s"shiftleft((shiftright(db, $i) & 1), ${2 * i + 1})"
+        + s" + shiftleft((shiftright(pb, $i) & 1), ${2 * i})").mkString(" + ")
+    val coded = base.withColumn("z", expr(zExpr))
+      .withColumn("hit", (col("db").between(30, 60)
+        && col("pb").between(40, 90)).cast("int"))
+    // global rank without a global sort: rank = (#rows in strictly
+    // smaller key groups) + row_number within the key group
+    def layout(name: String, keys: Seq[String],
+        ties: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val keyCols = keys.map(col)
+      val hist = coded.groupBy(keyCols: _*).agg(count(lit(1)).as("kcnt"))
+      val wCum = Window.orderBy(keyCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist
+        .withColumn("koff", coalesce(sum(col("kcnt")).over(wCum), lit(0L)))
+        .drop("kcnt")
+      coded
+        .withColumn("w_rn", row_number()
+          .over(Window.partitionBy(keyCols: _*).orderBy(ties: _*)))
+        .join(offsets, keys)
+        .withColumn("rn", col("koff") + col("w_rn"))
+        .withColumn("file_id", expr(s"(rn - 1) div $rowsPerFile"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("db")).as("mndb"), max(col("db")).as("mxdb"),
+          min(col("pb")).as("mnpb"), max(col("pb")).as("mxpb"),
+          sum(col("hit")).as("hits"))
+        .select(lit(name).as("layout"), col("file_id"),
+          (col("mndb") <= 60 && col("mxdb") >= 30
+            && col("mnpb") <= 90 && col("mxpb") >= 40).cast("int").as("ovl"),
+          (col("hits") > 0).cast("int").as("has_hits"), col("hits"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("ovl")).as("files_scanned"),
+          sum(col("has_hits")).as("files_with_hits"),
+          sum(col("hits")).as("n_rows_matched"))
+        .select(col("layout"), col("n_files"), col("files_scanned"),
+          col("files_with_hits"), col("n_rows_matched"),
+          round(lit(1.0) - col("files_scanned").cast("double")
+            / col("n_files"), 6).as("skip_rate"))
+    }
+    layout("natural", Seq("l_orderkey"), Seq(col("l_linenumber")))
+      .unionByName(layout("lex_day_price", Seq("db", "pb"),
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+      .unionByName(layout("zorder", Seq("z"),
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+  }
 }

@@ -2347,4 +2347,84 @@ object TextAnalytics {
         sum(col("gap_bits")).cast("long").as("sum_gap_bits"),
         sum(col("varint_bytes")).cast("long").as("est_index_bytes"))
   }
+
+  /** Threshold-level classifier evaluation (q330) of the pinned quality
+    * model against the bigram-repetition label — the confusion-matrix
+    * companion to q304's AUC (threshold-free) and q314's deciles
+    * (gains view): flag the LOWEST-scoring half of the corpus by exact
+    * deterministic rank and report the full operating point — TP/FP/TN/FN,
+    * precision, recall, F1, balanced accuracy, Matthews correlation —
+    * plus rank-based average precision over the same total order (the
+    * PR-curve area a single AUC number hides).
+    *
+    * Determinism: the predicted set is an exact ROW-COUNT cut on the
+    * (score_fp asc, doc_id) total order — no float threshold; all
+    * confusion cells are integers; AP sums per-rank precision terms as
+    * ×10⁶-rounded longs (order-free), dividing once at the end; MCC's
+    * one sqrt runs on exact integer products.
+    *
+    * Scale shape: one corpus pass for score+label, one global rank
+    * window on the ×10⁶ grain (range-partition by score at true scale,
+    * the q314 note), then a one-row rollup.
+    */
+  def classifierEval(spark: SparkSession, sfDir: String,
+      repThreshold: Double = 0.1): DataFrame = {
+    val rep = Text.repetitionMetrics(col("text")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
+        when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
+          .as("is_rep"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_fp"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wCum = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = docs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("pred", (col("rn") <= expr("n div 2")).cast("int"))
+      .withColumn("cum_pos", sum(col("is_rep")).over(wCum))
+      .withColumn("ap_term", when(col("is_rep") === 1,
+        round(lit(1000000L) * col("cum_pos") / col("rn"), 0).cast("long")))
+    val cells = ranked.agg(
+      max(col("n")).cast("long").as("n_docs"),
+      sum(col("is_rep")).cast("long").as("n_pos"),
+      sum(when(col("pred") === 1 && col("is_rep") === 1, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(col("pred") === 1 && col("is_rep") === 0, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col("pred") === 0 && col("is_rep") === 0, 1L).otherwise(0L))
+        .as("tn"),
+      sum(when(col("pred") === 0 && col("is_rep") === 1, 1L).otherwise(0L))
+        .as("fn"),
+      sum(col("ap_term")).cast("long").as("ap_fp"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    cells.select(col("n_docs"), col("n_pos"),
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision_at_half"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall_at_half"),
+      ratio(lit(2) * col("tp"),
+        lit(2) * col("tp") + col("fp") + col("fn")).as("f1_at_half"),
+      round((when(col("tp") + col("fn") === 0, lit(0.0))
+        .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+        + when(col("tn") + col("fp") === 0, lit(0.0))
+          .otherwise(col("tn").cast("double") / (col("tn") + col("fp"))))
+        / 2.0, 6).as("balanced_acc"),
+      when((col("tp") + col("fp")) === 0 || (col("tp") + col("fn")) === 0
+        || (col("tn") + col("fp")) === 0 || (col("tn") + col("fn")) === 0,
+        lit(0.0))
+        .otherwise(round(
+          (col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+            / sqrt((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double")
+              * (col("tn") + col("fp")).cast("double")
+              * (col("tn") + col("fn")).cast("double")), 6)).as("mcc"),
+      when(col("n_pos") === 0, lit(0.0))
+        .otherwise(round(col("ap_fp").cast("double")
+          / (lit(1e6) * col("n_pos").cast("double")), 6)).as("avg_precision"))
+  }
 }
