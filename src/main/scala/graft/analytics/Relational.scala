@@ -2749,4 +2749,106 @@ object Relational {
       .unionByName(layout("zorder", Seq("z"),
         Seq(col("l_orderkey"), col("l_linenumber"))))
   }
+
+  /** Incremental-aggregate maintenance audit (q333): does BASE ⊕ DELTA
+    * equal a full recompute? The correctness gate every incremental ETL
+    * pipeline runs before trusting a merge-on-read daily rollup: orders
+    * split at a cutoff (base < 1999-01-01 ≤ delta), each side aggregates
+    * to day grain independently, the two grains combine with the
+    * algebraic merge (sum ⊕ sum via full-outer coalesce — the only merge
+    * shape that is safe to run incrementally), and the result diffs
+    * against the single-pass recompute. One row: side day counts, the
+    * mismatch count (0 on a correct merge), and both positional mod-97
+    * checksums (the q280 recipe) so a divergence is visible even if
+    * counts happen to agree.
+    *
+    * Scale shape: three map-side-combinable day-grain aggregates and two
+    * calendar-sized joins — the fact table never shuffles at row grain;
+    * at 100 TB the base grain is the stored rollup, so only delta scans.
+    */
+  def incrementalAggAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cut = to_timestamp(lit("1999-01-01 00:00:00"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate"), to_date(col("o_orderdate")).as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    def grain(df: DataFrame, cn: String, nn: String) = df
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as(cn), count(lit(1)).as(nn))
+    val base = grain(o.where(col("o_orderdate") < cut), "b_cents", "b_n")
+    val delta = grain(o.where(col("o_orderdate") >= cut), "d_cents", "d_n")
+    val merged = base.join(delta, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("b_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
+          .as("m_cents"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("m_n"))
+    val full = grain(o, "f_cents", "f_n")
+    def checksum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(dec) * (datediff(col("day"), lit("1970-01-01")) % 97 + 1))
+        .cast("long")
+    merged.join(full, Seq("day"), "full_outer")
+      .agg(
+        sum(when(col("b_cents").isNotNull, 1L).otherwise(0L)).as("x1"),
+        sum(when(col("d_cents").isNotNull, 1L).otherwise(0L)).as("x2"),
+        count(lit(1)).as("n_days_merged"),
+        sum(when(col("m_cents") =!= col("f_cents")
+          || col("m_n") =!= col("f_n")
+          || col("m_cents").isNull || col("f_cents").isNull, 1L)
+          .otherwise(0L)).as("n_mismatched_days"),
+        checksum(coalesce(col("m_cents"), lit(0L))).as("checksum_merged"),
+        checksum(coalesce(col("f_cents"), lit(0L))).as("checksum_full"))
+      .select(col("x1").as("n_days_base"), col("x2").as("n_days_delta"),
+        col("n_days_merged"), col("n_mismatched_days"),
+        col("checksum_merged"), col("checksum_full"))
+  }
+
+  /** Holt linear (double-exponential) forecast backtest (q334) over
+    * daily revenue in EXACT dyadic fixed point — the trend-aware upgrade
+    * of q203's level-only EWMA backtest: level ℓₜ = (xₜ + ℓₜ₋₁ + bₜ₋₁)/2
+    * (α = ½) and trend bₜ = (ℓₜ − ℓₜ₋₁ + 3bₜ₋₁)/4 (β = ¼), both as
+    * integer cents with truncating division (`div`/`//`/Scala `/` all
+    * truncate toward zero — the q311 contract), so every step is
+    * bit-identical cross-engine with no float recursion anywhere. The
+    * one-step-ahead forecast ℓ+b scores against the next day's actual;
+    * the audit emits the exact error totals plus the final state.
+    *
+    * Scale shape: the fact table collapses to the calendar-day grain
+    * first (map-side combine); the inherently SEQUENTIAL recursion then
+    * runs driver-side over the calendar-sized series — the q233
+    * Theil-Sen/q293 Kendall documented discipline (a recurrence over
+    * ~2.4k days is metadata, not data).
+    */
+  def holtBacktest(spark: SparkSession, sfDir: String): DataFrame =
+    holtBacktestOf(spark, Tables.orders(spark, sfDir))
+
+  /** [[holtBacktest]] over an arbitrary orders frame — the
+    * fixture-testable core.
+    */
+  def holtBacktestOf(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val xs = dailyCentsSpineOf(orders)
+      .orderBy(col("day")).select(col("x"))
+      .collect().map(_.getLong(0))
+    var l = xs(0)
+    var b = 0L
+    var totAbs = 0L
+    var maxAbs = 0L
+    var i = 1
+    while (i < xs.length) {
+      val err = math.abs(xs(i) - (l + b))
+      totAbs += err
+      if (err > maxAbs) maxAbs = err
+      val lNew = (xs(i) + l + b) / 2
+      b = (lNew - l + 3 * b) / 4
+      l = lNew
+      i += 1
+    }
+    val n = xs.length.toLong
+    val mae = BigDecimal(totAbs.toDouble / ((n - 1).toDouble * 100.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    Seq((n, l, b, totAbs, maxAbs, mae))
+      .toDF("n_days", "final_level_cents", "final_trend_cents",
+        "total_abs_err_cents", "max_abs_err_cents", "mae_dollars")
+  }
 }

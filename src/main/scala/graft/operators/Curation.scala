@@ -2238,4 +2238,91 @@ object Curation {
             col("n_clusters"), col("n_clustered_docs"), col("max_cluster"))
       }.reduce(_ unionByName _)
     }
+
+  /** Bounded k-truss peel (q332) over the near-dup graph: iteratively
+    * drop edges sitting in fewer than k−2 triangles, recomputing support
+    * each round — the EDGE-grain sibling of q186's k-core (which peels
+    * vertices by degree). The k-truss is the standard "cohesive subgraph"
+    * cut that removes exactly the chain-link edges q143 flags, so the
+    * surviving graph's components (q145's supported components at round
+    * 1) stay truss-closed after the cascade a single support pass
+    * misses: removing one chain link can orphan a neighbor's triangle.
+    * Rounds are BOUNDED (synchronous peel rounds, the q186/q50
+    * discipline) — exactly how a distributed engine runs it; per round
+    * the audit emits the edge count before/after so convergence is
+    * visible in the output itself.
+    *
+    * Scale shape: each round is one [[edgeSupportOf]] pass (degree-
+    * oriented wedge join, O(√m) out-degrees) plus an equality-keyed
+    * filter; `localCheckpoint` pins each round's survivors so the plan
+    * never re-derives prior rounds (the q186 recipe).
+    */
+  def kTruss(spark: SparkSession, sfDir: String, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2"))
+    kTrussOf(spark, pairs, k, rounds)
+  }
+
+  /** [[kTruss]] over an arbitrary canonical pair list — the
+    * fixture-testable core.
+    */
+  def kTrussOf(spark: SparkSession, pairs: DataFrame, k: Int = 3,
+      rounds: Int = 3): DataFrame = {
+    var edges = pairs.select(col("doc1"), col("doc2")).localCheckpoint()
+    val trace = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val before = edges.count()
+      edges = edgeSupportOf(edges)
+        .where(col("support") >= k - 2)
+        .select(col("doc1"), col("doc2"))
+        .localCheckpoint()
+      trace += ((r, before, edges.count()))
+    }
+    import spark.implicits._
+    trace.result().toDF("round", "n_edges_before", "n_edges_after")
+  }
+
+  /** Compaction planner (q335): greedy next-fit-decreasing bin packing of
+    * a small-file manifest into target-capacity compaction groups — the
+    * planning step of every lakehouse OPTIMIZE job (many small files →
+    * few near-target files, never splitting a file). Files here are the
+    * simulated (source, doc_id div 50) shards with byte size Σ n_chars;
+    * the planner sorts by (size desc, source, group) — a total order —
+    * and walks once, opening a new bin whenever the next file would
+    * overflow `capBytes`. Per bin: file count, bytes, extremes, and the
+    * fill ratio the job's skew report reads.
+    *
+    * Scale shape: the MANIFEST is driver-sized by construction (one row
+    * per file, not per record — the q233/q293 metadata-collect
+    * discipline); the sequential greedy is inherently order-dependent,
+    * so it runs where sequential state is free. At 100 TB the manifest
+    * is still only |files| rows; shard it by table partition and pack
+    * within partitions.
+    */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      capBytes: Long = 4096L): DataFrame = {
+    val files = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), expr("doc_id div 50").as("g"))
+      .agg(sum(col("n_chars")).as("sz"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (s, g, sz) => (-sz, s, g) }
+    var bin = 0
+    var fill = 0L
+    val assigned = files.map { case (_, _, sz) =>
+      if (fill + sz <= capBytes && fill > 0L) fill += sz
+      else { if (fill > 0L) bin += 1; fill = sz }
+      (bin, sz)
+    }
+    // first file opens bin 0 (fill starts 0 → else-branch with bin stays 0)
+    val perBin = assigned.groupBy(_._1).toSeq.map { case (b, fs) =>
+      (b, fs.length.toLong, fs.map(_._2).sum, fs.map(_._2).max, fs.map(_._2).min)
+    }.sortBy(_._1)
+    import spark.implicits._
+    perBin.toDF("bin_id", "n_files", "total_bytes", "largest_file",
+      "smallest_file")
+      .withColumn("fill_ratio",
+        round(col("total_bytes").cast("double") / capBytes.toDouble, 6))
+  }
 }
