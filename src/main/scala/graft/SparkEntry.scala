@@ -612,6 +612,14 @@ object SparkEntry {
     "q330_classifier_eval" -> ((s: SparkSession, d: String) => TextAnalytics.classifierEval(s, d)),
     // q331: directed association rules (confidence/lift/conviction)
     "q331_assoc_rules" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.associationRules(s, d)),
+    // q332: bounded k-truss peel over the near-dup graph (k=3, 3 rounds)
+    "q332_ktruss_peel" -> ((s: SparkSession, d: String) => graft.operators.Curation.kTruss(s, d)),
+    // q333: BASE ⊕ DELTA incremental-aggregate maintenance audit
+    "q333_incr_agg_audit" -> ((s: SparkSession, d: String) => Relational.incrementalAggAudit(s, d)),
+    // q334: Holt linear forecast backtest in exact dyadic fixed point
+    "q334_holt_backtest" -> ((s: SparkSession, d: String) => Relational.holtBacktest(s, d)),
+    // q335: greedy next-fit-decreasing compaction planner
+    "q335_compaction_plan" -> ((s: SparkSession, d: String) => graft.operators.Curation.compactionPlan(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7066,5 +7074,123 @@ private object CorpusOracles {
         |FROM r JOIN ic ia ON ia.item = antecedent
         |JOIN ic ib ON ib.item = consequent
         |CROSS JOIN tot""".stripMargin,
+    // q332: three unrolled support-peel rounds over the q25 pair graph;
+    // support(u,v) = |N(u) ∩ N(v)| via the wedge self-join, k−2 = 1 so
+    // the filter is "appears in ≥1 triangle" (inner join + DISTINCT)
+    "q332_ktruss_peel" ->
+      s"""WITH e1 AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |a1 AS (SELECT doc1 AS u, doc2 AS v FROM e1
+         |       UNION ALL SELECT doc2, doc1 FROM e1),
+         |e2 AS (SELECT DISTINCT e.doc1, e.doc2 FROM e1 e
+         |  JOIN a1 x ON x.u = e.doc1 JOIN a1 y ON y.u = e.doc2
+         |   AND x.v = y.v),
+         |a2 AS (SELECT doc1 AS u, doc2 AS v FROM e2
+         |       UNION ALL SELECT doc2, doc1 FROM e2),
+         |e3 AS (SELECT DISTINCT e.doc1, e.doc2 FROM e2 e
+         |  JOIN a2 x ON x.u = e.doc1 JOIN a2 y ON y.u = e.doc2
+         |   AND x.v = y.v),
+         |a3 AS (SELECT doc1 AS u, doc2 AS v FROM e3
+         |       UNION ALL SELECT doc2, doc1 FROM e3),
+         |e4 AS (SELECT DISTINCT e.doc1, e.doc2 FROM e3 e
+         |  JOIN a3 x ON x.u = e.doc1 JOIN a3 y ON y.u = e.doc2
+         |   AND x.v = y.v)
+         |SELECT CAST(1 AS INTEGER) AS round,
+         |  CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges_before,
+         |  CAST((SELECT count(*) FROM e2) AS BIGINT) AS n_edges_after
+         |UNION ALL SELECT 2, (SELECT count(*) FROM e2),
+         |  (SELECT count(*) FROM e3)
+         |UNION ALL SELECT 3, (SELECT count(*) FROM e3),
+         |  (SELECT count(*) FROM e4)""".stripMargin,
+    // q333: the q203 cents contract; full-outer merge then diff vs the
+    // single-pass recompute; q280-style positional mod-97 checksums
+    "q333_incr_agg_audit" ->
+      """WITH o AS (SELECT o_orderdate, CAST(o_orderdate AS DATE) AS day,
+        |   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |base AS (SELECT day, sum(cents) AS b_cents, count(*) AS b_n
+        |  FROM o WHERE o_orderdate < TIMESTAMP '1999-01-01' GROUP BY 1),
+        |delta AS (SELECT day, sum(cents) AS d_cents, count(*) AS d_n
+        |  FROM o WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY 1),
+        |m AS (SELECT day, b_cents, d_cents,
+        |   coalesce(b_cents, 0) + coalesce(d_cents, 0) AS m_cents,
+        |   coalesce(b_n, 0) + coalesce(d_n, 0) AS m_n
+        |  FROM base FULL OUTER JOIN delta USING (day)),
+        |f AS (SELECT day, sum(cents) AS f_cents, count(*) AS f_n
+        |  FROM o GROUP BY 1),
+        |j AS (SELECT * FROM m FULL OUTER JOIN f USING (day))
+        |SELECT
+        | CAST(sum(CASE WHEN b_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_days_base,
+        | CAST(sum(CASE WHEN d_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_days_delta,
+        | CAST(count(*) AS BIGINT) AS n_days_merged,
+        | CAST(sum(CASE WHEN m_cents <> f_cents OR m_n <> f_n
+        |   OR m_cents IS NULL OR f_cents IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_mismatched_days,
+        | CAST(sum(CAST(coalesce(m_cents, 0) AS HUGEINT)
+        |   * ((day - DATE '1970-01-01') % 97 + 1)) AS BIGINT)
+        |  AS checksum_merged,
+        | CAST(sum(CAST(coalesce(f_cents, 0) AS HUGEINT)
+        |   * ((day - DATE '1970-01-01') % 97 + 1)) AS BIGINT)
+        |  AS checksum_full
+        |FROM j""".stripMargin,
+    // q334: the q219 row-at-a-time recursion replaying the truncating
+    // dyadic Holt step (// truncates toward zero = Scala /, verified)
+    "q334_holt_backtest" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+        |    AS rn,
+        |   CAST(coalesce(cents, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |nn AS (SELECT max(rn) AS n FROM x),
+        |h(rn, l, tr, tot, mx) AS (
+        |  SELECT rn, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |     CAST(0 AS BIGINT)
+        |   FROM x WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.rn,
+        |     (x.x + h.l + h.tr) // 2,
+        |     ((x.x + h.l + h.tr) // 2 - h.l + 3 * h.tr) // 4,
+        |     h.tot + abs(x.x - (h.l + h.tr)),
+        |     greatest(h.mx, abs(x.x - (h.l + h.tr)))
+        |   FROM h JOIN x ON x.rn = h.rn + 1)
+        |SELECT CAST(nn.n AS BIGINT) AS n_days,
+        | CAST(h.l AS BIGINT) AS final_level_cents,
+        | CAST(h.tr AS BIGINT) AS final_trend_cents,
+        | CAST(h.tot AS BIGINT) AS total_abs_err_cents,
+        | CAST(h.mx AS BIGINT) AS max_abs_err_cents,
+        | round(CAST(h.tot AS DOUBLE)
+        |   / ((CAST(nn.n AS DOUBLE) - 1) * 100.0), 6) AS mae_dollars
+        |FROM h, nn WHERE h.rn = nn.n""".stripMargin,
+    // q335: the (size desc, source, g) total order ranked, then the
+    // greedy next-fit carried row-at-a-time (q219 recursion recipe)
+    "q335_compaction_plan" ->
+      """WITH RECURSIVE f AS (SELECT source, doc_id // 50 AS g,
+        |   CAST(sum(n_chars) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT sz, CAST(row_number() OVER (
+        |    ORDER BY sz DESC, source, g) AS BIGINT) AS rn FROM f),
+        |st(rn, bin, fill) AS (
+        |  SELECT rn, 0, sz FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn,
+        |     CASE WHEN st.fill + r.sz <= 4096 THEN st.bin
+        |      ELSE st.bin + 1 END,
+        |     CASE WHEN st.fill + r.sz <= 4096 THEN st.fill + r.sz
+        |      ELSE r.sz END
+        |   FROM st JOIN r ON r.rn = st.rn + 1)
+        |SELECT CAST(st.bin AS INTEGER) AS bin_id,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(r.sz) AS BIGINT) AS total_bytes,
+        | CAST(max(r.sz) AS BIGINT) AS largest_file,
+        | CAST(min(r.sz) AS BIGINT) AS smallest_file,
+        | round(CAST(sum(r.sz) AS DOUBLE) / 4096.0, 6) AS fill_ratio
+        |FROM st JOIN r USING (rn) GROUP BY 1""".stripMargin,
   )
 }

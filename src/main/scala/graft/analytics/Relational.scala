@@ -2778,7 +2778,7 @@ object Relational {
     val base = grain(o.where(col("o_orderdate") < cut), "b_cents", "b_n")
     val delta = grain(o.where(col("o_orderdate") >= cut), "d_cents", "d_n")
     val merged = base.join(delta, Seq("day"), "full_outer")
-      .select(col("day"),
+      .select(col("day"), col("b_cents"), col("d_cents"),
         (coalesce(col("b_cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L)))
           .as("m_cents"),
         (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
