@@ -289,8 +289,20 @@ object Dedup {
     // the rewrite provably sound here. Must be set BEFORE the DataFrame is
     // built: analysis bakes the flag into the Size nodes.
     s.conf.set("spark.sql.legacy.sizeOfNull", "false")
+    // Spread the bounded window across the cluster BEFORE the shingle
+    // pipeline: the window prunes to a handful of parquet splits (one, at
+    // the gate scales), so without this the per-row shingle+hash
+    // projection — the dominant cost, re-evaluated by the rewrite's
+    // prefix/filter stages — runs as a SINGLE serial task per side while
+    // every other core idles (measured 2×1.8 s of a 4.4 s median; round-8
+    // bench cold 18.5 s was this one task paying first-touch codegen too,
+    // not a memoized build — no memo exists in this path). One narrow
+    // shuffle of 1000 skinny rows buys full parallelism: 4.4 → 2.7 s
+    // median, 17 → 4 s cold. At 100 TB the same move holds: repartition a
+    // pruned-small input before a compute-heavy narrow stage.
     val docs = Tables.documents(s, sfDir)
       .where(col("doc_id") < maxDocId)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         transform(Text.shingles(col("text"), 3),
           sh => Hashing.stableHash60(sh)).as("sh"))
