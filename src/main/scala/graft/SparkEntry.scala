@@ -7047,11 +7047,15 @@ private object CorpusOracles {
          |    / (1000000.0 * CAST(n_pos AS DOUBLE)), 6) END AS avg_precision
          |FROM cells""".stripMargin,
     // q331: the q148 basket grain; directed pairs, integer-ratio
-    // conviction, NULL for confidence-1 rules
+    // conviction, NULL for confidence-1 rules. Baskets capped at 32
+    // items (smallest ids win) — the engine's contract, mirrored here
     "q331_assoc_rules" ->
-      """WITH items AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+      """WITH raw AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
         |   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
         |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |items AS (SELECT user_id, day, item FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |     ORDER BY item) AS rk FROM raw) WHERE rk <= 32),
         |tot AS (SELECT count(*) AS n_baskets
         |  FROM (SELECT DISTINCT user_id, day FROM items)),
         |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item

@@ -1298,18 +1298,40 @@ object Funnels {
     * confidence-1 rules (infinite conviction).
     *
     * Scale shape: identical to q148 — the basket self-join explodes per
-    * basket (bounded by distinct items per (user, day); filter hub users
-    * upstream at true scale), marginals and the basket total broadcast;
-    * the minSupport gate runs map-side-combinably before the metric
-    * joins. Output ≤ |items|².
+    * basket, so baskets are CAPPED at `maxItemsPerBasket` distinct items
+    * (deterministic: the smallest item ids win, via a per-basket
+    * row_number on the same (user, day) key the self-join shuffles on —
+    * the Sessions.scala:373 collect_list discipline applied to the pair
+    * source). Without the cap one power-user basket funnels k² pairs
+    * through a single join key; with it the per-basket work is ≤ cap².
+    * The default 32 is 3× the observed gate-scale maximum (10 at
+    * sf0.01), so the cap is a pure scale guard there — but it is part of
+    * the operator's CONTRACT (the oracle ranks and caps identically), not
+    * a silent truncation. Marginals, the basket total, and the pair
+    * counts all read the SAME capped basket, so the metrics stay mutually
+    * consistent. Output ≤ |items|².
     */
   def associationRules(spark: SparkSession, sfDir: String,
-      minSupport: Long = 2L): DataFrame = {
+      minSupport: Long = 2L, maxItemsPerBasket: Int = 32): DataFrame = {
     val items = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .where(col("item").isNotNull)
       .distinct()
+    associationRulesOf(spark, items, minSupport, maxItemsPerBasket)
+  }
+
+  /** [[associationRules]] over an arbitrary distinct (user_id, day, item)
+    * basket frame — the fixture-testable core.
+    */
+  def associationRulesOf(spark: SparkSession, rawItems: DataFrame,
+      minSupport: Long = 2L, maxItemsPerBasket: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("item"))
+    val items = rawItems
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxItemsPerBasket)
+      .drop("__rk")
     val tot = items.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val ic = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))

@@ -96,4 +96,32 @@ class Round9OpsSpec extends SparkTestBase {
     // empty only at the tail
     assert(plan.length.toLong < plan.map(_._2).sum)
   }
+
+  test("association rules: fat basket capped at 32 items, small ids win") {
+    val s = spark
+    import s.implicits._
+    val day = java.sql.Date.valueOf("2020-01-01")
+    // one power-user basket with 50 items plus two normal baskets that
+    // co-occur on items 1,2 — the hot basket must contribute pairs only
+    // from its first (smallest) 32 items
+    val fat = (1 to 50).map(i => ("hub", day, i))
+    val normal = Seq(("u1", day, 1), ("u1", day, 2), ("u2", day, 1), ("u2", day, 2))
+    val items = (fat ++ normal).toDF("user_id", "day", "item")
+    val rules = graft.analytics.Funnels
+      .associationRulesOf(spark, items, minSupport = 1L).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // no rule may involve a capped-away item (> 32)
+    assert(rules.keys.forall { case (a, c) => a <= 32 && c <= 32 },
+      s"capped items leaked: ${rules.keys.filter(k => k._1 > 32 || k._2 > 32)}")
+    // pair volume from the hub basket is 32*31, not 50*49
+    val hubOnly = rules.count { case ((a, c), _) => a > 2 || c > 2 }
+    assert(hubOnly === 32 * 31 - 2, "hub contributes exactly its capped pairs")
+    // items 1,2 co-occur in all 3 baskets (hub kept them: smallest ids win)
+    assert(rules((1, 2)) === 3L && rules((2, 1)) === 3L)
+    // an uncapped run on the same fixture WOULD emit the >32 pairs
+    val uncapped = graft.analytics.Funnels
+      .associationRulesOf(spark, items, minSupport = 1L, maxItemsPerBasket = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(uncapped.exists { case (a, c) => a > 32 || c > 32 })
+  }
 }
