@@ -2701,10 +2701,8 @@ object Relational {
           .cast("int").as("db"),
         least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
           .cast("int").as("pb"))
-    val zExpr = (0 until 8).map(i =>
-      s"shiftleft((shiftright(db, $i) & 1), ${2 * i + 1})"
-        + s" + shiftleft((shiftright(pb, $i) & 1), ${2 * i})").mkString(" + ")
-    val coded = base.withColumn("z", expr(zExpr))
+    val coded = base.withColumn("z",
+        graft.functions.Spatial.morton(Seq(col("db"), col("pb")), 8))
       .withColumn("hit", (col("db").between(30, 60)
         && col("pb").between(40, 90)).cast("int"))
     // global rank without a global sort: rank = (#rows in strictly

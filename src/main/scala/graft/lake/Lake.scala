@@ -41,6 +41,32 @@ object Lake {
       partitionCol: String = "extracted_date"): Unit =
     df.write.mode("append").partitionBy(partitionCol).parquet(path)
 
+  /** Z-order clustered batch write (beyond reference — the layout the
+    * q329 audit measures, made real): range-partition on the Morton
+    * interleaving of the given bounded-int dimension columns, sort each
+    * partition by it, and write parquet. Every output file then covers a
+    * compact Z-range — a small hyper-rectangle in ALL dimensions at once
+    * — so the per-file/row-group min/max statistics parquet already
+    * writes prune MULTI-dimensional predicates, not just the leading
+    * sort column (LakeClusteredSpec reads the real footer stats back and
+    * proves the skip). This is exactly the lakehouse OPTIMIZE ZORDER
+    * plan: one range shuffle + per-partition sort, no global sort, no
+    * driver materialization — at 100 TB the range boundaries come from
+    * the same reservoir sample Spark's range partitioner always uses.
+    *
+    * `dims` must be pre-bucketed to [0, 2^bits) (the caller owns the
+    * binning — see q329's day/price example); `numFiles` sizes output
+    * files the way a compaction job would (one range partition each).
+    */
+  def writeClustered(df: DataFrame, path: String, dims: Seq[String],
+      numFiles: Int, bits: Int = 8): Unit =
+    df.withColumn("__graft_z",
+        graft.functions.Spatial.morton(dims.map(col), bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+
   /** S2 done right: scan the root and filter on the partition column —
     * Catalyst partition pruning reads only the matching directory, and the
     * column stays queryable.
