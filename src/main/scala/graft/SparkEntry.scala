@@ -620,6 +620,14 @@ object SparkEntry {
     "q334_holt_backtest" -> ((s: SparkSession, d: String) => Relational.holtBacktest(s, d)),
     // q335: greedy next-fit-decreasing compaction planner
     "q335_compaction_plan" -> ((s: SparkSession, d: String) => graft.operators.Curation.compactionPlan(s, d)),
+    // q336: synchronous majority-label-propagation communities (3 rounds)
+    "q336_lpa_communities" -> ((s: SparkSession, d: String) => graft.operators.Curation.lpaCommunities(s, d)),
+    // q337: bounded 3-hop neighborhood growth + capped eccentricity
+    "q337_hop_neighborhoods" -> ((s: SparkSession, d: String) => graft.operators.Curation.hopNeighborhoods(s, d)),
+    // q338: RAKE keyphrase extraction, fixed-point word scores, top 30
+    "q338_rake_keyphrases" -> ((s: SparkSession, d: String) => TextAnalytics.rakeKeyphrases(s, d)),
+    // q339: per-label retrieval MRR@10 / precision@10 over exact cosine
+    "q339_retrieval_mrr" -> ((s: SparkSession, d: String) => graft.operators.Similarity.retrievalLabelMetrics(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7196,5 +7204,112 @@ private object CorpusOracles {
         | CAST(min(r.sz) AS BIGINT) AS smallest_file,
         | round(CAST(sum(r.sz) AS DOUBLE) / 4096.0, 6) AS fill_ratio
         |FROM st JOIN r USING (rn) GROUP BY 1""".stripMargin,
+    // q336: three unrolled synchronous majority-vote rounds over the q25
+    // pair graph; per round argmax (count desc, label asc) of neighbor
+    // labels, isolated vertices carry their label via the left join
+    "q336_lpa_communities" ->
+      s"""WITH mp AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |      UNION ALL SELECT doc2, doc1 FROM mp),
+         |l0 AS (SELECT doc_id, doc_id AS c FROM documents),
+         |n1 AS (SELECT e.src, l.c, count(*) AS cnt
+         |  FROM e JOIN l0 l ON l.doc_id = e.dst GROUP BY 1, 2),
+         |t1 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n1)
+         |  WHERE rn = 1),
+         |l1 AS (SELECT l0.doc_id, coalesce(t1.c, l0.c) AS c
+         |  FROM l0 LEFT JOIN t1 ON t1.src = l0.doc_id),
+         |n2 AS (SELECT e.src, l.c, count(*) AS cnt
+         |  FROM e JOIN l1 l ON l.doc_id = e.dst GROUP BY 1, 2),
+         |t2 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n2)
+         |  WHERE rn = 1),
+         |l2 AS (SELECT l1.doc_id, coalesce(t2.c, l1.c) AS c
+         |  FROM l1 LEFT JOIN t2 ON t2.src = l1.doc_id),
+         |n3 AS (SELECT e.src, l.c, count(*) AS cnt
+         |  FROM e JOIN l2 l ON l.doc_id = e.dst GROUP BY 1, 2),
+         |t3 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n3)
+         |  WHERE rn = 1)
+         |SELECT l2.doc_id, CAST(coalesce(t3.c, l2.c) AS BIGINT) AS community
+         |FROM l2 LEFT JOIN t3 ON t3.src = l2.doc_id""".stripMargin,
+    // q337: cumulative distinct reach at 1/2/3 hops (self excluded),
+    // frontier growth read as the capped eccentricity
+    "q337_hop_neighborhoods" ->
+      s"""WITH mp AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+         |      UNION ALL SELECT doc2, doc1 FROM mp),
+         |r1 AS (SELECT DISTINCT src, dst FROM e),
+         |r2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT r1.src, e.dst FROM r1 JOIN e ON e.src = r1.dst
+         |   WHERE r1.src <> e.dst
+         |  UNION ALL SELECT src, dst FROM r1)),
+         |r3 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT r2.src, e.dst FROM r2 JOIN e ON e.src = r2.dst
+         |   WHERE r2.src <> e.dst
+         |  UNION ALL SELECT src, dst FROM r2)),
+         |c1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n1 FROM r1 GROUP BY 1),
+         |c2 AS (SELECT src, CAST(count(*) AS BIGINT) AS n2 FROM r2 GROUP BY 1),
+         |c3 AS (SELECT src, CAST(count(*) AS BIGINT) AS n3 FROM r3 GROUP BY 1)
+         |SELECT c1.src AS doc_id, n1, n2, n3,
+         | CAST(CASE WHEN n3 > n2 THEN 3 WHEN n2 > n1 THEN 2 ELSE 1 END
+         |   AS INTEGER) AS ecc_capped
+         |FROM c1 JOIN c2 USING (src) JOIN c3 ON c3.src = c1.src""".stripMargin,
+    // q338: islands on token position, runs capped at 4 words; word
+    // deg/freq over kept runs; truncating x1e6 fixed-point word scores
+    // summed per phrase instance — exact integers end to end
+    "q338_rake_keyphrases" ->
+      """WITH w AS (SELECT doc_id, i, w FROM (
+        |   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS i
+        |   FROM documents)
+        |  WHERE w NOT IN ('the','a','of','and','to') AND w <> ''),
+        |g AS (SELECT doc_id, i, w,
+        |   i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM w),
+        |runs AS (SELECT doc_id, grp, count(*) AS rl,
+        |   string_agg(w, ' ' ORDER BY i) AS phrase
+        |  FROM g GROUP BY 1, 2 HAVING count(*) <= 4),
+        |rw AS (SELECT g.doc_id, g.grp, g.w, r.rl, r.phrase
+        |  FROM g JOIN runs r USING (doc_id, grp)),
+        |wsc AS (SELECT w, (CAST(sum(rl) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS sfp
+        |  FROM rw GROUP BY 1),
+        |inst AS (SELECT rw.doc_id, rw.grp, rw.phrase, sum(sfp) AS ifp
+        |  FROM rw JOIN wsc USING (w) GROUP BY 1, 2, 3),
+        |ph AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |   CAST(max(ifp) AS BIGINT) AS score_fp FROM inst GROUP BY 1),
+        |top AS (SELECT *, row_number() OVER (
+        |    ORDER BY score_fp DESC, phrase) AS rn FROM ph)
+        |SELECT phrase, n_occurrences, score_fp,
+        | round(CAST(score_fp AS DOUBLE) / 1e6, 6) AS score
+        |FROM top WHERE rn <= 30""".stripMargin,
+    // q339: the q204 scored/ranked contract (4-dp cosine, id tiebreak);
+    // truncating x1e6 reciprocal ranks, zero when no top-10 relevant
+    "q339_retrieval_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+         |   CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 100),
+         |c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |scored AS (SELECT query_id, ql, vec_id AS neighbor_id,
+         |   label AS nl, ${cosExpr("qv", "v")} AS cosine
+         |  FROM c JOIN q ON vec_id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored),
+         |pq AS (SELECT query_id, ql,
+         |   min(CASE WHEN nl = ql THEN rnk END) AS first_rel,
+         |   sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS hits
+         |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+         |pq2 AS (SELECT *, coalesce(1000000 // first_rel, 0) AS rr_fp
+         |  FROM pq)
+         |SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+         | CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_hit_queries,
+         | round(CAST(sum(rr_fp) AS DOUBLE)
+         |   / (CAST(count(*) AS DOUBLE) * 1e6), 6) AS mrr_at_k,
+         | round(CAST(sum(hits) AS DOUBLE)
+         |   / (CAST(count(*) AS DOUBLE) * 10), 6) AS precision_at_k
+         |FROM pq2 GROUP BY 1""".stripMargin,
   )
 }

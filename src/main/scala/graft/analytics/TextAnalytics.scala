@@ -2427,4 +2427,63 @@ object TextAnalytics {
         .otherwise(round(col("ap_fp").cast("double")
           / (lit(1e6) * col("n_pos").cast("double")), 6)).as("avg_precision"))
   }
+
+  /** RAKE keyphrase extraction (q338): corpus top-`topK` candidate
+    * phrases by the classic Rapid-Automatic-Keyword-Extraction score.
+    * Candidates are maximal stopword-free word runs (gaps-and-islands on
+    * token position; the [[graft.functions.Text.LangStopwords]] English
+    * list is the delimiter set) capped at `maxLen` words — the standard
+    * garbage guard against run-on candidates. Per word over the kept
+    * runs: deg(w) = Σ run lengths containing w, freq(w) = occurrences;
+    * the word score deg/freq is computed in ×10⁶ TRUNCATING fixed point
+    * (the q311 contract) so the phrase score — the sum over the phrase's
+    * word occurrences — is an exact, order-independent integer in both
+    * engines; no float summation anywhere. Top-K ranks by
+    * (score_fp desc, phrase), a total order.
+    *
+    * Scale shape: one posexplode → per-doc islands window (doc-keyed) →
+    * two map-side-combinable word aggregates → an equality join back to
+    * phrase instances → TakeOrdered top-K (per-partition heap, no global
+    * sort). The phrase table never exceeds the token count.
+    */
+  def rakeKeyphrases(spark: SparkSession, sfDir: String, maxLen: Int = 4,
+      topK: Int = 30): DataFrame =
+    rakeKeyphrasesOf(spark, Tables.documents(spark, sfDir), maxLen, topK)
+
+  /** [[rakeKeyphrases]] over an arbitrary (doc_id, text) frame — the
+    * fixture-testable core.
+    */
+  def rakeKeyphrasesOf(spark: SparkSession, docs: DataFrame,
+      maxLen: Int = 4, topK: Int = 30): DataFrame = {
+    val stops = Text.LangStopwords.head._2
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(!col("w").isInCollection(stops) && col("w") =!= "")
+    val islands = words.withColumn("grp",
+      col("pos") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val runs = islands.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("rl"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"))
+      .where(col("rl") <= maxLen)
+    val runWords = islands
+      .join(runs, Seq("doc_id", "grp"))
+      .select(col("doc_id"), col("grp"), col("phrase"), col("rl"), col("w"))
+      .localCheckpoint() // shared by the word stats and the instance join
+    val wordScores = runWords.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("rl")).as("deg"))
+      .select(col("w"), expr("(deg * 1000000) div freq").as("sfp"))
+    val instances = runWords.join(wordScores, "w")
+      .groupBy(col("doc_id"), col("grp"), col("phrase"))
+      .agg(sum(col("sfp")).as("ifp"))
+    instances.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"), max(col("ifp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_occurrences"), col("score_fp"),
+        round(col("score_fp").cast("double") / 1e6, 6).as("score"))
+  }
 }

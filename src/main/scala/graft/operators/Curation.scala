@@ -2283,6 +2283,104 @@ object Curation {
     trace.result().toDF("round", "n_edges_before", "n_edges_after")
   }
 
+  /** Synchronous majority-label propagation (q336): `rounds` rounds of
+    * "adopt the most frequent label among your neighbors, ties to the
+    * smallest" over the near-dup graph — the COMMUNITY view of the graph,
+    * vs the reachability view of q50's components. Majority voting stops
+    * at weak joints: one chain link cannot drag a clique's label across,
+    * so LPA separates the mirror families that transitive closure glues
+    * together (the q143 chain-merge failure mode, resolved by vote
+    * instead of by edge removal as q332 does). Isolated documents keep
+    * their own label. Rounds are synchronous and BOUNDED (the q50/q186
+    * discipline — exactly how a distributed engine runs LPA), so the
+    * result is deterministic; async/random-order LPA variants are not.
+    *
+    * Scale shape: per round one equality join (adjacency × labels) into
+    * a map-side-combinable (vertex, label) count, one per-vertex
+    * WindowGroupLimit-able argmax, one left join back; `localCheckpoint`
+    * pins each round (plan would otherwise re-derive all prior rounds).
+    */
+  def lpaCommunities(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2"))
+    lpaCommunitiesOf(spark, pairs,
+      Tables.documents(spark, sfDir).select(col("doc_id")), rounds)
+  }
+
+  /** [[lpaCommunities]] over arbitrary pairs + vertex list — the
+    * fixture-testable core.
+    */
+  def lpaCommunitiesOf(spark: SparkSession, pairs: DataFrame,
+      vertices: DataFrame, rounds: Int = 3): DataFrame = {
+    val adj = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"),
+      col("doc_id").as("community")).localCheckpoint()
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("community"))
+    for (_ <- 1 to rounds) {
+      val top = adj
+        .join(labels.select(col("doc_id").as("dst"), col("community")), "dst")
+        .groupBy(col("src"), col("community")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("doc_id"), col("community").as("next_c"))
+      labels = labels.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("next_c"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Bounded k-hop neighborhood growth (q337): for every document with at
+    * least one near-dup edge, the cumulative distinct-neighbor counts at
+    * 1, 2, and 3 hops plus the capped eccentricity — the per-node DEPTH
+    * reading of the dedup graph (q121's blast radius measures total
+    * spread from contaminated seeds; this measures how CHAINED each
+    * node's neighborhood is: n3 ≫ n1 marks a transitive corridor, n3 =
+    * n1 a closed clique).
+    *
+    * Scale shape: each hop is one adjacency equality join + distinct on
+    * (node, reached) — frontier-bounded like q50's closure rounds, never
+    * all-pairs; 3 hops is the production cut (beyond that you want the
+    * component, which q50 already gives).
+    */
+  def hopNeighborhoods(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2"))
+    hopNeighborhoodsOf(spark, pairs)
+  }
+
+  /** [[hopNeighborhoods]] over an arbitrary canonical pair list. */
+  def hopNeighborhoodsOf(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val adj = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .unionByName(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    // reach(k) = distinct nodes within <= k hops, self excluded
+    var reach = adj.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val counts = Seq.newBuilder[DataFrame]
+    counts += reach.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+    for (k <- 2 to 3) {
+      reach = reach
+        .join(adj.select(col("src").as("dst"), col("dst").as("nxt")), "dst")
+        .select(col("src"), col("nxt").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .unionByName(reach)
+        .distinct()
+        .localCheckpoint()
+      counts += reach.groupBy(col("src")).agg(count(lit(1)).as(s"n$k"))
+    }
+    val Seq(c1, c2, c3) = counts.result()
+    c1.join(c2, "src").join(c3, "src")
+      .select(col("src").as("doc_id"), col("n1"), col("n2"), col("n3"),
+        when(col("n3") > col("n2"), 3)
+          .when(col("n2") > col("n1"), 2)
+          .otherwise(1).cast("int").as("ecc_capped"))
+  }
+
   /** Compaction planner (q335): greedy next-fit-decreasing bin packing of
     * a small-file manifest into target-capacity compaction groups — the
     * planning step of every lakehouse OPTIMIZE job (many small files →

@@ -1238,6 +1238,47 @@ object Similarity {
       col("rel"), col("max_sim_sel"), round(col("mmr"), 6).as("mmr"))
   }
 
+  /** Per-label retrieval quality (q339): MRR@k and precision@k of the
+    * exact cosine ranking with same-label-as-query relevance, macro per
+    * label — the retrieval-side complement of q204's kNN vote accuracy
+    * (one number per query) and q302/q204's global views: a label whose
+    * MRR is low marks a class the embedding space cannot retrieve even
+    * when it can classify. Reciprocal ranks are ×10⁶ TRUNCATING fixed
+    * point (1000000 div rank — the q311 contract), so every per-label
+    * sum is an exact integer and only the final two ratios round at 6 dp;
+    * queries with no relevant neighbor in the top k contribute rr = 0
+    * (standard MRR@k).
+    *
+    * Scale shape: the ranking IS [[bruteForceTopK]] (broadcast query
+    * side, q29 contract — swap any ANN route in unchanged); per-query
+    * reduction runs on k-bounded rows, the label rollup on ≤ |labels|.
+    */
+  def retrievalLabelMetrics(spark: SparkSession, sfDir: String,
+      k: Int = 10, nQueries: Int = 100): DataFrame = {
+    val labels = corpus(spark, sfDir).select(col("vec_id"), col("label"))
+    val nb = bruteForceTopK(spark, sfDir, k, nQueries)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .join(broadcast(labels.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))),
+        Seq("query_id"))
+      .withColumn("rel", (col("nl") === col("ql")).cast("long"))
+    val perQuery = nb.groupBy(col("query_id"), col("ql"))
+      .agg(min(when(col("rel") === 1L, col("rank"))).as("first_rel"),
+        sum(col("rel")).as("hits"))
+      .withColumn("rr_fp",
+        coalesce(expr("1000000 div first_rel"), lit(0L)))
+    perQuery.groupBy(col("ql").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("first_rel").isNotNull.cast("long")).as("n_hit_queries"),
+        sum(col("rr_fp")).as("srr"), sum(col("hits")).as("sh"))
+      .select(col("label"), col("n_queries"), col("n_hit_queries"),
+        round(col("srr").cast("double")
+          / (col("n_queries").cast("double") * 1e6), 6).as("mrr_at_k"),
+        round(col("sh").cast("double")
+          / (col("n_queries").cast("double") * k), 6).as("precision_at_k"))
+  }
+
   /** kNN label-prediction evaluation: for each query vector, the majority
     * label among its top-`k` cosine neighbors (excluding self) against
     * its true label — the standard embedding-quality probe (a space whose

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.analytics.TextAnalytics
+import org.apache.spark.sql.functions.col
+
+/** Semantics of the round-9 second batch (q336-q339): majority-label
+  * propagation, bounded hop-neighborhood growth, RAKE keyphrases, and
+  * per-label retrieval MRR. Hand fixtures replay each recursion/score;
+  * the retrieval test recomputes the macro metrics independently from
+  * the shared q29 ranking contract.
+  */
+class Round9bOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LPA fixture: majority vote keeps chained triangles separate") {
+    val s = spark
+    import s.implicits._
+    // two triangles joined by one chain link (3,4) — transitive closure
+    // would merge them into one component; majority voting must not
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc1", "doc2")
+    val verts = (1L to 7L).toDF("doc_id")
+    val got = Curation.lpaCommunitiesOf(spark, pairs, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+    // the two triangles end in DIFFERENT communities; components would not
+    assert(got(1L) !== got(4L))
+    val comps = Curation.connectedComponents(pairs, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) === comps(4L), "closure merges what LPA separates")
+  }
+
+  test("hop neighborhoods fixture: path deepens, clique closes at 1 hop") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc1", "doc2")
+    val got = Curation.hopNeighborhoodsOf(spark, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    assert(got(1L) === ((1L, 2L, 3L, 3)), "path end keeps growing")
+    assert(got(3L) === ((2L, 4L, 4L, 2)), "path center saturates at 2 hops")
+    assert(got(10L) === ((2L, 2L, 2L, 1)), "triangle is closed at 1 hop")
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L))
+  }
+
+  test("RAKE fixture: deg/freq fixed point, repeated phrase counted once per instance") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta the alpha beta of gamma"),
+      (2L, "delta epsilon zeta eta theta iota")) // 6-word run: discarded
+      .toDF("doc_id", "text")
+    val got = TextAnalytics.rakeKeyphrasesOf(spark, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // deg(alpha)=deg(beta)=4 over two rl-2 runs, freq=2 -> sfp 2e6 each;
+    // phrase score 4e6. gamma: 1e6. The 6-word run contributes nothing.
+    assert(got.toSeq === Seq(
+      ("alpha beta", 2L, 4000000L, 4.0),
+      ("gamma", 1L, 1000000L, 1.0)))
+  }
+
+  test("retrieval MRR reconciles with an independent recompute off the q29 ranking") {
+    val labels = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nb = Similarity.bruteForceTopK(spark, sf, 10, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))) // query, neighbor, rank
+    val perQ = nb.groupBy(_._1).map { case (q, rows) =>
+      val rel = rows.filter(t => labels(t._2) == labels(q))
+      val rrFp = rel.map(_._3).sorted.headOption.map(1000000L / _).getOrElse(0L)
+      (labels(q), rrFp, rel.length.toLong)
+    }.toSeq
+    val expect = perQ.groupBy(_._1).map { case (l, xs) =>
+      l -> ((xs.size.toLong, xs.count(_._2 > 0L).toLong,
+        math.rint(xs.map(_._2).sum.toDouble / (xs.size * 1e6) * 1e6) / 1e6,
+        math.rint(xs.map(_._3).sum.toDouble / (xs.size * 10) * 1e6) / 1e6))
+    }
+    val got = Similarity.retrievalLabelMetrics(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(got.size === 10, "all ten labels appear among the 100 queries")
+  }
+}
