@@ -628,6 +628,10 @@ object SparkEntry {
     "q338_rake_keyphrases" -> ((s: SparkSession, d: String) => TextAnalytics.rakeKeyphrases(s, d)),
     // q339: per-label retrieval MRR@10 / precision@10 over exact cosine
     "q339_retrieval_mrr" -> ((s: SparkSession, d: String) => graft.operators.Similarity.retrievalLabelMetrics(s, d)),
+    // q340: Newman modularity of components vs LPA vs singletons
+    "q340_partition_modularity" -> ((s: SparkSession, d: String) => graft.operators.Curation.partitionModularity(s, d)),
+    // q341: nearest-centroid confusion matrix, exact fixed point
+    "q341_centroid_confusion" -> ((s: SparkSession, d: String) => graft.operators.Similarity.centroidConfusion(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -1212,6 +1216,30 @@ private object CorpusOracles {
        |  SELECT e.dst, r.component FROM reach r JOIN edges e ON e.src = r.doc_id)
        |SELECT doc_id, min(component) AS component
        |FROM reach GROUP BY doc_id""".stripMargin
+
+  /** Three unrolled synchronous majority-vote LPA rounds (self-inclusive
+    * votes — the neighbor-only form 2-cycles on pendant pairs) over the
+    * q25 pair graph — shared by q336 (the community table itself) and
+    * q340 (its modularity vs components and singletons).
+    */
+  private val lpaCommunitiesSql = {
+    def round(prev: String, cur: String) =
+      s"""n$cur AS (SELECT src, c, count(*) AS cnt FROM (
+         |   SELECT e.src, l.c FROM e JOIN l$prev l ON l.doc_id = e.dst
+         |   UNION ALL SELECT doc_id, c FROM l$prev) GROUP BY 1, 2),
+         |l$cur AS (SELECT src AS doc_id, c FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY src
+         |     ORDER BY cnt DESC, c) AS rn FROM n$cur)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH mp AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+       |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
+       |      UNION ALL SELECT doc2, doc1 FROM mp),
+       |l0 AS (SELECT doc_id, doc_id AS c FROM documents),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT doc_id, CAST(c AS BIGINT) AS community FROM l3""".stripMargin
+  }
 
   private val langPredicted = {
     val langs = graft.functions.Text.LangStopwords
@@ -7207,32 +7235,7 @@ private object CorpusOracles {
     // q336: three unrolled synchronous majority-vote rounds over the q25
     // pair graph; per round argmax (count desc, label asc) of neighbor
     // labels, isolated vertices carry their label via the left join
-    "q336_lpa_communities" ->
-      s"""WITH mp AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
-         |e AS (SELECT doc1 AS src, doc2 AS dst FROM mp
-         |      UNION ALL SELECT doc2, doc1 FROM mp),
-         |l0 AS (SELECT doc_id, doc_id AS c FROM documents),
-         |n1 AS (SELECT e.src, l.c, count(*) AS cnt
-         |  FROM e JOIN l0 l ON l.doc_id = e.dst GROUP BY 1, 2),
-         |t1 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n1)
-         |  WHERE rn = 1),
-         |l1 AS (SELECT l0.doc_id, coalesce(t1.c, l0.c) AS c
-         |  FROM l0 LEFT JOIN t1 ON t1.src = l0.doc_id),
-         |n2 AS (SELECT e.src, l.c, count(*) AS cnt
-         |  FROM e JOIN l1 l ON l.doc_id = e.dst GROUP BY 1, 2),
-         |t2 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n2)
-         |  WHERE rn = 1),
-         |l2 AS (SELECT l1.doc_id, coalesce(t2.c, l1.c) AS c
-         |  FROM l1 LEFT JOIN t2 ON t2.src = l1.doc_id),
-         |n3 AS (SELECT e.src, l.c, count(*) AS cnt
-         |  FROM e JOIN l2 l ON l.doc_id = e.dst GROUP BY 1, 2),
-         |t3 AS (SELECT src, c FROM (SELECT *, row_number() OVER (
-         |    PARTITION BY src ORDER BY cnt DESC, c) AS rn FROM n3)
-         |  WHERE rn = 1)
-         |SELECT l2.doc_id, CAST(coalesce(t3.c, l2.c) AS BIGINT) AS community
-         |FROM l2 LEFT JOIN t3 ON t3.src = l2.doc_id""".stripMargin,
+    "q336_lpa_communities" -> lpaCommunitiesSql,
     // q337: cumulative distinct reach at 1/2/3 hops (self excluded),
     // frontier growth read as the capped eccentricity
     "q337_hop_neighborhoods" ->
@@ -7311,5 +7314,61 @@ private object CorpusOracles {
          | round(CAST(sum(hits) AS DOUBLE)
          |   / (CAST(count(*) AS DOUBLE) * 10), 6) AS precision_at_k
          |FROM pq2 GROUP BY 1""".stripMargin,
+    // q340: exact integer numerator sum_c(4*m*e_c - d_c^2) over 4m^2;
+    // the same pairs feed edges, degrees, and both label tables
+    "q340_partition_modularity" ->
+      s"""WITH mp AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mp),
+         |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |   SELECT doc1 AS doc_id FROM mp
+         |   UNION ALL SELECT doc2 FROM mp) GROUP BY 1),
+         |comp AS (SELECT doc_id, component AS c FROM ($componentsSql)),
+         |lpa AS (SELECT doc_id, community AS c
+         |  FROM ($lpaCommunitiesSql)),
+         |single AS (SELECT doc_id, doc_id AS c FROM documents),
+         |parts AS (
+         |  SELECT 'components' AS part, doc_id, c FROM comp
+         |  UNION ALL SELECT 'lpa', doc_id, c FROM lpa
+         |  UNION ALL SELECT 'singletons', doc_id, c FROM single),
+         |ec AS (SELECT a.part, a.c, CAST(count(*) AS BIGINT) AS ec
+         |  FROM mp JOIN parts a ON a.doc_id = mp.doc1
+         |  JOIN parts b ON b.doc_id = mp.doc2 AND b.part = a.part
+         |  WHERE a.c = b.c GROUP BY 1, 2),
+         |dc AS (SELECT parts.part, parts.c,
+         |   CAST(sum(deg.deg) AS BIGINT) AS dc
+         |  FROM deg JOIN parts USING (doc_id) GROUP BY 1, 2),
+         |perc AS (SELECT dc.part, dc.dc, coalesce(ec.ec, 0) AS ec
+         |  FROM dc LEFT JOIN ec ON ec.part = dc.part AND ec.c = dc.c),
+         |nc AS (SELECT part, CAST(count(DISTINCT c) AS BIGINT)
+         |    AS n_communities FROM parts GROUP BY 1),
+         |agg AS (SELECT part,
+         |   CAST(sum(4 * m.m * ec - dc * dc) AS BIGINT) AS num,
+         |   CAST(coalesce(sum(ec), 0) AS BIGINT) AS n_internal_edges
+         |  FROM perc CROSS JOIN m GROUP BY 1, m.m)
+         |SELECT agg.part AS "partition", nc.n_communities,
+         | agg.n_internal_edges,
+         | round(CAST(agg.num AS DOUBLE) / (4.0 * m.m * m.m), 6)
+         |  AS modularity
+         |FROM agg JOIN nc USING (part) CROSS JOIN m""".stripMargin,
+    // q341: the q199 x1e6 quantization; centroid = truncating integer
+    // mean; exact integer squared distances; argmin ties to smallest
+    "q341_centroid_confusion" ->
+      """WITH e AS (SELECT vec_id, label, i,
+        |   CAST(round(emb[i + 1] * 1000000, 0) AS BIGINT) AS xq
+        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |    FROM embeddings), unnest(range(0, 64)) r(i)),
+        |cent AS (SELECT label AS cl, i,
+        |   CAST(sum(xq) AS BIGINT) // CAST(count(*) AS BIGINT) AS cq
+        |  FROM e GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label, cent.cl,
+        |   sum(CAST((e.xq - cent.cq) AS HUGEINT)
+        |     * CAST((e.xq - cent.cq) AS HUGEINT)) AS d2
+        |  FROM e JOIN cent USING (i) GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, cl FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id
+        |     ORDER BY d2, cl) AS rn FROM d2) WHERE rn = 1)
+        |SELECT label AS true_label, cl AS predicted_label,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -2284,21 +2284,28 @@ object Curation {
   }
 
   /** Synchronous majority-label propagation (q336): `rounds` rounds of
-    * "adopt the most frequent label among your neighbors, ties to the
-    * smallest" over the near-dup graph — the COMMUNITY view of the graph,
-    * vs the reachability view of q50's components. Majority voting stops
-    * at weak joints: one chain link cannot drag a clique's label across,
-    * so LPA separates the mirror families that transitive closure glues
-    * together (the q143 chain-merge failure mode, resolved by vote
-    * instead of by edge removal as q332 does). Isolated documents keep
-    * their own label. Rounds are synchronous and BOUNDED (the q50/q186
-    * discipline — exactly how a distributed engine runs LPA), so the
-    * result is deterministic; async/random-order LPA variants are not.
+    * "adopt the most frequent label among yourself and your neighbors,
+    * ties to the smallest" over the near-dup graph — the COMMUNITY view
+    * of the graph, vs the reachability view of q50's components.
+    * Majority voting stops at weak joints: one chain link cannot drag a
+    * clique's label across, so LPA separates the mirror families that
+    * transitive closure glues together (the q143 chain-merge failure
+    * mode, resolved by vote instead of by edge removal as q332 does).
+    * The vote INCLUDES the vertex's own current label — without it,
+    * synchronous LPA 2-cycles forever on pendant pairs (u and v swap
+    * labels every round and a bounded run splits every isolated pair
+    * into two singleton communities; observed directly: the neighbor-
+    * only variant scored modularity 0.088 on the sf0.01 graph vs 0.950
+    * for components, self-inclusive scores above it). Isolated documents
+    * keep their own label. Rounds are synchronous and BOUNDED (the
+    * q50/q186 discipline — exactly how a distributed engine runs LPA),
+    * so the result is deterministic; async/random-order variants are not.
     *
-    * Scale shape: per round one equality join (adjacency × labels) into
-    * a map-side-combinable (vertex, label) count, one per-vertex
-    * WindowGroupLimit-able argmax, one left join back; `localCheckpoint`
-    * pins each round (plan would otherwise re-derive all prior rounds).
+    * Scale shape: per round one equality join (adjacency × labels)
+    * unioned with the self votes into a map-side-combinable
+    * (vertex, label) count, then one per-vertex WindowGroupLimit-able
+    * argmax; `localCheckpoint` pins each round (the plan would otherwise
+    * re-derive all prior rounds).
     */
   def lpaCommunities(spark: SparkSession, sfDir: String,
       rounds: Int = 3): DataFrame = {
@@ -2321,15 +2328,16 @@ object Curation {
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cnt").desc, col("community"))
     for (_ <- 1 to rounds) {
-      val top = adj
+      val votes = adj
         .join(labels.select(col("doc_id").as("dst"), col("community")), "dst")
+        .select(col("src"), col("community"))
+        .unionByName(labels
+          .select(col("doc_id").as("src"), col("community")))
+      labels = votes
         .groupBy(col("src"), col("community")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("src").as("doc_id"), col("community").as("next_c"))
-      labels = labels.join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("next_c"), col("community")).as("community"))
+        .select(col("src").as("doc_id"), col("community"))
         .localCheckpoint()
     }
     labels
@@ -2379,6 +2387,62 @@ object Curation {
         when(col("n3") > col("n2"), 3)
           .when(col("n2") > col("n1"), 2)
           .otherwise(1).cast("int").as("ecc_capped"))
+  }
+
+  /** Newman modularity of three partitions of the near-dup graph (q340):
+    * connected components (q50), LPA communities (q336), and the
+    * singleton baseline — "which resolution should dedup trust?" asked
+    * as one number per partition. Q = Σ_c (e_c/m − (d_c/2m)²) computed
+    * as the EXACT integer numerator Σ_c (4·m·e_c − d_c²) over 4m², so
+    * the only float is the final 6-dp division; singletons score
+    * −Σ deg²/4m² (every edge cut), and a partition that merely merges
+    * everything scores 0 — LPA beating components here is the
+    * quantitative form of q336's chain-link argument.
+    *
+    * Scale shape: e_c is one equality join of the pair list to labels on
+    * both endpoints; d_c one degree aggregate joined to labels; m a
+    * 1-row broadcast (the A11 discipline). Numerators stay BIGINT here;
+    * at corpus scale cast the products to Decimal(38,0) — d_c² grows
+    * with the largest community's degree mass.
+    */
+  def partitionModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2")).localCheckpoint()
+    val allDocs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val comp = dedupComponents(spark, sfDir)
+      .select(col("doc_id"), col("component").as("c"))
+    val lpa = lpaCommunities(spark, sfDir)
+      .select(col("doc_id"), col("community").as("c"))
+    val single = allDocs.select(col("doc_id"), col("doc_id").as("c"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    val deg = pairs.select(col("doc1").as("doc_id"))
+      .unionByName(pairs.select(col("doc2").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    def score(name: String, labels: DataFrame): DataFrame = {
+      val e = pairs
+        .join(labels.select(col("doc_id").as("doc1"), col("c").as("c1")), "doc1")
+        .join(labels.select(col("doc_id").as("doc2"), col("c").as("c2")), "doc2")
+        .where(col("c1") === col("c2"))
+        .groupBy(col("c1").as("c")).agg(count(lit(1)).as("ec"))
+      val d = deg.join(labels, "doc_id")
+        .groupBy(col("c")).agg(sum(col("deg")).as("dc"))
+      val perC = d.join(e, Seq("c"), "left")
+        .select(col("dc"), coalesce(col("ec"), lit(0L)).as("ec"))
+      val nComm = labels.agg(countDistinct(col("c")).as("n_communities"))
+      perC.crossJoin(broadcast(mRow))
+        .agg(sum(lit(4L) * col("m") * col("ec") - col("dc") * col("dc"))
+            .as("num"),
+          coalesce(sum(col("ec")), lit(0L)).as("n_internal_edges"))
+        .crossJoin(broadcast(mRow))
+        .crossJoin(broadcast(nComm))
+        .select(lit(name).as("partition"), col("n_communities"),
+          col("n_internal_edges"),
+          round(col("num").cast("double")
+            / (lit(4.0) * col("m") * col("m")), 6).as("modularity"))
+    }
+    score("components", comp)
+      .unionByName(score("lpa", lpa))
+      .unionByName(score("singletons", single))
   }
 
   /** Compaction planner (q335): greedy next-fit-decreasing bin packing of

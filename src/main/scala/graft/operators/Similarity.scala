@@ -1238,6 +1238,44 @@ object Similarity {
       col("rel"), col("max_sim_sel"), round(col("mmr"), 6).as("mmr"))
   }
 
+  /** Nearest-centroid (Rocchio) confusion matrix (q341): classify every
+    * embedding by the closest per-label mean vector and emit the
+    * (true_label, predicted_label, n) cells — the cheapest supervised
+    * probe of an embedding space and the classic strong baseline kNN
+    * (q204) must beat to justify its cost. Fully exact: coordinates
+    * quantize to ×10⁶ fixed point at the scan (the q199 contract), each
+    * centroid coordinate is a truncating integer division of exact sums,
+    * and every squared distance is an exact integer — argmin ties break
+    * to the smallest label, so the matrix is bit-identical cross-engine
+    * with no float anywhere.
+    *
+    * Scale shape: one posexplode scan into a (label, dim)-keyed
+    * map-side-combinable centroid aggregate (|labels|·d rows — broadcast
+    * side), one dim-keyed join back, one (vec, label)-grain partial sum,
+    * a |labels|-bounded per-vector argmin window. No pairwise stage at
+    * all — corpus cost is linear.
+    */
+  def centroidConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i"),
+        round(col("x") * 1e6, 0).cast("long").as("xq"))
+      .localCheckpoint() // shared by the centroid build and the scoring join
+    val centroids = dims.groupBy(col("label").as("cl"), col("i"))
+      .agg(sum(col("xq")).as("sx"), count(lit(1)).as("n"))
+      .select(col("cl"), col("i"), expr("sx div n").as("cq"))
+    val d2 = dims.join(broadcast(centroids), "i")
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cl"))
+    d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("label").as("true_label"),
+        col("cl").as("predicted_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-label retrieval quality (q339): MRR@k and precision@k of the
     * exact cosine ranking with same-label-as-query relevance, macro per
     * label — the retrieval-side complement of q204's kNN vote accuracy

@@ -24,8 +24,16 @@ class Round9bOpsSpec extends SparkTestBase {
     val verts = (1L to 7L).toDF("doc_id")
     val got = Curation.lpaCommunitiesOf(spark, pairs, verts).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // self-inclusive votes: R1 [1,1,1,3,4,4,7] -> R2 [1,1,1,4,4,4,7]
+    // (v4's neighbor labels 4,4 outvote its own 3) -> R3 stable
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // a pendant pair must CONVERGE to one community, not 2-cycle
+    val pg = Seq((20L, 21L)).toDF("doc1", "doc2")
+    val pgot = Curation.lpaCommunitiesOf(spark, pg,
+      Seq(20L, 21L).toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pgot === Map(20L -> 20L, 21L -> 20L))
     // the two triangles end in DIFFERENT communities; components would not
     assert(got(1L) !== got(4L))
     val comps = Curation.connectedComponents(pairs, verts).collect()
