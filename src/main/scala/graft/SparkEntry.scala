@@ -632,6 +632,10 @@ object SparkEntry {
     "q340_partition_modularity" -> ((s: SparkSession, d: String) => graft.operators.Curation.partitionModularity(s, d)),
     // q341: nearest-centroid confusion matrix, exact fixed point
     "q341_centroid_confusion" -> ((s: SparkSession, d: String) => graft.operators.Similarity.centroidConfusion(s, d)),
+    // q343: seasonal-naive lag-7 backtest vs the naive lag-1 floor
+    "q343_seasonal_naive" -> ((s: SparkSession, d: String) => Relational.seasonalNaiveBacktest(s, d)),
+    // q344: join-fanout audit of the events user_id key (exact order stats)
+    "q344_join_fanout" -> ((s: SparkSession, d: String) => graft.operators.Skew.joinFanoutAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7370,5 +7374,56 @@ private object CorpusOracles {
         |SELECT label AS true_label, cl AS predicted_label,
         | CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY 1, 2""".stripMargin,
+    // q343: the spine joined to itself at +7 and +1 days; exact integer
+    // error totals, NULL skill when the naive floor is exactly zero
+    "q343_seasonal_naive" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |l7 AS (SELECT day + 7 AS day, x AS x7 FROM x),
+        |l1 AS (SELECT day + 1 AS day, x AS x1 FROM x),
+        |s AS (SELECT x.x, abs(x.x - x7) AS e7, abs(x.x - x1) AS e1
+        |  FROM x JOIN l7 USING (day) JOIN l1 USING (day)
+        |  WHERE x.day >= x.d0 + 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        | CAST(sum(e7) AS BIGINT) AS total_abs_err7_cents,
+        | CAST(max(e7) AS BIGINT) AS max_abs_err7_cents,
+        | round(CAST(sum(e7) AS DOUBLE) / (count(*) * 100.0), 6)
+        |  AS mae7_dollars,
+        | CAST(sum(e1) AS BIGINT) AS total_abs_err1_cents,
+        | round(CAST(sum(e1) AS DOUBLE) / (count(*) * 100.0), 6)
+        |  AS mae1_dollars,
+        | CASE WHEN sum(e1) = 0 THEN NULL
+        |  ELSE round(CAST(sum(e7) AS DOUBLE) / sum(e1), 6) END
+        |  AS skill_vs_naive
+        |FROM s""".stripMargin,
+    // q344: exact order statistics at row ceil(q*n_keys) of the
+    // (fanout, key)-sorted key grain; exact self-join mass sum(n^2)
+    "q344_join_fanout" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n, key) AS rn FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |   CAST(sum(n) AS BIGINT) AS n_rows,
+        |   CAST(max(n) AS BIGINT) AS max_fanout,
+        |   CAST(sum(n * n) AS BIGINT) AS self_join_rows,
+        |   CAST(max(n * n) AS BIGINT) AS top_sq FROM c)
+        |SELECT n_keys, n_rows, max_fanout,
+        | (SELECT n FROM r, t WHERE rn = CAST(ceil(n_keys * 0.5) AS BIGINT))
+        |  AS p50_fanout,
+        | (SELECT n FROM r, t WHERE rn = CAST(ceil(n_keys * 0.9) AS BIGINT))
+        |  AS p90_fanout,
+        | (SELECT n FROM r, t WHERE rn = CAST(ceil(n_keys * 0.99) AS BIGINT))
+        |  AS p99_fanout,
+        | self_join_rows,
+        | round(CAST(top_sq AS DOUBLE) / self_join_rows, 6)
+        |  AS top_key_share
+        |FROM t""".stripMargin,
   )
 }

@@ -2849,4 +2849,48 @@ object Relational {
       .toDF("n_days", "final_level_cents", "final_trend_cents",
         "total_abs_err_cents", "max_abs_err_cents", "mae_dollars")
   }
+
+  /** Seasonal-naive (lag-7) forecast backtest (q343): score x̂_t = x_{t−7}
+    * against the zero-filled daily spine, next to the naive lag-1
+    * baseline on the SAME scored range — the standard pair of floors any
+    * real model (q203 EWMA, q334 Holt) must beat, and the cheapest
+    * weekly-seasonality detector (skill < 1 ⇔ weekly structure exists).
+    * All error totals are exact integer cents; the two MAEs and the
+    * skill ratio round at 6 dp.
+    *
+    * Scale shape: the day-grain spine joins ITSELF by calendar
+    * equality (day = day−lag) — no window, no sort, two broadcast-sized
+    * sides; the fact table is touched once by the shared spine build.
+    */
+  def seasonalNaiveBacktest(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalNaiveBacktestOf(spark, Tables.orders(spark, sfDir))
+
+  /** [[seasonalNaiveBacktest]] over an arbitrary orders frame. */
+  def seasonalNaiveBacktestOf(spark: SparkSession,
+      orders: DataFrame): DataFrame = {
+    val spine = dailyCentsSpineOf(orders)
+      .select(col("d0"), col("day"), col("x")).localCheckpoint()
+    val base = spine.select(col("day"), col("x"))
+    def lagged(lag: Int, name: String) = base
+      .select(date_add(col("day"), lag).as("day"), col("x").as(name))
+    val scored = spine
+      .join(lagged(7, "x7"), "day")
+      .join(lagged(1, "x1"), "day")
+      .where(col("day") >= date_add(col("d0"), 7))
+      .select(col("x"), abs(col("x") - col("x7")).as("e7"),
+        abs(col("x") - col("x1")).as("e1"))
+    scored.agg(count(lit(1)).as("n_scored"),
+        sum(col("e7")).as("t7"), max(col("e7")).as("m7"),
+        sum(col("e1")).as("t1"), max(col("e1")).as("m1"))
+      .select(col("n_scored"),
+        col("t7").as("total_abs_err7_cents"), col("m7").as("max_abs_err7_cents"),
+        round(col("t7").cast("double") / (col("n_scored") * lit(100.0)), 6)
+          .as("mae7_dollars"),
+        col("t1").as("total_abs_err1_cents"),
+        round(col("t1").cast("double") / (col("n_scored") * lit(100.0)), 6)
+          .as("mae1_dollars"),
+        when(col("t1") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("t7").cast("double") / col("t1"), 6))
+          .as("skill_vs_naive"))
+  }
 }

@@ -97,4 +97,47 @@ object Skew {
   def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc).limit(topN)
+
+  /** Join-fanout audit (q344) of the events `user_id` key — the numbers a
+    * planner (human or AQE) needs BEFORE running a user-grain self-join
+    * or fact-fact join: exact fanout order statistics (p50/p90/p99/max,
+    * defined as the value at row ⌈q·n_keys⌉ of the (fanout, key)-sorted
+    * key list — an exact, engine-agnostic contract, not an interpolated
+    * percentile), the exact self-join output mass Σ n², and the share of
+    * that mass owned by the single hottest key. top_key_share ≫ 1/keys
+    * is the signal that salting ([[saltedJoinBy]]) or AQE skew-split is
+    * mandatory; p99 ≈ p50 says the key is safe to shuffle raw.
+    *
+    * Scale shape: one map-side-combinable per-key count, then all
+    * statistics on the KEY-grain table (row_number over n_keys rows —
+    * orders of magnitude below the fact table; the q329 histogram
+    * decomposition applies if even the key grain is huge). Σ n² is exact
+    * BIGINT up to ~3×10⁹ rows on one key.
+    */
+  def joinFanoutAudit(spark: SparkSession, sfDir: String): DataFrame =
+    joinFanoutAuditOf(Tables.events(spark, sfDir)
+      .select(col("user_id").as("key")))
+
+  /** [[joinFanoutAudit]] over an arbitrary single-column key frame. */
+  def joinFanoutAuditOf(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = keyed.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rn",
+      row_number().over(Window.orderBy(col("n"), col("key"))))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_fanout"), sum(col("n") * col("n")).as("sq"),
+      max(col("n") * col("n")).as("top_sq"))
+    def pct(q: Double, name: String) = ranked
+      .crossJoin(broadcast(tot.select(col("n_keys"))))
+      .where(col("rn") === ceil(col("n_keys") * q).cast("int"))
+      .select(col("n").as(name))
+    tot.crossJoin(broadcast(pct(0.5, "p50_fanout")))
+      .crossJoin(broadcast(pct(0.9, "p90_fanout")))
+      .crossJoin(broadcast(pct(0.99, "p99_fanout")))
+      .select(col("n_keys"), col("n_rows"), col("max_fanout"),
+        col("p50_fanout"), col("p90_fanout"), col("p99_fanout"),
+        col("sq").as("self_join_rows"),
+        round(col("top_sq").cast("double") / col("sq"), 6)
+          .as("top_key_share"))
+  }
 }
