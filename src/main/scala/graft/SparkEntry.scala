@@ -636,6 +636,14 @@ object SparkEntry {
     "q343_seasonal_naive" -> ((s: SparkSession, d: String) => Relational.seasonalNaiveBacktest(s, d)),
     // q344: join-fanout audit of the events user_id key (exact order stats)
     "q344_join_fanout" -> ((s: SparkSession, d: String) => graft.operators.Skew.joinFanoutAudit(s, d)),
+    // q345: wide daily metric matrix melted long via native unpivot
+    "q345_unpivot_metrics" -> ((s: SparkSession, d: String) => Relational.unpivotDailyMetrics(s, d)),
+    // q346: 64-bit activity bitmaps; lag retention by shift-AND-popcount
+    "q346_bitmap_retention" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.bitmapRetention(s, d)),
+    // q347: pairwise KMV sketch-merge intersection/Jaccard estimates
+    "q347_kmv_intersection" -> ((s: SparkSession, d: String) => TextAnalytics.kmvIntersection(s, d)),
+    // q348: grid-blocked DBSCAN over the (n_chars, spaces) integer plane
+    "q348_grid_dbscan" -> ((s: SparkSession, d: String) => graft.operators.Curation.gridDbscan(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7425,5 +7433,130 @@ private object CorpusOracles {
         | round(CAST(top_sq AS DOUBLE) / self_join_rows, 6)
         |  AS top_key_share
         |FROM t""".stripMargin,
+    // q345: the long form is the day×type count matrix with zero cells
+    // kept — spine cross join, not a bare GROUP BY, mirrors unpivot
+    // carrying the conditional-count zeros through
+    "q345_unpivot_metrics" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        |d AS (SELECT DISTINCT day FROM ev),
+        |mt AS (SELECT unnest(['click','error','purchase','signup','view'])
+        |  AS metric),
+        |c AS (SELECT day, event_type AS metric, CAST(count(*) AS BIGINT)
+        |  AS n FROM ev GROUP BY 1, 2)
+        |SELECT d.day, mt.metric, coalesce(c.n, 0) AS n
+        |FROM d CROSS JOIN mt
+        |LEFT JOIN c ON c.day = d.day AND c.metric = mt.metric""".stripMargin,
+    // q346: independent join-based restatement of the bitmap arithmetic —
+    // retained = (u,d)⋈(u,d+lag), eligible = active days with lag days of
+    // in-span follow-up
+    "q346_bitmap_retention" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |b AS (SELECT max(day) AS d1 FROM du),
+        |lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+        |el AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS eligible
+        |  FROM du, b, lags l
+        |  WHERE du.day + CAST(l.lag AS INTEGER) <= b.d1 GROUP BY 1),
+        |rt AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS retained
+        |  FROM du a CROSS JOIN lags l
+        |  JOIN du r ON r.user_id = a.user_id
+        |   AND r.day = a.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT el.lag, coalesce(rt.retained, 0) AS retained, el.eligible,
+        | CASE WHEN el.eligible = 0 THEN NULL
+        |  ELSE round(CAST(coalesce(rt.retained, 0) AS DOUBLE)
+        |   / el.eligible, 6) END AS retention_rate
+        |FROM el LEFT JOIN rt USING (lag)""".stripMargin,
+    // q347: the same per-source 64-smallest sketches as q210 ('kmv:'
+    // hash domain), pair-merged; exact overlap from the shingle-keyed
+    // equality join gates the estimator
+    "q347_kmv_intersection" ->
+      s"""WITH sh AS ($shingleRows),
+         |g AS (SELECT d.source, sh.shingle FROM sh
+         |  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM g GROUP BY 1),
+         |h AS (SELECT source, shingle,
+         |   CAST(('0x' || substr(md5('kmv:' || shingle), 1, 15)) AS BIGINT)
+         |    AS h FROM g),
+         |r AS (SELECT source, h, shingle, row_number() OVER (
+         |   PARTITION BY source ORDER BY h, shingle) AS rn FROM h),
+         |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b
+         |  FROM sz a JOIN sz b ON a.source < b.source),
+         |m AS (SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (
+         |   SELECT p.src_a, p.src_b, sk.h, 1 AS in_a, 0 AS in_b
+         |   FROM p JOIN sk ON sk.source = p.src_a
+         |   UNION ALL
+         |   SELECT p.src_a, p.src_b, sk.h, 0, 1
+         |   FROM p JOIN sk ON sk.source = p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+         |   ORDER BY h) AS rn FROM m),
+         |e AS (SELECT src_a, src_b, max(h) AS kth_hash,
+         |   CAST(sum(in_a * in_b) AS BIGINT) AS sketch_overlap,
+         |   CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t WHERE rn <= 64 GROUP BY 1, 2),
+         |ix AS (SELECT x.source AS src_a, y.source AS src_b,
+         |   CAST(count(*) AS BIGINT) AS inter
+         |  FROM g x JOIN g y ON x.shingle = y.shingle
+         |   AND x.source < y.source GROUP BY 1, 2),
+         |f AS (SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b,
+         |   coalesce(ix.inter, 0) AS inter_exact,
+         |   sa.n + sb.n - coalesce(ix.inter, 0) AS union_exact,
+         |   e.kth_hash, e.sketch_overlap, e.cnt,
+         |   CASE WHEN e.cnt < 64 THEN CAST(e.cnt AS DOUBLE)
+         |    ELSE 63.0 * 1152921504606846976 / e.kth_hash END
+         |    AS union_raw
+         |  FROM p JOIN sz sa ON sa.source = p.src_a
+         |  JOIN sz sb ON sb.source = p.src_b
+         |  LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+         |  JOIN e ON e.src_a = p.src_a AND e.src_b = p.src_b)
+         |SELECT src_a, src_b, n_a, n_b, inter_exact, union_exact,
+         | kth_hash, sketch_overlap,
+         | round(CAST(sketch_overlap AS DOUBLE) / cnt, 6) AS jaccard_est,
+         | round(CAST(inter_exact AS DOUBLE) / union_exact, 6)
+         |  AS jaccard_exact,
+         | round(CAST(sketch_overlap AS DOUBLE) * union_raw / cnt, 4)
+         |  AS inter_est,
+         | round(union_raw, 4) AS union_est,
+         | CASE WHEN inter_exact = 0 THEN NULL
+         |  ELSE round((round(CAST(sketch_overlap AS DOUBLE) * union_raw
+         |    / cnt, 4) - inter_exact) / inter_exact, 6) END
+         |  AS inter_rel_err
+         |FROM f""".stripMargin,
+    // q348: quadratic ε-box join is the oracle's candidate generator
+    // (500 docs); min-label recursive closure over core-core edges is the
+    // same fixpoint the star resolver reaches; border pins to the min
+    // neighboring core's component
+    "q348_grid_dbscan" ->
+      """WITH RECURSIVE f AS (SELECT doc_id, n_chars AS x,
+        |  length(text) - length(replace(text, ' ', '')) AS y
+        | FROM documents),
+        |nb AS (SELECT a.doc_id AS da, b.doc_id AS db FROM f a JOIN f b
+        |  ON abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 2),
+        |cnt AS (SELECT da AS doc_id, CAST(count(*) AS BIGINT)
+        |  AS n_neighbors FROM nb GROUP BY 1),
+        |core AS (SELECT doc_id FROM cnt WHERE n_neighbors >= 4),
+        |e AS (SELECT da AS src, db AS dst FROM nb
+        |  WHERE da <> db AND da IN (SELECT doc_id FROM core)
+        |   AND db IN (SELECT doc_id FROM core)),
+        |reach(doc_id, component) AS (
+        |  SELECT doc_id, doc_id FROM core
+        |  UNION
+        |  SELECT e.dst, r.component FROM reach r JOIN e ON e.src = r.doc_id),
+        |comp AS (SELECT doc_id, min(component) AS component
+        |  FROM reach GROUP BY 1),
+        |border AS (SELECT nb.da AS doc_id, min(c.component) AS component
+        |  FROM nb JOIN comp c ON c.doc_id = nb.db
+        |  WHERE nb.da NOT IN (SELECT doc_id FROM core) GROUP BY 1)
+        |SELECT cnt.doc_id, cnt.n_neighbors,
+        | CAST(CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        |  AS INTEGER) AS is_core,
+        | coalesce(comp.component, border.component, -1) AS cluster
+        |FROM cnt
+        |LEFT JOIN comp ON comp.doc_id = cnt.doc_id
+        |LEFT JOIN border ON border.doc_id = cnt.doc_id""".stripMargin,
   )
 }

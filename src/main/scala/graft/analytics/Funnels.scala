@@ -1362,4 +1362,65 @@ object Funnels {
               / ((col("n_ant") - col("n_both")) * col("n_baskets"))
                 .cast("double"), 6)).as("conviction"))
   }
+
+  /** Bitmap-index lag retention (q346): each user's activity calendar is
+    * packed into ONE 64-bit bitmap (bit i = active on day d0+i, built by
+    * `bit_or(1L << idx)` — a plain map-side-combinable aggregate), and
+    * day-over-day retention for lags 1-7 falls out of pure bit
+    * arithmetic: retained user-days at lag L = popcount(bm & (bm >> L)),
+    * eligible = popcount(bm & mask(n_days−L)) (active days with L days of
+    * follow-up inside the observed span). This is the bitmap-index
+    * formulation of the q48/q175 join-based retention — same numbers, no
+    * self-join: the (u,d)⋈(u,d+L) equality join is replaced by a shift
+    * and an AND inside each user's single row.
+    *
+    * Why it matters at 100 TB: the bitmap is a mergeable per-user sketch
+    * (OR-combinable across partitions and across incremental loads), 8
+    * bytes per user per 64-day window vs one row per user-day — the
+    * events table is touched once, and every lag after that is arithmetic
+    * on the compacted index. Spans past 63 days shard into (user, epoch)
+    * rows — bit_or merges within epochs and cross-epoch lags only touch
+    * the two adjacent words; this audit's 30-day window fits one word
+    * (guarded below).
+    *
+    * Determinism: exact integer popcounts; the rate is one 6-dp rounded
+    * division.
+    */
+  def bitmapRetention(spark: SparkSession, sfDir: String): DataFrame =
+    bitmapRetentionOf(spark, Tables.events(spark, sfDir))
+
+  /** [[bitmapRetention]] over an arbitrary events frame. */
+  def bitmapRetentionOf(spark: SparkSession, events: DataFrame,
+      maxLag: Int = 7): DataFrame = {
+    val du = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    // global span as a 1-row broadcast (A11 pattern — no driver collect);
+    // n_days > 63 would overflow one word: fail loudly rather than wrap
+    val bounds = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"), (datediff(col("d1"), col("d0")) + 1).as("n_days"))
+    val bm = du.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("n_days"),
+        datediff(col("day"), col("d0")).as("idx"))
+      .where(assert_true(col("n_days") <= 63,
+        lit("bitmapRetention: span exceeds one 64-bit word")).isNull &&
+        col("idx") >= 0)
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(shiftleft(1L, idx))").as("bm"),
+        max(col("n_days")).as("n_days"))
+    val lags = spark.range(1, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    bm.crossJoin(broadcast(lags))
+      .select(col("lag"),
+        expr("bit_count(bm & shiftright(bm, lag))").as("ret_u"),
+        expr("bit_count(bm & (shiftleft(1L, n_days - lag) - 1L))")
+          .as("eli_u"))
+      .groupBy(col("lag"))
+      .agg(sum(col("ret_u")).cast("long").as("retained"),
+        sum(col("eli_u")).cast("long").as("eligible"))
+      .select(col("lag"), col("retained"), col("eligible"),
+        when(col("eligible") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("retained").cast("double")
+            / col("eligible").cast("double"), 6)).as("retention_rate"))
+  }
 }

@@ -2893,4 +2893,34 @@ object Relational {
           .otherwise(round(col("t7").cast("double") / col("t1"), 6))
           .as("skill_vs_naive"))
   }
+
+  /** Wide→long reshape (q345): the daily event-type count matrix melted
+    * back to (day, metric, n) rows with Spark's native `unpivot` — the
+    * relational melt every metrics store needs when a wide gold table
+    * feeds a long-format consumer (dashboards, ML feature stores). The
+    * wide side is the pinned-values pivot (one groupBy with |types|
+    * conditional counts — the q-weekday precedent); the melt itself is a
+    * pure NARROW projection (`Expand`: each row fans to |types| rows with
+    * zero shuffle), so round-tripping wide↔long costs one aggregate total.
+    * Zero cells survive the trip: conditional counts emit 0, not null,
+    * and unpivot only drops nulls.
+    *
+    * Scale shape: one map-side-combinable aggregate on the day grain,
+    * then the Expand — at 100 TB the long output is |days|·|types| rows,
+    * still metadata-sized; no join, no window, no second scan.
+    */
+  def unpivotDailyMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    unpivotDailyMetricsOf(Tables.events(spark, sfDir))
+
+  /** [[unpivotDailyMetrics]] over an arbitrary events frame. */
+  def unpivotDailyMetricsOf(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = events
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .agg(count(when(col("event_type") === types.head, 1)).as(types.head),
+        types.tail.map(t =>
+          count(when(col("event_type") === t, 1)).as(t)): _*)
+    wide.unpivot(Array(col("day")), types.map(col).toArray, "metric", "n")
+  }
 }

@@ -2486,4 +2486,113 @@ object TextAnalytics {
       .select(col("phrase"), col("n_occurrences"), col("score_fp"),
         round(col("score_fp").cast("double") / 1e6, 6).as("score"))
   }
+
+  /** KMV pairwise-intersection estimation (q347, Beyer et al. SIGMOD'07):
+    * every source pair's |A∩B| and Jaccard estimated from the two
+    * per-source k-minimum-value sketches ALONE, audited against the exact
+    * overlap. The merge rule is the whole point: S_k(A∪B) = k smallest of
+    * S_k(A) ∪ S_k(B), and J ≈ |{h ∈ S_k(A∪B) : h ∈ S_k(A) ∧ h ∈ S_k(B)}|
+    * / k, so intersection ≈ J · Û where Û is the q210 union estimate
+    * (k−1)·2⁶⁰/h₍ₖ₎ off the merged kth hash. Pairs where the merged
+    * sketch holds < k hashes are exact by construction (both sketches are
+    * then complete sets) and fall back to the exact counts.
+    *
+    * Scale shape — the reason to sketch at all: the per-source k-smallest
+    * is a WindowGroupLimit over ONE distinct scan (shared memo with
+    * q210/q215); after that every pairwise estimate reads 2k = 128
+    * hash rows per pair, independent of corpus size — |sources|²·k rows
+    * total, vs the shingle-keyed equality join the exact audit columns
+    * cost. At 100 TB you ship the 20×64-row sketch table to one node (or
+    * broadcast it) and answer ALL pairwise overlap questions without
+    * touching the corpus again; the exact join here exists only to gate
+    * the estimator's error.
+    *
+    * Determinism: hashes are the pinned 60-bit md5 integers ('kmv:'
+    * domain — identical to q210, so the sketches ARE q210's); estimates
+    * round at 4 dp, ratios at 6 dp off the already-rounded estimate.
+    */
+  def kmvIntersection(spark: SparkSession, sfDir: String,
+      k: Int = 64): DataFrame = {
+    val uni = sourceShingleUniverse(spark, sfDir)
+      .where(col("source") =!= "ALL")
+    kmvIntersectionOf(uni, k)
+  }
+
+  /** [[kmvIntersection]] over an arbitrary (source, s) set frame. */
+  def kmvIntersectionOf(uni: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("s"))
+    val sk = uni
+      .withColumn("h", Hashing.stableHash60(concat(lit("kmv:"), col("s"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("h"))
+      .localCheckpoint() // tiny (|sources|·k rows); shared by both joins
+    val sizes = uni.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val srcs = sizes.select(col("source"))
+    // |sources|² pair frame: tiny × tiny non-equi join (BNLJ, no shuffle)
+    val pairs = srcs.as("a").join(broadcast(srcs.as("b")),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val mA = pairs.join(sk, col("src_a") === col("source"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val mB = pairs.join(sk, col("src_b") === col("source"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    // shared hashes (same shingle in both sketches) collapse to one row
+    val merged = mA.unionByName(mB)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val est = merged.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(max(col("h")).as("kth_hash"),
+        sum(col("in_a") * col("in_b")).cast("long").as("sketch_overlap"),
+        count(lit(1)).as("cnt"))
+    val ix = uni.as("x")
+      .join(uni.as("y"), col("x.s") === col("y.s")
+        && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val base = pairs
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .join(ix, Seq("src_a", "src_b"), "left")
+      .join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter_exact"),
+        (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))
+          .as("union_exact"),
+        col("kth_hash"), col("sketch_overlap"), col("cnt"))
+      .withColumn("union_raw",
+        // UNROUNDED estimate feeds inter_est: multiplying a 4-dp-grid
+        // value by the dyadic overlap/64 lands on exact decimal ties
+        // (e.g. 2214.672·3/64 = 103.81275) that the two engines' round
+        // functions break differently; the raw double stays off-grid
+        when(col("cnt") < k, col("cnt").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(1152921504606846976L).cast("double")
+              / col("kth_hash").cast("double")))
+    base.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+      col("inter_exact"), col("union_exact"), col("kth_hash"),
+      col("sketch_overlap"),
+      // overlap/64 has ≤ 6 decimal digits (2⁻⁶ grid) — the 6-dp round is
+      // an exact no-op, never a tie
+      round(col("sketch_overlap").cast("double")
+        / col("cnt").cast("double"), 6).as("jaccard_est"),
+      round(col("inter_exact").cast("double")
+        / col("union_exact").cast("double"), 6).as("jaccard_exact"),
+      round(col("sketch_overlap").cast("double") * col("union_raw")
+        / col("cnt").cast("double"), 4).as("inter_est"),
+      round(col("union_raw"), 4).as("union_est"))
+      .withColumn("inter_rel_err",
+        when(col("inter_exact") === 0L, lit(null).cast("double"))
+          .otherwise(round((col("inter_est") - col("inter_exact"))
+            / col("inter_exact").cast("double"), 6)))
+  }
 }

@@ -2487,4 +2487,81 @@ object Curation {
       .withColumn("fill_ratio",
         round(col("total_bytes").cast("double") / capBytes.toDouble, 6))
   }
+
+  /** Grid-blocked DBSCAN (q348, Ester et al. KDD'96) over the integer
+    * document feature plane (x = n_chars, y = space count) with an L∞
+    * ε-box of (5, 2) and minPts = 4 (self-inclusive): density clustering
+    * with NO all-pairs stage. Neighbor candidates come from an equality
+    * join on grid cells of exactly ε size — each point probes only its
+    * 3×3 neighboring cells (the 9-way fan-out is a broadcast of 9 offset
+    * rows, a narrow ×9 Expand), which is guaranteed to contain every L∞
+    * ε-neighbor. Cores (≥ minPts neighbors incl. self) link into clusters
+    * via [[connectedComponentsStar]] over the core-core ε-edges; border
+    * points (non-core with ≥1 core neighbor) pin deterministically to the
+    * MINIMUM neighboring core's component; the rest are noise (−1).
+    *
+    * Scale shape: the candidate generator is the same equality-keyed
+    * discipline as every dedup bucketer here (LSH bands, simhash chunks)
+    * — pair work is Σ_cell |cell|·|3×3 block|, linear for bounded
+    * density, never n²; the component resolver is the O(log² n) star
+    * machinery. Skewed cells (one dense cell at web scale) salt exactly
+    * like any hot join key. All-integer features ⇒ exact, engine-free
+    * arithmetic end to end.
+    */
+  def gridDbscan(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+        (length(col("text")) - length(translate(col("text"), " ", "")))
+          .cast("long").as("y"))
+    gridDbscanOf(spark, feats, epsX = 5L, epsY = 2L, minPts = 4L)
+  }
+
+  /** [[gridDbscan]] over an arbitrary (doc_id, x, y) integer frame. */
+  def gridDbscanOf(spark: SparkSession, feats: DataFrame,
+      epsX: Long, epsY: Long, minPts: Long): DataFrame = {
+    import spark.implicits._
+    val offsets = broadcast(
+      (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
+        .toDF("dx", "dy"))
+    val cells = feats.select(col("doc_id"), col("x"), col("y"),
+      floor(col("x") / epsX).as("cx"), floor(col("y") / epsY).as("cy"))
+    val probes = cells.crossJoin(offsets)
+      .select(col("doc_id").as("da"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("kx"), (col("cy") + col("dy")).as("ky"))
+    // every ε-pair appears exactly once: b's home cell is unique and a
+    // probes each of the 9 candidate cells once
+    val nb = probes.join(
+        cells.select(col("doc_id").as("db"), col("x").as("bx"),
+          col("y").as("by"), col("cx").as("kx"), col("cy").as("ky")),
+        Seq("kx", "ky"))
+      .where(abs(col("ax") - col("bx")) <= epsX
+        && abs(col("ay") - col("by")) <= epsY)
+      .select(col("da"), col("db"))
+      .localCheckpoint() // shared by count, edges and border assignment
+    val counts = nb.groupBy(col("da").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val cores = counts.where(col("n_neighbors") >= minPts)
+      .select(col("doc_id"))
+    val coreEdges = nb.where(col("da") < col("db"))
+      .join(cores.select(col("doc_id").as("da")), Seq("da"))
+      .join(cores.select(col("doc_id").as("db")), Seq("db"))
+      .select(col("da").as("doc1"), col("db").as("doc2"))
+    val comp = connectedComponentsStar(coreEdges, cores)
+    val border = nb
+      .join(cores.select(col("doc_id").as("da"), lit(1).as("a_core")),
+        Seq("da"), "left")
+      .where(col("a_core").isNull)
+      .join(comp.select(col("doc_id").as("db"), col("component")),
+        Seq("db"))
+      .groupBy(col("da").as("doc_id"))
+      .agg(min(col("component")).as("b_comp"))
+    counts
+      .join(comp.withColumnRenamed("component", "c_comp"),
+        Seq("doc_id"), "left")
+      .join(border, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_neighbors"),
+        when(col("c_comp").isNotNull, 1).otherwise(0).cast("int")
+          .as("is_core"),
+        coalesce(col("c_comp"), col("b_comp"), lit(-1L)).as("cluster"))
+  }
 }
