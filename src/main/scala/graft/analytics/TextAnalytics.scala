@@ -2518,7 +2518,18 @@ object TextAnalytics {
     kmvIntersectionOf(uni, k)
   }
 
-  /** [[kmvIntersection]] over an arbitrary (source, s) set frame. */
+  /** [[kmvIntersection]] over an arbitrary (source, s) set frame.
+    *
+    * Plan shape: the per-source k-smallest prune is the WindowGroupLimit
+    * (per-partition k-heap — collect_list only ever sees ≤ k rows per
+    * source, so the array build is capped by construction); each source
+    * then IS one row holding its sorted k-hash array, and every pairwise
+    * merge — union, re-truncate to k, kth hash, membership overlap — is a
+    * single codegen'd array expression inside one tiny BNLJ of the
+    * |sources|-row sketch table against itself. No per-pair shuffle, no
+    * second window: exactly the "ship the sketch table, answer all pairs"
+    * shape the scaladoc above promises at 100 TB.
+    */
   def kmvIntersectionOf(uni: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("h"), col("s"))
@@ -2526,44 +2537,30 @@ object TextAnalytics {
       .withColumn("h", Hashing.stableHash60(concat(lit("kmv:"), col("s"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
-      .select(col("source"), col("h"))
-      .localCheckpoint() // tiny (|sources|·k rows); shared by both joins
+      .groupBy(col("source"))
+      .agg(array_sort(collect_list(col("h"))).as("arr"))
     val sizes = uni.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val srcs = sizes.select(col("source"))
-    // |sources|² pair frame: tiny × tiny non-equi join (BNLJ, no shuffle)
-    val pairs = srcs.as("a").join(broadcast(srcs.as("b")),
+    val skn = sk.join(sizes, Seq("source"))
+    // |sources|² one-row-per-source merge: tiny × tiny non-equi BNLJ
+    val est = skn.as("a").join(broadcast(skn.as("b")),
         col("a.source") < col("b.source"))
-      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
-    val mA = pairs.join(sk, col("src_a") === col("source"))
-      .select(col("src_a"), col("src_b"), col("h"),
-        lit(1).as("in_a"), lit(0).as("in_b"))
-    val mB = pairs.join(sk, col("src_b") === col("source"))
-      .select(col("src_a"), col("src_b"), col("h"),
-        lit(0).as("in_a"), lit(1).as("in_b"))
-    // shared hashes (same shingle in both sketches) collapse to one row
-    val merged = mA.unionByName(mB)
-      .groupBy(col("src_a"), col("src_b"), col("h"))
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
-    val est = merged.withColumn("rn", row_number().over(wp))
-      .where(col("rn") <= k)
-      .groupBy(col("src_a"), col("src_b"))
-      .agg(max(col("h")).as("kth_hash"),
-        sum(col("in_a") * col("in_b")).cast("long").as("sketch_overlap"),
-        count(lit(1)).as("cnt"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        slice(array_sort(array_union(col("a.arr"), col("b.arr"))), 1, k)
+          .as("merged"),
+        col("a.arr").as("arr_a"), col("b.arr").as("arr_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        size(col("merged")).cast("long").as("cnt"),
+        expr("element_at(merged, size(merged))").as("kth_hash"),
+        size(array_intersect(array_intersect(col("merged"), col("arr_a")),
+          col("arr_b"))).cast("long").as("sketch_overlap"))
     val ix = uni.as("x")
       .join(uni.as("y"), col("x.s") === col("y.s")
         && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    val base = pairs
-      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
-        Seq("src_a"))
-      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
-        Seq("src_b"))
+    val base = est
       .join(ix, Seq("src_a", "src_b"), "left")
-      .join(est, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         coalesce(col("inter"), lit(0L)).as("inter_exact"),
         (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))

@@ -2516,7 +2516,25 @@ object Curation {
     gridDbscanOf(spark, feats, epsX = 5L, epsY = 2L, minPts = 4L)
   }
 
-  /** [[gridDbscan]] over an arbitrary (doc_id, x, y) integer frame. */
+  /** [[gridDbscan]] over an arbitrary (doc_id, x, y) integer frame.
+    *
+    * Cluster resolution exploits the grid's own geometry instead of a
+    * general graph solver: a cell is exactly ε-sized, so any two points
+    * in the SAME cell are mutually ε-close — all cores of a cell are one
+    * clique and contract (distributed, a groupBy on the cell key) to a
+    * single representative, the cell's min core doc_id. The contracted
+    * graph has ≤ |occupied cells| nodes and ≤ 9·|occupied cells| edges —
+    * bounded by the GRID AREA (feature range / ε per axis), not by the
+    * corpus: the same corpus-size-independence argument as the q37 IVF
+    * codebook. That metadata-sized edge list is union-found on the
+    * driver (min-label, so the fixpoint is identical to the min-label
+    * closure: each cluster labels by its minimum core doc_id — the
+    * cluster min is ≤ its whole cell, hence its own cell's rep, hence
+    * the min rep). For an unbounded feature domain where the occupied
+    * grid itself outgrows the driver, feed the contracted rep edges to
+    * [[connectedComponentsStar]] instead — the contraction step is the
+    * same either way.
+    */
   def gridDbscanOf(spark: SparkSession, feats: DataFrame,
       epsX: Long, epsY: Long, minPts: Long): DataFrame = {
     import spark.implicits._
@@ -2527,6 +2545,7 @@ object Curation {
       floor(col("x") / epsX).as("cx"), floor(col("y") / epsY).as("cy"))
     val probes = cells.crossJoin(offsets)
       .select(col("doc_id").as("da"), col("x").as("ax"), col("y").as("ay"),
+        col("cx").as("acx"), col("cy").as("acy"),
         (col("cx") + col("dx")).as("kx"), (col("cy") + col("dy")).as("ky"))
     // every ε-pair appears exactly once: b's home cell is unique and a
     // probes each of the 9 candidate cells once
@@ -2536,17 +2555,49 @@ object Curation {
         Seq("kx", "ky"))
       .where(abs(col("ax") - col("bx")) <= epsX
         && abs(col("ay") - col("by")) <= epsY)
-      .select(col("da"), col("db"))
-      .localCheckpoint() // shared by count, edges and border assignment
+      .select(col("da"), col("db"), col("acx"), col("acy"),
+        col("kx").as("bcx"), col("ky").as("bcy"))
+      .localCheckpoint() // shared by count, contraction and border passes
     val counts = nb.groupBy(col("da").as("doc_id"))
       .agg(count(lit(1)).as("n_neighbors"))
     val cores = counts.where(col("n_neighbors") >= minPts)
       .select(col("doc_id"))
-    val coreEdges = nb.where(col("da") < col("db"))
+    // distributed contraction: min core per cell, then cell-grain edges
+    val coreCells = cells
+      .join(cores, Seq("doc_id"))
+      .select(col("doc_id"), col("cx"), col("cy"))
+    val cellRep = coreCells.groupBy(col("cx"), col("cy"))
+      .agg(min(col("doc_id")).as("rep"))
+    val repEdges = nb
       .join(cores.select(col("doc_id").as("da")), Seq("da"))
       .join(cores.select(col("doc_id").as("db")), Seq("db"))
-      .select(col("da").as("doc1"), col("db").as("doc2"))
-    val comp = connectedComponentsStar(coreEdges, cores)
+      .join(cellRep.select(col("cx").as("acx"), col("cy").as("acy"),
+        col("rep").as("rep_a")), Seq("acx", "acy"))
+      .join(cellRep.select(col("cx").as("bcx"), col("cy").as("bcy"),
+        col("rep").as("rep_b")), Seq("bcx", "bcy"))
+      .where(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    // grid-area-bounded driver solve (the corpus-scale collapse is done)
+    val reps = cellRep.select(col("rep")).collect().map(_.getLong(0))
+    val edges = repEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.from(reps.map(r => r -> r))
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labels = broadcast(reps.toSeq.map(r => (r, find(r)))
+      .toDF("rep", "component"))
+    val comp = coreCells
+      .join(broadcast(cellRep), Seq("cx", "cy"))
+      .join(labels, Seq("rep"))
+      .select(col("doc_id"), col("component"))
     val border = nb
       .join(cores.select(col("doc_id").as("da"), lit(1).as("a_core")),
         Seq("da"), "left")
