@@ -644,6 +644,14 @@ object SparkEntry {
     "q347_kmv_intersection" -> ((s: SparkSession, d: String) => TextAnalytics.kmvIntersection(s, d)),
     // q348: grid-blocked DBSCAN over the (n_chars, spaces) integer plane
     "q348_grid_dbscan" -> ((s: SparkSession, d: String) => graft.operators.Curation.gridDbscan(s, d)),
+    // q349: mergeable rank-coreset quantile sketch, exact-rank audited
+    "q349_coreset_quantiles" -> ((s: SparkSession, d: String) => Relational.coresetQuantiles(s, d)),
+    // q350: trained Laplace-smoothed multinomial NB language classifier
+    "q350_naive_bayes" -> ((s: SparkSession, d: String) => TextAnalytics.naiveBayesLang(s, d)),
+    // q351: split-conformal 80% interval around the lag-7 forecaster
+    "q351_conformal_forecast" -> ((s: SparkSession, d: String) => Relational.conformalForecast(s, d)),
+    // q352: exact-integer-Gini decision stump over doc features
+    "q352_decision_stump" -> ((s: SparkSession, d: String) => TextAnalytics.decisionStump(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7558,5 +7566,157 @@ private object CorpusOracles {
         |FROM cnt
         |LEFT JOIN comp ON comp.doc_id = cnt.doc_id
         |LEFT JOIN border ON border.doc_id = cnt.doc_id""".stripMargin,
+    // q349: per-shard every-32nd order statistic with weight 32 (pinned
+    // md5 shard), cumulative-weight estimate, exact rank of the estimate
+    "q349_coreset_quantiles" ->
+      """WITH r0 AS (SELECT
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |  l_orderkey AS k1, l_linenumber AS k2,
+        |  CAST(('0x' || substr(md5('cq:' || CAST(l_orderkey AS VARCHAR)
+        |    || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+        |   % 8 AS shard
+        | FROM lineitem),
+        |kept AS (SELECT cents, shard, rn, CAST(32 AS BIGINT) AS wt FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY shard
+        |    ORDER BY cents, k1, k2) AS rn FROM r0)
+        | WHERE rn % 32 = 0),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_total FROM kept),
+        |cum AS (SELECT cents, shard, rn, CAST(sum(wt) OVER (
+        |   ORDER BY cents, shard, rn ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS cum_w FROM kept),
+        |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        |   CAST(0.99 AS DOUBLE)]) AS q),
+        |tg AS (SELECT q, w_total,
+        |   greatest(1, CAST(floor(q * w_total) AS BIGINT)) AS target_w
+        |  FROM qs, tot),
+        |est AS (SELECT q, w_total, target_w, min(cents) AS est_cents
+        |  FROM cum JOIN tg ON cum_w >= target_w GROUP BY 1, 2, 3),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+        |ex AS (SELECT e.q, CAST(sum(CASE WHEN r0.cents <= e.est_cents
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS exact_rank
+        |  FROM r0 CROSS JOIN est e GROUP BY 1)
+        |SELECT e.q, n.n_rows, e.w_total, e.target_w, e.est_cents,
+        | ex.exact_rank,
+        | round(abs(CAST(ex.exact_rank AS DOUBLE) / n.n_rows - e.q), 6)
+        |  AS rank_err,
+        | round(256.0 / n.n_rows, 6) AS err_bound
+        |FROM est e JOIN ex USING (q) CROSS JOIN n""".stripMargin,
+    // q350: the q94 fixed-point log contract (round ln at 6 dp, scale to
+    // x1e6 BIGINT, integer-sum); argmax ties to the first language
+    "q350_naive_bayes" ->
+      """WITH dw AS (SELECT doc_id, lang, w FROM (
+        |   SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |   FROM documents) WHERE w <> ''),
+        |docw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dw GROUP BY 1, 2),
+        |ct AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS t_c
+        |  FROM dw GROUP BY 1),
+        |cwt AS (SELECT lang AS cls, w, CAST(count(*) AS BIGINT) AS cw
+        |  FROM dw GROUP BY 1, 2),
+        |v AS (SELECT DISTINCT w FROM dw),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |pr AS (SELECT cls, CAST(round(round(
+        |    ln(CAST(n_c AS DOUBLE) / n_docs), 6) * 1000000) AS BIGINT)
+        |   AS prior_fp
+        |  FROM (SELECT lang AS cls, count(*) AS n_c FROM documents
+        |    GROUP BY 1), nd),
+        |tb AS (SELECT ct.cls, v.w, CAST(round(round(
+        |    ln(CAST(coalesce(cwt.cw, 0) + 1 AS DOUBLE)
+        |      / CAST(ct.t_c + vs.vsz AS DOUBLE)), 6) * 1000000) AS BIGINT)
+        |   AS w_fp
+        |  FROM v CROSS JOIN ct CROSS JOIN vs
+        |  LEFT JOIN cwt ON cwt.cls = ct.cls AND cwt.w = v.w),
+        |sc AS (SELECT docw.doc_id, tb.cls,
+        |   CAST(sum(docw.cnt * tb.w_fp) AS BIGINT) AS like_fp
+        |  FROM docw JOIN tb USING (w) GROUP BY 1, 2),
+        |st AS (SELECT sc.doc_id, sc.cls,
+        |   sc.like_fp + pr.prior_fp AS score_fp
+        |  FROM sc JOIN pr USING (cls)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score_fp DESC, cls) AS rn FROM st)
+        |SELECT b.doc_id, d.lang AS actual_lang, b.cls AS predicted_lang,
+        | CAST(b.score_fp AS BIGINT) AS best_score_fp
+        |FROM best b JOIN documents d USING (doc_id) WHERE rn = 1""".stripMargin,
+    // q351: the q343 daily spine, lag-7 absolute residuals; calibration =
+    // first half by day, qhat = ceil(0.8*(n_cal+1))-th smallest
+    "q351_conformal_forecast" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |l7 AS (SELECT day + 7 AS day, x AS x7 FROM x),
+        |s AS (SELECT x.day, abs(x.x - x7) AS abs_r
+        |  FROM x JOIN l7 USING (day) WHERE x.day >= x.d0 + 7),
+        |idx AS (SELECT *, row_number() OVER (ORDER BY day) AS rn FROM s),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |   CAST(floor(count(*) / 2) AS BIGINT) AS n_cal FROM idx),
+        |cal AS (SELECT i.abs_r, i.day FROM idx i, nt WHERE i.rn <= nt.n_cal),
+        |kq AS (SELECT n_total, n_cal, least(n_cal,
+        |   CAST(ceil(0.8 * (n_cal + 1)) AS BIGINT)) AS k_rank FROM nt),
+        |cr AS (SELECT *, row_number() OVER (ORDER BY abs_r, day) AS rq
+        |  FROM cal),
+        |qh AS (SELECT kq.n_total, kq.n_cal, kq.k_rank,
+        |   CAST(cr.abs_r AS BIGINT) AS qhat_cents
+        |  FROM cr JOIN kq ON cr.rq = kq.k_rank),
+        |ev AS (SELECT i.abs_r FROM idx i, nt WHERE i.rn > nt.n_cal)
+        |SELECT qh.n_total, qh.n_cal, CAST(count(*) AS BIGINT) AS n_eval,
+        | qh.k_rank, qh.qhat_cents,
+        | CAST(sum(CASE WHEN ev.abs_r <= qh.qhat_cents THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_covered,
+        | round(CAST(sum(CASE WHEN ev.abs_r <= qh.qhat_cents
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM ev CROSS JOIN qh GROUP BY 1, 2, 4, 5""".stripMargin,
+    // q352: histogram-trick split search; purity ordering in exact
+    // BIGINT (sum-of-squares cross-multiplied), x1e6 truncating div
+    "q352_decision_stump" ->
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+        |   AS n_spaces
+        | FROM documents),
+        |lng AS (SELECT pos, 'n_chars' AS feature, n_chars AS value FROM f
+        | UNION ALL SELECT pos, 'n_tokens', n_tokens FROM f
+        | UNION ALL SELECT pos, 'n_spaces', n_spaces FROM f),
+        |cand AS (SELECT feature, value, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(pos) AS BIGINT) AS p FROM lng GROUP BY 1, 2),
+        |tot AS (SELECT feature, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pos) AS BIGINT) AS ptot FROM lng GROUP BY 1),
+        |cum AS (SELECT feature, value,
+        |   CAST(sum(cnt) OVER w AS BIGINT) AS n_left,
+        |   CAST(sum(p) OVER w AS BIGINT) AS p_left
+        |  FROM cand WINDOW w AS (PARTITION BY feature ORDER BY value
+        |   ROWS UNBOUNDED PRECEDING)),
+        |sc AS (SELECT c.feature, c.value AS threshold, t.n,
+        |   c.n_left, c.p_left,
+        |   t.n - c.n_left AS n_right, t.ptot - c.p_left AS p_right
+        |  FROM cum c JOIN tot t USING (feature) WHERE c.n_left < t.n),
+        |r AS (SELECT *,
+        |   CAST(((p_left * p_left
+        |     + (n_left - p_left) * (n_left - p_left)) * n_right
+        |    + (p_right * p_right
+        |     + (n_right - p_right) * (n_right - p_right)) * n_left)
+        |    * 1000000 // (n_left * n_right) AS BIGINT) AS score_fp
+        |  FROM sc),
+        |top AS (SELECT *, row_number() OVER (
+        |   ORDER BY score_fp DESC, feature, threshold) AS split_rank
+        |  FROM r)
+        |SELECT feature, threshold, CAST(split_rank AS INTEGER) AS split_rank,
+        | n_left, p_left, n_right, p_right, score_fp,
+        | CAST(CASE WHEN 2 * p_left >= n_left THEN 1 ELSE 0 END AS INTEGER)
+        |  AS pred_left,
+        | CAST(CASE WHEN 2 * p_right >= n_right THEN 1 ELSE 0 END AS INTEGER)
+        |  AS pred_right,
+        | round(CAST(greatest(p_left, n_left - p_left)
+        |   + greatest(p_right, n_right - p_right) AS DOUBLE) / n, 6)
+        |  AS train_acc
+        |FROM top WHERE split_rank <= 5""".stripMargin,
   )
 }

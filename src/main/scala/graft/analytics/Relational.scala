@@ -2912,6 +2912,132 @@ object Relational {
   def unpivotDailyMetrics(spark: SparkSession, sfDir: String): DataFrame =
     unpivotDailyMetricsOf(Tables.events(spark, sfDir))
 
+  /** Sharded-coreset quantile sketch audit (q349): the MERGEABLE
+    * quantile summary every distributed percentile really computes —
+    * each shard sorts its slice and keeps every `step`-th order statistic
+    * with weight `step` (a rank-space coreset; per-shard rank error
+    * < step, global error ≤ shards·step) — estimated p50/p90/p99 of the
+    * lineitem price, audited against the exact rank of the estimate.
+    * This is the quantile member of the sketch-audit family (q210 KMV ↔
+    * distinct count, q215 HLL, q209 CMS ↔ frequency): q38 gates the
+    * EXACT percentiles; this gates the summary you would actually ship
+    * from 1000 executors.
+    *
+    * Scale shape: shard = pinned hash (no data movement assumptions),
+    * per-shard k-th-order-statistic prune is one partitioned window; the
+    * kept coreset is N/step rows — production picks step ≈ N/budget so
+    * the cumulative-weight finish (one small window) runs over a
+    * bounded summary; the audit's exact-rank columns are one
+    * conditional-count scan with the 3-row estimate table broadcast.
+    *
+    * Determinism: prices are exact cents; per-shard order pins ties by
+    * (cents, orderkey, linenumber); the only doubles are the two 6-dp
+    * rounded ratios.
+    */
+  def coresetQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    coresetQuantilesOf(spark, Tables.lineitem(spark, sfDir))
+
+  /** [[coresetQuantiles]] over an arbitrary lineitem frame. */
+  def coresetQuantilesOf(spark: SparkSession, lineitem: DataFrame,
+      shards: Int = 8, step: Int = 32): DataFrame = {
+    import spark.implicits._
+    val rows = lineitem.select(
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"),
+      (graft.functions.Hashing.stableHash32(concat(lit("cq:"),
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))) % shards).as("shard"))
+    val ws = Window.partitionBy(col("shard"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val kept = rows.withColumn("rn", row_number().over(ws))
+      .where(col("rn") % step === 0)
+      .select(col("cents"), col("shard"), col("rn"),
+        lit(step.toLong).as("wt"))
+      .localCheckpoint() // the N/step summary; reused by total + cum + est
+    val tot = kept.agg(sum(col("wt")).as("w_total"))
+    val wc = Window.orderBy(col("cents"), col("shard"), col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = kept.withColumn("cum_w", sum(col("wt")).over(wc))
+    val targets = broadcast(Seq(0.5, 0.9, 0.99).toDF("q")
+      .crossJoin(broadcast(tot))
+      .select(col("q"), col("w_total"),
+        greatest(lit(1L), floor(col("q") * col("w_total")).cast("long"))
+          .as("target_w")))
+    val est = cum.join(targets, col("cum_w") >= col("target_w"))
+      .groupBy(col("q"), col("w_total"), col("target_w"))
+      .agg(min(col("cents")).as("est_cents"))
+    val n = lineitem.agg(count(lit(1)).as("n_rows"))
+    val exact = rows.select(col("cents").as("c"))
+      .crossJoin(broadcast(est.select(col("q"), col("est_cents"))))
+      .groupBy(col("q"))
+      .agg(sum(when(col("c") <= col("est_cents"), 1L).otherwise(0L))
+        .as("exact_rank"))
+    est.join(exact, Seq("q")).crossJoin(broadcast(n))
+      .select(col("q"), col("n_rows"), col("w_total"), col("target_w"),
+        col("est_cents"), col("exact_rank"),
+        round(abs(col("exact_rank").cast("double") / col("n_rows")
+          - col("q")), 6).as("rank_err"),
+        round(lit((shards * step).toDouble) / col("n_rows"), 6)
+          .as("err_bound"))
+  }
+
+  /** Split-conformal forecast intervals (q351, Vovk et al.; Lei et al.
+    * JASA'18): the seasonal-naive lag-7 forecaster (q343) wrapped in a
+    * distribution-free 80 % prediction interval — q̂ = the
+    * ⌈0.8·(n_cal+1)⌉-th smallest absolute residual on the first half of
+    * the scored days, coverage measured on the second half. The honest
+    * answer to "how wrong is the forecast allowed to be": if the series
+    * is exchangeable the eval coverage concentrates at ≥ 80 % by
+    * construction, and this audit MEASURES it instead of assuming it.
+    *
+    * Scale shape: residuals live on the day grain (metadata-sized after
+    * the one distributed daily collapse); the calibration order statistic
+    * is one small window and the coverage pass one conditional count
+    * against the broadcast 1-row q̂.
+    *
+    * Determinism: residuals are exact integer cents; the calibration
+    * rank pins ties by (abs_r, day); coverage is the one 6-dp ratio.
+    */
+  def conformalForecast(spark: SparkSession, sfDir: String): DataFrame =
+    conformalForecastOf(spark, Tables.orders(spark, sfDir))
+
+  /** [[conformalForecast]] over an arbitrary orders frame. */
+  def conformalForecastOf(spark: SparkSession,
+      orders: DataFrame): DataFrame = {
+    val spine = dailyCentsSpineOf(orders)
+      .select(col("d0"), col("day"), col("x")).localCheckpoint()
+    val scored = spine
+      .join(spine.select(date_add(col("day"), 7).as("day"),
+        col("x").as("x7")), "day")
+      .where(col("day") >= date_add(col("d0"), 7))
+      .select(col("day"), abs(col("x") - col("x7")).as("abs_r"))
+    val idx = scored.withColumn("rn",
+      row_number().over(Window.orderBy(col("day"))))
+    val nt = broadcast(idx.agg(count(lit(1)).as("n_total"))
+      .select(col("n_total"),
+        floor(col("n_total") / 2).cast("long").as("n_cal")))
+    val cal = idx.crossJoin(nt).where(col("rn") <= col("n_cal"))
+    val qhat = broadcast(cal
+      .withColumn("rq", row_number().over(
+        Window.orderBy(col("abs_r"), col("day"))))
+      .where(col("rq") === least(col("n_cal"),
+        ceil(lit(0.8) * (col("n_cal") + 1)).cast("long")))
+      .select(col("n_total"), col("n_cal"),
+        col("rq").cast("long").as("k_rank"),
+        col("abs_r").as("qhat_cents")))
+    idx.crossJoin(nt).where(col("rn") > col("n_cal"))
+      .select(col("abs_r")).crossJoin(qhat)
+      .groupBy(col("n_total"), col("n_cal"), col("k_rank"),
+        col("qhat_cents"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("abs_r") <= col("qhat_cents"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_total"), col("n_cal"), col("n_eval"), col("k_rank"),
+        col("qhat_cents"), col("n_covered"),
+        round(col("n_covered").cast("double")
+          / col("n_eval").cast("double"), 6).as("coverage"))
+  }
+
   /** [[unpivotDailyMetrics]] over an arbitrary events frame. */
   def unpivotDailyMetricsOf(events: DataFrame): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")

@@ -2487,6 +2487,150 @@ object TextAnalytics {
         round(col("score_fp").cast("double") / 1e6, 6).as("score"))
   }
 
+  /** Trained multinomial naive Bayes language classifier (q350): unlike
+    * the q32 stopword HEURISTIC and the q235/q330 pinned-weight scorers,
+    * this one LEARNS its parameters from the corpus — Laplace-smoothed
+    * class-conditional word log-probabilities ln((c(w,ℓ)+1)/(T_ℓ+|V|))
+    * and document-frequency priors ln(n_ℓ/N) — then scores every document
+    * by argmax_ℓ [prior + Σ_w count·lnP(w|ℓ)] (ties break to the
+    * lexicographically first language). Resubstitution audit: predictions
+    * gate against actual labels per document.
+    *
+    * Scale shape: training is two map-side-combinable aggregates (class
+    * tokens, class-word counts); the model is |V|·|classes| rows —
+    * Heaps'-bounded like the q71 unigram LM, broadcast to the scoring
+    * join, so the corpus stream shuffles once (the doc-word collapse) at
+    * any scale. Scoring expands each doc-word by |classes| — a bounded
+    * constant fan-out, not a data-dependent blowup.
+    *
+    * Determinism: the q94 fixed-point log contract — each log rounds at
+    * 6 dp then scales to a ×10⁶ BIGINT, so the per-class score is an
+    * exact integer sum in both engines.
+    */
+  def naiveBayesLang(spark: SparkSession, sfDir: String): DataFrame =
+    naiveBayesLangOf(Tables.documents(spark, sfDir))
+
+  /** [[naiveBayesLang]] over an arbitrary documents frame. */
+  def naiveBayesLangOf(documents: DataFrame): DataFrame = {
+    val dw = documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val docWord = dw.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTok = dw.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("t_c"))
+    val classWord = dw.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("cw"))
+    val vocab = dw.select(col("w")).distinct()
+    val vsz = vocab.agg(count(lit(1)).as("vsz"))
+    val nd = documents.agg(count(lit(1)).as("n_docs"))
+    val prior = documents.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+      .crossJoin(broadcast(nd))
+      .select(col("cls"),
+        round(round(log(col("n_c").cast("double") / col("n_docs")), 6)
+          * 1e6).cast("long").as("prior_fp"))
+    val model = vocab.crossJoin(broadcast(classTok))
+      .crossJoin(broadcast(vsz))
+      .join(classWord, Seq("cls", "w"), "left")
+      .select(col("cls"), col("w"),
+        round(round(log((coalesce(col("cw"), lit(0L)) + 1).cast("double")
+          / (col("t_c") + col("vsz")).cast("double")), 6) * 1e6)
+          .cast("long").as("w_fp"))
+    val scores = docWord.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("cnt") * col("w_fp")).as("like_fp"))
+      .join(broadcast(prior), Seq("cls"))
+      .select(col("doc_id"), col("cls"),
+        (col("like_fp") + col("prior_fp")).as("score_fp"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("cls"))
+    scores.withColumn("rn", row_number().over(wb)).where(col("rn") === 1)
+      .join(documents.select(col("doc_id"), col("lang").as("actual_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("actual_lang"),
+        col("cls").as("predicted_lang"), col("score_fp").as("best_score_fp"))
+  }
+
+  /** Exact-Gini decision stump (q352): the best single threshold split
+    * over the integer document features (n_chars, whitespace tokens,
+    * spaces) for the is-English label, scored by weighted Gini purity in
+    * EXACT integer arithmetic — maximizing Σc_L²/n_L + Σc_R²/n_R is the
+    * same ordering as minimizing weighted impurity, and its value
+    * (Σc_L²·n_R + Σc_R²·n_L)·10⁶ div (n_L·n_R) is a pure BIGINT fixed
+    * point: no logs, no doubles, no cross-engine rounding surface at all
+    * until the final 6-dp train accuracy. Top-5 candidate splits
+    * published with per-side majority predictions — the root-node
+    * decision any tree ensemble grows from.
+    *
+    * Scale shape: the histogram trick every distributed GBDT uses —
+    * collapse to (feature, value) count grain first (map-side
+    * combinable), cumulative counts by one per-feature window over the
+    * DISTINCT-value grain, argmax over the tiny candidate table. At web
+    * scale the value grain pre-bins to pinned-width histograms
+    * (LightGBM-style); the split evaluation is unchanged.
+    */
+  def decisionStump(spark: SparkSession, sfDir: String): DataFrame =
+    decisionStumpOf(Tables.documents(spark, sfDir))
+
+  /** [[decisionStump]] over an arbitrary documents frame. */
+  def decisionStumpOf(documents: DataFrame): DataFrame = {
+    val f = documents.select(
+      (col("lang") === "en").cast("long").as("pos"),
+      col("n_chars").cast("long").as("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      (length(col("text")) - length(translate(col("text"), " ", "")))
+        .cast("long").as("n_spaces"))
+    val long = f.select(col("pos"), explode(map(
+      lit("n_chars"), col("n_chars"),
+      lit("n_tokens"), col("n_tokens"),
+      lit("n_spaces"), col("n_spaces"))).as(Seq("feature", "value")))
+    val cand = long.groupBy(col("feature"), col("value"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+    val tot = long.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("ptot"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val scored = cand
+      .withColumn("n_left", sum(col("cnt")).over(wf))
+      .withColumn("p_left", sum(col("p")).over(wf))
+      .join(tot, Seq("feature"))
+      .where(col("n_left") < col("n"))
+      .select(col("feature"), col("value").as("threshold"), col("n"),
+        col("n_left"), col("p_left"),
+        (col("n") - col("n_left")).as("n_right"),
+        (col("ptot") - col("p_left")).as("p_right"))
+      .withColumn("num",
+        (col("p_left") * col("p_left")
+          + (col("n_left") - col("p_left"))
+            * (col("n_left") - col("p_left"))) * col("n_right")
+        + (col("p_right") * col("p_right")
+          + (col("n_right") - col("p_right"))
+            * (col("n_right") - col("p_right"))) * col("n_left"))
+      .withColumn("score_fp",
+        expr("(num * 1000000) div (n_left * n_right)"))
+    scored
+      .withColumn("split_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_fp").desc, col("feature"), col("threshold"))))
+      .where(col("split_rank") <= 5)
+      .select(col("feature"), col("threshold"),
+        col("split_rank").cast("int").as("split_rank"),
+        col("n_left"), col("p_left"), col("n_right"), col("p_right"),
+        col("score_fp"),
+        when(col("p_left") * 2 >= col("n_left"), 1).otherwise(0)
+          .cast("int").as("pred_left"),
+        when(col("p_right") * 2 >= col("n_right"), 1).otherwise(0)
+          .cast("int").as("pred_right"),
+        round((greatest(col("p_left"), col("n_left") - col("p_left"))
+          + greatest(col("p_right"), col("n_right") - col("p_right")))
+          .cast("double") / col("n").cast("double"), 6).as("train_acc"))
+  }
+
   /** KMV pairwise-intersection estimation (q347, Beyer et al. SIGMOD'07):
     * every source pair's |A∩B| and Jaccard estimated from the two
     * per-source k-minimum-value sketches ALONE, audited against the exact
