@@ -652,6 +652,14 @@ object SparkEntry {
     "q351_conformal_forecast" -> ((s: SparkSession, d: String) => Relational.conformalForecast(s, d)),
     // q352: exact-integer-Gini decision stump over doc features
     "q352_decision_stump" -> ((s: SparkSession, d: String) => TextAnalytics.decisionStump(s, d)),
+    // q353: leakage-free 5-fold CV of the naive Bayes (BASE-minus-fold)
+    "q353_naive_bayes_cv" -> ((s: SparkSession, d: String) => TextAnalytics.naiveBayesCv(s, d)),
+    // q354: pinned-hash permutation test of the en length difference
+    "q354_permutation_test" -> ((s: SparkSession, d: String) => TextAnalytics.permutationTest(s, d)),
+    // q355: isotonic (PAV) fit via the declarative minimax identity
+    "q355_isotonic_calibration" -> ((s: SparkSession, d: String) => TextAnalytics.isotonicCalibration(s, d)),
+    // q356: ordered first-a-before-first-b pattern mining with lift
+    "q356_sequential_patterns" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.sequentialPatterns(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7718,5 +7726,166 @@ private object CorpusOracles {
         |   + greatest(p_right, n_right - p_right) AS DOUBLE) / n, 6)
         |  AS train_acc
         |FROM top WHERE split_rank <= 5""".stripMargin,
+    // q353: fold = md5('cv:'||doc_id) % 5; train counts = global minus
+    // the fold's own; pinned corpus vocab; the q350 fixed-point contract
+    "q353_naive_bayes_cv" ->
+      """WITH docs AS (SELECT doc_id, lang, text,
+        |  CAST(CAST(('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold FROM documents),
+        |dw AS (SELECT doc_id, lang, fold, w FROM (
+        |   SELECT doc_id, lang, fold, unnest(string_split(text, ' ')) AS w
+        |   FROM docs) WHERE w <> ''),
+        |docw AS (SELECT doc_id, fold, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dw GROUP BY 1, 2, 3),
+        |folds AS (SELECT CAST(unnest(range(0, 5)) AS INTEGER) AS fold),
+        |gt AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS g_t
+        |  FROM dw GROUP BY 1),
+        |ftk AS (SELECT fold, lang AS cls, CAST(count(*) AS BIGINT) AS f_t
+        |  FROM dw GROUP BY 1, 2),
+        |trt AS (SELECT folds.fold, gt.cls,
+        |   gt.g_t - coalesce(ftk.f_t, 0) AS t_c
+        |  FROM folds CROSS JOIN gt
+        |  LEFT JOIN ftk ON ftk.fold = folds.fold AND ftk.cls = gt.cls),
+        |gw AS (SELECT lang AS cls, w, CAST(count(*) AS BIGINT) AS g_cw
+        |  FROM dw GROUP BY 1, 2),
+        |fw AS (SELECT fold, lang AS cls, w, CAST(count(*) AS BIGINT)
+        |   AS f_cw FROM dw GROUP BY 1, 2, 3),
+        |v AS (SELECT DISTINCT w FROM dw),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM v),
+        |trw AS (SELECT folds.fold, gt.cls, v.w,
+        |   coalesce(gw.g_cw, 0) - coalesce(fw.f_cw, 0) AS cw
+        |  FROM folds CROSS JOIN gt CROSS JOIN v
+        |  LEFT JOIN gw ON gw.cls = gt.cls AND gw.w = v.w
+        |  LEFT JOIN fw ON fw.fold = folds.fold AND fw.cls = gt.cls
+        |   AND fw.w = v.w),
+        |gd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS g_n
+        |  FROM documents GROUP BY 1),
+        |fd AS (SELECT fold, lang AS cls, CAST(count(*) AS BIGINT) AS f_n
+        |  FROM docs GROUP BY 1, 2),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |fa AS (SELECT fold, CAST(count(*) AS BIGINT) AS f_docs
+        |  FROM docs GROUP BY 1),
+        |pr AS (SELECT folds.fold, gd.cls, CAST(round(round(
+        |    ln(CAST(gd.g_n - coalesce(fd.f_n, 0) AS DOUBLE)
+        |      / CAST(na.n_docs - fa.f_docs AS DOUBLE)), 6) * 1000000)
+        |   AS BIGINT) AS prior_fp
+        |  FROM folds CROSS JOIN gd CROSS JOIN na
+        |  JOIN fa ON fa.fold = folds.fold
+        |  LEFT JOIN fd ON fd.fold = folds.fold AND fd.cls = gd.cls),
+        |tb AS (SELECT trw.fold, trw.cls, trw.w, CAST(round(round(
+        |    ln(CAST(trw.cw + 1 AS DOUBLE)
+        |      / CAST(trt.t_c + vs.vsz AS DOUBLE)), 6) * 1000000)
+        |   AS BIGINT) AS w_fp
+        |  FROM trw JOIN trt ON trt.fold = trw.fold AND trt.cls = trw.cls
+        |  CROSS JOIN vs),
+        |sc AS (SELECT docw.doc_id, docw.fold, tb.cls,
+        |   CAST(sum(docw.cnt * tb.w_fp) AS BIGINT) AS like_fp
+        |  FROM docw JOIN tb ON tb.fold = docw.fold AND tb.w = docw.w
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT sc.doc_id, sc.fold, sc.cls,
+        |   sc.like_fp + pr.prior_fp AS score_fp
+        |  FROM sc JOIN pr ON pr.fold = sc.fold AND pr.cls = sc.cls),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score_fp DESC, cls) AS rn FROM st),
+        |ok AS (SELECT b.fold,
+        |   CASE WHEN b.cls = d.lang THEN 1 ELSE 0 END AS ok
+        |  FROM best b JOIN docs d USING (doc_id) WHERE rn = 1),
+        |pf AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_test,
+        |   CAST(sum(ok) AS BIGINT) AS n_correct FROM ok GROUP BY 1
+        |  UNION ALL
+        |  SELECT CAST(-1 AS INTEGER), CAST(count(*) AS BIGINT),
+        |   CAST(sum(ok) AS BIGINT) FROM ok)
+        |SELECT fold, n_test, n_correct,
+        | round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
+        |FROM pf""".stripMargin,
+    // q354: permutation b labels the first n_en docs in pinned
+    // md5('pt:'||b||':'||doc_id) order; x1e6 truncating mean difference
+    "q354_permutation_test" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(pos) AS BIGINT) AS n_en,
+        |   CAST(count(*) - sum(pos) AS BIGINT) AS n_rest,
+        |   CAST((sum(v * pos) * 1000000) // sum(pos)
+        |    - ((sum(v) - sum(v * pos)) * 1000000)
+        |      // (count(*) - sum(pos)) AS BIGINT) AS obs_diff_fp
+        |  FROM base),
+        |bs AS (SELECT CAST(unnest(range(1, 20)) AS INTEGER) AS b),
+        |rk AS (SELECT b, v, row_number() OVER (PARTITION BY b
+        |   ORDER BY md5('pt:' || CAST(b AS VARCHAR) || ':'
+        |    || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM base CROSS JOIN bs),
+        |pm AS (SELECT rk.b,
+        |   CAST((sum(CASE WHEN rk.r <= obs.n_en THEN rk.v ELSE 0 END)
+        |     * 1000000) // obs.n_en
+        |    - ((sum(rk.v) - sum(CASE WHEN rk.r <= obs.n_en THEN rk.v
+        |       ELSE 0 END)) * 1000000) // (count(*) - obs.n_en)
+        |    AS BIGINT) AS diff_fp
+        |  FROM rk CROSS JOIN obs GROUP BY rk.b, obs.n_en)
+        |SELECT obs.n, obs.n_en, obs.n_rest, obs.obs_diff_fp,
+        | CAST(count(*) AS BIGINT) AS n_perms,
+        | CAST(sum(CASE WHEN abs(pm.diff_fp) >= abs(obs.obs_diff_fp)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        | CAST(min(pm.diff_fp) AS BIGINT) AS min_perm_fp,
+        | CAST(max(pm.diff_fp) AS BIGINT) AS max_perm_fp,
+        | round(CAST(sum(CASE WHEN abs(pm.diff_fp) >= abs(obs.obs_diff_fp)
+        |    THEN 1 ELSE 0 END) + 1 AS DOUBLE) / (count(*) + 1), 6)
+        |  AS p_value
+        |FROM pm CROSS JOIN obs GROUP BY 1, 2, 3, 4""".stripMargin,
+    // q355: PAV via fitted(i) = max_{j<=i} min_{k>=i} of the x1e6
+    // truncating segment averages over n_chars-div-50 bins
+    "q355_isotonic_calibration" ->
+      """WITH binned AS (SELECT n_chars // 50 AS bin,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+        |   CAST(sum(y) AS BIGINT) AS pos FROM binned GROUP BY 1),
+        |pref AS (SELECT bin, cnt, pos,
+        |   CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+        |   CAST(sum(cnt) OVER w AS BIGINT) AS cum_n,
+        |   CAST(sum(pos) OVER w AS BIGINT) AS cum_p
+        |  FROM hist WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+        |seg AS (SELECT l.i AS j, r.i AS k,
+        |   ((r.cum_p - (l.cum_p - l.pos)) * 1000000)
+        |    // (r.cum_n - (l.cum_n - l.cnt)) AS a_fp
+        |  FROM pref l JOIN pref r ON l.i <= r.i),
+        |mins AS (SELECT p.i, seg.j, min(seg.a_fp) AS m_fp
+        |  FROM seg JOIN pref p ON seg.j <= p.i AND seg.k >= p.i
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT i, CAST(max(m_fp) AS BIGINT) AS fitted_fp
+        |  FROM mins GROUP BY 1)
+        |SELECT pref.bin, pref.i AS bin_rank, pref.cnt, pref.pos,
+        | CAST((pref.pos * 1000000) // pref.cnt AS BIGINT) AS raw_fp,
+        | fit.fitted_fp,
+        | round(CAST(fit.fitted_fp AS DOUBLE) / 1e6, 6) AS fitted_rate
+        |FROM pref JOIN fit USING (i)""".stripMargin,
+    // q356: first-occurrence order pins ties by (ts, event_id); the
+    // q331 support/confidence/lift contract on ORDERED pairs
+    "q356_sequential_patterns" ->
+      """WITH fx AS (SELECT user_id, event_type, ts, eid FROM (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_id AS eid, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events) WHERE rn = 1),
+        |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM fx),
+        |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        |  FROM fx GROUP BY 1),
+        |p AS (SELECT a.event_type AS antecedent,
+        |   b.event_type AS consequent, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM fx a JOIN fx b ON a.user_id = b.user_id
+        |   AND a.event_type <> b.event_type
+        |   AND (a.ts < b.ts OR (a.ts = b.ts AND a.eid < b.eid))
+        |  GROUP BY 1, 2)
+        |SELECT p.antecedent, p.consequent, ma.n_t AS n_a, mb.n_t AS n_b,
+        | p.n_ab, n.n_users,
+        | round(CAST(p.n_ab AS DOUBLE) / n.n_users, 6) AS support,
+        | round(CAST(p.n_ab AS DOUBLE) / ma.n_t, 6) AS confidence,
+        | round(CAST(p.n_ab AS DOUBLE) * n.n_users / (ma.n_t * mb.n_t), 6)
+        |  AS lift
+        |FROM p
+        |JOIN marg ma ON ma.event_type = p.antecedent
+        |JOIN marg mb ON mb.event_type = p.consequent
+        |CROSS JOIN n""".stripMargin,
   )
 }

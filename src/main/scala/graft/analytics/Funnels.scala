@@ -1363,6 +1363,61 @@ object Funnels {
                 .cast("double"), 6)).as("conviction"))
   }
 
+  /** Ordered sequential-pattern mining (q356): every directed event-type
+    * pair a→b scored by how many users did their FIRST a strictly before
+    * their first b — the gap-tolerant generalization of the q140
+    * immediate-successor transition matrix (a→b counts even with other
+    * events between) and the mined version of the q-funnel's PINNED
+    * sequence. Support n(a→b), confidence n(a→b)/n(a) and lift
+    * n(a→b)·N / (n(a)·n(b)) follow the q331 association-rule contract
+    * but on ORDER, not co-occurrence. First occurrences pin ties by
+    * (ts, event_id), so the order relation is total and deterministic.
+    *
+    * Scale shape: one user-keyed aggregate to |types| first-occurrence
+    * rows per user, then a per-user self-join with ≤ |types|² bounded
+    * fan-out (a constant, not data-dependent) feeding a map-side-
+    * combinable pair count; the type marginals broadcast onto the 20-row
+    * result.
+    */
+  def sequentialPatterns(spark: SparkSession, sfDir: String): DataFrame =
+    sequentialPatternsOf(Tables.events(spark, sfDir))
+
+  /** [[sequentialPatterns]] over an arbitrary events frame. */
+  def sequentialPatternsOf(events: DataFrame): DataFrame = {
+    val ft = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("ts"), col("f.event_id").as("eid"))
+      .localCheckpoint() // |users|·|types| rows; reused by pairs + marginals
+    val n = ft.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val marg = ft.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ft.as("a").join(ft.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") =!= col("b.event_type")
+          && (col("a.ts") < col("b.ts")
+            || (col("a.ts") === col("b.ts")
+              && col("a.eid") < col("b.eid"))))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("antecedent"),
+        col("n_t").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(marg.select(col("event_type").as("consequent"),
+        col("n_t").as("n_b"))), Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("n_a"), col("n_b"),
+        col("n_ab"), col("n_users"),
+        round(col("n_ab").cast("double") / col("n_users").cast("double"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_users").cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
   /** Bitmap-index lag retention (q346): each user's activity calendar is
     * packed into ONE 64-bit bitmap (bit i = active on day d0+i, built by
     * `bit_or(1L << idx)` — a plain map-side-combinable aggregate), and

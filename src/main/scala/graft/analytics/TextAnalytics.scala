@@ -2554,6 +2554,226 @@ object TextAnalytics {
         col("cls").as("predicted_lang"), col("score_fp").as("best_score_fp"))
   }
 
+  /** 5-fold cross-validated naive Bayes (q353): the leakage-free
+    * evaluation q350's resubstitution accuracy cannot give — each
+    * document is scored by a model whose counts EXCLUDE its own fold
+    * (fold = pinned md5 hash of doc_id mod 5). Per-fold class-word and
+    * class-token counts come from ONE extra aggregate: train counts are
+    * global − fold (the q333 BASE⊖DELTA trick, so 5 models cost one
+    * grouped pass, not 5 scans). The feature space is pinned to the
+    * corpus vocabulary across folds (fixed a-priori vocab — unseen train
+    * counts smooth to the Laplace floor), priors to the train split's
+    * document frequencies.
+    *
+    * Scale shape: two fold-keyed map-side-combinable aggregates; the
+    * model table is |folds|·|classes|·|V| rows (Heaps'-bounded),
+    * broadcast to the scoring join keyed (fold, w) — the corpus still
+    * shuffles exactly once.
+    *
+    * Determinism: the q94 ×10⁶ fixed-point log contract; argmax ties to
+    * the first class; per-fold accuracy is the one 6-dp ratio.
+    */
+  def naiveBayesCv(spark: SparkSession, sfDir: String): DataFrame =
+    naiveBayesCvOf(Tables.documents(spark, sfDir))
+
+  /** [[naiveBayesCv]] over an arbitrary documents frame. */
+  def naiveBayesCvOf(documents: DataFrame, folds: Int = 5): DataFrame = {
+    val docs = documents.withColumn("fold",
+      (Hashing.stableHash32(concat(lit("cv:"), col("doc_id").cast("string")))
+        % folds).cast("int"))
+    val dw = docs
+      .select(col("doc_id"), col("lang"), col("fold"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val docWord = dw.groupBy(col("doc_id"), col("fold"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val foldIds = docs.sparkSession.range(folds.toLong)
+      .select(col("id").cast("int").as("fold"))
+    // train counts per fold = global − that fold's own contribution
+    val gTok = dw.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("g_t"))
+    val fTok = dw.groupBy(col("fold"), col("lang").as("cls"))
+      .agg(count(lit(1)).as("f_t"))
+    val trTok = foldIds.crossJoin(broadcast(gTok))
+      .join(fTok, Seq("fold", "cls"), "left")
+      .select(col("fold"), col("cls"),
+        (col("g_t") - coalesce(col("f_t"), lit(0L))).as("t_c"))
+    val gWord = dw.groupBy(col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("g_cw"))
+    val fWord = dw.groupBy(col("fold"), col("lang").as("cls"), col("w"))
+      .agg(count(lit(1)).as("f_cw"))
+    val vocab = dw.select(col("w")).distinct()
+    val vsz = vocab.agg(count(lit(1)).as("vsz"))
+    val trWord = foldIds.crossJoin(broadcast(vocab.crossJoin(broadcast(gTok
+        .select(col("cls"))))))
+      .join(gWord, Seq("cls", "w"), "left")
+      .join(fWord, Seq("fold", "cls", "w"), "left")
+      .select(col("fold"), col("cls"), col("w"),
+        (coalesce(col("g_cw"), lit(0L)) - coalesce(col("f_cw"), lit(0L)))
+          .as("cw"))
+    val gDoc = documents.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("g_n"))
+    val fDoc = docs.groupBy(col("fold"), col("lang").as("cls"))
+      .agg(count(lit(1)).as("f_n"))
+    val nAll = documents.agg(count(lit(1)).as("n_docs"))
+    val fAll = docs.groupBy(col("fold")).agg(count(lit(1)).as("f_docs"))
+    val prior = foldIds.crossJoin(broadcast(gDoc))
+      .join(fDoc, Seq("fold", "cls"), "left")
+      .crossJoin(broadcast(nAll)).join(broadcast(fAll), Seq("fold"))
+      .select(col("fold"), col("cls"),
+        round(round(log((col("g_n") - coalesce(col("f_n"), lit(0L)))
+            .cast("double")
+          / (col("n_docs") - col("f_docs")).cast("double")), 6) * 1e6)
+          .cast("long").as("prior_fp"))
+    val model = trWord.join(trTok, Seq("fold", "cls"))
+      .crossJoin(broadcast(vsz))
+      .select(col("fold"), col("cls"), col("w"),
+        round(round(log((col("cw") + 1).cast("double")
+          / (col("t_c") + col("vsz")).cast("double")), 6) * 1e6)
+          .cast("long").as("w_fp"))
+    val scores = docWord.join(broadcast(model), Seq("fold", "w"))
+      .groupBy(col("doc_id"), col("fold"), col("cls"))
+      .agg(sum(col("cnt") * col("w_fp")).as("like_fp"))
+      .join(broadcast(prior), Seq("fold", "cls"))
+      .select(col("doc_id"), col("fold"), col("cls"),
+        (col("like_fp") + col("prior_fp")).as("score_fp"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("cls"))
+    val pred = scores.withColumn("rn", row_number().over(wb))
+      .where(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")),
+        Seq("doc_id"))
+      .select(col("fold"),
+        when(col("cls") === col("actual"), 1L).otherwise(0L).as("ok"))
+    val perFold = pred.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"), sum(col("ok")).as("n_correct"))
+    perFold
+      .unionByName(pred.groupBy(lit(-1).cast("int").as("fold"))
+        .agg(count(lit(1)).as("n_test"), sum(col("ok")).as("n_correct")))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double")
+          / col("n_test").cast("double"), 6).as("accuracy"))
+  }
+
+  /** Pinned-hash permutation test (q354): is the en / non-en difference
+    * in mean document length real? The observed statistic (×10⁶
+    * truncating fixed-point difference of means) is compared against 19
+    * PSEUDO-permutations — permutation b reassigns the |en| positive
+    * labels to the first n_en documents in md5('pt:'‖b‖doc_id) order, a
+    * deterministic stand-in for a random shuffle that both engines
+    * reproduce bit-for-bit. p = (1 + #{|stat_b| ≥ |stat_obs|}) / (B+1),
+    * the standard add-one permutation p-value (Phipson & Smyth 2010).
+    *
+    * Scale shape: one narrow ×B fan-out of the (doc, length, label)
+    * projection, a per-permutation rank (B independent windows over the
+    * doc grain), and one grouped aggregate — B is a pinned constant, so
+    * the whole test is a bounded constant factor over a single scan.
+    */
+  def permutationTest(spark: SparkSession, sfDir: String): DataFrame =
+    permutationTestOf(spark, Tables.documents(spark, sfDir))
+
+  /** [[permutationTest]] over an arbitrary documents frame. */
+  def permutationTestOf(spark: SparkSession, documents: DataFrame,
+      b: Int = 19): DataFrame = {
+    import spark.implicits._
+    val base = documents.select(col("doc_id"),
+      col("n_chars").cast("long").as("v"),
+      (col("lang") === "en").cast("long").as("pos"))
+      .localCheckpoint() // tiny projection reused by obs + B permutations
+    val obs = base.agg(count(lit(1)).as("n"), sum(col("pos")).as("n_en"),
+        sum(col("v") * col("pos")).as("s_en"), sum(col("v")).as("s_all"))
+      .select(col("n"), col("n_en"), (col("n") - col("n_en")).as("n_rest"),
+        (expr("(s_en * 1000000) div n_en")
+          - expr("((s_all - s_en) * 1000000) div (n - n_en)"))
+          .as("obs_diff_fp"))
+    val perms = base.crossJoin(broadcast((1 to b).toDF("b")))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+          .orderBy(md5(concat(lit("pt:"), col("b").cast("string"),
+            lit(":"), col("doc_id").cast("string"))), col("doc_id"))))
+      .crossJoin(broadcast(obs.select(col("n_en").as("k"))))
+      .groupBy(col("b"))
+      .agg(sum(when(col("r") <= col("k"), col("v")).otherwise(0L))
+        .as("s_en_p"),
+        sum(col("v")).as("s_all_p"), count(lit(1)).as("n_p"),
+        max(col("k")).as("k"))
+      .select(col("b"), (expr("(s_en_p * 1000000) div k")
+        - expr("((s_all_p - s_en_p) * 1000000) div (n_p - k)"))
+        .as("diff_fp"))
+    perms.crossJoin(broadcast(obs))
+      .groupBy(col("n"), col("n_en"), col("n_rest"), col("obs_diff_fp"))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff_fp")) >= abs(col("obs_diff_fp")), 1L)
+          .otherwise(0L)).as("n_ge"),
+        min(col("diff_fp")).as("min_perm_fp"),
+        max(col("diff_fp")).as("max_perm_fp"))
+      .select(col("n"), col("n_en"), col("n_rest"), col("obs_diff_fp"),
+        col("n_perms"), col("n_ge"), col("min_perm_fp"),
+        col("max_perm_fp"),
+        round((col("n_ge") + 1).cast("double")
+          / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
+  }
+
+  /** Isotonic calibration via the PAV minimax identity (q355, Barlow et
+    * al. 1972): the monotone-nondecreasing fit of the is-English rate
+    * against document-length bins — fitted(i) = max_{j≤i} min_{k≥i}
+    * avg(y[j..k]), the closed form of pool-adjacent-violators. Computed
+    * entirely declaratively: bin prefix sums, the (j,k) segment-average
+    * table, then a min-then-max over the bounded index triangle — no
+    * sequential pooling loop, so both engines evaluate the identical
+    * algebra. Averages are ×10⁶ truncating-division fixed points; the
+    * max-of-mins is monotone for ANY fixed segment values, so the fit is
+    * monotone by construction even on the truncated grid.
+    *
+    * Scale shape: the corpus collapses to |bins| rows first (one
+    * map-side-combinable histogram — the q87 discipline); the triangle
+    * work is |bins|³ on that metadata-sized table, a pinned constant.
+    * This is the calibration layer a production scorer puts ON TOP of
+    * q350/q235-style raw scores (isotonic beats Platt when monotonicity
+    * is all you trust).
+    */
+  def isotonicCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    isotonicCalibrationOf(Tables.documents(spark, sfDir)
+      .select(expr("n_chars div 50").cast("long").as("bin"),
+        (col("lang") === "en").cast("long").as("y")))
+
+  /** [[isotonicCalibration]] over an arbitrary (bin, y) frame. */
+  def isotonicCalibrationOf(binned: DataFrame): DataFrame = {
+    val hist = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val wo = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val pref = hist
+      .withColumn("i", row_number().over(wo).cast("long"))
+      .withColumn("cum_n", sum(col("cnt")).over(
+        wo.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("cum_p", sum(col("pos")).over(
+        wo.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .localCheckpoint() // |bins| rows; reused by three self-joins
+    val left = pref.select(col("i").as("j"),
+      (col("cum_n") - col("cnt")).as("n0"), (col("cum_p") - col("pos"))
+        .as("p0"))
+    val seg = left.join(broadcast(pref.select(col("i").as("k"),
+        col("cum_n").as("nk"), col("cum_p").as("pk"))),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("((pk - p0) * 1000000) div (nk - n0)").as("a_fp"))
+    val idx = pref.select(col("i"))
+    val mins = seg.join(broadcast(idx),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("a_fp")).as("m_fp"))
+    val fit = mins.groupBy(col("i")).agg(max(col("m_fp")).as("fitted_fp"))
+    pref.join(fit, Seq("i"))
+      .select(col("bin"), col("i").cast("long").as("bin_rank"),
+        col("cnt"), col("pos"),
+        expr("(pos * 1000000) div cnt").as("raw_fp"),
+        col("fitted_fp"),
+        round(col("fitted_fp").cast("double") / 1e6, 6).as("fitted_rate"))
+  }
+
   /** Exact-Gini decision stump (q352): the best single threshold split
     * over the integer document features (n_chars, whitespace tokens,
     * spaces) for the is-English label, scored by weighted Gini purity in
