@@ -660,6 +660,14 @@ object SparkEntry {
     "q355_isotonic_calibration" -> ((s: SparkSession, d: String) => TextAnalytics.isotonicCalibration(s, d)),
     // q356: ordered first-a-before-first-b pattern mining with lift
     "q356_sequential_patterns" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.sequentialPatterns(s, d)),
+    // q357: squared-euclidean silhouette of the trained-codebook cells
+    "q357_silhouette" -> ((s: SparkSession, d: String) => Similarity.silhouette(s, d)),
+    // q358: bipartite HITS authorities over user x event-type incidence
+    "q358_hits_bipartite" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.hitsBipartite(s, d)),
+    // q359: Wald SPRT daily trajectory, pinned 6-dp LLR constants
+    "q359_sprt_daily" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.sprtDaily(s, d)),
+    // q360: within/between scatter + Calinski-Harabasz variance ratio
+    "q360_cluster_dispersion" -> ((s: SparkSession, d: String) => Similarity.clusterDispersion(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7887,5 +7895,109 @@ private object CorpusOracles {
         |JOIN marg ma ON ma.event_type = p.antecedent
         |JOIN marg mb ON mb.event_type = p.consequent
         |CROSS JOIN n""".stripMargin,
+    // q357: pairwise squared distances on the +1e3-shifted 1e-3 grid of
+    // the trained assignment; sign-split truncating fixed-point s(i)
+    "q357_silhouette" ->
+      s"""WITH asg AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |qv AS (SELECT vec_id, cell, list_transform(v,
+         |   x -> CAST(round(x * 1000) AS BIGINT) + 1000) AS vq FROM asg),
+         |p AS (SELECT a.vec_id AS i, a.cell AS ci, b.cell AS cj,
+         |   list_sum(list_transform(list_zip(a.vq, b.vq),
+         |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+         |  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id),
+         |g AS (SELECT i, ci, cj, CAST(sum(d2) AS BIGINT) AS s,
+         |   CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2, 3),
+         |own AS (SELECT i, (s * 1000000) // c AS a_fp, c + 1 AS n_own
+         |  FROM g WHERE ci = cj),
+         |oth AS (SELECT i, min((s * 1000000) // c) AS b_fp
+         |  FROM g WHERE ci <> cj GROUP BY 1)
+         |SELECT qv.vec_id, qv.cell,
+         | CAST(coalesce(own.n_own, 1) AS BIGINT) AS n_own,
+         | CAST(own.a_fp AS BIGINT) AS a_fp, CAST(oth.b_fp AS BIGINT) AS b_fp,
+         | CAST(CASE WHEN own.a_fp IS NULL OR oth.b_fp IS NULL
+         |    OR greatest(own.a_fp, oth.b_fp) = 0 THEN 0
+         |   WHEN oth.b_fp >= own.a_fp THEN ((oth.b_fp - own.a_fp) * 1000000)
+         |    // greatest(own.a_fp, oth.b_fp)
+         |   ELSE -(((own.a_fp - oth.b_fp) * 1000000)
+         |    // greatest(own.a_fp, oth.b_fp)) END AS BIGINT) AS s_fp
+         |FROM qv LEFT JOIN own ON own.i = qv.vec_id
+         |LEFT JOIN oth ON oth.i = qv.vec_id""".stripMargin,
+    // q358: three unrolled mutual-reinforcement rounds, each side
+    // max-normalized to the x1e6 grid (all masses positive)
+    "q358_hits_bipartite" -> {
+      def hr(p: String, c: String) =
+        s"""a$c AS (SELECT event_type, CAST(sum(h) AS BIGINT) AS a_raw
+           |  FROM e JOIN hub$p USING (user_id) GROUP BY 1),
+           |am$c AS (SELECT max(a_raw) AS amx FROM a$c),
+           |an$c AS (SELECT event_type,
+           |   CAST((a_raw * 1000000) // amx AS BIGINT) AS a FROM a$c, am$c),
+           |hr$c AS (SELECT user_id, CAST(sum(a) AS BIGINT) AS h_raw
+           |  FROM e JOIN an$c USING (event_type) GROUP BY 1),
+           |hm$c AS (SELECT max(h_raw) AS hmx FROM hr$c),
+           |hub$c AS (SELECT user_id,
+           |   CAST((h_raw * 1000000) // hmx AS BIGINT) AS h
+           |  FROM hr$c, hm$c)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+         |hub0 AS (SELECT DISTINCT user_id, CAST(1000000 AS BIGINT) AS h
+         |  FROM e),
+         |${hr("0", "1")},
+         |${hr("1", "2")},
+         |${hr("2", "3")},
+         |marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+         |  FROM e GROUP BY 1)
+         |SELECT an3.event_type, marg.n_users, an3.a AS authority_fp,
+         | round(CAST(an3.a AS DOUBLE) / 1e6, 6) AS authority
+         |FROM an3 JOIN marg USING (event_type)""".stripMargin
+    },
+    // q359: pinned LLR constants ln(0.25/0.20) -> 223144 and
+    // ln(0.75/0.80) -> -64539 on the x1e6 grid; Wald bounds +-2944439
+    "q359_sprt_daily" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_purchases
+        | FROM events GROUP BY 1),
+        |l AS (SELECT day, n_events, n_purchases,
+        |  n_purchases * 223144 + (n_events - n_purchases) * (-64539)
+        |   AS llr_fp FROM d)
+        |SELECT day, n_events, n_purchases, CAST(llr_fp AS BIGINT) AS llr_fp,
+        | CAST(sum(llr_fp) OVER w AS BIGINT) AS cum_llr_fp,
+        | CASE WHEN sum(llr_fp) OVER w >= 2944439 THEN 'accept_h1'
+        |  WHEN sum(llr_fp) OVER w <= -2944439 THEN 'accept_h0'
+        |  ELSE 'continue' END AS state
+        |FROM l WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // q360: truncating integer-mean centroids on the shifted grid; exact
+    // BIGINT scatters; CH = (between*(n-k)) / (within*(k-1)) at 6 dp
+    "q360_cluster_dispersion" ->
+      s"""WITH asg AS (SELECT vec_id, v, cell FROM ($trainedAssignSql)),
+         |qv AS (SELECT vec_id, cell, list_transform(v,
+         |   x -> CAST(round(x * 1000) AS BIGINT) + 1000) AS vq FROM asg),
+         |dims AS (SELECT cell, generate_subscripts(vq, 1) AS dim,
+         |   unnest(vq) AS x FROM qv),
+         |cd AS (SELECT cell, dim, CAST(sum(x) // count(*) AS BIGINT) AS m
+         |  FROM dims GROUP BY 1, 2),
+         |cents AS (SELECT cell, list(m ORDER BY dim) AS cv
+         |  FROM cd GROUP BY 1),
+         |gd AS (SELECT dim, CAST(sum(x) // count(*) AS BIGINT) AS m
+         |  FROM dims GROUP BY 1),
+         |gl AS (SELECT list(m ORDER BY dim) AS gv FROM gd),
+         |wss AS (SELECT qv.cell, CAST(count(*) AS BIGINT) AS n_c,
+         |   CAST(sum(list_sum(list_transform(list_zip(qv.vq, cents.cv),
+         |    z -> (z[1] - z[2]) * (z[1] - z[2])))) AS BIGINT) AS wss_c
+         |  FROM qv JOIN cents USING (cell) GROUP BY 1),
+         |pc AS (SELECT wss.cell, wss.n_c, wss.wss_c,
+         |   CAST(wss.n_c * list_sum(list_transform(
+         |    list_zip(cents.cv, gl.gv),
+         |    z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS bgd_c
+         |  FROM wss JOIN cents USING (cell) CROSS JOIN gl),
+         |t AS (SELECT CAST(sum(wss_c) AS BIGINT) AS wss,
+         |   CAST(sum(bgd_c) AS BIGINT) AS bgd,
+         |   CAST(count(*) AS BIGINT) AS k, CAST(sum(n_c) AS BIGINT) AS n
+         |  FROM pc)
+         |SELECT pc.cell, pc.n_c, pc.wss_c, pc.bgd_c, t.k, t.n,
+         | round(CAST(t.bgd AS DOUBLE) * CAST(t.n - t.k AS DOUBLE)
+         |  / (CAST(t.wss AS DOUBLE) * CAST(t.k - 1 AS DOUBLE)), 6)
+         |  AS ch_index
+         |FROM pc CROSS JOIN t""".stripMargin,
   )
 }

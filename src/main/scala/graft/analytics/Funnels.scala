@@ -1363,6 +1363,94 @@ object Funnels {
                 .cast("double"), 6)).as("conviction"))
   }
 
+  /** Bipartite HITS (q358, Kleinberg JACM'99) over the user ↔ event-type
+    * incidence graph: authorities are event types scored by the hub mass
+    * of the users who perform them, hubs are users scored by the
+    * authority mass of their repertoire — three synchronous rounds of
+    * the mutual-reinforcement iteration, each side max-normalized to the
+    * ×10⁶ grid with truncating division (all masses positive, so both
+    * engines' integer division agree). The bipartite principal-singular-
+    * vector view of "which actions define engaged users", next to the
+    * q91 PageRank (random-walk) and q336 LPA (majority) graph scores.
+    *
+    * Scale shape per round: two edge-keyed map-side-combinable
+    * aggregates (the edge list shuffles on user_id once and on type
+    * once) and a 1-row broadcast max for the normalizer; the
+    * authority table is |types|-sized and broadcasts back onto the edge
+    * list. Rounds are a pinned constant.
+    */
+  def hitsBipartite(spark: SparkSession, sfDir: String,
+      rounds: Int = 3): DataFrame =
+    hitsBipartiteOf(Tables.events(spark, sfDir), rounds)
+
+  /** [[hitsBipartite]] over an arbitrary events frame. */
+  def hitsBipartiteOf(events: DataFrame, rounds: Int = 3): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint() // the bipartite edge list, reused every round
+    var hub = e.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(1000000L).as("h"))
+    var auth: DataFrame = null
+    // normalizers are whole-frame window maxes, not separate aggregate
+    // subplans — each round stays ONE linear chain (a per-round max as
+    // its own subtree re-executes every prior round once per consumer:
+    // 2^rounds recompute). At cluster scale the |types|-row authority
+    // window is trivial; the user-side window normalizes a 1-column
+    // frame and would shard by range if users ever outgrew one reducer.
+    for (_ <- 1 to rounds) {
+      auth = e.join(hub, Seq("user_id"))
+        .groupBy(col("event_type")).agg(sum(col("h")).as("a_raw"))
+        .select(col("event_type"),
+          expr("(a_raw * 1000000) div (max(a_raw) over ())").as("a"))
+      hub = e.join(broadcast(auth), Seq("event_type"))
+        .groupBy(col("user_id")).agg(sum(col("a")).as("h_raw"))
+        .select(col("user_id"),
+          expr("(h_raw * 1000000) div (max(h_raw) over ())").as("h"))
+    }
+    val marg = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    auth.join(marg, Seq("event_type"))
+      .select(col("event_type"), col("n_users"),
+        col("a").as("authority_fp"),
+        round(col("a").cast("double") / 1e6, 6).as("authority"))
+  }
+
+  /** Daily SPRT trajectory (q359, Wald 1945): the sequential probability
+    * ratio test of the purchase share — H₀: p = 0.20 vs H₁: p = 0.25,
+    * α = β = 0.05 — run day by day over the event stream. The per-day
+    * log-likelihood-ratio increments use PINNED 6-dp fixed-point
+    * constants (ln(0.25/0.20) → 223144, ln(0.75/0.80) → −64539 on the
+    * ×10⁶ grid — no engine ln at all), the cumulative LLR is an exact
+    * integer prefix sum, and the Wald bounds ±ln(19) → ±2944439 classify
+    * each day accept-H₁ / accept-H₀ / continue. The sequential test a
+    * production experimentation platform runs instead of a fixed-horizon
+    * one: it reads the answer off the SAME daily gold table and stops
+    * early when the evidence is in.
+    *
+    * Scale shape: one day-grain conditional aggregate (map-side
+    * combinable), one window over the metadata-sized day table.
+    */
+  def sprtDaily(spark: SparkSession, sfDir: String): DataFrame =
+    sprtDailyOf(Tables.events(spark, sfDir))
+
+  /** [[sprtDaily]] over an arbitrary events frame. */
+  def sprtDailyOf(events: DataFrame): DataFrame = {
+    val d = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+    val llr = d.select(col("day"), col("n_events"), col("n_purchases"),
+      (col("n_purchases") * lit(223144L)
+        + (col("n_events") - col("n_purchases")) * lit(-64539L))
+        .as("llr_fp"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    llr.withColumn("cum_llr_fp", sum(col("llr_fp")).over(wd))
+      .select(col("day"), col("n_events"), col("n_purchases"),
+        col("llr_fp"), col("cum_llr_fp"),
+        when(col("cum_llr_fp") >= 2944439L, lit("accept_h1"))
+          .when(col("cum_llr_fp") <= -2944439L, lit("accept_h0"))
+          .otherwise(lit("continue")).as("state"))
+  }
+
   /** Ordered sequential-pattern mining (q356): every directed event-type
     * pair a→b scored by how many users did their FIRST a strictly before
     * their first b — the gap-tolerant generalization of the q140

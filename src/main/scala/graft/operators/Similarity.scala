@@ -1489,4 +1489,132 @@ object Similarity {
         round(col("m2_fp").cast("double") / 1e6, 6).as("m2"),
         col("outlier_rank"))
   }
+
+  /** The trained-codebook assignment with each vector snapped to the
+    * exact 10⁻³ integer grid — the shared base of the q357 silhouette and
+    * q360 dispersion audits (squared distances on the grid are exact
+    * BIGINTs, so both cluster-quality metrics are engine-free integer
+    * arithmetic until their final ratios). Coordinates shift by +10³
+    * (|x| ≤ 1 for these unit-scale embeddings) so every grid value — and
+    * therefore every centroid-mean dividend downstream — is POSITIVE:
+    * truncating and flooring integer division only agree on non-negative
+    * operands, and distances are shift-invariant. Memoized per session.
+    */
+  private def quantizedAssignment(spark: SparkSession,
+      sfDir: String): DataFrame =
+    SessionMemo(spark, s"quantizedAssignment|$sfDir") {
+      ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell"))
+        .join(corpus(spark, sfDir).select(col("vec_id"), col("v")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("cell"),
+          transform(col("v"),
+            x => round(x * 1e3).cast("long") + lit(1000L)).as("vq"))
+    }
+
+  /** Per-vector silhouette (q357, Rousseeuw 1987) of the trained-codebook
+    * cells, in the squared-euclidean variant on the 10⁻³ grid (the coarser grid keeps
+    * every ×10⁶ fixed-point numerator inside INT64 — sums of ~500
+    * pairwise squared distances reach ~10¹⁰, × 10⁶ ≈ 10¹⁶): a(i) =
+    * mean squared distance to own-cell peers, b(i) = min over other
+    * cells of the mean squared distance, s(i) = (b−a)/max(a,b) as a ×10⁶
+    * truncating fixed point with the sign split out explicitly (Spark's
+    * `div` truncates toward zero while a floor-division engine would
+    * round down — dividing magnitudes and applying the sign afterwards
+    * pins both to the same integer). Singletons publish s = 0 (the
+    * standard convention).
+    *
+    * Scale shape: the pairwise stage is a broadcast of the (id, cell,
+    * vector) table against itself — quadratic by definition of the
+    * metric; at corpus scale you silhouette a pinned-hash SAMPLE (the
+    * q51 draw) and this operator is exactly that computation on the
+    * sample. Everything after the pair scores is (i, cell)-grouped
+    * map-side-combinable aggregation.
+    */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame =
+    silhouetteOf(quantizedAssignment(spark, sfDir))
+
+  /** [[silhouette]] over an arbitrary (vec_id, cell, vq) frame. */
+  def silhouetteOf(a: DataFrame): DataFrame = {
+    val pairs = a.as("x").join(broadcast(a.as("y")),
+        col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("x.cell").as("ci"),
+        col("y.cell").as("cj"),
+        aggregate(zip_with(col("x.vq"), col("y.vq"),
+          (p, q) => (p - q) * (p - q)), lit(0L), (acc, e) => acc + e)
+          .as("d2"))
+    val grp = pairs.groupBy(col("i"), col("ci"), col("cj"))
+      .agg(sum(col("d2")).as("s"), count(lit(1)).as("c"))
+    val own = grp.where(col("ci") === col("cj"))
+      .select(col("i"), expr("(s * 1000000) div c").as("a_fp"),
+        (col("c") + 1).as("n_own"))
+    val other = grp.where(col("ci") =!= col("cj"))
+      .select(col("i"), expr("(s * 1000000) div c").as("bc"))
+      .groupBy(col("i")).agg(min(col("bc")).as("b_fp"))
+    a.select(col("vec_id").as("i"), col("cell"))
+      .join(own, Seq("i"), "left")
+      .join(other, Seq("i"), "left")
+      .select(col("i").as("vec_id"), col("cell"),
+        coalesce(col("n_own"), lit(1L)).as("n_own"),
+        col("a_fp"), col("b_fp"),
+        when(col("a_fp").isNull || col("b_fp").isNull
+            || greatest(col("a_fp"), col("b_fp")) === 0L, lit(0L))
+          .otherwise(when(col("b_fp") >= col("a_fp"),
+            expr("((b_fp - a_fp) * 1000000) div greatest(a_fp, b_fp)"))
+            .otherwise(-expr(
+              "((a_fp - b_fp) * 1000000) div greatest(a_fp, b_fp)")))
+          .as("s_fp"))
+  }
+
+  /** Cluster dispersion audit (q360): per-cell within-cluster squared
+    * scatter around the truncating integer-mean centroid, between-cluster
+    * scatter n_c·‖centroid_c − centroid_global‖², and the
+    * Calinski-Harabasz index (between/(k−1)) / (within/(n−k)) — the
+    * variance-ratio score that says whether the trained codebook's cells
+    * actually separate the corpus. All scatters are exact BIGINTs on the
+    * 10⁻³ grid; the CH ratio is the one 6-dp double, repeated per row.
+    *
+    * Scale shape: centroids are per-(cell, dim) map-side-combinable
+    * means rebuilt into arrays (k·d rows — codebook-sized); each scatter
+    * is one broadcast-join map pass over the corpus; no pairwise stage
+    * at all (contrast q357 — this is the quality metric that stays
+    * linear at 100 TB).
+    */
+  def clusterDispersion(spark: SparkSession, sfDir: String): DataFrame =
+    clusterDispersionOf(quantizedAssignment(spark, sfDir))
+
+  /** [[clusterDispersion]] over an arbitrary (vec_id, cell, vq) frame. */
+  def clusterDispersionOf(a: DataFrame): DataFrame = {
+    val dims = a.select(col("cell"), posexplode(col("vq")).as(Seq("dim", "x")))
+    def centroidOf(grouped: DataFrame): DataFrame = grouped
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        e => e.getField("m")).as("cv"))
+    val cents = centroidOf(dims.groupBy(col("cell"), col("dim"))
+      .agg(expr("sum(x) div count(1)").as("m")))
+    val global = centroidOf(dims.select(lit(-1L).as("cell"), col("dim"),
+        col("x"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(expr("sum(x) div count(1)").as("m")))
+      .select(col("cv").as("gv"))
+    def d2(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, v, (p, q) => (p - q) * (p - q)), lit(0L),
+        (acc, e) => acc + e)
+    val wss = a.join(broadcast(cents), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_c"), sum(d2(col("vq"), col("cv"))).as("wss_c"))
+    val perCell = wss.join(broadcast(cents), Seq("cell"))
+      .crossJoin(broadcast(global))
+      .select(col("cell"), col("n_c"), col("wss_c"),
+        (col("n_c") * d2(col("cv"), col("gv"))).as("bgd_c"))
+    val tot = perCell.agg(sum(col("wss_c")).as("wss"),
+      sum(col("bgd_c")).as("bgd"), count(lit(1)).as("k"),
+      sum(col("n_c")).as("n"))
+    perCell.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_c"), col("wss_c"), col("bgd_c"),
+        col("k"), col("n"),
+        round((col("bgd").cast("double") * (col("n") - col("k"))
+            .cast("double"))
+          / (col("wss").cast("double") * (col("k") - 1).cast("double")), 6)
+          .as("ch_index"))
+  }
 }
