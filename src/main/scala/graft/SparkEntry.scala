@@ -668,6 +668,14 @@ object SparkEntry {
     "q359_sprt_daily" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.sprtDaily(s, d)),
     // q360: within/between scatter + Calinski-Harabasz variance ratio
     "q360_cluster_dispersion" -> ((s: SparkSession, d: String) => Similarity.clusterDispersion(s, d)),
+    // q361: CUPED pre-period covariate adjustment, exact integer moments
+    "q361_cuped" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.cupedAdjustment(s, d)),
+    // q362: mean/median/trimmed/Hodges-Lehmann per source, exact grids
+    "q362_robust_location" -> ((s: SparkSession, d: String) => TextAnalytics.robustLocation(s, d)),
+    // q363: two-sweep Tukey median polish of the (dow, week) matrix
+    "q363_median_polish" -> ((s: SparkSession, d: String) => Relational.medianPolish(s, d)),
+    // q364: sample-ratio-mismatch chi-square vs the designed 50/50
+    "q364_srm_audit" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.srmAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -7999,5 +8007,138 @@ private object CorpusOracles {
          |  / (CAST(t.wss AS DOUBLE) * CAST(t.k - 1 AS DOUBLE)), 6)
          |  AS ch_index
          |FROM pc CROSS JOIN t""".stripMargin,
+    // q361: exact HUGEINT moments (the Spark side uses DECIMAL(38)),
+    // then the identical scalar double sequence for theta/variances
+    "q361_cuped" -> {
+      val theta = "(covn / varxn)"
+      val adj = s"(varyn - 2.0 * $theta * covn + $theta * $theta * varxn)"
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT min(day) AS d0 FROM ev),
+         |u AS (SELECT user_id,
+         |  CAST(sum(CASE WHEN date_diff('day', b.d0, day) < 15
+         |    THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |  CAST(sum(CASE WHEN date_diff('day', b.d0, day) >= 15
+         |    THEN cents ELSE 0 END) AS BIGINT) AS y
+         | FROM ev, b GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |  sum(CAST(y AS HUGEINT) * y) AS syy,
+         |  sum(CAST(x AS HUGEINT) * y) AS sxy FROM u),
+         |s AS (SELECT n, sx, sy,
+         |  CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |   / CAST(n AS DOUBLE) AS covn,
+         |  CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |   / CAST(n AS DOUBLE) AS varxn,
+         |  CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+         |   / CAST(n AS DOUBLE) AS varyn FROM m)
+         |SELECT n, sx AS sum_x_cents, sy AS sum_y_cents,
+         | round($theta, 6) AS theta,
+         | round(varyn / n, 6) AS var_y,
+         | round($adj / n, 6) AS var_adj,
+         | round(1.0 - $adj / varyn, 6) AS reduction
+         |FROM s""".stripMargin
+    },
+    // q362: exact order statistics on the x2 grid; Walsh pairs per
+    // source (ALL rollup via the union-of-copies trick)
+    "q362_robust_location" ->
+      """WITH r0 AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        | UNION ALL
+        | SELECT 'ALL', doc_id, CAST(n_chars AS BIGINT) FROM documents),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY v, doc_id) AS BIGINT) AS r,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+        |  CAST(sum(v) OVER (PARTITION BY source) AS BIGINT) AS sv
+        | FROM r0),
+        |med AS (SELECT source, CAST(sum(v) * (3 - count(*)) AS BIGINT)
+        |   AS median_2x FROM rk
+        |  WHERE r = (n + 1) // 2 OR r = (n + 2) // 2 GROUP BY 1),
+        |tr AS (SELECT source, CAST((sum(v) * 1000000) // count(*)
+        |   AS BIGINT) AS trimmed10_fp FROM rk
+        |  WHERE r > n // 10 AND r <= n - n // 10 GROUP BY 1),
+        |sa AS (SELECT source, doc_id, v FROM r0 WHERE source <> 'ALL'
+        | UNION ALL
+        | SELECT source, doc_id, v FROM (
+        |  SELECT source, doc_id, v, row_number() OVER (ORDER BY
+        |    CAST(('0x' || substr(md5('rl:' || CAST(doc_id AS VARCHAR)),
+        |     1, 8)) AS BIGINT), doc_id) AS hr
+        |  FROM r0 WHERE source = 'ALL') WHERE hr <= 500),
+        |wl AS (SELECT a.source, a.v + b.v AS w, a.doc_id AS i,
+        |   b.doc_id AS j
+        |  FROM sa a JOIN sa b ON a.source = b.source
+        |   AND a.doc_id <= b.doc_id),
+        |wr AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY w, i, j) AS BIGINT) AS r,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS m
+        | FROM wl),
+        |hl AS (SELECT source, CAST((sum(w) * (3 - count(*))) // 2
+        |   AS BIGINT) AS hl_2x FROM wr
+        |  WHERE r = (m + 1) // 2 OR r = (m + 2) // 2 GROUP BY 1),
+        |sz AS (SELECT source, max(n) AS n, max(sv) AS sv FROM rk GROUP BY 1)
+        |SELECT sz.source, sz.n,
+        | CAST((sz.sv * 1000000) // sz.n AS BIGINT) AS mean_fp,
+        | med.median_2x, tr.trimmed10_fp, hl.hl_2x
+        |FROM sz JOIN med USING (source) JOIN tr USING (source)
+        |JOIN hl USING (source)""".stripMargin,
+    // q363: four staged group-median removals on the x16 grid — every
+    // (lo+hi) div 2 is remainder-free, so engines agree on negatives
+    "q363_median_polish" -> {
+      def stage(i: Int, prev: String, g: String) =
+        s"""r$i AS (SELECT *, row_number() OVER (PARTITION BY $g
+           |   ORDER BY v, day) AS rr,
+           |  count(*) OVER (PARTITION BY $g) AS nn FROM $prev),
+           |m$i AS (SELECT $g, (sum(v) * (3 - count(*))) // 2 AS med
+           |  FROM r$i WHERE rr = (nn + 1) // 2 OR rr = (nn + 2) // 2
+           |  GROUP BY 1),
+           |s$i AS (SELECT p.dow, p.wk, p.day, p.v - m$i.med AS v
+           |  FROM $prev p JOIN m$i USING ($g))""".stripMargin
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+         |  FROM b, range(0, 20000) r(i)
+         |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+         |x AS (SELECT spine.d0, spine.day, coalesce(daily.cents, 0) AS x
+         |  FROM spine LEFT JOIN daily USING (day)),
+         |s0 AS (SELECT CAST(date_diff('day', d0, day) % 7 AS BIGINT)
+         |   AS dow,
+         |  CAST(date_diff('day', d0, day) // 7 AS BIGINT) AS wk,
+         |  day, x * 16 AS v FROM x),
+         |${stage(1, "s0", "dow")},
+         |${stage(2, "s1", "wk")},
+         |${stage(3, "s2", "dow")},
+         |${stage(4, "s3", "wk")},
+         |f AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs_resid_x16,
+         |  CAST(max(abs(v)) AS BIGINT) AS max_abs_resid_x16
+         | FROM s4 GROUP BY 1),
+         |re AS (SELECT m1.dow, CAST(m1.med + m3.med AS BIGINT)
+         |   AS row_eff_x16 FROM m1 JOIN m3 USING (dow))
+         |SELECT CAST(f.dow AS INTEGER) AS dow, f.n_days, re.row_eff_x16,
+         | f.sum_abs_resid_x16, f.max_abs_resid_x16
+         |FROM f JOIN re USING (dow)""".stripMargin
+    },
+    // q364: df=1 GOF collapses to (n0-n1)^2/n; pinned chi2(0.05,1)
+    "q364_srm_audit" ->
+      """WITH ud AS (SELECT 'user_days' AS scope,
+        |  CAST(user_id % 2 AS INTEGER) AS arm FROM (
+        |   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)),
+        |te AS (SELECT event_type AS scope,
+        |  CAST(user_id % 2 AS INTEGER) AS arm FROM events),
+        |g AS (SELECT scope, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_arm0,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_arm1
+        | FROM (SELECT * FROM ud UNION ALL SELECT * FROM te) GROUP BY 1)
+        |SELECT scope, n, n_arm0, n_arm1,
+        | round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+        |  / n, 6) AS chi2_stat,
+        | CAST(round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+        |  / n, 6) > 3.841459 AS INTEGER) AS srm_flag
+        |FROM g""".stripMargin,
   )
 }

@@ -1363,6 +1363,98 @@ object Funnels {
                 .cast("double"), 6)).as("conviction"))
   }
 
+  /** CUPED variance reduction (q361, Deng et al. WSDM'13): adjust each
+    * user's post-period spend by their PRE-period spend — Y′ = Y −
+    * θ(X − X̄), θ = cov(X,Y)/var(X) — and report how much metric
+    * variance the covariate removes (the standard way an experimentation
+    * platform shrinks A/B confidence intervals without more traffic).
+    * Pre = the first 15 calendar days of the span, post = the rest; the
+    * split day comes from the broadcast 1-row bounds (A11 pattern).
+    *
+    * Determinism: all moments are EXACT integer-cent sums promoted to
+    * DECIMAL(38) for the cross products (n·Σxy − Σx·Σy overflows INT64
+    * at sf ≥ 0.1); θ and the variances are then a fixed sequence of
+    * scalar double ops on those exact integers — no row-order-dependent
+    * float accumulation anywhere. var(Y′) uses the algebraic identity
+    * var(Y) − 2θcov + θ²var(X), so no second data pass either.
+    *
+    * Scale shape: one user-keyed conditional aggregate, one 1-row moment
+    * collapse. Two passes over events total at any scale.
+    */
+  def cupedAdjustment(spark: SparkSession, sfDir: String): DataFrame =
+    cupedAdjustmentOf(Tables.events(spark, sfDir))
+
+  /** [[cupedAdjustment]] over an arbitrary events frame. */
+  def cupedAdjustmentOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"),
+      round(col("value") * 100, 0).cast("long").as("cents"))
+    val bounds = ev.agg(min(col("day")).as("d0"))
+    val user = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(sum(when(datediff(col("day"), col("d0")) < 15, col("cents"))
+          .otherwise(0L)).as("x"),
+        sum(when(datediff(col("day"), col("d0")) >= 15, col("cents"))
+          .otherwise(0L)).as("y"))
+    val m = user.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val n = col("n").cast("double")
+    // parenthesized continuations: a leading `-` on a new line would be
+    // parsed as a fresh unary-minus statement, silently dropping the term
+    val covN = (col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double") / n)
+    val varXN = (col("sxx").cast("double")
+      - col("sx").cast("double") * col("sx").cast("double") / n)
+    val varYN = (col("syy").cast("double")
+      - col("sy").cast("double") * col("sy").cast("double") / n)
+    val theta = covN / varXN
+    val adj = (varYN - lit(2.0) * theta * covN + theta * theta * varXN)
+    m.select(col("n"), col("sx").cast("long").as("sum_x_cents"),
+      col("sy").cast("long").as("sum_y_cents"),
+      round(theta, 6).as("theta"),
+      round(varYN / n, 6).as("var_y"),
+      round(adj / n, 6).as("var_adj"),
+      round(lit(1.0) - adj / varYN, 6).as("reduction"))
+  }
+
+  /** Sample-ratio-mismatch audit (q364): the χ² goodness-of-fit of the
+    * q228 arm assignment (user_id mod 2) against the designed 50/50
+    * split, for the user-day experiment grain AND per event type — the
+    * first invariant check any experiment readout must pass (a
+    * significant SRM invalidates the whole test before any metric is
+    * read). With df = 1 the statistic collapses to (n₀ − n₁)²/n, exact
+    * integers until the one 6-dp division; the flag compares against the
+    * pinned χ²₍₀.₀₅,₁₎ = 3.841459.
+    *
+    * Scale shape: two conditional-count aggregates, both map-side
+    * combinable; output is |types| + 1 rows.
+    */
+  def srmAudit(spark: SparkSession, sfDir: String): DataFrame =
+    srmAuditOf(Tables.events(spark, sfDir))
+
+  /** [[srmAudit]] over an arbitrary events frame. */
+  def srmAuditOf(events: DataFrame): DataFrame = {
+    val ud = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(lit(1))
+      .select(lit("user_days").as("scope"),
+        pmod(col("user_id"), lit(2)).cast("int").as("arm"))
+    val te = events.select(col("event_type").as("scope"),
+      pmod(col("user_id"), lit(2)).cast("int").as("arm"))
+    ud.unionByName(te)
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .select(col("scope"), col("n"), col("n_arm0"), col("n_arm1"),
+        round(((col("n_arm0") - col("n_arm1"))
+          * (col("n_arm0") - col("n_arm1"))).cast("double")
+          / col("n").cast("double"), 6).as("chi2_stat"))
+      .withColumn("srm_flag",
+        (col("chi2_stat") > 3.841459).cast("int"))
+  }
+
   /** Bipartite HITS (q358, Kleinberg JACM'99) over the user ↔ event-type
     * incidence graph: authorities are event types scored by the hub mass
     * of the users who perform them, hubs are users scored by the

