@@ -676,6 +676,14 @@ object SparkEntry {
     "q363_median_polish" -> ((s: SparkSession, d: String) => Relational.medianPolish(s, d)),
     // q364: sample-ratio-mismatch chi-square vs the designed 50/50
     "q364_srm_audit" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.srmAudit(s, d)),
+    // q365: decile-by-decile QQ shift between purchase and other values
+    "q365_qq_shift" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.qqShift(s, d)),
+    // q366: two-sample log-rank churn test between the q228 arms
+    "q366_logrank_arms" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.logRankArms(s, d)),
+    // q367: Lorenz concentration table behind the q152 Gini scalar
+    "q367_lorenz_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.lorenzCurve(s, d)),
+    // q368: Hill tail index of word-frequency and user-activity tails
+    "q368_hill_tail" -> ((s: SparkSession, d: String) => TextAnalytics.hillTailIndex(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8140,5 +8148,124 @@ private object CorpusOracles {
         | CAST(round(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
         |  / n, 6) > 3.841459 AS INTEGER) AS srm_flag
         |FROM g""".stripMargin,
+    // q365: permille target rank (q_pm*n + 999) div 1000 — integer ceil,
+    // no float rank; ties pin by (cents, event_id)
+    "q365_qq_shift" ->
+      """WITH rows0 AS (SELECT CASE WHEN event_type = 'purchase'
+        |   THEN 'purchase' ELSE 'other' END AS grp,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents, event_id
+        | FROM events),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp
+        |   ORDER BY cents, event_id) AS BIGINT) AS r,
+        |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        | FROM rows0),
+        |qs AS (SELECT CAST(unnest(range(1, 10)) * 100 AS INTEGER) AS q_pm),
+        |a AS (SELECT rk.grp, qs.q_pm, rk.n, rk.cents
+        |  FROM rk CROSS JOIN qs
+        |  WHERE rk.r = (qs.q_pm * rk.n + 999) // 1000)
+        |SELECT q_pm,
+        | max(CASE WHEN grp = 'purchase' THEN n END) AS n_purchase,
+        | max(CASE WHEN grp = 'other' THEN n END) AS n_other,
+        | max(CASE WHEN grp = 'purchase' THEN cents END)
+        |  AS q_purchase_cents,
+        | max(CASE WHEN grp = 'other' THEN cents END) AS q_other_cents,
+        | max(CASE WHEN grp = 'purchase' THEN cents END)
+        |  - max(CASE WHEN grp = 'other' THEN cents END) AS shift_cents
+        |FROM a GROUP BY 1""".stripMargin,
+    // q366: churn = last active week before the span's final week;
+    // per-week O/E/V in x1e6 truncating fixed point, chi2 at the end
+    "q366_logrank_arms" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |b AS (SELECT min(day) AS d0,
+        |   CAST(date_diff('day', min(day), max(day)) // 7 AS BIGINT)
+        |    AS max_wk FROM ev),
+        |u AS (SELECT user_id,
+        |   CAST(max(date_diff('day', b.d0, day) // 7) AS BIGINT)
+        |    AS last_wk, b.max_wk
+        |  FROM ev, b GROUP BY 1, 3),
+        |users AS (SELECT CAST(user_id % 2 AS INTEGER) AS arm, last_wk,
+        |   CASE WHEN last_wk < max_wk THEN 1 ELSE 0 END AS churned
+        |  FROM u),
+        |weeks AS (SELECT CAST(unnest(range(0, last_wk + 1)) AS BIGINT)
+        |   AS wk, arm, last_wk, churned FROM users),
+        |pw AS (SELECT wk,
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |   CAST(sum(CASE WHEN arm = 0 AND wk = last_wk THEN churned
+        |    ELSE 0 END) AS BIGINT) AS d1,
+        |   CAST(sum(CASE WHEN arm = 1 AND wk = last_wk THEN churned
+        |    ELSE 0 END) AS BIGINT) AS d2
+        |  FROM weeks GROUP BY 1),
+        |t AS (SELECT d1, d2,
+        |   ((d1 + d2) * n1 * 1000000) // (n1 + n2) AS e1_fp,
+        |   CASE WHEN n1 + n2 > 1 THEN
+        |    (n1 * n2 * (d1 + d2) * ((n1 + n2) - (d1 + d2)) * 1000000)
+        |     // ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1))
+        |    ELSE 0 END AS v_fp
+        |  FROM pw WHERE d1 + d2 > 0),
+        |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |   CAST(sum(d2) AS BIGINT) AS o2,
+        |   CAST(sum(e1_fp) AS BIGINT) AS e1_fp,
+        |   CAST(sum(v_fp) AS BIGINT) AS v_fp FROM t),
+        |na AS (SELECT
+        |   CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_arm0,
+        |   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_arm1 FROM users)
+        |SELECT na.n_arm0, na.n_arm1, agg.o1, agg.o2, agg.e1_fp, agg.v_fp,
+        | CASE WHEN agg.v_fp > 0 THEN round(
+        |   (CAST(agg.o1 AS DOUBLE) * 1e6 - CAST(agg.e1_fp AS DOUBLE))
+        |   * (CAST(agg.o1 AS DOUBLE) * 1e6 - CAST(agg.e1_fp AS DOUBLE))
+        |   / (CAST(agg.v_fp AS DOUBLE) * 1e6), 6) ELSE NULL END
+        |  AS chi2_stat
+        |FROM agg CROSS JOIN na""".stripMargin,
+    // q367: exact decile cut ranks (k*n) div 10; x1e6 truncating shares
+    "q367_lorenz_curve" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |   AS cents FROM events GROUP BY 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY cents, user_id)
+        |   AS BIGINT) AS r,
+        |  CAST(sum(cents) OVER (ORDER BY cents, user_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM u),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(cents) AS BIGINT) AS total FROM u),
+        |ks AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile)
+        |SELECT ks.decile, rk.r AS n_users_cum, rk.cum AS cum_cents,
+        | tot.total AS total_cents,
+        | CAST((rk.cum * 1000000) // tot.total AS BIGINT) AS share_fp,
+        | CAST(ks.decile AS BIGINT) * 100000
+        |  - CAST((rk.cum * 1000000) // tot.total AS BIGINT)
+        |  AS equality_gap_fp
+        |FROM ks CROSS JOIN tot
+        |JOIN rk ON rk.r = (ks.decile * tot.n) // 10""".stripMargin,
+    // q368: top-(k+1) by (freq desc, key); the q94 6-dp log contract
+    "q368_hill_tail" -> {
+      def dom(src: String, k: Int) =
+        s"""(WITH f AS ($src),
+           |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, tie)
+           |   AS BIGINT) AS r FROM f),
+           |xk AS (SELECT domain, x AS xk1 FROM rk WHERE r = $k + 1),
+           |s AS (SELECT rk.domain, xk.xk1,
+           |   CAST(round(round(ln(CAST(rk.x AS DOUBLE)
+           |     / CAST(xk.xk1 AS DOUBLE)), 6) * 1000000) AS BIGINT) AS s_fp
+           |  FROM rk JOIN xk USING (domain) WHERE rk.r <= $k)
+           |SELECT domain, CAST($k AS INTEGER) AS k, xk1,
+           | CAST(sum(s_fp) AS BIGINT) AS sum_ln_fp,
+           | CASE WHEN sum(s_fp) > 0 THEN
+           |  round($k.0 * 1000000 / CAST(sum(s_fp) AS DOUBLE), 6)
+           |  ELSE NULL END AS alpha_hat
+           |FROM s GROUP BY domain, xk1)""".stripMargin
+      val words = """SELECT 'word_freq' AS domain,
+        | CAST(count(*) AS BIGINT) AS x, w AS tie
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w""".stripMargin
+      val users = """SELECT 'user_events' AS domain,
+        | CAST(count(*) AS BIGINT) AS x, CAST(user_id AS VARCHAR) AS tie
+        |FROM events GROUP BY user_id""".stripMargin
+      s"""${dom(words, 10)}
+         |UNION ALL
+         |${dom(users, 10)}""".stripMargin
+    },
   )
 }

@@ -1363,6 +1363,156 @@ object Funnels {
                 .cast("double"), 6)).as("conviction"))
   }
 
+  /** Quantile-quantile shift function (q365, Doksum 1974): at each
+    * decile, the exact order-statistic difference between purchase-event
+    * values and all other event values — WHERE in the distribution the
+    * two groups differ, not just whether their means do (the
+    * distribution-level readout a mean test like q228 cannot give).
+    * Decile ranks are pure integer arithmetic — target rank =
+    * ⌈q‰·n/1000⌉ via (q‰·n + 999) div 1000 — so no float rank ever
+    * exists to disagree on; ties pin by (cents, event_id).
+    *
+    * Scale shape: one partitioned window rank per group (never a global
+    * sort), a 9-row broadcast target grid, one conditional-count finish.
+    */
+  def qqShift(spark: SparkSession, sfDir: String): DataFrame =
+    qqShiftOf(Tables.events(spark, sfDir))
+
+  /** [[qqShift]] over an arbitrary events frame. */
+  def qqShiftOf(events: DataFrame): DataFrame = {
+    val rows = events.select(
+      when(col("event_type") === "purchase", lit("purchase"))
+        .otherwise(lit("other")).as("grp"),
+      round(col("value") * 100, 0).cast("long").as("cents"),
+      col("event_id"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cents"), col("event_id"))
+    val ranked = rows.withColumn("r", row_number().over(w).cast("long"))
+    val sizes = rows.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val qs = broadcast(rows.sparkSession.range(1, 10)
+      .select((col("id") * 100).cast("int").as("q_pm")))
+    val targets = sizes.crossJoin(qs)
+      .select(col("grp").as("t_grp"), col("q_pm"),
+        expr("(q_pm * n + 999) div 1000").as("tr"), col("n"))
+    val at = ranked.join(broadcast(targets),
+        col("grp") === col("t_grp") && col("r") === col("tr"))
+      .select(col("t_grp").as("grp"), col("q_pm"), col("n"),
+        col("cents"))
+    at.groupBy(col("q_pm"))
+      .agg(max(when(col("grp") === "purchase", col("n"))).as("n_purchase"),
+        max(when(col("grp") === "other", col("n"))).as("n_other"),
+        max(when(col("grp") === "purchase", col("cents")))
+          .as("q_purchase_cents"),
+        max(when(col("grp") === "other", col("cents"))).as("q_other_cents"))
+      .select(col("q_pm"), col("n_purchase"), col("n_other"),
+        col("q_purchase_cents"), col("q_other_cents"),
+        (col("q_purchase_cents") - col("q_other_cents")).as("shift_cents"))
+  }
+
+  /** Two-sample log-rank test (q366, Mantel 1966) of weekly churn
+    * between the two q228 arms: per week, observed churners vs the
+    * expected count under the pooled hazard, with the hypergeometric
+    * variance — the censoring-aware "do the arms retain differently"
+    * test that the q219 Kaplan-Meier curve describes but does not
+    * decide. A user churns at their last active week; users whose last
+    * week is the span's final week are right-censored (they count in
+    * the at-risk sets, never as events).
+    *
+    * Determinism: per-week O/E/V terms are ×10⁶ truncating fixed points
+    * of exact integer products (n₁n₂d(n−d) ≤ ~10¹² at these scales —
+    * ×10⁶ stays inside INT64; at population scale promote the products
+    * to DECIMAL(38) exactly like q361); the final χ² is one double
+    * expression over the exact sums.
+    *
+    * Scale shape: a user-grain aggregate, a week-grain aggregate, one
+    * scalar collapse — the week table is calendar-sized.
+    */
+  def logRankArms(spark: SparkSession, sfDir: String): DataFrame =
+    logRankArmsOf(Tables.events(spark, sfDir))
+
+  /** [[logRankArms]] over an arbitrary events frame. */
+  def logRankArmsOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val b = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("d0"),
+        (datediff(col("d1"), col("d0")).cast("long") / 7).cast("long")
+          .as("max_wk"))
+    val users = ev.crossJoin(broadcast(b))
+      .groupBy(col("user_id"), col("max_wk"))
+      .agg(max((datediff(col("day"), col("d0")).cast("long") / 7)
+        .cast("long")).as("last_wk"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        col("last_wk"),
+        (col("last_wk") < col("max_wk")).cast("long").as("churned"))
+    val weeks = users.select(explode(sequence(lit(0L), col("last_wk")))
+        .as("wk"), col("arm"), col("last_wk"), col("churned"))
+    val perWeek = weeks.groupBy(col("wk"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 0 && col("wk") === col("last_wk"),
+          col("churned")).otherwise(0L)).as("d1"),
+        sum(when(col("arm") === 1 && col("wk") === col("last_wk"),
+          col("churned")).otherwise(0L)).as("d2"))
+      .select(col("wk"), col("n1"), col("n2"), col("d1"), col("d2"),
+        (col("n1") + col("n2")).as("nj"), (col("d1") + col("d2")).as("dj"))
+    val terms = perWeek.where(col("dj") > 0)
+      .select(col("d1"), col("d2"),
+        expr("(dj * n1 * 1000000) div nj").as("e1_fp"),
+        when(col("nj") > 1,
+          expr("(n1 * n2 * dj * (nj - dj) * 1000000)"
+            + " div (nj * nj * (nj - 1))")).otherwise(0L).as("v_fp"))
+    val agg = terms.agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+      sum(col("e1_fp")).as("e1_fp"), sum(col("v_fp")).as("v_fp"))
+    val nArm = users.groupBy().agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+    agg.crossJoin(broadcast(nArm))
+      .select(col("n_arm0"), col("n_arm1"), col("o1"), col("o2"),
+        col("e1_fp"), col("v_fp"),
+        when(col("v_fp") > 0L,
+          round((col("o1").cast("double") * 1e6 - col("e1_fp")
+              .cast("double"))
+            * (col("o1").cast("double") * 1e6 - col("e1_fp")
+              .cast("double"))
+            / (col("v_fp").cast("double") * 1e6), 6))
+          .otherwise(lit(null).cast("double")).as("chi2_stat"))
+  }
+
+  /** Lorenz concentration table (q367): cumulative share of total spend
+    * held by the bottom k/10 of users, k = 1..10 — the CURVE behind the
+    * q152 Gini scalar (where the inequality lives, not just how much).
+    * Decile cut ranks are exact integer arithmetic ((k·n) div 10);
+    * shares are ×10⁶ truncating fixed points; the equality gap column
+    * (k·10⁵ − share) is the per-decile distance to the diagonal.
+    *
+    * Scale shape: one user aggregate, one rank window over the user
+    * grain, a 10-row broadcast target join.
+    */
+  def lorenzCurve(spark: SparkSession, sfDir: String): DataFrame =
+    lorenzCurveOf(Tables.events(spark, sfDir))
+
+  /** [[lorenzCurve]] over an arbitrary events frame. */
+  def lorenzCurveOf(events: DataFrame): DataFrame = {
+    val u = events.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val w = Window.orderBy(col("cents"), col("user_id"))
+    val ranked = u.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = u.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val ks = broadcast(events.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile")))
+    val targets = tot.crossJoin(ks)
+      .select(col("decile"), col("n"), col("total"),
+        expr("(decile * n) div 10").as("tr"))
+    ranked.join(broadcast(targets), col("r") === col("tr"))
+      .select(col("decile"), col("tr").as("n_users_cum"), col("cum")
+        .as("cum_cents"), col("total").as("total_cents"),
+        expr("(cum * 1000000) div total").as("share_fp"))
+      .withColumn("equality_gap_fp",
+        col("decile").cast("long") * 100000L - col("share_fp"))
+  }
+
   /** CUPED variance reduction (q361, Deng et al. WSDM'13): adjust each
     * user's post-period spend by their PRE-period spend — Y′ = Y −
     * θ(X − X̄), θ = cov(X,Y)/var(X) — and report how much metric
