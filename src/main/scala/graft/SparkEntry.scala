@@ -684,6 +684,14 @@ object SparkEntry {
     "q367_lorenz_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.lorenzCurve(s, d)),
     // q368: Hill tail index of word-frequency and user-activity tails
     "q368_hill_tail" -> ((s: SparkSession, d: String) => TextAnalytics.hillTailIndex(s, d)),
+    // q369: dominant scatter eigenvector by exact integer power iteration
+    "q369_principal_direction" -> ((s: SparkSession, d: String) => Similarity.principalDirection(s, d)),
+    // q370: quadratic-kernel MMD^2 between the two label halves
+    "q370_mmd_quadratic" -> ((s: SparkSession, d: String) => Similarity.mmdQuadratic(s, d)),
+    // q371: weight-of-evidence / information-value scorecard audit
+    "q371_woe_iv" -> ((s: SparkSession, d: String) => TextAnalytics.woeInformationValue(s, d)),
+    // q372: AMS +-1-sketch F2 estimators with median combine, exact audit
+    "q372_ams_f2" -> ((s: SparkSession, d: String) => TextAnalytics.amsF2Sketch(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8267,5 +8275,139 @@ private object CorpusOracles {
          |UNION ALL
          |${dom(users, 10)}""".stripMargin
     },
+    // q369: exact HUGEINT scatter + 8 unrolled power-iteration rounds,
+    // x1e6 max-normalized with the sign split out of every division
+    "q369_principal_direction" -> {
+      def pr(p: Int, c: Int) =
+        s"""w$c AS (SELECT cov.d AS dim,
+           |   sum(CAST(cov.cov AS HUGEINT) * v$p.v) AS w
+           |  FROM cov JOIN v$p ON v$p.dim = cov.e GROUP BY 1),
+           |mx$c AS (SELECT max(abs(w)) AS mx FROM w$c),
+           |v$c AS MATERIALIZED (SELECT dim, CASE WHEN w >= 0
+           |   THEN (w * 1000000) // mx
+           |   ELSE -(((-w) * 1000000) // mx) END AS v
+           |  FROM w$c, mx$c)""".stripMargin
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, list_transform(v,
+         |   x -> CAST(round(x * 1000) AS BIGINT) + 1000) AS vq FROM c),
+         |dims AS (SELECT vec_id, generate_subscripts(vq, 1) AS d,
+         |   unnest(vq) AS x FROM qv),
+         |mn AS (SELECT d, CAST(sum(x) // count(*) AS BIGINT) AS m
+         |  FROM dims GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM qv),
+         |cd AS (SELECT dims.vec_id, dims.d, dims.x - mn.m AS cv
+         |  FROM dims JOIN mn USING (d)),
+         |cov AS MATERIALIZED (SELECT a.d AS d, b.d AS e,
+         |   CAST(sum(a.cv * b.cv) AS BIGINT) AS cov
+         |  FROM cd a JOIN cd b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT d AS dim, CAST(1000000 AS HUGEINT) AS v FROM mn),
+         |${pr(0, 1)},
+         |${pr(1, 2)},
+         |${pr(2, 3)},
+         |${pr(3, 4)},
+         |${pr(4, 5)},
+         |${pr(5, 6)},
+         |${pr(6, 7)},
+         |${pr(7, 8)},
+         |av AS (SELECT cov.d AS dim,
+         |   sum(CAST(cov.cov AS HUGEINT) * v8.v) AS av
+         |  FROM cov JOIN v8 ON v8.dim = cov.e GROUP BY 1),
+         |ray AS (SELECT sum(v8.v * av.av) AS num,
+         |   sum(v8.v * v8.v) AS den
+         |  FROM v8 JOIN av USING (dim))
+         |SELECT v8.dim, mn.m AS mean_grid, CAST(v8.v AS BIGINT) AS v_fp,
+         | nn.n_vecs,
+         | round(CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE), 4)
+         |  AS lambda_rayleigh
+         |FROM v8 JOIN mn ON mn.d = v8.dim
+         |CROSS JOIN nn CROSS JOIN ray""".stripMargin
+    },
+    // q370: exact HUGEINT kernel-cell sums on the unshifted 1e-3 grid;
+    // the three expectations and MMD^2 are the same double sequence
+    "q370_mmd_quadratic" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |g AS (SELECT vec_id,
+        |  CASE WHEN label < 5 THEN 'x' ELSE 'y' END AS g,
+        |  list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS vq
+        | FROM c),
+        |p AS (SELECT a.g AS ga, b.g AS gb,
+        |   list_sum(list_transform(list_zip(a.vq, b.vq),
+        |    z -> z[1] * z[2])) AS k
+        |  FROM g a CROSS JOIN g b),
+        |cells AS (SELECT ga, gb, sum(CAST(k * k AS HUGEINT)) AS s
+        |  FROM p GROUP BY 1, 2),
+        |ns AS (SELECT
+        |   CAST(sum(CASE WHEN g = 'x' THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+        |   CAST(sum(CASE WHEN g = 'y' THEN 1 ELSE 0 END) AS BIGINT) AS ny
+        |  FROM g),
+        |e AS (SELECT ns.nx, ns.ny,
+        |   CAST((SELECT s FROM cells WHERE ga = 'x' AND gb = 'x')
+        |    AS DOUBLE) / (ns.nx * ns.nx) AS xx,
+        |   CAST((SELECT s FROM cells WHERE ga = 'y' AND gb = 'y')
+        |    AS DOUBLE) / (ns.ny * ns.ny) AS yy,
+        |   CAST((SELECT s FROM cells WHERE ga = 'x' AND gb = 'y')
+        |     + (SELECT s FROM cells WHERE ga = 'y' AND gb = 'x')
+        |    AS DOUBLE) / (2 * ns.nx * ns.ny) AS xy
+        |  FROM ns)
+        |SELECT nx AS n_x, ny AS n_y,
+        | round(xx / 1e12, 6) AS e_kxx_t,
+        | round(yy / 1e12, 6) AS e_kyy_t,
+        | round(xy / 1e12, 6) AS e_kxy_t,
+        | round((xx + yy - 2.0 * xy) / 1e12, 6) AS mmd2_t
+        |FROM e""".stripMargin,
+    // q371: add-1/2 smoothed shares; WoE on the q94 log contract; the
+    // IV product sign-split before its truncating x1e6 division so the
+    // total row is an exact integer sum
+    "q371_woe_iv" ->
+      """WITH b AS (SELECT n_chars // 50 AS bin,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |h AS (SELECT bin, CAST(sum(y) AS BIGINT) AS pos,
+        |   CAST(count(*) - sum(y) AS BIGINT) AS neg FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+        |   CAST(sum(neg) AS BIGINT) AS n FROM h),
+        |s AS (SELECT bin, pos, neg,
+        |   (CAST(pos AS DOUBLE) + 0.5) / (CAST(p AS DOUBLE) + 0.5) AS ps,
+        |   (CAST(neg AS DOUBLE) + 0.5) / (CAST(n AS DOUBLE) + 0.5) AS ns2
+        |  FROM h, t),
+        |sc AS (SELECT bin, pos, neg,
+        |   CAST(round(round(ln(ps / ns2), 6) * 1000000) AS BIGINT)
+        |    AS woe_fp,
+        |   CAST(round((ps - ns2) * 1000000) AS BIGINT) AS dshare_fp
+        |  FROM s),
+        |f AS (SELECT *, CASE WHEN dshare_fp * woe_fp >= 0
+        |   THEN (dshare_fp * woe_fp) // 1000000
+        |   ELSE -((-(dshare_fp * woe_fp)) // 1000000) END AS iv_fp
+        |  FROM sc)
+        |SELECT bin, pos, neg, woe_fp, dshare_fp,
+        | CAST(iv_fp AS BIGINT) AS iv_fp FROM f
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(sum(pos) AS BIGINT),
+        | CAST(sum(neg) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        | CAST(sum(iv_fp) AS BIGINT) FROM f""".stripMargin,
+    // q372: pinned md5-parity +-1 signs; 8 Z estimators; the x2-grid
+    // median trick on the even estimator count
+    "q372_ams_f2" ->
+      """WITH f AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        |   SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1),
+        |ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM f),
+        |rs AS (SELECT CAST(unnest(range(1, 9)) AS INTEGER) AS r),
+        |z AS (SELECT r, CAST(sum(f *
+        |   (CAST(('0x' || substr(md5('ams:' || CAST(r AS VARCHAR) || ':'
+        |     || w), 1, 8)) AS BIGINT) % 2 * 2 - 1)) AS BIGINT) AS z
+        |  FROM f CROSS JOIN rs GROUP BY 1),
+        |ze AS (SELECT r, z, z * z AS est FROM z),
+        |md AS (SELECT CAST((sum(est) * (3 - count(*))) // 2 AS BIGINT)
+        |   AS median_est FROM (
+        |   SELECT est, row_number() OVER (ORDER BY est, r) AS rr,
+        |    count(*) OVER () AS k FROM ze)
+        |  WHERE rr = (k + 1) // 2 OR rr = (k + 2) // 2)
+        |SELECT ze.r, ze.z, CAST(ze.est AS BIGINT) AS est, ex.f2_exact,
+        | md.median_est,
+        | round(CAST(md.median_est - ex.f2_exact AS DOUBLE) / ex.f2_exact,
+        |  6) AS median_rel_err
+        |FROM ze CROSS JOIN ex CROSS JOIN md""".stripMargin,
   )
 }

@@ -2714,6 +2714,101 @@ object TextAnalytics {
           / (col("n_perms") + 1).cast("double"), 6).as("p_value"))
   }
 
+  /** Weight-of-evidence / information-value audit (q371): the classic
+    * scorecard feature diagnostic — per length bin, WoE = ln of the
+    * smoothed positive-share over negative-share ratio (add-½ on both
+    * counts and totals, so empty cells stay finite), and the IV
+    * contribution (Δshare·WoE). WoE follows the q94 6-dp fixed-point
+    * log contract; the share delta snaps to its own ×10⁶ grid so the IV
+    * product — and therefore the TOTAL IV row — is an exact integer sum,
+    * not an order-sensitive float accumulation.
+    *
+    * Scale shape: one histogram aggregate (the q87 discipline), a
+    * broadcast 1-row totals join, arithmetic on the |bins| grain.
+    */
+  def woeInformationValue(spark: SparkSession, sfDir: String): DataFrame =
+    woeInformationValueOf(Tables.documents(spark, sfDir)
+      .select(expr("n_chars div 50").cast("long").as("bin"),
+        (col("lang") === "en").cast("long").as("y")))
+
+  /** [[woeInformationValue]] over an arbitrary (bin, y) frame. */
+  def woeInformationValueOf(binned: DataFrame): DataFrame = {
+    val hist = binned.groupBy(col("bin"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y")))
+        .as("neg"))
+    val tot = hist.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+    val scored = hist.crossJoin(broadcast(tot))
+      .withColumn("pos_share",
+        (col("pos").cast("double") + 0.5) / (col("p").cast("double") + 0.5))
+      .withColumn("neg_share",
+        (col("neg").cast("double") + 0.5) / (col("n").cast("double") + 0.5))
+      .select(col("bin"), col("pos"), col("neg"),
+        round(round(log(col("pos_share") / col("neg_share")), 6) * 1e6)
+          .cast("long").as("woe_fp"),
+        round((col("pos_share") - col("neg_share")) * 1e6).cast("long")
+          .as("dshare_fp"))
+      // sign split: dshare and woe usually agree in sign but smoothing
+      // can flip one near zero, and a negative dividend divides
+      // differently under truncation vs flooring
+      .withColumn("iv_fp", expr("""CASE
+        WHEN dshare_fp * woe_fp >= 0 THEN (dshare_fp * woe_fp) div 1000000
+        ELSE -((-(dshare_fp * woe_fp)) div 1000000) END"""))
+    scored.select(col("bin"), col("pos"), col("neg"), col("woe_fp"),
+        col("dshare_fp"), col("iv_fp"))
+      .unionByName(scored.groupBy(lit(-1L).as("bin"))
+        .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"),
+          lit(0L).as("woe_fp"), lit(0L).as("dshare_fp"),
+          sum(col("iv_fp")).as("iv_fp")))
+  }
+
+  /** AMS second-moment sketch audit (q372, Alon-Matias-Szegedy STOC'96):
+    * F₂ = Σ f_w² of the token-frequency vector estimated by eight
+    * independent ±1-hash estimators Z_r = Σ sign(w,r)·f_w, each squared,
+    * with the median-of-estimators combine — THE classic sketch for
+    * self-join size / skew estimation, mergeable (Z vectors add across
+    * partitions), audited against the exact F₂. Signs come from the
+    * pinned md5 parity, so both engines draw identical ±1s; everything
+    * is exact integer until the one 6-dp relative error.
+    *
+    * Scale shape: one word-frequency aggregate; the 8 Z accumulators are
+    * a ×8 bounded fan-out with map-side combine; the exact F₂ audit
+    * rides the same frequency table.
+    */
+  def amsF2Sketch(spark: SparkSession, sfDir: String,
+      sketches: Int = 8): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    amsF2Of(freq, sketches)
+  }
+
+  /** [[amsF2Sketch]] over an arbitrary (w, f) frequency frame. */
+  def amsF2Of(freq: DataFrame, sketches: Int): DataFrame = {
+    val exact = freq.agg(sum(col("f") * col("f")).as("f2_exact"))
+    val rs = broadcast(freq.sparkSession.range(1, sketches + 1L)
+      .select(col("id").cast("int").as("r")))
+    val z = freq.crossJoin(rs)
+      .select(col("r"),
+        (col("f") * (Hashing.stableHash32(concat(lit("ams:"),
+          col("r").cast("string"), lit(":"), col("w"))) % 2 * 2 - 1))
+          .as("term"))
+      .groupBy(col("r")).agg(sum(col("term")).as("z"))
+      .select(col("r"), col("z"), (col("z") * col("z")).as("est"))
+    val wm = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est"), col("r"))
+    val med = z.withColumn("rr", row_number().over(wm).cast("long"))
+      .crossJoin(broadcast(z.agg(count(lit(1)).as("k"))))
+      .where(col("rr") === expr("(k + 1) div 2")
+        || col("rr") === expr("(k + 2) div 2"))
+      .agg(expr("(sum(est) * (3 - count(1))) div 2").as("median_est"))
+    z.crossJoin(broadcast(exact)).crossJoin(broadcast(med))
+      .select(col("r"), col("z"), col("est"), col("f2_exact"),
+        col("median_est"),
+        round((col("median_est") - col("f2_exact")).cast("double")
+          / col("f2_exact").cast("double"), 6).as("median_rel_err"))
+  }
+
   /** Hill tail-index estimator (q368, Hill 1975): α̂ = k / Σᵢ₌₁ᵏ
     * ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics — the standard
     * heavy-tail diagnostic (α ≈ 1 is Zipf; small α means a fat tail that

@@ -68,8 +68,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two array<bigint> columns as a native
+  * codegen'd expression — the fixed-point sibling of [[CosineSimilarity]]
+  * for the integer-grid kernels (q370 MMD, exact-arithmetic distance
+  * audits): the built-in `aggregate(zip_with(...))` route is interpreted
+  * per element and allocates an intermediate array per ROW, which is a
+  * ~10× tax on a 10⁶⁺-pair stage. Long arithmetic throughout (callers
+  * guarantee products fit; Spark's non-ANSI overflow would wrap
+  * silently, as with every built-in). Mismatched lengths score the
+  * common prefix; null inputs are null.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level vector functions. */
 object Vectors {
+
+  /** Codegen'd exact integer dot product (see [[LongDotProduct]]). */
+  def dotLong(a: Column, b: Column): Column =
+    GraftBridge.column(LongDotProduct(
+      GraftBridge.expression(a.cast("array<bigint>")),
+      GraftBridge.expression(b.cast("array<bigint>"))))
 
   /** Codegen'd cosine similarity (see [[CosineSimilarity]]). Inputs are cast
     * to array<double> so float32 embeddings work directly.

@@ -1565,6 +1565,119 @@ object Similarity {
           .as("s_fp"))
   }
 
+  /** Top principal direction by integer power iteration (q369): the
+    * dominant eigenvector of the embedding scatter matrix ΣᵢxᵢxᵢᵀT
+    * (mean-centered on the 10⁻³ grid), computed with EIGHT rounds of
+    * exact BigInt matrix-vector products and ×10⁶ max-normalization —
+    * the q91-PageRank discipline applied to PCA. No float accumulates
+    * anywhere: the scatter build is exact BIGINT sums (distributed, one
+    * dim-pair fan-out), the iteration runs on the collected d×d matrix
+    * (4096 rows — metadata-sized like every codebook here, the
+    * documented d²-not-n driver solve), normalization divides POSITIVE
+    * magnitudes only (sign split out), and the Rayleigh-quotient
+    * eigenvalue is one double division of two exact integers.
+    *
+    * Scale shape: the corpus is touched once by the d² accumulator
+    * (map-side combinable on (d,e)); everything after is O(d²·rounds)
+    * independent of corpus size.
+    */
+  def principalDirection(spark: SparkSession, sfDir: String,
+      rounds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = quantizedAssignment(spark, sfDir)
+      .select(col("vec_id"), col("vq"))
+    val n = base.count()
+    val dims = base.select(col("vec_id"),
+      posexplode(col("vq")).as(Seq("d", "x")))
+    val mean = dims.groupBy(col("d"))
+      .agg(expr("sum(x) div count(1)").as("m"))
+    val cd = dims.join(broadcast(mean), Seq("d"))
+      .select(col("vec_id"), (col("d") + 1).as("d"),
+        (col("x") - col("m")).as("c"))
+    val cov = cd.as("a").join(cd.as("b"),
+        col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.d").as("d"), col("b.d").as("e"))
+      .agg(sum(col("a.c") * col("b.c")).as("cov"))
+    // d x d collect — the same metadata-sized driver solve as the OLS /
+    // codebook paths; corpus-scale work ended at the aggregate above
+    val a = cov.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val d = a.map(_._1).max
+    val m = Array.ofDim[BigInt](d + 1, d + 1)
+    a.foreach { case (i, j, v) => m(i)(j) = BigInt(v) }
+    var v = Array.fill(d + 1)(BigInt(1000000))
+    for (_ <- 1 to rounds) {
+      val w = (1 to d).map(i =>
+        (1 to d).map(j => m(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max
+      v = (BigInt(0) +: w.map(x =>
+        if (x.signum >= 0) (x.abs * 1000000) / mx
+        else -((x.abs * 1000000) / mx))).toArray
+    }
+    val av = (1 to d).map(i => (1 to d).map(j => m(i)(j) * v(j)).sum)
+    val num = (1 to d).map(i => v(i) * av(i - 1)).sum
+    val den = (1 to d).map(i => v(i) * v(i)).sum
+    val lambda = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val meanMap = mean.collect().map(r => r.getInt(0) + 1 -> r.getLong(1))
+      .toMap
+    (1 to d).map(i => (i, meanMap(i), v(i).toLong, n, lambda))
+      .toDF("dim", "mean_grid", "v_fp", "n_vecs", "lambda_rayleigh")
+  }
+
+  /** Quadratic-kernel MMD² (q370, Gretton et al. JMLR'12) between the
+    * label-0-4 and label-5-9 embedding populations: the biased
+    * V-statistic E[k(X,X′)] + E[k(Y,Y′)] − 2E[k(X,Y)] under the
+    * polynomial kernel k(x,y) = (x·y)² evaluated on the UNSHIFTED 10⁻³
+    * integer grid — every kernel value is an exact BIGINT (dot ≤ d·10⁶·
+    * ~4, squared ≤ ~10¹⁷) and the three cell sums are exact DECIMAL(38)
+    * accumulations, so the two-sample discrepancy is engine-free until
+    * its final three double divisions. The kernel two-sample test a
+    * training pipeline runs to answer "did the embedding distribution
+    * move between snapshots" with more power than per-dimension KS.
+    *
+    * Scale shape: one pairwise stage (quadratic by definition — the
+    * scale path is the pinned-hash sample, as with q357/q362), probe
+    * side repartitioned so the broadcast join parallelizes; cell sums
+    * are map-side combinable.
+    */
+  def mmdQuadratic(spark: SparkSession, sfDir: String): DataFrame =
+    mmdQuadraticOf(spark, corpus(spark, sfDir)
+      .select(col("vec_id"), when(col("label") < 5, lit("x"))
+        .otherwise(lit("y")).as("g"),
+        transform(col("v"), x => round(x * 1e3).cast("long")).as("vq")))
+
+  /** [[mmdQuadratic]] over an arbitrary tagged (vec_id, g, vq) frame. */
+  def mmdQuadraticOf(spark: SparkSession, tagged: DataFrame): DataFrame = {
+    val vecs = tagged.repartition(col("vec_id")).localCheckpoint()
+    val k = graft.functions.Vectors.dotLong(col("a.vq"), col("b.vq"))
+    // project k ONCE before squaring: a duplicated higher-order-function
+    // expression is evaluated twice per row (no CSE for interpreted HOFs)
+    val cells = vecs.as("a").join(broadcast(vecs.as("b")), lit(true))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"), k.as("k"))
+      .select(col("ga"), col("gb"),
+        (col("k") * col("k"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("kk"))
+      .groupBy(col("ga"), col("gb")).agg(sum(col("kk")).as("s"))
+    val nx = vecs.where(col("g") === "x").count()
+    val ny = vecs.where(col("g") === "y").count()
+    val byCell = cells.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDecimal(2))
+      .toMap
+    val sxx = BigDecimal(byCell(("x", "x"))).toDouble
+    val syy = BigDecimal(byCell(("y", "y"))).toDouble
+    val sxy = (BigDecimal(byCell(("x", "y")))
+      + BigDecimal(byCell(("y", "x")))).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exx = sxx / (nx.toDouble * nx.toDouble)
+    val eyy = syy / (ny.toDouble * ny.toDouble)
+    val exy = sxy / (2.0 * nx.toDouble * ny.toDouble)
+    import spark.implicits._
+    Seq((nx, ny, r6(exx / 1e12), r6(eyy / 1e12), r6(exy / 1e12),
+      r6((exx + eyy - 2.0 * exy) / 1e12)))
+      .toDF("n_x", "n_y", "e_kxx_t", "e_kyy_t", "e_kxy_t", "mmd2_t")
+  }
+
   /** Cluster dispersion audit (q360): per-cell within-cluster squared
     * scatter around the truncating integer-mean centroid, between-cluster
     * scatter n_c·‖centroid_c − centroid_global‖², and the
