@@ -692,6 +692,14 @@ object SparkEntry {
     "q371_woe_iv" -> ((s: SparkSession, d: String) => TextAnalytics.woeInformationValue(s, d)),
     // q372: AMS +-1-sketch F2 estimators with median combine, exact audit
     "q372_ams_f2" -> ((s: SparkSession, d: String) => TextAnalytics.amsF2Sketch(s, d)),
+    // q373: Page-Hinkley mean-shift trajectory, fully window-declarative
+    "q373_page_hinkley" -> ((s: SparkSession, d: String) => Relational.pageHinkley(s, d)),
+    // q374: exact 2^4-coalition Shapley conversion attribution (x24 ints)
+    "q374_shapley_attribution" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.shapleyAttribution(s, d)),
+    // q375: cumulative Qini uplift curve over pinned-model score deciles
+    "q375_qini_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.qiniCurve(s, d)),
+    // q376: Friedman blocked rank test across event types (x2-grid ranks)
+    "q376_friedman_test" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.friedmanTest(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8409,5 +8417,130 @@ private object CorpusOracles {
         | round(CAST(md.median_est - ex.f2_exact AS DOUBLE) / ex.f2_exact,
         |  6) AS median_rel_err
         |FROM ze CROSS JOIN ex CROSS JOIN md""".stripMargin,
+    // q373: prefix-window PH terms; sign-split x1e6 truncating division
+    // of the exact rational deviation (t*x - S)/t
+    "q373_page_hinkley" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.day,
+        |  CAST(coalesce(daily.cents, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |s1 AS (SELECT day, x,
+        |  CAST(row_number() OVER w AS BIGINT) AS t,
+        |  CAST(sum(x) OVER w AS BIGINT) AS s
+        | FROM x WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |s2 AS (SELECT *, t * x - s AS dev FROM s1),
+        |s3 AS (SELECT *, CASE WHEN dev >= 0
+        |   THEN (dev * 1000000) // t
+        |   ELSE -((-dev * 1000000) // t) END AS term_fp FROM s2),
+        |s4 AS (SELECT *,
+        |  CAST(sum(term_fp) OVER w AS BIGINT) AS m_fp
+        | FROM s3 WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |s5 AS (SELECT *,
+        |  CAST(min(m_fp) OVER w AS BIGINT) AS min_m_fp
+        | FROM s4 WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT day, x AS cents, t, CAST(term_fp AS BIGINT) AS term_fp,
+        | m_fp, min_m_fp, m_fp - min_m_fp AS gap_fp,
+        | CAST(m_fp - min_m_fp > 100000000000000 AS INTEGER) AS alarm
+        |FROM s5""".stripMargin,
+    // q374: 16-row mask table; v(S) by subset-sum; x24 integer weights
+    // {6,2,2,6}; channel bits pinned alphabetically
+    "q374_shapley_attribution" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |   + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+        |   + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+        |   + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS mask,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1),
+        |bm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |co AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS s),
+        |v AS (SELECT co.s, CAST(coalesce(sum(bm.n_conv), 0) AS BIGINT) AS v
+        |  FROM co LEFT JOIN bm ON (bm.mask & co.s) = bm.mask GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |   ('signup', 4), ('view', 8)) AS t(channel, b)),
+        |mg AS (SELECT ch.channel, vw.s,
+        |   vw.v - vo.v AS marg,
+        |   CASE bit_count(vw.s - ch.b) WHEN 0 THEN 6 WHEN 1 THEN 2
+        |    WHEN 2 THEN 2 ELSE 6 END AS w24
+        |  FROM ch JOIN v vw ON (vw.s & ch.b) = ch.b
+        |  JOIN v vo ON vo.s = vw.s - ch.b)
+        |SELECT channel, CAST(sum(marg * w24) AS BIGINT) AS shapley_x24,
+        | round(CAST(sum(marg * w24) AS DOUBLE) / 24.0, 6) AS shapley
+        |FROM mg GROUP BY 1""".stripMargin,
+    // q375: the q235 unit grain and pinned model; score rounded at 6 dp
+    // BEFORE ranking; cumulative Qini per decile, x1e6 truncating
+    "q375_qini_curve" ->
+      """WITH units AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_feat,
+        |  CAST(count(DISTINCT CASE WHEN event_type <> 'purchase'
+        |   THEN event_type END) AS BIGINT) AS k_types,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        | FROM events GROUP BY 1, 2),
+        |sc AS (SELECT *, CAST(user_id % 2 AS INTEGER) AS arm,
+        |  round(1.0 / (1.0 + exp(-(-3.0 + 0.45 * ln(1.0 + n_feat)
+        |   + 0.35 * k_types))), 6) AS p6 FROM units),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        |rk AS (SELECT sc.*, CAST(row_number() OVER (ORDER BY p6 DESC,
+        |   n_feat DESC, k_types DESC, user_id, day) AS BIGINT) AS r
+        |  FROM sc),
+        |dd AS (SELECT rk.*, CAST(least(10, ((r - 1) * 10) // nn.n + 1)
+        |   AS INTEGER) AS decile FROM rk, nn),
+        |pd AS (SELECT decile,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS yt,
+        |  CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS yc
+        | FROM dd GROUP BY 1),
+        |cm AS (SELECT decile,
+        |  CAST(sum(nt) OVER w AS BIGINT) AS cnt,
+        |  CAST(sum(nc) OVER w AS BIGINT) AS cnc,
+        |  CAST(sum(yt) OVER w AS BIGINT) AS cyt,
+        |  CAST(sum(yc) OVER w AS BIGINT) AS cyc
+        | FROM pd WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, cnt AS n_treated, cnc AS n_control,
+        | cyt AS y_treated, cyc AS y_control,
+        | CAST(cyt * 1000000 - (cyc * cnt * 1000000) // cnc AS BIGINT)
+        |  AS qini_fp,
+        | CAST((cyt * 1000000) // cnt - (cyc * 1000000) // cnc AS BIGINT)
+        |  AS uplift_fp
+        |FROM cm""".stripMargin,
+    // q376: x2-grid within-day ranks (2*rank + g - 1 on tie groups);
+    // uncorrected Friedman statistic; pinned chi2(0.05, 4)
+    "q376_friedman_test" ->
+      """WITH cell AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |grid AS (SELECT d.day, t.event_type, coalesce(cell.x, 0) AS x
+        |  FROM (SELECT DISTINCT day FROM cell) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+        |  LEFT JOIN cell ON cell.day = d.day
+        |   AND cell.event_type = t.event_type),
+        |rk AS (SELECT day, event_type,
+        |   CAST(rank() OVER (PARTITION BY day ORDER BY x) AS BIGINT) * 2
+        |    + CAST(count(*) OVER (PARTITION BY day, x) AS BIGINT) - 1
+        |    AS rank2
+        |  FROM grid),
+        |sums AS (SELECT event_type, CAST(sum(rank2) AS BIGINT)
+        |   AS rank2_sum, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM rk GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sums),
+        |tot AS (SELECT max(n_days) AS n,
+        |   CAST(sum(rank2_sum * rank2_sum) AS BIGINT) AS ssq FROM sums)
+        |SELECT s.event_type, s.rank2_sum, tot.n, kk.k,
+        | round(3.0 * CAST(tot.ssq AS DOUBLE)
+        |   / CAST(tot.n * kk.k * (kk.k + 1) AS DOUBLE)
+        |  - 3.0 * CAST(tot.n AS DOUBLE) * (kk.k + 1), 6) AS chi2_stat,
+        | CAST(round(3.0 * CAST(tot.ssq AS DOUBLE)
+        |   / CAST(tot.n * kk.k * (kk.k + 1) AS DOUBLE)
+        |  - 3.0 * CAST(tot.n AS DOUBLE) * (kk.k + 1), 6) > 9.487729
+        |  AS INTEGER) AS reject_05
+        |FROM sums s CROSS JOIN kk CROSS JOIN tot""".stripMargin,
   )
 }

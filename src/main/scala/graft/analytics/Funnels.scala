@@ -1363,6 +1363,174 @@ object Funnels {
                 .cast("double"), 6)).as("conviction"))
   }
 
+  /** Exact Shapley channel attribution (q374, Shapley 1953): each
+    * non-purchase event type's fair share of conversion credit, computed
+    * EXACTLY over all 2⁴ channel coalitions — v(S) = converted users
+    * whose touched-channel set ⊆ S, φᵢ = Σ_S w(|S|)·(v(S∪{i}) − v(S))
+    * with the 4-player weights ×24 ∈ {6,2,2,6}, so every Shapley value
+    * is an exact ×24 integer and Σφ = v(N) − v(∅) exactly (the
+    * efficiency axiom, asserted in the spec). The game-theoretic answer
+    * to the q200 removal-effect heuristic.
+    *
+    * Scale shape: the corpus collapses to the 16-row mask table (one
+    * user aggregate + one mask aggregate); the coalition algebra is
+    * 16×16 bit-ops on that constant-sized table. At ANY corpus scale
+    * the cost past the first aggregate is fixed — the exponential
+    * coalition enumeration is in the CHANNEL count, pinned at 4.
+    */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    shapleyAttributionOf(Tables.events(spark, sfDir))
+
+  /** [[shapleyAttribution]] over an arbitrary events frame. */
+  def shapleyAttributionOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val channels = Seq("click", "error", "signup", "view")
+    val bit = channels.zipWithIndex.map { case (c, i) => c -> (1 << i) }
+    val mask = bit.foldLeft(lit(0)) { case (acc, (c, b)) =>
+      acc + max(when(col("event_type") === c, b).otherwise(0))
+    }
+    val users = events.groupBy(col("user_id"))
+      .agg(mask.as("mask"),
+        max((col("event_type") === "purchase").cast("long")).as("conv"))
+    val byMask = users.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("n_conv"))
+      .localCheckpoint() // <= 16 rows
+    val coalitions = broadcast((0 until 16).toDF("s"))
+    // v(S) = converted users whose mask is a subset of S
+    val v = coalitions.join(byMask, expr("(mask & s) = mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+      .localCheckpoint()
+    val w24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val chan = broadcast(bit.map { case (c, b) => (c, b) }
+      .toDF("channel", "b"))
+    val marginals = chan
+      .join(v.select(col("s"), col("v").as("v_with")),
+        expr("(s & b) = b"))
+      .join(v.select(col("s").as("s0"), col("v").as("v_without")),
+        expr("s0 = s - b"))
+      .select(col("channel"), col("s"),
+        (col("v_with") - col("v_without")).as("marg"),
+        expr("bit_count(s - b)").cast("int").as("ssize"))
+    val wMap = typedLit(w24.map { case (k, x) => k -> x })
+    marginals
+      .withColumn("w24", wMap(col("ssize")))
+      .groupBy(col("channel"))
+      .agg(sum(col("marg") * col("w24")).as("shapley_x24"))
+      .select(col("channel"), col("shapley_x24"),
+        round(col("shapley_x24").cast("double") / 24.0, 6).as("shapley"))
+  }
+
+  /** Qini uplift curve (q375, Radcliffe 2007): users ranked by the q235
+    * pinned conversion model (score ROUNDED at 6 dp before ranking —
+    * raw exp/ln doubles could order differently across engines at the
+    * last ulp; ties pin by the integer features and unit key), cut into
+    * score deciles, and per decile the CUMULATIVE incremental
+    * conversions Y_t − Y_c·N_t/N_c between the q228 arms — the curve
+    * behind every uplift-model evaluation, exact integers through the
+    * one ×10⁶ truncating division per decile.
+    *
+    * Scale shape: the unit grain is one aggregate; the decile cut is a
+    * rank window; cumulative cells are a 10-row rollup of a grouped
+    * aggregate.
+    */
+  def qiniCurve(spark: SparkSession, sfDir: String): DataFrame =
+    qiniCurveOf(Tables.events(spark, sfDir))
+
+  /** [[qiniCurve]] over an arbitrary events frame. */
+  def qiniCurveOf(ev: DataFrame): DataFrame = {
+    val units = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum((col("event_type") =!= "purchase").cast("long")).as("n_feat"),
+        count_distinct(when(col("event_type") =!= "purchase",
+          col("event_type"))).as("k_types"),
+        max((col("event_type") === "purchase").cast("int")).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("int"))
+      .withColumn("p6", round(lit(1.0) / (lit(1.0) + exp(-(lit(-3.0)
+        + lit(0.45) * log(lit(1.0) + col("n_feat"))
+        + lit(0.35) * col("k_types")))), 6))
+    val w = Window.orderBy(col("p6").desc, col("n_feat").desc,
+      col("k_types").desc, col("user_id"), col("day"))
+    val ranked = units.withColumn("r", row_number().over(w).cast("long"))
+    val n = units.count()
+    val perDecile = ranked
+      .withColumn("decile",
+        least(lit(10L), expr(s"((r - 1) * 10) div $n + 1")).cast("int"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("arm") === 1, col("y").cast("long")).otherwise(0L))
+          .as("yt"),
+        sum(when(col("arm") === 0, col("y").cast("long")).otherwise(0L))
+          .as("yc"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("cnt", sum(col("nt")).over(wc))
+      .withColumn("cnc", sum(col("nc")).over(wc))
+      .withColumn("cyt", sum(col("yt")).over(wc))
+      .withColumn("cyc", sum(col("yc")).over(wc))
+      .select(col("decile"), col("cnt").as("n_treated"),
+        col("cnc").as("n_control"), col("cyt").as("y_treated"),
+        col("cyc").as("y_control"),
+        (col("cyt") * 1000000L
+          - expr("(cyc * cnt * 1000000) div cnc")).as("qini_fp"),
+        (expr("(cyt * 1000000) div cnt")
+          - expr("(cyc * 1000000) div cnc")).as("uplift_fp"))
+  }
+
+  /** Friedman rank test (q376, Friedman 1937): do the five event types
+    * draw systematically different daily volumes, blocking by day? Ranks
+    * within each day live on the ×2 grid (tie groups take 2·avgrank =
+    * 2·rank() + g − 1, exact integers), the statistic χ² =
+    * 3·Σ(R2ⱼ)²/(n·k·(k+1)) − 3·n·(k+1) is one double expression over
+    * exact integer rank sums (tie correction omitted — identical on
+    * both engines either way), flagged against the pinned
+    * χ²₍₀.₀₅,₄₎ = 9.487729. The nonparametric blocked ANOVA the q231
+    * chi-square cannot give (it tests independence, not ordering).
+    *
+    * Scale shape: one (day, type) aggregate, one |types|-wide rank
+    * window per day, a |types|-row finish.
+    */
+  def friedmanTest(spark: SparkSession, sfDir: String): DataFrame =
+    friedmanTestOf(Tables.events(spark, sfDir))
+
+  /** [[friedmanTest]] over an arbitrary events frame. */
+  def friedmanTestOf(events: DataFrame): DataFrame = {
+    val cell = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    // zero-fill the (day, type) grid so every block ranks all k types
+    val grid = cell.select(col("day")).distinct()
+      .crossJoin(broadcast(cell.select(col("event_type")).distinct()))
+      .join(cell, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val wr = Window.partitionBy(col("day")).orderBy(col("x"))
+    val wt = Window.partitionBy(col("day"), col("x"))
+    val ranked = grid
+      .withColumn("rk", rank().over(wr).cast("long"))
+      .withColumn("g", count(lit(1)).over(wt))
+      .select(col("day"), col("event_type"),
+        (col("rk") * 2 + col("g") - 1).as("rank2"))
+    val sums = ranked.groupBy(col("event_type"))
+      .agg(sum(col("rank2")).as("rank2_sum"), count(lit(1)).as("n_days"))
+    val k = sums.count()
+    val tot = sums.agg(max(col("n_days")).as("n"),
+      sum(col("rank2_sum") * col("rank2_sum")).as("ssq"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("rank2_sum"), col("n"),
+        lit(k).cast("long").as("k"),
+        round(lit(3.0) * col("ssq").cast("double")
+          / (col("n") * lit(k) * lit(k + 1)).cast("double")
+          - lit(3.0) * col("n").cast("double") * (k + 1), 6)
+          .as("chi2_stat"))
+      .withColumn("reject_05",
+        (col("chi2_stat") > 9.487729).cast("int"))
+  }
+
   /** Quantile-quantile shift function (q365, Doksum 1974): at each
     * decile, the exact order-statistic difference between purchase-event
     * values and all other event values — WHERE in the distribution the

@@ -2894,6 +2894,45 @@ object Relational {
           .as("skill_vs_naive"))
   }
 
+  /** Page-Hinkley drift trajectory (q373, Page 1954; Hinkley 1971) over
+    * daily revenue: the sequential mean-shift detector m_T = Σ_t (x_t −
+    * x̄_t) with its running minimum — an upward drift alarm fires when
+    * m_T − min_{t≤T} m_t exceeds the pinned λ. Everything is windowed
+    * prefix arithmetic (rank, prefix sum, running min) — NO sequential
+    * recursion, unlike Holt/compaction: the classic drift detector turns
+    * out to be fully declarative. Per-day terms are ×10⁶ truncating
+    * fixed points of the exact rational (t·x_t − S_t)/t, sign-split
+    * because the deviation is signed.
+    *
+    * Scale shape: one day-grain collapse then three windows over the
+    * calendar-sized table.
+    */
+  def pageHinkley(spark: SparkSession, sfDir: String,
+      lambdaFp: Long = 100000000000000L): DataFrame =
+    pageHinkleyOf(spark, Tables.orders(spark, sfDir), lambdaFp)
+
+  /** [[pageHinkley]] over an arbitrary orders frame. */
+  def pageHinkleyOf(spark: SparkSession, orders: DataFrame,
+      lambdaFp: Long): DataFrame = {
+    val daily = dailyCentsSpineOf(orders)
+      .select(col("day"), col("x"))
+    val wd = Window.orderBy(col("day"))
+    val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(wd).cast("long"))
+      .withColumn("s", sum(col("x")).over(run))
+      .withColumn("dev", col("t") * col("x") - col("s"))
+      .withColumn("term_fp", expr("""CASE WHEN dev >= 0
+        THEN (dev * 1000000) div t
+        ELSE -((-dev * 1000000) div t) END"""))
+      .withColumn("m_fp", sum(col("term_fp")).over(run))
+      .withColumn("min_m_fp", min(col("m_fp")).over(run))
+      .select(col("day"), col("x").as("cents"), col("t"), col("term_fp"),
+        col("m_fp"), col("min_m_fp"),
+        (col("m_fp") - col("min_m_fp")).as("gap_fp"),
+        (col("m_fp") - col("min_m_fp") > lambdaFp).cast("int").as("alarm"))
+  }
+
   /** Tukey median polish (q363, Tukey 1977) of the daily-revenue matrix
     * (rows = day-of-week relative to the span start, columns = week
     * index): two full sweeps of alternating row-median and column-median
