@@ -700,6 +700,10 @@ object SparkEntry {
     "q375_qini_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.qiniCurve(s, d)),
     // q376: Friedman blocked rank test across event types (x2-grid ranks)
     "q376_friedman_test" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.friedmanTest(s, d)),
+    // q377: variance-to-mean + Poisson dispersion per event type
+    "q377_overdispersion" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.overdispersion(s, d)),
+    // q378: Gumbel weekly-maxima fit, pinned-constant 52-week return level
+    "q378_gumbel_return" -> ((s: SparkSession, d: String) => Relational.gumbelReturnLevel(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8542,5 +8546,58 @@ private object CorpusOracles {
         |  - 3.0 * CAST(tot.n AS DOUBLE) * (kk.k + 1), 6) > 9.487729
         |  AS INTEGER) AS reject_05
         |FROM sums s CROSS JOIN kk CROSS JOIN tot""".stripMargin,
+    // q377: zero-filled daily counts; chi2 = (n*Sxx - S^2)/S exact
+    // integer numerators, one double division each
+    "q377_overdispersion" ->
+      """WITH cell AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, CAST(coalesce(cell.x, 0) AS BIGINT)
+        |   AS x
+        |  FROM (SELECT DISTINCT day FROM cell) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+        |  LEFT JOIN cell ON cell.day = d.day
+        |   AND cell.event_type = t.event_type),
+        |mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |   CAST(sum(x) AS BIGINT) AS total,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM grid GROUP BY 1)
+        |SELECT event_type, n_days, total,
+        | round(CAST(n_days * sxx - total * total AS DOUBLE)
+        |  / CAST(total * (n_days - 1) AS DOUBLE), 6) AS vmr,
+        | round(CAST(n_days * sxx - total * total AS DOUBLE)
+        |  / CAST(total AS DOUBLE), 6) AS chi2_dispersion
+        |FROM mo""".stripMargin,
+    // q378: weekly block maxima; moment fit with pinned gamma, sqrt6/pi
+    // and c52 = -ln(-ln(51/52)) literals
+    "q378_gumbel_return" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT b.d0, b.d0 + CAST(i AS INTEGER) AS day
+        |  FROM b, range(0, 20000) r(i)
+        |  WHERE b.d0 + CAST(i AS INTEGER) <= b.d1),
+        |x AS (SELECT spine.d0, spine.day,
+        |   CAST(coalesce(daily.cents, 0) AS BIGINT) AS x
+        |  FROM spine LEFT JOIN daily USING (day)),
+        |wk AS (SELECT date_diff('day', d0, day) // 7 AS wk,
+        |   CAST(max(x) AS BIGINT) AS mx FROM x GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+        |   CAST(sum(mx) AS BIGINT) AS s,
+        |   sum(CAST(mx AS HUGEINT) * mx) AS sxx,
+        |   CAST(max(mx) AS BIGINT) AS observed_max FROM wk),
+        |f AS (SELECT n_weeks, s, observed_max,
+        |   CAST(s AS DOUBLE) / CAST(n_weeks AS DOUBLE) AS mean,
+        |   sqrt((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(n_weeks AS DOUBLE)) / (CAST(n_weeks AS DOUBLE) - 1.0))
+        |    * 0.779696801233676 AS beta
+        |  FROM m)
+        |SELECT n_weeks, s AS sum_max_cents, observed_max,
+        | round(mean, 6) AS mean_weekly_max,
+        | round(beta, 6) AS gumbel_beta,
+        | round(mean - 0.5772156649015329 * beta, 6) AS gumbel_mu,
+        | round(mean - 0.5772156649015329 * beta
+        |   + beta * 3.9415503865226063, 6) AS return_level_52w
+        |FROM f""".stripMargin,
   )
 }

@@ -1481,6 +1481,42 @@ object Funnels {
           - expr("(cyc * 1000000) div cnc")).as("uplift_fp"))
   }
 
+  /** Overdispersion audit (q377): per event type, the variance-to-mean
+    * ratio of ZERO-FILLED daily counts and the Poisson dispersion
+    * statistic χ² = Σ(x−x̄)²/x̄ = (n·Σx² − S²)/S — the "is a Poisson
+    * model even admissible" check that decides whether rate alarms can
+    * use √mean bands or need the negative-binomial widening. Count
+    * moments are exact integers; each ratio is one double expression.
+    *
+    * Scale shape: one (day, type) aggregate, the zero-fill grid join on
+    * the calendar × |types| frame, one moment rollup per type.
+    */
+  def overdispersion(spark: SparkSession, sfDir: String): DataFrame =
+    overdispersionOf(Tables.events(spark, sfDir))
+
+  /** [[overdispersion]] over an arbitrary events frame. */
+  def overdispersionOf(events: DataFrame): DataFrame = {
+    val cell = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val days = cell.select(col("day")).distinct()
+    val grid = days
+      .crossJoin(broadcast(cell.select(col("event_type")).distinct()))
+      .join(cell, Seq("day", "event_type"), "left")
+      .select(col("event_type"), coalesce(col("x"), lit(0L)).as("x"))
+    grid.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        round((col("n_days") * col("sxx") - col("total") * col("total"))
+          .cast("double")
+          / (col("total") * (col("n_days") - 1)).cast("double"), 6)
+          .as("vmr"),
+        round((col("n_days") * col("sxx") - col("total") * col("total"))
+          .cast("double") / col("total").cast("double"), 6)
+          .as("chi2_dispersion"))
+  }
+
   /** Friedman rank test (q376, Friedman 1937): do the five event types
     * draw systematically different daily volumes, blocking by day? Ranks
     * within each day live on the ×2 grid (tie groups take 2·avgrank =

@@ -2894,6 +2894,50 @@ object Relational {
           .as("skill_vs_naive"))
   }
 
+  /** Gumbel block-maxima return level (q378, EVT type-I): weekly maxima
+    * of daily revenue, a method-of-moments Gumbel fit (β = s·√6/π, μ =
+    * m − γβ with the Euler-Mascheroni and √6/π constants PINNED as
+    * 16-digit literals), and the 52-week return level μ + β·c₅₂ with
+    * c₅₂ = −ln(−ln(51/52)) also pinned — "the weekly revenue spike you
+    * should expect about once a year", the capacity-planning number no
+    * quantile of the observed data can give (it extrapolates the tail).
+    * Block maxima and their moment sums are exact integers; the fit is
+    * a fixed scalar double sequence.
+    *
+    * Scale shape: day-grain collapse, week-grain max, one 1-row moment
+    * rollup.
+    */
+  def gumbelReturnLevel(spark: SparkSession, sfDir: String): DataFrame =
+    gumbelReturnLevelOf(spark, Tables.orders(spark, sfDir))
+
+  /** [[gumbelReturnLevel]] over an arbitrary orders frame. */
+  def gumbelReturnLevelOf(spark: SparkSession,
+      orders: DataFrame): DataFrame = {
+    val spine = dailyCentsSpineOf(orders)
+    val wk = spine
+      .select((datediff(col("day"), col("d0")).cast("long") / 7)
+        .cast("long").as("wk"), col("x"))
+      .groupBy(col("wk")).agg(max(col("x")).as("mx"))
+    val m = wk.agg(count(lit(1)).as("n_weeks"),
+      sum(col("mx")).as("s"),
+      sum(graft.functions.Num.dec(col("mx"))
+        * graft.functions.Num.dec(col("mx"))).as("sxx"),
+      max(col("mx")).as("observed_max"))
+    val nW = col("n_weeks").cast("double")
+    val mean = col("s").cast("double") / nW
+    val varS = ((col("sxx").cast("double")
+      - col("s").cast("double") * col("s").cast("double") / nW)
+      / (nW - lit(1.0)))
+    val beta = sqrt(varS) * lit(0.779696801233676)
+    val mu = mean - lit(0.5772156649015329) * beta
+    m.select(col("n_weeks"), col("s").cast("long").as("sum_max_cents"),
+      col("observed_max"),
+      round(mean, 6).as("mean_weekly_max"),
+      round(beta, 6).as("gumbel_beta"),
+      round(mu, 6).as("gumbel_mu"),
+      round(mu + beta * lit(3.9415503865226063), 6).as("return_level_52w"))
+  }
+
   /** Page-Hinkley drift trajectory (q373, Page 1954; Hinkley 1971) over
     * daily revenue: the sequential mean-shift detector m_T = Σ_t (x_t −
     * x̄_t) with its running minimum — an upward drift alarm fires when
