@@ -682,8 +682,6 @@ object SparkEntry {
     "q366_logrank_arms" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.logRankArms(s, d)),
     // q367: Lorenz concentration table behind the q152 Gini scalar
     "q367_lorenz_curve" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.lorenzCurve(s, d)),
-    // q368: Hill tail index of word-frequency and user-activity tails
-    "q368_hill_tail" -> ((s: SparkSession, d: String) => TextAnalytics.hillTailIndex(s, d)),
     // q369: dominant scatter eigenvector by exact integer power iteration
     "q369_principal_direction" -> ((s: SparkSession, d: String) => Similarity.principalDirection(s, d)),
     // q370: quadratic-kernel MMD^2 between the two label halves
@@ -8259,34 +8257,6 @@ private object CorpusOracles {
         |  AS equality_gap_fp
         |FROM ks CROSS JOIN tot
         |JOIN rk ON rk.r = (ks.decile * tot.n) // 10""".stripMargin,
-    // q368: top-(k+1) by (freq desc, key); the q94 6-dp log contract
-    "q368_hill_tail" -> {
-      def dom(src: String, k: Int) =
-        s"""(WITH f AS ($src),
-           |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY x DESC, tie)
-           |   AS BIGINT) AS r FROM f),
-           |xk AS (SELECT domain, x AS xk1 FROM rk WHERE r = $k + 1),
-           |s AS (SELECT rk.domain, xk.xk1,
-           |   CAST(round(round(ln(CAST(rk.x AS DOUBLE)
-           |     / CAST(xk.xk1 AS DOUBLE)), 6) * 1000000) AS BIGINT) AS s_fp
-           |  FROM rk JOIN xk USING (domain) WHERE rk.r <= $k)
-           |SELECT domain, CAST($k AS INTEGER) AS k, xk1,
-           | CAST(sum(s_fp) AS BIGINT) AS sum_ln_fp,
-           | CASE WHEN sum(s_fp) > 0 THEN
-           |  round($k.0 * 1000000 / CAST(sum(s_fp) AS DOUBLE), 6)
-           |  ELSE NULL END AS alpha_hat
-           |FROM s GROUP BY domain, xk1)""".stripMargin
-      val words = """SELECT 'word_freq' AS domain,
-        | CAST(count(*) AS BIGINT) AS x, w AS tie
-        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |WHERE w <> '' GROUP BY w""".stripMargin
-      val users = """SELECT 'user_events' AS domain,
-        | CAST(count(*) AS BIGINT) AS x, CAST(user_id AS VARCHAR) AS tie
-        |FROM events GROUP BY user_id""".stripMargin
-      s"""${dom(words, 10)}
-         |UNION ALL
-         |${dom(users, 10)}""".stripMargin
-    },
     // q369: exact HUGEINT scatter + 8 unrolled power-iteration rounds,
     // x1e6 max-normalized with the sign split out of every division
     "q369_principal_direction" -> {

@@ -2809,57 +2809,6 @@ object TextAnalytics {
           / col("f2_exact").cast("double"), 6).as("median_rel_err"))
   }
 
-  /** Hill tail-index estimator (q368, Hill 1975): α̂ = k / Σᵢ₌₁ᵏ
-    * ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics — the standard
-    * heavy-tail diagnostic (α ≈ 1 is Zipf; small α means a fat tail that
-    * breaks mean-based capacity planning). Run on two domains at pinned
-    * k: corpus word frequencies (the Zipf tail the q-Zipf fit assumes)
-    * and per-user event counts (whale detection for the q344 fanout
-    * story). Logs follow the q94 6-dp fixed-point contract; α publishes
-    * as k·10⁶ div Σfp plus the 6-dp double.
-    *
-    * Scale shape: frequency tables are map-side-combinable aggregates;
-    * the top-(k+1) is a TakeOrderedAndProject (per-partition heap), and
-    * the estimator touches k+1 rows.
-    */
-  def hillTailIndex(spark: SparkSession, sfDir: String): DataFrame = {
-    val words = Tables.documents(spark, sfDir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("x"))
-      .select(lit("word_freq").as("domain"), col("x"),
-        col("w").as("tie"))
-    val users = Tables.events(spark, sfDir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-      .select(lit("user_events").as("domain"), col("x"),
-        col("user_id").cast("string").as("tie"))
-    // k = 10 keeps both domains defined down to the 15-user sf0.001 gate
-    hillOf(words, k = 10).unionByName(hillOf(users, k = 10))
-  }
-
-  /** One Hill estimate over a (domain, x, tie) frequency frame. */
-  private def hillOf(freq: DataFrame, k: Int): DataFrame = {
-    val top = freq.orderBy(col("x").desc, col("tie")).limit(k + 1)
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("x").desc, col("tie"))))
-      .localCheckpoint() // k+1 rows; read twice (threshold + summands)
-    val xk1 = top.where(col("r") === k + 1)
-      .select(col("domain"), col("x").as("xk1"))
-    top.where(col("r") <= k)
-      .join(broadcast(xk1), Seq("domain"))
-      .select(col("domain"), col("xk1"),
-        round(round(log(col("x").cast("double")
-          / col("xk1").cast("double")), 6) * 1e6).cast("long").as("s_fp"))
-      .groupBy(col("domain"), col("xk1"))
-      .agg(sum(col("s_fp")).as("sum_ln_fp"))
-      .select(col("domain"), lit(k).cast("int").as("k"), col("xk1"),
-        col("sum_ln_fp"),
-        when(col("sum_ln_fp") > 0L,
-          round(lit(k.toDouble) * 1e6 / col("sum_ln_fp").cast("double"), 6))
-          .otherwise(lit(null).cast("double")).as("alpha_hat"))
-  }
-
   /** Robust location estimators (q362): per-source (plus the ALL rollup)
     * document length summarized four ways — mean, exact median, 10 %
     * trimmed mean, and the Hodges-Lehmann pseudo-median (the median of

@@ -64,15 +64,4 @@ class Round9hOpsSpec extends SparkTestBase {
       "the full population holds exactly everything")
   }
 
-  test("Hill corpus: both domains estimated, alpha positive") {
-    val rows = TextAnalytics.hillTailIndex(spark, "/root/testdata/sf0.001")
-      .collect()
-    assert(rows.map(_.getString(0)).toSet === Set("word_freq", "user_events"))
-    rows.foreach { r =>
-      assert(r.getInt(1) === 10)
-      assert(r.getLong(2) > 0L, "the k+1-th order statistic exists")
-      val a = r.get(r.fieldIndex("alpha_hat"))
-      assert(a == null || a.asInstanceOf[Double] > 0.0)
-    }
-  }
 }
