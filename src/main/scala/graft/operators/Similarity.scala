@@ -1534,13 +1534,17 @@ object Similarity {
     silhouetteOf(quantizedAssignment(spark, sfDir))
 
   /** [[silhouette]] over an arbitrary (vec_id, cell, vq) frame. */
-  def silhouetteOf(a: DataFrame): DataFrame = {
+  def silhouetteOf(a0: DataFrame): DataFrame = {
+    // d2 = |x|^2 + |y|^2 - 2 x.y with the codegen'd integer dot: the
+    // interpreted zip_with fold is a ~12x tax on the quadratic stage
+    val a = a0.withColumn("n2",
+      graft.functions.Vectors.dotLong(col("vq"), col("vq")))
     val pairs = a.as("x").join(broadcast(a.as("y")),
         col("x.vec_id") =!= col("y.vec_id"))
       .select(col("x.vec_id").as("i"), col("x.cell").as("ci"),
         col("y.cell").as("cj"),
-        aggregate(zip_with(col("x.vq"), col("y.vq"),
-          (p, q) => (p - q) * (p - q)), lit(0L), (acc, e) => acc + e)
+        (col("x.n2") + col("y.n2")
+          - graft.functions.Vectors.dotLong(col("x.vq"), col("y.vq")) * 2)
           .as("d2"))
     val grp = pairs.groupBy(col("i"), col("ci"), col("cj"))
       .agg(sum(col("d2")).as("s"), count(lit(1)).as("c"))
