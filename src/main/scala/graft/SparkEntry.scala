@@ -700,6 +700,8 @@ object SparkEntry {
     "q376_friedman_test" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.friedmanTest(s, d)),
     // q377: variance-to-mean + Poisson dispersion per event type
     "q377_overdispersion" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.overdispersion(s, d)),
+    // q379: reliability diagram on the pinned model's 4-dp score grid
+    "q379_reliability_diagram" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.reliabilityDiagram(s, d)),
     // q378: Gumbel weekly-maxima fit, pinned-constant 52-week return level
     "q378_gumbel_return" -> ((s: SparkSession, d: String) => Relational.gumbelReturnLevel(s, d)),
   )
@@ -8569,5 +8571,44 @@ private object CorpusOracles {
         | round(mean - 0.5772156649015329 * beta
         |   + beta * 3.9415503865226063, 6) AS return_level_52w
         |FROM f""".stripMargin,
+    // q379: per-bin integer calibration gaps on the 4-dp score grid;
+    // the ALL row's Brier from one exact integer numerator
+    "q379_reliability_diagram" ->
+      """WITH units AS (SELECT
+        |  CAST(round(round(1.0 / (1.0 + exp(-(-3.0
+        |    + 0.45 * ln(1.0 + n_feat) + 0.35 * k_types))), 4) * 10000)
+        |   AS BIGINT) AS p4,
+        |  CAST(y AS BIGINT) AS y FROM (
+        |   SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_feat,
+        |    CAST(count(DISTINCT CASE WHEN event_type <> 'purchase'
+        |     THEN event_type END) AS BIGINT) AS k_types,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |   FROM events GROUP BY 1, 2)),
+        |bins AS (SELECT p4, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(y) AS BIGINT) AS y_sum FROM units GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |   CAST(sum(y_sum) AS BIGINT) AS yy,
+        |   CAST(sum(p4 * p4 * n) AS BIGINT) AS spp,
+        |   CAST(sum(p4 * y_sum) AS BIGINT) AS spy FROM bins),
+        |allr AS (SELECT CAST(-1 AS BIGINT) AS p4_fp, nn AS n, yy AS y_sum,
+        |   CAST(0 AS BIGINT) AS gap_fp,
+        |   round(CAST(yy AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS rate,
+        |   round(CAST(spp - 20000 * spy + 100000000 * yy AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * 1e8), 6) AS brier,
+        |   round(CAST(yy AS DOUBLE) * CAST(nn - yy AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS unc
+        |  FROM tot)
+        |SELECT p4 AS p4_fp, n, y_sum,
+        | CAST(p4 * n - y_sum * 10000 AS BIGINT) AS gap_fp,
+        | round(CAST(y_sum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        | CAST(NULL AS DOUBLE) AS brier, CAST(NULL AS DOUBLE) AS unc,
+        | CAST(NULL AS DOUBLE) AS rel_minus_res
+        |FROM bins
+        |UNION ALL
+        |SELECT p4_fp, n, y_sum, gap_fp, rate, brier, unc,
+        | round(brier - unc, 6) AS rel_minus_res
+        |FROM allr""".stripMargin,
   )
 }

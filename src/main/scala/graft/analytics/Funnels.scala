@@ -1481,6 +1481,64 @@ object Funnels {
           - expr("(cyc * 1000000) div cnc")).as("uplift_fp"))
   }
 
+  /** Reliability diagram + Murphy identity (q379, Murphy 1973): the q235
+    * pinned conversion model binned on its own 4-dp score grid — per bin
+    * the count, conversions, observed rate and the exact integer
+    * calibration gap n·p₄ − y (×10⁴) — plus an ALL row carrying the
+    * binned Brier score, the uncertainty term ȳ(1−ȳ), and their exact
+    * difference REL − RES = Brier − UNC (the Murphy decomposition's
+    * aggregate identity, computable with NO per-bin division: Brier =
+    * (Σn·p₄² − 2·10⁴Σp₄y + 10⁸Y)/(N·10⁸) is one exact integer
+    * numerator). The calibration readout every probability model ships
+    * with; q87 normalizes scores, this audits them against outcomes.
+    *
+    * Scale shape: one unit aggregate, one bin aggregate on the ≤10⁴-row
+    * score grid, a 1-row rollup.
+    */
+  def reliabilityDiagram(spark: SparkSession, sfDir: String): DataFrame =
+    reliabilityDiagramOf(Tables.events(spark, sfDir))
+
+  /** [[reliabilityDiagram]] over an arbitrary events frame. */
+  def reliabilityDiagramOf(ev: DataFrame): DataFrame = {
+    val units = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        sum((col("event_type") =!= "purchase").cast("long")).as("n_feat"),
+        count_distinct(when(col("event_type") =!= "purchase",
+          col("event_type"))).as("k_types"),
+        max((col("event_type") === "purchase").cast("int")).as("y"))
+      .select(round(round(lit(1.0) / (lit(1.0) + exp(-(lit(-3.0)
+        + lit(0.45) * log(lit(1.0) + col("n_feat"))
+        + lit(0.35) * col("k_types")))), 4) * 1e4).cast("long").as("p4"),
+        col("y").cast("long").as("y"))
+    val bins = units.groupBy(col("p4"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("y_sum"))
+      .localCheckpoint() // score-grid-sized; reused by rows + rollup
+    val tot = bins.agg(sum(col("n")).as("nn"), sum(col("y_sum")).as("yy"),
+      sum(col("p4") * col("p4") * col("n")).as("spp"),
+      sum(col("p4") * col("y_sum")).as("spy"))
+    val all = tot.select(lit(-1L).as("p4_fp"), col("nn").as("n"),
+      col("yy").as("y_sum"), lit(0L).as("gap_fp"),
+      round(col("yy").cast("double") / col("nn").cast("double"), 6)
+        .as("rate"),
+      round((col("spp") - lit(20000L) * col("spy")
+          + lit(100000000L) * col("yy")).cast("double")
+        / (col("nn").cast("double") * 1e8), 6).as("brier"),
+      round(col("yy").cast("double") * (col("nn") - col("yy"))
+          .cast("double")
+        / (col("nn").cast("double") * col("nn").cast("double")), 6)
+        .as("unc"))
+      .withColumn("rel_minus_res", round(col("brier") - col("unc"), 6))
+    bins.select(col("p4").as("p4_fp"), col("n"), col("y_sum"),
+        (col("p4") * col("n") - col("y_sum") * 10000L).as("gap_fp"),
+        round(col("y_sum").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        lit(null).cast("double").as("brier"),
+        lit(null).cast("double").as("unc"),
+        lit(null).cast("double").as("rel_minus_res"))
+      .unionByName(all)
+  }
+
   /** Overdispersion audit (q377): per event type, the variance-to-mean
     * ratio of ZERO-FILLED daily counts and the Poisson dispersion
     * statistic χ² = Σ(x−x̄)²/x̄ = (n·Σx² − S²)/S — the "is a Poisson

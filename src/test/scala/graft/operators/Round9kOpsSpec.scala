@@ -47,6 +47,39 @@ class Round9kOpsSpec extends SparkTestBase {
       "zero scale: the return level IS the constant maximum")
   }
 
+  test("reliability fixture: perfect and broken calibration, Murphy identity") {
+    val s = spark
+    import s.implicits._
+    // 4 users x 1 day each: two always-purchase, two never -> the model
+    // gives each unit some p4; gaps and the ALL row must reconcile
+    val ev = Seq(
+      (1L, "view", "2024-01-01 10:00:00", 1L),
+      (1L, "purchase", "2024-01-01 11:00:00", 2L),
+      (2L, "view", "2024-01-01 10:00:00", 3L),
+      (3L, "view", "2024-01-01 10:00:00", 4L),
+      (3L, "view", "2024-01-01 11:00:00", 5L),
+      (3L, "purchase", "2024-01-01 12:00:00", 6L),
+      (4L, "view", "2024-01-01 10:00:00", 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"), col("event_id"))
+    val rows = Funnels.reliabilityDiagramOf(ev).collect()
+    val all = rows.filter(_.getLong(0) == -1L).head
+    assert(all.getAs[Long]("n") === 4L)
+    assert(all.getAs[Long]("y_sum") === 2L)
+    assert(all.getAs[Double]("rate") === 0.5)
+    assert(all.getAs[Double]("unc") === 0.25)
+    assert(all.getAs[Double]("rel_minus_res")
+      === BigDecimal(all.getAs[Double]("brier") - all.getAs[Double]("unc"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // per-bin gaps sum to the global gap: sum(n*p4) - 1e4*Y
+    val binRows = rows.filter(_.getLong(0) >= 0L)
+    val gapSum = binRows.map(_.getAs[Long]("gap_fp")).sum
+    val direct = binRows.map(r => r.getLong(0) * r.getAs[Long]("n")).sum -
+      10000L * 2L
+    assert(gapSum === direct)
+  }
+
   test("Gumbel corpus: return level extrapolates past the observed max") {
     val r = Relational.gumbelReturnLevel(spark, "/root/testdata/sf0.001")
       .collect().head
