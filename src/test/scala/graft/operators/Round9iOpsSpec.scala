@@ -113,6 +113,17 @@ class Round9iOpsSpec extends SparkTestBase {
     assert(fast === slow)
   }
 
+  test("kernel plans: the codegen'd integer dot is in the hot path") {
+    val q370 = Similarity.mmdQuadratic(spark, sf)
+    // eager queries: inspect via a fresh plan over the same operators
+    val plan357 = Similarity.silhouette(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan357.contains("graft_dot_long"),
+      "silhouette's pair stage must use LongDotProduct, not zip_with")
+    assert(!plan357.contains("CartesianProduct"))
+    assert(q370.collect().length === 1)
+  }
+
   test("AMS corpus: median estimator lands within an order of magnitude") {
     val rows = TextAnalytics.amsF2Sketch(spark, sf).collect()
     assert(rows.length === 8)
