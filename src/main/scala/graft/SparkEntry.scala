@@ -702,6 +702,8 @@ object SparkEntry {
     "q377_overdispersion" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.overdispersion(s, d)),
     // q379: reliability diagram on the pinned model's 4-dp score grid
     "q379_reliability_diagram" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.reliabilityDiagram(s, d)),
+    // q380: densest-subgraph parallel peel (exact deg*4n < 5m predicate)
+    "q380_densest_subgraph" -> ((s: SparkSession, d: String) => graft.operators.Curation.densestSubgraph(s, d)),
     // q378: Gumbel weekly-maxima fit, pinned-constant 52-week return level
     "q378_gumbel_return" -> ((s: SparkSession, d: String) => Relational.gumbelReturnLevel(s, d)),
   )
@@ -8610,5 +8612,40 @@ private object CorpusOracles {
         |SELECT p4_fp, n, y_sum, gap_fp, rate, brier, unc,
         | round(brier - unc, 6) AS rel_minus_res
         |FROM allr""".stripMargin,
+    // q380: the q186 peel recipe with a per-round (m, n) scalar pair and
+    // the exact integer survivor predicate deg*4n >= 5m
+    "q380_densest_subgraph" -> {
+      val peel = (0 until 6).map { i =>
+        s"""s$i AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m,
+           |  CAST(count(DISTINCT src) AS BIGINT) AS n FROM e$i),
+           |a$i AS MATERIALIZED (SELECT d.src FROM (
+           |   SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e$i
+           |   GROUP BY 1) d, s$i
+           |  WHERE d.deg * 4 * s$i.n >= 5 * s$i.m),
+           |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+           |  JOIN a$i x ON e.src = x.src
+           |  JOIN a$i y ON e.dst = y.src)""".stripMargin
+      }.mkString(",\n")
+      val stats = (0 to 6).map { i =>
+        s"""SELECT $i AS round, n AS n_vertices,
+           | CAST(m // 2 AS BIGINT) AS n_edges,
+           | CAST(CASE WHEN n = 0 THEN 0
+           |  ELSE (m * 1000000) // (2 * n) END AS BIGINT) AS density_fp
+           |FROM s$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pairs AS (SELECT doc1, doc2 FROM ($minhashPairsSql)),
+         |e0 AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pairs
+         |      UNION ALL SELECT doc2, doc1 FROM pairs),
+         |$peel,
+         |s6 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n FROM e6),
+         |tr AS ($stats),
+         |rk AS (SELECT *, row_number() OVER (
+         |   ORDER BY density_fp DESC, round) AS rn FROM tr)
+         |SELECT CAST(round AS INTEGER) AS round, n_vertices, n_edges,
+         | density_fp,
+         | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_best
+         |FROM rk""".stripMargin
+    },
   )
 }

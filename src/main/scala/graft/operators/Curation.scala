@@ -2488,6 +2488,71 @@ object Curation {
         round(col("total_bytes").cast("double") / capBytes.toDouble, 6))
   }
 
+  /** Densest-subgraph peel trajectory (q380, Charikar 2000; the parallel
+    * 2(1+ε)-approximation of Bahmani et al. VLDB'12): six synchronous
+    * rounds over the near-dup graph, each removing EVERY vertex whose
+    * degree is below 2(1+ε)·ρ (ε pinned at ¼, so the peel predicate is
+    * the exact integer comparison deg·4n < 5m — no density double ever
+    * drives control flow), publishing per round the surviving vertex
+    * and edge counts and the ×10⁶ density, with the best round flagged.
+    * The subgraph that round induces is the densest-subgraph
+    * approximation — the "spam core" / hot-community extractor that
+    * k-core (a fixed threshold) and components (no density notion)
+    * cannot give.
+    *
+    * Scale shape per round: one degree aggregate and two semi-joins on
+    * the edge list — the q186 k-core discipline with a global (m, n)
+    * scalar pair instead of a pinned k; rounds are a pinned constant
+    * (the approximation guarantee needs only O(log n) of them).
+    */
+  def densestSubgraph(spark: SparkSession, sfDir: String,
+      rounds: Int = 6): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc1"), col("doc2"))
+    densestSubgraphOf(spark, pairs, rounds)
+  }
+
+  /** [[densestSubgraph]] over an arbitrary canonical pair list. */
+  def densestSubgraphOf(spark: SparkSession, pairs: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    import spark.implicits._
+    var edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
+    val traj = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    var r = 0
+    while (r <= rounds) {
+      val s = edges.agg(count(lit(1)).as("m"),
+        count_distinct(col("src")).as("n")).head()
+      val (m, n) = (s.getLong(0), s.getLong(1))
+      traj += ((r, n, m))
+      if (m == 0) {
+        ((r + 1) to rounds).foreach(i => traj += ((i, 0L, 0L)))
+        r = rounds + 1
+      } else {
+        if (r < rounds) {
+          // survivors: deg * 4n >= 5m  (deg < 2(1+1/4) * m/(2n) peels)
+          val alive = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .where(col("deg") * 4 * n >= 5 * m).select(col("src").as("v"))
+          edges = edges
+            .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+            .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint()
+        }
+        r += 1
+      }
+    }
+    val rows = traj.toSeq.map { case (r, n, m) =>
+      (r, n, m / 2, if (n > 0) (m * 1000000L) / (2 * n) else 0L)
+    }
+    val best = rows.map(_._4).max
+    val bestRound = rows.filter(_._4 == best).map(_._1).min
+    rows.map { case (r, n, e, d) =>
+      (r, n, e, d, if (r == bestRound) 1 else 0) }
+      .toDF("round", "n_vertices", "n_edges", "density_fp", "is_best")
+  }
+
   /** Grid-blocked DBSCAN (q348, Ester et al. KDD'96) over the integer
     * document feature plane (x = n_chars, y = space count) with an L∞
     * ε-box of (5, 2) and minPts = 4 (self-inclusive): density clustering

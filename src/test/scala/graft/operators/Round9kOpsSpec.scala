@@ -80,6 +80,22 @@ class Round9kOpsSpec extends SparkTestBase {
     assert(gapSum === direct)
   }
 
+  test("densest subgraph fixture: the peel finds the clique, then empties") {
+    val s = spark
+    import s.implicits._
+    // K4 (1-4) plus a pendant chain 5-6-7
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (6L, 7L)).toDF("doc1", "doc2")
+    val got = Curation.densestSubgraphOf(spark, pairs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    assert(got(0) === ((7L, 8L, 1142857L, 0)))
+    // round 1: the chain peeled away, the clique stands at density 1.5
+    assert(got(1) === ((4L, 6L, 1500000L, 1)))
+    // round 2: the clique's own degree (3) is below 2(1+eps)*1.5 = 3.75
+    (2 to 6).foreach(r => assert(got(r) === ((0L, 0L, 0L, 0))))
+  }
+
   test("Gumbel corpus: return level extrapolates past the observed max") {
     val r = Relational.gumbelReturnLevel(spark, "/root/testdata/sf0.001")
       .collect().head
