@@ -1481,6 +1481,65 @@ object Funnels {
           - expr("(cyc * 1000000) div cnc")).as("uplift_fp"))
   }
 
+  /** Huffman code audit (q381, Huffman 1952): the optimal prefix code
+    * for the event-type distribution, built by the classic two-smallest
+    * merge with a PINNED total order (weight, then the lexicographically
+    * smallest member type — node min-members are distinct because
+    * members partition the alphabet, so ties are total), audited against
+    * the Shannon bound: the ALL row carries total coded bits, the ×10⁶
+    * average code length, and the ×10⁶ entropy (6-dp log2 fixed point) —
+    * optimality means avg_len ∈ [H, H+1). The "how compressible is this
+    * stream" number behind every log-compaction estimate.
+    *
+    * Scale shape: ONE frequency aggregate; the merge loop runs on the
+    * |alphabet|-row table (driver-side here, |alphabet| = 5; the oracle
+    * unrolls the same four merges declaratively). Code lengths depend
+    * only on the frequency table, never the stream.
+    */
+  def huffmanAudit(spark: SparkSession, sfDir: String): DataFrame =
+    huffmanAuditOf(Tables.events(spark, sfDir))
+
+  /** [[huffmanAudit]] over an arbitrary events frame. */
+  def huffmanAuditOf(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val freqs = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val total = freqs.map(_._2).sum
+    // merge loop: nodes are (weight, min-member id, member set)
+    var nodes = freqs.map { case (t, n) => (n, t, Set(t)) }
+    val depth = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    while (nodes.size > 1) {
+      val sorted = nodes.sortBy { case (w, id, _) => (w, id) }
+      val (a, b) = (sorted(0), sorted(1))
+      val merged = (a._1 + b._1,
+        if (a._2 < b._2) a._2 else b._2, a._3 ++ b._3)
+      merged._3.foreach(t => depth(t) += 1)
+      nodes = sorted.drop(2) :+ merged
+    }
+    def s2fp(n: Long): Long =
+      math.round(BigDecimal(math.log(total.toDouble / n)
+        / math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble * 1e6)
+    val perType = freqs.map { case (t, n) =>
+      (t, n, depth(t), n * depth(t), s2fp(n))
+    }
+    val totalBits = perType.map(_._4).sum
+    val entropyFp = perType.map { case (_, n, _, _, s) => n * s }.sum / total
+    val avgLenFp = (totalBits * 1000000L) / total
+    (perType :+ (("ALL", total, 0, totalBits,
+      0L))).toDF("event_type", "n_events", "code_len", "weighted_bits",
+        "surprisal2_fp")
+      .withColumn("avg_len_fp",
+        when(col("event_type") === "ALL", lit(avgLenFp))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("entropy_fp",
+        when(col("event_type") === "ALL", lit(entropyFp))
+          .otherwise(lit(null).cast("long")))
+  }
+
   /** Reliability diagram + Murphy identity (q379, Murphy 1973): the q235
     * pinned conversion model binned on its own 4-dp score grid — per bin
     * the count, conversions, observed rate and the exact integer
