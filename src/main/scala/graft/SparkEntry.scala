@@ -706,6 +706,9 @@ object SparkEntry {
     "q380_densest_subgraph" -> ((s: SparkSession, d: String) => graft.operators.Curation.densestSubgraph(s, d)),
     // q378: Gumbel weekly-maxima fit, pinned-constant 52-week return level
     "q378_gumbel_return" -> ((s: SparkSession, d: String) => Relational.gumbelReturnLevel(s, d)),
+    // q381: optimal-prefix-code audit vs the Shannon bound (alphabet-sized
+    // driver merge loop; oracle unrolls the four merges declaratively)
+    "q381_huffman_audit" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.huffmanAudit(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8646,6 +8649,52 @@ private object CorpusOracles {
          | density_fp,
          | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_best
          |FROM rk""".stripMargin
+    },
+    // q381: the Huffman merge loop unrolled declaratively — the alphabet
+    // is pinned at 5 event types (verified at sf0.001/0.01/0.1), so
+    // exactly four merges; each stage takes the two smallest nodes by the
+    // same pinned (weight, min-member) total order the engine uses, and
+    // the leaf→node assignment accumulates depths. AS MATERIALIZED blocks
+    // DuckDB's exponential CTE re-inlining (the q369 lesson).
+    "q381_huffman_audit" -> {
+      val merges = (0 until 4).map { i =>
+        s"""s${i + 1} AS MATERIALIZED (SELECT node_id, w,
+           |  row_number() OVER (ORDER BY w, node_id) AS rk FROM n$i),
+           |m${i + 1} AS MATERIALIZED (SELECT min(node_id) AS nid,
+           |  CAST(sum(w) AS BIGINT) AS w FROM s${i + 1} WHERE rk <= 2),
+           |n${i + 1} AS MATERIALIZED (SELECT nid AS node_id, w FROM m${i + 1}
+           |  UNION ALL SELECT node_id, w FROM s${i + 1} WHERE rk > 2),
+           |a${i + 1} AS MATERIALIZED (SELECT a.leaf,
+           |  CASE WHEN s.rk <= 2 THEN (SELECT nid FROM m${i + 1})
+           |    ELSE a.node_id END AS node_id,
+           |  a.depth + CASE WHEN s.rk <= 2 THEN 1 ELSE 0 END AS depth
+           |  FROM a$i a JOIN s${i + 1} s ON a.node_id = s.node_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS MATERIALIZED (SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+         |n0 AS MATERIALIZED (SELECT event_type AS node_id, n AS w FROM f),
+         |a0 AS MATERIALIZED (SELECT event_type AS leaf,
+         |  event_type AS node_id, 0 AS depth FROM f),
+         |$merges,
+         |per AS MATERIALIZED (SELECT p.event_type, p.n, p.depth,
+         |  CAST(round(round(ln(CAST(t.total AS DOUBLE) / p.n) / ln(2), 6)
+         |    * 1000000) AS BIGINT) AS sfp
+         |  FROM (SELECT f.event_type, f.n, a4.depth FROM f
+         |        JOIN a4 ON f.event_type = a4.leaf) p
+         |  CROSS JOIN tot t)
+         |SELECT event_type, n AS n_events, CAST(depth AS INTEGER) AS code_len,
+         | CAST(n * depth AS BIGINT) AS weighted_bits, sfp AS surprisal2_fp,
+         | CAST(NULL AS BIGINT) AS avg_len_fp, CAST(NULL AS BIGINT) AS entropy_fp
+         |FROM per
+         |UNION ALL
+         |SELECT 'ALL', t.total, CAST(0 AS INTEGER), tb.total_bits,
+         | CAST(0 AS BIGINT),
+         | CAST(tb.total_bits * 1000000 // t.total AS BIGINT),
+         | CAST(w.e // t.total AS BIGINT)
+         |FROM tot t,
+         | (SELECT CAST(sum(n * depth) AS BIGINT) AS total_bits FROM per) tb,
+         | (SELECT CAST(sum(n * sfp) AS BIGINT) AS e FROM per) w""".stripMargin
     },
   )
 }

@@ -2119,7 +2119,11 @@ object Funnels {
     bm.crossJoin(broadcast(lags))
       .select(col("lag"),
         expr("bit_count(bm & shiftright(bm, lag))").as("ret_u"),
-        expr("bit_count(bm & (shiftleft(1L, n_days - lag) - 1L))")
+        // n_days <= lag means NO day is early enough to be eligible; the
+        // mask expression would otherwise get a negative shift (Java takes
+        // it mod 64) and yield garbage eligibility instead of 0
+        when(col("n_days") <= col("lag"), lit(0))
+          .otherwise(expr("bit_count(bm & (shiftleft(1L, n_days - lag) - 1L))"))
           .as("eli_u"))
       .groupBy(col("lag"))
       .agg(sum(col("ret_u")).cast("long").as("retained"),

@@ -22,6 +22,11 @@ object Spatial {
     * `dims(1)`, matching q329's `db`-over-`pb` layout (for d dims, bit i
     * of dim j goes to position d·i + (d−1−j)). Result fits a LONG for
     * d·bits ≤ 63.
+    *
+    * Each dimension is widened to LONG before shifting: with INT inputs
+    * Spark's shiftleft stays 32-bit (shift amount taken mod 32), so any
+    * target bit position ≥ 31 — reachable at 3+ dims × 8 bits — would
+    * silently wrap and corrupt the key.
     */
   def morton(dims: Seq[Column], bits: Int = 8): Column = {
     require(dims.nonEmpty && dims.size * bits <= 63,
@@ -30,7 +35,8 @@ object Spatial {
     val terms = for {
       i <- 0 until bits
       (c, j) <- dims.zipWithIndex
-    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1)), d * i + (d - 1 - j))
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      d * i + (d - 1 - j))
     terms.reduce(_ + _)
   }
 }

@@ -1664,22 +1664,35 @@ object Similarity {
       .groupBy(col("ga"), col("gb")).agg(sum(col("kk")).as("s"))
     val nx = vecs.where(col("g") === "x").count()
     val ny = vecs.where(col("g") === "y").count()
-    val byCell = cells.collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDecimal(2))
-      .toMap
-    val sxx = BigDecimal(byCell(("x", "x"))).toDouble
-    val syy = BigDecimal(byCell(("y", "y"))).toDouble
-    val sxy = (BigDecimal(byCell(("x", "y")))
-      + BigDecimal(byCell(("y", "x")))).toDouble
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val exx = sxx / (nx.toDouble * nx.toDouble)
-    val eyy = syy / (ny.toDouble * ny.toDouble)
-    val exy = sxy / (2.0 * nx.toDouble * ny.toDouble)
     import spark.implicits._
-    Seq((nx, ny, r6(exx / 1e12), r6(eyy / 1e12), r6(exy / 1e12),
-      r6((exx + eyy - 2.0 * exy) / 1e12)))
-      .toDF("n_x", "n_y", "e_kxx_t", "e_kyy_t", "e_kxy_t", "mmd2_t")
+    // degrade like the other *Of entry points: an empty group has no MMD
+    // (the kernel expectations divide by n_x·n_y) — null metrics, not a
+    // NoSuchElementException / divide-by-zero
+    if (nx == 0 || ny == 0) {
+      Seq((nx, ny)).toDF("n_x", "n_y")
+        .select(col("n_x"), col("n_y"),
+          lit(null).cast("double").as("e_kxx_t"),
+          lit(null).cast("double").as("e_kyy_t"),
+          lit(null).cast("double").as("e_kxy_t"),
+          lit(null).cast("double").as("mmd2_t"))
+    } else {
+      val byCell = cells.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDecimal(2))
+        .toMap
+      def cell(a: String, b: String): BigDecimal =
+        byCell.get((a, b)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      val sxx = cell("x", "x").toDouble
+      val syy = cell("y", "y").toDouble
+      val sxy = (cell("x", "y") + cell("y", "x")).toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val exx = sxx / (nx.toDouble * nx.toDouble)
+      val eyy = syy / (ny.toDouble * ny.toDouble)
+      val exy = sxy / (2.0 * nx.toDouble * ny.toDouble)
+      Seq((nx, ny, r6(exx / 1e12), r6(eyy / 1e12), r6(exy / 1e12),
+        r6((exx + eyy - 2.0 * exy) / 1e12)))
+        .toDF("n_x", "n_y", "e_kxx_t", "e_kyy_t", "e_kxy_t", "mmd2_t")
+    }
   }
 
   /** Cluster dispersion audit (q360): per-cell within-cluster squared

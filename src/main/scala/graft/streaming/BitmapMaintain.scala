@@ -44,17 +44,15 @@ object BitmapMaintain {
         (coalesce(col("bits"), lit(0L))
           .bitwiseOR(coalesce(col("d_bits"), lit(0L)))).as("bits"))
 
-  /** foreachBatch body maintaining a parquet-backed bitmap store. */
-  def maintainParquet(path: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val delta = dayBitsOf(batch)
-    val merged =
-      if (new java.io.File(path).exists())
-        mergeBits(spark.read.parquet(path), delta)
-      else delta
-    merged.localCheckpoint(eager = true)
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+  /** foreachBatch body maintaining a parquet-backed bitmap store. Law:
+    * [[MaintainedTable.Idempotent]] — the OR-merge converges under
+    * replayed delivery with no fence; the harness still resolves the
+    * store through the Hadoop FileSystem (HDFS/S3-safe) and swaps
+    * atomically.
+    */
+  def maintainParquet(path: String)(batch: DataFrame, batchId: Long): Unit =
+    MaintainedTable.maintainParquet(path, MaintainedTable.Idempotent)(
+      dayBitsOf, mergeBits)(batch, batchId)
 
   /** Explode a bitmap store back to the distinct (user_id, day) grain —
     * the inverse that lets every day-set consumer (retention, DAU,

@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the micro-batch aggregate is map-side-combinable; the
   * merge is a calendar-day-grain full-outer join (metadata-sized both
-  * sides); the stored rollup is materialized (localCheckpoint) BEFORE the
-  * overwrite so the read-then-replace of the same path never races its
-  * own scan. At 100 TB the store is a real table (Delta/Iceberg MERGE or
-  * the JDBC gold table) — the ⊕ stays identical.
+  * sides); the store write/swap/fence protocol is [[MaintainedTable]]'s
+  * (tmp-write + rename, batchId fence — sums are NOT replay-safe). At
+  * 100 TB the store is a real table (Delta/Iceberg MERGE or the JDBC
+  * gold table) — the ⊕ stays identical.
   */
 object GoldMaintain {
 
@@ -50,20 +50,19 @@ object GoldMaintain {
           .as("n_orders"))
 
   /** foreachBatch body maintaining a parquet-backed gold rollup at
-    * `goldPath`. Usage:
+    * `goldPath`. Law: [[MaintainedTable.Additive]] — the sum-merge is NOT
+    * replay-safe, so the harness fences replayed batchIds (at-least-once
+    * foreachBatch would otherwise double-count) and swaps the store
+    * atomically. Usage:
     * {{{
     * orders.writeStream.foreachBatch(GoldMaintain.maintainParquet(goldPath) _)
     * }}}
+    * `appId` follows the [[MaintainedTable]] fence contract: keep it
+    * across checkpoint-resuming restarts, change it with a fresh
+    * checkpoint.
     */
-  def maintainParquet(goldPath: String)(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val delta = dayGrainOf(batch)
-    val merged =
-      if (new java.io.File(goldPath).exists())
-        mergeDayGrain(spark.read.parquet(goldPath), delta)
-      else delta
-    // materialize BEFORE overwriting the path the merge just read
-    merged.localCheckpoint(eager = true)
-      .coalesce(1).write.mode("overwrite").parquet(goldPath)
-  }
+  def maintainParquet(goldPath: String, appId: String = "gold")(
+      batch: DataFrame, batchId: Long): Unit =
+    MaintainedTable.maintainParquet(goldPath, MaintainedTable.Additive, appId)(
+      dayGrainOf, mergeDayGrain)(batch, batchId)
 }

@@ -106,11 +106,11 @@ class LakeClusteredSpec extends SparkTestBase {
       .toDF("db", "pb")
     val got = df.select(
       graft.functions.Spatial.morton(Seq(col("db"), col("pb")), 8).as("z"))
-      .collect().map(_.getInt(0)).toSeq
-    def ref(a: Int, b: Int) = (0 until 8).map(i =>
-      (((a >> i) & 1) << (2 * i + 1)) + (((b >> i) & 1) << (2 * i))).sum
+      .collect().map(_.getLong(0)).toSeq
+    def ref(a: Int, b: Int): Long = (0 until 8).map(i =>
+      (((a >> i) & 1) << (2 * i + 1)) + (((b >> i) & 1) << (2 * i))).sum.toLong
     assert(got === Seq(ref(0, 0), ref(1, 0), ref(0, 1), ref(255, 255),
       ref(3, 5), ref(170, 85)))
-    assert(got(3) === 65535) // full box interleaves to all-ones
+    assert(got(3) === 65535L) // full box interleaves to all-ones
   }
 }

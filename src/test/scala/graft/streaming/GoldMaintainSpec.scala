@@ -63,10 +63,13 @@ class GoldMaintainSpec extends SparkTestBase {
       .foreachBatch(GoldMaintain.maintainParquet(gold) _)
       .outputMode("append").start()
     try { in1.addData(first: _*); q1.processAllAvailable() } finally q1.stop()
-    // a brand-new query (fresh MemoryStream = restart without replay)
+    // a brand-new query (fresh MemoryStream = fresh checkpoint): its batch
+    // numbering restarts at 0, so per the MaintainedTable fence contract it
+    // MUST carry a new appId — reusing the old one would make batch 0 look
+    // like a replay of the first incarnation's batch 0 and be fenced out
     val in2 = MemoryStream[(String, Double)]
     val q2 = orders(in2.toDF()).writeStream
-      .foreachBatch(GoldMaintain.maintainParquet(gold) _)
+      .foreachBatch(GoldMaintain.maintainParquet(gold, appId = "gold-2") _)
       .outputMode("append").start()
     try { in2.addData(second: _*); q2.processAllAvailable() } finally q2.stop()
     val expected = rows(GoldMaintain.dayGrainOf(
