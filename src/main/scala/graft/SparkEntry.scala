@@ -709,6 +709,9 @@ object SparkEntry {
     // q381: optimal-prefix-code audit vs the Shannon bound (alphabet-sized
     // driver merge loop; oracle unrolls the four merges declaratively)
     "q381_huffman_audit" -> ((s: SparkSession, d: String) => graft.analytics.Funnels.huffmanAudit(s, d)),
+    // q382: z-clustered write + pruned 2-D scan round trip (layout-
+    // invariant result; the spec asserts the row-group skip metrics)
+    "q382_clustered_scan" -> ((s: SparkSession, d: String) => graft.lake.Lake.clusteredScan(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8696,5 +8699,23 @@ private object CorpusOracles {
          | (SELECT CAST(sum(n * depth) AS BIGINT) AS total_bits FROM per) tb,
          | (SELECT CAST(sum(n * sfp) AS BIGINT) AS e FROM per) w""".stripMargin
     },
+    // q382: layout-invariant by construction — the oracle computes the
+    // boxed rollup straight off the raw table with q329's binning
+    // (negatives clamp to 0 on both sides, so floor-vs-truncate div is
+    // moot after greatest())
+    "q382_clustered_scan" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(round(l_quantity * 100, 0) AS BIGINT) AS qc,
+        |  least(255, greatest(0, datediff('day', DATE '1995-01-01',
+        |    CAST(l_shipdate AS DATE)) // 10)) AS db,
+        |  least(255, CAST(floor(l_extendedprice / 400) AS INTEGER)) AS pb
+        | FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(qc) AS BIGINT) AS qty_cents,
+        | CAST(sum(db) AS BIGINT) AS sum_db,
+        | CAST(sum(pb) AS BIGINT) AS sum_pb
+        |FROM b
+        |WHERE db BETWEEN 30 AND 60 AND pb BETWEEN 40 AND 90
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.Row
@@ -66,6 +66,65 @@ object Lake {
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Clustered-scan round trip (q382): [[writeClustered]] driven through
+    * the SCAN path end-to-end — bin lineitem into the q329 (db, pb)
+    * buckets, write the z-clustered table once per INPUT FINGERPRINT
+    * (size + mtime of the source parquet, so a regenerated sfDir
+    * re-clusters instead of serving a stale layout), then read it back
+    * through the parquet scan with the 2-D predicate pushed down and
+    * aggregate per return flag. The RESULT is layout-invariant — the
+    * DuckDB oracle computes it straight off the raw table — while the
+    * I/O is not: ClusteredScanSpec executes this same scan and asserts
+    * the FileSourceScan's numOutputRows (rows surviving parquet
+    * row-group pruning) is a fraction of the table, where the natural
+    * layout reads everything.
+    *
+    * Scale shape: the write is one range shuffle + per-partition sort
+    * (the writeClustered contract); the read is a pruned scan + one
+    * map-side-combinable aggregate over the surviving rows. At 100 TB
+    * the fingerprint check is a table-format snapshot id.
+    */
+  def clusteredScan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.Tables
+    val binned = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100, 0).cast("long").as("qc"),
+        least(lit(255), greatest(lit(0),
+          expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
+          .cast("int").as("db"),
+        least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
+          .cast("int").as("pb"))
+    val path = clusteredLineitemPath(spark, sfDir)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      writeClustered(binned, path, Seq("db", "pb"), numFiles = 16)
+    clusteredScanAggregate(spark.read.parquet(path))
+  }
+
+  /** The q382 read side, factored so the spec can run it against any
+    * layout: 2-D box predicate, per-flag exact-integer rollup.
+    */
+  def clusteredScanAggregate(table: DataFrame): DataFrame =
+    table
+      .where(col("db").between(30, 60) && col("pb").between(40, 90))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qc")).as("qty_cents"),
+        sum(col("db")).cast("long").as("sum_db"),
+        sum(col("pb")).cast("long").as("sum_pb"))
+
+  /** Deterministic tmp location for the q382 clustered copy, keyed by
+    * the source file's (length, mtime) fingerprint.
+    */
+  def clusteredLineitemPath(spark: SparkSession, sfDir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(src)
+    val fp = s"${st.getLen}_${st.getModificationTime}"
+    s"${sys.props("java.io.tmpdir")}/graft-clustered/$fp/lineitem_z"
+  }
 
   /** S2 done right: scan the root and filter on the partition column —
     * Catalyst partition pruning reads only the matching directory, and the
