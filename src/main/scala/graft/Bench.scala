@@ -13,15 +13,18 @@ import org.apache.spark.sql.SparkSession
   * itself: a median far above its min on a host whose run totals spread
   * is a noisy host, not a slow engine.
   *
-  * Run 1 is the cold pass: it pays JVM/codegen warmup and materializes the
-  * shared persisted/memoized helper tables (minhash signatures, the
-  * SessionMemo pair/component/decontamination results, the q59 tf cache),
-  * so that cost is attributed to `cold_total` instead of silently
-  * inflating whichever query happens to run first. Because memoization
-  * makes the steady-state medians of the sharing queries measure
-  * cached-table scans, `queries_cold` reports the pass-1 per-query times
-  * too — that column is where a regression in a memoized BUILD shows up.
-  * The headline `value` is the sum of medians.
+  * Before the timed passes, an untimed-but-REPORTED prebuild phase
+  * materializes the multiply-consumed memoized helper tables (minhash
+  * signatures, the SessionMemo pair/component/decontamination results,
+  * the q59 tf cache) — per-build seconds in `prebuild`, total in
+  * `prebuild_sec` — so shared-infrastructure cost is attributed to the
+  * named build instead of to whichever query happens to touch each memo
+  * first (r9 driver artifact: q74 cold 55.4 s of bloom/gram builds vs a
+  * ~1 s median). Run 1 is then the cold pass: it pays JVM/codegen warmup
+  * and each query's OWN first-run work, reported per query in
+  * `queries_cold` — that column is where a per-query cold regression
+  * shows up. The headline `value` is the sum of medians; a fresh
+  * cluster's true first-pass cost is prebuild_sec + cold_total.
   *
   * Per-query stats are computed over the SUCCESSFUL runs only; queries
   * with any failed run are listed in `failures` (name → failed-run count)
@@ -49,6 +52,52 @@ object Bench {
     // (SPARK_GRAFT_BENCH_ONLY); the driver never sets it — full run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // PREBUILD (VERDICT r9 item 2): materialize the MULTIPLY-CONSUMED
+    // memoized tables before the timed passes. Their build cost is shared
+    // infrastructure — on the r9 driver host it landed on whichever query
+    // touched each memo first (q74_decontam_bloom cold 55.4 s vs a ~1 s
+    // median; the builder host never reproduced it), which is exactly the
+    // mis-attribution the cold pass exists to avoid. Each build is timed
+    // and reported in the artifact (`prebuild` / `prebuild_sec`), so the
+    // fresh-cluster cost stays visible — it is attributed to the build,
+    // not to an arbitrary first consumer. Single-consumer memos (q100's
+    // fast-margin pairs, q223's band sweep) are deliberately NOT here:
+    // their build cost belongs to their one query's cold time. Skipped
+    // under SPARK_GRAFT_BENCH_ONLY so spot-checks can observe raw colds.
+    val prebuildSet = Seq(
+      "q25_minhash_dedup",        // minhashPairs (q24/q25/q50/q72/q91…)
+      "q50_dedup_components",     // dedupComponents + 0.8-threshold pairs
+      "q56_decontamination",      // gram decontamination verdicts
+      "q59_tfidf",                // tfidfTf term-frequency cache (q59/q90)
+      "q62_source_leakage",       // sourceShingleUniverse (q62/q243…)
+      "q72_dedup_components_star",// dedupComponentsStar (q72/q138…)
+      "q73_jaccard_prefix",       // jaccardPairsPrefix 0.7/0.8 (q23/q73)
+      "q74_decontam_bloom",       // decontaminateBloom (q74/q118/q121…)
+      "q77_winnow_fingerprints",  // winnowPairs|0.7 chain
+      "q81_winnow_pairs",         // winnowPairs|0.8 (q81/q106)
+      "q86_semantic_resolution",  // semanticResolution (q68/q86)
+      "q89_split_leakage",        // splitLeakage (q89/q127/q130)
+      "q92_pq_encode",            // pqAssign (q92/q93/q101/q125)
+      "q116_incremental_neardup", // dedupMaterialized history tables
+      "q316_fellegi_sunter",      // erPairs blocked-pair memo (q316-318)
+      "q341_centroid_confusion")  // quantizedAssignment (q341/q357/q360)
+    val prebuild: Seq[(String, Double)] =
+      if (only.nonEmpty) Seq.empty
+      else prebuildSet.filter(SparkEntry.queries.contains).flatMap { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] prebuilt $name: $s%.2f s")
+          Some(name -> s)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
+          None
+        }
+      }
+    val prebuildSec = prebuild.map(_._2).sum
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // noop sink: evaluates every row of every column (count() would let
@@ -106,10 +155,12 @@ object Bench {
     // whole log, then a compact self-contained summary line LAST — totals,
     // run spread, and the slowest queries BY MEDIAN — sized to always fit
     // the tail window intact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"run_totals":$spread,"failures":$failJson}""")
+    val prebuildJson = prebuild
+      .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild":$prebuildJson,"run_totals":$spread,"failures":$failJson}""")
     val slowest = names.sortBy(n => -medians(n)).take(10)
       .map(n => "\"" + n + "\":" + r3(medians(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold in the full line above"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold/prebuild in the full line above"}""")
     spark.stop()
   }
 }
