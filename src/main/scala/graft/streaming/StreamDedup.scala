@@ -47,7 +47,11 @@ object StreamDedup {
     *
     * Exactly-once note: the history append is idempotent per batch only
     * if the caller keys the checkpoint to the sink (standard foreachBatch
-    * discipline); the spec drives it with MemoryStream + processAll.
+    * discipline); the spec drives it with MemoryStream + processAll. In
+    * [[MaintainedTable]] merge-law terms the history is MONOTONE (a
+    * growing near-dup-free document set) kept at APPEND grain for scale —
+    * the compacted overwrite-swap form of the same law is
+    * [[KeySetMaintain]].
     */
   def nearDupIngestGate(docs: DataFrame, historyDir: String,
       checkpointDir: String, onHits: DataFrame => Unit,
