@@ -74,8 +74,9 @@ object Bench {
       "q72_dedup_components_star",// dedupComponentsStar (q72/q138…)
       "q73_jaccard_prefix",       // jaccardPairsPrefix 0.7/0.8 (q23/q73)
       "q74_decontam_bloom",       // decontaminateBloom (q74/q118/q121…)
-      "q77_winnow_fingerprints",  // winnowPairs|0.7 chain
-      "q81_winnow_pairs",         // winnowPairs|0.8 (q81/q106)
+      "q81_winnow_pairs",         // winnowPairs|0.8 (q81 + containment kin;
+                                  //   the 0.7 variant is q106's alone and
+                                  //   stays in q106's cold on purpose)
       "q86_semantic_resolution",  // semanticResolution (q68/q86)
       "q89_split_leakage",        // splitLeakage (q89/q127/q130)
       "q92_pq_encode",            // pqAssign (q92/q93/q101/q125)
