@@ -712,6 +712,9 @@ object SparkEntry {
     // q382: z-clustered write + pruned 2-D scan round trip (layout-
     // invariant result; the spec asserts the row-group skip metrics)
     "q382_clustered_scan" -> ((s: SparkSession, d: String) => graft.lake.Lake.clusteredScan(s, d)),
+    // q383: parquet-bloom point lookup on a hash-shuffled copy — the
+    // skipping path zone maps can't serve (spec meters the skip)
+    "q383_bloom_lookup" -> ((s: SparkSession, d: String) => graft.lake.Lake.bloomPointLookup(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8717,5 +8720,10 @@ private object CorpusOracles {
         |FROM b
         |WHERE db BETWEEN 30 AND 60 AND pb BETWEEN 40 AND 90
         |GROUP BY 1""".stripMargin,
+    // q383: layout-invariant point lookup — pure passthrough columns, no
+    // arithmetic, so even the raw double `value` is bit-identical
+    "q383_bloom_lookup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id IN (7, 123, 789)""".stripMargin,
   )
 }

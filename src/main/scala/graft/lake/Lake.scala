@@ -118,13 +118,71 @@ object Lake {
   /** Deterministic tmp location for the q382 clustered copy, keyed by
     * the source file's (length, mtime) fingerprint.
     */
-  def clusteredLineitemPath(spark: SparkSession, sfDir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$sfDir/lineitem.parquet")
+  def clusteredLineitemPath(spark: SparkSession, sfDir: String): String =
+    fingerprintedPath(spark, sfDir, "lineitem", "lineitem_z")
+
+  private def fingerprintedPath(spark: SparkSession, sfDir: String,
+      table: String, name: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     val st = fs.getFileStatus(src)
     val fp = s"${st.getLen}_${st.getModificationTime}"
-    s"${sys.props("java.io.tmpdir")}/graft-clustered/$fp/lineitem_z"
+    s"${sys.props("java.io.tmpdir")}/graft-clustered/$fp/$name"
   }
+
+  /** Bloom-indexed point lookup (q383): the OTHER half of data skipping.
+    * Zone maps (q329/q382) prune RANGE predicates on clustered columns;
+    * they are useless for point lookups on a high-cardinality key stored
+    * in arrival order — every row group's min/max spans everything. The
+    * lakehouse answer is a per-row-group BLOOM FILTER on the lookup key:
+    * parquet writes it natively (`parquet.bloom.filter.enabled#col`),
+    * and the reader consults it for Eq/In predicates, skipping every row
+    * group whose bloom says "definitely absent" — no sort, no layout
+    * change, false-positive-bounded I/O.
+    *
+    * This operator writes a hash-shuffled (deliberately UNSORTED — the
+    * adversarial layout for min/max) bloom-indexed copy of events once
+    * per input fingerprint, then point-looks-up three pinned event_ids
+    * through the scan. The result is layout-invariant (oracle on the raw
+    * table); BloomSkipSpec measures the skip via scan metrics against a
+    * bloom-less control copy of the same rows.
+    *
+    * Scale shape: the lookup reads |matching row groups| ≈ k·(1+fp rate)
+    * row groups of the corpus regardless of corpus size — this is the
+    * needle-in-100TB access path.
+    */
+  def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = fingerprintedPath(spark, sfDir, "events", "events_bloom")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      writeBloomIndexed(graft.core.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")), path, "event_id")
+    bloomLookupOf(spark.read.parquet(path))
+  }
+
+  /** The q383 write side: hash-shuffle on a non-key column (so the key's
+    * per-file min/max spans the whole domain) and attach a parquet bloom
+    * filter to `keyCol`.
+    */
+  def writeBloomIndexed(df: DataFrame, path: String, keyCol: String,
+      numFiles: Int = 16, expectedNdv: Long = 1000000L): Unit =
+    df.repartition(numFiles, col("user_id"))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$keyCol",
+        expectedNdv.toString)
+      .parquet(path)
+
+  /** The q383 read side, factored so the spec can run it against the
+    * bloom-less control layout: three pinned event_ids (present at every
+    * SF — event_id is 0-based sequential).
+    */
+  def bloomLookupOf(table: DataFrame): DataFrame =
+    table.where(col("event_id").isin(7L, 123L, 789L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
 
   /** S2 done right: scan the root and filter on the partition column —
     * Catalyst partition pruning reads only the matching directory, and the

@@ -1,9 +1,6 @@
 package graft.lake
 
-import graft.SparkTestBase
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.{ScanMeter, SparkTestBase}
 import org.apache.spark.sql.functions._
 
 /** q382 end-to-end (VERDICT r9 item 4): the clustered table is not just
@@ -16,25 +13,9 @@ import org.apache.spark.sql.functions._
   * of the table while the natural scan reads all of it — with
   * hash-identical results.
   */
-class ClusteredScanSpec extends SparkTestBase {
+class ClusteredScanSpec extends SparkTestBase with ScanMeter {
 
   private val sf = "/root/testdata/sf0.001"
-
-  /** All FileSourceScan nodes of an EXECUTED plan, through AQE stages. */
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-    case q: QueryStageExec => scans(q.plan)
-    case s: FileSourceScanExec => Seq(s)
-    case o => (o.children ++ o.subqueries).flatMap(scans)
-  }
-
-  /** Execute `df` and return (result rows, scan's numOutputRows). */
-  private def runAndMeter(df: DataFrame): (Set[Seq[Any]], Long) = {
-    val rows = df.collect().map(_.toSeq).toSet
-    val ss = scans(df.queryExecution.executedPlan)
-    assert(ss.nonEmpty, "expected a FileSourceScan in the executed plan")
-    (rows, ss.map(_.metrics("numOutputRows").value).sum)
-  }
 
   test("q382: clustered scan row-group-skips; natural layout cannot; results match") {
     // the gated operator: writes the clustered copy once, scans it
