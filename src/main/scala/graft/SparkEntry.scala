@@ -715,6 +715,9 @@ object SparkEntry {
     // q383: parquet-bloom point lookup on a hash-shuffled copy — the
     // skipping path zone maps can't serve (spec meters the skip)
     "q383_bloom_lookup" -> ((s: SparkSession, d: String) => graft.lake.Lake.bloomPointLookup(s, d)),
+    // q384: dynamic partition pruning through a star join — the runtime
+    // skipping path static filters can't serve (spec meters the prune)
+    "q384_dpp_star" -> ((s: SparkSession, d: String) => graft.lake.Lake.dppScan(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -8725,5 +8728,15 @@ private object CorpusOracles {
     "q383_bloom_lookup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_id IN (7, 123, 789)""".stripMargin,
+    // q384: Monday rollup straight off the raw table — the week phase is
+    // pure integer arithmetic off the pinned 2024-01-01 Monday anchor
+    // (non-negative, so %-vs-floor-div divergence is moot)
+    "q384_dpp_star" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM f
+        |WHERE (datediff('day', DATE '2024-01-01', day) % 7) = 0
+        |GROUP BY 1""".stripMargin,
   )
 }

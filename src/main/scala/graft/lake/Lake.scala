@@ -121,7 +121,7 @@ object Lake {
   def clusteredLineitemPath(spark: SparkSession, sfDir: String): String =
     fingerprintedPath(spark, sfDir, "lineitem", "lineitem_z")
 
-  private def fingerprintedPath(spark: SparkSession, sfDir: String,
+  private[graft] def fingerprintedPath(spark: SparkSession, sfDir: String,
       table: String, name: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
@@ -183,6 +183,57 @@ object Lake {
     table.where(col("event_id").isin(7L, 123L, 789L))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
+
+  /** Dynamic partition pruning (q384): the THIRD skipping mechanism, for
+    * predicates the scan cannot see statically. q382/q383 prune from
+    * literal predicates (zone maps, blooms); a star-schema scan's
+    * selective predicate usually lives on the DIMENSION — the fact
+    * partition filter only exists at RUNTIME, after the dim side is
+    * built. Catalyst's DPP inserts a `dynamicpruning` subquery into the
+    * fact scan's PartitionFilters, reusing the join's broadcast to skip
+    * every partition no dim row selects — at 100 TB this is the
+    * difference between scanning 30 days and 5.
+    *
+    * This operator writes (once per input fingerprint) a day-partitioned
+    * copy of events and a day-dimension table carrying the week-phase
+    * column `wk` = datediff(day, 2024-01-01) mod 7, then joins the fact
+    * to the Monday rows (wk = 0 — 2024-01-01 is a Monday; pure integer
+    * arithmetic, so the oracle agrees without any dow() convention
+    * mismatch) and rolls up per day. Result is layout-invariant;
+    * DppSpec asserts the `dynamicpruning` partition filter is in the
+    * executed plan and that the fact scan surfaces only the Monday
+    * partitions' rows, against a DPP-disabled control session that
+    * reads everything.
+    */
+  def dppScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val factPath = fingerprintedPath(spark, sfDir, "events", "events_bydate")
+    val dimPath = fingerprintedPath(spark, sfDir, "events", "events_daydim")
+    val fs = new org.apache.hadoop.fs.Path(factPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(factPath, "_SUCCESS"))) {
+      val ev = graft.core.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"))
+      ev.write.mode("overwrite").partitionBy("day").parquet(factPath)
+      ev.select(col("day")).distinct()
+        .select(col("day"),
+          pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7))
+            .as("wk"))
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    dppScanOf(spark.read.parquet(factPath), spark.read.parquet(dimPath))
+  }
+
+  /** The q384 read side: fact ⋈ Monday-filtered dim on the partition
+    * column, per-day exact rollup. Factored so the spec can drive it
+    * under a DPP-disabled session as the control.
+    */
+  def dppScanOf(fact: DataFrame, dayDim: DataFrame): DataFrame =
+    fact.join(broadcast(dayDim.where(col("wk") === 0)).drop("wk"),
+        Seq("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
 
   /** S2 done right: scan the root and filter on the partition column —
     * Catalyst partition pruning reads only the matching directory, and the
