@@ -81,7 +81,8 @@ object MaintainedTable {
     if (fs.exists(tmp)) fs.delete(tmp, true) // un-committed write: replay covers it
     if (fs.exists(bak)) {
       if (fs.exists(store)) fs.delete(bak, true) // crash before cleanup
-      else fs.rename(bak, store) // crash between the two renames
+      else require(fs.rename(bak, store), // crash between the two renames
+        s"maintainParquet: recovery rename $bak -> $store failed")
     }
 
     val exists = fs.exists(store)
@@ -94,8 +95,14 @@ object MaintainedTable {
     // the fence travels INSIDE the directory it fences, so data + marker
     // swap atomically together (underscore files are invisible to readers)
     fs.create(new Path(tmp, s"$MarkerPrefix${appId}_$batchId")).close()
-    if (exists) fs.rename(store, bak)
-    fs.rename(tmp, store)
+    // Hadoop rename reports failure by RETURNING false, not throwing — a
+    // silently-failed swap would strand the store on the old data while
+    // the stream checkpoint commits the batch (silent loss). Fail loudly;
+    // the recovery block above makes any crash here safe to retry.
+    if (exists) require(fs.rename(store, bak),
+      s"maintainParquet: rename $store -> $bak failed")
+    require(fs.rename(tmp, store),
+      s"maintainParquet: rename $tmp -> $store failed")
     if (fs.exists(bak)) fs.delete(bak, true)
     ()
   }
