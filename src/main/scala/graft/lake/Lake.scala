@@ -158,17 +158,18 @@ object Lake {
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
       writeBloomIndexed(graft.core.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value")), path, "event_id")
+          col("value")), path, "event_id", shuffleCol = "user_id")
     bloomLookupOf(spark.read.parquet(path))
   }
 
-  /** The q383 write side: hash-shuffle on a non-key column (so the key's
+  /** The q383 write side: hash-shuffle on a NON-key column (so the key's
     * per-file min/max spans the whole domain) and attach a parquet bloom
     * filter to `keyCol`.
     */
   def writeBloomIndexed(df: DataFrame, path: String, keyCol: String,
-      numFiles: Int = 16, expectedNdv: Long = 1000000L): Unit =
-    df.repartition(numFiles, col("user_id"))
+      shuffleCol: String, numFiles: Int = 16,
+      expectedNdv: Long = 1000000L): Unit =
+    df.repartition(numFiles, col(shuffleCol))
       .write.mode("overwrite")
       .option(s"parquet.bloom.filter.enabled#$keyCol", "true")
       .option(s"parquet.bloom.filter.expected.ndv#$keyCol",
