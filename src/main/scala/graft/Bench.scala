@@ -83,21 +83,26 @@ object Bench {
       "q116_incremental_neardup", // dedupMaterialized history tables
       "q316_fellegi_sunter",      // erPairs blocked-pair memo (q316-318)
       "q341_centroid_confusion")  // quantizedAssignment (q341/q357/q360)
-    val prebuild: Seq[(String, Double)] =
+    val prebuildAttempts: Seq[(String, Option[Double])] =
       if (only.nonEmpty) Seq.empty
-      else prebuildSet.filter(SparkEntry.queries.contains).flatMap { name =>
+      else prebuildSet.filter(SparkEntry.queries.contains).map { name =>
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, sfDir).write
             .format("noop").mode("overwrite").save()
           val s = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[bench] prebuilt $name: $s%.2f s")
-          Some(name -> s)
+          name -> Some(s)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] prebuild $name failed: ${e.getMessage}")
-          None
+          name -> None
         }
       }
+    val prebuild = prebuildAttempts.collect { case (n, Some(s)) => n -> s }
+    // a failed prebuild lands its build cost back on the first consumer's
+    // cold time — record it IN the artifact, or the r9 mystery recurs
+    // with nothing explaining it
+    val prebuildFailed = prebuildAttempts.collect { case (n, None) => n }
     val prebuildSec = prebuild.map(_._2).sum
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -158,10 +163,12 @@ object Bench {
     // the tail window intact.
     val prebuildJson = prebuild
       .map { case (n, s) => "\"" + n + "\":" + r3(s) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild":$prebuildJson,"run_totals":$spread,"failures":$failJson}""")
+    val prebuildFailJson =
+      prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild":$prebuildJson,"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"failures":$failJson}""")
     val slowest = names.sortBy(n => -medians(n)).take(10)
       .map(n => "\"" + n + "\":" + r3(medians(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold/prebuild in the full line above"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold/prebuild in the full line above"}""")
     spark.stop()
   }
 }

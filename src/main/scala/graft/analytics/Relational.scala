@@ -2692,15 +2692,27 @@ object Relational {
     * the partition histogram. Per-file zone stats are a map-side-
     * combinable rollup into |files| rows.
     */
+  /** The q329/q382 SHARED lineitem buckets — ship-day decades since
+    * 1995-01-01 and 400-unit price buckets, clamped to [0, 255]. One
+    * definition, so the layout audit (q329) and the physical clustered
+    * write it models (q382, Lake.clusteredScan) can never silently
+    * diverge; the two oracles unroll the same arithmetic.
+    */
+  private[graft] def shipDayBucket: org.apache.spark.sql.Column =
+    least(lit(255), greatest(lit(0),
+      expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
+      .cast("int")
+
+  /** See [[shipDayBucket]]. */
+  private[graft] def priceBucket: org.apache.spark.sql.Column =
+    least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
+      .cast("int")
+
   def zorderLayoutAudit(spark: SparkSession, sfDir: String,
       rowsPerFile: Int = 1000): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        least(lit(255), greatest(lit(0),
-          expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
-          .cast("int").as("db"),
-        least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
-          .cast("int").as("pb"))
+        shipDayBucket.as("db"), priceBucket.as("pb"))
     val coded = base.withColumn("z",
         graft.functions.Spatial.morton(Seq(col("db"), col("pb")), 8))
       .withColumn("hit", (col("db").between(30, 60)

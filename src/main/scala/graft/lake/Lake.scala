@@ -90,11 +90,8 @@ object Lake {
     val binned = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"),
         round(col("l_quantity") * 100, 0).cast("long").as("qc"),
-        least(lit(255), greatest(lit(0),
-          expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
-          .cast("int").as("db"),
-        least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
-          .cast("int").as("pb"))
+        graft.analytics.Relational.shipDayBucket.as("db"),
+        graft.analytics.Relational.priceBucket.as("pb"))
     val path = clusteredLineitemPath(spark, sfDir)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -119,8 +116,14 @@ object Lake {
     * the source file's (length, mtime) fingerprint.
     */
   def clusteredLineitemPath(spark: SparkSession, sfDir: String): String =
-    fingerprintedPath(spark, sfDir, "lineitem", "lineitem_z")
+    fingerprintedPath(spark, sfDir, "lineitem", "lineitem_z_d10p400b8f16")
 
+  /** The cache key is (source len+mtime, `name`) — `name` MUST encode the
+    * derived layout's transform parameters (bucket widths, bits, file
+    * counts, anchors), because a code change that alters the transform
+    * with an unchanged source would otherwise serve the STALE derived
+    * table from a warm /tmp. Bump the token when the transform changes.
+    */
   private[graft] def fingerprintedPath(spark: SparkSession, sfDir: String,
       table: String, name: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
@@ -152,7 +155,7 @@ object Lake {
     * needle-in-100TB access path.
     */
   def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = fingerprintedPath(spark, sfDir, "events", "events_bloom")
+    val path = fingerprintedPath(spark, sfDir, "events", "events_bloom_id16n1m")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
@@ -207,11 +210,15 @@ object Lake {
     * reads everything.
     */
   def dppScan(spark: SparkSession, sfDir: String): DataFrame = {
-    val factPath = fingerprintedPath(spark, sfDir, "events", "events_bydate")
-    val dimPath = fingerprintedPath(spark, sfDir, "events", "events_daydim")
+    val factPath = fingerprintedPath(spark, sfDir, "events", "events_bydate_v1")
+    val dimPath = fingerprintedPath(spark, sfDir, "events", "events_daydim_w7a240101")
     val fs = new org.apache.hadoop.fs.Path(factPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(factPath, "_SUCCESS"))) {
+    // guard on BOTH artifacts: a crash between the two writes would
+    // otherwise leave factPath/_SUCCESS present and the dim missing —
+    // permanently, since the fingerprint never changes
+    if (!fs.exists(new org.apache.hadoop.fs.Path(factPath, "_SUCCESS"))
+        || !fs.exists(new org.apache.hadoop.fs.Path(dimPath, "_SUCCESS"))) {
       val ev = graft.core.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"),
           to_date(col("ts")).as("day"))

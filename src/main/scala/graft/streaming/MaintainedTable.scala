@@ -93,8 +93,11 @@ object MaintainedTable {
     val merged = if (exists) merge(spark.read.parquet(path), delta) else delta
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // the fence travels INSIDE the directory it fences, so data + marker
-    // swap atomically together (underscore files are invisible to readers)
-    fs.create(new Path(tmp, s"$MarkerPrefix${appId}_$batchId")).close()
+    // swap atomically together (underscore files are invisible to
+    // readers); replay-safe laws never consult a fence, so they don't
+    // write one
+    if (!law.replaySafe)
+      fs.create(new Path(tmp, s"$MarkerPrefix${appId}_$batchId")).close()
     // Hadoop rename reports failure by RETURNING false, not throwing — a
     // silently-failed swap would strand the store on the old data while
     // the stream checkpoint commits the batch (silent loss). Fail loudly;
@@ -110,12 +113,22 @@ object MaintainedTable {
   /** The highest batchId marker for `appId` inside the store, −1 if none
     * (a store predating the fence, or written by another incarnation, is
     * treated as never-applied — correct for the fresh-store case and for
-    * the new-appId restart contract).
+    * the new-appId restart contract). The batchId is parsed from AFTER
+    * the last underscore, so an appId that is itself an underscore-prefix
+    * of another appId's marker (e.g. "gold" vs "gold_2") neither crashes
+    * nor mis-parses: "gold" vs marker `_applied_gold_2_0` takes "0", and
+    * the appId-exactness check below rejects it.
     */
   private def lastApplied(fs: org.apache.hadoop.fs.FileSystem,
       store: Path, appId: String): Long =
     fs.listStatus(store).iterator.map(_.getPath.getName)
-      .filter(_.startsWith(s"$MarkerPrefix${appId}_"))
-      .map(n => n.stripPrefix(s"$MarkerPrefix${appId}_").toLong)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix))
+      .flatMap { rest => // rest = "<appId>_<batchId>", appId may contain _
+        val cut = rest.lastIndexOf('_')
+        if (cut == appId.length && rest.take(cut) == appId)
+          rest.drop(cut + 1).toLongOption
+        else None
+      }
       .foldLeft(-1L)(math.max)
 }

@@ -35,13 +35,18 @@ class DppSpec extends SparkTestBase with ScanMeter {
     assert(plan.contains("dynamicpruning"),
       s"expected a dynamicpruning partition filter in:\n$plan")
 
-    // I/O: fact scan surfaces only Monday partitions (+ the 30-row dim)
+    // I/O: fact scan surfaces only Monday partitions plus the dim scan
+    // (the single-file dim can't prune its wk filter — allow its actual
+    // row count, not a hardcoded literal)
+    val dimRows = spark.read.parquet(
+      Lake.fingerprintedPath(spark, sf, "events", "events_daydim_w7a240101"))
+      .count()
     val total = graft.core.Tables.events(spark, sf).count()
     val mondays = graft.core.Tables.events(spark, sf)
       .where(pmod(datediff(to_date(col("ts")),
         lit("2024-01-01").cast("date")), lit(7)) === 0).count()
-    assert(read <= mondays + 30,
-      s"DPP scan should read ~$mondays Monday rows, read $read")
+    assert(read <= mondays + dimRows,
+      s"DPP scan should read ~$mondays Monday rows (+$dimRows dim), read $read")
 
     // control: same tables, same query, DPP off -> all partitions read
     val off = spark.newSession()
@@ -49,9 +54,9 @@ class DppSpec extends SparkTestBase with ScanMeter {
       "false")
     val (controlRows, controlRead) = runAndMeter(Lake.dppScanOf(
       off.read.parquet(
-        Lake.fingerprintedPath(off, sf, "events", "events_bydate")),
+        Lake.fingerprintedPath(off, sf, "events", "events_bydate_v1")),
       off.read.parquet(
-        Lake.fingerprintedPath(off, sf, "events", "events_daydim"))))
+        Lake.fingerprintedPath(off, sf, "events", "events_daydim_w7a240101"))))
     assert(controlRows === expected, "DPP must not change content")
     assert(controlRead >= total,
       s"without DPP every partition is read: expected >= $total, got $controlRead")
