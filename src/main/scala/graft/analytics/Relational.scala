@@ -2663,6 +2663,22 @@ object Relational {
       round(p3, 6).as("pacf3"))
   }
 
+  /** The q329/q382 SHARED lineitem buckets — ship-day decades since
+    * 1995-01-01 and 400-unit price buckets, clamped to [0, 255]. One
+    * definition, so the layout audit (q329) and the physical clustered
+    * write it models (q382, Lake.clusteredScan) can never silently
+    * diverge; the two oracles unroll the same arithmetic.
+    */
+  private[graft] def shipDayBucket: org.apache.spark.sql.Column =
+    least(lit(255), greatest(lit(0),
+      expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
+      .cast("int")
+
+  /** See [[shipDayBucket]]. */
+  private[graft] def priceBucket: org.apache.spark.sql.Column =
+    least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
+      .cast("int")
+
   /** Multi-dimensional clustering audit (q329): does Z-ORDERING the data
     * beat 1-D sorting for 2-D predicates? The question every 100 TB
     * table layout decision answers before choosing cluster keys —
@@ -2692,22 +2708,6 @@ object Relational {
     * the partition histogram. Per-file zone stats are a map-side-
     * combinable rollup into |files| rows.
     */
-  /** The q329/q382 SHARED lineitem buckets — ship-day decades since
-    * 1995-01-01 and 400-unit price buckets, clamped to [0, 255]. One
-    * definition, so the layout audit (q329) and the physical clustered
-    * write it models (q382, Lake.clusteredScan) can never silently
-    * diverge; the two oracles unroll the same arithmetic.
-    */
-  private[graft] def shipDayBucket: org.apache.spark.sql.Column =
-    least(lit(255), greatest(lit(0),
-      expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
-      .cast("int")
-
-  /** See [[shipDayBucket]]. */
-  private[graft] def priceBucket: org.apache.spark.sql.Column =
-    least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
-      .cast("int")
-
   def zorderLayoutAudit(spark: SparkSession, sfDir: String,
       rowsPerFile: Int = 1000): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)

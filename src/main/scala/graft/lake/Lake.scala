@@ -93,10 +93,8 @@ object Lake {
         graft.analytics.Relational.shipDayBucket.as("db"),
         graft.analytics.Relational.priceBucket.as("pb"))
     val path = clusteredLineitemPath(spark, sfDir)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      writeClustered(binned, path, Seq("db", "pb"), numFiles = 16)
+    publishFingerprinted(spark, path)(p =>
+      writeClustered(binned, p, Seq("db", "pb"), numFiles = 16))
     clusteredScanAggregate(spark.read.parquet(path))
   }
 
@@ -133,6 +131,39 @@ object Lake {
     s"${sys.props("java.io.tmpdir")}/graft-clustered/$fp/$name"
   }
 
+  /** Publish a derived table into a [[fingerprintedPath]] destination
+    * ATOMICALLY: `write` lands in a process-unique sibling temp dir that
+    * is then renamed into place. Two concurrent JVMs (a bench and a spec
+    * run) can both observe `_SUCCESS` missing and build; with an in-place
+    * mode(overwrite) write the loser would delete the winner's directory
+    * mid-read. With publish-by-rename, readers only ever see a complete
+    * directory: whoever renames first wins, the loser detects the
+    * now-complete destination and discards its temp copy (the
+    * MaintainedTable swap pattern).
+    */
+  private[graft] def publishFingerprinted(spark: SparkSession,
+      dest: String)(write: String => Unit): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(conf)
+    val done = new org.apache.hadoop.fs.Path(destPath, "_SUCCESS")
+    if (fs.exists(done)) return
+    val tmp = new org.apache.hadoop.fs.Path(destPath.getParent,
+      s".${destPath.getName}.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    write(tmp.toString)
+    fs.mkdirs(destPath.getParent)
+    // a leftover INCOMPLETE destination (a writer that crashed before its
+    // rename, or a pre-atomic in-place write) blocks the rename forever
+    if (fs.exists(destPath) && !fs.exists(done)) fs.delete(destPath, true)
+    if (!fs.rename(tmp, destPath)) {
+      // rename refused: another writer won the race — their copy is
+      // complete (rename is their last step); drop ours
+      fs.delete(tmp, true)
+      if (!fs.exists(done))
+        sys.error(s"publish of $dest failed: rename refused with no winner")
+    }
+  }
+
   /** Bloom-indexed point lookup (q383): the OTHER half of data skipping.
     * Zone maps (q329/q382) prune RANGE predicates on clustered columns;
     * they are useless for point lookups on a high-cardinality key stored
@@ -156,12 +187,10 @@ object Lake {
     */
   def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
     val path = fingerprintedPath(spark, sfDir, "events", "events_bloom_id16n1m")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+    publishFingerprinted(spark, path)(p =>
       writeBloomIndexed(graft.core.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value")), path, "event_id", shuffleCol = "user_id")
+          col("value")), p, "event_id", shuffleCol = "user_id"))
     bloomLookupOf(spark.read.parquet(path))
   }
 
@@ -212,23 +241,20 @@ object Lake {
   def dppScan(spark: SparkSession, sfDir: String): DataFrame = {
     val factPath = fingerprintedPath(spark, sfDir, "events", "events_bydate_v1")
     val dimPath = fingerprintedPath(spark, sfDir, "events", "events_daydim_w7a240101")
-    val fs = new org.apache.hadoop.fs.Path(factPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    // guard on BOTH artifacts: a crash between the two writes would
-    // otherwise leave factPath/_SUCCESS present and the dim missing —
-    // permanently, since the fingerprint never changes
-    if (!fs.exists(new org.apache.hadoop.fs.Path(factPath, "_SUCCESS"))
-        || !fs.exists(new org.apache.hadoop.fs.Path(dimPath, "_SUCCESS"))) {
-      val ev = graft.core.Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"),
-          to_date(col("ts")).as("day"))
-      ev.write.mode("overwrite").partitionBy("day").parquet(factPath)
+    // each artifact publishes independently and atomically, so a crash
+    // between the two writes can never pin a half-built pair under the
+    // never-changing fingerprint
+    def ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        to_date(col("ts")).as("day"))
+    publishFingerprinted(spark, factPath)(p =>
+      ev.write.mode("overwrite").partitionBy("day").parquet(p))
+    publishFingerprinted(spark, dimPath)(p =>
       ev.select(col("day")).distinct()
         .select(col("day"),
           pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7))
             .as("wk"))
-        .coalesce(1).write.mode("overwrite").parquet(dimPath)
-    }
+        .coalesce(1).write.mode("overwrite").parquet(p))
     dppScanOf(spark.read.parquet(factPath), spark.read.parquet(dimPath))
   }
 

@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Stress10 {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(2_000_000L)
+    // round the scale to a multiple of 100: the key-set expectations
+    // (n/100 new keys, the 90%-dup construction) and the 30×(n/20)
+    // batching are exact integer identities only then — an arbitrary
+    // arg would fail the assertions spuriously
+    val n = {
+      val raw = args.headOption.map(_.toLong).getOrElse(2_000_000L)
+      math.max(100L, raw - raw % 100)
+    }
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -37,7 +37,11 @@ class DppSpec extends SparkTestBase with ScanMeter {
 
     // I/O: fact scan surfaces only Monday partitions plus the dim scan
     // (the single-file dim can't prune its wk filter — allow its actual
-    // row count, not a hardcoded literal)
+    // row count, not a hardcoded literal). The dim is budgeted TWICE: it
+    // feeds both the broadcast join and the dynamicpruning subquery, and
+    // whether those two scans collapse to one is an exchange-reuse
+    // detail conf drift could change — the contract here is that the
+    // FACT side is pruned, not that the metadata-sized dim dedupes.
     val dimRows = spark.read.parquet(
       Lake.fingerprintedPath(spark, sf, "events", "events_daydim_w7a240101"))
       .count()
@@ -45,8 +49,8 @@ class DppSpec extends SparkTestBase with ScanMeter {
     val mondays = graft.core.Tables.events(spark, sf)
       .where(pmod(datediff(to_date(col("ts")),
         lit("2024-01-01").cast("date")), lit(7)) === 0).count()
-    assert(read <= mondays + dimRows,
-      s"DPP scan should read ~$mondays Monday rows (+$dimRows dim), read $read")
+    assert(read <= mondays + 2 * dimRows,
+      s"DPP scan should read ~$mondays Monday rows (+<=2x$dimRows dim), read $read")
 
     // control: same tables, same query, DPP off -> all partitions read
     val off = spark.newSession()
