@@ -1179,10 +1179,12 @@ object Funnels {
     * Scale shape: ranking never sorts users globally — each metric
     * collapses to its VALUE DISTRIBUTION (events-per-user and
     * days-per-user are bounded domains: one is capped by per-user volume
-    * quotas, the other by the calendar), ranks come from a cumulative
-    * count over that distribution table, and users join their rank by
-    * value key. The only corpus-scale stages are the user rollup and two
-    * bounded-domain equality joins.
+    * quotas, the other by the calendar), ranks come from a ranged
+    * two-pass cumulative count over that distribution table
+    * ([[graft.operators.RangedRank]] — no single-partition window even
+    * over the grain), and users join their rank by value key. The only
+    * corpus-scale stages are the user rollup and two bounded-domain
+    * equality joins.
     */
   def spearmanActivity(spark: SparkSession, sfDir: String): DataFrame =
     spearmanActivityOf(Tables.events(spark, sfDir))
@@ -1200,9 +1202,8 @@ object Funnels {
     def ranked(metric: String): DataFrame = {
       val d = users.groupBy(col(metric).as("v"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      d.withColumn("cum", sum(col("c")).over(w))
+      graft.operators.RangedRank.withGlobalRank(d, Seq(col("v")),
+          "vr", Seq("c" -> "cum")).df
         .select(col("v").as(metric),
           // 2·midrank = 2·(cum − c + 1) + (c − 1)
           (lit(2) * (col("cum") - col("c") + 1) + col("c") - 1)
@@ -1432,8 +1433,11 @@ object Funnels {
     * one ×10⁶ truncating division per decile.
     *
     * Scale shape: the unit grain is one aggregate; the decile cut is a
-    * rank window; cumulative cells are a 10-row rollup of a grouped
-    * aggregate.
+    * ranged two-pass rank ([[graft.operators.RangedRank]] — NO
+    * single-partition window over the unit grain), whose partition
+    * totals also supply the unit count n (the old separate
+    * `units.count()` action is gone); cumulative cells are a 10-row
+    * rollup of a grouped aggregate.
     */
   def qiniCurve(spark: SparkSession, sfDir: String): DataFrame =
     qiniCurveOf(Tables.events(spark, sfDir))
@@ -1451,10 +1455,11 @@ object Funnels {
       .withColumn("p6", round(lit(1.0) / (lit(1.0) + exp(-(lit(-3.0)
         + lit(0.45) * log(lit(1.0) + col("n_feat"))
         + lit(0.35) * col("k_types")))), 6))
-    val w = Window.orderBy(col("p6").desc, col("n_feat").desc,
-      col("k_types").desc, col("user_id"), col("day"))
-    val ranked = units.withColumn("r", row_number().over(w).cast("long"))
-    val n = units.count()
+    val rr = graft.operators.RangedRank.withGlobalRank(units,
+      Seq(col("p6").desc, col("n_feat").desc, col("k_types").desc,
+        col("user_id"), col("day")), "r")
+    val ranked = rr.df
+    val n = rr.total
     val perDecile = ranked
       .withColumn("decile",
         least(lit(10L), expr(s"((r - 1) * 10) div $n + 1")).cast("int"))
@@ -1806,8 +1811,13 @@ object Funnels {
     * shares are ×10⁶ truncating fixed points; the equality gap column
     * (k·10⁵ − share) is the per-decile distance to the diagonal.
     *
-    * Scale shape: one user aggregate, one rank window over the user
-    * grain, a 10-row broadcast target join.
+    * Scale shape: one user aggregate, then a ranged two-pass rank +
+    * running sum ([[graft.operators.RangedRank]] — one range shuffle,
+    * per-partition prefix walk, broadcast partition offsets; NO
+    * single-partition window over the user grain), a 10-row broadcast
+    * target join. The rank pass's partition totals hand back n and the
+    * grand cent total, so the old second aggregate over the user grain
+    * is gone too.
     */
   def lorenzCurve(spark: SparkSession, sfDir: String): DataFrame =
     lorenzCurveOf(Tables.events(spark, sfDir))
@@ -1816,17 +1826,13 @@ object Funnels {
   def lorenzCurveOf(events: DataFrame): DataFrame = {
     val u = events.groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
-    val w = Window.orderBy(col("cents"), col("user_id"))
-    val ranked = u.withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = u.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
-    val ks = broadcast(events.sparkSession.range(1, 11)
-      .select(col("id").cast("int").as("decile")))
-    val targets = tot.crossJoin(ks)
-      .select(col("decile"), col("n"), col("total"),
-        expr("(decile * n) div 10").as("tr"))
-    ranked.join(broadcast(targets), col("r") === col("tr"))
+    val rr = graft.operators.RangedRank.withGlobalRank(u,
+      Seq(col("cents"), col("user_id")), "r", Seq("cents" -> "cum"))
+    val targets = broadcast(events.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"),
+        lit(rr.total).as("n"), lit(rr.totalLong("cum")).as("total"))
+      .withColumn("tr", expr("(decile * n) div 10")))
+    rr.df.join(targets, col("r") === col("tr"))
       .select(col("decile"), col("tr").as("n_users_cum"), col("cum")
         .as("cum_cents"), col("total").as("total_cents"),
         expr("(cum * 1000000) div total").as("share_fp"))

@@ -1719,10 +1719,10 @@ object Relational {
     * not the row stream — one map-side-combinable grain aggregate, then a
     * single prefix-sum window over the grain. The grain is bounded by the
     * value domain (cents of a bounded price range), orders of magnitude
-    * smaller than the fact table; at true scale the prefix sum
-    * range-partitions (the q279 decile note). Per-group sums are
-    * equality-keyed partial aggregates; the grain→group join broadcasts
-    * the grain's rank map.
+    * smaller than the fact table; the prefix sum IS range-partitioned
+    * ([[graft.operators.RangedRank]] — no single-partition window even
+    * over the grain). Per-group sums are equality-keyed partial
+    * aggregates; the grain→group join broadcasts the grain's rank map.
     */
   def kruskalWallisPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -1730,9 +1730,8 @@ object Relational {
       .select(col("o_orderpriority"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val grain = g.groupBy(col("cents")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = grain
-      .withColumn("cum", sum(col("c")).over(w))
+    val ranked = graft.operators.RangedRank.withGlobalRank(grain,
+        Seq(col("cents")), "grain_rank", Seq("c" -> "cum")).df
       .select(col("cents"),
         (lit(2) * (col("cum") - col("c")) + col("c") + lit(1)).as("r2"),
         col("c"))
@@ -1842,10 +1841,12 @@ object Relational {
     * mass displacement where q216's KS sees only the max gap and q141's
     * PSI needs binning.
     *
-    * Scale shape: the q292 grain discipline — collapse both streams to the
-    * shared value grain (map-side combinable), then one prefix-sum window
-    * and one lead() over the grain, which is value-domain-bounded (range-
-    * partition the prefix sum at true scale). Output is one row.
+    * Scale shape: the q292 grain discipline — collapse both streams to
+    * the shared value grain (map-side combinable), then one RANGED
+    * two-pass prefix sum over the grain
+    * ([[graft.operators.RangedRank]]) and the lead() recast as a
+    * rank+1 equality self-join (grain-sized — no single-partition
+    * window anywhere). Output is one row.
     */
   def wassersteinDrift(spark: SparkSession, sfDir: String,
       typeA: String = "purchase", typeB: String = "click"): DataFrame = {
@@ -1862,11 +1863,14 @@ object Relational {
         .cast("long").as("n_a"),
       sum(when(col("event_type") === typeB, 1L).otherwise(0L))
         .cast("long").as("n_b"))
-    val w = Window.orderBy(col("cents"))
-    val cum = grain
-      .withColumn("cum1", sum(col("c1")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("cum2", sum(col("c2")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("gap", lead(col("cents"), 1).over(w) - col("cents"))
+    val rr = graft.operators.RangedRank.withGlobalRank(grain,
+      Seq(col("cents")), "gr", Seq("c1" -> "cum1", "c2" -> "cum2")).df
+    // lead(cents) without a global window: the next grain row is the one
+    // at rank + 1 — a grain-sized equality join on the rank key
+    val nxt = rr.select((col("gr") - 1).as("gr"),
+      col("cents").as("next_cents"))
+    val cum = rr.join(nxt, Seq("gr"), "left")
+      .withColumn("gap", col("next_cents") - col("cents"))
     cum.where(col("gap").isNotNull)
       .crossJoin(broadcast(totals))
       .groupBy(col("n_a"), col("n_b"))
@@ -2700,10 +2704,11 @@ object Relational {
     *
     * Scale shape: NO global sort — each layout's global rank decomposes
     * into a per-key row_number (a distributed window partitioned on the
-    * layout key) plus the cumulative count of smaller keys (a window
-    * over the key HISTOGRAM, which is ≤ 65k rows for the bucketed
-    * layouts and |orders|-sized for the natural one — metadata, not
-    * corpus). That is exactly how a distributed writer assigns file
+    * layout key) plus the cumulative count of smaller keys (a RANGED
+    * two-pass prefix sum over the key HISTOGRAM via
+    * [[graft.operators.RangedRank]] — ≤ 65k rows for the bucketed
+    * layouts, |orders|-sized for the natural one, and single-partition
+    * for neither). That is exactly how a distributed writer assigns file
     * boundaries at 100 TB: range-partition by the cluster key, offset by
     * the partition histogram. Per-file zone stats are a map-side-
     * combinable rollup into |files| rows.
@@ -2723,11 +2728,13 @@ object Relational {
         ties: Seq[org.apache.spark.sql.Column]): DataFrame = {
       val keyCols = keys.map(col)
       val hist = coded.groupBy(keyCols: _*).agg(count(lit(1)).as("kcnt"))
-      val wCum = Window.orderBy(keyCols: _*)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = hist
-        .withColumn("koff", coalesce(sum(col("kcnt")).over(wCum), lit(0L)))
-        .drop("kcnt")
+      // exclusive prefix over the key histogram = inclusive ranged
+      // prefix − own count (RangedRank: no single-partition window even
+      // for the natural layout, whose key histogram is |orders|-sized)
+      val offsets = graft.operators.RangedRank.withGlobalRank(hist,
+          keyCols, "krank", Seq("kcnt" -> "kcum")).df
+        .withColumn("koff", col("kcum") - col("kcnt"))
+        .drop("kcnt", "kcum", "krank")
       coded
         .withColumn("w_rn", row_number()
           .over(Window.partitionBy(keyCols: _*).orderBy(ties: _*)))

@@ -2178,8 +2178,10 @@ object TextAnalytics {
     *
     * Scale shape: score and label are both map-side per-document
     * projections of the same scan; ranks come from the score GRAIN prefix
-    * sum (score-domain bounded, range-partition at true scale);
-    * everything after is grain-sized.
+    * sum via the RANGED two-pass decomposition
+    * ([[graft.operators.RangedRank]] — no single-partition window even if
+    * a near-continuous score pushes the grain toward |docs|); everything
+    * after is grain-sized.
     */
   def qualityAuc(spark: SparkSession, sfDir: String,
       repThreshold: Double = 0.1): DataFrame = {
@@ -2191,11 +2193,8 @@ object TextAnalytics {
     val grain = docs.groupBy(col("score_fp"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("is_rep") === 1, 1L).otherwise(0L)).as("c_pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score_fp"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = grain
-      .withColumn("cum", sum(col("c")).over(w))
+    val ranked = graft.operators.RangedRank.withGlobalRank(grain,
+        Seq(col("score_fp")), "grain_rank", Seq("c" -> "cum")).df
       .withColumn("r2", lit(2) * (col("cum") - col("c")) + col("c") + lit(1))
     val agg = ranked.agg(
       sum(col("c_pos")).cast("long").as("n_pos"),
@@ -2222,10 +2221,12 @@ object TextAnalytics {
     * all counts integer; rates/lift are single divisions over exact
     * integers.
     *
-    * Scale shape: one window pass for the row-number decile assignment
-    * on the already-rounded ×10⁶ score (global total order — at true
-    * scale range-partition by score, the q279 note), then a 10-row
-    * rollup with a running-sum window over the deciles.
+    * Scale shape: the row-number decile assignment on the ×10⁶ score
+    * total order is the RANGED two-pass rank
+    * ([[graft.operators.RangedRank]] — the doc grain never funnels
+    * through one task; its partition totals also supply n, so no count
+    * window either), then a 10-row rollup with a running-sum window over
+    * the deciles.
     */
   def qualityLiftDeciles(spark: SparkSession, sfDir: String,
       repThreshold: Double = 0.1): DataFrame = {
@@ -2235,13 +2236,10 @@ object TextAnalytics {
         round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
         when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
           .as("is_rep"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_fp"), col("doc_id"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1))
-    val ranked = docs
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val rr = graft.operators.RangedRank.withGlobalRank(docs,
+      Seq(col("score_fp"), col("doc_id")), "rn")
+    val ranked = rr.df
+      .withColumn("n", lit(rr.total))
       // decile d = ceil(10·rn / n): exact integer arithmetic
       .withColumn("decile",
         expr("CAST((10 * rn + n - 1) div n AS INT)"))
@@ -2363,9 +2361,11 @@ object TextAnalytics {
     * ×10⁶-rounded longs (order-free), dividing once at the end; MCC's
     * one sqrt runs on exact integer products.
     *
-    * Scale shape: one corpus pass for score+label, one global rank
-    * window on the ×10⁶ grain (range-partition by score at true scale,
-    * the q314 note), then a one-row rollup.
+    * Scale shape: one corpus pass for score+label; rank AND the running
+    * positive count both come from one RANGED two-pass rank over the
+    * (score_fp, doc_id) total order ([[graft.operators.RangedRank]] —
+    * no single-partition window, no count window: n rides the partition
+    * totals); then a one-row rollup.
     */
   def classifierEval(spark: SparkSession, sfDir: String,
       repThreshold: Double = 0.1): DataFrame = {
@@ -2375,17 +2375,12 @@ object TextAnalytics {
         round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
         when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
           .as("is_rep"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score_fp"), col("doc_id"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    val wCum = wOrd.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = docs
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
+    val rr = graft.operators.RangedRank.withGlobalRank(docs,
+      Seq(col("score_fp"), col("doc_id")), "rn",
+      Seq("is_rep" -> "cum_pos"))
+    val ranked = rr.df
+      .withColumn("n", lit(rr.total))
       .withColumn("pred", (col("rn") <= expr("n div 2")).cast("int"))
-      .withColumn("cum_pos", sum(col("is_rep")).over(wCum))
       .withColumn("ap_term", when(col("is_rep") === 1,
         round(lit(1000000L) * col("cum_pos") / col("rn"), 0).cast("long")))
     val cells = ranked.agg(

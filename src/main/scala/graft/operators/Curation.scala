@@ -2164,9 +2164,11 @@ object Curation {
     * N² cannot wrap.
     *
     * Scale shape: scores collapse to the distinct-value grain first
-    * (map-side combine); the cumulative rank walk is a window over that
-    * compact grain (score cardinality, not corpus size — model scores are
-    * 6-dp-rounded); the output is one row.
+    * (map-side combine); the cumulative rank walk is a ranged two-pass
+    * prefix sum over that grain ([[graft.operators.RangedRank]] — NO
+    * single-partition window, which matters because a near-continuous
+    * modelScore pushes the distinct-score grain toward |docs|); the
+    * output is one row.
     */
   def mannWhitneyQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val dc = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -2178,13 +2180,14 @@ object Curation {
     val grain = scored.groupBy(col("score"))
       .agg(sum(col("keep")).cast(dc).as("k"),
         sum(lit(1) - col("keep")).cast(dc).as("d"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      .withColumn("kd", (col("k") + col("d")).cast(dc))
     // doubled midrank of a tie block starting after `before` rows with
-    // `cnt` members: 2*before + cnt + 1
-    val agg = grain
-      .withColumn("before",
-        coalesce(sum(col("k") + col("d")).over(w), lit(0).cast(dc)))
+    // `cnt` members: 2*before + cnt + 1. `before` = exclusive prefix of
+    // the block sizes in score order = inclusive ranged prefix − own size
+    val ranked = graft.operators.RangedRank.withGlobalRank(grain,
+      Seq(col("score")), "score_rank", Seq("kd" -> "kd_cum")).df
+    val agg = ranked
+      .withColumn("before", (col("kd_cum") - col("kd")).cast(dc))
       .select(col("k"), col("d"),
         (col("k") * (col("before") * 2 + col("k") + col("d") + 1))
           .as("r1x2"))

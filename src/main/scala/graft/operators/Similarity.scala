@@ -1449,8 +1449,10 @@ object Similarity {
     * Scale shape: one posexplode aggregate builds the d-row stats table
     * (map-side combinable; d is a constant), packed into sorted arrays
     * and broadcast; the scoring pass is a single in-row fold over the
-    * corpus scan; top-k via rank-filter (WindowGroupLimit — no global
-    * sort materializes).
+    * corpus scan; top-k via TakeOrderedAndProject (per-partition k-heaps
+    * — no global sort materializes; NOT a rank<=k filter, because Spark
+    * only infers WindowGroupLimit for partitioned windows) with the rank
+    * window running over the k kept rows only.
     */
   def mahalanobisOutliers(spark: SparkSession, sfDir: String,
       k: Int = 20): DataFrame = {
@@ -1480,10 +1482,16 @@ object Similarity {
           |   (CAST(nv * element_at(xfp, i + 1) - element_at(s_arr, i + 1) AS DOUBLE)
           |    * CAST(nv * element_at(xfp, i + 1) - element_at(s_arr, i + 1) AS DOUBLE)
           |    / element_at(d_arr, i + 1)) * 1000000, 0) AS BIGINT) END)""".stripMargin))
+    // top-k via TakeOrderedAndProject (per-partition k-heaps, no global
+    // sort); the rank window then runs over the k surviving rows only.
+    // A bare rank<=k filter would NOT get WindowGroupLimit here: Spark's
+    // InferWindowGroupLimit only fires for PARTITIONED rank filters, so
+    // the unpartitioned form would funnel the whole corpus into one task.
     val w = Window.orderBy(col("m2_fp").desc, col("vec_id"))
     scored
+      .orderBy(col("m2_fp").desc, col("vec_id"))
+      .limit(k)
       .withColumn("outlier_rank", row_number().over(w).cast("int"))
-      .where(col("outlier_rank") <= k)
       .select(col("vec_id"), col("label").cast("int").as("label"),
         col("m2_fp"),
         round(col("m2_fp").cast("double") / 1e6, 6).as("m2"),

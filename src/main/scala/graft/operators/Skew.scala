@@ -109,10 +109,10 @@ object Skew {
     * mandatory; p99 ≈ p50 says the key is safe to shuffle raw.
     *
     * Scale shape: one map-side-combinable per-key count, then all
-    * statistics on the KEY-grain table (row_number over n_keys rows —
-    * orders of magnitude below the fact table; the q329 histogram
-    * decomposition applies if even the key grain is huge). Σ n² is exact
-    * BIGINT up to ~3×10⁹ rows on one key.
+    * statistics on the KEY-grain table; the row_number over n_keys rows
+    * is the RANGED two-pass rank ([[graft.operators.RangedRank]] — no
+    * single-partition window even if the key grain is huge). Σ n² is
+    * exact BIGINT up to ~3×10⁹ rows on one key.
     */
   def joinFanoutAudit(spark: SparkSession, sfDir: String): DataFrame =
     joinFanoutAuditOf(Tables.events(spark, sfDir)
@@ -120,10 +120,9 @@ object Skew {
 
   /** [[joinFanoutAudit]] over an arbitrary single-column key frame. */
   def joinFanoutAuditOf(keyed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = keyed.groupBy(col("key")).agg(count(lit(1)).as("n"))
-    val ranked = counts.withColumn("rn",
-      row_number().over(Window.orderBy(col("n"), col("key"))))
+    val ranked = graft.operators.RangedRank.withGlobalRank(counts,
+      Seq(col("n"), col("key")), "rn").df
     val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
       max(col("n")).as("max_fanout"), sum(col("n") * col("n")).as("sq"),
       max(col("n") * col("n")).as("top_sq"))

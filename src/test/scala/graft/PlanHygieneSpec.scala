@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Whole-surface plan hygiene: EVERY gated query's physical plan is
   * checked for the one shape that is never acceptable at scale — a
@@ -25,5 +26,104 @@ class PlanHygieneSpec extends SparkTestBase {
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  /** The bins-never-docs window contract (VERDICT r10 item 2), machine-
+    * checked instead of living in scaladoc: a `Window.orderBy` with NO
+    * partitionBy funnels its whole input through one task — acceptable
+    * ONLY when the input grain is bounded by construction (a histogram,
+    * a spine, a capped sample — never a corpus-scale grain) or when
+    * WindowGroupLimit caps the rows reaching it (rank<=k pushdown).
+    * Every empty-partitionSpec WindowExec in every gated plan must be
+    * either group-limited in its own subtree or covered by an allowlist
+    * entry NAMING the bound. A new query that reintroduces a full-grain
+    * global window — or a regression in q367/q375/q218's RangedRank
+    * routing — fails this sweep by name.
+    */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    "q108_zipf_audit" ->
+      "rank window above the TakeOrdered top-k vocab cut (k = 1000 rows)",
+    "q120_survivor_mix" ->
+      "share-of-total window over the |sources| grain (handful of labels)",
+    "q129_hybrid_rrf" ->
+      "both rank windows sit above top-k limits (bm25Rank k / .limit(k), k = 50)",
+    "q152_gini_activity" ->
+      "window over the per-user activity-count HISTOGRAM (<= max per-user events; bins, never users)",
+    "q155_vocab_coverage" ->
+      "rank window above the TakeOrdered max(ks) vocab cut",
+    "q165_stickiness" ->
+      "window over the calendar date grid (<= span days)",
+    "q170_skyline_docs" ->
+      "prefix-max over the distinct doc-LENGTH table (<= max tokens per doc; bins, never docs)",
+    "q175_retention_curve" ->
+      "suffix count over the day-offset grid (<= span days)",
+    "q181_session_sizes" ->
+      "total window over the session-size histogram (<= longest session; bins, never events)",
+    "q190_bounce_exit" ->
+      "entry-total window over the bounded event_type domain (5 values)",
+    "q222_heaps_curve" -> "window over the 10-row decile table",
+    "q227_cusum_changepoint" ->
+      "cumsum windows over the calendar day spine (<= span days)",
+    "q241_simhash_sweep" ->
+      "cumulative window over the 4-row threshold rollup",
+    "q259_ship_lag" ->
+      "cumulative + total windows over the ship-lag histogram (lag domain, days)",
+    "q264_activity_heatmap" ->
+      "day-total window over <= 168 hour-of-week cells",
+    "q265_session_return_gaps" ->
+      "windows over the gap-hour histogram (capped by the observation window)",
+    "q269_heaps_projection" -> "window over the 10-row decile table",
+    "q270_revenue_concentration" ->
+      "windows over the <= 40-row balance-band table",
+    "q273_session_peak_rate" ->
+      "total window over the peak-rate histogram (bins, never sessions)",
+    "q276_dedup_degrees" ->
+      "total window over the degree histogram (<= max near-dup degree)",
+    "q278_order_priority_mix" ->
+      "total window over the <= 5x3 priority-status cell grid",
+    "q302_mahalanobis_outliers" ->
+      "rank window above TakeOrderedAndProject .limit(k), k = 20 rows",
+    "q314_quality_lift" ->
+      "running-sum window over the 10-row decile rollup",
+    "q349_coreset_quantiles" ->
+      "cumulative-weight windows over the kept coreset (N/step rows; step sized to the summary budget)",
+    "q351_conformal_forecast" ->
+      "windows over the day-grain residual table (<= span days)",
+    "q352_decision_stump" ->
+      "argmax window over the (feature x distinct-threshold) candidate table (bounded feature domains; pre-binned at web scale)",
+    "q358_hits_bipartite" ->
+      "normalizer windows over the |event-type| authority table (<= 5 rows x pinned rounds)",
+    "q359_sprt_daily" -> "window over the day spine (<= span days)",
+    "q372_ams_f2" -> "rank window over the 8-row sketch-accumulator table",
+    "q373_page_hinkley" ->
+      "three windows over the calendar day spine (<= span days)",
+    "q375_qini_curve" ->
+      "cumulative window over the 10-row decile rollup")
+
+  test("global windows are top-k-limited or on an allowlisted bounded grain") {
+    val found: Seq[(String, Seq[String])] =
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.sparkPlan
+        name -> plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              w.collectFirst { case g: WindowGroupLimitExec => g }.isEmpty =>
+            w.orderSpec.map(_.sql).mkString(", ")
+        }
+      }
+    val offenders = found.collect {
+      case (name, ws) if ws.nonEmpty && !boundedGlobalWindows.contains(name) =>
+        s"$name: ${ws.size} global window(s) ordered by ${ws.mkString(" | ")}"
+    }
+    assert(offenders.isEmpty,
+      "unallowlisted single-partition windows:\n" + offenders.mkString("\n"))
+    // allowlist hygiene: an entry for a query that no longer plans a
+    // global window (deleted, or routed through RangedRank) is stale —
+    // it would silently re-admit a future regression
+    val live = found.toMap
+    val stale = boundedGlobalWindows.keys.toSeq.sorted
+      .filter(n => live.get(n).forall(_.isEmpty))
+    assert(stale.isEmpty,
+      s"stale allowlist entries (query gone or window fixed): $stale")
   }
 }
