@@ -168,7 +168,31 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild":$prebuildJson,"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"failures":$failJson}""")
     val slowest = names.sortBy(n => -medians(n)).take(10)
       .map(n => "\"" + n + "\":" + r3(medians(n))).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"slowest_by_median":$slowest,"failures":$failJson,"note":"per-query medians/mins/cold/prebuild in the full line above"}""")
+    // VERDICT r10 item 3: the driver keeps only the LAST ~2000 chars of
+    // output, and r10's tail cut off the cold and prebuild breakdowns —
+    // leaving a 385 s warm outlier unattributable. The three diagnostic
+    // fields a reader needs for that (top colds, prebuild attribution,
+    // per-run regressors vs median) therefore go at the very END of the
+    // final summary line, where no cutoff can reach them.
+    val slowestCold = names.sortBy(n => -passes.head(n)).take(10)
+      .map(n => "\"" + n + "\":" + r3(passes.head(n)))
+      .mkString("{", ",", "}")
+    val prebuildTop =
+      (prebuild.sortBy(-_._2).take(5) :+ ("total" -> prebuildSec))
+        .map { case (n, s) => "\"" + n + "\":" + r3(s) }
+        .mkString("{", ",", "}")
+    // per-run top-3 positive deltas vs each query's median: names the
+    // queries that made an outlier run slow (GC/codegen-eviction shows
+    // up concentrated; host contention smears below the 0.2 s floor)
+    val regressors = passes.zipWithIndex.map { case (p, i) =>
+      val tops = names.map(n => n -> (p(n) - medians(n)))
+        .filter { case (_, d) => d > 0.2 }
+        .sortBy { case (_, d) => -d }.take(3)
+        .map { case (n, d) => "\"" + n + "\":" + r3(d) }
+        .mkString("{", ",", "}")
+      "\"run" + (i + 1) + "\":" + tops
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":${passes.size},"n_queries":${names.size},"note":"per-query medians/mins/cold/prebuild in the full line above","total_of_medians_sec":$total,"total_min":$totalMin,"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"failures":$failJson,"slowest_by_median":$slowest,"slowest_by_cold":$slowestCold,"prebuild_top":$prebuildTop,"worst_run_regressors":$regressors}""")
     spark.stop()
   }
 }
