@@ -41,7 +41,14 @@ object Sessions {
 
   /** Session-level rollup — reference A1-A5 (spark_batch_job.py:27-41). */
   def sessionLevel(spark: SparkSession, sfDir: String): DataFrame =
-    sessionKey(Tables.events(spark, sfDir))
+    sessionLevelOf(Tables.events(spark, sfDir))
+
+  /** [[sessionLevel]] over an arbitrary (user_id, ts, event_type, value)
+    * frame — e.g. a lake partition landed by the streaming sink
+    * (E2EPipelineSpec's daily-cadence path).
+    */
+  def sessionLevelOf(events: DataFrame): DataFrame =
+    sessionKey(events)
       .groupBy(col("user_id"), col("session_start"))
       .agg(
         min(col("ts")).as("first_event_time"),
@@ -58,8 +65,11 @@ object Sessions {
     * max event date over the whole table (the reference collects it to the
     * driver, A11; we broadcast-cross-join it).
     */
-  def userLevel(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def userLevel(spark: SparkSession, sfDir: String): DataFrame =
+    userLevelOf(Tables.events(spark, sfDir))
+
+  /** [[userLevel]] over an arbitrary events frame. */
+  def userLevelOf(ev: DataFrame): DataFrame = {
     val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_date"))
     ev.groupBy(col("user_id"))
       .agg(

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import graft.analytics.Sessions
+import graft.ingest.EventIngest
+import graft.lake.Lake
+import graft.serve.Jdbc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end daily-cadence pipeline (VERDICT r10 item 4), mirroring the
+  * reference DAG's producer >> daily-batch dependency
+  * (kafka_stream.py:95): producer-shaped JSON payloads stream through the
+  * decode/enrich chain into the partitioned parquet lake; the "next run"
+  * batch job reads ONLY the landed partition, computes the session/user
+  * gold rollups, and overwrites the serving tables (embedded Derby — the
+  * same JDBC path the reference points at Postgres). The contract: the
+  * SERVED tables are byte-equal to a direct batch recompute over the same
+  * payloads with no stream/lake/JDBC round trip anywhere in it.
+  *
+  * Every stage is the production code path — EventIngest.pipeline,
+  * Lake.startStreamingSink (file-sink transaction log),
+  * Lake.readPartition (partition-pruned read), Sessions gold,
+  * Jdbc.overwrite — chained, not mocked.
+  */
+class E2EPipelineSpec extends SparkTestBase {
+
+  System.setProperty("derby.stream.error.file",
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-derby.log")
+
+  private val url = "jdbc:derby:memory:grafte2e;create=true"
+  private def p = {
+    val props = Jdbc.props("app", "app")
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    props
+  }
+
+  /** Producer payload: the reference's 9-field eCommerce JSON with the
+    * ' UTC'-suffixed event_time and string-typed price (quirk P16).
+    */
+  private def jsonEvent(u: String, t: String, typ: String, price: String,
+      sess: String): String =
+    s"""{"user_id":"$u","event_type":"$typ","product_id":"p1",""" +
+      s""""event_time":"$t UTC","category_id":"c1",""" +
+      s""""category_code":"electronics.smartphone.apple","brand":"b",""" +
+      s""""price":"$price","user_session":"$sess"}"""
+
+  // 3 users, events spanning several 1-minute session windows, purchases
+  // with cent-precise prices, and one user with no purchase at all
+  private val payloads: Seq[String] = Seq(
+    jsonEvent("u1", "2024-03-04 10:00:05", "view", "10.00", "s1"),
+    jsonEvent("u1", "2024-03-04 10:00:40", "cart", "10.00", "s1"),
+    jsonEvent("u1", "2024-03-04 10:01:10", "purchase", "10.00", "s1"),
+    jsonEvent("u1", "2024-03-04 10:07:00", "view", "25.50", "s2"),
+    jsonEvent("u2", "2024-03-04 10:00:30", "view", "99.99", "s3"),
+    jsonEvent("u2", "2024-03-04 10:02:15", "purchase", "99.99", "s3"),
+    jsonEvent("u2", "2024-03-04 10:02:45", "purchase", "0.01", "s3"),
+    jsonEvent("u3", "2024-03-04 11:30:00", "view", "7.77", "s4"),
+    jsonEvent("u3", "2024-03-04 11:30:59", "view", "7.77", "s4"))
+
+  /** The gold input shape: the enriched 15-col frame projected onto the
+    * (user_id, ts, event_type, value) analytics contract — price cast
+    * explicitly (the P16 policy).
+    */
+  private def evShape(enriched: DataFrame): DataFrame =
+    enriched.select(col("user_id"), col("event_time").as("ts"),
+      col("event_type"), col("price").cast("double").as("value"))
+
+  test("produce -> stream decode/enrich -> lake -> batch gold -> serve equals direct recompute") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // --- 1. producer >> streaming ingest: payloads arrive as the Kafka
+    // value column (binary), decode/enrich runs INSIDE the stream
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val kafkaShaped = input.toDF()
+      .select(col("value").cast("binary").as("value"))
+    val out = Files.createTempDirectory("graft_e2e_lake").toString
+    val ckpt = Files.createTempDirectory("graft_e2e_ckpt").toString
+    val q = Lake.startStreamingSink(
+      EventIngest.pipeline(kafkaShaped), out, ckpt)
+    try {
+      // two micro-batches, like two producer runs within the same day
+      input.addData(payloads.take(5))
+      q.processAllAvailable()
+      input.addData(payloads.drop(5))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // --- 2. the "next day" batch job reads ONLY the landed partition
+    // (partition key = ingest-time current_date; derive it from the lake
+    // itself so a run straddling UTC midnight cannot flake)
+    val day = spark.read.parquet(out)
+      .agg(max(col("extracted_date"))).collect()(0).getDate(0).toString
+    val landed = Lake.readPartition(spark, out, "extracted_date", day)
+    assert(landed.count() === payloads.size.toLong,
+      "every produced event must land exactly once")
+
+    // --- 3. gold rollups over the landed partition, served via overwrite
+    val sessionsGold = Sessions.sessionLevelOf(evShape(landed))
+    val usersGold = Sessions.userLevelOf(evShape(landed))
+    Jdbc.overwrite(sessionsGold, url, "e2e_session_level", p, numPartitions = 2)
+    Jdbc.overwrite(usersGold, url, "e2e_user_level", p, numPartitions = 2)
+
+    // --- 4. direct batch recompute: same payloads, same transform chain,
+    // no stream, no lake, no JDBC
+    val directEnriched = EventIngest.pipeline(
+      payloads.toDF("v").select(col("v").cast("binary").as("value")))
+    val directSessions = Sessions.sessionLevelOf(evShape(directEnriched))
+    val directUsers = Sessions.userLevelOf(evShape(directEnriched))
+
+    def rows(df: DataFrame, cols: Seq[String]): Set[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+
+    val sessCols = sessionsGold.columns.toSeq
+    val servedSessions = spark.read.jdbc(url, "e2e_session_level", p)
+    assert(rows(servedSessions, sessCols) === rows(directSessions, sessCols),
+      "served session gold must equal the direct recompute")
+    assert(servedSessions.count() === 6,
+      "u1: s-windows 10:00/10:01/10:07, u2: 10:00/10:02, u3: 11:30")
+
+    val userCols = usersGold.columns.toSeq
+    val servedUsers = spark.read.jdbc(url, "e2e_user_level", p)
+    assert(rows(servedUsers, userCols) === rows(directUsers, userCols),
+      "served user gold must equal the direct recompute")
+    // spot-check semantics survived the full round trip: u3 never
+    // purchased -> the -1 sentinel; u2 bought twice for 10000 cents
+    val byUser = servedUsers.collect()
+      .map(r => r.getAs[String]("user_id") -> r).toMap
+    assert(byUser("u3").getAs[Int]("days_since_last_purchase") === -1)
+    assert(byUser("u2").getAs[Long]("total_purchases") === 2L)
+    assert(byUser("u2").getAs[Double]("total_spent") === 100.0)
+  }
+}
