@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-/** Test helper: execute a DataFrame and read back its parquet scans'
+/** Diagnostic helper (tests + stress tools): execute a DataFrame and read back its parquet scans'
   * `numOutputRows` — the rows that SURVIVED parquet row-group/page
   * skipping and reached Spark. The I/O-side evidence for the layout
   * specs (q382 zone maps, q383 bloom filters).
