@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *     must reach the fact scan's PartitionFilters and the fact read
   *     must be ~5/500 of the table; a DPP-disabled control session reads
   *     every partition.
+  *  3. [[graft.operators.RangedRank]] at 20M rows: global row_number +
+  *     running sum over a total order with ties (32-bit hash key,
+  *     unique-id tie-break) across 32 range partitions, checked
+  *     BIT-EXACT against the `Window.orderBy` single-partition control
+  *     on the same input — the r10-verdict scale-killer class the
+  *     helper replaced, timed here for contrast.
   *
   * Run: `sbt "runMain graft.tools.Stress11"` (optional arg: row scale,
   * rounded to a multiple of 500 so the per-day partition math is exact).
@@ -130,6 +136,48 @@ object Stress11 extends ScanMeter {
       assert(rows.size == 5, "content must not depend on DPP")
       assert(read >= n, s"without DPP every partition is read: got $read")
       read
+    }
+
+    // --- 3. RangedRank vs the single-partition window it replaced -------
+    // Same input, same total order (k asc, id asc — k is a 32-bit hash,
+    // so ties exist and the unique-id tie-break is exercised). The two
+    // paths must agree BIT-EXACTLY on the rank-weighted checksum and the
+    // final running sum; the contrast is 32 range partitions vs one task
+    // sorting all n rows (WindowExec's "moving all data to a single
+    // partition" — the class the r10 verdict flagged).
+    val ranked = spark.range(n).select(
+      hash(col("id"), lit(7)).cast("long").as("k"),
+      col("id"),
+      pmod(col("id"), lit(997L)).as("v"))
+    var rrChk = 0L
+    var rrCum = 0L
+    time(s"RangedRank rank+prefix over $n rows (32 range partitions)") {
+      val rr = graft.operators.RangedRank.withGlobalRank(ranked,
+        Seq(col("k"), col("id")), "rn", Seq("v" -> "cum_v"))
+      val row = rr.df.agg(max(col("rn")), sum(col("rn") * col("v")),
+        max(col("cum_v"))).collect()(0)
+      assert(rr.total == n && row.getLong(0) == n,
+        s"rank must cover 1..$n exactly: total=${rr.total}, max rn=${row.getLong(0)}")
+      rrChk = row.getLong(1)
+      rrCum = row.getLong(2)
+      assert(rrCum == rr.totalLong("cum_v"),
+        "pass-A grand total must equal the max running sum")
+      n
+    }
+    time(s"Window.orderBy single-partition control over $n rows (one task)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("id"))
+      val ctl = ranked
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum_v", sum(col("v")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      val row = ctl.agg(sum(col("rn") * col("v")), max(col("cum_v")))
+        .collect()(0)
+      assert(row.getLong(0) == rrChk && row.getLong(1) == rrCum,
+        s"window and RangedRank must agree bit-exactly: " +
+          s"chk ${row.getLong(0)} vs $rrChk, cum ${row.getLong(1)} vs $rrCum")
+      n
     }
 
     spark.stop()
