@@ -2702,7 +2702,7 @@ object Relational {
     * shift/mask ops; every layout's order is total (key tiebreakers);
     * all outputs are exact counts but the 6-dp skip rate.
     *
-    * Scale shape: NO global sort — each layout's global rank decomposes
+    * Scale shape: NO global sort — a layout's global rank decomposes
     * into a per-key row_number (a distributed window partitioned on the
     * layout key) plus the cumulative count of smaller keys (a RANGED
     * two-pass prefix sum over the key HISTOGRAM via
@@ -2710,8 +2710,15 @@ object Relational {
     * layouts, |orders|-sized for the natural one, and single-partition
     * for neither). That is exactly how a distributed writer assigns file
     * boundaries at 100 TB: range-partition by the cluster key, offset by
-    * the partition histogram. Per-file zone stats are a map-side-
-    * combinable rollup into |files| rows.
+    * the partition histogram. All THREE layouts ride one pass: each
+    * layout's sort key packs order-preservingly into a long (every
+    * component is byte-bounded or the unique (orderkey, linenumber)
+    * pair), the row explodes into (layout, key) triples, and ONE
+    * histogram + ONE ranged prefix + ONE window rank all layouts
+    * together — per-layout offsets are the global prefix minus the
+    * layout base, read off the same histogram by a 3-row triangle join.
+    * Per-file zone stats are a map-side-combinable rollup into |files|
+    * rows.
     */
   def zorderLayoutAudit(spark: SparkSession, sfDir: String,
       rowsPerFile: Int = 1000): DataFrame = {
@@ -2723,48 +2730,68 @@ object Relational {
       .withColumn("hit", (col("db").between(30, 60)
         && col("pb").between(40, 90)).cast("int"))
     // global rank without a global sort: rank = (#rows in strictly
-    // smaller key groups) + row_number within the key group
-    def layout(name: String, keys: Seq[String],
-        ties: Seq[org.apache.spark.sql.Column]): DataFrame = {
-      val keyCols = keys.map(col)
-      val hist = coded.groupBy(keyCols: _*).agg(count(lit(1)).as("kcnt"))
-      // exclusive prefix over the key histogram = inclusive ranged
-      // prefix − own count (RangedRank: no single-partition window even
-      // for the natural layout, whose key histogram is |orders|-sized)
-      val offsets = graft.operators.RangedRank.withGlobalRank(hist,
-          keyCols, "krank", Seq("kcnt" -> "kcum")).df
-        .withColumn("koff", col("kcum") - col("kcnt"))
-        .drop("kcnt", "kcum", "krank")
-      coded
-        .withColumn("w_rn", row_number()
-          .over(Window.partitionBy(keyCols: _*).orderBy(ties: _*)))
-        .join(offsets, keys)
-        .withColumn("rn", col("koff") + col("w_rn"))
-        .withColumn("file_id", expr(s"(rn - 1) div $rowsPerFile"))
-        .groupBy(col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("db")).as("mndb"), max(col("db")).as("mxdb"),
-          min(col("pb")).as("mnpb"), max(col("pb")).as("mxpb"),
-          sum(col("hit")).as("hits"))
-        .select(lit(name).as("layout"), col("file_id"),
-          (col("mndb") <= 60 && col("mxdb") >= 30
-            && col("mnpb") <= 90 && col("mxpb") >= 40).cast("int").as("ovl"),
-          (col("hits") > 0).cast("int").as("has_hits"), col("hits"))
-        .groupBy(col("layout"))
-        .agg(count(lit(1)).as("n_files"),
-          sum(col("ovl")).as("files_scanned"),
-          sum(col("has_hits")).as("files_with_hits"),
-          sum(col("hits")).as("n_rows_matched"))
-        .select(col("layout"), col("n_files"), col("files_scanned"),
-          col("files_with_hits"), col("n_rows_matched"),
-          round(lit(1.0) - col("files_scanned").cast("double")
-            / col("n_files"), 6).as("skip_rate"))
-    }
-    layout("natural", Seq("l_orderkey"), Seq(col("l_linenumber")))
-      .unionByName(layout("lex_day_price", Seq("db", "pb"),
-        Seq(col("l_orderkey"), col("l_linenumber"))))
-      .unionByName(layout("zorder", Seq("z"),
-        Seq(col("l_orderkey"), col("l_linenumber"))))
+    // smaller key groups) + row_number within the key group. All three
+    // layouts ride ONE histogram/prefix/window pass: per layout the sort
+    // key packs order-preservingly into a long s1 (db, pb, z are
+    // byte-bounded buckets; (orderkey, linenumber) is the unique PK with
+    // linenumber in 1..7, so ok*8+ln preserves its order) with the PK
+    // pack as the tiebreak s2
+    val tie = (col("l_orderkey").cast("long") * 8
+      + col("l_linenumber").cast("long"))
+    val tripled = coded.select(col("db"), col("pb"), col("hit"),
+        explode(array(
+          struct(lit(0).as("lid"), tie.as("s1"), lit(0L).as("s2")),
+          struct(lit(1).as("lid"),
+            (col("db").cast("long") * 256 + col("pb").cast("long")).as("s1"),
+            tie.as("s2")),
+          struct(lit(2).as("lid"), col("z").as("s1"), tie.as("s2"))))
+          .as("o"))
+      .select(col("o.lid").as("lid"), col("o.s1").as("s1"),
+        col("o.s2").as("s2"), col("db"), col("pb"), col("hit"))
+    // exclusive prefix over the (layout, key) histogram = inclusive
+    // ranged prefix − own count (RangedRank: no single-partition window
+    // even though the natural layout's stripe is |orders|-sized).
+    // Layouts are contiguous in (lid, s1) order, so the per-layout
+    // offset is the global one minus the layout base — the running
+    // total at the end of the previous layout, read off the same
+    // histogram by a 3-row triangle join (no second action anywhere)
+    val pref = graft.operators.RangedRank.withGlobalRank(
+        tripled.groupBy(col("lid"), col("s1")).agg(count(lit(1)).as("kcnt")),
+        Seq(col("lid"), col("s1")), "krank", Seq("kcnt" -> "kcum")).df
+      .withColumn("goff", col("kcum") - col("kcnt"))
+    val layoutTops = pref.groupBy(col("lid")).agg(max(col("kcum")).as("ltop"))
+    val bases = layoutTops.as("a")
+      .join(layoutTops.as("b"), col("b.lid") < col("a.lid"), "left")
+      .groupBy(col("a.lid").as("lid"))
+      .agg(coalesce(max(col("b.ltop")), lit(0L)).as("lbase"))
+    tripled
+      .withColumn("w_rn", row_number()
+        .over(Window.partitionBy(col("lid"), col("s1")).orderBy(col("s2"))))
+      .join(pref.select(col("lid"), col("s1"), col("goff")), Seq("lid", "s1"))
+      .join(broadcast(bases), Seq("lid"))
+      .withColumn("rn", col("goff") - col("lbase") + col("w_rn"))
+      .withColumn("file_id", expr(s"(rn - 1) div $rowsPerFile"))
+      .groupBy(col("lid"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("db")).as("mndb"), max(col("db")).as("mxdb"),
+        min(col("pb")).as("mnpb"), max(col("pb")).as("mxpb"),
+        sum(col("hit")).as("hits"))
+      .select(col("lid"), col("file_id"),
+        (col("mndb") <= 60 && col("mxdb") >= 30
+          && col("mnpb") <= 90 && col("mxpb") >= 40).cast("int").as("ovl"),
+        (col("hits") > 0).cast("int").as("has_hits"), col("hits"))
+      .groupBy(col("lid"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("ovl")).as("files_scanned"),
+        sum(col("has_hits")).as("files_with_hits"),
+        sum(col("hits")).as("n_rows_matched"))
+      .select(
+        element_at(array(lit("natural"), lit("lex_day_price"), lit("zorder")),
+          col("lid") + 1).as("layout"),
+        col("n_files"), col("files_scanned"), col("files_with_hits"),
+        col("n_rows_matched"),
+        round(lit(1.0) - col("files_scanned").cast("double")
+          / col("n_files"), 6).as("skip_rate"))
   }
 
   /** Incremental-aggregate maintenance audit (q333): does BASE ⊕ DELTA
