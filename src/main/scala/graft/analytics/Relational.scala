@@ -2678,7 +2678,12 @@ object Relational {
       expr("datediff(to_date(l_shipdate), DATE '1995-01-01') div 10")))
       .cast("int")
 
-  /** See [[shipDayBucket]]. */
+  /** See [[shipDayBucket]]. Clamped at the top only: TPC-H guarantees
+    * l_extendedprice > 0, so the bucket is non-negative by data contract
+    * — a precondition the q329 single-long key pack (db*256 + pb)
+    * depends on; a negative price would need a greatest(0) clamp here
+    * AND a matching oracle change.
+    */
   private[graft] def priceBucket: org.apache.spark.sql.Column =
     least(lit(255), floor(col("l_extendedprice") / 400).cast("int"))
       .cast("int")

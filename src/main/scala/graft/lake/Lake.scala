@@ -153,14 +153,41 @@ object Lake {
     write(tmp.toString)
     fs.mkdirs(destPath.getParent)
     // a leftover INCOMPLETE destination (a writer that crashed before its
-    // rename, or a pre-atomic in-place write) blocks the rename forever
+    // rename, or a pre-atomic in-place write) blocks the rename forever.
+    // The done re-check narrows (not closes) the race where another
+    // writer publishes between check and delete; if it fires anyway, the
+    // content is deterministic, so our own rename reinstalls an identical
+    // complete copy — a transient read gap on a /tmp dev cache, never a
+    // wrong result
     if (fs.exists(destPath) && !fs.exists(done)) fs.delete(destPath, true)
+    if (fs.exists(destPath)) {
+      // another writer won while we were building: do NOT rename — Hadoop
+      // rename onto an existing directory MOVES the source INSIDE it
+      // (returning true), which would nest our temp copy under the
+      // published path forever. Drop ours instead
+      fs.delete(tmp, true)
+      if (!fs.exists(done))
+        sys.error(s"publish of $dest failed: destination exists without " +
+          "_SUCCESS after leftover cleanup")
+      return
+    }
     if (!fs.rename(tmp, destPath)) {
       // rename refused: another writer won the race — their copy is
       // complete (rename is their last step); drop ours
       fs.delete(tmp, true)
       if (!fs.exists(done))
         sys.error(s"publish of $dest failed: rename refused with no winner")
+    } else {
+      // rename "succeeded" but may have LOST anyway: if a winner renamed
+      // between our exists check and ours, Hadoop moved tmp INSIDE their
+      // directory instead of installing it — detect the nesting and
+      // remove our copy (the winner's _SUCCESS is already in place)
+      val nested = new org.apache.hadoop.fs.Path(destPath, tmp.getName)
+      if (fs.exists(nested)) {
+        fs.delete(nested, true)
+        if (!fs.exists(done))
+          sys.error(s"publish of $dest failed: nested rename with no winner")
+      }
     }
   }
 

@@ -74,6 +74,12 @@ object RangedRank {
     *
     * `order` must be a total order; `srcCol`s must be integral or
     * decimal columns of `df`.
+    *
+    * EAGER: pass A (the range shuffle + partition-totals collect) runs at
+    * CALL time, not first-action time — the offsets and `total` are Scala
+    * values the result plan embeds. Callers that only want to inspect the
+    * returned plan still pay the shuffle; there is no lazy variant
+    * because the broadcast offsets cannot be computed executor-side.
     */
   def withGlobalRank(df: DataFrame, order: Seq[Column], rankCol: String,
       prefixSums: Seq[(String, String)] = Seq.empty): Ranked = {

@@ -89,12 +89,17 @@ class E2EPipelineSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
 
-    // --- 2. the "next day" batch job reads ONLY the landed partition
-    // (partition key = ingest-time current_date; derive it from the lake
-    // itself so a run straddling UTC midnight cannot flake)
-    val day = spark.read.parquet(out)
-      .agg(max(col("extracted_date"))).collect()(0).getDate(0).toString
-    val landed = Lake.readPartition(spark, out, "extracted_date", day)
+    // --- 2. the "next day" batch job reads ONLY landed partitions
+    // (partition key = ingest-time current_date). Derive the day list
+    // from the lake itself: a run whose two micro-batches straddle UTC
+    // midnight lands events on TWO partitions, and the daily job simply
+    // runs once per landed day — each read still partition-pruned
+    val days = spark.read.parquet(out)
+      .select(col("extracted_date")).distinct().collect()
+      .map(_.getDate(0).toString).sorted
+    val landed = days
+      .map(d => Lake.readPartition(spark, out, "extracted_date", d))
+      .reduce(_ unionByName _)
     assert(landed.count() === payloads.size.toLong,
       "every produced event must land exactly once")
 

@@ -40,65 +40,70 @@ class PlanHygieneSpec extends SparkTestBase {
     * global window — or a regression in q367/q375/q218's RangedRank
     * routing — fails this sweep by name.
     */
-  private val boundedGlobalWindows: Map[String, String] = Map(
+  /** (named bound, EXPECTED window count): the count pins the exact
+    * number of empty-partitionSpec windows the entry admits, so an
+    * allowlisted query that later GAINS a new unbounded global window
+    * fails by name instead of riding the existing entry.
+    */
+  private val boundedGlobalWindows: Map[String, (String, Int)] = Map(
     "q108_zipf_audit" ->
-      "rank window above the TakeOrdered top-k vocab cut (k = 1000 rows)",
+      ("rank window above the TakeOrdered top-k vocab cut (k = 1000 rows)", 1),
     "q120_survivor_mix" ->
-      "share-of-total window over the |sources| grain (handful of labels)",
+      ("share-of-total window over the |sources| grain (handful of labels)", 1),
     "q129_hybrid_rrf" ->
-      "both rank windows sit above top-k limits (bm25Rank k / .limit(k), k = 50)",
+      ("both rank windows sit above top-k limits (bm25Rank k / .limit(k), k = 50)", 2),
     "q152_gini_activity" ->
-      "window over the per-user activity-count HISTOGRAM (<= max per-user events; bins, never users)",
+      ("window over the per-user activity-count HISTOGRAM (<= max per-user events; bins, never users)", 1),
     "q155_vocab_coverage" ->
-      "rank window above the TakeOrdered max(ks) vocab cut",
+      ("rank window above the TakeOrdered max(ks) vocab cut", 1),
     "q165_stickiness" ->
-      "window over the calendar date grid (<= span days)",
+      ("window over the calendar date grid (<= span days)", 1),
     "q170_skyline_docs" ->
-      "prefix-max over the distinct doc-LENGTH table (<= max tokens per doc; bins, never docs)",
+      ("prefix-max over the distinct doc-LENGTH table (<= max tokens per doc; bins, never docs)", 1),
     "q175_retention_curve" ->
-      "suffix count over the day-offset grid (<= span days)",
+      ("suffix count over the day-offset grid (<= span days)", 1),
     "q181_session_sizes" ->
-      "total window over the session-size histogram (<= longest session; bins, never events)",
+      ("total window over the session-size histogram (<= longest session; bins, never events)", 1),
     "q190_bounce_exit" ->
-      "entry-total window over the bounded event_type domain (5 values)",
-    "q222_heaps_curve" -> "window over the 10-row decile table",
+      ("entry-total window over the bounded event_type domain (5 values)", 1),
+    "q222_heaps_curve" -> ("window over the 10-row decile table", 1),
     "q227_cusum_changepoint" ->
-      "cumsum windows over the calendar day spine (<= span days)",
+      ("cumsum windows over the calendar day spine (<= span days)", 2),
     "q241_simhash_sweep" ->
-      "cumulative window over the 4-row threshold rollup",
+      ("cumulative window over the 4-row threshold rollup", 1),
     "q259_ship_lag" ->
-      "cumulative + total windows over the ship-lag histogram (lag domain, days)",
+      ("cumulative + total windows over the ship-lag histogram (lag domain, days)", 2),
     "q264_activity_heatmap" ->
-      "day-total window over <= 168 hour-of-week cells",
+      ("day-total window over <= 168 hour-of-week cells", 1),
     "q265_session_return_gaps" ->
-      "windows over the gap-hour histogram (capped by the observation window)",
-    "q269_heaps_projection" -> "window over the 10-row decile table",
+      ("windows over the gap-hour histogram (capped by the observation window)", 2),
+    "q269_heaps_projection" -> ("window over the 10-row decile table", 1),
     "q270_revenue_concentration" ->
-      "windows over the <= 40-row balance-band table",
+      ("windows over the <= 40-row balance-band table", 2),
     "q273_session_peak_rate" ->
-      "total window over the peak-rate histogram (bins, never sessions)",
+      ("total window over the peak-rate histogram (bins, never sessions)", 1),
     "q276_dedup_degrees" ->
-      "total window over the degree histogram (<= max near-dup degree)",
+      ("total window over the degree histogram (<= max near-dup degree)", 1),
     "q278_order_priority_mix" ->
-      "total window over the <= 5x3 priority-status cell grid",
+      ("total window over the <= 5x3 priority-status cell grid", 1),
     "q302_mahalanobis_outliers" ->
-      "rank window above TakeOrderedAndProject .limit(k), k = 20 rows",
+      ("rank window above TakeOrderedAndProject .limit(k), k = 20 rows", 1),
     "q314_quality_lift" ->
-      "running-sum window over the 10-row decile rollup",
+      ("running-sum window over the 10-row decile rollup", 1),
     "q349_coreset_quantiles" ->
-      "cumulative-weight windows over the kept coreset (N/step rows; step sized to the summary budget)",
+      ("cumulative-weight windows over the kept coreset (N/step rows; step sized to the summary budget)", 2),
     "q351_conformal_forecast" ->
-      "windows over the day-grain residual table (<= span days)",
+      ("windows over the day-grain residual table (<= span days)", 3),
     "q352_decision_stump" ->
-      "argmax window over the (feature x distinct-threshold) candidate table (bounded feature domains; pre-binned at web scale)",
+      ("argmax window over the (feature x distinct-threshold) candidate table (bounded feature domains; pre-binned at web scale)", 1),
     "q358_hits_bipartite" ->
-      "normalizer windows over the |event-type| authority table (<= 5 rows x pinned rounds)",
-    "q359_sprt_daily" -> "window over the day spine (<= span days)",
-    "q372_ams_f2" -> "rank window over the 8-row sketch-accumulator table",
+      ("normalizer windows over the |event-type| authority table (<= 5 rows x pinned rounds)", 5),
+    "q359_sprt_daily" -> ("window over the day spine (<= span days)", 1),
+    "q372_ams_f2" -> ("rank window over the 8-row sketch-accumulator table", 1),
     "q373_page_hinkley" ->
-      "three windows over the calendar day spine (<= span days)",
+      ("three windows over the calendar day spine (<= span days)", 3),
     "q375_qini_curve" ->
-      "cumulative window over the 10-row decile rollup")
+      ("cumulative window over the 10-row decile rollup", 1))
 
   test("global windows are top-k-limited or on an allowlisted bounded grain") {
     val found: Seq[(String, Seq[String])] =
@@ -111,9 +116,17 @@ class PlanHygieneSpec extends SparkTestBase {
             w.orderSpec.map(_.sql).mkString(", ")
         }
       }
-    val offenders = found.collect {
-      case (name, ws) if ws.nonEmpty && !boundedGlobalWindows.contains(name) =>
-        s"$name: ${ws.size} global window(s) ordered by ${ws.mkString(" | ")}"
+    val offenders = found.flatMap { case (name, ws) =>
+      boundedGlobalWindows.get(name) match {
+        case None if ws.nonEmpty =>
+          Some(s"$name: ${ws.size} global window(s) ordered by ${ws.mkString(" | ")}")
+        case Some((_, expected)) if ws.nonEmpty && ws.size != expected =>
+          // a NEW global window behind an existing entry is exactly the
+          // regression class this sweep exists for — fail on count drift
+          Some(s"$name: allowlist admits $expected global window(s), plan " +
+            s"has ${ws.size} (ordered by ${ws.mkString(" | ")})")
+        case _ => None
+      }
     }
     assert(offenders.isEmpty,
       "unallowlisted single-partition windows:\n" + offenders.mkString("\n"))
