@@ -2707,80 +2707,92 @@ object Relational {
     * shift/mask ops; every layout's order is total (key tiebreakers);
     * all outputs are exact counts but the 6-dp skip rate.
     *
-    * Scale shape: NO global sort — a layout's global rank decomposes
-    * into a per-key row_number (a distributed window partitioned on the
-    * layout key) plus the cumulative count of smaller keys (a RANGED
-    * two-pass prefix sum over the key HISTOGRAM via
-    * [[graft.operators.RangedRank]] — ≤ 65k rows for the bucketed
-    * layouts, |orders|-sized for the natural one, and single-partition
-    * for neither). That is exactly how a distributed writer assigns file
-    * boundaries at 100 TB: range-partition by the cluster key, offset by
-    * the partition histogram. All THREE layouts ride one pass: each
-    * layout's sort key packs order-preservingly into a long (every
-    * component is byte-bounded or the unique (orderkey, linenumber)
-    * pair), the row explodes into (layout, key) triples, and ONE
-    * histogram + ONE ranged prefix + ONE window rank all layouts
-    * together — per-layout offsets are the global prefix minus the
-    * layout base, read off the same histogram by a 3-row triangle join.
-    * Per-file zone stats are a map-side-combinable rollup into |files|
-    * rows.
+    * Scale shape: NO global sort, and — the r11 fix — NO row-grain
+    * explode: the r11 form pushed 3×|lineitem| (layout, key) rows
+    * through one histogram + window + join chain, which made this the
+    * slowest bench median. The bucketed layouts' per-file stats are a
+    * pure function of the (db, pb) key HISTOGRAM (≤ 65k rows — every
+    * row of a key shares db, pb, and the predicate flag), so both
+    * bucketed layouts now rank the histogram alone: one ranged prefix
+    * sum ([[graft.operators.RangedRank]]) assigns each key its
+    * exclusive row offset, each key row explodes into the ≤
+    * (n/rowsPerFile + 65k) files its contiguous row range spans, and
+    * per-file rows/zone stats fall out of interval arithmetic — rows in
+    * file f = |[off, off+cnt) ∩ [f·F, (f+1)·F)|. The natural layout's
+    * key IS the unique PK, so its rank is one direct RangedRank pass
+    * over the row grain (range shuffle + per-partition walk — exactly
+    * how a distributed writer assigns file boundaries at 100 TB). The
+    * fact is scanned twice (histogram + natural rank), each a single
+    * shuffle; nothing row-grain is ever windowed or joined.
     */
   def zorderLayoutAudit(spark: SparkSession, sfDir: String,
       rowsPerFile: Int = 1000): DataFrame = {
     val base = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         shipDayBucket.as("db"), priceBucket.as("pb"))
-    val coded = base.withColumn("z",
-        graft.functions.Spatial.morton(Seq(col("db"), col("pb")), 8))
-      .withColumn("hit", (col("db").between(30, 60)
-        && col("pb").between(40, 90)).cast("int"))
-    // global rank without a global sort: rank = (#rows in strictly
-    // smaller key groups) + row_number within the key group. All three
-    // layouts ride ONE histogram/prefix/window pass: per layout the sort
-    // key packs order-preservingly into a long s1 (db, pb, z are
-    // byte-bounded buckets; (orderkey, linenumber) is the unique PK with
-    // linenumber in 1..7, so ok*8+ln preserves its order) with the PK
-    // pack as the tiebreak s2
-    val tie = (col("l_orderkey").cast("long") * 8
-      + col("l_linenumber").cast("long"))
-    val tripled = coded.select(col("db"), col("pb"), col("hit"),
-        explode(array(
-          struct(lit(0).as("lid"), tie.as("s1"), lit(0L).as("s2")),
-          struct(lit(1).as("lid"),
-            (col("db").cast("long") * 256 + col("pb").cast("long")).as("s1"),
-            tie.as("s2")),
-          struct(lit(2).as("lid"), col("z").as("s1"), tie.as("s2"))))
-          .as("o"))
-      .select(col("o.lid").as("lid"), col("o.s1").as("s1"),
-        col("o.s2").as("s2"), col("db"), col("pb"), col("hit"))
-    // exclusive prefix over the (layout, key) histogram = inclusive
-    // ranged prefix − own count (RangedRank: no single-partition window
-    // even though the natural layout's stripe is |orders|-sized).
-    // Layouts are contiguous in (lid, s1) order, so the per-layout
-    // offset is the global one minus the layout base — the running
-    // total at the end of the previous layout, read off the same
-    // histogram by a 3-row triangle join (no second action anywhere)
-    val pref = graft.operators.RangedRank.withGlobalRank(
-        tripled.groupBy(col("lid"), col("s1")).agg(count(lit(1)).as("kcnt")),
-        Seq(col("lid"), col("s1")), "krank", Seq("kcnt" -> "kcum")).df
-      .withColumn("goff", col("kcum") - col("kcnt"))
-    val layoutTops = pref.groupBy(col("lid")).agg(max(col("kcum")).as("ltop"))
-    val bases = layoutTops.as("a")
-      .join(layoutTops.as("b"), col("b.lid") < col("a.lid"), "left")
-      .groupBy(col("a.lid").as("lid"))
-      .agg(coalesce(max(col("b.ltop")), lit(0L)).as("lbase"))
-    tripled
-      .withColumn("w_rn", row_number()
-        .over(Window.partitionBy(col("lid"), col("s1")).orderBy(col("s2"))))
-      .join(pref.select(col("lid"), col("s1"), col("goff")), Seq("lid", "s1"))
-      .join(broadcast(bases), Seq("lid"))
-      .withColumn("rn", col("goff") - col("lbase") + col("w_rn"))
-      .withColumn("file_id", expr(s"(rn - 1) div $rowsPerFile"))
-      .groupBy(col("lid"), col("file_id"))
+    def hitOf = (col("db").between(30, 60)
+      && col("pb").between(40, 90)).cast("int")
+    val F = rowsPerFile.toLong
+    // natural layout (lid 0): the sort key is the unique PK itself, so
+    // the global rank is one distributed RangedRank pass at row grain —
+    // no histogram (a unique key's histogram IS the row grain) and no
+    // window (every key group is a single row)
+    val natRanked = graft.operators.RangedRank.withGlobalRank(
+      base.withColumn("hit", hitOf),
+      Seq(col("l_orderkey"), col("l_linenumber")), "rn")
+    val natFiles = natRanked.df
+      .withColumn("file_id", expr(s"(rn - 1) div $F"))
+      .groupBy(col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("db")).as("mndb"), max(col("db")).as("mxdb"),
         min(col("pb")).as("mnpb"), max(col("pb")).as("mxpb"),
         sum(col("hit")).as("hits"))
+      .select(lit(0).as("lid"), col("file_id"), col("n_rows"),
+        col("mndb"), col("mxdb"), col("mnpb"), col("mxpb"), col("hits"))
+    // bucketed layouts (lid 1 lex, lid 2 z-order): aggregate to the
+    // (db, pb) histogram FIRST — both layouts' sort keys (db·256+pb and
+    // the Morton code) are functions of the key, so everything after
+    // the map-side-combinable count runs on ≤ 65k rows per layout
+    val hist = base.groupBy(col("db"), col("pb"))
+      .agg(count(lit(1)).as("kcnt"))
+      .withColumn("hit", hitOf)
+    val keyed = hist.select(col("db"), col("pb"), col("kcnt"), col("hit"),
+        explode(array(
+          struct(lit(1).as("lid"),
+            (col("db").cast("long") * 256 + col("pb").cast("long")).as("s1")),
+          struct(lit(2).as("lid"),
+            graft.functions.Spatial.morton(Seq(col("db"), col("pb")), 8)
+              .as("s1")))).as("o"))
+      .select(col("o.lid").as("lid"), col("o.s1").as("s1"),
+        col("db"), col("pb"), col("kcnt"), col("hit"))
+    // inclusive ranged prefix − own count = the key's exclusive global
+    // row offset; layouts are contiguous in (lid, s1) order and each
+    // holds ALL rows, so lid 2's base is exactly the natural pass's
+    // total (already a driver value from pass A — no extra action)
+    val pref = graft.operators.RangedRank.withGlobalRank(keyed,
+        Seq(col("lid"), col("s1")), "krank", Seq("kcnt" -> "kcum")).df
+      .withColumn("off", col("kcum") - col("kcnt")
+        - when(col("lid") === 2, lit(natRanked.total)).otherwise(lit(0L)))
+    // a key's rows occupy the contiguous range [off, off+kcnt): explode
+    // it across the files it spans (every spanned file overlaps by ≥ 1
+    // row) and split the count by interval overlap — histogram-grain
+    // work producing exactly the per-(file, key) contributions
+    val bucketFiles = pref
+      .select(col("lid"), col("db"), col("pb"), col("kcnt"), col("hit"),
+        col("off"),
+        explode(sequence(expr(s"off div $F"),
+          expr(s"(off + kcnt - 1) div $F"))).as("file_id"))
+      .withColumn("rows_in",
+        least(col("off") + col("kcnt"), (col("file_id") + 1) * F)
+          - greatest(col("off"), col("file_id") * F))
+      .groupBy(col("lid"), col("file_id"))
+      .agg(sum(col("rows_in")).as("n_rows"),
+        min(col("db")).as("mndb"), max(col("db")).as("mxdb"),
+        min(col("pb")).as("mnpb"), max(col("pb")).as("mxpb"),
+        sum(col("rows_in") * col("hit")).as("hits"))
+      .select(col("lid"), col("file_id"), col("n_rows"),
+        col("mndb"), col("mxdb"), col("mnpb"), col("mxpb"), col("hits"))
+    natFiles.unionByName(bucketFiles)
       .select(col("lid"), col("file_id"),
         (col("mndb") <= 60 && col("mxdb") >= 30
           && col("mnpb") <= 90 && col("mxpb") >= 40).cast("int").as("ovl"),
