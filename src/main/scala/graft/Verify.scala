@@ -8,6 +8,10 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet // optional query-name filter for local dev
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // disk-backed memo tier — see Bench; safe here because the cache key
+    // covers both the data files and the compiled classes, and the oracle
+    // compare would flag any stale read regardless
+    sys.props.getOrElseUpdate("graft.memo.durable", "true")
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))

@@ -133,7 +133,7 @@ object TextAnalytics {
     * from it (see the plan note on [[tfidfTopTerms]]).
     */
   private[graft] def tfTable(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.SessionMemo(spark, s"tfidfTf|$sfDir") {
+    graft.operators.SessionMemo.durable(spark, sfDir, s"tfidfTf|$sfDir") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), size(Text.tokens(col("text"))).as("doc_len"),
           explode(Text.tokens(col("text"))).as("word"))
@@ -1285,7 +1285,7 @@ object TextAnalytics {
   def bpeMergeLoop(spark: SparkSession, sfDir: String,
       rounds: Int = 6): DataFrame =
     // memoized: the q201 gate and the q206 encoder share one training run
-    graft.operators.SessionMemo(spark, s"bpeMergeLoop|$sfDir|$rounds") {
+    graft.operators.SessionMemo.durable(spark, sfDir, s"bpeMergeLoop|$sfDir|$rounds") {
       bpeMergeLoopOf(Tables.documents(spark, sfDir), rounds)
     }
 
@@ -1498,7 +1498,7 @@ object TextAnalytics {
     */
   private def sourceShingleUniverse(spark: SparkSession,
       sfDir: String): DataFrame =
-    graft.operators.SessionMemo(spark, s"sourceShingleUniverse|$sfDir") {
+    graft.operators.SessionMemo.durable(spark, sfDir, s"sourceShingleUniverse|$sfDir") {
       val base = Tables.documents(spark, sfDir)
         .select(col("source"), explode(Text.shingles(col("text"), 3)).as("s"))
       base.select(col("source"), col("s"))

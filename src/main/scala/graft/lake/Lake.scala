@@ -154,12 +154,26 @@ object Lake {
     fs.mkdirs(destPath.getParent)
     // a leftover INCOMPLETE destination (a writer that crashed before its
     // rename, or a pre-atomic in-place write) blocks the rename forever.
-    // The done re-check narrows (not closes) the race where another
-    // writer publishes between check and delete; if it fires anyway, the
-    // content is deterministic, so our own rename reinstalls an identical
-    // complete copy — a transient read gap on a /tmp dev cache, never a
-    // wrong result
-    if (fs.exists(destPath) && !fs.exists(done)) fs.delete(destPath, true)
+    // Move it ASIDE first instead of deleting in place: after the atomic
+    // rename-to-trash nobody can complete it anymore, so checking the
+    // trash copy for _SUCCESS decides race-free whether we swept a
+    // genuine incomplete leftover (drop it) or a WINNER that published
+    // between the done check and the sweep (reinstall their complete
+    // copy; a plain delete here would have destroyed it — the r11
+    // advice's residual TOCTOU)
+    if (fs.exists(destPath) && !fs.exists(done)) {
+      val trash = new org.apache.hadoop.fs.Path(destPath.getParent,
+        s".${destPath.getName}.trash-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      if (fs.rename(destPath, trash)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(trash, "_SUCCESS"))) {
+          // swept a complete winner: put it back (or drop our sweep if a
+          // third writer already reinstalled while it sat in trash)
+          if (!fs.rename(trash, destPath)) fs.delete(trash, true)
+        } else fs.delete(trash, true) // verified incomplete AFTER the move
+      }
+      // rename refused: a concurrent publisher/cleaner got there first —
+      // fall through to the exists checks below
+    }
     if (fs.exists(destPath)) {
       // another writer won while we were building: do NOT rename — Hadoop
       // rename onto an existing directory MOVES the source INSIDE it

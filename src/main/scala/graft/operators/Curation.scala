@@ -179,7 +179,7 @@ object Curation {
     */
   def dedupComponents(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"dedupComponents|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"dedupComponents|$sfDir|$threshold") {
       connectedComponents(
         Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
         Tables.documents(spark, sfDir).select(col("doc_id")))
@@ -191,7 +191,7 @@ object Curation {
     */
   def dedupComponentsStar(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"dedupComponentsStar|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"dedupComponentsStar|$sfDir|$threshold") {
       connectedComponentsStar(
         Dedup.minhashPairs(spark, sfDir, threshold).select(col("doc1"), col("doc2")),
         Tables.documents(spark, sfDir).select(col("doc_id")))
@@ -276,7 +276,7 @@ object Curation {
     */
   def dedupPagerank(spark: SparkSession, sfDir: String,
       iters: Int = 10, threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"dedupPagerank|$sfDir|$iters|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"dedupPagerank|$sfDir|$iters|$threshold") {
       pagerankOf(Dedup.minhashPairs(spark, sfDir, threshold), iters)
     }
 
@@ -960,7 +960,7 @@ object Curation {
     */
   private def trianglesTable(spark: SparkSession, sfDir: String,
       threshold: Double): DataFrame =
-    SessionMemo(spark, s"triangles|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"triangles|$sfDir|$threshold") {
       trianglesOf(Dedup.minhashPairs(spark, sfDir, threshold)
         .select(col("doc1"), col("doc2")))
     }
@@ -1014,7 +1014,7 @@ object Curation {
     */
   def edgeSupport(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"edgeSupport|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"edgeSupport|$sfDir|$threshold") {
       supportTail(
         Dedup.minhashPairs(spark, sfDir, threshold)
           .select(col("doc1"), col("doc2")),
@@ -1459,7 +1459,7 @@ object Curation {
     // memoized: q56 and the composed q61 verdict share one gram pass.
     // The gram-hash mode is part of the key — a cached md5 result must not
     // answer an xxhash64 request (outputs match, but keep modes distinct)
-    SessionMemo(spark, s"decontaminate|$sfDir|$n|$benchMod|" +
+    SessionMemo.durable(spark, sfDir, s"decontaminate|$sfDir|$n|$benchMod|" +
         spark.conf.get("spark.graft.decontamination.hash", "md5")) {
       val docs = Tables.documents(spark, sfDir)
       decontaminateAgainst(
@@ -1520,7 +1520,7 @@ object Curation {
     */
   def decontaminateBloom(spark: SparkSession, sfDir: String,
       n: Int = 8, benchMod: Int = 97): DataFrame =
-    SessionMemo(spark, s"decontaminateBloom|$sfDir|$n|$benchMod|" +
+    SessionMemo.durable(spark, sfDir, s"decontaminateBloom|$sfDir|$n|$benchMod|" +
         spark.conf.get("spark.graft.decontamination.hash", "md5")) {
       val docs = Tables.documents(spark, sfDir)
       decontaminateBloomAgainst(
@@ -1750,7 +1750,7 @@ object Curation {
     * right tools when the reference side is benchmark-sized.
     */
   def splitLeakage(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
-    SessionMemo(spark, s"splitLeakage|$sfDir|$n|" +
+    SessionMemo.durable(spark, sfDir, s"splitLeakage|$sfDir|$n|" +
         spark.conf.get("spark.graft.decontamination.hash", "md5")) {
       val gramHash = gramHasher(spark)
       val docs = Tables.documents(spark, sfDir)
@@ -2107,7 +2107,7 @@ object Curation {
     */
   def labelPropagation(spark: SparkSession, sfDir: String,
       rounds: Int = 3, threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"labelPropagation|$sfDir|$rounds|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"labelPropagation|$sfDir|$rounds|$threshold") {
       labelPropagationOf(
         Dedup.minhashPairs(spark, sfDir, threshold)
           .select(col("doc1"), col("doc2")),
@@ -2223,7 +2223,7 @@ object Curation {
     * cluster-grain rollups.
     */
   def dedupDendrogram(spark: SparkSession, sfDir: String): DataFrame =
-    SessionMemo(spark, s"dedupDendrogram|$sfDir") {
+    SessionMemo.durable(spark, sfDir, s"dedupDendrogram|$sfDir") {
       val base = Dedup.minhashPairs(spark, sfDir, 0.7).localCheckpoint()
       val allDocs = Tables.documents(spark, sfDir).select(col("doc_id"))
       Seq(0.7, 0.8, 0.9).map { t =>

@@ -208,7 +208,7 @@ object Dedup {
     // memoized: the verified pair list is near-dup-sized and serves as the
     // exact-Jaccard TRUTH SET for the q223 band sweep and the q241 simhash
     // sweep as well as the q73 gate — one session computes it once
-    SessionMemo(spark, s"jaccardPairsPrefix|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"jaccardPairsPrefix|$sfDir|$threshold") {
       jaccardPairsPrefixOf(Tables.documents(spark, sfDir), threshold)
     }
 
@@ -434,7 +434,7 @@ object Dedup {
   def winnowPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.8): DataFrame =
     // memoized: q81 and the q113 route-agreement audit share one build
-    SessionMemo(spark, s"winnowPairs|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"winnowPairs|$sfDir|$threshold") {
       val fps = materialized(
         graft.analytics.TextAnalytics.winnowFingerprints(spark, sfDir))
       val candidates = fps.as("a").join(fps.as("b"),
@@ -582,7 +582,7 @@ object Dedup {
     */
   def minhashPairs(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7, k: Int = 16, bands: Int = 4): DataFrame =
-    SessionMemo(spark, s"minhashPairs|$sfDir|$threshold|$k|$bands") {
+    SessionMemo.durable(spark, sfDir, s"minhashPairs|$sfDir|$threshold|$k|$bands") {
       minhashPairsUncached(spark, sfDir, threshold, k, bands)
     }
 
@@ -638,12 +638,16 @@ object Dedup {
     * disjoint (the mock parity carve guarantees it).
     */
   def incrementalNearDup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    incrementalNearDupAgainst(
-      docs.where(col("doc_id") % 2 =!= 0),
-      docs.where(col("doc_id") % 2 === 0), threshold)
-  }
+      threshold: Double = 0.7): DataFrame =
+    // memoized durably: the parity-carve hit list is deterministic in
+    // (sfDir, threshold) and its history-side signature/shingle builds
+    // were the single largest prebuild cost on the r11 driver host (64 s)
+    SessionMemo.durable(spark, sfDir, s"incrementalNearDup|$sfDir|$threshold") {
+      val docs = Tables.documents(spark, sfDir)
+      incrementalNearDupAgainst(
+        docs.where(col("doc_id") % 2 =!= 0),
+        docs.where(col("doc_id") % 2 === 0), threshold)
+    }
 
   /** [[incrementalNearDup]] against explicit frames. */
   def incrementalNearDupAgainst(batchDocs: DataFrame, historyDocs: DataFrame,
@@ -709,7 +713,7 @@ object Dedup {
   def minhashPairsFast(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7, marginLow: Double = 0.5,
       marginHigh: Double = 0.875, k: Int = 16, bands: Int = 4): DataFrame =
-    SessionMemo(spark,
+    SessionMemo.durable(spark, sfDir,
         s"minhashPairsFast|$sfDir|$threshold|$marginLow|$marginHigh|$k|$bands") {
       require(marginLow <= threshold && threshold <= marginHigh,
         s"minhashPairsFast: need marginLow <= threshold <= marginHigh, " +
@@ -1252,7 +1256,7 @@ object Dedup {
 
   def bandTuningSweep(spark: SparkSession, sfDir: String,
       threshold: Double = 0.7): DataFrame =
-    SessionMemo(spark, s"bandTuningSweep|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"bandTuningSweep|$sfDir|$threshold") {
       val sig = minhashSignatures(spark, sfDir, 16)
       val truth = jaccardPairsPrefix(spark, sfDir, threshold)
         .select(col("doc1"), col("doc2")).localCheckpoint()

@@ -44,7 +44,7 @@ object EntityResolution {
   private def blockedPairFeatures(spark: SparkSession, sfDir: String,
       lenBucket: Int, lenTol: Int, hammingTol: Int,
       jaccardT: (Int, Int)): DataFrame =
-    SessionMemo(spark,
+    SessionMemo.durable(spark, sfDir,
       s"erPairs|$sfDir|$lenBucket|$lenTol|$hammingTol|$jaccardT") {
       val docs = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

@@ -329,7 +329,7 @@ object Similarity {
     */
   def semanticResolution(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame =
-    SessionMemo(spark, s"semanticResolution|$sfDir|$threshold") {
+    SessionMemo.durable(spark, sfDir, s"semanticResolution|$sfDir|$threshold") {
       semanticResolutionBuild(spark, sfDir, threshold)
     }
 
@@ -587,7 +587,7 @@ object Similarity {
     * realistic group).
     */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.SessionMemo(spark, s"labelCentroids|$sfDir") {
+    graft.operators.SessionMemo.durable(spark, sfDir, s"labelCentroids|$sfDir") {
       Tables.embeddings(spark, sfDir)
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
@@ -681,7 +681,7 @@ object Similarity {
     * partials, never the n·m·k scored pairs.
     */
   private[graft] def pqAssign(spark: SparkSession, sfDir: String): DataFrame =
-    SessionMemo(spark, s"pqAssign|$sfDir") {
+    SessionMemo.durable(spark, sfDir, s"pqAssign|$sfDir") {
       val cents = broadcast(
         subSliced(ivfCentroids(spark, sfDir, PqK)
           .select(col("cid"), col("cv").as("v")), "cid")
@@ -1118,7 +1118,7 @@ object Similarity {
       .where(col("rank") <= k)
     // memoized: the histogram AND the covered-count read it, and without
     // the memo each branch would re-run the cell-blocked kNN stage
-    val indeg = SessionMemo(spark, s"knnHubnessIndeg|$sfDir|$k") {
+    val indeg = SessionMemo.durable(spark, sfDir, s"knnHubnessIndeg|$sfDir|$k") {
       edges.groupBy(col("neighbor")).agg(count(lit(1)).as("in_degree"))
     }
     val hist = indeg.groupBy(col("in_degree"))
@@ -1510,7 +1510,7 @@ object Similarity {
     */
   private def quantizedAssignment(spark: SparkSession,
       sfDir: String): DataFrame =
-    SessionMemo(spark, s"quantizedAssignment|$sfDir") {
+    SessionMemo.durable(spark, sfDir, s"quantizedAssignment|$sfDir") {
       ivfAssignTrained(spark, sfDir).select(col("vec_id"), col("cell"))
         .join(corpus(spark, sfDir).select(col("vec_id"), col("v")),
           Seq("vec_id"))

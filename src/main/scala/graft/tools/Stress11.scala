@@ -93,11 +93,14 @@ object Stress11 extends ScanMeter {
       // size while pages stay ~1 MB — measured 16.0x at 20M rows/64
       // files but 2.6x at 100M (each surviving row group simply carries
       // more rows). The scale-stable claims are the bloom's absolute
-      // >=90% skip (asserted above at every n) and strictly beating the
-      // page-index floor
+      // >=90% skip (asserted above at every n) and STRICTLY beating the
+      // page-index floor — asserted as strictly-greater (the r11 advice:
+      // a fixed 2x factor had only ~1.3x headroom at 100M and a parquet
+      // row-group-sizing default shift could flake it; the measured
+      // ratio stays in the log for trend reading)
       println(f"[stress11]   bloom beats page-index floor ${read.toDouble / bloomRead}%.1fx")
-      assert(read >= 2 * bloomRead,
-        s"bloom should beat page-index pruning >=2x: control $read vs bloom $bloomRead")
+      assert(read > bloomRead,
+        s"bloom must strictly beat page-index pruning: control $read vs bloom $bloomRead")
       read
     }
 

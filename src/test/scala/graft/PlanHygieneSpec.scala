@@ -46,6 +46,9 @@ class PlanHygieneSpec extends SparkTestBase {
     * fails by name instead of riding the existing entry.
     */
   private val boundedGlobalWindows: Map[String, (String, Int)] = Map(
+    // see also orderSpecFingerprints below: the count alone would admit
+    // swapping an allowlisted bounded-grain window for a DIFFERENT
+    // unbounded one at the same count (r11 advice)
     "q108_zipf_audit" ->
       ("rank window above the TakeOrdered top-k vocab cut (k = 1000 rows)", 1),
     "q120_survivor_mix" ->
@@ -105,6 +108,51 @@ class PlanHygieneSpec extends SparkTestBase {
     "q375_qini_curve" ->
       ("cumulative window over the 10-row decile rollup", 1))
 
+  /** md5-prefix fingerprint of each allowlisted query's SORTED global-
+    * window orderSpec sql strings — pins WHICH windows the entry admits,
+    * not just how many: swapping a bounded-grain window for a different
+    * unbounded one at the same count now fails by name with the actual
+    * orderings in the message (update the pin only after re-verifying
+    * the named bound still holds for the NEW ordering).
+    */
+  private def orderFp(ws: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(ws.sorted.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+
+  private val orderSpecFingerprints: Map[String, String] = Map(
+    "q108_zipf_audit" -> "b8e542d4",
+    "q120_survivor_mix" -> "d41d8cd9", // empty orderSpec (total window)
+    "q129_hybrid_rrf" -> "5f8900fd",
+    "q152_gini_activity" -> "d6b17d7f",
+    "q155_vocab_coverage" -> "b8e542d4",
+    "q165_stickiness" -> "891e4c56",
+    "q170_skyline_docs" -> "c196e6c6",
+    "q175_retention_curve" -> "3cb51f07",
+    "q181_session_sizes" -> "d41d8cd9",
+    "q190_bounce_exit" -> "d41d8cd9",
+    "q222_heaps_curve" -> "61ff02fc",
+    "q227_cusum_changepoint" -> "f0c6d630",
+    "q241_simhash_sweep" -> "13fa8c4d",
+    "q259_ship_lag" -> "27f89850",
+    "q264_activity_heatmap" -> "d41d8cd9",
+    "q265_session_return_gaps" -> "762f55d0",
+    "q269_heaps_projection" -> "61ff02fc",
+    "q270_revenue_concentration" -> "627f1ce1",
+    "q273_session_peak_rate" -> "d41d8cd9",
+    "q276_dedup_degrees" -> "d41d8cd9",
+    "q278_order_priority_mix" -> "d41d8cd9",
+    "q302_mahalanobis_outliers" -> "68393866",
+    "q314_quality_lift" -> "61ff02fc",
+    "q349_coreset_quantiles" -> "a267c135",
+    "q351_conformal_forecast" -> "1605b2c8",
+    "q352_decision_stump" -> "766388b1",
+    "q358_hits_bipartite" -> "59d7d64d",
+    "q359_sprt_daily" -> "2137866c",
+    "q372_ams_f2" -> "1e88003f",
+    "q373_page_hinkley" -> "3750c12b",
+    "q375_qini_curve" -> "61ff02fc")
+
   test("global windows are top-k-limited or on an allowlisted bounded grain") {
     val found: Seq[(String, Seq[String])] =
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
@@ -125,6 +173,11 @@ class PlanHygieneSpec extends SparkTestBase {
           // regression class this sweep exists for — fail on count drift
           Some(s"$name: allowlist admits $expected global window(s), plan " +
             s"has ${ws.size} (ordered by ${ws.mkString(" | ")})")
+        case Some(_) if ws.nonEmpty &&
+            !orderSpecFingerprints.get(name).contains(orderFp(ws)) =>
+          Some(s"$name: orderSpec fingerprint ${orderFp(ws)} != pinned " +
+            s"${orderSpecFingerprints.getOrElse(name, "<missing>")} " +
+            s"(ordered by ${ws.mkString(" | ")})")
         case _ => None
       }
     }

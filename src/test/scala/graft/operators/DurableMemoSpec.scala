@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Contract of [[SessionMemo.durable]] — the disk-backed memo tier the
+  * driver-contract mains enable (r11 verdict item 1):
+  *
+  *  - OFF by default: without the `graft.memo.durable` system property the
+  *    call is byte-for-byte the in-memory [[SessionMemo.apply]] (tests and
+  *    plan sweeps stay independent of /tmp state);
+  *  - ON: first call builds once and publishes parquet + schema sidecar;
+  *    a later "JVM" (simulated by invalidating the in-memory tier) reads
+  *    the parquet back with IDENTICAL rows and schema and does NOT rebuild;
+  *  - empty results round-trip with their schema (the sidecar, not
+  *    parquet inference, carries it);
+  *  - the cache key covers the DATA fingerprint: touching a source file's
+  *    mtime re-routes to a fresh cache entry (a rebuild), never a stale
+  *    read.
+  */
+class DurableMemoSpec extends SparkTestBase {
+
+  private def withDurable[A](f: => A): A = {
+    sys.props.put("graft.memo.durable", "true")
+    try f finally sys.props.remove("graft.memo.durable")
+  }
+
+  /** Fresh fixture dir with one tiny parquet "table". */
+  private def mkFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-durable-fix").toString
+    spark.range(5).select(col("id"), (col("id") * 2).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/t.parquet")
+    dir
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("off by default: behaves as the in-memory memo, writes nothing") {
+    val fix = mkFixture()
+    var builds = 0
+    def build: DataFrame = { builds += 1; spark.range(3).toDF("n") }
+    val key = s"durableOffSpec|$fix"
+    val a = SessionMemo.durable(spark, fix, key)(build)
+    val b = SessionMemo.durable(spark, fix, key)(build)
+    assert(builds == 1 && sortedRows(a) == sortedRows(b))
+    val memoRoot = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-memo")
+    // no entry for THIS key may exist (other suites never enable the prop)
+    if (memoRoot.exists()) {
+      val hits = java.nio.file.Files.walk(memoRoot.toPath).iterator()
+      val found = new scala.collection.mutable.ArrayBuffer[String]
+      while (hits.hasNext) found += hits.next().toString
+      assert(!found.exists(_.contains("durableOffSpec")),
+        s"off-switch leaked a durable entry: $found")
+    }
+    SessionMemo.invalidate(spark)
+  }
+
+  test("on: builds once, later JVM reads parquet with identical rows+schema") {
+    withDurable {
+      val fix = mkFixture()
+      var builds = 0
+      def build: DataFrame = {
+        builds += 1
+        spark.read.parquet(s"$fix/t.parquet")
+          .groupBy((col("id") % 2).as("par"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+            round(avg(col("v")), 6).as("av"))
+      }
+      val key = s"durableOnSpec|$fix"
+      val first = SessionMemo.durable(spark, fix, key)(build)
+      val firstRows = sortedRows(first)
+      val firstSchema = first.schema
+      assert(builds == 1)
+      // simulate a fresh JVM: drop the in-memory tier, keep /tmp
+      SessionMemo.invalidate(spark)
+      val second = SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 1, "second JVM must read the durable copy, not rebuild")
+      assert(sortedRows(second) == firstRows)
+      assert(second.schema.map(f => (f.name, f.dataType)) ==
+        firstSchema.map(f => (f.name, f.dataType)),
+        s"schema must round-trip: ${second.schema} vs $firstSchema")
+      SessionMemo.invalidate(spark)
+    }
+  }
+
+  test("empty result round-trips with its schema via the sidecar") {
+    withDurable {
+      val fix = mkFixture()
+      var builds = 0
+      def build: DataFrame = {
+        builds += 1
+        spark.read.parquet(s"$fix/t.parquet")
+          .where(col("id") < -1)
+          .select(col("id"), col("v").cast("decimal(20,2)").as("d"),
+            array(col("v")).as("arr"))
+      }
+      val key = s"durableEmptySpec|$fix"
+      val first = SessionMemo.durable(spark, fix, key)(build)
+      assert(first.count() == 0)
+      SessionMemo.invalidate(spark)
+      val second = SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 1 && second.count() == 0)
+      assert(second.schema.map(f => (f.name, f.dataType)) == Seq(
+        ("id", LongType), ("d", DecimalType(20, 2)),
+        ("arr", ArrayType(LongType, containsNull = false))) ||
+        second.schema.map(f => (f.name, f.dataType)) == Seq(
+          ("id", LongType), ("d", DecimalType(20, 2)),
+          ("arr", ArrayType(LongType, containsNull = true))),
+        s"empty frame must keep its schema, got ${second.schema}")
+      SessionMemo.invalidate(spark)
+    }
+  }
+
+  test("touching a source file's mtime invalidates (rebuild, never stale)") {
+    withDurable {
+      val fix = mkFixture()
+      var builds = 0
+      def build: DataFrame = { builds += 1; spark.range(2).toDF("n") }
+      val key = s"durableFpSpec|$fix"
+      SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 1)
+      SessionMemo.invalidate(spark)
+      // nudge every file's mtime forward (content unchanged is irrelevant
+      // — the fingerprint is (name, len, mtime))
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(fix))
+      try walk.iterator().forEachRemaining { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(p).toMillis + 5000))
+      } finally walk.close()
+      SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 2, "changed data fingerprint must rebuild")
+      SessionMemo.invalidate(spark)
+    }
+  }
+}
