@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types._
 
 /** Distributed global rank / running totals WITHOUT a single-partition
@@ -98,8 +98,25 @@ object RangedRank {
     val k = srcIdx.length
 
     // ONE materialized lineage: pass A's shuffle map output is reused by
-    // pass B (same RDD object), so pids and offsets can never disagree
-    val rdd = sorted.rdd
+    // pass B (same RDD object), so pids and offsets can never disagree.
+    // The walk stays on InternalRow end to end (queryExecution.toRdd, not
+    // .rdd): the .rdd path deserialized EVERY field of EVERY row into a
+    // boxed Row both ways; this path reads only the ≤ k prefix columns
+    // and projects appended columns into an UnsafeRow.
+    //
+    // DELIBERATE: the per-partition SORT runs twice (pass A's stage and
+    // pass B's — only the shuffle MAP output is reused across jobs), and
+    // that is the scale-correct trade. The alternative — persisting the
+    // sorted run — was built and measured (r12): at the 100 TB design
+    // point it means caching the entire sorted corpus (a non-starter),
+    // at 500M rows locally it OOMs the default heap mid-unroll
+    // (MEMORY_AND_DISK_SER) or trades sort CPU for an equal disk round
+    // trip (DISK_ONLY), and serialized InternalRow caching silently
+    // corrupts under JavaSerializer's instance-dedup unless every reused
+    // UnsafeRow buffer is copied first (caught bit-exactly by
+    // RangedRankPropSpec). Re-sorting deterministic shuffle output wins
+    // on every axis.
+    val rdd = sorted.queryExecution.toRdd
     val types = srcTypes // avoid capturing `this`-adjacent vals twice
     val idx = srcIdx
 
@@ -112,7 +129,8 @@ object RangedRank {
           n += 1
           var j = 0
           while (j < idx.length) {
-            acc(j) = addOf(types(j), acc(j), r.get(idx(j))); j += 1
+            acc(j) = addOf(types(j), acc(j), readOf(types(j), r, idx(j)))
+            j += 1
           }
         }
         Iterator.single((pid, n, acc))
@@ -150,19 +168,36 @@ object RangedRank {
         }))
     val ro = rankOffsets
     val so = sumOffsets
+    val outTypes: Array[DataType] = srcTypes.map(outType)
     val resRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
       var r = ro(pid)
       val acc = so(pid).clone()
+      // appended columns ride a small GenericInternalRow joined to the
+      // input row; the UnsafeProjection materializes each output into its
+      // own (reused) buffer — no per-field boxing of the INPUT columns
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1 + idx.length)
       it.map { row =>
         r += 1
         var j = 0
         while (j < idx.length) {
-          acc(j) = addOf(types(j), acc(j), row.get(idx(j))); j += 1
+          acc(j) = addOf(types(j), acc(j), readOf(types(j), row, idx(j)))
+          j += 1
         }
-        Row.fromSeq(row.toSeq ++ (java.lang.Long.valueOf(r) +: acc.toList))
+        extra.update(0, r)
+        j = 0
+        while (j < idx.length) {
+          extra.update(j + 1, catalystOf(outTypes(j), acc(j))); j += 1
+        }
+        proj(joined(row, extra))
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    Ranked(spark.createDataFrame(resRdd, outSchema), total, grandTotals)
+    Ranked(org.apache.spark.sql.graftbridge.GraftBridge
+      .internalCreateDataFrame(spark, resRdd, outSchema), total, grandTotals)
   }
 
   /** Exact accumulation per source type. Object-level (not nested in the
@@ -174,6 +209,31 @@ object RangedRank {
   private def zeroOf(t: DataType): Any = t match {
     case _: DecimalType => java.math.BigDecimal.ZERO
     case _ => java.lang.Long.valueOf(0L)
+  }
+
+  /** Typed InternalRow read in the accumulator's Java representation
+    * (null → null, matching `sum`'s null-skipping via [[addOf]]). Only
+    * the ≤ k prefix-sum columns are ever read — the input row's other
+    * fields are never touched, which is the point of the InternalRow
+    * path.
+    */
+  private def readOf(t: DataType,
+      r: org.apache.spark.sql.catalyst.InternalRow, i: Int): Any =
+    if (r.isNullAt(i)) null
+    else t match {
+      case d: DecimalType =>
+        r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case LongType => java.lang.Long.valueOf(r.getLong(i))
+      case _ => java.lang.Integer.valueOf(r.getInt(i))
+    }
+
+  /** Accumulator value → catalyst representation for the OUTPUT type
+    * ([[zeroOf]]'s Java types back into InternalRow form).
+    */
+  private def catalystOf(outT: DataType, v: Any): Any = outT match {
+    case d: DecimalType => org.apache.spark.sql.types.Decimal(
+      v.asInstanceOf[java.math.BigDecimal], d.precision, d.scale)
+    case _ => v // java.lang.Long, stored as a long
   }
 
   private def addOf(t: DataType, a: Any, v: Any): Any =

@@ -58,11 +58,10 @@ object Stress12 {
         // closed-form rank identities + pass A/B agreement
         assert(rr.total == n && r.getLong(0) == n,
           s"rank must cover 1..$n: total=${rr.total}, max=${r.getLong(0)}")
-        val expectSum = java.math.BigDecimal.valueOf(n)
-          .multiply(java.math.BigDecimal.valueOf(n + 1))
-          .divide(java.math.BigDecimal.valueOf(2))
-        assert(r.getDecimal(1).compareTo(expectSum) == 0,
-          s"sum(rn) must be n(n+1)/2: ${r.getDecimal(1)} vs $expectSum")
+        // n(n+1)/2 fits a long through n = 6.07e9; sum(long) is LongType
+        val expectSum = (BigInt(n) * BigInt(n + 1) / 2).toLong
+        assert(r.getLong(1) == expectSum,
+          s"sum(rn) must be n(n+1)/2: ${r.getLong(1)} vs $expectSum")
         assert(r.getLong(2) == rr.totalLong("cum_v"),
           "pass B's final running sum must equal pass A's grand total")
         println(f"[stress12]   pass A (shuffle+offsets): $passA%.1f s; " +
