@@ -743,17 +743,23 @@ object Dedup {
     * the survivor-only audit cannot witness.
     */
   def minhashCandidateAudit(spark: SparkSession, sfDir: String,
-      k: Int = 16, bands: Int = 4): DataFrame = {
-    val docs = materialized(minhashSignatures(spark, sfDir, k))
-    val est = estimatedJaccard(bandCandidates(docs, k, bands), docs, k)
-    est.join(
-        exactJaccardOf(est.select(col("doc1"), col("doc2")),
-          materialized(shingleSet(spark, sfDir))),
-        Seq("doc1", "doc2"), "left")
-      .select(col("doc1"), col("doc2"), col("est_jaccard"),
-        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
-      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
-  }
+      k: Int = 16, bands: Int = 4): DataFrame =
+    // memoized durably: candidate-pair-sized, deterministic, and consumed
+    // by both the q126 threshold sweep and the length-band precision
+    // audit — it was the largest remaining un-memoized cold (6.8 s)
+    SessionMemo.durable(spark, sfDir,
+        s"minhashCandidateAudit|$sfDir|$k|$bands") {
+      val docs = materialized(minhashSignatures(spark, sfDir, k))
+      val est = estimatedJaccard(bandCandidates(docs, k, bands), docs, k)
+      est.join(
+          exactJaccardOf(est.select(col("doc1"), col("doc2")),
+            materialized(shingleSet(spark, sfDir))),
+          Seq("doc1", "doc2"), "left")
+        .select(col("doc1"), col("doc2"), col("est_jaccard"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("jaccard")), 6))
+    }
 
   /** LSH candidate PRECISION by document-length band: over the
     * [[minhashCandidateAudit]] pairs, how often a band collision is a
