@@ -169,6 +169,15 @@ object Lake {
           // swept a complete winner: put it back (or drop our sweep if a
           // third writer already reinstalled while it sat in trash)
           if (!fs.rename(trash, destPath)) fs.delete(trash, true)
+          else {
+            // the reinstall itself races a third writer's publish: rename
+            // onto a directory that (re)appeared MOVES trash INSIDE it
+            // and returns true — the same nesting hazard handled for tmp
+            // below; detect and drop the nested sweep copy
+            val nestedTrash =
+              new org.apache.hadoop.fs.Path(destPath, trash.getName)
+            if (fs.exists(nestedTrash)) fs.delete(nestedTrash, true)
+          }
         } else fs.delete(trash, true) // verified incomplete AFTER the move
       }
       // rename refused: a concurrent publisher/cleaner got there first —

@@ -107,13 +107,14 @@ private[graft] object SessionMemo {
     *  - DATA: every file under `sfDir` by (name, length, mtime), one
     *    directory level deep (Spark-written table dirs list their part
     *    files; deeper nesting contributes the dir mtime);
-    *  - CODE: the compiled classes' own fingerprint (each .class file's
-    *    relative path, length, mtime under this class's code source — or
-    *    the jar's (len, mtime) when running from a jar). Any recompile
-    *    invalidates every durable entry, so a semantic change to a memo
-    *    family can never be masked by a warm cache built by older code;
-    *    the cost is that a fresh compile's first run rebuilds, exactly
-    *    the behavior before this tier existed.
+    *  - CODE: the compiled classes' own fingerprint — the md5 of each
+    *    .class file's CONTENT (relative path + bytes) under this class's
+    *    code source, or of the jar's bytes when running from a jar.
+    *    Content, not mtime: sbt repackages a fresh run jar per
+    *    invocation, so an mtime key would never hit. Any real code
+    *    change invalidates every durable entry, so a semantic change to
+    *    a memo family can never be masked by a warm cache built by older
+    *    code; a byte-identical repackage keeps hitting.
     *
     * Schema fidelity: the builder's schema (as-nullable) is stored in a
     * `_graft_schema.json` sidecar and replayed through `read.schema`, so
@@ -135,6 +136,10 @@ private[graft] object SessionMemo {
     if (!sys.props.get("graft.memo.durable").contains("true"))
       apply(spark, key)(build)
     else apply(spark, key) {
+      // evaluated at most once: if the publish or read-back fails AFTER
+      // the build ran, the fallback returns the already-built frame
+      // instead of re-running the most expensive builds in the codebase
+      var built: DataFrame = null
       try {
         val dest = durableDest(spark, sfDir, key)
         val destPath = new org.apache.hadoop.fs.Path(dest)
@@ -143,11 +148,11 @@ private[graft] object SessionMemo {
         if (!fs.exists(done)) {
           val t0 = System.nanoTime()
           graft.lake.Lake.publishFingerprinted(spark, dest) { tmp =>
-            val df = build
-            df.write.parquet(tmp)
+            built = build
+            built.write.parquet(tmp)
             val out = fs.create(
               new org.apache.hadoop.fs.Path(tmp, SchemaSidecar), true)
-            try out.write(allNullable(df.schema).json
+            try out.write(allNullable(built.schema).json
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
           }
@@ -169,10 +174,14 @@ private[graft] object SessionMemo {
           } else spark.read
         reader.parquet(dest)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: OOM/interrupt must propagate, not trigger a
+        // silent full rebuild
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[memo] durable tier failed for $key " +
-            s"(${e.getClass.getSimpleName}: ${e.getMessage}); building in-memory")
-          build
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+            (if (built != null) "serving the built frame in-memory"
+             else "building in-memory"))
+          if (built != null) built else build
       }
     }
 

@@ -64,8 +64,8 @@ object Stress12 {
           s"sum(rn) must be n(n+1)/2: ${r.getLong(1)} vs $expectSum")
         assert(r.getLong(2) == rr.totalLong("cum_v"),
           "pass B's final running sum must equal pass A's grand total")
-        println(f"[stress12]   pass A (shuffle+offsets): $passA%.1f s; " +
-          f"throughput ${n / 1e6}%.0fM rows total")
+        println(f"[stress12]   pass A (shuffle+offsets): $passA%.1f s " +
+          f"(${n / passA / 1e6}%.1fM rows/s)")
       }
 
       timed(f"sorted-DataFrame control over $n%,d rows (no Row codec)") {

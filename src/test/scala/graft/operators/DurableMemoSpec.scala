@@ -50,9 +50,10 @@ class DurableMemoSpec extends SparkTestBase {
       s"${sys.props("java.io.tmpdir")}/graft-memo")
     // no entry for THIS key may exist (other suites never enable the prop)
     if (memoRoot.exists()) {
-      val hits = java.nio.file.Files.walk(memoRoot.toPath).iterator()
+      val walk = java.nio.file.Files.walk(memoRoot.toPath)
       val found = new scala.collection.mutable.ArrayBuffer[String]
-      while (hits.hasNext) found += hits.next().toString
+      try walk.iterator().forEachRemaining(p => found += p.toString)
+      finally walk.close()
       assert(!found.exists(_.contains("durableOffSpec")),
         s"off-switch leaked a durable entry: $found")
     }
