@@ -1636,11 +1636,13 @@ private object CorpusOracles {
     // rounding, not after like q23/q73's rounded-jaccard variants.
     // q75: shingles enter as 60-bit md5-prefix longs (the Spark side's
     // stableHash60 payload discipline); DISTINCT re-applied after hashing
-    // so a collision would merge identically on both engines
+    // so a collision would merge identically on both engines. FULL corpus
+    // since round 13 (the rule's prefix-filtered rewrite is the production
+    // plan; the bounded naive-vs-rewritten demo moved to tools).
     "q75_sim_join_rewrite" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id,
          |   CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
-         |  FROM ($shingleRows) WHERE doc_id < 1000),
+         |  FROM ($shingleRows)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS cnt
          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

