@@ -11,7 +11,11 @@ import org.apache.spark.sql.SparkSession
   * sample, an upper bound on what the engine itself costs) plus
   * `run_totals` make any residual contention visible in the artifact
   * itself: a median far above its min on a host whose run totals spread
-  * is a noisy host, not a slow engine.
+  * is a noisy host, not a slow engine. Each run executes the queries in
+  * a DIFFERENT deterministic-random order (seed = run index), so a
+  * contended stretch of wall-clock hits different queries each run
+  * instead of triple-sampling the same ones (r12: q243/q288 medians 3x
+  * steady state from exactly that).
   *
   * Before the timed passes, an untimed-but-REPORTED prebuild phase
   * materializes the multiply-consumed memoized helper tables (minhash
@@ -117,7 +121,7 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     // noop sink: evaluates every row of every column (count() would let
     // Catalyst prune projections and under-report)
-    def onePass(): Map[String, Double] = names.map { name =>
+    def onePass(order: Seq[String]): Map[String, Double] = order.map { name =>
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).write
@@ -129,7 +133,19 @@ object Bench {
       }
     }.toMap
 
-    val passes = (1 to math.max(1, runs)).map(_ => onePass())
+    // RANDOMIZED per-run query order, seeded by the run index (r12 verdict
+    // item 1): with a fixed alphabetical order, a contended window on the
+    // driver host lands on the SAME queries in every run — r12's artifact
+    // showed q243/q288 medians at 3x their steady state because 3 of 5
+    // runs hit them inside the same contended stretch. Shuffling per run
+    // smears host contention across DIFFERENT queries, so a majority of a
+    // query's samples stay clean and the median keeps discriminating.
+    // Deterministic seeds (run index) keep the artifact reproducible
+    // run-for-run; per-query stats are order-independent by construction
+    // (every query runs exactly once per pass).
+    val passes = (1 to math.max(1, runs)).map { i =>
+      onePass(new scala.util.Random(i).shuffle(names))
+    }
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
       else {
@@ -175,8 +191,12 @@ object Bench {
     val prebuildFailJson =
       prebuildFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"queries_min":${fmt(mins)},"queries_cold":$coldQs,"total_min":$totalMin,"sf":"$sfDir","runs":${passes.size},"cold_total":${perRunTotals.head},"prebuild_sec":${r3(prebuildSec)},"prebuild":$prebuildJson,"prebuild_failures":$prebuildFailJson,"run_totals":$spread,"failures":$failJson}""")
+    // [median, min] per slow query (r12 verdict item 1): median >> min on
+    // a host whose run totals spread is contention, not a slow plan — the
+    // min is the adjudication the verdict otherwise has to re-measure
     val slowest = names.sortBy(n => -medians(n)).take(10)
-      .map(n => "\"" + n + "\":" + r3(medians(n))).mkString("{", ",", "}")
+      .map(n => "\"" + n + "\":[" + r3(medians(n)) + "," + r3(mins(n)) + "]")
+      .mkString("{", ",", "}")
     // VERDICT r10 item 3: the driver keeps only the LAST ~2000 chars of
     // output, and r10's tail cut off the cold and prebuild breakdowns —
     // leaving a 385 s warm outlier unattributable. The three diagnostic
