@@ -43,7 +43,8 @@ object Bench {
     // disk-backed memo tier (SessionMemo.durable): a warm host serves the
     // deterministic memo families from the fingerprinted parquet cache
     // instead of rebuilding them every JVM — the r11 cold-pass regression
-    sys.props.getOrElseUpdate("graft.memo.durable", "true")
+    sys.props.getOrElseUpdate("graft.memo.durable",
+      sys.env.getOrElse("SPARK_GRAFT_MEMO_DURABLE", "true"))
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))

@@ -167,9 +167,26 @@ object Lake {
       if (fs.rename(destPath, trash)) {
         if (fs.exists(new org.apache.hadoop.fs.Path(trash, "_SUCCESS"))) {
           // swept a complete winner: put it back (or drop our sweep if a
-          // third writer already reinstalled while it sat in trash)
-          if (!fs.rename(trash, destPath)) fs.delete(trash, true)
-          else {
+          // third writer already reinstalled while it sat in trash).
+          // A refused reinstall does NOT by itself prove a third writer —
+          // a transient fs refusal would leave dest absent with the only
+          // complete copy in trash, so deleting is only safe once
+          // dest/_SUCCESS is POSITIVELY observed; otherwise retry, and as
+          // a last resort leave the trash copy on disk (a leaked dir; the
+          // next identical deterministic build republishes) rather than
+          // destroy the winner (r12 advice 3)
+          var reinstalled = fs.rename(trash, destPath)
+          var retries = 2
+          while (!reinstalled && !fs.exists(done) && retries > 0) {
+            retries -= 1
+            reinstalled = fs.rename(trash, destPath)
+          }
+          if (!reinstalled) {
+            if (fs.exists(done)) fs.delete(trash, true) // third writer won
+            else System.err.println(s"[lake] reinstall of swept winner " +
+              s"$destPath kept refusing with no complete destination; " +
+              s"leaving complete copy at $trash")
+          } else {
             // the reinstall itself races a third writer's publish: rename
             // onto a directory that (re)appeared MOVES trash INSIDE it
             // and returns true — the same nesting hazard handled for tmp

@@ -9,7 +9,8 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    sys.props.getOrElseUpdate("graft.memo.durable", "true")
+    sys.props.getOrElseUpdate("graft.memo.durable",
+      sys.env.getOrElse("SPARK_GRAFT_MEMO_DURABLE", "true"))
     val spark = graft.core.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()

@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   */
 class DurableMemoSpec extends SparkTestBase {
 
+  /** Flips the GLOBAL `graft.memo.durable` JVM property for the block.
+    * ASSUMES suites run sequentially in the forked test JVM (the sbt
+    * default here): under Test/testForkedParallel this flag would leak
+    * into concurrently running suites and flake plan-shape/memo tests
+    * nondeterministically — thread a scoped conf through instead if
+    * parallel suites are ever enabled (r12 advice 5).
+    */
   private def withDurable[A](f: => A): A = {
     sys.props.put("graft.memo.durable", "true")
     try f finally sys.props.remove("graft.memo.durable")
@@ -46,8 +53,7 @@ class DurableMemoSpec extends SparkTestBase {
     val a = SessionMemo.durable(spark, fix, key)(build)
     val b = SessionMemo.durable(spark, fix, key)(build)
     assert(builds == 1 && sortedRows(a) == sortedRows(b))
-    val memoRoot = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft-memo")
+    val memoRoot = new java.io.File(SessionMemo.memoRoot)
     // no entry for THIS key may exist (other suites never enable the prop)
     if (memoRoot.exists()) {
       val walk = java.nio.file.Files.walk(memoRoot.toPath)
@@ -136,6 +142,69 @@ class DurableMemoSpec extends SparkTestBase {
       SessionMemo.durable(spark, fix, key)(build)
       assert(builds == 2, "changed data fingerprint must rebuild")
       SessionMemo.invalidate(spark)
+    }
+  }
+
+  test("a DEEPLY nested leaf rewrite invalidates even with parent mtimes restored") {
+    withDurable {
+      val fix = mkFixture()
+      // three-level partitioned layout: t2.parquet/day=1/hour=2/part.parquet
+      val leafDir = java.nio.file.Paths.get(s"$fix/t2.parquet/day=1/hour=2")
+      java.nio.file.Files.createDirectories(leafDir)
+      val leaf = leafDir.resolve("part-00000.parquet")
+      java.nio.file.Files.write(leaf, Array[Byte](1, 2, 3))
+      def mtimes(): Seq[(java.nio.file.Path, java.nio.file.attribute.FileTime)] =
+        Seq(java.nio.file.Paths.get(fix), java.nio.file.Paths.get(s"$fix/t2.parquet"),
+          leafDir.getParent, leafDir)
+          .map(p => p -> java.nio.file.Files.getLastModifiedTime(p))
+      val dirTimes = mtimes()
+      var builds = 0
+      def build: DataFrame = { builds += 1; spark.range(2).toDF("n") }
+      val key = s"durableNestedSpec|$fix"
+      SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 1)
+      SessionMemo.invalidate(spark)
+      // rewrite the LEAF in place (same name set), then RESTORE every
+      // ancestor dir mtime — the r12 latent gap: a one-level listing sees
+      // only unchanged dir mtimes and would serve the stale cache
+      java.nio.file.Files.write(leaf, Array[Byte](9, 9, 9, 9))
+      java.nio.file.Files.setLastModifiedTime(leaf,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(leaf).toMillis + 7000))
+      dirTimes.foreach { case (p, t) =>
+        java.nio.file.Files.setLastModifiedTime(p, t) }
+      SessionMemo.durable(spark, fix, key)(build)
+      assert(builds == 2,
+        "a nested leaf rewrite must re-key the durable cache, never serve stale")
+      SessionMemo.invalidate(spark)
+    }
+  }
+
+  test("fingerprint gc keeps current + 3 newest, touches only 32-hex dirs") {
+    // own root: the test must neither depend on nor delete real cache
+    // entries another run of this round may have published
+    val root = java.nio.file.Files.createTempDirectory("graft-memo-gcspec")
+    def mk(name: String, ageMin: Long): java.nio.file.Path = {
+      val d = root.resolve(name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMin * 60000))
+      d
+    }
+    val current = mk("c" * 32, 0)
+    val stale = (1 to 5).map(i => mk(f"${i}%032x", 10L + i)) // 1..5, older = bigger i
+    val notFp = mk("not-a-fingerprint-dir", 99) // wrong shape: must survive
+    SessionMemo.gcStaleFingerprints(current.getFileName.toString,
+      force = true, root = root.toString)
+    assert(java.nio.file.Files.exists(current), "current fingerprint must survive")
+    assert(java.nio.file.Files.exists(notFp), "non-fingerprint dirs are never touched")
+    val survivors = stale.filter(java.nio.file.Files.exists(_)).map(_.getFileName.toString)
+    assert(survivors == stale.take(3).map(_.getFileName.toString),
+      s"expected the 3 newest stale fingerprints to survive, got $survivors")
+    // cleanup what the test created
+    (Seq(current, notFp) ++ stale).foreach { d =>
+      try java.nio.file.Files.deleteIfExists(d) catch { case _: Throwable => () }
     }
   }
 }
