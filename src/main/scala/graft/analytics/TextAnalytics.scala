@@ -703,7 +703,9 @@ object TextAnalytics {
     */
   def frequentNgrams(spark: SparkSession, sfDir: String,
       n: Int = 5, k: Int = 100): DataFrame =
-    frequentNgramsOf(Tables.documents(spark, sfDir), n, k)
+    // documentsSpread: the 5-gram explode is the dominant cost and would
+    // run as one serial task on the single-split gate corpus
+    frequentNgramsOf(Tables.documentsSpread(spark, sfDir), n, k)
 
   /** [[frequentNgrams]] over an arbitrary (doc_id, text) frame. */
   def frequentNgramsOf(docs: DataFrame, n: Int = 5, k: Int = 100): DataFrame =
@@ -891,7 +893,9 @@ object TextAnalytics {
     * grams are absorbed by partial aggregation before the shuffle.
     */
   def noveltyScore(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val grams = Tables.documents(spark, sfDir)
+    // documentsSpread: the gram explode+hash below otherwise runs as one
+    // serial task on the single-split gate corpus (StageMetrics r13)
+    val grams = Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"), explode(Text.shingles(col("text"), n)).as("gram"))
       .select(col("doc_id"), Hashing.stableHash60(col("gram")).as("g"))
       .distinct()

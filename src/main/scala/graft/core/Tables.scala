@@ -50,5 +50,22 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** [[documents]] repartitioned by doc_id to the session's shuffle
+    * parallelism — for COMPUTE-BOUND per-row text pipelines (shingle+md5
+    * hashing, posexplode rebuilds) over the gate-scale corpus, which
+    * lands in ONE parquet split (594 KB, one row group) and would
+    * otherwise run its entire hot path as a single serial task while 31
+    * cores idle (r13 StageMetrics: q118 3.6 → 1.2 s, q75 via the same
+    * move). The count is PINNED (REPARTITION_BY_NUM): AQE's bytes-based
+    * coalescer sees a sub-MB exchange and folds it back to one
+    * partition, re-serializing exactly the stage the shuffle exists to
+    * spread — bytes are the wrong oracle for compute-bound stages. A
+    * 100 TB corpus arrives in thousands of splits, so callers there use
+    * [[documents]] as-is; this helper is the small-input remedy.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

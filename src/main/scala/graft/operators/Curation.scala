@@ -553,7 +553,9 @@ object Curation {
     */
   def decontaminationSpans(spark: SparkSession, sfDir: String,
       n: Int = 8, benchMod: Int = 97): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // documentsSpread: the positional gram explode+hash otherwise runs as
+    // one serial task on the single-split gate corpus (StageMetrics r13)
+    val docs = Tables.documentsSpread(spark, sfDir)
     decontaminationSpansAgainst(
       docs.where(col("doc_id") % benchMod =!= 0),
       docs.where(col("doc_id") % benchMod === 0), n)
@@ -631,7 +633,9 @@ object Curation {
   def benchmarkContamination(spark: SparkSession, sfDir: String,
       n: Int = 3, benchMod: Int = 97): DataFrame = {
     import graft.functions.Text
-    val docs = Tables.documents(spark, sfDir)
+    // documentsSpread: the train-side gram explode+hash is the dominant
+    // cost and the one-split table would run it as a single serial task
+    val docs = Tables.documentsSpread(spark, sfDir)
     def grams(d: DataFrame) = d
       .select(col("doc_id"),
         explode(Text.shingles(col("text"), n)).as("gram"))
@@ -662,10 +666,16 @@ object Curation {
     */
   def exciseContamination(spark: SparkSession, sfDir: String,
       n: Int = 3, benchMod: Int = 97): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // spread the single-split documents table BEFORE the two compute-heavy
+    // shingle+md5/posexplode pipelines below (Tables.documentsSpread: the
+    // whole hot path otherwise runs as ONE serial task; StageMetrics r13:
+    // 3.6 s steady → ~1.2 s). Gate-scale remedy only: a corpus-sized train
+    // table already arrives in many splits, so the general operator below
+    // takes its input's layout as-is.
+    val spread = Tables.documentsSpread(spark, sfDir)
     exciseContaminationAgainst(
-      docs.where(col("doc_id") % benchMod =!= 0),
-      docs.where(col("doc_id") % benchMod === 0), n)
+      spread.where(col("doc_id") % benchMod =!= 0),
+      spread.where(col("doc_id") % benchMod === 0), n)
   }
 
   /** [[exciseContamination]] against an explicit benchmark table. */
@@ -1385,7 +1395,10 @@ object Curation {
     */
   def splitCoverageCurve(spark: SparkSession, sfDir: String,
       maxN: Int = 4): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // documentsSpread: each of the four n-gram branches otherwise explodes
+    // the whole corpus in a single serial task (four ~2.2 s one-task
+    // stages at sf0.1 — StageMetrics r13)
+    val docs = Tables.documentsSpread(spark, sfDir)
       .join(trainValTestSplit(spark, sfDir).select(col("doc_id"), col("split")),
         "doc_id")
       .where(col("split").isin("train", "test"))
