@@ -71,9 +71,20 @@ object Dedup {
         (col("doc_id") =!= col("canonical_doc_id")).cast("int").as("is_duplicate"))
   }
 
-  /** doc_id → distinct 3-gram shingle set, exploded. */
+  /** doc_id → distinct 3-gram shingle set, exploded. Unlike
+    * [[shingleSetOf]] this per-doc form uses `array_distinct` instead of
+    * a global `.distinct()`: sfDir doc_ids are unique by construction, so
+    * (doc_id, shingle) duplicates can only arise WITHIN a document — and
+    * skipping the distinct shuffle keeps the spread (pinned-count)
+    * partitioning all the way into the persisted cache, which the
+    * AQE-coalesced distinct otherwise collapses to ONE partition that
+    * every downstream map stage then reads serially (StageMetrics r13:
+    * q23's three cache-reading pipelines ran 2.9-5.1 s single-task).
+    */
   private def shingleSet(spark: SparkSession, sfDir: String): DataFrame =
-    shingleSetOf(Tables.documents(spark, sfDir))
+    Tables.documentsSpread(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(col("text"), 3))).as("shingle"))
 
   /** [[shingleSet]] over an arbitrary (doc_id, text) frame. */
   private def shingleSetOf(docs: DataFrame): DataFrame =

@@ -28,7 +28,12 @@ object Multimodal {
     * document text bytes stand in for an encoded image buffer.
     */
   def withPayload(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // documentsSpread: every media pipeline below (byte-histogram loops,
+    // broadcast ANN probes) is compute-bound per row, and the one-split
+    // gate table would run it all as a single serial task (StageMetrics
+    // r13: q288's probe+aggregate chain was three ~1.8-2.8 s one-task
+    // stages). A real media catalog arrives in many files.
+    Tables.documentsSpread(spark, sfDir)
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         concat(lit("image/fake-"), col("source")).as("media_type"))
