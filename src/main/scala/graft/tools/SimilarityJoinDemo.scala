@@ -23,10 +23,8 @@ object SimilarityJoinDemo {
     def run(label: String, ruleOn: Boolean): Long = {
       val t0 = System.nanoTime()
       // jaccardPairsRewrite pins the rule conf ON inside its own fresh
-      // session, so the control flips the GLOBAL default the fresh
-      // session inherits... it does not: newSession() copies the parent
-      // conf, and the operator then sets the key true. The control
-      // therefore rebuilds the same theta join by hand with the rule off.
+      // session, so the OFF leg cannot reuse it — the control rebuilds
+      // the same theta join by hand on a session with the rule disabled.
       val df =
         if (ruleOn) Dedup.jaccardPairsRewrite(spark, sfDir, maxDocId = Some(bound))
         else {
