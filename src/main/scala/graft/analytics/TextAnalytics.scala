@@ -530,7 +530,9 @@ object TextAnalytics {
     * stays engine-consistent.
     */
   def repeatedGrams(spark: SparkSession, sfDir: String, n: Int = 8): DataFrame =
-    repeatedGramsOf(Tables.documents(spark, sfDir), n)
+    // documentsSpread: the positional gram explode+hash otherwise runs as
+    // one serial task on the single-split gate corpus (StageMetrics r13)
+    repeatedGramsOf(Tables.documentsSpread(spark, sfDir), n)
 
   /** [[repeatedGrams]] over an arbitrary (doc_id, text) frame. */
   def repeatedGramsOf(documents: DataFrame, n: Int = 8): DataFrame = {

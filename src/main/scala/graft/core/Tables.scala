@@ -68,4 +68,14 @@ object Tables {
     documents(s, d).repartition(
       s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** [[embeddings]] repartitioned by vec_id to the session's shuffle
+    * parallelism — the vector analogue of [[documentsSpread]]: the gate
+    * embeddings table is one parquet split, so per-row vector math
+    * (fold/zip dot products, quantization, outer-product explodes) would
+    * otherwise run single-task; same pinned-count rationale.
+    */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(
+      s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
 }

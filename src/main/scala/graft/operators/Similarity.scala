@@ -22,7 +22,9 @@ import graft.functions.Num.dec
 object Similarity {
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    // embeddingsSpread: every consumer below is per-row vector math, and
+    // the one-split gate table would run it single-task (StageMetrics r13)
+    Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
   /** Exact top-k cosine neighbors for each query vector (default: vec_id <
@@ -964,19 +966,29 @@ object Similarity {
   def isotropy(spark: SparkSession, sfDir: String): DataFrame = {
     val norm2 = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
       lit(0.0), (a, e) => a + e)
-    val unit = corpus(spark, sfDir)
-      .select(col("vec_id"), col("v"), sqrt(norm2).as("nrm"))
-      .where(col("nrm") > 0)
-      .select(col("vec_id"),
-        transform(col("v"), x => round(x / col("nrm") * lit(1e9)).cast("long"))
-          .as("r"))
     // ONE pass over the exploded stream: per component j, the coordinate
     // sum (for Q = Σ sj²), the square sum (T = Σ_j Σ_i rij² — same total,
     // grouped by j first: Decimal sums are exact so regrouping cannot
     // move the hash), and the row count (= n_vecs for every j, since a
     // unit vector emits all 64 positions). The previous form aggregated
     // the same exploded stream twice and re-normalized for the count.
-    val ex = unit.select(posexplode(col("r")).as(Seq("j", "rij")))
+    //
+    // Normalization happens AFTER the explode, via the `nrm` ATTRIBUTE
+    // computed once per vector in the Generate's child projection: the
+    // earlier `transform(v, x -> x/nrm…)` form let CollapseProject inline
+    // the whole norm FOLD into the per-element lambda — d re-evaluations
+    // of a d-element fold per row, 18 s of interpreted-HOF CPU at sf0.1
+    // (StageMetrics r13; now ~0.6 s). The zero-vector guard is
+    // `exists(x ≠ 0)` (norm² > 0 ⇔ some component ≠ 0 — squares cannot
+    // cancel, and these magnitudes cannot underflow): unlike the norm
+    // fold, the short-circuiting guard is cheap when predicate pushdown
+    // drags it below the spread exchange into the serial scan stage.
+    val ex = corpus(spark, sfDir)
+      .where(exists(col("v"), x => x =!= 0.0))
+      .select(col("vec_id"), sqrt(norm2).as("nrm"),
+        posexplode(col("v")).as(Seq("j", "x")))
+      .select(col("j"),
+        round(col("x") / col("nrm") * lit(1e9)).cast("long").as("rij"))
     val per = ex.groupBy(col("j"))
       .agg(sum(dec(col("rij"))).as("sj"),
         sum(dec(col("rij")) * dec(col("rij"))).as("tj"),
@@ -1383,7 +1395,9 @@ object Similarity {
     */
   def dominantComponent(spark: SparkSession, sfDir: String,
       iters: Int = 8): DataFrame = {
-    val vf = Tables.embeddings(spark, sfDir)
+    // embeddingsSpread: the chained outer-product explodes below generate
+    // n·d² rows from the scan stage — serial on the one-split gate table
+    val vf = Tables.embeddingsSpread(spark, sfDir)
       .select(transform(col("embedding").cast("array<double>"),
         x => round(x * 1e6, 0).cast("long")).as("vf"))
     val n = vf.groupBy().agg(dec(count(lit(1))).as("n"))
@@ -1660,7 +1674,13 @@ object Similarity {
 
   /** [[mmdQuadratic]] over an arbitrary tagged (vec_id, g, vq) frame. */
   def mmdQuadraticOf(spark: SparkSession, tagged: DataFrame): DataFrame = {
-    val vecs = tagged.repartition(col("vec_id")).localCheckpoint()
+    // PINNED partition count: with the count left to AQE the coalescer
+    // folds this sub-MB exchange to one partition BEFORE the checkpoint
+    // materializes it, and the n² kernel-dot probe below then runs as a
+    // single task (StageMetrics r13)
+    val vecs = tagged.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      .localCheckpoint()
     val k = graft.functions.Vectors.dotLong(col("a.vq"), col("b.vq"))
     // project k ONCE before squaring: a duplicated higher-order-function
     // expression is evaluated twice per row (no CSE for interpreted HOFs)
