@@ -1171,7 +1171,10 @@ object TextAnalytics {
     */
   def lexicalRichness(spark: SparkSession, sfDir: String,
       ttrFlag: Double = 0.5): DataFrame =
-    lexicalRichnessOf(Tables.documents(spark, sfDir), ttrFlag)
+    // documentsSpread: the per-row token statistics are compute-bound and
+    // the one-split gate table runs them single-task; at corpus scale the
+    // helper skips its shuffle, preserving the zero-shuffle claim above
+    lexicalRichnessOf(Tables.documentsSpread(spark, sfDir), ttrFlag)
 
   /** [[lexicalRichness]] over an arbitrary documents frame. */
   def lexicalRichnessOf(docs: DataFrame, ttrFlag: Double = 0.5): DataFrame =
@@ -1961,7 +1964,8 @@ object TextAnalytics {
     * rollups with a broadcast bucket total.
     */
   def positionalEntropy(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    // documentsSpread: the double tokenization below is the dominant cost
+    val toks = Tables.documentsSpread(spark, sfDir)
       .select(posexplode(Text.tokens(col("text"))).as(Seq("pos", "word")),
         size(Text.tokens(col("text"))).as("len"))
       .select(expr("CAST(least(9, (pos * 10) DIV len) AS INT)").as("bucket"),

@@ -61,12 +61,26 @@ object Tables {
     * coalescer sees a sub-MB exchange and folds it back to one
     * partition, re-serializing exactly the stage the shuffle exists to
     * spread — bytes are the wrong oracle for compute-bound stages. A
-    * 100 TB corpus arrives in thousands of splits, so callers there use
-    * [[documents]] as-is; this helper is the small-input remedy.
+    * 100 TB corpus arrives in thousands of splits and SKIPS the shuffle
+    * (see [[spreadBy]]), so compute-bound consumers can route through
+    * this form unconditionally.
     */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(
-      s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    spreadBy(s, documents(s, d), "doc_id")
+
+  /** Repartition `df` by `key` to the session's shuffle parallelism —
+    * ONLY when its scan arrives with less than half that parallelism.
+    * A gate-scale single-split table gets the pinned-count spread; a
+    * corpus-scale table (thousands of splits at 100 TB) skips the
+    * shuffle entirely, so compute-bound consumers can use the spread
+    * form unconditionally without paying a corpus-wide exchange at
+    * scale. The split count comes from the physical scan (no job runs).
+    */
+  private def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val target = s.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target, col(key))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** [[embeddings]] repartitioned by vec_id to the session's shuffle
@@ -76,6 +90,5 @@ object Tables {
     * otherwise run single-task; same pinned-count rationale.
     */
   def embeddingsSpread(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).repartition(
-      s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+    spreadBy(s, embeddings(s, d), "vec_id")
 }

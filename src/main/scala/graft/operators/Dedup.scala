@@ -964,7 +964,9 @@ object Dedup {
     */
   def embeddingNearDups(spark: SparkSession, sfDir: String,
       threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+    // embeddingsSpread: the label-blocked pair stage below is per-row
+    // cosine math — serial on the one-split gate table otherwise
+    val e = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

@@ -590,7 +590,7 @@ object Similarity {
     */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.SessionMemo.durable(spark, sfDir, s"labelCentroids|$sfDir") {
-      Tables.embeddings(spark, sfDir)
+      Tables.embeddingsSpread(spark, sfDir)
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
@@ -619,7 +619,8 @@ object Similarity {
   def randomProjection(spark: SparkSession, sfDir: String,
       dOut: Int = 8): DataFrame = {
     import graft.functions.Hashing
-    val comp = Tables.embeddings(spark, sfDir)
+    // embeddingsSpread: the d_in x d_out hash projection is compute-bound
+    val comp = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"),
@@ -910,7 +911,7 @@ object Similarity {
     * payloads, no join.
     */
   def embeddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val n = Tables.embeddings(spark, sfDir)
+    val n = Tables.embeddingsSpread(spark, sfDir)
       .select(col("label"),
         round(Vectors.l2Norm(col("embedding")), 6).as("norm"),
         size(col("embedding")).as("dim"))
@@ -1470,7 +1471,7 @@ object Similarity {
     */
   def mahalanobisOutliers(spark: SparkSession, sfDir: String,
       k: Int = 20): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = Tables.embeddingsSpread(spark, sfDir)
       .select(col("vec_id"), col("label"),
         expr("transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(x * 1000000, 0) AS BIGINT))")
           .as("xfp"))
@@ -1738,6 +1739,10 @@ object Similarity {
     * linear at 100 TB).
     */
   def clusterDispersion(spark: SparkSession, sfDir: String): DataFrame =
+    // NOTE: a pinned repartition of the memo read-back was tried here
+    // (r13) and REGRESSED 2.1 → 4.5 s — the collect_list centroids and
+    // broadcast passes below are |cells|-grain, so the extra exchange
+    // only adds scheduling; the one-split read is not this query's cost
     clusterDispersionOf(quantizedAssignment(spark, sfDir))
 
   /** [[clusterDispersion]] over an arbitrary (vec_id, cell, vq) frame. */

@@ -344,10 +344,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("NestedLoopJoin"), p)
   }
 
-  test("q195 lexical richness: in-row HOFs, zero exchanges") {
+  test("q195 lexical richness: in-row HOFs, at most the spread exchange") {
     val p = planOf("q195_lexical_richness")
+    // r13: the one-split gate corpus routes through documentsSpread, so a
+    // single PINNED repartition (REPARTITION_BY_NUM) may precede the map
+    // work — it spreads the compute-bound token statistics and is skipped
+    // at corpus scale (Tables.spreadBy). The map pipeline itself must stay
+    // shuffle-free: no aggregate exchange, no join.
     val exchanges = p.split("\n").count(_.matches("\\(\\d+\\) Exchange\\s*"))
-    assert(exchanges === 0, s"expected a pure map plan:\n$p")
+    assert(exchanges <= 1, s"expected at most the spread exchange:\n$p")
+    if (exchanges == 1)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"the only allowed exchange is the pinned spread repartition:\n$p")
     assert(!p.contains("Join"), p)
   }
 
