@@ -95,6 +95,9 @@ object Bench {
       "q92_pq_encode",            // pqAssign (q92/q93/q101/q125)
       "q116_incremental_neardup", // dedupMaterialized history tables
       "q223_band_tuning",         // band sweep + its exact-Jaccard truth set
+      "q225_dedup_dendrogram",    // dedupDendrogram memo: 0.7 minhashPairs +
+                                  //   three CC passes (r13 driver cold 13.2 s
+                                  //   when it landed in run 1 uncached)
       "q316_fellegi_sunter",      // erPairs blocked-pair memo (q316-318)
       "q341_centroid_confusion")  // quantizedAssignment (q341/q357/q360)
     val prebuildAttempts: Seq[(String, Option[Double])] =

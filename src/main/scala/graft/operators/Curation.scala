@@ -2612,12 +2612,17 @@ object Curation {
     * closure: each cluster labels by its minimum core doc_id — the
     * cluster min is ≤ its whole cell, hence its own cell's rep, hence
     * the min rep). For an unbounded feature domain where the occupied
-    * grid itself outgrows the driver, feed the contracted rep edges to
-    * [[connectedComponentsStar]] instead — the contraction step is the
-    * same either way.
+    * grid itself outgrows the driver, pass `distributedResolve = true`:
+    * the contracted rep edges feed [[connectedComponentsStar]] instead
+    * (and the rep tables join by shuffle, not broadcast) — the
+    * contraction step is the same either way, and the star fixpoint is
+    * the identical min-label closure, so both resolvers emit the same
+    * labels wherever both finish (Stress14 checks equality on planted
+    * clusters at a widened domain).
     */
   def gridDbscanOf(spark: SparkSession, feats: DataFrame,
-      epsX: Long, epsY: Long, minPts: Long): DataFrame = {
+      epsX: Long, epsY: Long, minPts: Long,
+      distributedResolve: Boolean = false): DataFrame = {
     import spark.implicits._
     val offsets = broadcast(
       (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
@@ -2658,25 +2663,39 @@ object Curation {
         col("rep").as("rep_b")), Seq("bcx", "bcy"))
       .where(col("rep_a") < col("rep_b"))
       .select(col("rep_a"), col("rep_b")).distinct()
-    // grid-area-bounded driver solve (the corpus-scale collapse is done)
-    val reps = cellRep.select(col("rep")).collect().map(_.getLong(0))
-    val edges = repEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.from(reps.map(r => r -> r))
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-    }
-    val labels = broadcast(reps.toSeq.map(r => (r, find(r)))
-      .toDF("rep", "component"))
+    val labels =
+      if (distributedResolve)
+        // rep graph too big for the driver: the O(log² n)-round star
+        // resolver over the SAME contracted edges; its fixpoint labels
+        // every rep by its component's min rep — exactly the union-find
+        // min-label below
+        connectedComponentsStar(
+          repEdges.select(col("rep_a").as("doc1"), col("rep_b").as("doc2")),
+          cellRep.select(col("rep").as("doc_id")))
+          .select(col("doc_id").as("rep"), col("component"))
+      else {
+        // grid-area-bounded driver solve (the corpus-scale collapse is
+        // done): |reps| ≤ occupied cells, |edges| ≤ 9·cells
+        val reps = cellRep.select(col("rep")).collect().map(_.getLong(0))
+        val edges = repEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.from(reps.map(r => r -> r))
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        broadcast(reps.toSeq.map(r => (r, find(r)))
+          .toDF("rep", "component"))
+      }
     val comp = coreCells
-      .join(broadcast(cellRep), Seq("cx", "cy"))
+      .join(if (distributedResolve) cellRep else broadcast(cellRep),
+        Seq("cx", "cy"))
       .join(labels, Seq("rep"))
       .select(col("doc_id"), col("component"))
     val border = nb

@@ -979,13 +979,23 @@ object Similarity {
     // earlier `transform(v, x -> x/nrm…)` form let CollapseProject inline
     // the whole norm FOLD into the per-element lambda — d re-evaluations
     // of a d-element fold per row, 18 s of interpreted-HOF CPU at sf0.1
-    // (StageMetrics r13; now ~0.6 s). The zero-vector guard is
-    // `exists(x ≠ 0)` (norm² > 0 ⇔ some component ≠ 0 — squares cannot
-    // cancel, and these magnitudes cannot underflow): unlike the norm
-    // fold, the short-circuiting guard is cheap when predicate pushdown
-    // drags it below the spread exchange into the serial scan stage.
+    // (StageMetrics r13; now ~0.6 s). The degenerate-vector guard is
+    // `exists(x² > 0) ∧ ¬exists(isnan(x))` — EXACTLY the oracle's
+    // `nrm > 0` without evaluating the fold (r13 advice 3: the earlier
+    // `exists(x ≠ 0)` kept NaN vectors — NaN ≠ 0 — and all-subnormal
+    // vectors whose squares underflow to 0, feeding NaN/∞-derived longs
+    // into the exact decimal sums). Equivalence: with no NaN, Σx² > 0 ⇔
+    // some x² > 0 (positive FP addition never rounds a positive operand
+    // back to 0, and squares cannot cancel; per-element underflow drops
+    // exactly the terms that contribute 0 to the sum); any NaN component
+    // makes Σ NaN ⇒ nrm > 0 false, matched by the isnan scan. Both arms
+    // are short-circuiting array scans, so unlike a post-projection
+    // `nrm > 0` re-filter — which PushDownPredicates would substitute
+    // back into a per-row fold below the spread exchange — the guard
+    // stays cheap when pushdown drags it into the serial scan stage.
     val ex = corpus(spark, sfDir)
-      .where(exists(col("v"), x => x =!= 0.0))
+      .where(exists(col("v"), x => x * x > 0.0) &&
+        !exists(col("v"), x => isnan(x)))
       .select(col("vec_id"), sqrt(norm2).as("nrm"),
         posexplode(col("v")).as(Seq("j", "x")))
       .select(col("j"),

@@ -196,7 +196,7 @@ class DurableMemoSpec extends SparkTestBase {
     val stale = (1 to 5).map(i => mk(f"${i}%032x", 10L + i)) // 1..5, older = bigger i
     val notFp = mk("not-a-fingerprint-dir", 99) // wrong shape: must survive
     SessionMemo.gcStaleFingerprints(current.getFileName.toString,
-      force = true, root = root.toString)
+      force = true, root = root.toString, minAgeMs = 5 * 60000L)
     assert(java.nio.file.Files.exists(current), "current fingerprint must survive")
     assert(java.nio.file.Files.exists(notFp), "non-fingerprint dirs are never touched")
     val survivors = stale.filter(java.nio.file.Files.exists(_)).map(_.getFileName.toString)
@@ -205,6 +205,119 @@ class DurableMemoSpec extends SparkTestBase {
     // cleanup what the test created
     (Seq(current, notFp) ++ stale).foreach { d =>
       try java.nio.file.Files.deleteIfExists(d) catch { case _: Throwable => () }
+    }
+  }
+
+  test("gc never deletes a fingerprint modified within the recency window") {
+    // r13 advice 2: a concurrent same-round JVM's dir (4th-newest or
+    // older by rank) must survive the sweep while it could still be read
+    // — the durable read-back is lazy, so deletion mid-round would fail
+    // its consumer's action rather than fall back
+    val root = java.nio.file.Files.createTempDirectory("graft-memo-gcwin")
+    def mk(name: String, ageMin: Long): java.nio.file.Path = {
+      val d = root.resolve(name)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMin * 60000))
+      d
+    }
+    val current = mk("c" * 32, 0)
+    val recent = (1 to 5).map(i => mk(f"${i}%032x", 10L + i)) // all < 6 h old
+    val ancient = mk("a" * 32, 10 * 60) // 10 h: beyond rank 3 AND the window
+    SessionMemo.gcStaleFingerprints(current.getFileName.toString,
+      force = true, root = root.toString) // default 6 h window
+    assert(recent.forall(java.nio.file.Files.exists(_)),
+      "recently-modified fingerprints must survive even beyond the keep-3 rank")
+    assert(!java.nio.file.Files.exists(ancient),
+      "a dir beyond both the rank and the age floor is collected")
+    (Seq(current, ancient) ++ recent).foreach { d =>
+      try java.nio.file.Files.deleteIfExists(d) catch { case _: Throwable => () }
+    }
+  }
+
+  /** Packs `classes` (name → bytes) into a jar with the given fixed entry
+    * timestamp — the sbt-repackaging variable the fingerprint must ignore.
+    */
+  private def mkJar(classes: Seq[(String, Array[Byte])], stampMs: Long,
+      extra: Seq[(String, Array[Byte])] = Seq.empty): java.io.File = {
+    val f = java.nio.file.Files.createTempFile("graft-fp", ".jar").toFile
+    val out = new java.util.jar.JarOutputStream(
+      new java.io.FileOutputStream(f))
+    try (classes ++ extra).foreach { case (name, bytes) =>
+      val e = new java.util.jar.JarEntry(name)
+      e.setTime(stampMs)
+      out.putNextEntry(e)
+      out.write(bytes)
+      out.closeEntry()
+    } finally out.close()
+    f
+  }
+
+  test("code fingerprint is packaging-stable: timestamps, order, resources") {
+    // r13 verdict item 1: two sbt packagings of byte-identical classes
+    // (differing only in zip entry timestamps / resource files) must share
+    // one fingerprint, or the driver's jar run can never hit the builder's
+    // warmed cache; and a jar must fingerprint equal to the classes DIR it
+    // was packed from, so classes-dir and jar runs share entries too
+    val a = "graft/Alpha.class" -> Array[Byte](1, 2, 3, 4)
+    val b = "graft/sub/Beta.class" -> Array[Byte](5, 6, 7)
+    val jar1 = mkJar(Seq(a, b), stampMs = 1000000000000L)
+    val jar2 = mkJar(Seq(b, a), stampMs = 1700000000000L, // reordered + restamped
+      extra = Seq("META-INF/MANIFEST.MF" -> "Main-Class: X\n".getBytes))
+    assert(SessionMemo.fingerprintOf(jar1) == SessionMemo.fingerprintOf(jar2),
+      "identical class bytes must fingerprint equal across packagings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fp-dir")
+    Seq(a, b).foreach { case (name, bytes) =>
+      val p = dir.resolve(name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, bytes)
+    }
+    assert(SessionMemo.fingerprintOf(dir.toFile) ==
+      SessionMemo.fingerprintOf(jar1),
+      "a jar and the classes dir it was packed from must fingerprint equal")
+    val jar3 = mkJar(Seq(a, "graft/sub/Beta.class" -> Array[Byte](5, 6, 8)),
+      stampMs = 1000000000000L)
+    assert(SessionMemo.fingerprintOf(jar1) != SessionMemo.fingerprintOf(jar3),
+      "a real byte change in any class must re-key")
+  }
+
+  test("a builder whose plan fails at EXECUTION propagates, not double-runs") {
+    // r13 advice 4: builds are lazy, so a failing plan blows up inside
+    // write.parquet with built != null — the old fallback served the same
+    // failing frame and the consumer crashed AGAIN after re-running the
+    // full build; now the first crash propagates out of durable() itself
+    withDurable {
+      val fix = mkFixture()
+      var builds = 0
+      def build: DataFrame = {
+        builds += 1
+        spark.read.parquet(s"$fix/t.parquet")
+          .select(assert_true(col("id") < 2).as("a"), col("id"))
+      }
+      val key = s"durableExecFailSpec|$fix"
+      intercept[Exception] { SessionMemo.durable(spark, fix, key)(build) }
+      assert(builds == 1, "the failing builder must run exactly once")
+      SessionMemo.invalidate(spark)
+    }
+  }
+
+  test("a symlinked or uncreatable durable root is not trusted; own dir is") {
+    // r13 advice 1 (the testable half — a foreign-OWNED dir needs a second
+    // uid): the trust check must reject the shapes an attacker can plant
+    val own = java.nio.file.Files.createTempDirectory("graft-memo-own")
+    assert(SessionMemo.trustedRoot(own.toString),
+      "a directory we just created and own is trusted")
+    val target = java.nio.file.Files.createTempDirectory("graft-memo-tgt")
+    val link = java.nio.file.Paths.get(own.toString + "-link")
+    java.nio.file.Files.createSymbolicLink(link, target)
+    assert(!SessionMemo.trustedRoot(link.toString),
+      "a symlink root is never trusted (it may point into foreign space)")
+    val file = java.nio.file.Files.createTempFile("graft-memo-file", "")
+    assert(!SessionMemo.trustedRoot(file.toString),
+      "a non-directory root is never trusted")
+    Seq(link, file, target, own).foreach { p =>
+      try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
   }
 }

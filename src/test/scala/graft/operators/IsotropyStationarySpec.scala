@@ -39,6 +39,34 @@ class IsotropyStationarySpec extends SparkTestBase {
     assert(got.head.getDouble(1) === expected)
   }
 
+  test("isotropy: degenerate vectors (NaN / zero / all-subnormal) are dropped") {
+    // r13 advice 3: the guard must equal the oracle's nrm > 0 — a NaN
+    // component poisons the norm (dropped), an all-zero vector has no
+    // norm (dropped), and a vector whose every square UNDERFLOWS to 0.0
+    // (|x| < ~1.5e-162) is indistinguishable from zero (dropped) — while
+    // a unit vector mixed in with them still aggregates exactly
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-iso").toString
+    val d = 64
+    // subnormal-double territory is below float range, so build the frame
+    // with DOUBLE arrays directly (isotropy's cast to array<double> is id)
+    Seq(
+      (0L, "a", (0 until d).map(i => if (i == 0) 1.0 else 0.0)),
+      (1L, "a", (0 until d).map(i => if (i == 1) 1.0 else 0.0)),
+      (2L, "bad", (0 until d).map(i => if (i == 0) Double.NaN else 1.0)),
+      (3L, "bad", (0 until d).map(_ => 0.0)),
+      (4L, "bad", (0 until d).map(_ => 1.0e-170))) // squares underflow to 0
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.isotropy(s, dir).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 2L,
+      s"only the two unit vectors survive the nrm > 0 contract: ${got.head}")
+    // two orthogonal units: mean pairwise cos = 0
+    assert(math.abs(got.head.getDouble(1)) < 1e-9)
+  }
+
   test("stationary distribution: mass conserved and fixed under one more step") {
     val s = spark
     val p = graft.analytics.Funnels.stationaryDistribution(s, sf).collect()
