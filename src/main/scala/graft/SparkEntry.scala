@@ -718,6 +718,9 @@ object SparkEntry {
     // q384: dynamic partition pruning through a star join — the runtime
     // skipping path static filters can't serve (spec meters the prune)
     "q384_dpp_star" -> ((s: SparkSession, d: String) => graft.lake.Lake.dppScan(s, d)),
+    // q385: grid-DBSCAN with the DISTRIBUTED component resolver — same
+    // output contract as q348 (the q50/q72 precedent, resolver flavor)
+    "q385_grid_dbscan_star" -> ((s: SparkSession, d: String) => graft.operators.Curation.gridDbscanStar(s, d)),
   )
 
   /** 30-min-gap sessionized event stream (user_id, ts, value, sid) — the
@@ -1035,6 +1038,41 @@ object SparkEntry {
   */
 private object CorpusOracles {
   import graft.functions.Hashing.{MinhashCoefs, MinhashPrime}
+
+  /** Grid-DBSCAN oracle, shared by q348 (driver union-find resolver) and
+    * q385 (distributed star resolver): the quadratic ε-box join is the
+    * oracle's candidate generator (500 docs); the min-label recursive
+    * closure over core-core edges is the same fixpoint both resolvers
+    * reach; border points pin to the min neighboring core's component.
+    */
+  private val gridDbscanSql: String =
+    """WITH RECURSIVE f AS (SELECT doc_id, n_chars AS x,
+      |  length(text) - length(replace(text, ' ', '')) AS y
+      | FROM documents),
+      |nb AS (SELECT a.doc_id AS da, b.doc_id AS db FROM f a JOIN f b
+      |  ON abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 2),
+      |cnt AS (SELECT da AS doc_id, CAST(count(*) AS BIGINT)
+      |  AS n_neighbors FROM nb GROUP BY 1),
+      |core AS (SELECT doc_id FROM cnt WHERE n_neighbors >= 4),
+      |e AS (SELECT da AS src, db AS dst FROM nb
+      |  WHERE da <> db AND da IN (SELECT doc_id FROM core)
+      |   AND db IN (SELECT doc_id FROM core)),
+      |reach(doc_id, component) AS (
+      |  SELECT doc_id, doc_id FROM core
+      |  UNION
+      |  SELECT e.dst, r.component FROM reach r JOIN e ON e.src = r.doc_id),
+      |comp AS (SELECT doc_id, min(component) AS component
+      |  FROM reach GROUP BY 1),
+      |border AS (SELECT nb.da AS doc_id, min(c.component) AS component
+      |  FROM nb JOIN comp c ON c.doc_id = nb.db
+      |  WHERE nb.da NOT IN (SELECT doc_id FROM core) GROUP BY 1)
+      |SELECT cnt.doc_id, cnt.n_neighbors,
+      | CAST(CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |  AS INTEGER) AS is_core,
+      | coalesce(comp.component, border.component, -1) AS cluster
+      |FROM cnt
+      |LEFT JOIN comp ON comp.doc_id = cnt.doc_id
+      |LEFT JOIN border ON border.doc_id = cnt.doc_id""".stripMargin
 
   /** Shared BPE training CTE chain (wf/w0/p1..b6/w6) — the q201 gate and
     * the q206 encoder both unroll the same 6 merge rounds.
@@ -7605,35 +7643,10 @@ private object CorpusOracles {
     // q348: quadratic ε-box join is the oracle's candidate generator
     // (500 docs); min-label recursive closure over core-core edges is the
     // same fixpoint the star resolver reaches; border pins to the min
-    // neighboring core's component
-    "q348_grid_dbscan" ->
-      """WITH RECURSIVE f AS (SELECT doc_id, n_chars AS x,
-        |  length(text) - length(replace(text, ' ', '')) AS y
-        | FROM documents),
-        |nb AS (SELECT a.doc_id AS da, b.doc_id AS db FROM f a JOIN f b
-        |  ON abs(a.x - b.x) <= 5 AND abs(a.y - b.y) <= 2),
-        |cnt AS (SELECT da AS doc_id, CAST(count(*) AS BIGINT)
-        |  AS n_neighbors FROM nb GROUP BY 1),
-        |core AS (SELECT doc_id FROM cnt WHERE n_neighbors >= 4),
-        |e AS (SELECT da AS src, db AS dst FROM nb
-        |  WHERE da <> db AND da IN (SELECT doc_id FROM core)
-        |   AND db IN (SELECT doc_id FROM core)),
-        |reach(doc_id, component) AS (
-        |  SELECT doc_id, doc_id FROM core
-        |  UNION
-        |  SELECT e.dst, r.component FROM reach r JOIN e ON e.src = r.doc_id),
-        |comp AS (SELECT doc_id, min(component) AS component
-        |  FROM reach GROUP BY 1),
-        |border AS (SELECT nb.da AS doc_id, min(c.component) AS component
-        |  FROM nb JOIN comp c ON c.doc_id = nb.db
-        |  WHERE nb.da NOT IN (SELECT doc_id FROM core) GROUP BY 1)
-        |SELECT cnt.doc_id, cnt.n_neighbors,
-        | CAST(CASE WHEN comp.doc_id IS NOT NULL THEN 1 ELSE 0 END
-        |  AS INTEGER) AS is_core,
-        | coalesce(comp.component, border.component, -1) AS cluster
-        |FROM cnt
-        |LEFT JOIN comp ON comp.doc_id = cnt.doc_id
-        |LEFT JOIN border ON border.doc_id = cnt.doc_id""".stripMargin,
+    // neighboring core's component. Shared with q385 (distributed
+    // resolver): both engines' resolvers converge to the same labels.
+    "q348_grid_dbscan" -> gridDbscanSql,
+    "q385_grid_dbscan_star" -> gridDbscanSql,
     // q349: per-shard every-32nd order statistic with weight 32 (pinned
     // md5 shard), cumulative-weight estimate, exact rank of the estimate
     "q349_coreset_quantiles" ->

@@ -2589,13 +2589,26 @@ object Curation {
     * like any hot join key. All-integer features ⇒ exact, engine-free
     * arithmetic end to end.
     */
-  def gridDbscan(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = Tables.documents(spark, sfDir)
+  def gridDbscan(spark: SparkSession, sfDir: String): DataFrame =
+    gridDbscanOf(spark, gridDbscanFeats(spark, sfDir),
+      epsX = 5L, epsY = 2L, minPts = 4L)
+
+  /** [[gridDbscan]] resolved by [[connectedComponentsStar]] over the
+    * contracted rep graph instead of the driver union-find (q385) —
+    * identical output (same min-label fixpoint), gated against the SAME
+    * oracle as q348; the resolver to reach for when the occupied grid
+    * outgrows the driver (the q50 / q72 precedent, cluster-resolver
+    * flavor). Stress14 validates it at 1.5M points with planted truth.
+    */
+  def gridDbscanStar(spark: SparkSession, sfDir: String): DataFrame =
+    gridDbscanOf(spark, gridDbscanFeats(spark, sfDir),
+      epsX = 5L, epsY = 2L, minPts = 4L, distributedResolve = true)
+
+  private def gridDbscanFeats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("n_chars").cast("long").as("x"),
         (length(col("text")) - length(translate(col("text"), " ", "")))
           .cast("long").as("y"))
-    gridDbscanOf(spark, feats, epsX = 5L, epsY = 2L, minPts = 4L)
-  }
 
   /** [[gridDbscan]] over an arbitrary (doc_id, x, y) integer frame.
     *

@@ -43,7 +43,7 @@ object Stress14 {
       nSites: Long, nNoise: Long, chainLen: Long): DataFrame = {
     val sitePts = spark.range(nSites * 10).select(
       col("id").as("doc_id"),
-      (col("id") / 10).as("site"),
+      expr("id div 10").as("site"), // integer div: `/` would be double
       pmod(col("id"), lit(10L)).as("j"))
       .select(col("doc_id"),
         (col("site") * (500L * EpsX) +
