@@ -99,8 +99,14 @@ object Tables {
           org.apache.spark.sql.execution.datasources.HadoopFsRelation]
     } match {
       case Some(rel) =>
+        // key carries every split-affecting input we can read without a
+        // job: paths, total bytes, FILE COUNT (an in-place rewrite that
+        // keeps total bytes but changes the file set re-keys — listing is
+        // already cached in the FileIndex), the session's split sizing
+        // conf, and the spread target
         val cacheKey = rel.location.rootPaths.mkString(",") +
-          s"|${rel.location.sizeInBytes}|$target"
+          s"|${rel.location.sizeInBytes}|${rel.location.inputFiles.length}" +
+          s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}|$target"
         spreadDecisions.computeIfAbsent(cacheKey,
           _ => java.lang.Boolean.valueOf(scanSplits(df).toLong * 2 < target))
           .booleanValue()

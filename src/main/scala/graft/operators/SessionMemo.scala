@@ -260,35 +260,50 @@ private[graft] object SessionMemo {
         sys.props.getOrElse("user.name", "anon")
           .replaceAll("[^A-Za-z0-9._-]", "_"))
 
-  /** Whether [[memoRoot]] may be TRUSTED as a cache: created (or already
-    * present), a real directory (not a symlink), and OWNED by the current
-    * user. `createDirectories` succeeds on a pre-existing dir, and the
-    * permission tightening below is swallowed when we are not the owner —
-    * so without this check another user could pre-create
-    * `/tmp/graft-memo-<user>` and have Verify read back a pre-planted
-    * parquet dir + `_SUCCESS` as memoized truth (r13 advice 1). On any
-    * mismatch the durable tier is DISABLED (loudly), never served from a
-    * foreign root. Filesystems that cannot report ownership (non-POSIX)
-    * keep the tier on: they are single-user environments here, and the
-    * planted-root attack requires a multi-user /tmp.
+  /** Whether [[memoRoot]] may be TRUSTED as a cache. The DEFAULT root
+    * lives under a world-writable /tmp, where `createDirectories`
+    * succeeds on a pre-existing dir and a permission tightening is
+    * silently swallowed when we are not the owner — so without a check
+    * another user could pre-create `/tmp/graft-memo-<user>` and have
+    * Verify read back a pre-planted parquet dir + `_SUCCESS` as memoized
+    * truth (r13 advice 1). The default root is therefore only trusted
+    * when it is a real non-symlink directory OWNED by the current user;
+    * on any mismatch the durable tier is DISABLED (loudly). An EXPLICIT
+    * `GRAFT_MEMO_DIR` is the operator's own choice of root (admin-
+    * provisioned volumes are often group-writable or service-account-
+    * owned, and container uids may not name-match `user.name`): the
+    * planted-root attack requires an attacker-creatable PATH, which an
+    * operator-chosen location is not — it is trusted as configured,
+    * beyond being creatable. Filesystems that cannot report ownership
+    * (non-POSIX) keep the tier on: single-user environments here.
     */
-  private lazy val memoRootTrusted: Boolean = trustedRoot(memoRoot)
+  private lazy val memoRootTrusted: Boolean =
+    trustedRoot(memoRoot, explicit = sys.env.contains("GRAFT_MEMO_DIR"))
 
-  private[operators] def trustedRoot(root: String): Boolean = {
+  private[operators] def trustedRoot(root: String,
+      explicit: Boolean = false): Boolean = {
     val ok = try {
       val p = java.nio.file.Paths.get(root)
       java.nio.file.Files.createDirectories(p)
-      try java.nio.file.Files.setPosixFilePermissions(p,
-        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
-      catch { case _: UnsupportedOperationException => () } // non-POSIX fs
-      if (java.nio.file.Files.isSymbolicLink(p) ||
+      if (explicit) true
+      // ORDER MATTERS: reject a symlinked root BEFORE touching
+      // permissions — a chmod through an attacker-planted symlink would
+      // strip group/other access from whatever victim-owned directory it
+      // points at (the hardening must not be the vector)
+      else if (java.nio.file.Files.isSymbolicLink(p) ||
           !java.nio.file.Files.isDirectory(p,
             java.nio.file.LinkOption.NOFOLLOW_LINKS)) false
       else {
-        try java.nio.file.Files.getOwner(p,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS).getName ==
-          sys.props.getOrElse("user.name", "")
-        catch { case _: UnsupportedOperationException => true } // no owners
+        val owned =
+          try java.nio.file.Files.getOwner(p,
+              java.nio.file.LinkOption.NOFOLLOW_LINKS).getName ==
+            sys.props.getOrElse("user.name", "")
+          catch { case _: UnsupportedOperationException => true } // no owners
+        if (owned)
+          try java.nio.file.Files.setPosixFilePermissions(p,
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+          catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+        owned
       }
     } catch {
       // creation failed (read-only tmp, quota): nothing to cache into

@@ -980,16 +980,19 @@ object Similarity {
     // the whole norm FOLD into the per-element lambda — d re-evaluations
     // of a d-element fold per row, 18 s of interpreted-HOF CPU at sf0.1
     // (StageMetrics r13; now ~0.6 s). The degenerate-vector guard is
-    // `exists(x² > 0) ∧ ¬exists(isnan(x))` — EXACTLY the oracle's
-    // `nrm > 0` without evaluating the fold (r13 advice 3: the earlier
+    // `exists(x² > 0) ∧ ¬exists(isnan(x))` (r13 advice 3: the earlier
     // `exists(x ≠ 0)` kept NaN vectors — NaN ≠ 0 — and all-subnormal
     // vectors whose squares underflow to 0, feeding NaN/∞-derived longs
-    // into the exact decimal sums). Equivalence: with no NaN, Σx² > 0 ⇔
-    // some x² > 0 (positive FP addition never rounds a positive operand
-    // back to 0, and squares cannot cancel; per-element underflow drops
-    // exactly the terms that contribute 0 to the sum); any NaN component
-    // makes Σ NaN ⇒ nrm > 0 false, matched by the isnan scan. Both arms
-    // are short-circuiting array scans, so unlike a post-projection
+    // into the exact decimal sums). For NaN-free vectors the first arm
+    // is EXACTLY the oracle's `nrm > 0`: Σx² > 0 ⇔ some x² > 0
+    // (positive FP addition never rounds a positive operand back to 0,
+    // and squares cannot cancel; per-element underflow drops exactly
+    // the terms that contribute 0 to the sum). NaN vectors are DROPPED
+    // outright — the only total semantic: both engines order NaN above
+    // 0, so a literal `nrm > 0` would KEEP the row and the oracle then
+    // DIES on `CAST(NaN AS BIGINT)` (no defined oracle value exists to
+    // match; the gate corpus is NaN-free either way). Both arms are
+    // short-circuiting array scans, so unlike a post-projection
     // `nrm > 0` re-filter — which PushDownPredicates would substitute
     // back into a per-row fold below the spread exchange — the guard
     // stays cheap when pushdown drags it into the serial scan stage.

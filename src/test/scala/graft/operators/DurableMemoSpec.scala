@@ -309,13 +309,29 @@ class DurableMemoSpec extends SparkTestBase {
     assert(SessionMemo.trustedRoot(own.toString),
       "a directory we just created and own is trusted")
     val target = java.nio.file.Files.createTempDirectory("graft-memo-tgt")
+    // the check must not CHMOD through the link either — a symlinked
+    // default root redirecting a chmod 700 onto a victim-owned shared
+    // dir would make the hardening itself the vector (r14 review)
+    val shared = java.nio.file.attribute.PosixFilePermissions
+      .fromString("rwxr-xr-x")
+    java.nio.file.Files.setPosixFilePermissions(target, shared)
     val link = java.nio.file.Paths.get(own.toString + "-link")
     java.nio.file.Files.createSymbolicLink(link, target)
     assert(!SessionMemo.trustedRoot(link.toString),
       "a symlink root is never trusted (it may point into foreign space)")
+    assert(java.nio.file.Files.getPosixFilePermissions(target) == shared,
+      "rejecting a symlink root must not alter the target's permissions")
     val file = java.nio.file.Files.createTempFile("graft-memo-file", "")
     assert(!SessionMemo.trustedRoot(file.toString),
       "a non-directory root is never trusted")
+    // an EXPLICIT GRAFT_MEMO_DIR is the operator's choice: trusted as
+    // configured (admin-provisioned volumes are often not name-owned by
+    // the running user), beyond being creatable
+    assert(SessionMemo.trustedRoot(link.toString, explicit = true),
+      "an operator-configured root is trusted as configured")
+    assert(!SessionMemo.trustedRoot(
+      java.nio.file.Paths.get(file.toString, "sub").toString, explicit = true),
+      "an uncreatable explicit root still fails (nothing to cache into)")
     Seq(link, file, target, own).foreach { p =>
       try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
