@@ -53,4 +53,14 @@ class Round14OpsSpec extends SparkTestBase {
           .cast("long").as("y"))
     assert(run(feats, distributed = false) == run(feats, distributed = true))
   }
+
+  test("q385 and q348 gate entries emit identical rows (shared oracle is sound)") {
+    // the two entries share one oracle SQL — pin that the ENTRIES (not
+    // just gridDbscanOf) stay row-identical, so an edit to either's
+    // feature projection cannot silently decouple them from the shared SQL
+    def rows(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).toSeq.sorted
+    assert(rows("q348_grid_dbscan") == rows("q385_grid_dbscan_star"))
+  }
 }
