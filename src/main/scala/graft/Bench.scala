@@ -99,7 +99,14 @@ object Bench {
                                   //   three CC passes (r13 driver cold 13.2 s
                                   //   when it landed in run 1 uncached)
       "q316_fellegi_sunter",      // erPairs blocked-pair memo (q316-318)
-      "q341_centroid_confusion")  // quantizedAssignment (q341/q357/q360)
+      "q341_centroid_confusion",  // quantizedAssignment (q341/q357/q360)
+      "q348_grid_dbscan",         // gridDbscanShared: the 9-cell neighbor
+                                  //   join + contraction shared by q348 AND
+                                  //   q385 (r14 verdict item 1; r14 driver
+                                  //   cold 39.1 s landed on q348 uncached)
+      "q369_principal_direction") // principalCov d²-row scatter/mean memo
+                                  //   (r14 verdict item 2: 11.4 s driver
+                                  //   cold was the n·d² self-join per pass)
     val prebuildAttempts: Seq[(String, Option[Double])] =
       if (only.nonEmpty) Seq.empty
       else prebuildSet.filter(SparkEntry.queries.contains).map { name =>

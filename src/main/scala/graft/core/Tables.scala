@@ -89,7 +89,7 @@ object Tables {
   private val spreadDecisions =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+  private[graft] def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
     val needsSpread = df.queryExecution.analyzed.collectLeaves().collectFirst {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -103,9 +103,18 @@ object Tables {
         // job: paths, total bytes, FILE COUNT (an in-place rewrite that
         // keeps total bytes but changes the file set re-keys — listing is
         // already cached in the FileIndex), the session's split sizing
-        // conf, and the spread target
+        // conf, and the spread target. The count comes from the index's
+        // cached FileStatus list, NOT `inputFiles` — that helper
+        // materializes a fresh path-string array per call, an O(#files)
+        // allocation on every lookup at exactly the corpus scale this
+        // helper protects (r14 advice 2).
+        val fileCount = rel.location match {
+          case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
+            p.allFiles().length
+          case other => other.inputFiles.length
+        }
         val cacheKey = rel.location.rootPaths.mkString(",") +
-          s"|${rel.location.sizeInBytes}|${rel.location.inputFiles.length}" +
+          s"|${rel.location.sizeInBytes}|$fileCount" +
           s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}|$target"
         spreadDecisions.computeIfAbsent(cacheKey,
           _ => java.lang.Boolean.valueOf(scanSplits(df).toLong * 2 < target))
@@ -117,13 +126,25 @@ object Tables {
 
   /** Partition count of the plan's leaf file scan — computed from the
     * scan's own input RDD (file listing is already cached in the
-    * relation's FileIndex; nothing executes). `MaxValue` when the leaf is
-    * not a file scan, so the caller skips the spread.
+    * relation's FileIndex; nothing executes). Probes `sparkPlan` (the
+    * physical plan BEFORE the adaptive preparation wraps it): on an
+    * exchange- or subquery-bearing input, `executedPlan` is a single
+    * AdaptiveSparkPlanExec LEAF that hides the scan, which would silently
+    * skip — and cache — the wrong decision (r14 advice 1); the pre-AQE
+    * plan always exposes the FileSourceScan, and the defensive
+    * AdaptiveSparkPlanExec case recurses into its input should one ever
+    * surface here. `MaxValue` when the leaf is not a file scan, so the
+    * caller skips the spread.
     */
   private def scanSplits(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+    splitsOf(df.queryExecution.sparkPlan)
+
+  private def splitsOf(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.inputRDD.getNumPartitions
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        splitsOf(a.inputPlan)
     }.getOrElse(Int.MaxValue)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

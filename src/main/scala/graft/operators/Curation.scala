@@ -2590,8 +2590,7 @@ object Curation {
     * arithmetic end to end.
     */
   def gridDbscan(spark: SparkSession, sfDir: String): DataFrame =
-    gridDbscanOf(spark, gridDbscanFeats(spark, sfDir),
-      epsX = 5L, epsY = 2L, minPts = 4L)
+    gridDbscanGated(spark, sfDir, distributedResolve = false)
 
   /** [[gridDbscan]] resolved by [[connectedComponentsStar]] over the
     * contracted rep graph instead of the driver union-find (q385) —
@@ -2601,8 +2600,32 @@ object Curation {
     * flavor). Stress14 validates it at 1.5M points with planted truth.
     */
   def gridDbscanStar(spark: SparkSession, sfDir: String): DataFrame =
-    gridDbscanOf(spark, gridDbscanFeats(spark, sfDir),
-      epsX = 5L, epsY = 2L, minPts = 4L, distributedResolve = true)
+    gridDbscanGated(spark, sfDir, distributedResolve = true)
+
+  /** Shared gated path for q348/q385 (r14 verdict item 1): the two
+    * queries differ ONLY in the component resolver, while the expensive
+    * candidate stage — the 9-cell neighbor join, per-point counts, cell
+    * contraction, rep edges, and border candidates — is identical. That
+    * stage is memoized once per (sfDir, ε, minPts) as a single packed
+    * table through [[SessionMemo.durable]] (the q59-tf / dedupDendrogram
+    * precedent), so whichever query runs first pays the build (attributed
+    * in Bench's prebuild), and the other replays only its resolver:
+    * q348's two metadata-sized driver collects, or q385's star rounds.
+    * Determinism: every packed table is an exact integer aggregate of the
+    * corpus, so sharing cannot change either query's output — pinned by
+    * Round14OpsSpec (entry equality) and Round15OpsSpec (memo path equals
+    * the unmemoized [[gridDbscanOf]]).
+    */
+  private def gridDbscanGated(spark: SparkSession, sfDir: String,
+      distributedResolve: Boolean): DataFrame = {
+    val (epsX, epsY, minPts) = (5L, 2L, 4L)
+    val packed = SessionMemo.durable(spark, sfDir,
+      s"gridDbscanShared|$sfDir|$epsX|$epsY|$minPts") {
+      dbscanPack(dbscanShared(spark, gridDbscanFeats(spark, sfDir),
+        epsX, epsY, minPts))
+    }
+    dbscanResolve(spark, dbscanUnpack(packed), distributedResolve)
+  }
 
   private def gridDbscanFeats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -2635,7 +2658,36 @@ object Curation {
     */
   def gridDbscanOf(spark: SparkSession, feats: DataFrame,
       epsX: Long, epsY: Long, minPts: Long,
-      distributedResolve: Boolean = false): DataFrame = {
+      distributedResolve: Boolean = false): DataFrame =
+    dbscanResolve(spark,
+      dbscanShared(spark, feats, epsX, epsY, minPts), distributedResolve)
+
+  /** The resolver-independent candidate tables of [[gridDbscanOf]] — the
+    * expensive corpus-scale stage both resolvers consume, isolated so the
+    * gated pair can memoize it once ([[gridDbscanGated]]):
+    *  - `counts`      (doc_id, n_neighbors): per-point ε-neighbor count
+    *    (self-inclusive, so every input point appears);
+    *  - `coreCells`   (doc_id, cx, cy): each core's home cell;
+    *  - `cellRep`     (cx, cy, rep): the min core per occupied cell — the
+    *    cell-clique contraction (any two points of one ε-sized cell are
+    *    mutually ε-close, so a cell's cores are one clique);
+    *  - `repEdges`    (rep_a, rep_b): deduped cell-grain core adjacency,
+    *    ≤ 9·|occupied cells| rows — bounded by GRID AREA, not corpus;
+    *  - `borderReps`  (da, rep): for each NON-core point, the distinct
+    *    reps of its core neighbors' cells. Resolver-independent stand-in
+    *    for the raw neighbor list in the border pass: a border point's
+    *    cluster is min over its core neighbors' components, and a core's
+    *    component IS its cell rep's label, so min over the rep labels is
+    *    the same value — this keeps the n·density-sized `nb` out of the
+    *    memo while still never re-deriving it per resolver.
+    * All-integer exact aggregates of the input: memo-sharing between
+    * resolvers cannot change either's output.
+    */
+  private case class DbscanShared(counts: DataFrame, coreCells: DataFrame,
+      cellRep: DataFrame, repEdges: DataFrame, borderReps: DataFrame)
+
+  private def dbscanShared(spark: SparkSession, feats: DataFrame,
+      epsX: Long, epsY: Long, minPts: Long): DbscanShared = {
     import spark.implicits._
     val offsets = broadcast(
       (for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy))
@@ -2676,6 +2728,54 @@ object Curation {
         col("rep").as("rep_b")), Seq("bcx", "bcy"))
       .where(col("rep_a") < col("rep_b"))
       .select(col("rep_a"), col("rep_b")).distinct()
+    val borderReps = nb
+      .join(cores.select(col("doc_id").as("da"), lit(1).as("a_core")),
+        Seq("da"), "left")
+      .where(col("a_core").isNull)
+      .join(cores.select(col("doc_id").as("db")), Seq("db"))
+      .join(cellRep.select(col("cx").as("bcx"), col("cy").as("bcy"),
+        col("rep")), Seq("bcx", "bcy"))
+      .select(col("da"), col("rep")).distinct()
+    DbscanShared(counts, coreCells, cellRep, repEdges, borderReps)
+  }
+
+  /** Pack/unpack the five [[DbscanShared]] tables as ONE tagged all-long
+    * frame so the gated memo family is a single durable parquet entry;
+    * a filter over the persisted pack replays each table without
+    * re-touching the corpus.
+    */
+  private def dbscanPack(sh: DbscanShared): DataFrame =
+    sh.counts.select(lit("cnt").as("kind"), col("doc_id").as("a"),
+        col("n_neighbors").as("b"), lit(0L).as("c"))
+      .unionAll(sh.coreCells.select(lit("core").as("kind"),
+        col("doc_id").as("a"), col("cx").as("b"), col("cy").as("c")))
+      .unionAll(sh.cellRep.select(lit("rep").as("kind"),
+        col("cx").as("a"), col("cy").as("b"), col("rep").as("c")))
+      .unionAll(sh.repEdges.select(lit("edge").as("kind"),
+        col("rep_a").as("a"), col("rep_b").as("b"), lit(0L).as("c")))
+      .unionAll(sh.borderReps.select(lit("bord").as("kind"),
+        col("da").as("a"), col("rep").as("b"), lit(0L).as("c")))
+
+  private def dbscanUnpack(packed: DataFrame): DbscanShared = DbscanShared(
+    packed.where(col("kind") === "cnt")
+      .select(col("a").as("doc_id"), col("b").as("n_neighbors")),
+    packed.where(col("kind") === "core")
+      .select(col("a").as("doc_id"), col("b").as("cx"), col("c").as("cy")),
+    packed.where(col("kind") === "rep")
+      .select(col("a").as("cx"), col("b").as("cy"), col("c").as("rep")),
+    packed.where(col("kind") === "edge")
+      .select(col("a").as("rep_a"), col("b").as("rep_b")),
+    packed.where(col("kind") === "bord")
+      .select(col("a").as("da"), col("b").as("rep")))
+
+  /** Component resolution + final labeling over [[DbscanShared]] — the
+    * only stage where q348 and q385 differ; consumes ONLY the shared
+    * tables (never the raw neighbor list), so under the gated memo each
+    * resolver's marginal cost is the resolve itself.
+    */
+  private def dbscanResolve(spark: SparkSession, sh: DbscanShared,
+      distributedResolve: Boolean): DataFrame = {
+    import spark.implicits._
     val labels =
       if (distributedResolve)
         // rep graph too big for the driver: the O(log² n)-round star
@@ -2683,14 +2783,14 @@ object Curation {
         // every rep by its component's min rep — exactly the union-find
         // min-label below
         connectedComponentsStar(
-          repEdges.select(col("rep_a").as("doc1"), col("rep_b").as("doc2")),
-          cellRep.select(col("rep").as("doc_id")))
+          sh.repEdges.select(col("rep_a").as("doc1"), col("rep_b").as("doc2")),
+          sh.cellRep.select(col("rep").as("doc_id")))
           .select(col("doc_id").as("rep"), col("component"))
       else {
         // grid-area-bounded driver solve (the corpus-scale collapse is
         // done): |reps| ≤ occupied cells, |edges| ≤ 9·cells
-        val reps = cellRep.select(col("rep")).collect().map(_.getLong(0))
-        val edges = repEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val reps = sh.cellRep.select(col("rep")).collect().map(_.getLong(0))
+        val edges = sh.repEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.from(reps.map(r => r -> r))
         def find(x: Long): Long = {
           var r = x
@@ -2706,20 +2806,19 @@ object Curation {
         broadcast(reps.toSeq.map(r => (r, find(r)))
           .toDF("rep", "component"))
       }
-    val comp = coreCells
-      .join(if (distributedResolve) cellRep else broadcast(cellRep),
+    val comp = sh.coreCells
+      .join(if (distributedResolve) sh.cellRep else broadcast(sh.cellRep),
         Seq("cx", "cy"))
       .join(labels, Seq("rep"))
       .select(col("doc_id"), col("component"))
-    val border = nb
-      .join(cores.select(col("doc_id").as("da"), lit(1).as("a_core")),
-        Seq("da"), "left")
-      .where(col("a_core").isNull)
-      .join(comp.select(col("doc_id").as("db"), col("component")),
-        Seq("db"))
+    // a border point's cluster: min component over its core neighbors —
+    // computed from the rep-level candidates (borderReps), since a core's
+    // component is by construction its cell rep's label
+    val border = sh.borderReps
+      .join(labels, Seq("rep"))
       .groupBy(col("da").as("doc_id"))
       .agg(min(col("component")).as("b_comp"))
-    counts
+    sh.counts
       .join(comp.withColumnRenamed("component", "c_comp"),
         Seq("doc_id"), "left")
       .join(border, Seq("doc_id"), "left")

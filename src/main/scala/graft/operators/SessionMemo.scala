@@ -128,9 +128,16 @@ private[graft] object SessionMemo {
     * OPT-IN via the `graft.memo.durable` system property: the
     * driver-contract mains (Bench/Verify/TimeOne) enable it; tests and
     * library consumers keep the pure in-memory behavior (plan-shape
-    * sweeps stay deterministic regardless of /tmp state). Any failure in
-    * the durable path (unwritable tmp, exotic column name) logs and
-    * falls back to the in-memory build — never to a wrong result.
+    * sweeps stay deterministic regardless of /tmp state). Failure
+    * semantics (r13 advice 4): a failure while the BUILDER'S OWN PLAN
+    * executes — constructing the frame, or inside the memo write that
+    * runs it (including a rare sink-side failure mid-write, e.g. disk
+    * filling DURING the job) — PROPAGATES, exactly as the in-memory tier
+    * would, because re-running the same failing plan in-memory could only
+    * fail again after doubling the cost. Only failures in the durable
+    * TIER itself — an unwritable/untrusted root (fails before the build
+    * starts), or a post-build publish/read-back error — log and fall back
+    * to the already-built in-memory frame; never to a wrong result.
     */
   def durable(spark: SparkSession, sfDir: String, key: String)(
       build: => DataFrame): DataFrame =
@@ -285,7 +292,26 @@ private[graft] object SessionMemo {
     val ok = try {
       val p = java.nio.file.Paths.get(root)
       java.nio.file.Files.createDirectories(p)
-      if (explicit) true
+      if (explicit) {
+        // operator-chosen root: trusted as configured (the planted-root
+        // attack needs an attacker-creatable PATH, which an explicit
+        // location is not) — but keep the pre-r14 best-effort permission
+        // tightening when the root is a real directory we own (r14 advice
+        // 4: operators relied on the auto-hardening). Ownership/symlink
+        // here gate only the chmod, never the trust: a group-writable or
+        // service-account-owned volume stays usable as configured, and we
+        // never chmod through a symlink (the hardening must not be the
+        // vector).
+        try {
+          if (!java.nio.file.Files.isSymbolicLink(p) &&
+              java.nio.file.Files.getOwner(p,
+                java.nio.file.LinkOption.NOFOLLOW_LINKS).getName ==
+                sys.props.getOrElse("user.name", ""))
+            java.nio.file.Files.setPosixFilePermissions(p,
+              java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+        true
+      }
       // ORDER MATTERS: reject a symlinked root BEFORE touching
       // permissions — a chmod through an attacker-planted symlink would
       // strip group/other access from whatever victim-owned directory it

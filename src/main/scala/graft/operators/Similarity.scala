@@ -1619,28 +1619,43 @@ object Similarity {
     *
     * Scale shape: the corpus is touched once by the d² accumulator
     * (map-side combinable on (d,e)); everything after is O(d²·rounds)
-    * independent of corpus size.
+    * independent of corpus size. The d²-row scatter/mean table is a
+    * [[SessionMemo.durable]] family (r14 verdict item 2: q369's 11.4 s
+    * driver cold was this n·d² self-join aggregate re-run per pass; the
+    * table is a deterministic exact-integer aggregate, metadata-sized,
+    * and independent of `rounds`, so memoizing it — attributed in Bench's
+    * prebuild — leaves each call only the O(d²·rounds) driver iteration).
     */
   def principalDirection(spark: SparkSession, sfDir: String,
       rounds: Int = 8): DataFrame = {
     import spark.implicits._
-    val base = quantizedAssignment(spark, sfDir)
-      .select(col("vec_id"), col("vq"))
-    val n = base.count()
-    val dims = base.select(col("vec_id"),
-      posexplode(col("vq")).as(Seq("d", "x")))
-    val mean = dims.groupBy(col("d"))
-      .agg(expr("sum(x) div count(1)").as("m"))
-    val cd = dims.join(broadcast(mean), Seq("d"))
-      .select(col("vec_id"), (col("d") + 1).as("d"),
-        (col("x") - col("m")).as("c"))
-    val cov = cd.as("a").join(cd.as("b"),
-        col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.d").as("d"), col("b.d").as("e"))
-      .agg(sum(col("a.c") * col("b.c")).as("cov"))
+    val stats = SessionMemo.durable(spark, sfDir, s"principalCov|$sfDir") {
+      val base = quantizedAssignment(spark, sfDir)
+        .select(col("vec_id"), col("vq"))
+      val n = base.count()
+      val dims = base.select(col("vec_id"),
+        posexplode(col("vq")).as(Seq("d", "x")))
+      val mean = dims.groupBy(col("d"))
+        .agg(expr("sum(x) div count(1)").as("m"))
+      val cd = dims.join(broadcast(mean), Seq("d"))
+        .select(col("vec_id"), (col("d") + 1).as("d"),
+          (col("x") - col("m")).as("c"))
+      val cov = cd.as("a").join(cd.as("b"),
+          col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.d").as("d"), col("b.d").as("e"))
+        .agg(sum(col("a.c") * col("b.c")).as("cov"))
+      // one packed d²-row frame: cov cell + its row-dim mean + corpus n,
+      // so the memo family is a single durable entry
+      cov.join(broadcast(mean.select((col("d") + 1).as("d"), col("m"))),
+          Seq("d"))
+        .withColumn("n_vecs", lit(n))
+    }
     // d x d collect — the same metadata-sized driver solve as the OLS /
-    // codebook paths; corpus-scale work ended at the aggregate above
-    val a = cov.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // codebook paths; corpus-scale work ended at the memoized aggregate
+    val rows = stats.collect()
+    val a = rows.map(r => (r.getInt(r.fieldIndex("d")),
+      r.getInt(r.fieldIndex("e")), r.getLong(r.fieldIndex("cov"))))
+    val n = rows.head.getLong(rows.head.fieldIndex("n_vecs"))
     val d = a.map(_._1).max
     val m = Array.ofDim[BigInt](d + 1, d + 1)
     a.foreach { case (i, j, v) => m(i)(j) = BigInt(v) }
@@ -1658,8 +1673,8 @@ object Similarity {
     val den = (1 to d).map(i => v(i) * v(i)).sum
     val lambda = BigDecimal(num.toDouble / den.toDouble)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val meanMap = mean.collect().map(r => r.getInt(0) + 1 -> r.getLong(1))
-      .toMap
+    val meanMap = rows.map(r => r.getInt(r.fieldIndex("d")) ->
+      r.getLong(r.fieldIndex("m"))).toMap
     (1 to d).map(i => (i, meanMap(i), v(i).toLong, n, lambda))
       .toDF("dim", "mean_grid", "v_fp", "n_vecs", "lambda_rayleigh")
   }

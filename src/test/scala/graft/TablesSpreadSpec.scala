@@ -56,6 +56,28 @@ class TablesSpreadSpec extends SparkTestBase {
         s"${df.queryExecution.optimizedPlan}")
   }
 
+  test("exchange-bearing input still probes the scan leaf (AQE must not hide it)") {
+    // r14 advice 1: the probe used executedPlan, where any plan with an
+    // exchange gets wrapped in AdaptiveSparkPlanExec (a LEAF that hides
+    // the FileSourceScan), silently — and cacheably — skipping the spread.
+    // The helper's contract is "use unconditionally", so a one-split scan
+    // must be detected even under an aggregate's exchange.
+    val dir = mkDocs(1)
+    val withExchange = Tables.documents(spark, dir)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val df = Tables.spreadBy(spark, withExchange, "doc_id")
+    assert(spreads(df).nonEmpty,
+      "a one-split scan under an exchange must still be spread:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    // and the corpus-shaped variant must still skip under an exchange
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = Tables.documents(spark, mkDocs(target * 2))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(spreads(Tables.spreadBy(spark, wide, "doc_id")).isEmpty,
+      "an already-parallel scan must not be spread just because an " +
+        "exchange sits above it")
+  }
+
   test("the split probe runs no Spark job beyond the load itself") {
     val sc = spark.sparkContext
     val dir = mkDocs(1) // fixture write runs jobs; measure from here

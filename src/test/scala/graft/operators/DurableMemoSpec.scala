@@ -332,7 +332,20 @@ class DurableMemoSpec extends SparkTestBase {
     assert(!SessionMemo.trustedRoot(
       java.nio.file.Paths.get(file.toString, "sub").toString, explicit = true),
       "an uncreatable explicit root still fails (nothing to cache into)")
-    Seq(link, file, target, own).foreach { p =>
+    // trusting the explicit symlink root above must not have chmod'd its
+    // target either — the ownership/symlink gates still guard the CHMOD
+    // even when they no longer guard the trust (r14 advice 4)
+    assert(java.nio.file.Files.getPosixFilePermissions(target) == shared,
+      "an explicit symlink root must not redirect the tightening")
+    // an explicit root we OWN keeps the pre-r14 best-effort auto-tightening
+    val ownExp = java.nio.file.Files.createTempDirectory("graft-memo-ownexp")
+    java.nio.file.Files.setPosixFilePermissions(ownExp, shared)
+    assert(SessionMemo.trustedRoot(ownExp.toString, explicit = true),
+      "an owned explicit root is trusted")
+    assert(java.nio.file.Files.getPosixFilePermissions(ownExp) ==
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"),
+      "an owned explicit root is auto-tightened to rwx------ (r14 advice 4)")
+    Seq(link, file, target, own, ownExp).foreach { p =>
       try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
   }
