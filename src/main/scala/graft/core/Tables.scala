@@ -102,12 +102,15 @@ object Tables {
         // key carries every split-affecting input we can read without a
         // job: paths, total bytes, FILE COUNT (an in-place rewrite that
         // keeps total bytes but changes the file set re-keys — listing is
-        // already cached in the FileIndex), the session's split sizing
-        // conf, and the spread target. The count comes from the index's
-        // cached FileStatus list, NOT `inputFiles` — that helper
-        // materializes a fresh path-string array per call, an O(#files)
-        // allocation on every lookup at exactly the corpus scale this
-        // helper protects (r14 advice 2).
+        // already cached in the FileIndex), the full split-sizing state
+        // (FilePartition math reads maxPartitionBytes, openCostInBytes
+        // AND the context's default parallelism — r15 review: a sibling
+        // session with a different openCostInBytes must not inherit this
+        // one's cached decision), and the spread target. The count comes
+        // from the index's cached FileStatus list, NOT `inputFiles` —
+        // that helper materializes a fresh path-string array per call, an
+        // O(#files) allocation on every lookup at exactly the corpus
+        // scale this helper protects (r14 advice 2).
         val fileCount = rel.location match {
           case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
             p.allFiles().length
@@ -115,7 +118,9 @@ object Tables {
         }
         val cacheKey = rel.location.rootPaths.mkString(",") +
           s"|${rel.location.sizeInBytes}|$fileCount" +
-          s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}|$target"
+          s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}" +
+          s"|${s.conf.get("spark.sql.files.openCostInBytes", "4194304")}" +
+          s"|${s.sparkContext.defaultParallelism}|$target"
         spreadDecisions.computeIfAbsent(cacheKey,
           _ => java.lang.Boolean.valueOf(scanSplits(df).toLong * 2 < target))
           .booleanValue()
@@ -137,15 +142,22 @@ object Tables {
     * caller skips the spread.
     */
   private def scanSplits(df: DataFrame): Int =
-    splitsOf(df.queryExecution.sparkPlan)
+    splitsOf(df.queryExecution.sparkPlan).getOrElse(Int.MaxValue)
 
-  private def splitsOf(p: org.apache.spark.sql.execution.SparkPlan): Int =
-    p.collectLeaves().collectFirst {
+  /** Min split count over ALL file-scan leaves (min-fold, not
+    * collectFirst — r15 review: committing to the first matching leaf
+    * would let a scanless AQE-wrapped subtree shadow a sibling one-split
+    * scan and cache the wrong skip); None when no leaf is a file scan.
+    */
+  private def splitsOf(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[Int] =
+    p.collectLeaves().flatMap {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.inputRDD.getNumPartitions
+        Some(f.inputRDD.getNumPartitions)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         splitsOf(a.inputPlan)
-    }.getOrElse(Int.MaxValue)
+      case _ => None
+    }.minOption
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** [[embeddings]] repartitioned by vec_id to the session's shuffle

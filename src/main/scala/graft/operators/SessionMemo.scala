@@ -291,25 +291,26 @@ private[graft] object SessionMemo {
       explicit: Boolean = false): Boolean = {
     val ok = try {
       val p = java.nio.file.Paths.get(root)
+      val preExisting = java.nio.file.Files.exists(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)
       java.nio.file.Files.createDirectories(p)
       if (explicit) {
         // operator-chosen root: trusted as configured (the planted-root
         // attack needs an attacker-creatable PATH, which an explicit
-        // location is not) — but keep the pre-r14 best-effort permission
-        // tightening when the root is a real directory we own (r14 advice
-        // 4: operators relied on the auto-hardening). Ownership/symlink
-        // here gate only the chmod, never the trust: a group-writable or
-        // service-account-owned volume stays usable as configured, and we
-        // never chmod through a symlink (the hardening must not be the
-        // vector).
-        try {
-          if (!java.nio.file.Files.isSymbolicLink(p) &&
-              java.nio.file.Files.getOwner(p,
-                java.nio.file.LinkOption.NOFOLLOW_LINKS).getName ==
-                sys.props.getOrElse("user.name", ""))
-            java.nio.file.Files.setPosixFilePermissions(p,
-              java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
-        } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+        // location is not) — and best-effort tightened ONLY when this call
+        // just created it (r14 advice 4: operators relied on the
+        // auto-hardening for fresh roots). A PRE-EXISTING explicit root
+        // keeps whatever permissions the operator set: chmod'ing an
+        // owned-but-deliberately-shared volume (a setgid team dir two
+        // service users share) would silently break the second user's
+        // reads, so configured permissions are part of "trusted as
+        // configured". A dir we created this instant cannot be anyone's
+        // deliberate configuration — and cannot be a symlink either, so
+        // the hardening can never be the vector here.
+        if (!preExisting)
+          try java.nio.file.Files.setPosixFilePermissions(p,
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+          catch { case scala.util.control.NonFatal(_) => () } // best-effort
         true
       }
       // ORDER MATTERS: reject a symlinked root BEFORE touching
@@ -502,6 +503,15 @@ private[graft] object SessionMemo {
   /** Drop (and unpersist) every memoized table of `spark` — for sessions
     * that rewrite the data under a previously-memoized sfDir in place.
     */
+  /** The keys currently memoized for `spark` — test-only introspection
+    * (Round15OpsSpec pins that the q348/q385 pair populates exactly ONE
+    * shared family rather than rebuilding per resolver).
+    */
+  private[graft] def cachedKeys(spark: SparkSession): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    sessionTables(spark).keySet().asScala.toSet
+  }
+
   def invalidate(spark: SparkSession): Unit = {
     val tables = bySession.synchronized(bySession.remove(spark))
     if (tables != null) tables.forEach { (_, df) =>

@@ -333,19 +333,27 @@ class DurableMemoSpec extends SparkTestBase {
       java.nio.file.Paths.get(file.toString, "sub").toString, explicit = true),
       "an uncreatable explicit root still fails (nothing to cache into)")
     // trusting the explicit symlink root above must not have chmod'd its
-    // target either — the ownership/symlink gates still guard the CHMOD
-    // even when they no longer guard the trust (r14 advice 4)
+    // target either — the tightening never goes through a link (r14
+    // advice 4 + r15 review)
     assert(java.nio.file.Files.getPosixFilePermissions(target) == shared,
       "an explicit symlink root must not redirect the tightening")
-    // an explicit root we OWN keeps the pre-r14 best-effort auto-tightening
+    // a PRE-EXISTING explicit root keeps its operator-configured
+    // permissions (a deliberately shared team volume must stay shared)...
     val ownExp = java.nio.file.Files.createTempDirectory("graft-memo-ownexp")
     java.nio.file.Files.setPosixFilePermissions(ownExp, shared)
     assert(SessionMemo.trustedRoot(ownExp.toString, explicit = true),
       "an owned explicit root is trusted")
-    assert(java.nio.file.Files.getPosixFilePermissions(ownExp) ==
+    assert(java.nio.file.Files.getPosixFilePermissions(ownExp) == shared,
+      "a pre-existing explicit root keeps its configured permissions")
+    // ...while an explicit root CREATED by the check itself (no deliberate
+    // configuration can exist for it) gets the best-effort auto-tightening
+    val freshExp = java.nio.file.Paths.get(ownExp.toString, "fresh-sub")
+    assert(SessionMemo.trustedRoot(freshExp.toString, explicit = true),
+      "a creatable explicit root is trusted")
+    assert(java.nio.file.Files.getPosixFilePermissions(freshExp) ==
       java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"),
-      "an owned explicit root is auto-tightened to rwx------ (r14 advice 4)")
-    Seq(link, file, target, own, ownExp).foreach { p =>
+      "a just-created explicit root is auto-tightened (r14 advice 4)")
+    Seq(freshExp, link, file, target, own, ownExp).foreach { p =>
       try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
   }

@@ -34,6 +34,22 @@ class Round15OpsSpec extends SparkTestBase {
       "q385's memoized path must equal the unmemoized star-resolve")
   }
 
+  test("q348 and q385 populate ONE shared memo family — no per-resolver rebuild") {
+    // output equality alone would still pass if the entries' memo keys
+    // drifted apart (each rebuilding the corpus-scale candidate stage —
+    // the exact r14 cost this round removes); pin the SHARING itself
+    SessionMemo.invalidate(spark)
+    graft.SparkEntry.queries("q385_grid_dbscan_star")(spark, sf).collect()
+    val afterStar = SessionMemo.cachedKeys(spark)
+    assert(afterStar.count(_.startsWith("gridDbscanShared|")) == 1,
+      s"q385 must build exactly one shared family, got: $afterStar")
+    graft.SparkEntry.queries("q348_grid_dbscan")(spark, sf).collect()
+    val afterBoth = SessionMemo.cachedKeys(spark)
+    assert(afterBoth == afterStar,
+      "q348 after q385 must add NO memo entry (same family, driver " +
+        s"resolve only): new keys ${afterBoth -- afterStar}")
+  }
+
   test("principalDirection replays identically from its memoized scatter table") {
     val first = rows(Similarity.principalDirection(spark, sf))
     val again = rows(Similarity.principalDirection(spark, sf))
