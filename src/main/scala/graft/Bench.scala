@@ -83,6 +83,13 @@ object Bench {
       "q50_dedup_components",     // dedupComponents + 0.8-threshold pairs
       "q56_decontamination",      // gram decontamination verdicts
       "q59_tfidf",                // tfidfTf term-frequency cache (q59/q90)
+      "q66_ivf_trained_assign",   // ivfAssignTrained: the trained-cell
+                                  //   blocking shared by q114/q115/q117/
+                                  //   the balanced sampler (r15 verdict
+                                  //   item 2: q115's 7.8 s driver cold
+                                  //   re-derived it per consumer)
+      "q79_random_projection",    // randomProjection|8 (q79 + q115's JL
+                                  //   pre-filter — same r15 item 2)
       "q62_source_leakage",       // sourceShingleUniverse (q62/q243…)
       "q72_dedup_components_star",// dedupComponentsStar (q72/q138…)
       "q73_jaccard_prefix",       // jaccardPairsPrefix 0.7/0.8 (q23/q73)
@@ -98,6 +105,9 @@ object Bench {
       "q225_dedup_dendrogram",    // dedupDendrogram memo: 0.7 minhashPairs +
                                   //   three CC passes (r13 driver cold 13.2 s
                                   //   when it landed in run 1 uncached)
+      "q197_mmr_rerank",          // mmrCand packed candidate grid (r15
+                                  //   verdict item 1: the grid re-derived
+                                  //   per pass — median 3.98 vs min 1.17)
       "q316_fellegi_sunter",      // erPairs blocked-pair memo (q316-318)
       "q341_centroid_confusion",  // quantizedAssignment (q341/q357/q360)
       "q348_grid_dbscan",         // gridDbscanShared: the 9-cell neighbor

@@ -91,40 +91,47 @@ object Tables {
 
   private[graft] def spreadBy(s: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val needsSpread = df.queryExecution.analyzed.collectLeaves().collectFirst {
+    val rels = df.queryExecution.analyzed.collectLeaves().collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation
           if l.relation.isInstanceOf[
             org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
         l.relation.asInstanceOf[
           org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-    } match {
-      case Some(rel) =>
-        // key carries every split-affecting input we can read without a
-        // job: paths, total bytes, FILE COUNT (an in-place rewrite that
-        // keeps total bytes but changes the file set re-keys — listing is
-        // already cached in the FileIndex), the full split-sizing state
-        // (FilePartition math reads maxPartitionBytes, openCostInBytes
-        // AND the context's default parallelism — r15 review: a sibling
-        // session with a different openCostInBytes must not inherit this
-        // one's cached decision), and the spread target. The count comes
-        // from the index's cached FileStatus list, NOT `inputFiles` —
-        // that helper materializes a fresh path-string array per call, an
-        // O(#files) allocation on every lookup at exactly the corpus
-        // scale this helper protects (r14 advice 2).
+    }
+    val needsSpread = if (rels.isEmpty) false else {
+      // key carries every split-affecting input we can read without a
+      // job, folded over ALL file-scan leaves (r15 advice 2: the min-fold
+      // decision in splitsOf reads every leaf, so a first-relation-only
+      // key would alias two plans that share a first scan but differ in
+      // the others — e.g. a join with a one-split side inheriting a
+      // cached skip): per relation its paths, total bytes and FILE COUNT
+      // (an in-place rewrite that keeps total bytes but changes the file
+      // set re-keys — listing is already cached in the FileIndex), then
+      // the full split-sizing state (FilePartition math reads
+      // maxPartitionBytes, openCostInBytes AND the context's default
+      // parallelism — r15 review: a sibling session with a different
+      // openCostInBytes must not inherit this one's cached decision), and
+      // the spread target. Counts come from the index's cached FileStatus
+      // list, NOT `inputFiles` — that helper materializes a fresh
+      // path-string array per call, an O(#files) allocation on every
+      // lookup at exactly the corpus scale this helper protects (r14
+      // advice 2).
+      val relKey = rels.map { rel =>
         val fileCount = rel.location match {
           case p: org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex =>
             p.allFiles().length
           case other => other.inputFiles.length
         }
-        val cacheKey = rel.location.rootPaths.mkString(",") +
-          s"|${rel.location.sizeInBytes}|$fileCount" +
-          s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}" +
-          s"|${s.conf.get("spark.sql.files.openCostInBytes", "4194304")}" +
-          s"|${s.sparkContext.defaultParallelism}|$target"
-        spreadDecisions.computeIfAbsent(cacheKey,
-          _ => java.lang.Boolean.valueOf(scanSplits(df).toLong * 2 < target))
-          .booleanValue()
-      case None => false
+        rel.location.rootPaths.mkString(",") +
+          s"|${rel.location.sizeInBytes}|$fileCount"
+      }.mkString(";")
+      val cacheKey = relKey +
+        s"|${s.conf.get("spark.sql.files.maxPartitionBytes")}" +
+        s"|${s.conf.get("spark.sql.files.openCostInBytes", "4194304")}" +
+        s"|${s.sparkContext.defaultParallelism}|$target"
+      spreadDecisions.computeIfAbsent(cacheKey,
+        _ => java.lang.Boolean.valueOf(scanSplits(df).toLong * 2 < target))
+        .booleanValue()
     }
     if (needsSpread) df.repartition(target, col(key)) else df
   }

@@ -305,9 +305,15 @@ private[graft] object SessionMemo {
         // service users share) would silently break the second user's
         // reads, so configured permissions are part of "trusted as
         // configured". A dir we created this instant cannot be anyone's
-        // deliberate configuration — and cannot be a symlink either, so
-        // the hardening can never be the vector here.
-        if (!preExisting)
+        // deliberate configuration. The symlink re-check below closes the
+        // exists→create race (r15 advice 1): an attacker with a writable
+        // parent could plant a symlink-to-existing-dir BETWEEN the
+        // NOFOLLOW exists() probe and createDirectories() (which
+        // succeeds through such a link), making preExisting=false with p
+        // a symlink — the chmod would then follow the link and strip the
+        // victim target's permissions, the exact vector the non-explicit
+        // branch guards with the same order-matters check.
+        if (!preExisting && !java.nio.file.Files.isSymbolicLink(p))
           try java.nio.file.Files.setPosixFilePermissions(p,
             java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
           catch { case scala.util.control.NonFatal(_) => () } // best-effort
@@ -500,9 +506,6 @@ private[graft] object SessionMemo {
     md5hex(entries.mkString("\n"))
   }
 
-  /** Drop (and unpersist) every memoized table of `spark` — for sessions
-    * that rewrite the data under a previously-memoized sfDir in place.
-    */
   /** The keys currently memoized for `spark` — test-only introspection
     * (Round15OpsSpec pins that the q348/q385 pair populates exactly ONE
     * shared family rather than rebuilding per resolver).
@@ -512,6 +515,9 @@ private[graft] object SessionMemo {
     sessionTables(spark).keySet().asScala.toSet
   }
 
+  /** Drop (and unpersist) every memoized table of `spark` — for sessions
+    * that rewrite the data under a previously-memoized sfDir in place.
+    */
   def invalidate(spark: SparkSession): Unit = {
     val tables = bySession.synchronized(bySession.remove(spark))
     if (tables != null) tables.forEach { (_, df) =>
