@@ -1263,20 +1263,33 @@ object Similarity {
         .unionByName(sims.select(lit(1).as("kind"), col("query_id"),
           col("cid"), col("other"), col("sim").as("x")))
     }
-    // The greedy selection runs PER QUERY over its own (nCand + nCand²)-
-    // row grid — groups are parameter-bounded and mutually independent,
-    // so one flatMapGroups pass replaces the former k−1 join/window
-    // rounds (each a full job barrier: ~1.5 s of scheduling at gate
-    // scale, k−1 global syncs at any scale). One shuffle on query_id,
-    // then embarrassingly parallel — re-rank cost stays linear in the
-    // query count. The object stage is Catalyst-opaque by design: its
-    // input is the bounded grid, never the corpus.
-    //
-    // Double semantics mirror the SQL form exactly: λ·rel − (1−λ)·max_sim
-    // on the 4-dp-rounded grid values (λ and 1−λ are the same driver-side
-    // literals the join form fed to `lit`), argmax ties break to the
-    // smaller cid, and −0.0 normalizes to +0.0 before comparison (Spark
-    // orders ±0.0 as equal; Ordering[Double] does not).
+    mmrSelect(spark, packed, k, lambda)
+  }
+
+  /** The MMR greedy selection over a packed candidate-grid frame
+    * (kind 0 = (query_id, cid, x=relevance), kind 1 = (query_id, cid,
+    * other, x=pairwise sim)) — the distributed second half of
+    * [[mmrRerank]], factored out so any candidate source (an ANN route,
+    * a synthetic stress grid) can feed it.
+    *
+    * Scale shape: the selection runs PER QUERY over its own
+    * parameter-bounded grid — groups are mutually independent, so one
+    * flatMapGroups pass replaces the former k−1 join/window rounds (each
+    * a full job barrier: ~1.5 s of scheduling at gate scale, k−1 global
+    * syncs at any scale). One shuffle on query_id, then embarrassingly
+    * parallel — re-rank cost stays linear in the query count
+    * (tools.Stress15 drives 200k queries through this exact operator).
+    * The object stage is Catalyst-opaque by design: its input is the
+    * bounded grid, never the corpus.
+    *
+    * Double semantics mirror the former SQL form exactly: λ·rel −
+    * (1−λ)·max_sim on the 4-dp-rounded grid values (λ and 1−λ are the
+    * same driver-side literals the join form fed to `lit`), argmax ties
+    * break to the smaller cid, and −0.0 normalizes to +0.0 before
+    * comparison (Spark orders ±0.0 as equal; Ordering[Double] does not).
+    */
+  private[graft] def mmrSelect(spark: SparkSession, packed: DataFrame,
+      k: Int, lambda: Double): DataFrame = {
     val s2 = spark
     import s2.implicits._
     val lam = lambda
