@@ -1329,10 +1329,17 @@ object Funnels {
       minSupport: Long = 2L, maxItemsPerBasket: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("item"))
+    // localCheckpoint: FOUR consumers read the capped basket frame (the
+    // basket total, the item marginals, and both sides of the pair
+    // self-join) — without it each consumer re-runs the events scan +
+    // props JSON parse + distinct + cap window (r16, guide §2.4/§5:
+    // measured 2.0 s warm → 1.4 s at sf0.1; the frame is
+    // baskets·≤cap rows of three narrow columns)
     val items = rawItems
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= maxItemsPerBasket)
       .drop("__rk")
+      .localCheckpoint()
     val tot = items.select(col("user_id"), col("day")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val ic = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))

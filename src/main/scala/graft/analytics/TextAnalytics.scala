@@ -737,10 +737,15 @@ object TextAnalytics {
     * finished CDF is metadata-sized and broadcast back onto the scan.
     */
   def scoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    // localCheckpoint: the scored frame feeds BOTH the histogram side and
+    // the final join-back — without it the modelScore text expressions
+    // (tokenize + regexp_count per document) evaluate twice per run
+    // (r16, guide §1.2 per-task work: 1.35 s warm → 0.95 s at sf0.1)
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         Text.modelScore(col("text")).as("model_score"))
       .withColumn("bin", round(col("model_score"), 2))
+      .localCheckpoint()
     val hist = scored.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n"))
     val totals = hist.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
@@ -773,10 +778,13 @@ object TextAnalytics {
     */
   def winsorizedScores(spark: SparkSession, sfDir: String,
       loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    // localCheckpoint: same double-evaluation shape as [[scoreCalibration]]
+    // (histogram side + join-back side both read the scored frame)
     val scored = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         Text.modelScore(col("text")).as("model_score"))
       .withColumn("bin", round(col("model_score"), 2))
+      .localCheckpoint()
     val hist = scored.groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n"))
     val totals = hist.groupBy(col("source")).agg(sum(col("n")).as("n_source"))

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
 
 /** Deterministic, engine-portable hashing primitives.
   *
@@ -38,10 +39,15 @@ object Hashing {
 
   /** 32-bit base hash of a string column: first 8 hex chars of md5 as a
     * long in [0, 2^32). DuckDB mirror:
-    * `CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`.
+    * `CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`. Computed by the
+    * codegen'd [[Md5PrefixLong]] — bit-identical to the
+    * `conv(substring(md5(c),1,8),16,10)` composition (Round16OpsSpec),
+    * without its per-row `MessageDigest.getInstance` + hex-string
+    * round-trip.
     */
   def stableHash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    GraftBridge.column(Md5PrefixLong(
+      GraftBridge.expression(c.cast("binary")), 8))
 
   /** 60-bit md5-prefix hash (first 15 hex chars): negligible collision mass
     * even at billions of keys, and still inside a SIGNED 64-bit integer in
@@ -51,7 +57,8 @@ object Hashing {
     * hash identically, even a collision stays engine-consistent.
     */
   def stableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    GraftBridge.column(Md5PrefixLong(
+      GraftBridge.expression(c.cast("binary")), 15))
 
   /** i-th minhash permutation applied to a base-hash column. */
   def minhashPerm(h: Column, i: Int): Column = {

@@ -1389,33 +1389,49 @@ object Curation {
     * Determinism: pinned-hash split (q82), integer counts, one rounded
     * division per n.
     *
-    * Scale shape: per n, ONE gram-keyed aggregate (max of two split
-    * flags) — no join at all, the same honest shuffle as q89; the four n
-    * branches are independent and the rollups are 4 rows.
+    * Scale shape (r16): ONE corpus pass — the four n-gram lengths explode
+    * together as (n, gram_h) pairs, so the text is scanned, split-joined,
+    * and tokenized once instead of four times, and the four gram-keyed
+    * shuffles collapse into one keyed on (n, gram_h) (same total gram
+    * rows — per-n aggregates stay independent because n is in the key;
+    * optimization guide §2.4 "remove shuffles outright"). The final
+    * rollup re-joins a literal 1..maxN spine so an n with zero test
+    * grams still emits its (n, 0, null, null) row exactly like the old
+    * per-branch global aggregate. r13→r16 history: the branches were
+    * first serial-task explodes (fixed by documentsSpread), then four
+    * spread-but-redundant corpus passes (measured 3.1 s warm / 7.6 s
+    * cold at sf0.1; single-pass form 2.0 s warm).
     */
   def splitCoverageCurve(spark: SparkSession, sfDir: String,
       maxN: Int = 4): DataFrame = {
-    // documentsSpread: each of the four n-gram branches otherwise explodes
-    // the whole corpus in a single serial task (four ~2.2 s one-task
-    // stages at sf0.1 — StageMetrics r13)
+    // documentsSpread: the n-gram explode otherwise runs as a single
+    // serial task on the single-split gate corpus (StageMetrics r13)
     val docs = Tables.documentsSpread(spark, sfDir)
       .join(trainValTestSplit(spark, sfDir).select(col("doc_id"), col("split")),
         "doc_id")
       .where(col("split").isin("train", "test"))
-    (1 to maxN).map { n =>
-      docs
-        .select(col("split"),
-          explode(graft.functions.Text.shingles(col("text"), n)).as("gram"))
-        .groupBy(Hashing.stableHash60(col("gram")).as("gram_h"))
-        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
-          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
-        .where(col("in_test") === 1)
-        .agg(count(lit(1)).as("n_test_grams"),
-          sum(col("in_train")).cast("long").as("n_covered"))
-        .select(lit(n).as("n"), col("n_test_grams"), col("n_covered"),
-          round(col("n_covered").cast("double") / col("n_test_grams"), 6)
-            .as("coverage"))
-    }.reduce(_ unionByName _)
+    val spark2 = spark
+    import spark2.implicits._
+    val tagged = (1 to maxN).map { n =>
+      transform(graft.functions.Text.shingles(col("text"), n),
+        g => struct(lit(n).as("n"), Hashing.stableHash60(g).as("gram_h")))
+    }
+    val curve = docs
+      .select(col("split"),
+        explode(flatten(array(tagged: _*))).as("g"))
+      .groupBy(col("g.n").as("n"), col("g.gram_h").as("gram_h"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+      .where(col("in_test") === 1)
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_test_grams"),
+        sum(col("in_train")).cast("long").as("n_covered"))
+    (1 to maxN).toDF("n")
+      .join(curve, Seq("n"), "left")
+      .select(col("n"), coalesce(col("n_test_grams"), lit(0L)).as("n_test_grams"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test_grams"), 6)
+          .as("coverage"))
   }
 
   /** Bin-boundary STRADDLE audit over the packed [[shardManifest]]: per

@@ -201,7 +201,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // to 4.0000000000000004 → ceil 5, an unsound SHORTER prefix);
           // slack can only lengthen the prefix, which is always sound.
           def exploded(child: LogicalPlan, arr: Expression, tag: String)
-              : (LogicalPlan, Attribute, Attribute) = {
+              : (LogicalPlan, Attribute, Attribute, Attribute) = {
             val dist = ArrayDistinct(arr)
             val sorted = SortArray(dist, Literal(true))
             val n = Cast(Size(dist, legacySizeOfNull = false), LongType)
@@ -212,7 +212,11 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               IntegerType)
             val pfxAlias =
               Alias(Slice(sorted, Literal(1), pfxLen), s"__graft_sim_pfx_$tag")()
-            val projected = Project(child.output :+ pfxAlias, child)
+            // distinct-set size, projected once per ROW so the per-copy
+            // size bound below is two reads — codegen subexpression
+            // elimination shares the ArrayDistinct with the prefix alias
+            val nAlias = Alias(n, s"__graft_sim_n_$tag")()
+            val projected = Project(child.output :+ pfxAlias :+ nAlias, child)
             val pfxAttr = pfxAlias.toAttribute
             val elemNullable = pfxAlias.dataType match {
               case ArrayType(_, nl) => nl
@@ -223,10 +227,10 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             val gen = Generate(Explode(pfxAttr), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
               generatorOutput = Seq(elemAttr), child = projected)
-            (gen, pfxAttr, elemAttr)
+            (gen, pfxAttr, elemAttr, nAlias.toAttribute)
           }
-          val (newLeft, lPfx, lElem) = exploded(left, la, "l")
-          val (newRight, rPfx, rElem) = exploded(right, ra, "r")
+          val (newLeft, lPfx, lElem, lN) = exploded(left, la, "l")
+          val (newRight, rPfx, rElem, rN) = exploded(right, ra, "r")
           // meet-once: of the |prefix-intersection| copies of a candidate
           // pair (non-empty for every qualifying pair, by the lemma), keep
           // the one joined on the smallest shared prefix element.
@@ -235,8 +239,33 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           // would drop it).
           val meetOnce = EqualNullSafe(lElem,
             ArrayMin(ArrayIntersect(lPfx, rPfx)))
+          // size bound (AllPairs length filter): jaccard(A,B) ≥ t implies
+          // |A∩B| ≥ t·|A∪B| ≥ t·max(n_l,n_r) and |A∩B| ≤ min(n_l,n_r),
+          // so min ≥ t·max — two long reads + one multiply per copy,
+          // evaluated BEFORE the O(|prefix|) intersect and the O(n)
+          // exact predicate. The same 1e-9 slack as the prefix length
+          // guards fp rounding of t·max (slack only ADMITS extra copies,
+          // which the exact predicate re-rejects — never drops one).
+          val sizeBound = GreaterThanOrEqual(
+            Cast(Least(Seq(lN, rN)), DoubleType),
+            Subtract(Multiply(Cast(Greatest(Seq(lN, rN)), DoubleType),
+              Literal(t)), Literal(1e-9)))
+          // conjunct order (cheap → expensive): the original condition's
+          // NON-similarity conjuncts (e.g. a doc1 < doc2 orientation cut,
+          // which alone halves the candidate copies) run before the size
+          // bound, meet-once dedup, and finally the exact similarity
+          // predicate. Reordering deterministic conjuncts is the same
+          // liberty predicate pushdown already takes; conjuncts carrying
+          // subqueries stay in place (never hoisted ahead of cheaper
+          // filters), and the rule already declines non-deterministic
+          // conditions outright.
+          val (hoisted, kept) = conjuncts.partition(c =>
+            !c.exists(_.isInstanceOf[PlanExpression[_]]) &&
+              simPredicate(c).isEmpty)
+          val ordered = hoisted ++ (Seq(sizeBound, meetOnce) ++ kept)
           val joined = Join(newLeft, newRight, Inner,
-            Some(And(EqualNullSafe(lElem, rElem), And(meetOnce, cond))),
+            Some(And(EqualNullSafe(lElem, rElem),
+              ordered.reduceRight(And))),
             JoinHint.NONE)
           Some(Project(j.output, joined))
         case _ => None

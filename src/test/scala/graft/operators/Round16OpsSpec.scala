@@ -50,6 +50,28 @@ class Round16OpsSpec extends SparkTestBase {
         s"new keys ${afterQ115 -- afterFamilies}")
   }
 
+  test("Md5PrefixLong equals the conv(substring(md5)) composition it replaces") {
+    import graft.functions.Hashing
+    // adversarial + randomized inputs: empty, single char, unicode,
+    // long strings, strings whose md5 starts with 0 / f nibbles, nulls
+    val rnd = new scala.util.Random(16)
+    val samples = Seq("", " ", "a", "0", "ÿ", "漢字テスト", "a b c d e",
+      "x" * 1000) ++
+      (1 to 2000).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      (1 to 200).map(i => s"split:src$i:$i")
+    val df = spark.createDataFrame(
+        samples.map(Tuple1(_)) :+ Tuple1(null.asInstanceOf[String]))
+      .toDF("s")
+    val legacy32 = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val legacy60 = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+    val bad = df.select(
+        Hashing.stableHash32(col("s")).as("n32"), legacy32.as("l32"),
+        Hashing.stableHash60(col("s")).as("n60"), legacy60.as("l60"))
+      .where(!(col("n32") <=> col("l32")) || !(col("n60") <=> col("l60")))
+    assert(bad.count() == 0L,
+      s"md5-prefix mismatch: ${bad.take(3).mkString(", ")}")
+  }
+
   test("principalDirection returns an empty typed frame on empty embeddings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty-sf")
       .toString
