@@ -1193,12 +1193,16 @@ object Funnels {
     * fixture-testable core.
     */
   def spearmanActivityOf(ev: DataFrame): DataFrame = {
+    // localCheckpoint: three ranked() calls each feed RangedRank, whose
+    // range sampling evaluates its input twice — without this the event
+    // scan + user rollup ran up to six times (r16)
     val users = ev
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(to_date(col("ts"))).as("n_days"),
         sum((col("event_type") === "purchase").cast("long"))
           .as("n_purchases"))
+      .localCheckpoint()
     def ranked(metric: String): DataFrame = {
       val d = users.groupBy(col(metric).as("v"))
         .agg(count(lit(1)).as("c"))
@@ -1462,6 +1466,9 @@ object Funnels {
       .withColumn("p6", round(lit(1.0) / (lit(1.0) + exp(-(lit(-3.0)
         + lit(0.45) * log(lit(1.0) + col("n_feat"))
         + lit(0.35) * col("k_types")))), 6))
+      // localCheckpoint: RangedRank's range sampling evaluates its input
+      // a second time (r16) — here the event scan + unit rollup
+      .localCheckpoint()
     val rr = graft.operators.RangedRank.withGlobalRank(units,
       Seq(col("p6").desc, col("n_feat").desc, col("k_types").desc,
         col("user_id"), col("day")), "r")
@@ -1831,8 +1838,11 @@ object Funnels {
 
   /** [[lorenzCurve]] over an arbitrary events frame. */
   def lorenzCurveOf(events: DataFrame): DataFrame = {
+    // localCheckpoint: RangedRank's range sampling evaluates its input a
+    // second time (r16) — here the event scan + user rollup
     val u = events.groupBy(col("user_id"))
       .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .localCheckpoint()
     val rr = graft.operators.RangedRank.withGlobalRank(u,
       Seq(col("cents"), col("user_id")), "r", Seq("cents" -> "cum"))
     val targets = broadcast(events.sparkSession.range(1, 11)

@@ -1729,7 +1729,10 @@ object Relational {
     val g = Tables.orders(spark, sfDir)
       .select(col("o_orderpriority"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    // localCheckpoint: RangedRank's range sampling evaluates its input a
+    // second time (r16) — here the orders scan + cents-grain count
     val grain = g.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ranked = graft.operators.RangedRank.withGlobalRank(grain,
         Seq(col("cents")), "grain_rank", Seq("c" -> "cum")).df
       .select(col("cents"),
@@ -1855,9 +1858,12 @@ object Relational {
       .where(col("event_type").isin(typeA, typeB))
       .select(col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
+    // localCheckpoint: RangedRank's range sampling evaluates its input a
+    // second time (r16) — here the filtered event scan + cents grain
     val grain = e.groupBy(col("cents")).agg(
       sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("c1"),
       sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
     val totals = e.agg(
       sum(when(col("event_type") === typeA, 1L).otherwise(0L))
         .cast("long").as("n_a"),
@@ -2765,6 +2771,10 @@ object Relational {
               .as("s1")))).as("o"))
       .select(col("o.lid").as("lid"), col("o.s1").as("s1"),
         col("db"), col("pb"), col("kcnt"), col("hit"))
+      // localCheckpoint: RangedRank's range sampling evaluates its input
+      // a second time (r16) — here the full fact scan + histogram; the
+      // frame is histogram-grain (≤ 2·65k rows) at any corpus size
+      .localCheckpoint()
     // inclusive ranged prefix − own count = the key's exclusive global
     // row offset; layouts are contiguous in (lid, s1) order and each
     // holds ALL rows, so lid 2's base is exactly the natural pass's

@@ -2208,9 +2208,13 @@ object TextAnalytics {
       .select(col("doc_id"),
         round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
         when(rep("dup_bigram_frac") >= repThreshold, 1).otherwise(0).as("is_rep"))
+    // localCheckpoint: RangedRank's range sampling evaluates its input
+    // plan a second time (r16 — the sample pass re-ran the modelScore/
+    // repetitionMetrics scan + aggregate); the grain is score-bounded
     val grain = docs.groupBy(col("score_fp"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("is_rep") === 1, 1L).otherwise(0L)).as("c_pos"))
+      .localCheckpoint()
     val ranked = graft.operators.RangedRank.withGlobalRank(grain,
         Seq(col("score_fp")), "grain_rank", Seq("c" -> "cum")).df
       .withColumn("r2", lit(2) * (col("cum") - col("c")) + col("c") + lit(1))
@@ -2254,6 +2258,9 @@ object TextAnalytics {
         round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
         when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
           .as("is_rep"))
+      // localCheckpoint: the range sample otherwise re-runs the
+      // modelScore/repetitionMetrics text expressions over every doc (r16)
+      .localCheckpoint()
     val rr = graft.operators.RangedRank.withGlobalRank(docs,
       Seq(col("score_fp"), col("doc_id")), "rn")
     val ranked = rr.df
@@ -2393,6 +2400,9 @@ object TextAnalytics {
         round(Text.modelScore(col("text")) * 1e6).cast("long").as("score_fp"),
         when(rep("dup_bigram_frac") >= repThreshold, 1L).otherwise(0L)
           .as("is_rep"))
+      // localCheckpoint: the range sample otherwise re-runs the
+      // modelScore/repetitionMetrics text expressions over every doc (r16)
+      .localCheckpoint()
     val rr = graft.operators.RangedRank.withGlobalRank(docs,
       Seq(col("score_fp"), col("doc_id")), "rn",
       Seq("is_rep" -> "cum_pos"))

@@ -23,8 +23,27 @@ object Tables {
     * (`unix_micros`, watermarks, tz-aware windows) keeps working regardless
     * of which flavor the generator wrote.
     */
+  /** Inferred-schema cache: `spark.read.parquet(path)` re-reads footers to
+    * infer the schema on EVERY call — measured 0.08-0.13 s of driver time
+    * per load at sf0.1 vs 0.02 s with an explicit schema, and a bench pass
+    * calls load 1-3 times per query × 383 queries (guide §5: driver-side
+    * single-threaded work is invisible in task metrics). Keyed by
+    * path + file mtime so a rewritten file re-infers; values are schema
+    * METADATA only — never data, never results.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Exception => -1L }
+    val schema = schemaCache.computeIfAbsent(s"$path@$mtime",
+      _ => spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
     raw.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name
     }.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))

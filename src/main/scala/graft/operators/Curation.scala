@@ -2206,10 +2206,13 @@ object Curation {
         .select(col("doc_id"),
           graft.functions.Text.modelScore(col("text")).as("score")),
         Seq("doc_id"))
+    // localCheckpoint: RangedRank's range sampling evaluates its input a
+    // second time (r16) — here the modelScore scan + keep join + grain agg
     val grain = scored.groupBy(col("score"))
       .agg(sum(col("keep")).cast(dc).as("k"),
         sum(lit(1) - col("keep")).cast(dc).as("d"))
       .withColumn("kd", (col("k") + col("d")).cast(dc))
+      .localCheckpoint()
     // doubled midrank of a tie block starting after `before` rows with
     // `cnt` members: 2*before + cnt + 1. `before` = exclusive prefix of
     // the block sizes in score order = inclusive ranged prefix − own size

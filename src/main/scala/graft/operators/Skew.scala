@@ -120,7 +120,11 @@ object Skew {
 
   /** [[joinFanoutAudit]] over an arbitrary single-column key frame. */
   def joinFanoutAuditOf(keyed: DataFrame): DataFrame = {
+    // localCheckpoint: consumed by the rank pass (whose range sampling
+    // evaluates its input twice — r16) AND the stats rollup; without it
+    // the key-grain aggregate over the input ran three times
     val counts = keyed.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val ranked = graft.operators.RangedRank.withGlobalRank(counts,
       Seq(col("n"), col("key")), "rn").df
     val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
